@@ -1,0 +1,169 @@
+"""Lake IO: table loading, temp-view registration, partitioned writers.
+
+Covers SURVEY.md section 2.1 S1-S9/S18-S20: CSV/JSON/Parquet scans (raw,
+header, inferSchema, explicit schema, glob/path-list), sinks with
+``partitionBy`` replacing the reference's hand-built
+``/{country}/{city}/...`` path formatting
+(reference: work/weather_to_hdfs.py:20, work/batch_profiling_enriched.py:30-32),
+and the pandas bridges (reference: work/Projet/preparation_noaa.ipynb:124,
+work/TD_pySpark.ipynb:486).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pyarrow.parquet as _pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Tables the driver materializes per scale factor (TESTDATA.md).
+LAKE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — one footer read, cached.
+
+    Spark's vectorized reader rejects nanosecond timestamps outright
+    (PARQUET_TYPE_ILLEGAL); the lake's ``events.ts`` is nanos. We read such
+    columns as raw int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``)
+    and truncate to microseconds with integer division — the same
+    truncation DuckDB applies, so oracle comparisons agree to the micro.
+    """
+    schema = _pq.read_schema(path)
+    import pyarrow as pa
+
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one lake table. Parquet keeps predicate pushdown,
+    column pruning and partition pruning on the table scan (verify with
+    ``df.explain``: PushedFilters / ReadSchema)."""
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # int64 nanos -> micros via integer `div` (truncation, not a double
+        # round-trip: 1.7e18 exceeds double's 53-bit exact-integer range)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_lake(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every lake table and register each as a temp view so the SQL
+    surface stays in lockstep with the DataFrame surface
+    (reference: work/Projet_Spark_Analyse_Climatique.ipynb:199-200)."""
+    out: dict[str, DataFrame] = {}
+    for name in LAKE_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# --------------------------------------------------------------------------
+# Readers (S1-S6). Thin, typed wrappers: the policy (explicit schemas on
+# large scans, no inference passes over big files) lives here.
+# --------------------------------------------------------------------------
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: StructType | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan: raw (header=False, all-string), header, inferSchema, or
+    explicit-schema multi-path (reference: work/Intro_pySpark.ipynb:71,117,163;
+    work/Projet/preparation_noaa.ipynb:344-350). Engine policy: pass
+    ``schema`` for anything large — inference is a second full scan."""
+    reader = spark.read.options(header=header, sep=sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(paths)
+
+
+def read_json(
+    spark: SparkSession, paths: str | list[str], schema: StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan incl. partition-dir globs
+    (reference: work/batch_profiling_enriched.py:8, work/anomaly_detector.py:11)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(paths)
+
+
+def read_parquet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Parquet scan (reference: work/Intro_pySpark.ipynb:384)."""
+    if isinstance(paths, str):
+        return spark.read.parquet(paths)
+    return spark.read.parquet(*paths)
+
+
+# --------------------------------------------------------------------------
+# Writers (S7-S9). partitionBy replaces hand-built partition paths: at
+# 100 TB the partition layout is what makes partition pruning work, and a
+# driver-side loop formatting paths (reference: work/batch_profiling_enriched.py:30-32)
+# serializes the write. Hive-style partitioning parallelizes it and lets
+# readers prune.
+# --------------------------------------------------------------------------
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, single_file: bool = False
+) -> None:
+    """CSV sink; ``single_file`` keeps the reference's ``coalesce(1)`` export
+    convenience (reference: work/TD_pySpark.ipynb:633) — small exports only."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Raw-layer columnar persistence (reference: work/Projet/preparation_noaa.ipynb:359)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned JSON sink replacing string-formatted
+    ``/{country}/{city}/{year}`` paths (reference: work/batch_profiling_enriched.py:30-32)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
