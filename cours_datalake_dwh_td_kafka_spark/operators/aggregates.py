@@ -1,1 +1,423 @@
-"""Placeholder; populated in later milestones."""
+"""Aggregation surface: SURVEY.md §2.4 (A1-A17).
+
+All aggregates are expressed as declarative groupBy/agg so Spark plans
+partial (map-side) + final hash aggregation — at 100 TB the partial agg is
+what keeps the shuffle small. Float sums/averages go through exact decimal
+accumulation (see relational.dec_avg) for oracle determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.relational import dec_avg, dec_sum
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# A3/A4/A5: the headline multi-aggregate — TPC-H Q1-shaped pricing summary
+# (reference analog: monthly profiling work/batch_profiling_enriched.py:22-27)
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(charge).alias("sum_charge"),
+            dec_avg(F.col("l_quantity"), n).alias("avg_qty"),
+            dec_avg(F.col("l_extendedprice"), n).alias("avg_price"),
+            dec_avg(F.col("l_discount"), n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A1: global aggregate, dict-form agg (reference: work/Intro_pySpark.ipynb:561)
+# --------------------------------------------------------------------------
+@register(
+    "global_agg",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quantity,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        dec_avg(F.col("l_quantity"), F.count(F.lit(1))).alias("avg_quantity"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A2: group-by single key, min/max of a timestamp
+# (reference: work/TD_pySpark.ipynb:156-163)
+# --------------------------------------------------------------------------
+@register(
+    "group_minmax",
+    """
+    SELECT o_orderstatus,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_group_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A3: composite grouping key (reference: work/TD_pySpark.ipynb:206-212)
+# --------------------------------------------------------------------------
+@register(
+    "composite_key_agg",
+    """
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def q_composite_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_avg(F.col("value"), F.count(F.lit(1))).alias("avg_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# A5/A17: conditional count + alert probability
+# (reference: work/spark_windowed_aggregation.py:39-40; KAFKA exos §11)
+# --------------------------------------------------------------------------
+@register(
+    "conditional_agg",
+    """
+    SELECT event_type,
+           COUNT(CASE WHEN value > 100 THEN 1 END) AS n_high,
+           COUNT(CASE WHEN value <= 100 THEN 1 END) AS n_low,
+           ROUND(CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS alert_probability
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("value") > 100, 1)).alias("n_high"),
+            F.count(F.when(F.col("value") <= 100, 1)).alias("n_low"),
+            F.round(
+                F.sum(F.when(F.col("value") > 150, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("alert_probability"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: exact distinct count (reference: work/TD_pySpark.ipynb:98). The scale
+# path for 100 TB is approx_count_distinct (HLL) — engine exposes both; the
+# approximate one is engine-specific so it gets a separate rows-only query.
+# --------------------------------------------------------------------------
+@register(
+    "distinct_count",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("approx_distinct_count")
+def q_approx_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-based distinct (reference analog: approxQuantile speed/accuracy
+    trade, work/Intro_pySpark.ipynb:594-643). Engine-specific sketch ->
+    rows-only check; accuracy asserted in tests vs exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# A8/A15: exact interpolated percentiles — Spark `percentile` and DuckDB
+# `quantile_cont` share the interpolation formula
+# (reference: work/Intro_pySpark.ipynb:594 approxQuantile; KAFKA exos §12 median/q25/q75)
+# --------------------------------------------------------------------------
+@register(
+    "quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS median,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25"),
+            F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("median"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("approx_quantiles")
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path (Greenwald-Khanna sketch, distributed mergeable) —
+    reference used approxQuantile with tunable eps
+    (work/Intro_pySpark.ipynb:594,609,643). Sketch is engine-specific ->
+    rows-only; bounded-error property asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 100)
+        .alias("approx_quantiles")
+    )
+
+
+# --------------------------------------------------------------------------
+# A9/A10: correlation & covariance (reference: work/Intro_pySpark.ipynb:751,783)
+# --------------------------------------------------------------------------
+@register(
+    "corr_cov",
+    """
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+           ROUND(stddev_samp(l_quantity), 6) AS qty_stddev
+    FROM lineitem
+    """,
+)
+def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_cov"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A11/A12: describe/summary as a typed aggregate (reference:
+# work/Intro_pySpark.ipynb:959,1101 — df.describe returns strings; the
+# engine's typed profile keeps doubles so it is oracle-checkable)
+# --------------------------------------------------------------------------
+@register(
+    "describe_profile",
+    """
+    SELECT COUNT(c_acctbal) AS count,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal), 6) AS mean,
+           ROUND(stddev_samp(c_acctbal), 6) AS stddev,
+           MIN(c_acctbal) AS min,
+           ROUND(quantile_cont(c_acctbal, 0.25), 6) AS q25,
+           ROUND(quantile_cont(c_acctbal, 0.50), 6) AS median,
+           ROUND(quantile_cont(c_acctbal, 0.75), 6) AS q75,
+           MAX(c_acctbal) AS max
+    FROM customer
+    """,
+)
+def q_describe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.count("c_acctbal").alias("count"),
+        dec_avg(F.col("c_acctbal"), F.count("c_acctbal")).alias("mean"),
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("stddev"),
+        F.min("c_acctbal").alias("min"),
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.50)), 6).alias("median"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 6).alias("q75"),
+        F.max("c_acctbal").alias("max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A13: top-k frequency (reference: work/analysis_sectors_by_location.ipynb:100-105
+# value_counts().head(10); KAFKA exos §8 most-frequent per country)
+# --------------------------------------------------------------------------
+@register(
+    "top_k_frequency",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    ORDER BY n_parts DESC, p_brand
+    LIMIT 10
+    """,
+)
+def q_top_k_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.desc("n_parts"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# A14: yearly average (reference: work/Projet_Spark_Analyse_Climatique.ipynb:167)
+# --------------------------------------------------------------------------
+@register(
+    "yearly_avg",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY year(o_orderdate)
+    ORDER BY order_year
+    """,
+)
+def q_yearly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            dec_avg(F.col("o_totalprice"), F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# A16: completeness / validity audit (KAFKA exos §12: month coverage,
+# missing values, realistic ranges)
+# --------------------------------------------------------------------------
+@register(
+    "validity_audit",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(value) AS n_missing_value,
+           COUNT(CASE WHEN value < 0 OR value > 400 THEN 1 END) AS n_out_of_range,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days_covered,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) = 30 AS BOOLEAN) AS full_coverage
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    n_days = F.countDistinct(F.col("ts").cast("date"))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_missing_value"),
+            F.count(F.when((F.col("value") < 0) | (F.col("value") > 400), 1)).alias(
+                "n_out_of_range"
+            ),
+            n_days.alias("n_days_covered"),
+            (n_days == 30).alias("full_coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# grouping-sets surface (not in reference; SURVEY §2.4 notes built-in
+# cube/rollup) — rollup over nation/segment with grouping id
+# --------------------------------------------------------------------------
+@register(
+    "rollup_agg",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_balance
+    FROM customer
+    GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+    ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.rollup("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum(F.col("c_acctbal")).alias("total_balance"),
+        )
+        .orderBy(
+            F.col("c_nationkey").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+    )

@@ -1,1 +1,192 @@
-"""Placeholder; populated in later milestones."""
+"""Window-function surface: SURVEY.md §2.5 (W1-W6) + per-group mode (A13b).
+
+Scale notes: every query here shares one Window clustering per partition
+key, so Catalyst emits a single hash-partition exchange per query; frames
+are row-bounded (no unbounded following), so state per key is O(frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# W1/W2: lag + UDF-free change detection (reference: work/TD_pySpark.ipynb:233-246
+# used a Python UDF; here it's a column expression inside codegen)
+# --------------------------------------------------------------------------
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_delta,
+           CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS type_changed
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        F.when(
+            prev_type.isNull() | (prev_type != F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("type_changed"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# W3: running sum (reference: work/TD_pySpark.ipynb:313-322 trip numbering)
+# --------------------------------------------------------------------------
+@register(
+    "running_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double"), 6
+        ).alias("running_value"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# W4: row_number — first row per group (reference: work/TD_pySpark.ipynb:356-362)
+# --------------------------------------------------------------------------
+@register(
+    "row_number_first",
+    """
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_row_number_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# W5: rank with ties kept (reference: work/Projet/preparation_noaa.ipynb:546-551
+# rank()==1 keeps tied nearest stations)
+# --------------------------------------------------------------------------
+@register(
+    "rank_top3",
+    """
+    SELECT user_id, event_id, value, rnk
+    FROM (
+      SELECT user_id, event_id, value,
+             RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk
+      FROM events
+    )
+    WHERE rnk <= 3
+    ORDER BY user_id, rnk, event_id
+    """,
+)
+def q_rank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    return (
+        e.withColumn("rnk", F.rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+        .orderBy("user_id", "rnk", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# W6: explicit row frame (reference: work/TD_pySpark.ipynb:282-286
+# rowsBetween(-2, 0) rolling max)
+# --------------------------------------------------------------------------
+@register(
+    "rolling_frame_max",
+    """
+    SELECT event_id, user_id,
+           MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_max3
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_rolling_frame_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.max("value").over(w).alias("rolling_max3"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# A13b: per-group mode via window argmax (KAFKA exos §8 "most frequent
+# weather code per country" — here most frequent event_type per user,
+# deterministic tiebreak on event_type asc)
+# --------------------------------------------------------------------------
+@register(
+    "mode_per_group",
+    """
+    SELECT user_id, event_type AS top_event_type, n_events
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n_events")
+        .orderBy("user_id")
+    )
