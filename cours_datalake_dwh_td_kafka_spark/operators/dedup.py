@@ -1,1 +1,509 @@
-"""Placeholder; populated in later milestones."""
+"""Deduplication operators for LLM training-data pipelines (BASELINE.json
+north star; the reference course only gestures at text processing via its
+nltk dependency, work/requirements.txt:1-7).
+
+Five dedup families, all engine-native (no Python UDFs in the hot path):
+
+- exact: normalize -> hash-groupBy, keep the smallest doc_id.
+- fingerprint: md5 canonical fingerprint (cheap cross-run identity).
+- n-gram Jaccard: word 3-gram shingles, candidate pairs via shared-shingle
+  equi-join (inverted index), exact Jaccard verify.
+- MinHash + LSH: k=8 deterministic min-hashes over shingles, banded (r=2)
+  into 4 LSH keys; candidates = band collisions; verify with true Jaccard.
+- SimHash: 16-bit token simhash, near-dup = Hamming distance <= 3.
+
+All hash functions are md5-derived so the DuckDB oracle can replicate them
+bit-for-bit (Spark xxhash64 / DuckDB hash() are engine-specific).
+
+Scale notes: every family is a shuffle-on-key plan — shingle/band/bucket
+joins are equi-joins, so 100 TB of documents shards by key with no
+cartesian product. The Jaccard verify join only touches candidate pairs.
+Hot shingles (stop-shingles shared by everything) are the skew risk: the
+candidate generator caps per-shingle postings via a frequency filter
+(drop shingles appearing in > max_df docs — they carry no dedup signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# shared text canonicalization + shingling (Spark side)
+# ---------------------------------------------------------------------------
+
+def norm_text(col: Column) -> Column:
+    """Whitespace-collapse + lowercase + trim: the canonical form every
+    dedup family hashes."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>, built with array
+    lambdas (JVM-side, no UDF)."""
+    toks = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# DuckDB twin (1-indexed): distinct word 3-grams of the normalized text.
+SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len({t}) - 2, 1)), "
+    "i -> array_to_string({t}[i:i+2], ' ')))"
+)
+
+# md5-derived 32-bit integer hash of a string — identical on both engines.
+_HASH32_SPARK = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+HASH32_SQL = "CAST(('0x' || substr(md5({c}), 1, 8)) AS UBIGINT)::BIGINT"
+
+# MinHash: h_i(x) = (a_i * (x mod p) + b_i) mod p with p = 2^31-1. a_i are
+# ~1e6 primes so a*(x mod p) stays far below 2^63 (no overflow on either
+# engine's signed 64-bit path).
+MINHASH_P = 2_147_483_647
+MINHASH_A = (1_000_003, 1_000_033, 1_000_037, 1_000_039, 1_000_081, 1_000_099, 1_000_117, 1_000_121)
+MINHASH_B = (17, 91, 733, 2017, 4099, 8191, 12289, 65537)
+N_HASHES = 8
+BAND_R = 2  # rows per band -> 4 bands
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash groupBy; reference analog: dropDuplicates)
+# ---------------------------------------------------------------------------
+_EXACT_SQL = f"""
+    SELECT {NORM_SQL.format(c='text')} AS norm_text_key,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_doc_id
+"""
+
+
+@register("dedup_exact", _EXACT_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(norm_text(F.col("text")).alias("norm_text_key"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# md5 fingerprint dedup (content-addressed identity; at 100 TB this is the
+# first pass — a single shuffle on a 128-bit key)
+# ---------------------------------------------------------------------------
+_FP_SQL = f"""
+    SELECT md5({NORM_SQL.format(c='text')}) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_doc_id
+"""
+
+
+@register("dedup_fingerprint", _FP_SQL)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(norm_text(F.col("text"))).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: inverted shingle index -> candidate pairs ->
+# exact Jaccard verify. max_df filter kills stop-shingle skew.
+# ---------------------------------------------------------------------------
+JACCARD_THRESHOLD = 0.8
+MAX_DF = 50  # shingles in more docs than this carry no signal
+
+
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", shingles(norm_text(F.col("text"))).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def ngram_jaccard_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    docs = _doc_shingles(d)
+    inv = docs.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    # frequency filter: drop shingles present in > MAX_DF docs (skew +
+    # signal-free); a pair with jaccard >= 0.8 shares plenty of rare shingles
+    rare = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= MAX_DF)
+        .select("shingle")
+    )
+    inv = inv.join(rare, "shingle")
+    a = inv.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = inv.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_NGRAM_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             {SHINGLES_SQL.format(t="string_split(" + NORM_SQL.format(c='text') + ", ' ')")} AS sh
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM docs),
+    inv0 AS (SELECT doc_id, n_sh, UNNEST(sh) AS shingle FROM sized),
+    rare AS (
+      SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= {MAX_DF}
+    ),
+    inv AS (SELECT i.* FROM inv0 i JOIN rare r USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
+    FROM shared
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_SQL)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(d: DataFrame) -> DataFrame:
+    """k=8 min-hashes per doc, as columns h0..h7 (no arrays so the oracle
+    hash compare stays scalar)."""
+    docs = _doc_shingles(d)
+    x = _HASH32_SPARK(F.col("shingle")) % MINHASH_P
+    exploded = docs.select("doc_id", F.explode("sh").alias("shingle")).withColumn(
+        "x", x
+    )
+    aggs = [
+        F.min((F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _minhash_sig_sql() -> str:
+    sh_expr = SHINGLES_SQL.format(
+        t="string_split(" + NORM_SQL.format(c="text") + ", ' ')"
+    )
+    x = HASH32_SQL.format(c="shingle") + f" % {MINHASH_P}"
+    # same algebra as Spark: min over shingles of ((x * a + b) % p)
+    cols = ",\n           ".join(
+        f"MIN((({x}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {sh_expr} AS sh FROM documents
+    ),
+    exploded AS (SELECT doc_id, UNNEST(sh) AS shingle FROM docs)
+    SELECT doc_id, {cols}
+    FROM exploded
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register("minhash_signatures", _minhash_sig_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signature(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(
+    d: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """LSH: band the signature (r=2 -> 4 bands), candidates = docs sharing
+    any band key, verified with exact Jaccard. The band join is an
+    equi-join on the band hash — the scale path for all-pairs near-dup."""
+    sig = minhash_signature(d)
+    bands = []
+    for band in range(N_HASHES // BAND_R):
+        key = F.concat_ws(
+            "_",
+            F.lit(band),
+            *[F.col(f"h{band * BAND_R + j}").cast("string") for j in range(BAND_R)],
+        )
+        bands.append(sig.select("doc_id", key.alias("band_key")))
+    all_bands = bands[0]
+    for bdf in bands[1:]:
+        all_bands = all_bands.unionByName(bdf)
+    cand = (
+        all_bands.alias("a")
+        .join(all_bands.alias("b"), "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact jaccard over shingle sets
+    docs = _doc_shingles(d)
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+
+# Oracle: LSH banding is recall-lossy by design, but with these (k, r)
+# parameters candidate recall at jaccard>=0.8 is asserted in tests; the
+# ORACLE instead re-states the exact algorithm: pairs sharing any band.
+def _minhash_lsh_sql() -> str:
+    sig = _minhash_sig_sql().replace("ORDER BY doc_id", "")
+    band_keys = []
+    for band in range(N_HASHES // BAND_R):
+        parts = " || '_' || ".join(
+            f"CAST(h{band * BAND_R + j} AS VARCHAR)" for j in range(BAND_R)
+        )
+        band_keys.append(f"SELECT doc_id, '{band}_' || {parts} AS band_key FROM sig")
+    bands_sql = " UNION ALL ".join(band_keys)
+    sh_expr = SHINGLES_SQL.format(
+        t="string_split(" + NORM_SQL.format(c="text") + ", ' ')"
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    docs AS (SELECT doc_id, {sh_expr} AS sh FROM documents),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.sh, y.sh)) AS n_shared,
+             len(x.sh) AS n_a, len(y.sh) AS n_b
+      FROM cand c
+      JOIN docs x ON x.doc_id = c.doc_a
+      JOIN docs y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
+    FROM verified
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_sql())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit token simhash; near-dup = hamming <= 3)
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+
+
+def simhash(d: DataFrame) -> DataFrame:
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
+    )
+    h = _HASH32_SPARK(F.col("tok"))
+    bits = toks.select(
+        "doc_id",
+        h.alias("th"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    # column-valued shift needs expr(): the Python helpers only take ints
+    signed = bits.withColumn("contrib", F.expr("(shiftright(th, bit) & 1) * 2 - 1"))
+    per_bit = signed.groupBy("doc_id", "bit").agg(
+        F.sum("contrib").alias("bit_sum")
+    )
+    return (
+        per_bit.withColumn(
+            "bit_val",
+            F.when(F.col("bit_sum") > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("bit_val * shiftleft(1L, bit)")).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+_SIMHASH_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split({NORM_SQL.format(c='text')}, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {HASH32_SQL.format(c='tok')} AS th FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, th, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS bit
+      FROM hashed
+    ),
+    per_bit AS (
+      SELECT doc_id, bit,
+             CAST(SUM((th >> bit) % 2 * 2 - 1) AS BIGINT) AS bit_sum
+      FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN bit_sum > 0 THEN 1 ELSE 0 END * (1::BIGINT << bit)) AS BIGINT) AS simhash
+    FROM per_bit
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_PAIRS_SQL = f"""
+    WITH sh AS ({_SIMHASH_SQL.replace("ORDER BY doc_id", "")})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs hamming join. At 100 TB this would block on the simhash
+    prefix (pigeonhole: split 16 bits into 4 bands of 4; hamming<=3 pairs
+    share at least one exact band) — the same LSH-band trick as MinHash.
+    Here the doc count is small so the plain self-join is the clearer
+    correctness anchor; the banded variant is exercised in tests."""
+    sh = simhash(load_table(spark, sf_dir, "documents"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (blocked by label — the IVF-style bucketing;
+# brute force within block)
+# ---------------------------------------------------------------------------
+COSINE_DUP_THRESHOLD = 0.45
+
+
+_EMB_DUP_SQL = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+"""
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """JVM-side cosine via array lambdas — no Python round-trip."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_SQL)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cs = cosine_sim(
+        F.col("emb_a").cast("array<double>"), F.col("emb_b").cast("array<double>")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cosine_raw", cs)
+        .where(F.col("cosine_raw") >= COSINE_DUP_THRESHOLD)
+        .select(
+            "vec_a", "vec_b", F.round(F.col("cosine_raw"), 6).alias("cosine")
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,169 @@
-"""Placeholder; populated in later milestones."""
+"""Multimodal columns: opaque binary payloads + typed metadata, with the
+Spark-side plumbing (schema, partition-friendly layout, Arrow-batched
+featurizer UDFs) fully real and the codec layer stubbed.
+
+Design (BASELINE.json north star): image/audio/video cells are `binary`
+columns; metadata rides in sibling typed columns (modality, byte length,
+content hash). Decode / resize / frame-sample are `mapInPandas`
+featurizers over Arrow batches — at 100 TB only the binary column's
+partitions stream through the Python workers, everything else is pruned
+at the parquet scan. The actual image/audio codecs aren't in this
+container, so `decode_stub` produces a deterministic fake feature vector
+from the bytes; real codecs drop into the same UDF signature.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# payload assembly: documents.text re-encoded as the opaque binary payload
+# (deterministic stand-in for real media bytes)
+# ---------------------------------------------------------------------------
+_META_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           hex(encode(substr(text, 1, 8))) AS head_hex
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+def multimodal_table(d: DataFrame) -> DataFrame:
+    """documents -> multimodal layout: (doc_id, modality, payload, metadata)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.col("text").alias("content_text"),
+    )
+
+
+@register("multimodal_meta", _META_SQL)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal_table(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "content_md5",
+        F.hex(F.encode(F.substring("content_text", 1, 8), "UTF-8")).alias("head_hex"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# featurizer: mapInPandas over Arrow batches. The decode step is a
+# deterministic stub (real pipelines swap in PIL/ffmpeg here — marked).
+# ---------------------------------------------------------------------------
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_std", DoubleType()),
+        StructField("fake_width", LongType()),
+        StructField("fake_height", LongType()),
+    ]
+)
+
+
+def decode_stub(payload: bytes, modality: str) -> dict:
+    """Deterministic stand-in for the codec layer.
+
+    Real deployment: replace the body with PIL.Image.open /
+    soundfile.read / av.open — same signature, same output dict. Raising
+    path kept for unknown modalities so pipelines fail loudly.
+    """
+    if modality not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no codec for modality {modality!r}")
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return {"byte_mean": 0.0, "byte_std": 0.0, "fake_width": 0, "fake_height": 0}
+    return {
+        "byte_mean": float(arr.mean()),
+        "byte_std": float(arr.std()),
+        # fake dimensions derived from content so tests are reproducible
+        "fake_width": int(arr[: min(4, arr.size)].sum()) % 512 + 1,
+        "fake_height": int(arr[-min(4, arr.size):].sum()) % 512 + 1,
+    }
+
+
+def featurize(mm: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """Arrow-batched featurizer over the multimodal table. Only the
+    columns in the projection cross into Python — project BEFORE calling
+    so parquet column pruning keeps unrelated columns out of the Arrow
+    stream.
+
+    The decode logic is inlined into the closure (not a call to the
+    module-level ``decode_stub``) so cloudpickle ships it BY VALUE: the
+    executors' Python workers must not need this package importable —
+    the driver contract runs from an arbitrary cwd."""
+    field_names = [f.name for f in FEATURE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode(payload: bytes, modality: str) -> dict:
+            # deterministic stand-in for PIL/ffmpeg — see decode_stub
+            if modality not in ("image", "audio", "video"):
+                raise NotImplementedError(f"no codec for modality {modality!r}")
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            if arr.size == 0:
+                return {
+                    "byte_mean": 0.0,
+                    "byte_std": 0.0,
+                    "fake_width": 0,
+                    "fake_height": 0,
+                }
+            return {
+                "byte_mean": float(arr.mean()),
+                "byte_std": float(arr.std()),
+                "fake_width": int(arr[: min(4, arr.size)].sum()) % 512 + 1,
+                "fake_height": int(arr[-min(4, arr.size):].sum()) % 512 + 1,
+            }
+
+        for pdf in batches:
+            feats = [decode(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "modality", pdf["modality"].values)
+            out.insert(2, "n_bytes", pdf["n_bytes"].values)
+            yield out[field_names]
+
+    return mm.select("doc_id", "modality", "n_bytes", "payload").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
+
+
+# Python featurizer output is engine-specific -> rows-only driver check;
+# numeric determinism is covered by tests (same input -> same features).
+@register("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal_table(load_table(spark, sf_dir, "documents"))
+    return featurize(mm).orderBy("doc_id")

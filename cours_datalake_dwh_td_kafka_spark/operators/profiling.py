@@ -1,1 +1,189 @@
-"""Placeholder; populated in later milestones."""
+"""Lambda batch layer: monthly profiling, batch anomaly join, records.
+
+Mirrors the reference's batch jobs re-keyed onto the driver's events table:
+
+- monthly profile: work/batch_profiling_enriched.py:20-27 (mean/std per
+  month) enriched with the spec's median/q25/q75/min/max and alert
+  probability (KAFKA exos (1).pdf §Exercice 11-12).
+- batch anomaly join: work/anomaly_detector.py:35-49 — observation joined
+  against the profile on the FULL spec key (type+month, analog of
+  {country, city, month}; the reference joined on month only, a bug the
+  spec calls out).
+- records: work/batch_records.py:24-28 — per-entity extreme values with
+  their timestamps (deterministic tie-break: earliest ts wins).
+
+Scale notes: the profile is tiny (groups = types x months) so the anomaly
+join broadcasts it — the 100-TB stream side never shuffles. Records use
+one window over the entity partition rather than a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.relational import dec_avg
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+_PROFILE_SQL = """
+    SELECT event_type,
+           month(ts) AS month,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS value_mean,
+           ROUND(stddev_samp(value), 6) AS value_std,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           ROUND(quantile_cont(value, 0.25), 6) AS q25,
+           ROUND(quantile_cont(value, 0.50), 6) AS median,
+           ROUND(quantile_cont(value, 0.75), 6) AS q75,
+           ROUND(CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS alert_probability,
+           COUNT(*) AS n_obs
+    FROM events
+    GROUP BY event_type, month(ts)
+    ORDER BY event_type, month
+"""
+
+
+def monthly_profile(events: DataFrame) -> DataFrame:
+    n = F.count(F.lit(1))
+    return (
+        events.groupBy("event_type", F.month("ts").alias("month"))
+        .agg(
+            dec_avg(F.col("value"), n).alias("value_mean"),
+            F.round(F.stddev_samp("value"), 6).alias("value_std"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.round(F.percentile("value", F.lit(0.25)), 6).alias("q25"),
+            F.round(F.percentile("value", F.lit(0.50)), 6).alias("median"),
+            F.round(F.percentile("value", F.lit(0.75)), 6).alias("q75"),
+            F.round(
+                F.sum(F.when(F.col("value") > 150, 1).otherwise(0)).cast("double")
+                / n,
+                6,
+            ).alias("alert_probability"),
+            n.alias("n_obs"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+@register("monthly_profile", _PROFILE_SQL)
+def q_monthly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return monthly_profile(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Batch anomaly join (T9 emission contract: entity, event_time, variable,
+# observed_value, expected_value, anomaly flags —
+# reference: work/anomaly_detector.py:42-49)
+# --------------------------------------------------------------------------
+_ANOMALY_SQL = """
+    WITH profile AS (
+      SELECT event_type, month(ts) AS month,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS value_mean,
+             ROUND(stddev_samp(value), 6) AS value_std
+      FROM events
+      GROUP BY event_type, month(ts)
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           e.ts AS event_time,
+           'value' AS variable,
+           e.value AS observed_value,
+           p.value_mean AS expected_value,
+           CASE WHEN e.value > p.value_mean + 2 * p.value_std THEN 'high'
+                ELSE 'low' END AS anomaly_type
+    FROM events e
+    JOIN profile p
+      ON e.event_type = p.event_type AND month(e.ts) = p.month
+    WHERE ABS(e.value - p.value_mean) > 2 * p.value_std
+    ORDER BY e.event_id
+"""
+
+
+def detect_anomalies(events: DataFrame, profile: DataFrame) -> DataFrame:
+    """Observation stream ⋈ broadcast profile on the full (type, month) key.
+    Same plan shape works for the streaming variant (stream-static join,
+    streaming/pipelines.py) — the profile side is small by construction."""
+    e = events.withColumn("month", F.month("ts"))
+    p = profile.select("event_type", "month", "value_mean", "value_std")
+    joined = e.join(F.broadcast(p), ["event_type", "month"])
+    return (
+        joined.where(
+            F.abs(F.col("value") - F.col("value_mean")) > 2 * F.col("value_std")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").alias("event_time"),
+            F.lit("value").alias("variable"),
+            F.col("value").alias("observed_value"),
+            F.col("value_mean").alias("expected_value"),
+            F.when(
+                F.col("value") > F.col("value_mean") + 2 * F.col("value_std"), "high"
+            )
+            .otherwise("low")
+            .alias("anomaly_type"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register("anomaly_batch", _ANOMALY_SQL)
+def q_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    prof = monthly_profile(events).select(
+        "event_type", "month", "value_mean", "value_std"
+    )
+    return detect_anomalies(events, prof)
+
+
+# --------------------------------------------------------------------------
+# Records (argmax/argmin with timestamps, deterministic ties)
+# (reference: work/batch_records.py:24-28 groupBy(lat,lon).agg(max,min))
+# --------------------------------------------------------------------------
+_RECORDS_SQL = """
+    WITH ranked AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, ts, event_id) AS rn_max,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, ts, event_id) AS rn_min
+      FROM events
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rn_max = 1 THEN value END) AS record_high,
+           MAX(CASE WHEN rn_max = 1 THEN ts END) AS record_high_ts,
+           MAX(CASE WHEN rn_min = 1 THEN value END) AS record_low,
+           MAX(CASE WHEN rn_min = 1 THEN ts END) AS record_low_ts
+    FROM ranked
+    WHERE rn_max = 1 OR rn_min = 1
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@register("records", _RECORDS_SQL)
+def q_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_max = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("ts"), F.asc("event_id")
+    )
+    w_min = Window.partitionBy("user_id").orderBy(
+        F.asc("value"), F.asc("ts"), F.asc("event_id")
+    )
+    ranked = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w_max).alias("rn_max"),
+        F.row_number().over(w_min).alias("rn_min"),
+    ).where((F.col("rn_max") == 1) | (F.col("rn_min") == 1))
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn_max") == 1, F.col("value"))).alias("record_high"),
+            F.max(F.when(F.col("rn_max") == 1, F.col("ts"))).alias("record_high_ts"),
+            F.max(F.when(F.col("rn_min") == 1, F.col("value"))).alias("record_low"),
+            F.max(F.when(F.col("rn_min") == 1, F.col("ts"))).alias("record_low_ts"),
+        )
+        .orderBy("user_id")
+    )

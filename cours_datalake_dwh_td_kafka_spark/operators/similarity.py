@@ -1,1 +1,211 @@
-"""Placeholder; populated in later milestones."""
+"""Similarity search over the embedding column (BASELINE.json north star).
+
+- ``ann_topk_cosine``: exact brute-force top-k per query vector — rank over
+  cosine similarity. Correctness anchor; also the right plan when the query
+  set is small (broadcast queries x scan corpus, no index).
+- ``ann_ivf_topk``: IVF-style scale path — corpus bucketed by centroid
+  (k-means-like cells; here the label column doubles as the coarse
+  quantizer), queries probe only the nprobe nearest centroids. Recall vs
+  brute force is asserted in tests (engine-specific pruning -> rows-only
+  driver check).
+
+Dot products run JVM-side via array lambdas (`aggregate`/`zip_with`) — no
+Python round-trip per row. At 100 TB the corpus side stays partitioned; the
+query side broadcasts; the IVF probe turns the cross product into an
+equi-join on centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import cosine_sim
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+_ANN_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY query_id, rn
+"""
+
+
+@register("ann_topk_cosine", _ANN_SQL)
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        # rank on the ROUNDED cosine (same tiebreak as the oracle) so
+        # float noise below 1e-6 can't reorder engines
+        .withColumn("cosine", F.round(cosine_sim(F.col("q_emb"), F.col("emb")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+NPROBE = 3
+N_CELLS = 8
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer over L2-normalized
+    vectors (euclidean on the unit sphere is monotone in cosine), queries
+    probe only the ``nprobe`` nearest cells.
+
+    Scale path: the corpus is scanned once for cell assignment and then
+    partitioned BY cell — each query's candidate scan shrinks by
+    ~nprobe/n_cells and the probe join is an equi-join on cell id. With
+    nprobe == n_cells this is EXACTLY brute force (asserted in tests);
+    recall at partial probe depends on how clustered the corpus is. KMeans
+    fits on a sample at real scale; here the corpus is small enough to fit
+    on the full data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, v: a + v * v))
+    unit = emb_d.select(
+        "vec_id",
+        "emb",
+        F.transform("emb", lambda v: v / norm).alias("unit_emb"),
+    ).withColumn("features", array_to_vector("unit_emb"))
+
+    km = KMeans(k=n_cells, seed=42, maxIter=10, featuresCol="features")
+    model = km.fit(unit)
+    assigned = model.transform(unit).select(
+        "vec_id", "emb", F.col("prediction").alias("cell_id")
+    )
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = emb.sparkSession.createDataFrame(
+        centroids, "cell_id INT, centroid ARRAY<DOUBLE>"
+    )
+
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    # probe assignment: nprobe nearest centroids per query (tiny: q x cells)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("cell_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("cent_sim", cosine_sim(F.col("q_emb"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(w_probe))
+        .where(F.col("cell_rank") <= nprobe)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("q_emb"), F.col("emb")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= top_k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rn"
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+@register("ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver check (KMeans cells are engine-specific); the
+    exactness-at-full-probe property and the partial-probe recall floor are
+    asserted in tests/test_algorithms.py."""
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# pairwise similarity stats per label cluster (embedding analytics: the
+# aggregate view a curation pipeline uses to pick cluster-level thresholds)
+# --------------------------------------------------------------------------
+_CLUSTER_SIM_SQL = """
+    SELECT a.label,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 AS DECIMAL(28,12)) ) AS DOUBLE) / COUNT(*), 6) AS mean_cosine,
+           ROUND(MAX(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS max_cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    ORDER BY a.label
+"""
+
+
+@register("cluster_similarity_stats", _CLUSTER_SIM_SQL)
+def q_cluster_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("emb_b"),
+    )
+    cs = cosine_sim(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, ["label"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cs)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cosine"),
+            F.round(F.max("cos"), 6).alias("max_cosine"),
+        )
+        .orderBy("label")
+    )

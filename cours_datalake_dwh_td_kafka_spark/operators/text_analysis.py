@@ -1,1 +1,243 @@
-"""Placeholder; populated in later milestones."""
+"""Text analysis operators for training-data curation (BASELINE.json north
+star; course analog: the nltk/pyLDAvis deps in work/requirements.txt:1-7).
+
+- token counting: whitespace tokens + a BPE-ish subword estimate.
+- quality scoring: length / punctuation / stopword / repetition signals
+  combined into one score.
+- language ID: stopword-profile n-gram heuristic, argmax over languages.
+- fingerprinting: md5 canonical id + 32-bit prefix hash (documents join
+  key for incremental pipelines).
+
+Everything is built-in column algebra (split/filter/aggregate lambdas) —
+zero Python UDFs, so the whole module rides WholeStageCodegen and scales
+linearly with document bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import NORM_SQL, norm_text
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+_TOKEN_SQL = f"""
+    SELECT doc_id,
+           n_chars,
+           len(string_split({NORM_SQL.format(c='text')}, ' ')) AS n_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+           ROUND(n_chars / CAST(len(string_split({NORM_SQL.format(c='text')}, ' ')) AS DOUBLE), 6) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+def token_stats(d: DataFrame) -> DataFrame:
+    toks = F.split(norm_text(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        # BPE-ish estimate: ~4 chars/token, the standard curation heuristic
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_tokens_bpe_est"),
+        F.round(
+            F.col("n_chars") / F.size(toks).cast("double"), 6
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register("token_count", _TOKEN_SQL)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             string_split({NORM_SQL.format(c='text')}, ' ') AS toks,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct,
+             n_punct
+      FROM base
+    )
+    SELECT doc_id,
+           n_tokens,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+           ROUND(
+             0.4 * LEAST(n_tokens / 100.0, 1.0)
+             + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+             + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
+             6) AS quality_score
+    FROM feat
+    ORDER BY doc_id
+"""
+
+
+def quality_scores(d: DataFrame) -> DataFrame:
+    toks = F.split(norm_text(F.col("text")), " ")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        toks.alias("toks"),
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
+    )
+    feat = base.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(
+            F.filter("toks", lambda x: x.isin(*_STOPWORDS))
+        ).alias("n_stop"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        "n_punct",
+    )
+    stop_r = F.col("n_stop").cast("double") / F.col("n_tokens")
+    punct_r = F.col("n_punct").cast("double") / F.col("n_chars")
+    dist_r = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    score = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * dist_r
+        + 0.2 * F.least(stop_r * 5.0, F.lit(1.0))
+        + 0.1 * (1.0 - F.least(punct_r * 10.0, F.lit(1.0)))
+    )
+    return feat.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(stop_r, 6).alias("stopword_ratio"),
+        F.round(punct_r, 6).alias("punct_ratio"),
+        F.round(dist_r, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register("quality_score", _QUALITY_SQL)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# language ID: stopword-profile heuristic. Scores = hit counts of per-lang
+# marker words; argmax with deterministic tiebreak on language code.
+# ---------------------------------------------------------------------------
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "los", "y", "que", "es", "las"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3"),
+}
+
+
+def _lang_score(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*_LANG_MARKERS[lang])))
+
+
+def language_id(d: DataFrame) -> DataFrame:
+    toks = F.split(norm_text(F.col("text")), " ")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "lang_actual",
+        *[_lang_score(F.col("toks"), lg).alias(f"score_{lg}") for lg in sorted(_LANG_MARKERS)],
+    )
+    # argmax via greatest + first-match case (ties -> alphabetical lang)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in sorted(_LANG_MARKERS)])
+    pred = F.lit("unknown")
+    for lg in sorted(_LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lg}") == best), F.lit(lg)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "lang_actual",
+        pred.alias("lang_pred"),
+        best.cast("long").alias("best_score"),
+    ).orderBy("doc_id")
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n             ".join(
+        "len(list_filter(toks, x -> x IN ({words}))) AS score_{lg}".format(
+            words=", ".join(f"'{w}'" for w in _LANG_MARKERS[lg]), lg=lg
+        )
+        for lg in sorted(_LANG_MARKERS)
+    )
+    greatest = "GREATEST(" + ", ".join(
+        f"score_{lg}" for lg in sorted(_LANG_MARKERS)
+    ) + ")"
+    case = "'unknown'"
+    for lg in sorted(_LANG_MARKERS, reverse=True):
+        case = (
+            f"CASE WHEN best > 0 AND score_{lg} = best THEN '{lg}' ELSE {case} END"
+        )
+    return f"""
+    WITH toksed AS (
+      SELECT doc_id, lang AS lang_actual,
+             string_split({NORM_SQL.format(c='text')}, ' ') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang_actual,
+             {score_cols}
+      FROM toksed
+    ),
+    besting AS (
+      SELECT *, {greatest} AS best FROM scored
+    )
+    SELECT doc_id, lang_actual, {case} AS lang_pred, CAST(best AS BIGINT) AS best_score
+    FROM besting
+    ORDER BY doc_id
+    """
+
+
+@register("language_id", _lang_sql())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (md5 + 32-bit prefix) — the join key for incremental
+# curation runs
+# ---------------------------------------------------------------------------
+_FPRINT_SQL = f"""
+    SELECT doc_id,
+           md5({NORM_SQL.format(c='text')}) AS fp_md5,
+           CAST(('0x' || substr(md5({NORM_SQL.format(c='text')}), 1, 8)) AS UBIGINT)::BIGINT AS fp32,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprint", _FPRINT_SQL)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nt = norm_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(nt).alias("fp_md5"),
+        F.conv(F.substring(F.md5(nt), 1, 8), 16, 10).cast("long").alias("fp32"),
+        "n_chars",
+    ).orderBy("doc_id")
