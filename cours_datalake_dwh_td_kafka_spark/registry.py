@@ -69,6 +69,7 @@ def _load_all() -> None:
         session_queries,
         similarity,
         text_analysis,
+        window_time,
         windows,
     )
 

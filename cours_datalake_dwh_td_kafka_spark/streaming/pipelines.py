@@ -1,0 +1,228 @@
+"""Structured Streaming speed layer — SURVEY.md §2.9 (T1-T10).
+
+Reproduces the reference's streaming topology with idiomatic state
+handling:
+
+- transform: Kafka-shaped JSON value -> parse -> enrich with alert levels
+  (reference: work/spark_processor.py:19-47).
+- sliding/tumbling/session window aggregates with WATERMARKS — the
+  reference ran outputMode("complete") with no watermark, growing state
+  forever (work/spark_windowed_aggregation.py:31-46); our default bounds
+  state, `complete` survives as a compat option.
+- stream-static anomaly join against the batch profile on the full
+  (type, month) key (reference: work/anomaly_detector.py:35-49 + the spec
+  key from KAFKA exos (1).pdf §Exercice 13).
+
+Everything is source-agnostic: pipelines take a DataFrame (batch or
+streaming) and return a DataFrame, so the same plan runs under Kafka in
+production and under file/rate/memory sources in tests. Kafka wiring lives
+in sources/kafka.py.
+
+Scale notes: watermark + update mode keeps the state store bounded by
+(keys x open windows); the stream-static join broadcasts the static side
+per micro-batch; shuffle partitions for stateful ops follow the session
+conf (state store count = shuffle partitions — fixed at first run, size it
+for the target throughput up front).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cours_datalake_dwh_td_kafka_spark.operators.relational import band3
+
+#: Reference weather stream schema (work/spark_processor.py:10-16)
+WEATHER_SCHEMA = (
+    "city STRING, country STRING, temperature DOUBLE, windspeed DOUBLE, "
+    "timestamp DOUBLE"
+)
+
+
+def parse_kafka_json(raw: DataFrame, schema: StructType | str) -> DataFrame:
+    """Kafka value bytes -> typed columns (T1 front half;
+    reference: work/spark_processor.py:26-28)."""
+    return (
+        raw.selectExpr("CAST(value AS STRING) AS json_str")
+        .select(F.from_json("json_str", schema).alias("data"))
+        .select("data.*")
+    )
+
+
+def enrich_alerts(
+    parsed: DataFrame,
+    event_time: Column | None = None,
+) -> DataFrame:
+    """T1 back half: event-time column + 3-level alert banding
+    (reference: work/spark_processor.py:30-38; thresholds 10/20 wind,
+    25/35 heat). The reference stamps processing time
+    (current_timestamp); we honor an explicit event-time column when the
+    payload carries one — processing time is not reproducible."""
+    if event_time is None:
+        event_time = F.coalesce(
+            F.to_timestamp(F.col("timestamp").cast("double")),
+            F.current_timestamp(),
+        )
+    return (
+        parsed.withColumn("event_time", event_time)
+        .withColumn("wind_alert_level", band3(F.col("windspeed"), 10, 20))
+        .withColumn("heat_alert_level", band3(F.col("temperature"), 25, 35))
+    )
+
+
+def sliding_window_agg(
+    enriched: DataFrame,
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+    watermark: str | None = "10 minutes",
+    keys: tuple[str, ...] = ("city", "country"),
+    value_col: str = "temperature",
+    alert_col: str = "wind_alert_level",
+) -> DataFrame:
+    """T2: sliding-window multi-aggregate keyed by (window, *keys)
+    (reference: work/spark_windowed_aggregation.py:31-41 — 5 min window,
+    1 min slide, avg/min/max + conditional alert counts).
+
+    ``watermark=None`` reproduces the reference's unbounded-state behavior
+    (only valid with outputMode complete); the default bounds state and
+    admits append/update output.
+
+    Late-data note: Spark's drop guarantee is relative to the watermark
+    committed in the checkpoint. Within a single run a late row for an
+    already-finalized window may still be admitted and re-emitted
+    (best-effort); after restart-from-checkpoint the drop is strict
+    (counted in numRowsDroppedByWatermark). tests/test_streaming.py
+    pins both behaviors.
+    """
+    df = enriched
+    if watermark is not None:
+        df = df.withWatermark("event_time", watermark)
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.window("event_time", window, slide), *keys)
+        .agg(
+            F.round(F.avg(v), 6).alias("avg_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+            F.count(F.when(F.col(alert_col) != "level_0", 1)).alias("n_alerts"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "avg_value",
+            "min_value",
+            "max_value",
+            "n_alerts",
+            "n_obs",
+        )
+    )
+
+
+def tumbling_window_agg(
+    enriched: DataFrame,
+    window: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+    keys: tuple[str, ...] = ("city", "country"),
+    value_col: str = "temperature",
+) -> DataFrame:
+    """T10: tumbling windows = sliding with slide == window."""
+    df = enriched
+    if watermark is not None:
+        df = df.withWatermark("event_time", watermark)
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.window("event_time", window), *keys)
+        .agg(
+            F.round(F.avg(v), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "avg_value",
+            "n_obs",
+        )
+    )
+
+
+def session_window_agg(
+    enriched: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+    keys: tuple[str, ...] = ("city", "country"),
+    value_col: str = "temperature",
+) -> DataFrame:
+    """T10: gap-based session windows (absent from the reference; part of
+    the engine's streaming surface)."""
+    df = enriched
+    if watermark is not None:
+        df = df.withWatermark("event_time", watermark)
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.session_window("event_time", gap), *keys)
+        .agg(
+            F.round(F.avg(v), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "avg_value",
+            "n_obs",
+        )
+    )
+
+
+def anomaly_stream(
+    enriched: DataFrame,
+    profile: DataFrame,
+    value_col: str = "temperature",
+    mean_col: str = "value_mean",
+    std_col: str = "value_std",
+    join_keys: tuple[str, ...] = ("city", "country", "month"),
+) -> DataFrame:
+    """T6/T9: stream-static join flagging deviations from the batch profile.
+
+    The static profile side is broadcast per micro-batch (it is tiny:
+    keys x months). Emits the T9 contract fields
+    (reference: work/anomaly_detector.py:35-49; join key per spec is the
+    full {country, city, month}, not the reference's month-only bug).
+    """
+    withm = enriched.withColumn("month", F.month("event_time"))
+    joined = withm.join(F.broadcast(profile), list(join_keys))
+    v = F.col(value_col)
+    mean, std = F.col(mean_col), F.col(std_col)
+    return joined.where(F.abs(v - mean) > 2 * std).select(
+        *[k for k in join_keys if k != "month"],
+        F.col("event_time"),
+        F.lit(value_col).alias("variable"),
+        v.alias("observed_value"),
+        mean.alias("expected_value"),
+        F.when(v > mean + 2 * std, "high").otherwise("low").alias("anomaly_type"),
+        F.lit(True).alias("is_anomaly"),
+    )
+
+
+def write_stream_to_lake(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = ("country", "city"),
+    fmt: str = "json",
+):
+    """S16 replacement: partitioned streaming file sink with checkpoint —
+    the reference appended per-message via webhdfs from a consumer loop
+    (work/weather_to_hdfs.py:15-36); a partitioned append sink gives the
+    same lake layout with exactly-once file commits."""
+    return (
+        df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_by)
+    )

@@ -1,0 +1,294 @@
+"""Structured Streaming tests without a Kafka broker: file sources feeding
+the same pipeline functions production runs over Kafka, memory sinks for
+assertions, checkpoint-restart replay, and watermark/late-data behavior
+(SURVEY.md §5 item 3)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+    WEATHER_SCHEMA,
+    anomaly_stream,
+    enrich_alerts,
+    parse_kafka_json,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+RAW_SCHEMA = StructType(
+    [
+        StructField("city", StringType()),
+        StructField("country", StringType()),
+        StructField("temperature", DoubleType()),
+        StructField("windspeed", DoubleType()),
+        StructField("timestamp", DoubleType()),
+    ]
+)
+
+BASE_TS = 1_700_000_000.0  # 2023-11-14 22:13:20 UTC
+
+
+def _write_batch(dirpath, rows, name):
+    with open(f"{dirpath}/{name}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _rows(n0, count, city="Paris", country="France", temp=20.0, wind=5.0, step=60):
+    return [
+        {
+            "city": city,
+            "country": country,
+            "temperature": temp,
+            "windspeed": wind,
+            "timestamp": BASE_TS + (n0 + i) * step,
+        }
+        for i in range(count)
+    ]
+
+
+def _run_to_memory(df, name, mode="update"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    return str(d)
+
+
+def _read_stream(spark, stream_dir):
+    return (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(stream_dir)
+    )
+
+
+def test_transform_enrich_alert_banding(spark, stream_dir):
+    """T1: parse -> enrich matches the reference banding thresholds
+    exactly at the boundaries (10/20 wind, 25/35 heat —
+    work/spark_processor.py:31-38)."""
+    rows = (
+        _rows(0, 1, temp=24.9, wind=9.9)
+        + _rows(1, 1, temp=25.0, wind=10.0)
+        + _rows(2, 1, temp=35.0, wind=20.0)
+        + _rows(3, 1, temp=35.1, wind=20.1)
+    )
+    _write_batch(stream_dir, rows, "b0")
+    enriched = enrich_alerts(_read_stream(spark, stream_dir))
+    name = f"t1_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(enriched, name, mode="append")
+    got = {
+        round(r.windspeed, 1): (r.wind_alert_level, r.heat_alert_level)
+        for r in spark.table(name).collect()
+    }
+    assert got[9.9] == ("level_0", "level_0")
+    assert got[10.0] == ("level_1", "level_1")
+    assert got[20.0] == ("level_1", "level_1")
+    assert got[20.1] == ("level_2", "level_2")
+
+
+def test_sliding_window_agg_streaming_matches_batch(spark, stream_dir):
+    """T2: the same pipeline function produces identical results in
+    streaming (file source, two micro-batches) and batch execution."""
+    rows = _rows(0, 30, temp=20.0) + _rows(30, 30, temp=30.0)
+    _write_batch(stream_dir, rows[:40], "b0")
+    _write_batch(stream_dir, rows[40:], "b1")
+
+    stream_out = sliding_window_agg(
+        enrich_alerts(_read_stream(spark, stream_dir))
+    )
+    name = f"t2_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(stream_out, name, mode="update")
+    got = {
+        (r.window_start, r.window_end): (r.avg_value, r.n_obs, r.n_alerts)
+        for r in spark.table(name).collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], RAW_SCHEMA
+    )
+    expect = {
+        (r.window_start, r.window_end): (r.avg_value, r.n_obs, r.n_alerts)
+        for r in sliding_window_agg(
+            enrich_alerts(batch_df), watermark=None
+        ).collect()
+    }
+    assert got == expect
+    # 5-min windows sliding by 1 min: every event in 5 windows
+    assert sum(v[1] for v in got.values()) == len(rows) * 5
+
+
+def test_watermark_drops_late_rows(spark, stream_dir, tmp_path):
+    """T3: with a 10-minute watermark, a row arriving behind the committed
+    watermark is dropped from the aggregate state; the reference's
+    no-watermark complete mode would have kept it (documented deviation,
+    SURVEY.md §2.9 T3).
+
+    Spark's drop guarantee is relative to the CHECKPOINTED watermark:
+    within a single run, a late row for an already-finalized window may
+    still be admitted (best-effort semantics). So this test commits the
+    watermark via a checkpointed run, then restarts with the late row.
+    """
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def run():
+        agg = tumbling_window_agg(
+            enrich_alerts(_read_stream(spark, stream_dir))
+        )
+        q = (
+            agg.writeStream.format("json")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    _write_batch(stream_dir, _rows(0, 20), "b0")  # watermark -> BASE+9min
+    run()
+    late = [
+        {
+            "city": "Paris",
+            "country": "France",
+            "temperature": 99.0,
+            "windspeed": 0.0,
+            "timestamp": BASE_TS - 3600,  # one hour before the stream began
+        }
+    ]
+    _write_batch(stream_dir, late, "b1")
+    q = run()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1, "late row must be dropped by the committed watermark"
+    rows = spark.read.json(outdir).collect()
+    assert rows, "on-time rows must aggregate"
+    assert all(r.avg_value != 99.0 for r in rows)
+
+
+def test_checkpoint_restart_no_duplicates(spark, stream_dir, tmp_path):
+    """T4: stop after batch 1, restart with the same checkpoint, feed
+    batch 2 — the restarted query must not reprocess batch 1 (file sink is
+    append-only, so duplicates would show up as extra rows)."""
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    _write_batch(stream_dir, _rows(0, 10), "b0")
+
+    def start():
+        enriched = enrich_alerts(_read_stream(spark, stream_dir)).select(
+            "city", "country", "event_time", "temperature", "wind_alert_level"
+        )
+        return (
+            enriched.writeStream.format("json")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    n1 = spark.read.json(outdir).count()
+    assert n1 == 10
+
+    _write_batch(stream_dir, _rows(10, 7), "b1")
+    q = start()
+    q.awaitTermination(120)
+    n2 = spark.read.json(outdir).count()
+    assert n2 == 17, f"expected 17 rows after restart, got {n2}"
+
+
+def test_stream_static_anomaly_join(spark, stream_dir):
+    """T6/T9: live stream ⋈ broadcast static profile on the full
+    (city, country, month) key; only deviating rows emitted with the T9
+    contract fields."""
+    normal = _rows(0, 5, temp=20.0)
+    hot = _rows(5, 1, temp=45.0)
+    cold = _rows(6, 1, temp=-10.0)
+    _write_batch(stream_dir, normal + hot + cold, "b0")
+
+    month = time.gmtime(BASE_TS).tm_mon
+    profile = spark.createDataFrame(
+        [("Paris", "France", month, 20.0, 2.0)],
+        "city STRING, country STRING, month INT, value_mean DOUBLE, value_std DOUBLE",
+    )
+    out = anomaly_stream(enrich_alerts(_read_stream(spark, stream_dir)), profile)
+    name = f"t6_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="append")
+    got = spark.table(name).collect()
+    assert len(got) == 2
+    types = {r.observed_value: r.anomaly_type for r in got}
+    assert types[45.0] == "high" and types[-10.0] == "low"
+    assert all(
+        r.variable == "temperature" and r.is_anomaly and r.expected_value == 20.0
+        for r in got
+    )
+
+
+def test_session_window_stream(spark, stream_dir):
+    """T10: session windows close after the gap; two bursts 3 hours apart
+    with a 5-minute gap -> two sessions. Session windows only support
+    append output in streaming, so sessions emit once the watermark passes
+    their end — a far-future flush row (other city) advances it."""
+    burst1 = _rows(0, 3, step=60)
+    burst2 = _rows(0, 3, step=60)
+    for r in burst2:
+        r["timestamp"] += 3 * 3600
+    _write_batch(stream_dir, burst1 + burst2, "b0")
+    flush = _rows(0, 1, city="Nice")
+    flush[0]["timestamp"] = BASE_TS + 86400  # watermark past both sessions
+    _write_batch(stream_dir, flush, "b1")
+    out = session_window_agg(
+        enrich_alerts(_read_stream(spark, stream_dir)), gap="5 minutes"
+    )
+    name = f"t10_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="append")
+    rows = [r for r in spark.table(name).collect() if r.city == "Paris"]
+    assert len(rows) == 2
+    assert all(r.n_obs == 3 for r in rows)
+    # session end = last event + gap
+    for r in rows:
+        assert (r.session_end - r.session_start).total_seconds() == 2 * 60 + 300
+
+
+def test_parse_kafka_json_shape(spark):
+    """T1 parsing path against Kafka-shaped binary value rows."""
+    raw = spark.createDataFrame(
+        [(json.dumps({"city": "Lyon", "country": "France", "temperature": 21.5,
+                      "windspeed": 11.0, "timestamp": BASE_TS}).encode(),)],
+        "value BINARY",
+    )
+    parsed = parse_kafka_json(raw, WEATHER_SCHEMA)
+    row = parsed.collect()[0]
+    assert (row.city, row.country, row.windspeed) == ("Lyon", "France", 11.0)
