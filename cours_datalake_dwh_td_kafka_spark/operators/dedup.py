@@ -10,7 +10,8 @@ Five dedup families, all engine-native (no Python UDFs in the hot path):
   equi-join (inverted index), exact Jaccard verify.
 - MinHash + LSH: k=8 deterministic min-hashes over shingles, banded (r=2)
   into 4 LSH keys; candidates = band collisions; verify with true Jaccard.
-- SimHash: 16-bit token simhash, near-dup = Hamming distance <= 3.
+- SimHash: 32-bit token simhash, near-dup = Hamming distance <= 3;
+  near-pairs via pigeonhole banding (4 bands x 8 bits).
 
 All hash functions are md5-derived so the DuckDB oracle can replicate them
 bit-for-bit (Spark xxhash64 / DuckDB hash() are engine-specific).
@@ -25,7 +26,7 @@ candidate generator caps per-shingle postings via a frequency filter
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
@@ -46,7 +47,14 @@ NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>, built with array
-    lambdas (JVM-side, no UDF)."""
+    lambdas (JVM-side, no UDF).
+
+    NOTE: do not ``explode`` this column directly — Spark's GenerateExec
+    re-evaluates the generator child per OUTPUT row, so the O(words)
+    array construction runs once per shingle (O(n^2) per doc; measured
+    11 s vs 0.6 s at sf0.1). Row-wise consumers use
+    :func:`shingle_rows`, which explodes token POSITIONS first and builds
+    each shingle scalar once."""
     toks = F.split(col, " ")
     return F.array_distinct(
         F.transform(
@@ -54,6 +62,33 @@ def shingles(col: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def shingle_rows(d: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) rows via explode-FIRST: materialize the token
+    array once per doc, explode the position sequence, then one
+    ``slice``+``concat_ws`` per output row. Equivalent to
+    ``explode(shingles(...))`` but linear instead of quadratic per doc
+    (see :func:`shingles`). ``distinct=False`` skips the dedup shuffle for
+    consumers where duplicates are harmless (MIN aggregates)."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    pos = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))
+                )
+            ).alias("i"),
+        )
+    )
+    rows = pos.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", F.col("i") + 1, n)).alias("shingle"),
+    )
+    return rows.distinct() if distinct else rows
 
 
 # DuckDB twin (1-indexed): distinct word 3-grams of the normalized text.
@@ -139,39 +174,39 @@ MAX_DF = 50  # shingles in more docs than this carry no signal
 
 
 def _doc_shingles(d: DataFrame) -> DataFrame:
-    return d.select(
-        "doc_id", shingles(norm_text(F.col("text"))).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    """(doc_id, sh array<string>, n_sh) — built from :func:`shingle_rows`
+    (explode-first), re-grouped into arrays for set-intersection verifies."""
+    return (
+        shingle_rows(d)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
 
 
 def ngram_jaccard_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    docs = _doc_shingles(d)
-    inv = docs.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    rows = shingle_rows(d)
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # frequency filter: drop shingles present in > MAX_DF docs (skew +
     # signal-free); a pair with jaccard >= 0.8 shares plenty of rare shingles
-    rare = (
-        inv.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    inv = (
+        rows.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .where(F.col("df") <= MAX_DF)
-        .select("shingle")
+        .select("doc_id", "shingle")
     )
-    inv = inv.join(rare, "shingle")
-    a = inv.select(
-        F.col("shingle"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    b = inv.select(
-        F.col("shingle"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("n_sh").alias("n_b"),
-    )
+    a = inv.select("shingle", F.col("doc_id").alias("doc_a"))
+    b = inv.select("shingle", F.col("doc_id").alias("doc_b"))
     shared = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    shared = shared.join(na, "doc_a").join(nb, "doc_b")
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
     return (
         shared.withColumn("jaccard", F.round(jac, 6))
@@ -219,12 +254,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signature(d: DataFrame) -> DataFrame:
     """k=8 min-hashes per doc, as columns h0..h7 (no arrays so the oracle
-    hash compare stays scalar)."""
-    docs = _doc_shingles(d)
+    hash compare stays scalar). Duplicate shingles are harmless under MIN,
+    so the distinct shuffle is skipped."""
     x = _HASH32_SPARK(F.col("shingle")) % MINHASH_P
-    exploded = docs.select("doc_id", F.explode("sh").alias("shingle")).withColumn(
-        "x", x
-    )
+    exploded = shingle_rows(d, distinct=False).withColumn("x", x)
     aggs = [
         F.min((F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"h{i}")
         for i in range(N_HASHES)
@@ -356,36 +389,35 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit token simhash; near-dup = hamming <= 3)
+# SimHash (32-bit token simhash; near-dup = hamming <= 3)
 # ---------------------------------------------------------------------------
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 HAMMING_MAX = 3
 
 
 def simhash(d: DataFrame) -> DataFrame:
+    """One groupBy with SIMHASH_BITS sum-aggregates per doc — NOT a
+    (doc_id, bit) row explosion: exploding 32 bit-rows per token puts the
+    md5 hash inside the generate's per-output-row path (measured ~10x
+    slower) and shuffles 32x more rows for the same result. Bit sums are
+    order-free integer sums, so the algebra matches the oracle's exploded
+    formulation exactly."""
     toks = d.select(
         "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
     )
-    h = _HASH32_SPARK(F.col("tok"))
-    bits = toks.select(
-        "doc_id",
-        h.alias("th"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    hashed = toks.select("doc_id", _HASH32_SPARK(F.col("tok")).alias("th"))
+    bit_sums = [
+        F.sum(F.expr(f"(shiftright(th, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*bit_sums)
+    packed = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
     )
-    # column-valued shift needs expr(): the Python helpers only take ints
-    signed = bits.withColumn("contrib", F.expr("(shiftright(th, bit) & 1) * 2 - 1"))
-    per_bit = signed.groupBy("doc_id", "bit").agg(
-        F.sum("contrib").alias("bit_sum")
-    )
-    return (
-        per_bit.withColumn(
-            "bit_val",
-            F.when(F.col("bit_sum") > 0, F.lit(1)).otherwise(F.lit(0)),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("bit_val * shiftleft(1L, bit)")).alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return per_doc.select(
+        "doc_id", packed.cast("long").alias("simhash")
+    ).orderBy("doc_id")
 
 
 _SIMHASH_SQL = f"""
@@ -428,24 +460,56 @@ _SIMHASH_PAIRS_SQL = f"""
 """
 
 
-@register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
-def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs hamming join. At 100 TB this would block on the simhash
-    prefix (pigeonhole: split 16 bits into 4 bands of 4; hamming<=3 pairs
-    share at least one exact band) — the same LSH-band trick as MinHash.
-    Here the doc count is small so the plain self-join is the clearer
-    correctness anchor; the banded variant is exercised in tests."""
-    sh = simhash(load_table(spark, sf_dir, "documents"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+def simhash_pairs_banded(sh: DataFrame) -> DataFrame:
+    """Near-dup pairs via pigeonhole banding: split the 32-bit simhash into
+    4 bands of 8 bits; any pair with hamming <= 3 differs in at most 3
+    bands, so it matches EXACTLY on at least one band. Candidates come
+    from an equi-join on (band_idx, band_bits) — no cartesian product —
+    then the true hamming distance verifies. Identical output to the
+    all-pairs theta join (asserted in tests), but the candidate join
+    shards by band key, which is the plan that survives 100 TB."""
+    n_bands = 4
+    bits_per = SIMHASH_BITS // n_bands
+    bands = None
+    for i in range(n_bands):
+        band = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band_idx"),
+            F.expr(
+                f"shiftright(simhash, {i * bits_per}) & {(1 << bits_per) - 1}"
+            ).alias("band_bits"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.select(
+        "band_idx",
+        "band_bits",
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    b = bands.select(
+        "band_idx",
+        "band_bits",
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+    )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham.cast("long"))
+        a.join(b, ["band_idx", "band_bits"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .where(F.col("hamming") <= HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a pair can collide in several bands
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup join (see :func:`simhash_pairs_banded`);
+    the oracle states the same result as the naive all-pairs hamming
+    join, which the banding provably equals (pigeonhole)."""
+    return simhash_pairs_banded(simhash(load_table(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -466,33 +530,53 @@ _EMB_DUP_SQL = f"""
 """
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    """JVM-side cosine via array lambdas — no Python round-trip."""
-    dot = F.aggregate(
+def vec_dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product via array lambdas — no Python round-trip."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+
+
+def vec_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """JVM-side cosine via array lambdas — no Python round-trip.
+
+    In pairwise joins, precompute :func:`vec_norm` per SIDE before the
+    join and use ``vec_dot(a,b)/(norm_a*norm_b)`` instead — it is the
+    bit-identical arithmetic but evaluates each norm once per vector
+    rather than once per pair (3x fewer lambda aggregates on the pair
+    stream)."""
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
 @register("dedup_embedding_cosine", _EMB_DUP_SQL)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    # norms once per vector BEFORE the pair join (see cosine_sim docstring)
+    e = e.withColumn("nrm", vec_norm(F.col("emb")))
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
-        F.col("embedding").alias("emb_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
-    cs = cosine_sim(
-        F.col("emb_a").cast("array<double>"), F.col("emb_b").cast("array<double>")
+    cs = vec_dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
     )
     return (
         a.join(

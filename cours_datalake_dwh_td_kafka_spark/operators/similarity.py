@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
-from cours_datalake_dwh_td_kafka_spark.operators.dedup import cosine_sim
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+    cosine_sim,
+    vec_dot,
+    vec_norm,
+)
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -55,17 +59,24 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("nrm", vec_norm(F.col("emb")))
+    queries = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        .withColumn("q_nrm", vec_norm(F.col("q_emb")))
     )
-    queries = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("q_emb"),
-    )
+    # norms precomputed per side; cosine = dot/(na*nb) — bit-identical to
+    # cosine_sim but each norm evaluates once per vector, not per pair
+    cs = vec_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .where(F.col("neighbor_id") != F.col("query_id"))
         # rank on the ROUNDED cosine (same tiebreak as the oracle) so
         # float noise below 1e-6 can't reorder engines
-        .withColumn("cosine", F.round(cosine_sim(F.col("q_emb"), F.col("emb")), 6))
+        .withColumn("cosine", F.round(cs, 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -80,6 +91,29 @@ NPROBE = 3
 N_CELLS = 8
 
 
+QUANTIZER_SAMPLE = 512
+
+
+def _fit_cells(sample: "list[list[float]]", n_cells: int, n_iter: int = 10):
+    """Deterministic spherical k-means on a driver-side sample (numpy).
+    This is the FAISS-style IVF recipe: the coarse quantizer trains on a
+    small sample regardless of corpus size, so quantizer fit cost is O(1)
+    in the 100 TB corpus — only assignment scans the full data."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:n_cells].copy()
+    for _ in range(n_iter):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return [[float(v) for v in c] for c in cents]
+
+
 def ivf_topk(
     emb: DataFrame,
     n_cells: int = N_CELLS,
@@ -87,45 +121,52 @@ def ivf_topk(
     top_k: int = TOP_K,
     n_queries: int = N_QUERIES,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans coarse quantizer over L2-normalized
-    vectors (euclidean on the unit sphere is monotone in cosine), queries
-    probe only the ``nprobe`` nearest cells.
+    """IVF (inverted-file) ANN: spherical-kmeans coarse quantizer (trained
+    on a deterministic sample, see :func:`_fit_cells`), queries probe only
+    the ``nprobe`` nearest cells.
 
-    Scale path: the corpus is scanned once for cell assignment and then
-    partitioned BY cell — each query's candidate scan shrinks by
-    ~nprobe/n_cells and the probe join is an equi-join on cell id. With
-    nprobe == n_cells this is EXACTLY brute force (asserted in tests);
-    recall at partial probe depends on how clustered the corpus is. KMeans
-    fits on a sample at real scale; here the corpus is small enough to fit
-    on the full data.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    Scale path: the quantizer fits on a driver-side sample (O(1) in corpus
+    size); cell assignment is a pure per-row projection against literal
+    centroids (no shuffle, no ML pipeline); the probe join is an equi-join
+    on cell id, shrinking each query's candidate scan by ~nprobe/n_cells.
+    With nprobe == n_cells this is EXACTLY brute force (asserted in
+    tests); recall at partial probe depends on how clustered the corpus
+    is."""
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, v: a + v * v))
-    unit = emb_d.select(
-        "vec_id",
-        "emb",
-        F.transform("emb", lambda v: v / norm).alias("unit_emb"),
-    ).withColumn("features", array_to_vector("unit_emb"))
-
-    km = KMeans(k=n_cells, seed=42, maxIter=10, featuresCol="features")
-    model = km.fit(unit)
-    assigned = model.transform(unit).select(
-        "vec_id", "emb", F.col("prediction").alias("cell_id")
+    # deterministic sample: order by md5 of the id — a seedless
+    # pseudo-random spread that is identical across engines and runs
+    sample_rows = (
+        emb_d.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(QUANTIZER_SAMPLE)
+        .select("emb")
+        .collect()
     )
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    centroids = _fit_cells([r.emb for r in sample_rows], n_cells)
+
+    # assignment: argmax over n_cells literal-centroid dot products on the
+    # unit sphere — a single projection, evaluated once per row
+    nrm = vec_norm(F.col("emb"))
+    sims = [
+        vec_dot(F.col("emb"), F.array(*[F.lit(v) for v in c])) / nrm
+        for c in centroids
     ]
+    best = F.greatest(*sims)
+    cell = F.lit(None).cast("int")
+    for i in reversed(range(n_cells)):
+        cell = F.when(sims[i] == best, i).otherwise(cell)
+    assigned = emb_d.select(
+        "vec_id", "emb", cell.alias("cell_id"), nrm.alias("nrm")
+    )
     cent_df = emb.sparkSession.createDataFrame(
-        centroids, "cell_id INT, centroid ARRAY<DOUBLE>"
+        list(enumerate(centroids)), "cell_id INT, centroid ARRAY<DOUBLE>"
     )
 
     queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     # probe assignment: nprobe nearest centroids per query (tiny: q x cells)
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -136,12 +177,13 @@ def ivf_topk(
         .withColumn("cent_sim", cosine_sim(F.col("q_emb"), F.col("centroid")))
         .withColumn("cell_rank", F.row_number().over(w_probe))
         .where(F.col("cell_rank") <= nprobe)
-        .select("query_id", "q_emb", "cell_id")
+        .select("query_id", "q_emb", "q_nrm", "cell_id")
     )
+    cs = vec_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (
         assigned.join(F.broadcast(probes), "cell_id")
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_sim(F.col("q_emb"), F.col("emb")), 6))
+        .withColumn("cosine", F.round(cs, 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -181,18 +223,24 @@ _CLUSTER_SIM_SQL = """
 
 @register("cluster_similarity_stats", _CLUSTER_SIM_SQL)
 def q_cluster_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", vec_norm(F.col("emb")))
     a = e.select(
         F.col("label"),
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").cast("array<double>").alias("emb_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = e.select(
         F.col("label"),
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").cast("array<double>").alias("emb_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
-    cs = cosine_sim(F.col("emb_a"), F.col("emb_b"))
+    cs = vec_dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
     return (
         a.join(b, ["label"])
         .where(F.col("vec_a") < F.col("vec_b"))
