@@ -1,0 +1,254 @@
+"""OLAP analytics surface beyond the reference's GROUP BY: cube / rollup
+grouping sets, pivot, the full ranking-window family, TF-IDF term scoring,
+and stratified sampling. SURVEY.md §2.4 notes the reference has "no
+grouping sets / cube / rollup" and §2.5 covers only lag/row_number/rank —
+these round out the engine to the full public Spark analytic surface.
+
+Scale notes:
+- cube/rollup: Spark expands to a union of grouping sets BEFORE the
+  shuffle (Expand operator), so one pass over the fact table feeds all
+  groupings; partial aggregation still applies per set.
+- pivot: explicit value list => one hash aggregate with n_values
+  conditional aggs — never use the value-discovery overload on big data
+  (it runs a distinct scan first).
+- TF-IDF: two shuffles (term stats, per-doc scores); document frequency
+  via count(distinct) per term. The per-doc top-k is a bounded window.
+- stratified sampling: sampleBy is a per-row Bernoulli filter with
+  per-stratum rates — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import norm_text
+from cours_datalake_dwh_td_kafka_spark.operators.relational import dec_sum
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+# --------------------------------------------------------------------------
+# CUBE: all 2^2 groupings of (returnflag, linestatus) in one pass.
+# grouping_id() disambiguates "subtotal NULL" from a real NULL key.
+# --------------------------------------------------------------------------
+_CUBE_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("cube_agg", _CUBE_SQL)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS: hand-picked groupings (priority) and (status) — the
+# general form cube/rollup specialize.
+# --------------------------------------------------------------------------
+_GSETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+@register("grouping_sets_agg", _GSETS_SQL)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    # DataFrame API has cube/rollup; arbitrary sets go through the SQL
+    # surface (same Expand physical plan underneath)
+    return load_table(spark, sf_dir, "orders").sparkSession.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT: events count per user bucketed by event_type — explicit value
+# list (policy: never value-discover on big data).
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "view", "purchase", "scroll")
+
+_PIVOT_SQL = f"""
+    SELECT user_id,
+           {", ".join(
+               f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@register("pivot_event_counts", _PIVOT_SQL)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for empty cells; the conditional-count oracle
+    # yields 0 — align on 0
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Ranking-window family: lead / first / last / ntile / percent_rank /
+# cume_dist over each customer's order history (completes §2.5 W1-W6).
+# --------------------------------------------------------------------------
+_WINDOW_SUITE_SQL = """
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("window_suite", _WINDOW_SUITE_SQL)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w_full).alias("last_orderkey"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document (sklearn-style smooth idf:
+# ln((1+N)/(1+df)) + 1), deterministic top-3 by (score desc, term asc).
+# --------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+MIN_TERM_LEN = 4  # crude stopword proxy, identical on both engines
+
+_TFIDF_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    toks_f AS (SELECT * FROM toks WHERE length(term) >= {MIN_TERM_LEN}),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks_f GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TFIDF_TOP_K}
+    ORDER BY doc_id, rn
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("term"),
+    ).where(F.length("term") >= MIN_TERM_LEN)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: per-language fractions via sampleBy (seeded
+# Bernoulli per stratum). Engine-specific RNG -> no value oracle; the
+# driver records a rows-only check and tests assert per-stratum rates.
+# --------------------------------------------------------------------------
+STRATA_FRACTIONS = {"en": 0.5, "fr": 0.2, "de": 0.1}
+
+
+@register("stratified_sample")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.sampleBy("lang", STRATA_FRACTIONS, seed=42)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -60,8 +60,10 @@ def _load_all() -> None:
     # Imported lazily so `import registry` stays cheap and cycle-free.
     from cours_datalake_dwh_td_kafka_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         dedup,
         joins,
+        joins_advanced,
         knn,
         multimodal,
         profiling,

@@ -3,6 +3,7 @@ DuckDB oracle can't check directly."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark import registry
@@ -131,3 +132,60 @@ def test_sampling_fraction(spark):
     n = c.count()
     s = c.sample(fraction=0.1, seed=42).count()
     assert 0.04 * n <= s <= 0.16 * n
+
+
+def test_asof_join_tie_and_carry_semantics(spark, tmp_path):
+    """As-of union-window formulation: an order at EXACTLY the event time
+    is visible (>= semantics); later events carry the latest earlier
+    order; events before any order get NULLs."""
+    import datetime as dt
+
+    from cours_datalake_dwh_td_kafka_spark.operators import joins_advanced as ja
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    orders = spark.createDataFrame(
+        [
+            (100, 7, t("2024-01-10 00:00:00")),
+            (200, 7, t("2024-01-20 00:00:00")),
+            (300, 8, t("2024-01-15 00:00:00")),
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, 7, t("2024-01-05 12:00:00"), "early"),   # before any order
+            (2, 7, t("2024-01-10 00:00:00"), "tie"),     # exactly at order 100
+            (3, 7, t("2024-01-25 00:00:00"), "late"),    # after order 200
+            (4, 8, t("2024-01-16 00:00:00"), "mid"),
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+    sf = str(tmp_path)
+    # single-file parquet, like the driver's testdata (load_table reads
+    # the footer of the file directly)
+    orders.toPandas().to_parquet(f"{sf}/orders.parquet", index=False)
+    events.toPandas().to_parquet(f"{sf}/events.parquet", index=False)
+    got = {
+        r.event_id: r.last_orderkey
+        for r in ja.q_asof_join(spark, sf).collect()
+    }
+    assert got == {1: None, 2: 100, 3: 200, 4: 300}
+
+
+def test_stratified_sample_rates(spark):
+    """sampleBy holds per-stratum rates (±50% relative at small n) and
+    excludes unlisted strata entirely."""
+    from cours_datalake_dwh_td_kafka_spark.operators.analytics import (
+        STRATA_FRACTIONS,
+    )
+
+    qs = registry.queries()
+    d = load_table(spark, SF_ORACLE, "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = qs["stratified_sample"](spark, SF_ORACLE)
+    counts = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(STRATA_FRACTIONS)
+    for lang, frac in STRATA_FRACTIONS.items():
+        expect = totals[lang] * frac
+        assert counts.get(lang, 0) == pytest.approx(expect, rel=0.5)
+

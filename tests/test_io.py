@@ -1,0 +1,156 @@
+"""IO surface tests — SURVEY.md §2.1 (S1-S9, S18-S20): reader modes (raw /
+header / inferSchema / explicit schema / path list), sinks with Hive-style
+partition layout (replacing the reference's hand-formatted
+/{country}/{city}/ paths), pandas bridges, temp-view registration, and the
+nanosecond-timestamp quirk of the driver's events table."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cours_datalake_dwh_td_kafka_spark import io
+
+SF = "/root/testdata/sf0.001"
+
+CSV_BODY = "id,city,temp\n1,Paris,12.5\n2,Lyon,9.0\n3,Nice,18.25\n"
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(CSV_BODY)
+    return str(p)
+
+
+def test_csv_raw_scan_all_strings(spark, csv_file):
+    """S1: headerless read -> _c0.. string columns (the header line becomes
+    a data row)."""
+    df = io.read_csv(spark, csv_file, header=False)
+    assert df.columns == ["_c0", "_c1", "_c2"]
+    assert all(f.dataType == StringType() for f in df.schema.fields)
+    assert df.count() == 4
+
+
+def test_csv_header_and_infer_schema(spark, csv_file):
+    """S2/S3: header names + inferred int/string/double types."""
+    df = io.read_csv(spark, csv_file, infer_schema=True)
+    assert df.columns == ["id", "city", "temp"]
+    types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
+    assert types["id"] == IntegerType()
+    assert types["city"] == StringType()
+    assert types["temp"] == DoubleType()
+
+
+def test_csv_explicit_schema_path_list(spark, tmp_path):
+    """S4: multi-path scan with declared schema (no inference pass)."""
+    for i in (1, 2):
+        (tmp_path / f"f{i}.csv").write_text(CSV_BODY)
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("city", StringType()),
+            StructField("temp", DoubleType()),
+        ]
+    )
+    df = io.read_csv(
+        spark,
+        [str(tmp_path / "f1.csv"), str(tmp_path / "f2.csv")],
+        schema=schema,
+    )
+    assert df.count() == 6
+    assert df.schema == schema
+
+
+def test_json_scan_and_glob(spark, tmp_path):
+    """S5: JSON-lines scan over a partition-dir glob."""
+    for country in ("fr", "de"):
+        d = tmp_path / country
+        d.mkdir()
+        (d / "part.json").write_text('{"city": "x", "temp": 1.5}\n')
+    df = io.read_json(spark, f"{tmp_path}/*/part.json")
+    assert df.count() == 2
+
+
+def test_parquet_roundtrip_and_partitioned_layout(spark, tmp_path):
+    """S6/S8/S9: partitionBy writer produces Hive-style dirs readers can
+    prune; roundtrip preserves data."""
+    df = spark.createDataFrame(
+        [("France", "Paris", 1), ("France", "Lyon", 2), ("Japan", "Tokyo", 3)],
+        "country STRING, city STRING, v INT",
+    )
+    out = str(tmp_path / "lake")
+    io.write_parquet(df, out, partition_by=["country"])
+    assert sorted(
+        e for e in os.listdir(out) if e.startswith("country=")
+    ) == ["country=France", "country=Japan"]
+    back = io.read_parquet(spark, out)
+    assert back.count() == 3
+    # partition pruning: a country filter must prune to one partition dir
+    plan = (
+        back.where(F.col("country") == "France")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "country=France" in plan or "PartitionFilters" in plan
+
+
+def test_csv_single_file_export(spark, tmp_path):
+    """S7: coalesce(1) export writes exactly one part file."""
+    df = spark.range(10).withColumnRenamed("id", "n")
+    out = str(tmp_path / "export")
+    io.write_csv(df, out, single_file=True)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+
+
+def test_partitioned_json_sink(spark, tmp_path):
+    """S9/S16 replacement: partitioned JSON lake layout."""
+    df = spark.createDataFrame(
+        [("France", "Paris", 20.5)], "country STRING, city STRING, temp DOUBLE"
+    )
+    out = str(tmp_path / "json_lake")
+    io.write_json(df, out, partition_by=["country", "city"])
+    assert os.path.isdir(f"{out}/country=France/city=Paris")
+    assert spark.read.json(out).count() == 1
+
+
+def test_pandas_bridges(spark):
+    """S18/S19: createDataFrame(pdf) and toPandas (Arrow path)."""
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})
+    df = spark.createDataFrame(pdf)
+    assert df.count() == 2
+    back = df.orderBy("k").toPandas()
+    assert list(back["v"]) == ["a", "b"]
+
+
+def test_load_lake_registers_views(spark):
+    """S20: every lake table is queryable through the SQL surface."""
+    io.load_lake(spark, SF)
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n
+    assert n > 0
+    joined = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).collect()[0].n
+    assert joined > 0
+
+
+def test_events_nanos_timestamps_load(spark):
+    """The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; load_table must hand back proper
+    microsecond timestamps."""
+    e = io.load_table(spark, SF, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    row = e.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    assert row.lo.year == 2024 and row.hi.year == 2024
