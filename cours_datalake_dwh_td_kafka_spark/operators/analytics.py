@@ -210,10 +210,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(norm_text(F.col("text")), " ")).alias("term"),
     ).where(F.length("term") >= MIN_TERM_LEN)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window over the tf rows — saves the
+    # groupBy+re-join shuffle pair of the textbook formulation (the tf
+    # rows are already one-per-(doc,term), so count over term = df)
+    df = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", df)
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -299,17 +299,23 @@ def minhash_lsh_pairs(
     any band key, verified with exact Jaccard. The band join is an
     equi-join on the band hash — the scale path for all-pairs near-dup."""
     sig = minhash_signature(d)
-    bands = []
-    for band in range(N_HASHES // BAND_R):
-        key = F.concat_ws(
-            "_",
-            F.lit(band),
-            *[F.col(f"h{band * BAND_R + j}").cast("string") for j in range(BAND_R)],
-        )
-        bands.append(sig.select("doc_id", key.alias("band_key")))
-    all_bands = bands[0]
-    for bdf in bands[1:]:
-        all_bands = all_bands.unionByName(bdf)
+    # one explode over an inline band-key array — NOT a 4-way union of
+    # selects on sig: union branches each re-evaluate the whole signature
+    # subtree (4x the shuffles; measured via plans.inspect)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(band),
+                *[
+                    F.col(f"h{band * BAND_R + j}").cast("string")
+                    for j in range(BAND_R)
+                ],
+            )
+            for band in range(N_HASHES // BAND_R)
+        ]
+    )
+    all_bands = sig.select("doc_id", F.explode(keys).alias("band_key"))
     cand = (
         all_bands.alias("a")
         .join(all_bands.alias("b"), "band_key")
@@ -470,32 +476,31 @@ def simhash_pairs_banded(sh: DataFrame) -> DataFrame:
     shards by band key, which is the plan that survives 100 TB."""
     n_bands = 4
     bits_per = SIMHASH_BITS // n_bands
-    bands = None
-    for i in range(n_bands):
-        band = sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("band_idx"),
+    mask = (1 << bits_per) - 1
+    # single explode of inline band keys (not an n_bands-way union — see
+    # minhash_lsh_pairs); key packs (band_idx, band_bits) into one long
+    band_keys = F.array(
+        *[
             F.expr(
-                f"shiftright(simhash, {i * bits_per}) & {(1 << bits_per) - 1}"
-            ).alias("band_bits"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+                f"{i} * {mask + 1} + (shiftright(simhash, {i * bits_per}) & {mask})"
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = sh.select("doc_id", "simhash", F.explode(band_keys).alias("band_key"))
     a = bands.select(
-        "band_idx",
-        "band_bits",
+        "band_key",
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sh_a"),
     )
     b = bands.select(
-        "band_idx",
-        "band_bits",
+        "band_key",
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("sh_b"),
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, ["band_idx", "band_bits"])
+        a.join(b, ["band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .where(F.col("hamming") <= HAMMING_MAX)

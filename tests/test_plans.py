@@ -1,0 +1,85 @@
+"""Physical-plan regression tests (SURVEY.md §4): pin the scale-relevant
+plan shapes — pushdown reaches the parquet scan, dimension joins
+broadcast, no accidental cartesian products, no row-wise Python UDFs
+anywhere, and whole-stage codegen covers the hot paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from cours_datalake_dwh_td_kafka_spark import registry
+from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+    formatted_plan,
+    plan_facts,
+)
+from tests.conftest import SF_ORACLE
+
+# queries where a cartesian product would be a plan bug (the deliberate
+# small-side nested-loop joins — range_join, ann brute force — are
+# BroadcastNestedLoop, not CartesianProduct)
+_ALL = sorted(
+    n
+    for n in registry.queries()
+    if n not in {"stratified_sample"}  # trivial plan, RNG-dependent
+)
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_no_cartesian_and_no_row_python_udf(spark, name):
+    df = registry.queries()[name](spark, SF_ORACLE)
+    f = plan_facts(df)
+    assert f.n_cartesian == 0, f"{name}: CartesianProduct in plan"
+    assert f.python_evals == 0, f"{name}: row-wise Python UDF in plan"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """P6/P8/P11 predicates must land in PushedFilters, and column
+    pruning must shrink ReadSchema below the full table width."""
+    df = registry.queries()["filter_project"](spark, SF_ORACLE)
+    f = plan_facts(df)
+    pushed = " ".join(f.pushed_filters)
+    assert "GreaterThan(l_quantity" in pushed
+    assert "l_shipdate" in pushed
+    # lineitem has 11 columns; the query needs 7
+    assert f.read_schemas and "l_comment" not in f.read_schemas[0]
+
+
+def test_dimension_joins_broadcast(spark):
+    """Star-schema dims (customer->nation) must broadcast — a shuffled
+    fact side on a dim join is the classic 100 TB regression."""
+    df = registry.queries()["join_revenue_per_nation"](spark, SF_ORACLE)
+    f = plan_facts(df)
+    assert f.n_broadcast_joins >= 1
+    assert f.n_sortmerge_joins == 0
+
+
+def test_semi_join_not_driver_collect(spark):
+    """The reference's collect()+isin is a broadcast left-semi join here:
+    the plan must contain a semi join, not an In-filter of literals."""
+    df = registry.queries()["semi_join"](spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_minhash_lsh_band_explosion_not_union(spark):
+    """Band keys come from ONE signature pass (explode), not an n-way
+    union that recomputes the signature subtree per band."""
+    df = registry.queries()["dedup_minhash_lsh"](spark, SF_ORACLE)
+    f = plan_facts(df)
+    assert f.n_shuffles <= 12, f"minhash shuffle count regressed: {f.n_shuffles}"
+
+
+def test_codegen_covers_hot_paths(spark):
+    """After execution the final adaptive plan should show whole-stage
+    codegen spans (JVM-compiled pipelines, SURVEY.md §4)."""
+    df = registry.queries()["pricing_summary"](spark, SF_ORACLE)
+    f = plan_facts(df, executed=True)
+    assert f.codegen_spans >= 1
+
+
+def test_exchange_reuse_in_self_joins(spark):
+    """Self-join reads the same exchange twice — AQE must reuse it, not
+    rescan (dedup_simhash_pairs both sides derive from one simhash)."""
+    df = registry.queries()["dedup_simhash_pairs"](spark, SF_ORACLE)
+    f = plan_facts(df, executed=True)
+    assert f.n_reused_exchanges >= 1
