@@ -166,3 +166,49 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# Custom-state sessionization (pandas grouped-map twin of the
+# applyInPandasWithState streaming operator, streaming/stateful.py):
+# same gap semantics as session_window but via explicit per-key state —
+# the engine's extension point for state machines Spark lacks.
+_PANDAS_SESSION_SQL = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '4 hours'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '4 hours' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+"""
+
+
+@register("pandas_sessionization", _PANDAS_SESSION_SQL)
+def q_pandas_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cours_datalake_dwh_td_kafka_spark.streaming.stateful import (
+        sessionize_pandas_batch,
+    )
+
+    e = _events(spark, sf_dir)
+    out = sessionize_pandas_batch(e, gap_seconds=4 * 3600)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_obs",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("user_id", "session_start")

@@ -42,10 +42,23 @@ RAW_SCHEMA = StructType(
 BASE_TS = 1_700_000_000.0  # 2023-11-14 22:13:20 UTC
 
 
+_batch_seq = 0
+
+
 def _write_batch(dirpath, rows, name):
-    with open(f"{dirpath}/{name}.json", "w") as f:
+    """Write one micro-batch file with a strictly increasing mtime: the
+    file source orders by modification time, and same-second writes tie —
+    which would let a later batch (e.g. a watermark-flush row) process
+    FIRST and silently change the scenario."""
+    global _batch_seq
+    import os
+
+    _batch_seq += 1
+    path = f"{dirpath}/{name}.json"
+    with open(path, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+    os.utime(path, (1_000_000 + _batch_seq * 60, 1_000_000 + _batch_seq * 60))
 
 
 def _rows(n0, count, city="Paris", country="France", temp=20.0, wind=5.0, step=60):
@@ -292,3 +305,63 @@ def test_parse_kafka_json_shape(spark):
     parsed = parse_kafka_json(raw, WEATHER_SCHEMA)
     row = parsed.collect()[0]
     assert (row.city, row.country, row.windspeed) == ("Lyon", "France", 11.0)
+
+
+def test_stateful_sessionization_matches_session_window(spark, stream_dir):
+    """applyInPandasWithState sessionizer == native session_window on the
+    same data: two bursts 3h apart per user close into two sessions once
+    the watermark (driven by a far-future flush row) passes their
+    timeouts; contract session_end = last event + gap."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    burst1 = _rows(0, 3, step=60)
+    burst2 = _rows(0, 3, step=60)
+    for r in burst2:
+        r["timestamp"] += 3 * 3600
+    _write_batch(stream_dir, burst1 + burst2, "b0")
+    flush = _rows(0, 1, city="Nice")
+    flush[0]["timestamp"] = BASE_TS + 86400
+    _write_batch(stream_dir, flush, "b1")
+
+    enriched = enrich_alerts(_read_stream(spark, stream_dir)).select(
+        F.xxhash64("city").alias("user_id"),  # stable per-city key
+        "event_time",
+        F.col("temperature").alias("value"),
+    )
+    out = sessionize_stateful(enriched, gap_seconds=300, watermark="10 minutes")
+    name = f"tstate_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="append")
+    got = spark.table(name)
+
+    paris = [r for r in got.collect() if r.n_obs == 3]
+    assert len(paris) == 2, f"expected 2 closed Paris sessions, got {got.collect()}"
+    for r in paris:
+        assert (r.session_end - r.session_start).total_seconds() == 2 * 60 + 300
+        assert r.sum_value == pytest.approx(60.0)  # 3 x 20.0
+
+    # cross-check against the native session_window operator on the same
+    # batch data (both contracts: end = last + gap)
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in burst1 + burst2], RAW_SCHEMA
+    )
+    bsrc = enrich_alerts(batch).select(
+        F.xxhash64("city").alias("user_id"),
+        "event_time",
+        F.col("temperature").alias("value"),
+    )
+    native = (
+        bsrc.groupBy(F.session_window("event_time", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_obs"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_obs",
+            "sum_value",
+        )
+    )
+    want = {tuple(r) for r in native.collect()}
+    have = {tuple(r) for r in got.collect() if r.n_obs == 3}
+    assert have == want
