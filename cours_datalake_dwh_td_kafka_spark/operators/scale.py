@@ -1,0 +1,166 @@
+"""Scale techniques as first-class, tested operators: key salting for
+skewed aggregations/joins and bucketed co-located joins. SURVEY.md §4
+lists what Catalyst gives us free (AQE skew splitting, broadcast
+selection); these are the two knobs that still need ENGINE-side shape
+changes at 100 TB, so they live here with correctness oracles and
+plan-level tests rather than as advice in a docstring.
+
+- Salting: a hot grouping key (one user generating 30% of events) makes
+  one reduce task the straggler. Two-phase aggregation over
+  (key, salt = hash(row) % n) computes partials on the salted key —
+  spreading the hot key over n tasks — then merges per real key. The
+  result is EXACTLY the unsalted aggregate (sums/counts are associative;
+  avg = merged sum / merged count), so the DuckDB oracle is just the
+  plain GROUP BY.
+- Bucketed joins: two fact tables bucketed on the join key at write time
+  join WITHOUT any Exchange — at 100 TB that is the difference between a
+  co-located merge and re-shuffling both sides every query. Exercised in
+  tests (bucket tables persist via saveAsTable; the plan asserts zero
+  shuffles on the join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+N_SALTS = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation: count/sum/min/max per ``key``.
+
+    Phase 1 groups by (key, salt) — the hot key's rows split across
+    ``n_salts`` reduce tasks; phase 2 merges the n_salts partials per
+    key. Identical result to the direct groupBy (associative aggregates
+    only). The salt derives from a row-unique column hash, not rand(),
+    so the plan stays deterministic and retry-safe.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value).cast("decimal(28,6)")).alias("_s"),
+        F.min(value).alias("_mn"),
+        F.max(value).alias("_mx"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n_rows"),
+        F.round(F.sum("_s").cast("double"), 2).alias("sum_value"),
+        F.round(
+            (F.sum("_s") / F.sum("_n")).cast("double"), 6
+        ).alias("avg_value"),
+        F.min("_mn").alias("min_value"),
+        F.max("_mx").alias("max_value"),
+    )
+
+
+_SALTED_SQL = """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@register("salted_skew_agg", _SALTED_SQL)
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type is the natural skew key of the events table (a few
+    types carry most rows); the salted plan must hash-match the plain
+    GROUP BY oracle exactly."""
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(e, "event_type", "value").orderBy("event_type")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big (skewed) side, EXPLODE the
+    small side n_salts times so every (key, salt) bucket finds its
+    match. Same rows as the plain join; the hot key's probe work spreads
+    over n_salts tasks. (AQE's skew-join split covers sort-merge cases
+    adaptively; explicit salting is the deterministic fallback when the
+    skew is known and extreme, or when AQE is off — e.g. inside
+    streaming micro-batches, where AQE does not run.)"""
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[c for c in big.columns]), F.lit(n_salts))
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, [key, "_salt"]).drop("_salt")
+
+
+_SALTED_JOIN_SQL = """
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value * m.weight AS DECIMAL(28,6))) AS DOUBLE), 2) AS weighted_sum
+    FROM events e
+    JOIN (
+      SELECT 'click' AS event_type, 1.0 AS weight UNION ALL
+      SELECT 'view', 0.5 UNION ALL
+      SELECT 'purchase', 10.0 UNION ALL
+      SELECT 'scroll', 0.1
+    ) m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+"""
+
+
+@register("salted_skew_join", _SALTED_JOIN_SQL)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("scroll", 0.1)],
+        "event_type STRING, weight DOUBLE",
+    )
+    # hint=no broadcast: force the shuffled path the salting protects
+    joined = salted_join(e, m.hint("shuffle_hash"), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("weight")).cast("decimal(28,6)")
+                ).cast("double"),
+                2,
+            ).alias("weighted_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on the join key:
+    subsequent equi-joins between tables bucketed the same way read
+    co-located buckets and skip the shuffle entirely (verified by plan
+    in tests/test_scale.py)."""
+    writer = df.write.mode("overwrite").format("parquet")
+    writer = writer.bucketBy(n_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)

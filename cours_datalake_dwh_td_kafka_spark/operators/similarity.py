@@ -145,39 +145,59 @@ def ivf_topk(
     )
     centroids = _fit_cells([r.emb for r in sample_rows], n_cells)
 
-    # assignment: argmax over n_cells literal-centroid dot products on the
-    # unit sphere — a single projection, evaluated once per row
-    nrm = vec_norm(F.col("emb"))
-    sims = [
-        vec_dot(F.col("emb"), F.array(*[F.lit(v) for v in c])) / nrm
+    # assignment: argmax over n_cells literal-centroid dot products — a
+    # single projection. Two expression-shape decisions that matter
+    # (higher-order functions run INTERPRETED, so every re-evaluation is
+    # real work): (1) rank on raw dots — the per-row norm is a positive
+    # constant across cells, so dividing changes nothing about the
+    # argmax; (2) argmax via array_max over (dot, idx) structs, which
+    # evaluates each dot ONCE — a when(sim==greatest(sims...)) chain
+    # re-evaluates the sims ~n_cells^2 times per row (measured ~5x
+    # slower end-to-end)
+    dots = [
+        vec_dot(F.col("emb"), F.array(*[F.lit(v) for v in c]))
         for c in centroids
     ]
-    best = F.greatest(*sims)
-    cell = F.lit(None).cast("int")
-    for i in reversed(range(n_cells)):
-        cell = F.when(sims[i] == best, i).otherwise(cell)
+    sarr = F.array(
+        *[
+            F.struct(dots[i].alias("s"), F.lit(i).alias("i"))
+            for i in range(n_cells)
+        ]
+    )
+    cell = F.array_max(sarr).getField("i")
     assigned = emb_d.select(
-        "vec_id", "emb", cell.alias("cell_id"), nrm.alias("nrm")
+        "vec_id",
+        "emb",
+        cell.alias("cell_id"),
+        vec_norm(F.col("emb")).alias("nrm"),
     )
-    cent_df = emb.sparkSession.createDataFrame(
-        list(enumerate(centroids)), "cell_id INT, centroid ARRAY<DOUBLE>"
-    )
+    # probe assignment driver-side: the query set is small by definition
+    # (that's what makes it the probe side), so its nprobe-nearest cells
+    # are a numpy matmul against the centroids — no crossJoin/window
+    # stage, one collect of n_queries rows
+    import numpy as np
 
-    queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    # probe assignment: nprobe nearest centroids per query (tiny: q x cells)
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("cent_sim"), F.asc("cell_id")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cent_df))
-        .withColumn("cent_sim", cosine_sim(F.col("q_emb"), F.col("centroid")))
-        .withColumn("cell_rank", F.row_number().over(w_probe))
-        .where(F.col("cell_rank") <= nprobe)
-        .select("query_id", "q_emb", "q_nrm", "cell_id")
+    q_rows = emb_d.where(F.col("vec_id") < n_queries).collect()
+    cents = np.asarray(centroids)
+    probe_rows = []
+    for r in q_rows:
+        q = np.asarray(r.emb, dtype=np.float64)
+        # left-fold sum like Spark's aggregate() so q_nrm is bit-identical
+        # to vec_norm's value (numpy's pairwise sum differs in the last
+        # ulp, which could flip a 6-dp-rounded cosine at a boundary)
+        acc = 0.0
+        for v in r.emb:
+            acc += v * v
+        q_nrm = float(acc) ** 0.5
+        sims_np = cents @ (q / q_nrm)
+        # rank by (similarity desc, cell_id asc) — same tiebreak as the
+        # previous window formulation
+        order = sorted(range(len(cents)), key=lambda i: (-sims_np[i], i))
+        for cell_id in order[:nprobe]:
+            probe_rows.append((int(r.vec_id), list(r.emb), q_nrm, int(cell_id)))
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows,
+        "query_id BIGINT, q_emb ARRAY<DOUBLE>, q_nrm DOUBLE, cell_id INT",
     )
     cs = vec_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (

