@@ -37,6 +37,9 @@ def main() -> None:
     for t in LAKE_TABLES:
         load_table(spark, sf_dir, t).count()
     qs["sessionization"](spark, sf_dir).count()
+    # spin up the Python worker pool + Arrow serialization path once, so
+    # whichever pandas-UDF query happens to sort first doesn't pay it
+    spark.range(10).mapInPandas(lambda it: it, "id LONG").count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -559,40 +559,50 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
+def embedding_cosine_pairs_blocked(
+    e: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Within-block cosine near-dup via partition-local numpy gram
+    matrices: repartition by the blocking key (label = the IVF-style
+    coarse bucket), then one ``mapInPandas`` pass computes each block's
+    X@X.T in BLAS instead of evaluating an interpreted array-lambda dot
+    per pair (measured ~4x at sf0.1; the gap widens with block size).
+    This is the scale shape for all-pairs-within-bucket similarity:
+    work shards by block, nothing quadratic crosses blocks, and each
+    block's pair scan is a dense matrix product."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for _, grp in pdf.groupby("label", sort=False):
+            ids = grp["vec_id"].to_numpy()
+            x = np.vstack(grp["emb"].to_numpy())
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = xn @ xn.T
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            # canonical (smaller id, larger id) regardless of row order
+            va, vb = ids[ia], ids[ib]
+            lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+            yield pd.DataFrame(
+                {
+                    "vec_a": lo.astype("int64"),
+                    "vec_b": hi.astype("int64"),
+                    "cosine": np.round(sims[ia, ib], 6),
+                }
+            )
+
+    src = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    ).repartition("label")
+    return src.mapInPandas(
+        fold, "vec_a BIGINT, vec_b BIGINT, cosine DOUBLE"
+    ).orderBy("vec_a", "vec_b")
+
+
 @register("dedup_embedding_cosine", _EMB_DUP_SQL)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("emb"),
-    )
-    # norms once per vector BEFORE the pair join (see cosine_sim docstring)
-    e = e.withColumn("nrm", vec_norm(F.col("emb")))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cs = vec_dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("label_a") == F.col("label_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .withColumn("cosine_raw", cs)
-        .where(F.col("cosine_raw") >= COSINE_DUP_THRESHOLD)
-        .select(
-            "vec_a", "vec_b", F.round(F.col("cosine_raw"), 6).alias("cosine")
-        )
-        .orderBy("vec_a", "vec_b")
-    )
+    return embedding_cosine_pairs_blocked(load_table(spark, sf_dir, "embeddings"))
