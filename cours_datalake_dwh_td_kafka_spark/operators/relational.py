@@ -201,6 +201,27 @@ def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# U-family completion: intersectAll (absent from the reference; engine
+# surface). Customers ordered in BOTH halves of the date range.
+# --------------------------------------------------------------------------
+@register(
+    "intersect_customers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ORDER BY o_custkey
+    """,
+)
+def q_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cut = "1998-01-01"
+    early = o.where(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.intersectAll(late).orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
 # A7: distinct rows (reference: work/Projet/preparation_noaa.ipynb:520-522)
 # --------------------------------------------------------------------------
 @register(

@@ -365,3 +365,24 @@ def test_stateful_sessionization_matches_session_window(spark, stream_dir):
     want = {tuple(r) for r in native.collect()}
     have = {tuple(r) for r in got.collect() if r.n_obs == 3}
     assert have == want
+
+
+def test_complete_mode_compat(spark, stream_dir):
+    """Reference-compat path: outputMode('complete') with NO watermark
+    (work/spark_windowed_aggregation.py:44) — every window ever seen is
+    re-emitted each trigger and late rows always merge. Kept as a compat
+    option; the engine default is watermarked update/append."""
+    _write_batch(stream_dir, _rows(0, 10), "b0")
+    late = _rows(0, 1, temp=50.0)
+    late[0]["timestamp"] = BASE_TS - 7200  # 2h before the stream
+    _write_batch(stream_dir, late, "b1")
+
+    out = tumbling_window_agg(
+        enrich_alerts(_read_stream(spark, stream_dir)), watermark=None
+    )
+    name = f"tc_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="complete")
+    rows = spark.table(name).collect()
+    # unbounded state: the late window exists alongside the on-time ones
+    assert any(r.avg_value == 50.0 for r in rows)
+    assert sum(r.n_obs for r in rows) == 11
