@@ -132,11 +132,15 @@ def ivf_topk(
     With nprobe == n_cells this is EXACTLY brute force (asserted in
     tests); recall at partial probe depends on how clustered the corpus
     is."""
+    import numpy as np
+    import pandas as pd
+
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     # deterministic sample: order by md5 of the id — a seedless
     # pseudo-random spread that is identical across engines and runs
+    # (TakeOrdered: one O(n) scan, no full sort shuffle)
     sample_rows = (
         emb_d.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(QUANTIZER_SAMPLE)
@@ -145,73 +149,77 @@ def ivf_topk(
     )
     centroids = _fit_cells([r.emb for r in sample_rows], n_cells)
 
-    # assignment: argmax over n_cells literal-centroid dot products — a
-    # single projection. Two expression-shape decisions that matter
-    # (higher-order functions run INTERPRETED, so every re-evaluation is
-    # real work): (1) rank on raw dots — the per-row norm is a positive
-    # constant across cells, so dividing changes nothing about the
-    # argmax; (2) argmax via array_max over (dot, idx) structs, which
-    # evaluates each dot ONCE — a when(sim==greatest(sims...)) chain
-    # re-evaluates the sims ~n_cells^2 times per row (measured ~5x
-    # slower end-to-end)
-    dots = [
-        vec_dot(F.col("emb"), F.array(*[F.lit(v) for v in c]))
-        for c in centroids
-    ]
-    sarr = F.array(
-        *[
-            F.struct(dots[i].alias("s"), F.lit(i).alias("i"))
-            for i in range(n_cells)
-        ]
-    )
-    cell = F.array_max(sarr).getField("i")
-    assigned = emb_d.select(
-        "vec_id",
-        "emb",
-        cell.alias("cell_id"),
-        vec_norm(F.col("emb")).alias("nrm"),
-    )
     # probe assignment driver-side: the query set is small by definition
     # (that's what makes it the probe side), so its nprobe-nearest cells
-    # are a numpy matmul against the centroids — no crossJoin/window
-    # stage, one collect of n_queries rows
-    import numpy as np
-
+    # are a numpy matmul against the centroids — one collect of n_queries
+    # rows, no crossJoin/window stage
     q_rows = emb_d.where(F.col("vec_id") < n_queries).collect()
-    cents = np.asarray(centroids)
-    probe_rows = []
-    for r in q_rows:
-        q = np.asarray(r.emb, dtype=np.float64)
-        # left-fold sum like Spark's aggregate() so q_nrm is bit-identical
-        # to vec_norm's value (numpy's pairwise sum differs in the last
-        # ulp, which could flip a 6-dp-rounded cosine at a boundary)
-        acc = 0.0
-        for v in r.emb:
-            acc += v * v
-        q_nrm = float(acc) ** 0.5
-        sims_np = cents @ (q / q_nrm)
-        # rank by (similarity desc, cell_id asc) — same tiebreak as the
-        # previous window formulation
-        order = sorted(range(len(cents)), key=lambda i: (-sims_np[i], i))
-        for cell_id in order[:nprobe]:
-            probe_rows.append((int(r.vec_id), list(r.emb), q_nrm, int(cell_id)))
-    probes = emb.sparkSession.createDataFrame(
-        probe_rows,
-        "query_id BIGINT, q_emb ARRAY<DOUBLE>, q_nrm DOUBLE, cell_id INT",
+    cents = np.asarray(centroids, dtype=np.float64)
+    qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = np.asarray([int(r.vec_id) for r in q_rows])
+    sims_qc = qmat @ cents.T
+    # rank cells by (similarity desc, cell_id asc); per cell: the unit
+    # query vectors probing it. Captured in the UDF closure — tiny
+    # (n_queries x dim), so it ships with the task like a broadcast.
+    cell_probes: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        order = sorted(range(n_cells), key=lambda i: (-sims_qc[qi, i], i))
+        for c in order[:nprobe]:
+            cell_probes.setdefault(c, []).append(qi)
+
+    # One mapInPandas pass: numpy cell assignment (X@C.T argmax) + scoring
+    # against the probing queries + partition-local top-k. No join, no
+    # pair stream — the shuffle after this carries only
+    # (partitions x queries x k) candidate rows into the global top-k.
+    # Interpreted array-lambda dots are gone: everything is BLAS.
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xu = x / np.linalg.norm(x, axis=1, keepdims=True)
+            assign = (xu @ cents.T).argmax(axis=1)
+            out_q, out_n, out_c = [], [], []
+            for c, probe_qis in cell_probes.items():
+                mask = assign == c
+                if not mask.any():
+                    continue
+                cids = ids[mask]
+                sims = xu[mask] @ qmat[probe_qis].T  # (m_cell, n_probe_q)
+                sims = np.round(sims, 6)
+                for j, qi in enumerate(probe_qis):
+                    col = sims[:, j]
+                    keep = cids != qids[qi]  # self-exclusion
+                    cand_ids, cand_cos = cids[keep], col[keep]
+                    if len(cand_ids) > top_k:
+                        # local top-k, same order as the global window:
+                        # cosine desc, neighbor_id asc
+                        idx = np.lexsort((cand_ids, -cand_cos))[:top_k]
+                        cand_ids, cand_cos = cand_ids[idx], cand_cos[idx]
+                    out_q.append(np.full(len(cand_ids), qids[qi]))
+                    out_n.append(cand_ids)
+                    out_c.append(cand_cos)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q).astype("int64"),
+                        "neighbor_id": np.concatenate(out_n).astype("int64"),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    scored = emb_d.mapInPandas(
+        score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
     )
-    cs = vec_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
-    scored = (
-        assigned.join(F.broadcast(probes), "cell_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cs, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= top_k)
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rn"
-        )
+        .select("query_id", "neighbor_id", "cosine", "rn")
         .orderBy("query_id", "rn")
     )
 

@@ -189,3 +189,28 @@ def test_stratified_sample_rates(spark):
         expect = totals[lang] * frac
         assert counts.get(lang, 0) == pytest.approx(expect, rel=0.5)
 
+
+
+def test_topic_model_shape_and_determinism(spark):
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        LDA_K,
+        LDA_TOP_N,
+        topic_model_top_terms,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = topic_model_top_terms(docs).collect()
+    assert len(a) == LDA_K * LDA_TOP_N
+    by_topic = {}
+    for r in a:
+        by_topic.setdefault(r.topic, []).append(r)
+    assert sorted(by_topic) == list(range(LDA_K))
+    for rows in by_topic.values():
+        weights = [r.weight for r in sorted(rows, key=lambda r: r.rank)]
+        # describeTopics returns terms in descending weight order
+        assert weights == sorted(weights, reverse=True)
+        assert all(w > 0 for w in weights)
+        assert len({r.term for r in rows}) == len(rows)
+    # EM + fixed seed: bitwise-stable across runs in the same session
+    b = topic_model_top_terms(docs).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
