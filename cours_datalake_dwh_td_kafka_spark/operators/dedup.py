@@ -606,3 +606,120 @@ def embedding_cosine_pairs_blocked(
 @register("dedup_embedding_cosine", _EMB_DUP_SQL)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs_blocked(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# dup-cluster resolution: connected components over the near-dup pair graph
+# (the stage after pair generation in every dedup pipeline — pairs alone
+# don't say which docs to keep; components + min-id rep do)
+# ---------------------------------------------------------------------------
+CC_MAX_ITER = 15
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """Min-label propagation over an undirected edge set.
+
+    ``nodes``: one column ``node``; ``edges``: ``src``/``dst`` (one row per
+    undirected edge, either orientation). Returns (node, cluster_rep) where
+    cluster_rep = min node id of the component; isolated nodes are their
+    own rep.
+
+    Iterative algorithm: each round joins labels to the symmetrized edge
+    list and takes the per-node min over self + neighbors; stops when no
+    label changed. Rounds needed = graph diameter — near-dup graphs are
+    LSH-bucket cliques with diameter ~2-3, so this converges in a handful
+    of shuffles. Each round shuffles only the edge list (not the corpus),
+    and labels persist/unpersist round-to-round so the lineage never
+    re-executes. For adversarial long-chain graphs, swap in large-star/
+    small-star (Kiveris et al.) — same join primitives, O(log n) rounds.
+    """
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_rep"))
+
+
+def embedding_dup_clusters(e: DataFrame) -> DataFrame:
+    """Components of the embedding-cosine near-dup graph: every vector gets
+    (cluster_rep, cluster_size); the keep-list is ``cluster_rep == vec_id``.
+    Pair generation reuses :func:`embedding_cosine_pairs_blocked` (numpy
+    gram matrices per label block)."""
+    pairs = embedding_cosine_pairs_blocked(e).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    nodes = e.select(F.col("vec_id").alias("node"))
+    cc = connected_components(nodes, pairs)
+    w = Window.partitionBy("cluster_rep")
+    return (
+        cc.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(
+            F.col("node").alias("vec_id"),
+            "cluster_rep",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_CC_SQL = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM embeddings a
+      JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            >= {COSINE_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION
+      SELECT dst, src FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, MIN(label) AS cluster_rep FROM walk GROUP BY node
+    )
+    SELECT vec_id, cluster_rep,
+           COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM comp
+    ORDER BY vec_id
+"""
+
+
+@register("dedup_clusters", _CC_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dup_clusters(load_table(spark, sf_dir, "embeddings"))

@@ -214,3 +214,21 @@ def test_topic_model_shape_and_determinism(spark):
     # EM + fixed seed: bitwise-stable across runs in the same session
     b = topic_model_top_terms(docs).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_connected_components_chain_and_isolates(spark):
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 0-1-2-3-4 (diameter 4), triangle 10-11-12, isolates 20, 21
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)],
+        "src BIGINT, dst BIGINT",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in [0, 1, 2, 3, 4, 10, 11, 12, 20, 21]], "node BIGINT"
+    )
+    got = {(r.node, r.cluster_rep) for r in connected_components(nodes, edges).collect()}
+    want = {(n, 0) for n in range(5)} | {(n, 10) for n in (10, 11, 12)} | {(20, 20), (21, 21)}
+    assert got == want
