@@ -324,3 +324,57 @@ def topic_model_top_terms(
 @register("topic_model")
 def q_topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topic_model_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus stats — the curation dashboard view: volume, size and
+# exact-dup rate per (source, lang) slice. Dup rate rides the md5
+# fingerprint (same canonicalization as operators/dedup.py), so a slice's
+# dup_ratio is 1 - unique fingerprints / docs.
+# ---------------------------------------------------------------------------
+_SOURCE_STATS_SQL = f"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           COUNT(DISTINCT md5({NORM_SQL.format(c='text')})) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5({NORM_SQL.format(c='text')})) AS DOUBLE) / COUNT(*), 6) AS dup_ratio,
+           ROUND(CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS short_ratio
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+"""
+
+
+def corpus_source_stats(d: DataFrame) -> DataFrame:
+    """One aggregation pass: count-distinct of the fingerprint expands to
+    a two-stage hash aggregate (partial per partition, final per group) —
+    no extra job, no driver collection. Groups = sources x langs (tiny),
+    so the result broadcasts into any downstream policy join."""
+    fp = F.md5(norm_text(F.col("text")))
+    n = F.count(F.lit(1))
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars").cast("double") / n, 6).alias("avg_chars"),
+            F.countDistinct(fp).alias("n_unique"),
+            F.round(
+                F.lit(1.0) - F.countDistinct(fp).cast("double") / n, 6
+            ).alias("dup_ratio"),
+            F.round(
+                F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / n,
+                6,
+            ).alias("short_ratio"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register("corpus_source_stats", _SOURCE_STATS_SQL)
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_source_stats(load_table(spark, sf_dir, "documents"))

@@ -208,6 +208,33 @@ def anomaly_stream(
     )
 
 
+def stream_dedup(
+    enriched: DataFrame,
+    watermark: str = "10 minutes",
+    key_cols: tuple[str, ...] | None = None,
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming exact dedup: drop replayed records (producer re-sends,
+    at-least-once upstream) inside the watermark horizon.
+
+    ``key_cols=None`` dedups on full content: an md5 fingerprint of every
+    column (the streaming twin of the batch fingerprint dedup,
+    operators/dedup.py). ``dropDuplicatesWithinWatermark`` bounds the
+    state store by the watermark window — plain ``dropDuplicates`` on a
+    stream keeps every key seen forever, which is exactly the unbounded
+    state the reference's complete-mode jobs suffered from.
+    """
+    df = enriched.withWatermark(event_time_col, watermark)
+    if key_cols is None:
+        df = df.withColumn(
+            "fingerprint", F.md5(F.to_json(F.struct(*enriched.columns)))
+        )
+        return df.dropDuplicatesWithinWatermark(["fingerprint"]).drop(
+            "fingerprint"
+        )
+    return df.dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def write_stream_to_lake(
     df: DataFrame,
     path: str,

@@ -386,3 +386,75 @@ def test_complete_mode_compat(spark, stream_dir):
     # unbounded state: the late window exists alongside the on-time ones
     assert any(r.avg_value == 50.0 for r in rows)
     assert sum(r.n_obs for r in rows) == 11
+
+
+def test_stream_dedup_drops_replays(spark, stream_dir):
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import stream_dedup
+
+    b0 = _rows(0, 5)
+    _write_batch(stream_dir, b0, "b0")
+    _write_batch(stream_dir, b0[:3], "b1")  # replay of 3 records
+    _write_batch(stream_dir, _rows(5, 2), "b2")
+
+    out = stream_dedup(enrich_alerts(_read_stream(spark, stream_dir)))
+    name = f"sd_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="append")
+    rows = spark.table(name).collect()
+    assert len(rows) == 7  # 5 + 2, replays dropped
+    assert len({r.event_time for r in rows}) == 7
+
+
+def test_stream_dedup_keyed_variant(spark, stream_dir):
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import stream_dedup
+
+    # same (city, event_time) arriving twice with different temperature:
+    # content fingerprints differ, the keyed dedup still drops the second
+    b0 = _rows(0, 3)
+    dup = _rows(0, 1, temp=99.0)
+    _write_batch(stream_dir, b0, "b0")
+    _write_batch(stream_dir, dup, "b1")
+
+    out = stream_dedup(
+        enrich_alerts(_read_stream(spark, stream_dir)),
+        key_cols=("city", "country", "event_time"),
+    )
+    name = f"sk_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="append")
+    rows = spark.table(name).collect()
+    assert len(rows) == 3
+    assert all(r.temperature == 20.0 for r in rows)
+
+
+def test_write_stream_to_lake_partitioned_layout(spark, stream_dir, tmp_path):
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        write_stream_to_lake,
+    )
+
+    _write_batch(stream_dir, _rows(0, 3), "b0")
+    _write_batch(stream_dir, _rows(0, 2, city="Lyon"), "b1")
+
+    out_dir = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        write_stream_to_lake(
+            enrich_alerts(_read_stream(spark, stream_dir)), out_dir, ckpt
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import glob as g
+
+    parts = sorted(
+        p.split(out_dir + "/")[1]
+        for p in g.glob(f"{out_dir}/country=*/city=*")
+    )
+    assert parts == ["country=France/city=Lyon", "country=France/city=Paris"]
+    back = spark.read.json(out_dir)
+    assert back.count() == 5
+    # partition columns round-trip through the directory layout
+    assert {r.city for r in back.select("city").distinct().collect()} == {
+        "Paris",
+        "Lyon",
+    }
