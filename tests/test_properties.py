@@ -1,0 +1,173 @@
+"""Hypothesis property tests (SURVEY.md §5 item 4): engine operators vs
+tiny pure-Python reference implementations on randomized inputs.
+
+Each test keeps ``max_examples`` small — every example runs Spark jobs —
+but the generators cover the structural edge cases that fixed fixtures
+miss: empty runs, all-active/all-inactive states, single-row entities,
+duplicate edges, self-contained components.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import connected_components
+from cours_datalake_dwh_td_kafka_spark.operators.relational import haversine_km
+from cours_datalake_dwh_td_kafka_spark.operators.scale import salted_agg
+from cours_datalake_dwh_td_kafka_spark.operators.sessionization import sessionize
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# sessionization: session count == number of inactive->active transitions
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    states=st.lists(
+        st.lists(st.booleans(), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_sessionize_counts_state_runs(spark, states):
+    rows = []
+    for ent, seq in enumerate(states):
+        for i, active in enumerate(seq):
+            rows.append((ent, float(1_700_000_000 + i * 60), active, 1.0))
+    df = spark.createDataFrame(
+        rows, "entity BIGINT, ts_raw DOUBLE, active BOOLEAN, value DOUBLE"
+    ).select(
+        "entity",
+        F.to_timestamp(F.col("ts_raw")).alias("ts"),
+        "active",
+        "value",
+    )
+    got = sessionize(df, "entity", "ts", F.col("active"), "value").collect()
+
+    expected = {}
+    for ent, seq in enumerate(states):
+        n_runs = sum(
+            1 for i, a in enumerate(seq) if a and (i == 0 or not seq[i - 1])
+        )
+        expected[ent] = n_runs
+    by_entity = {}
+    for r in got:
+        by_entity[r[0]] = by_entity.get(r[0], 0) + 1
+    assert by_entity == {e: n for e, n in expected.items() if n > 0}
+    # session ids are 1..n_runs per entity, no gaps
+    for ent, n in expected.items():
+        ids = sorted(r[1] for r in got if r[0] == ent)
+        assert ids == list(range(1, n + 1))
+
+
+# ---------------------------------------------------------------------------
+# haversine: symmetry, zero self-distance, bounded by half circumference
+# ---------------------------------------------------------------------------
+coord = st.tuples(
+    st.floats(min_value=-89.9, max_value=89.9),
+    st.floats(min_value=-179.9, max_value=179.9),
+)
+
+
+@settings(**_SETTINGS)
+@given(a=coord, b=coord)
+def test_haversine_metric_properties(spark, a, b):
+    df = spark.createDataFrame(
+        [(a[0], a[1], b[0], b[1])], "la1 DOUBLE, lo1 DOUBLE, la2 DOUBLE, lo2 DOUBLE"
+    )
+    r = df.select(
+        haversine_km(F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2")).alias("ab"),
+        haversine_km(F.col("la2"), F.col("lo2"), F.col("la1"), F.col("lo1")).alias("ba"),
+        haversine_km(F.col("la1"), F.col("lo1"), F.col("la1"), F.col("lo1")).alias("aa"),
+    ).collect()[0]
+    assert math.isclose(r.ab, r.ba, rel_tol=1e-9, abs_tol=1e-9)
+    assert abs(r.aa) < 1e-6
+    assert 0.0 <= r.ab <= 6371.0 * math.pi + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation == plain aggregation under arbitrary key skew
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_agg_matches_plain_on_random_skew(spark, data):
+    df = spark.createDataFrame(data, "k BIGINT, v BIGINT")
+    plain = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.n_rows, r.sum_value, r.min_value, r.max_value)
+        for r in salted_agg(df, key="k", value="v", n_salts=4).collect()
+    }
+    assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# connected components == pure-python union-find on random edge sets
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        max_size=20,
+    ),
+    isolates=st.sets(st.integers(min_value=15, max_value=19), max_size=3),
+)
+def test_connected_components_matches_union_find(spark, edges, isolates):
+    node_ids = sorted(
+        {a for a, _ in edges} | {b for _, b in edges} | isolates
+    )
+    if not node_ids:
+        return
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in node_ids}
+
+    nodes_df = spark.createDataFrame([(n,) for n in node_ids], "node BIGINT")
+    edges_df = spark.createDataFrame(
+        edges or [(node_ids[0], node_ids[0])], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        r.node: r.cluster_rep
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == want
