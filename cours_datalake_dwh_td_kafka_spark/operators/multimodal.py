@@ -167,3 +167,116 @@ def featurize(mm: DataFrame, batch_size: int = 1024) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = multimodal_table(load_table(spark, sf_dir, "documents"))
     return featurize(mm).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# resize: binary -> binary transform over the image slice. The stub
+# resamples the byte stream to target_w x target_h by index striding;
+# a real pipeline swaps the body for PIL's Image.resize with the same
+# (payload in, payload out + dims) contract. Plumbing that IS real:
+# the modality filter prunes at the scan, only (doc_id, payload) crosses
+# the Arrow boundary, and the output is again an opaque binary column.
+# ---------------------------------------------------------------------------
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    mm: DataFrame, target_w: int = 16, target_h: int = 16
+) -> DataFrame:
+    """Resize every image-modality payload to ``target_w x target_h``."""
+    out_names = [f.name for f in RESIZE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_out = target_w * target_h
+
+        def resize(payload: bytes) -> bytes:
+            # stub resample: stride the source bytes onto the target grid
+            # (real codec: PIL decode -> resize -> re-encode, same contract)
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            if arr.size == 0:
+                return bytes(n_out)
+            idx = (np.arange(n_out, dtype=np.int64) * arr.size) // n_out
+            return arr[idx].tobytes()
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "out_width": target_w,
+                    "out_height": target_h,
+                    "payload": [resize(p) for p in pdf["payload"]],
+                }
+            )
+            out["n_bytes"] = out["payload"].map(len)
+            yield out[out_names]
+
+    src = mm.where(F.col("modality") == "image").select("doc_id", "payload")
+    return src.mapInPandas(run, RESIZE_SCHEMA)
+
+
+@register("multimodal_resize")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver check (binary output); determinism + shape are
+    asserted in tests/test_algorithms.py."""
+    mm = multimodal_table(load_table(spark, sf_dir, "documents"))
+    return resize_images(mm).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: one video payload -> N frame rows (the 1->many batch
+# shape). The stub treats each 64-byte slice as a frame and keeps every
+# n-th; a real pipeline swaps in av/ffmpeg keyframe extraction with the
+# same output schema.
+# ---------------------------------------------------------------------------
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+FRAME_SIZE = 64
+
+
+def sample_frames(mm: DataFrame, every_n: int = 4) -> DataFrame:
+    """Emit every ``every_n``-th fixed-size frame of each video payload."""
+    out_names = [f.name for f in FRAME_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {n: [] for n in out_names}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
+                for fi in range(0, n_frames, every_n):
+                    chunk = payload[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(fi)
+                    rows["frame_bytes"].append(bytes(chunk))
+                    rows["frame_len"].append(len(chunk))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    src = mm.where(F.col("modality") == "video").select("doc_id", "payload")
+    return src.mapInPandas(run, FRAME_SCHEMA)
+
+
+@register("multimodal_frame_sample")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver check (binary output); frame-count arithmetic is
+    asserted in tests/test_algorithms.py."""
+    mm = multimodal_table(load_table(spark, sf_dir, "documents"))
+    return sample_frames(mm).orderBy("doc_id", "frame_idx")

@@ -232,3 +232,42 @@ def test_connected_components_chain_and_isolates(spark):
     got = {(r.node, r.cluster_rep) for r in connected_components(nodes, edges).collect()}
     want = {(n, 0) for n in range(5)} | {(n, 10) for n in (10, 11, 12)} | {(20, 20), (21, 21)}
     assert got == want
+
+
+def test_resize_deterministic_shape(spark):
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    mm = multimodal_table(docs)
+    a = resize_images(mm, 8, 8).orderBy("doc_id").collect()
+    n_images = mm.where("modality = 'image'").count()
+    assert len(a) == n_images
+    assert all(r.n_bytes == 64 and len(r.payload) == 64 for r in a)
+    b = resize_images(mm, 8, 8).orderBy("doc_id").collect()
+    assert [bytes(r.payload) for r in a] == [bytes(r.payload) for r in b]
+
+
+def test_frame_sample_counts(spark):
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        FRAME_SIZE,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    mm = multimodal_table(docs)
+    frames = sample_frames(mm, every_n=4).collect()
+    vids = {r.doc_id: r.n_bytes for r in mm.where("modality = 'video'").collect()}
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, n in vids.items() if n > 0}
+    for doc_id, rows in by_doc.items():
+        n_frames = (vids[doc_id] + FRAME_SIZE - 1) // FRAME_SIZE
+        want_idx = list(range(0, n_frames, 4))
+        assert sorted(r.frame_idx for r in rows) == want_idx
+        # every full frame is FRAME_SIZE bytes; only the tail may be short
+        for r in rows:
+            if r.frame_idx < n_frames - 1:
+                assert r.frame_len == FRAME_SIZE
