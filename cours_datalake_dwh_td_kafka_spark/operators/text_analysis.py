@@ -378,3 +378,91 @@ def corpus_source_stats(d: DataFrame) -> DataFrame:
 @register("corpus_source_stats", _SOURCE_STATS_SQL)
 def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_source_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# curation pipeline composite: quality gate -> global exact dedup ->
+# per-source yield report. The end-to-end shape a training-data run
+# executes ahead of tokenization; each stage is one of this module's /
+# dedup.py's operators composed into a single declarative plan.
+# ---------------------------------------------------------------------------
+CURATION_QUALITY_MIN = 0.5
+
+
+_CURATION_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, n_chars,
+             string_split({NORM_SQL.format(c='text')}, ' ') AS toks,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             md5({NORM_SQL.format(c='text')}) AS fp
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, lang, fp,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct,
+             n_punct, n_chars
+      FROM base
+    ),
+    cand AS (
+      SELECT doc_id, source, lang, fp
+      FROM feat
+      WHERE 0.4 * LEAST(n_tokens / 100.0, 1.0)
+            + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+            + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+            + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0))
+            >= {CURATION_QUALITY_MIN}
+    ),
+    keep AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM cand GROUP BY fp
+    )
+    SELECT c.source, c.lang,
+           COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN c.doc_id = k.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN c.doc_id = k.keep_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS kept_ratio
+    FROM cand c JOIN keep k USING (fp)
+    GROUP BY c.source, c.lang
+    ORDER BY c.source, c.lang
+"""
+
+
+def curation_pipeline(
+    d: DataFrame, q_min: float = CURATION_QUALITY_MIN
+) -> DataFrame:
+    """Quality gate -> global fingerprint dedup (keeper = min doc_id among
+    the quality survivors) -> per-(source, lang) yield.
+
+    Scale notes: the quality gate is pure column algebra applied BEFORE
+    any shuffle, so low-quality bytes never leave the scan stage. The
+    dedup shuffle keys on the md5 fingerprint — content-addressed and
+    uniformly distributed, no skew by construction. The keeper-group
+    aggregate and the candidate-vs-keeper join share the fp clustering,
+    and the final report aggregate is a tiny (sources x langs) rollup.
+    """
+    qs = quality_scores(d).select("doc_id", "quality_score")
+    cand = (
+        d.join(qs, "doc_id")
+        .where(F.col("quality_score") >= q_min)
+        .select(
+            "doc_id", "source", "lang", F.md5(norm_text(F.col("text"))).alias("fp")
+        )
+    )
+    keep = cand.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flagged = cand.join(keep, "fp")
+    kept = F.sum(F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return (
+        flagged.groupBy("source", "lang")
+        .agg(
+            n.alias("n_candidates"),
+            kept.cast("long").alias("n_kept"),
+            F.round(kept.cast("double") / n, 6).alias("kept_ratio"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register("curation_pipeline", _CURATION_SQL)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_pipeline(load_table(spark, sf_dir, "documents"))
