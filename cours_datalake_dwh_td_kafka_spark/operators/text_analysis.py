@@ -15,7 +15,7 @@ linearly with document bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
@@ -408,11 +408,12 @@ _CURATION_SQL = f"""
     cand AS (
       SELECT doc_id, source, lang, fp
       FROM feat
-      WHERE 0.4 * LEAST(n_tokens / 100.0, 1.0)
-            + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-            + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
-            + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0))
-            >= {CURATION_QUALITY_MIN}
+      WHERE ROUND(
+              0.4 * LEAST(n_tokens / 100.0, 1.0)
+              + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+              + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+              + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
+              6) >= {CURATION_QUALITY_MIN}
     ),
     keep AS (
       SELECT fp, MIN(doc_id) AS keep_id FROM cand GROUP BY fp
@@ -433,23 +434,42 @@ def curation_pipeline(
     """Quality gate -> global fingerprint dedup (keeper = min doc_id among
     the quality survivors) -> per-(source, lang) yield.
 
-    Scale notes: the quality gate is pure column algebra applied BEFORE
-    any shuffle, so low-quality bytes never leave the scan stage. The
-    dedup shuffle keys on the md5 fingerprint — content-addressed and
-    uniformly distributed, no skew by construction. The keeper-group
-    aggregate and the candidate-vs-keeper join share the fp clustering,
-    and the final report aggregate is a tiny (sources x langs) rollup.
+    Scale notes: ONE document scan, ONE content shuffle. The quality
+    score is inline column algebra (same expression as
+    :func:`quality_scores`) evaluated in the scan stage, so low-quality
+    bytes never leave it. The keeper is ``min(doc_id) over (partition by
+    fp)`` — a window on the md5 fingerprint (content-addressed, uniform,
+    no skew by construction) instead of a groupBy + self-join, which
+    would re-scan the corpus. The final report aggregate is a tiny
+    (sources x langs) rollup.
     """
-    qs = quality_scores(d).select("doc_id", "quality_score")
-    cand = (
-        d.join(qs, "doc_id")
-        .where(F.col("quality_score") >= q_min)
-        .select(
-            "doc_id", "source", "lang", F.md5(norm_text(F.col("text"))).alias("fp")
-        )
+    toks = F.split(norm_text(F.col("text")), " ")
+    feat = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(norm_text(F.col("text"))).alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
     )
-    keep = cand.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    flagged = cand.join(keep, "fp")
+    stop_r = F.col("n_stop").cast("double") / F.col("n_tokens")
+    punct_r = F.col("n_punct").cast("double") / F.col("n_chars")
+    dist_r = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    score = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * dist_r
+        + 0.2 * F.least(stop_r * 5.0, F.lit(1.0))
+        + 0.1 * (1.0 - F.least(punct_r * 10.0, F.lit(1.0)))
+    )
+    cand = feat.where(F.round(score, 6) >= q_min).select(
+        "doc_id", "source", "lang", "fp"
+    )
+    flagged = cand.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
     kept = F.sum(F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0))
     n = F.count(F.lit(1))
     return (
