@@ -175,7 +175,11 @@ MAX_DF = 50  # shingles in more docs than this carry no signal
 
 def _doc_shingles(d: DataFrame) -> DataFrame:
     """(doc_id, sh array<string>, n_sh) — built from :func:`shingle_rows`
-    (explode-first), re-grouped into arrays for set-intersection verifies."""
+    (explode-first), re-grouped into arrays for set-intersection verifies.
+    Measured FASTER than the shuffle-free per-row ``shingles()``
+    projection: the array expression is an interpreted HOF chain
+    (transform+slice+concat per element), while explode-first keeps the
+    per-row work inside codegen and the regroup shuffle is cheap."""
     return (
         shingle_rows(d)
         .groupBy("doc_id")
@@ -185,31 +189,56 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    rows = shingle_rows(d)
-    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # frequency filter: drop shingles present in > MAX_DF docs (skew +
-    # signal-free); a pair with jaccard >= 0.8 shares plenty of rare shingles
-    inv = (
-        rows.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    """Candidate pairs from capped posting lists, verified by exact Jaccard.
+
+    Plan shape: codegen explode-first shingle rows (``distinct=False`` —
+    no (doc, shingle) dedup shuffle; duplicates collapse inside the
+    posting-list aggregate via ``array_distinct``), ONE aggregation into
+    posting lists, pair explosion from the lists, pair counting, then
+    size lookups joined only against the CANDIDATE pairs (small by
+    construction). Posting lists outside [2, MAX_DF] drop: singleton
+    shingles yield no pairs; ultra-common shingles carry no dedup signal
+    and are exactly the skew risk — the cap bounds per-list pair fan-out
+    at MAX_DF^2/2. Counting pair occurrences = number of shared distinct
+    shingles. Replaces an inverted-index self-join with a window
+    df-filter (full distinct shuffle + per-shingle sort + quadratic-ish
+    join — measured slower and with 3 sorts at sf0.1). NOTE: building
+    per-doc shingle ARRAYS via the ``shingles()`` HOF projection instead
+    was measured ~2x SLOWER end-to-end — interpreted HOF per element vs
+    codegen explode-first (see the GenerateExec note on `shingles`).
+    """
+    rows = shingle_rows(d, distinct=False)
+    postings = (
+        rows.groupBy("shingle")
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("doc_id"))).alias("ds")
         )
-        .where(F.col("df") <= MAX_DF)
-        .select("doc_id", "shingle")
+        .where((F.size("ds") >= 2) & (F.size("ds") <= MAX_DF))
     )
-    a = inv.select("shingle", F.col("doc_id").alias("doc_a"))
-    b = inv.select("shingle", F.col("doc_id").alias("doc_b"))
+    # all (ds[i], ds[j]) i<j pairs of each posting list — HOF evaluates
+    # interpreted, but only over the already-capped candidate lists
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), "
+            "y -> struct(x AS doc_a, y AS doc_b))))"
+        )
+    )
     shared = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        postings.select(pair.alias("p"))
+        .select("p.*")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    sizes = rows.groupBy("doc_id").agg(
+        F.count_distinct("shingle").alias("n_sh")
+    )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    shared = shared.join(na, "doc_a").join(nb, "doc_b")
+    joined = shared.join(na, "doc_a").join(nb, "doc_b")
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
     return (
-        shared.withColumn("jaccard", F.round(jac, 6))
+        joined.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
         .orderBy("doc_a", "doc_b")
