@@ -752,3 +752,41 @@ _CC_SQL = f"""
 @register("dedup_clusters", _CC_SQL)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_clusters(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# keep-list materialization: the deduplicated corpus itself (what a
+# pipeline writes back to the lake after exact dedup) — keeper = min
+# doc_id per content fingerprint, resolved with a window over the fp
+# (single scan, single content-addressed shuffle; same shape as the
+# curation composite in text_analysis.py)
+# ---------------------------------------------------------------------------
+_KEEP_SQL = f"""
+    WITH flagged AS (
+      SELECT doc_id, source, lang, n_chars,
+             MIN(doc_id) OVER (PARTITION BY md5({NORM_SQL.format(c='text')})) AS keep_id
+      FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars
+    FROM flagged
+    WHERE doc_id = keep_id
+    ORDER BY doc_id
+"""
+
+
+@register("dedup_keep_list", _KEEP_SQL)
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(norm_text(F.col("text"))))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.min("doc_id").over(w).alias("keep_id"),
+        )
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
