@@ -675,24 +675,24 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_label = F.least(
+            F.col("label"), F.coalesce("nlabel", F.col("label"))
+        )
+        # carry the change flag through the SAME join so convergence
+        # detection is one aggregate over the persisted frame, not a
+        # second labels-vs-labels join per round
+        stepped = (
             labels.join(neigh_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = stepped.where("chg").count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_rep"))
