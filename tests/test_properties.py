@@ -171,3 +171,46 @@ def test_connected_components_matches_union_find(spark, edges, isolates):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ngram jaccard pairs: no false positives vs pure-python ground truth;
+# planted rare-shingle near-dups are found
+# ---------------------------------------------------------------------------
+def _py_shingles(text, n=3):
+    toks = " ".join(text.lower().split()).split(" ")
+    if len(toks) <= n:
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=4,
+            max_size=10,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_pairs_no_false_positives(spark, docs):
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id BIGINT, text STRING"
+    )
+    got = ngram_jaccard_pairs(df).collect()
+    sh = {i: _py_shingles(t) for i, t in enumerate(docs)}
+    for r in got:
+        inter = len(sh[r.doc_a] & sh[r.doc_b])
+        union = len(sh[r.doc_a] | sh[r.doc_b])
+        true_jac = inter / union
+        assert r.n_shared == inter
+        assert true_jac >= JACCARD_THRESHOLD
+        assert abs(r.jaccard - round(true_jac, 6)) < 1e-9
