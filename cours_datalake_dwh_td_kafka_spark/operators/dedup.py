@@ -790,3 +790,77 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a NEW batch against an EXISTING corpus by content
+# fingerprint — the cross-run primitive (every curation run dedups its
+# crawl increment against everything already kept). Modeled on the lake
+# tables by splitting documents on doc_id: the "existing corpus" is the
+# first 80%, the "increment" the rest. Survivors = increment docs whose
+# fingerprint is unseen in the corpus AND first within the increment.
+# ---------------------------------------------------------------------------
+INCREMENT_SPLIT = 0.8
+
+
+def incremental_new_docs(
+    corpus: DataFrame, increment: DataFrame
+) -> DataFrame:
+    """Increment rows that are genuinely new: left-anti join on the md5
+    fingerprint against the corpus, then first-per-fingerprint within
+    the increment itself.
+
+    Scale notes: the anti-join shuffles on the 128-bit fingerprint —
+    content-addressed, uniform, and the corpus side carries ONLY its
+    fingerprint column (project-before-join keeps 100 TB of kept text
+    out of the exchange). The within-increment dedup reuses the same
+    fingerprint clustering for its window."""
+    fp = F.md5(norm_text(F.col("text")))
+    corpus_fps = corpus.select(fp.alias("fp")).distinct()
+    inc = increment.select(
+        "doc_id", "source", "lang", "n_chars", fp.alias("fp")
+    )
+    fresh = inc.join(corpus_fps, "fp", "left_anti")
+    w = Window.partitionBy("fp")
+    return (
+        fresh.withColumn("keep_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_sql() -> str:
+    norm = NORM_SQL.format(c="text")
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(doc_id) + CAST(FLOOR((MAX(doc_id) - MIN(doc_id)) * {INCREMENT_SPLIT}) AS BIGINT) AS cut
+      FROM documents
+    ),
+    corpus_fps AS (
+      SELECT DISTINCT md5({norm}) AS fp FROM documents, bounds WHERE doc_id < cut
+    ),
+    inc AS (
+      SELECT doc_id, source, lang, n_chars, md5({norm}) AS fp
+      FROM documents, bounds WHERE doc_id >= cut
+    ),
+    fresh AS (
+      SELECT i.* FROM inc i ANTI JOIN corpus_fps c USING (fp)
+    ),
+    flagged AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM fresh
+    )
+    SELECT doc_id, source, lang, n_chars
+    FROM flagged WHERE doc_id = keep_id
+    ORDER BY doc_id
+    """
+
+
+@register("dedup_incremental", _incremental_sql())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + int((hi - lo) * INCREMENT_SPLIT)
+    return incremental_new_docs(
+        d.where(F.col("doc_id") < cut), d.where(F.col("doc_id") >= cut)
+    )
