@@ -502,7 +502,14 @@ def simhash_pairs_banded(sh: DataFrame) -> DataFrame:
     from an equi-join on (band_idx, band_bits) — no cartesian product —
     then the true hamming distance verifies. Identical output to the
     all-pairs theta join (asserted in tests), but the candidate join
-    shards by band key, which is the plan that survives 100 TB."""
+    shards by band key, which is the plan that survives 100 TB.
+
+    NOTE: the posting-list formulation used by ngram_jaccard_pairs
+    (collect_list per band -> pair explosion) was measured ~2x SLOWER
+    here: band postings have no MAX_DF-style cap (a capped simhash band
+    would break the pigeonhole guarantee), so hot bands make fat lists,
+    and multi-band matches then need a wide distinct() that the
+    equi-join formulation's per-band verify avoids."""
     n_bands = 4
     bits_per = SIMHASH_BITS // n_bands
     mask = (1 << bits_per) - 1
