@@ -1,7 +1,7 @@
 """Headline benchmark: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+headline JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "n_queries": N} followed by one line {"queries": {name: sec}}.
 
 Timing protocol: one warm-up pass of the flagship query (JVM/codegen
 warm-up), then each query timed once end-to-end including its action
@@ -48,17 +48,23 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    headline = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+        }
     )
+    # Headline metric on its own SHORT line, before and after the bulky
+    # per-query dict — the round driver keeps a bounded stdout tail, and
+    # round 1's single ~4KB combined line got truncated into unparseable
+    # JSON. Whichever end of the tail survives now starts or ends with a
+    # complete headline line.
+    print(headline, flush=True)
+    print(json.dumps({"queries": timings}), flush=True)
+    print(headline, flush=True)
     spark.stop()
 
 

@@ -11,6 +11,7 @@ work/TD_pySpark.ipynb:486).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import pyarrow.parquet as _pq
@@ -34,15 +35,7 @@ LAKE_TABLES = (
 
 
 @lru_cache(maxsize=256)
-def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — one footer read, cached.
-
-    Spark's vectorized reader rejects nanosecond timestamps outright
-    (PARQUET_TYPE_ILLEGAL); the lake's ``events.ts`` is nanos. We read such
-    columns as raw int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``)
-    and truncate to microseconds with integer division — the same
-    truncation DuckDB applies, so oracle comparisons agree to the micro.
-    """
+def _nanos_timestamp_cols_cached(path: str, mtime_ns: int) -> tuple[str, ...]:
     schema = _pq.read_schema(path)
     import pyarrow as pa
 
@@ -53,10 +46,35 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — one footer read, cached
+    on (path, mtime) so a table REWRITTEN at the same path mid-session
+    (e.g. with a different timestamp resolution) re-reads its footer
+    instead of applying a stale nanos-column list.
+
+    Spark's vectorized reader rejects nanosecond timestamps outright
+    (PARQUET_TYPE_ILLEGAL); the lake's ``events.ts`` is nanos. We read such
+    columns as raw int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``)
+    and truncate to microseconds with integer division — the same
+    truncation DuckDB applies, so oracle comparisons agree to the micro.
+    """
+    try:
+        mtime_ns = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime_ns = 0  # directory-style parquet or remote path: no stat
+    return _nanos_timestamp_cols_cached(path, mtime_ns)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one lake table. Parquet keeps predicate pushdown,
     column pruning and partition pruning on the table scan (verify with
-    ``df.explain``: PushedFilters / ReadSchema)."""
+    ``df.explain``: PushedFilters / ReadSchema).
+
+    Note: loading a table with nanosecond timestamp columns flips
+    ``spark.sql.legacy.parquet.nanosAsLong`` for the whole session — a
+    global conf mutation. It only changes how OTHER scans read
+    TIMESTAMP(NANOS) parquet (a type Spark would otherwise refuse to scan
+    at all), so coexisting micro/milli reads are unaffected."""
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:

@@ -243,11 +243,30 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path (Greenwald-Khanna sketch, distributed mergeable) —
     reference used approxQuantile with tunable eps
     (work/Intro_pySpark.ipynb:594,609,643). Sketch is engine-specific ->
-    rows-only; bounded-error property asserted in tests."""
+    rows-only; bounded-error property asserted in tests.
+
+    Output is SCALAR-shaped — one (l_returnflag, p, q) row per requested
+    percentile, not an array column: the driver's rows-only canonicalizer
+    (and most downstream sinks) hash/sort cell values and choke on
+    array cells."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 100)
-        .alias("approx_quantiles")
+    sketched = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 100
+        ).alias("qs")
+    )
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    return (
+        sketched.select(
+            "l_returnflag",
+            F.explode(F.arrays_zip(ps.alias("p"), F.col("qs").alias("q"))).alias("pq"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pq.p").alias("p"),
+            F.col("pq.q").cast("double").alias("q"),
+        )
+        .orderBy("l_returnflag", "p")
     )
 
 

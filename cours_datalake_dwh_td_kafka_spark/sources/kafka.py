@@ -16,6 +16,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def encode_kafka_value(df: DataFrame) -> DataFrame:
+    """The WIRE CONTRACT, publish side: every row JSON-serialized into a
+    single ``value`` string column (reference: work/spark_processor.py:41).
+    Shared by the stream/batch sinks below and directly testable without
+    a broker — the topic itself only moves these bytes."""
+    return df.select(F.to_json(F.struct("*")).alias("value"))
+
+
+def decode_kafka_value(df: DataFrame, schema: StructType | str) -> DataFrame:
+    """The WIRE CONTRACT, subscribe side: cast the Kafka ``value`` bytes to
+    string and explode the JSON payload into typed columns
+    (reference: work/spark_processor.py:26-28). ``schema`` is explicit —
+    never inferred — so a malformed message becomes NULL columns, not a
+    stream-crashing schema drift."""
+    return (
+        df.select(F.col("value").cast("string").alias("_json"))
+        .select(F.from_json("_json", schema).alias("data"))
+        .select("data.*")
+    )
 
 
 def read_kafka_stream(
@@ -50,7 +72,7 @@ def write_kafka_stream(
     (reference: work/spark_processor.py:41-47). Returns the configured
     writer (call .start())."""
     return (
-        df.selectExpr("to_json(struct(*)) AS value")
+        encode_kafka_value(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
@@ -64,7 +86,7 @@ def write_kafka_batch(
 ) -> None:
     """S12: one-shot batch publish (reference: work/batch_records.py:31-36)."""
     (
-        df.select(F.to_json(F.struct("*")).alias("value"))
+        encode_kafka_value(df)
         .write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

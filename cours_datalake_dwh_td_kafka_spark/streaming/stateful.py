@@ -96,6 +96,11 @@ def _session_fn(gap_seconds: int):
                 n += 1
                 s += float(v)
                 last_us = max(last_us, t) if n > 1 else t
+                # a late-but-in-watermark event can PREDATE the open
+                # session's start (state carried from a prior batch);
+                # F.session_window extends the window start backwards,
+                # so the stateful twin must too
+                start_us = min(start_us, t)
             state.update((start_us, last_us, n, s))
             # close the open session once the watermark passes last + gap;
             # the timeout must sit strictly above the current watermark
@@ -132,7 +137,14 @@ def sessionize_stateful(
     ``events`` needs (user_id, event_time, value) and may be a streaming
     or batch DataFrame — for streams a watermark drives the event-time
     timeout that finalizes idle sessions. Output contract matches
-    ``F.session_window``: session_end = last event + gap.
+    ``F.session_window``: session_end = last event + gap, and a
+    late-but-in-watermark event that predates the open session's start
+    extends ``session_start`` backwards (min over observed times), like
+    ``session_window`` would. Known divergence: an in-watermark event
+    older than ``start - gap`` (a disjoint EARLIER session) is folded
+    into the open session instead of being emitted as its own window —
+    exact handling needs interval-set state; with watermark <= gap (the
+    shipped defaults) the case cannot occur.
     """
     src = events.select("user_id", "event_time", "value")
     if events.isStreaming:

@@ -15,7 +15,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from cours_datalake_dwh_td_kafka_spark.operators.dedup import connected_components
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
 from cours_datalake_dwh_td_kafka_spark.operators.relational import haversine_km
 from cours_datalake_dwh_td_kafka_spark.operators.scale import salted_agg
 from cours_datalake_dwh_td_kafka_spark.operators.sessionization import sessionize
@@ -171,6 +174,83 @@ def test_connected_components_matches_union_find(spark, edges, isolates):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star == union-find on random edge sets, and converges in
+# O(log n) rounds on the adversarial long-chain graph where min-label
+# propagation needs diameter rounds
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        max_size=20,
+    ),
+    isolates=st.sets(st.integers(min_value=15, max_value=19), max_size=3),
+)
+def test_star_cc_matches_union_find(spark, edges, isolates):
+    node_ids = sorted({a for a, _ in edges} | {b for _, b in edges} | isolates)
+    if not node_ids:
+        return
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in node_ids}
+
+    nodes_df = spark.createDataFrame([(n,) for n in node_ids], "node BIGINT")
+    edges_df = spark.createDataFrame(
+        edges or [(node_ids[0], node_ids[0])], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        r.node: r.cluster_rep
+        for r in connected_components_star(nodes_df, edges_df).collect()
+    }
+    assert got == want
+
+
+def test_star_cc_long_chain_converges_in_log_rounds(spark):
+    """A 64-node path graph has diameter 63 (min-label needs 63 rounds);
+    the star algorithm must finish within log2(64)+4 = 10 rounds —
+    max_iter=10 would raise-or-miscluster if it didn't converge."""
+    n = 64
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node BIGINT")
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        r.node: r.cluster_rep
+        for r in connected_components_star(nodes_df, edges_df, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_min_label_cc_falls_back_on_long_chain(spark):
+    """connected_components with max_iter below the graph diameter must
+    still return fully-merged components (via the star fallback), not
+    silently under-merged labels."""
+    n = 24
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node BIGINT")
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        r.node: r.cluster_rep
+        for r in connected_components(nodes_df, edges_df, max_iter=3).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
 
 
 # ---------------------------------------------------------------------------

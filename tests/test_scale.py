@@ -38,17 +38,51 @@ def test_salted_agg_equals_plain(spark):
 
 def test_salt_actually_spreads_hot_key(spark):
     """The phase-1 partials for one key must land in many salt buckets —
-    otherwise the operator silently degenerated to the skewed plan."""
+    otherwise the operator silently degenerated to the skewed plan.
+    Uses the operator's own salt expression, not a re-derivation."""
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import salt_expr
+
     e = load_table(spark, SF_ORACLE, "events")
-    salted = e.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("value")), F.lit(N_SALTS))
-    )
+    salted = e.withColumn("_salt", salt_expr(e))
     spread = (
         salted.groupBy("event_type")
         .agg(F.countDistinct("_salt").alias("n_buckets"))
         .collect()
     )
     assert all(r.n_buckets >= N_SALTS // 2 for r in spread)
+
+
+def test_salt_spreads_constant_value_hot_key(spark):
+    """The motivating skew case: one hot key whose rows all carry the SAME
+    value (a constant-value spammer). A value-derived salt collapses this
+    onto one bucket; the row-unique salt must still spread it."""
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        salt_expr,
+        salted_agg,
+    )
+
+    hot = spark.range(10_000).select(
+        F.lit("hot").alias("k"), F.lit(42).cast("bigint").alias("v")
+    )
+    cold = spark.range(100).select(
+        F.lit("cold").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    df = hot.unionAll(cold)
+    spread = (
+        df.withColumn("_salt", salt_expr(df))
+        .where(F.col("k") == "hot")
+        .select(F.countDistinct("_salt").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert spread >= N_SALTS // 2
+
+    got = {
+        r.k: (r.n_rows, r.sum_value, r.min_value, r.max_value)
+        for r in salted_agg(df, key="k", value="v").collect()
+    }
+    assert got["hot"] == (10_000, 420_000.0, 42, 42)
+    assert got["cold"][0] == 100
 
 
 def test_salted_join_equals_plain(spark):
@@ -99,3 +133,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_range_join_bucketed_equals_nlj(spark):
+    """The bucketed equi-join rewrite of the interval join must return
+    exactly the NLJ's rows (same band per order), including the
+    open-ended top band that the rewrite clamps to _HI_CLAMP buckets."""
+    from cours_datalake_dwh_td_kafka_spark.operators.joins_advanced import (
+        _BANDS,
+        range_join_bucketed,
+        range_join_nlj,
+    )
+
+    o = load_table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(_BANDS, "band STRING, lo DOUBLE, hi DOUBLE")
+    nlj = sorted(
+        map(tuple, range_join_nlj(o, bands).select("o_orderkey", "band").collect())
+    )
+    bkt = sorted(
+        map(
+            tuple,
+            range_join_bucketed(o, bands).select("o_orderkey", "band").collect(),
+        )
+    )
+    assert nlj == bkt
+    assert len(nlj) == o.count()  # bands partition the price domain
