@@ -280,3 +280,44 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_algorithms.py."""
     mm = multimodal_table(load_table(spark, sf_dir, "documents"))
     return sample_frames(mm).orderBy("doc_id", "frame_idx")
+
+
+# Per-doc rollup of the frame sampler — every column is scalar arithmetic
+# over byte lengths, so the 1->many UDF's slicing gets a REAL value-hash
+# oracle (generate_series twin) instead of the rows-only check the binary
+# frame payloads force on `multimodal_frame_sample` itself.
+_FRAME_STATS_SQL = f"""
+    WITH v AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT doc_id, nb,
+             unnest(generate_series(
+               0, CAST(CEIL(nb / {FRAME_SIZE}.0) AS BIGINT) - 1, 4)) AS frame_idx
+      FROM v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_frames_kept,
+           CAST(SUM(LEAST({FRAME_SIZE}, nb - frame_idx * {FRAME_SIZE})) AS BIGINT)
+             AS bytes_kept,
+           MAX(frame_idx) AS last_frame_idx
+    FROM f
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@register("multimodal_frame_stats", _FRAME_STATS_SQL)
+def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal_table(load_table(spark, sf_dir, "documents"))
+    return (
+        sample_frames(mm)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_kept"),
+            F.sum("frame_len").alias("bytes_kept"),
+            F.max("frame_idx").alias("last_frame_idx"),
+        )
+        .orderBy("doc_id")
+    )

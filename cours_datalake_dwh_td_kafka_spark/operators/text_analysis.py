@@ -441,8 +441,13 @@ def curation_pipeline(
     fp)`` — a window on the md5 fingerprint (content-addressed, uniform,
     no skew by construction) instead of a groupBy + self-join, which
     would re-scan the corpus. The final report aggregate is a tiny
-    (sources x langs) rollup.
+    (sources x langs) rollup. The feature projection is pinned with
+    :func:`~cours_datalake_dwh_td_kafka_spark.plans.barriers.project_once`
+    so the quality predicate doesn't inline (and re-evaluate) the
+    tokenization per feature reference — measured 5x on this plan.
     """
+    from cours_datalake_dwh_td_kafka_spark.plans.barriers import project_once
+
     toks = F.split(norm_text(F.col("text")), " ")
     feat = d.select(
         "doc_id",
@@ -455,6 +460,7 @@ def curation_pipeline(
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
     )
+    feat = project_once(feat)
     stop_r = F.col("n_stop").cast("double") / F.col("n_tokens")
     punct_r = F.col("n_punct").cast("double") / F.col("n_chars")
     dist_r = F.col("n_distinct").cast("double") / F.col("n_tokens")

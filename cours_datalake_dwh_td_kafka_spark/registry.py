@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_frame_stats",
     # join forms without an r1 driver row
     "anti_join",
     "cross_join_small",

@@ -458,3 +458,41 @@ def test_write_stream_to_lake_partitioned_layout(spark, stream_dir, tmp_path):
         "Paris",
         "Lyon",
     }
+
+
+def test_stateful_session_extends_start_for_late_in_watermark_event(
+    spark, stream_dir
+):
+    """A late-but-in-watermark event that PREDATES the open session's
+    start must pull session_start backwards (F.session_window semantics),
+    not silently begin the session at the first-seen event."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    # batch 0: three on-time events t0, t0+60, t0+120 open a session
+    _write_batch(stream_dir, _rows(0, 3, step=60), "b0")
+    # batch 1: a LATE event at t0-60 — above the watermark (t0+120-10min),
+    # within gap (300s) of the session's last event (t0+120)
+    late = _rows(0, 1)
+    late[0]["timestamp"] = BASE_TS - 60
+    _write_batch(stream_dir, late, "b1")
+    # batch 2: far-future flush drives the watermark past the timeout
+    flush = _rows(0, 1, city="Nice")
+    flush[0]["timestamp"] = BASE_TS + 86400
+    _write_batch(stream_dir, flush, "b2")
+
+    enriched = enrich_alerts(_read_stream(spark, stream_dir)).select(
+        F.xxhash64("city").alias("user_id"),
+        "event_time",
+        F.col("temperature").alias("value"),
+    )
+    out = sessionize_stateful(enriched, gap_seconds=300, watermark="10 minutes")
+    name = f"tlate_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="append")
+    sessions = [r for r in spark.table(name).collect() if r.n_obs == 4]
+    assert len(sessions) == 1, spark.table(name).collect()
+    s = sessions[0]
+    assert s.session_start.timestamp() == BASE_TS - 60  # extended backwards
+    assert s.session_end.timestamp() == BASE_TS + 120 + 300
+    assert s.sum_value == pytest.approx(80.0)  # 4 x 20.0
