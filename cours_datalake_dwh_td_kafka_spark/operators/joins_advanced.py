@@ -178,19 +178,15 @@ _RANGE_SQL = f"""
 """
 
 
-#: bucket width for the equi-join rewrite; open-ended bands clamp here —
-#: o_totalprice is bounded by order shape (≲1e6), far under the clamp
+#: bucket width for the equi-join rewrite
 _BUCKET_W = 50_000.0
-_HI_CLAMP = 1e9
 
 
 def range_join_nlj(o: DataFrame, bands: DataFrame) -> DataFrame:
     """The literal join form: broadcast nested-loop on BETWEEN. Correct
     for O(10) bands but the NLJ condition is interpreted per (row, band)
-    pair — no codegen — so the bucketed rewrite below beats it ~10x even
-    at 5 bands, and the gap grows with the band count. Kept as the
-    reference join shape; parity with the rewrite is pinned in
-    tests/test_scale.py."""
+    pair — no codegen. Kept as the reference join shape; parity with the
+    bucketed rewrite is pinned in tests/test_scale.py."""
     return o.join(
         F.broadcast(bands),
         (F.col("o_totalprice") >= F.col("lo"))
@@ -203,20 +199,30 @@ def range_join_bucketed(o: DataFrame, bands: DataFrame) -> DataFrame:
     buckets it covers, equi-join on the bucket id (broadcast hash,
     whole-stage codegen), then re-check the exact range. One codegen'd
     hash probe per row instead of an interpreted scan of every band.
-    Open-ended bands clamp at _HI_CLAMP: ~20k bucket rows, still a
-    trivially broadcastable build side."""
+
+    Open-ended / huge bands are clamped to ``max(lo)`` across the band
+    table, and the PROBE side is clamped identically
+    (``least(price, clamp)``) — every value above the last band start
+    lands in the clamped band's final bucket and the exact BETWEEN
+    re-check decides membership. This keeps the exploded build side at
+    O(total_band_span / bucket_w) rows regardless of sentinel bounds
+    like 1e12, and (unlike a build-side-only clamp, round-2 bug) drops
+    no rows: bucketization is the same monotone function of the value on
+    both sides, so for price in [lo, hi): bucket(lo) <= bucket(price)
+    <= bucket(min(hi, clamp)) always holds when clamp >= every lo.
+    Deriving the clamp costs one O(n_bands) driver-side aggregate on a
+    table that is broadcast-small by precondition."""
+    hi_clamp = float(bands.agg(F.max("lo")).first()[0])
+    bucket = lambda c: (F.least(c, F.lit(hi_clamp)) / _BUCKET_W).cast("long")  # noqa: E731
     bands_b = bands.select(
         "band",
         "lo",
         "hi",
-        F.explode(
-            F.sequence(
-                (F.col("lo") / _BUCKET_W).cast("long"),
-                (F.least(F.col("hi"), F.lit(_HI_CLAMP)) / _BUCKET_W).cast("long"),
-            )
-        ).alias("bk"),
+        F.explode(F.sequence(bucket(F.col("lo")), bucket(F.col("hi")))).alias(
+            "bk"
+        ),
     )
-    ob = o.withColumn("bk", (F.col("o_totalprice") / _BUCKET_W).cast("long"))
+    ob = o.withColumn("bk", bucket(F.col("o_totalprice")))
     return ob.join(F.broadcast(bands_b), "bk").where(
         (F.col("o_totalprice") >= F.col("lo"))
         & (F.col("o_totalprice") < F.col("hi"))
