@@ -195,15 +195,45 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_count")
+#: HLL++ relative standard deviation; the bound below allows 3 sigma
+_HLL_RSD = 0.02
+
+
+@register(
+    "approx_distinct_count",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_3rsd
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def q_approx_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-based distinct (reference analog: approxQuantile speed/accuracy
-    trade, work/Intro_pySpark.ipynb:594-643). Engine-specific sketch ->
-    rows-only check; accuracy asserted in tests vs exact counts."""
+    trade, work/Intro_pySpark.ipynb:594-643). The sketch estimate is
+    engine-specific, so the DRIVER-CHECKED columns are the exact distinct
+    count plus ``within_3rsd`` = |approx - exact| <= 3*rsd*exact; the
+    oracle asserts within_3rsd = TRUE, so an HLL estimate outside its
+    3-sigma envelope fails the value hash. (Measured error on the lake:
+    0.4% at sf0.1 against the 6% bound; HLL is deterministic for fixed
+    data, so this is a stable check, not a flaky one.)"""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("_a"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_a") - F.col("n_users_exact"))
+                <= 3 * _HLL_RSD * F.col("n_users_exact")
+            ).alias("within_3rsd"),
+        )
         .orderBy("event_type")
     )
 
@@ -238,33 +268,65 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_quantiles")
+#: GK sketch accuracy parameter -> rank error eps = 1/_GK_ACCURACY
+_GK_ACCURACY = 100
+_APPROX_PS = (0.25, 0.5, 0.75)
+
+_APPROX_Q_SQL = " UNION ALL ".join(
+    f"""
+    SELECT l_returnflag, CAST({p} AS DOUBLE) AS p,
+           ROUND(quantile_cont(l_quantity, {p}), 6) AS exact_q,
+           TRUE AS within_eps
+    FROM lineitem GROUP BY l_returnflag
+    """
+    for p in _APPROX_PS
+) + " ORDER BY l_returnflag, p"
+
+
+@register("approx_quantiles", _APPROX_Q_SQL)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path (Greenwald-Khanna sketch, distributed mergeable) —
     reference used approxQuantile with tunable eps
-    (work/Intro_pySpark.ipynb:594,609,643). Sketch is engine-specific ->
-    rows-only; bounded-error property asserted in tests.
+    (work/Intro_pySpark.ipynb:594,609,643). The sketch value itself is
+    engine-specific, so the DRIVER-CHECKED columns are the exact
+    interpolated percentile plus ``within_eps``: the GK guarantee is that
+    the approx value's RANK is within eps*n of p*n (eps = 1/accuracy), so
+    its VALUE must lie between the exact percentiles at p -/+ 2*eps (the
+    doubled margin absorbs interpolation at the bracket points). The
+    oracle asserts the same columns with within_eps = TRUE — an
+    out-of-bound sketch flips the boolean and fails the value hash.
 
-    Output is SCALAR-shaped — one (l_returnflag, p, q) row per requested
-    percentile, not an array column: the driver's rows-only canonicalizer
-    (and most downstream sinks) hash/sort cell values and choke on
-    array cells."""
+    Output is SCALAR-shaped — one row per (group, p), no array cells
+    (the driver canonicalizer hashes cell values)."""
+    eps = 1.0 / _GK_ACCURACY
+    ps = list(_APPROX_PS)
+    lo = [max(0.0, p - 2 * eps) for p in ps]
+    hi = [min(1.0, p + 2 * eps) for p in ps]
+    arr = lambda xs: F.array(*[F.lit(x) for x in xs])  # noqa: E731
     li = load_table(spark, sf_dir, "lineitem")
-    sketched = li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 100
-        ).alias("qs")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", arr(ps), _GK_ACCURACY).alias("qa"),
+        F.percentile("l_quantity", arr(ps)).alias("qe"),
+        F.percentile("l_quantity", arr(lo)).alias("qlo"),
+        F.percentile("l_quantity", arr(hi)).alias("qhi"),
     )
-    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     return (
-        sketched.select(
+        agg.select(
             "l_returnflag",
-            F.explode(F.arrays_zip(ps.alias("p"), F.col("qs").alias("q"))).alias("pq"),
+            F.posexplode(arr(ps)).alias("i", "p"),
+            "qa",
+            "qe",
+            "qlo",
+            "qhi",
         )
         .select(
             "l_returnflag",
-            F.col("pq.p").alias("p"),
-            F.col("pq.q").cast("double").alias("q"),
+            "p",
+            F.round(F.col("qe")[F.col("i")], 6).alias("exact_q"),
+            (
+                (F.col("qa")[F.col("i")] >= F.col("qlo")[F.col("i")])
+                & (F.col("qa")[F.col("i")] <= F.col("qhi")[F.col("i")])
+            ).alias("within_eps"),
         )
         .orderBy("l_returnflag", "p")
     )

@@ -42,62 +42,65 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The round driver evaluates queries() in dict order and caps its
-# correctness artifact at ~50 entries per round (observed: round 1
-# recorded exactly the first 50 registrations). Ordering is therefore a
-# coverage knob: list the queries that still LACK a driver-confirmed
-# correctness row first, so each round's 50-entry window attests the
-# least-attested set. Names absent from this list keep registration order
-# after it; stale names (renamed/removed queries) are ignored.
+# correctness artifact at ~50 entries per round (observed: rounds 1 and 2
+# each recorded exactly the first 50 registrations). Ordering is therefore
+# a coverage knob: list the queries whose CURRENT code still lacks a
+# driver-confirmed correctness row first — (a) queries rewritten since
+# their last attestation, (b) queries attested only in the round-1 window.
+# Names absent from this list keep registration order after it; stale
+# names (renamed/removed queries) are ignored, and
+# tests/test_registry.py pins every listed name to an existing
+# registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # flagship + window family (VERDICT r1 item 3)
-    "sessionization",
-    "window_lag_delta",
-    "running_sum",
-    "row_number_first",
-    "rank_top3",
-    "rolling_frame_max",
-    "mode_per_group",
-    # profiling trio
-    "monthly_profile",
-    "anomaly_batch",
-    "records",
-    # similarity family
-    "ann_topk_cosine",
-    "ann_ivf_topk",
-    "cluster_similarity_stats",
-    # text-analysis family
-    "token_count",
-    "quality_score",
-    "language_id",
-    "doc_fingerprint",
-    "topic_model",
-    "corpus_source_stats",
-    "curation_pipeline",
-    # multimodal family
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_frame_stats",
-    # join forms without an r1 driver row
-    "anti_join",
-    "cross_join_small",
-    "self_join_pairs",
-    "join_enrich_counts",
-    "join_full_outer",
-    "asof_join",
+    # -- code changed after last driver attestation (round 3 edits) ------
+    "dedup_clusters",
     "range_join",
-    "knn_join",
-    "knn_join_grid",
-    # scale + time-window operators
     "salted_skew_agg",
     "salted_skew_join",
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
-    "pandas_sessionization",
-    # r1-errored, now scalar-shaped
+    "dedup_ngram_jaccard",
+    "cluster_similarity_stats",
+    "dedup_embedding_cosine",
+    "curation_pipeline",
+    # -- newly oracle-paired this round (left the rows-only bucket) ------
     "approx_quantiles",
+    "approx_distinct_count",
+    # -- attested only in the round-1 window; re-attest on current code --
+    "alert_banding",
+    "composite_key_agg",
+    "conditional_agg",
+    "corr_cov",
+    "cube_agg",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_incremental",
+    "dedup_keep_list",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "describe_profile",
+    "distinct_count",
+    "explode_array",
+    "global_agg",
+    "group_minmax",
+    "grouping_sets_agg",
+    "haversine_distance",
+    "join_left_outer",
+    "join_revenue_per_nation",
+    "json_extract",
+    "minhash_signatures",
+    "pivot_event_counts",
+    "pricing_summary",
+    "quantiles",
+    "rollup_agg",
+    "scalar_functions",
+    "semi_join",
+    "sql_entry",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "top_k_frequency",
+    "validity_audit",
+    "window_suite",
+    "yearly_avg",
 )
 
 
