@@ -609,31 +609,34 @@ def embedding_cosine_pairs_blocked(
     per pair (measured ~4x at sf0.1; the gap widens with block size).
     This is the scale shape for all-pairs-within-bucket similarity:
     work shards by block, nothing quadratic crosses blocks, and each
-    block's pair scan is a dense matrix product."""
+    block's pair scan is a dense matrix product.
+
+    Memory contract (round-3 rework): Arrow batches stream into
+    per-label buffers (no whole-partition ``pd.concat``) and the gram is
+    computed in row chunks via ``operators.gram`` — each chunk emits its
+    own pair frame, so a hot label costs O(n*d + chunk*n), never
+    O(n^2)."""
     import numpy as np
     import pandas as pd
 
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
     def fold(batches):
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        for _, grp in pdf.groupby("label", sort=False):
-            ids = grp["vec_id"].to_numpy()
-            x = np.vstack(grp["emb"].to_numpy())
-            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-            sims = xn @ xn.T
-            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-            # canonical (smaller id, larger id) regardless of row order
-            va, vb = ids[ia], ids[ib]
-            lo, hi = np.minimum(va, vb), np.maximum(va, vb)
-            yield pd.DataFrame(
-                {
-                    "vec_a": lo.astype("int64"),
-                    "vec_b": hi.astype("int64"),
-                    "cosine": np.round(sims[ia, ib], 6),
-                }
-            )
+        for _, x, ids in gram.iter_label_matrices(batches, ("vec_id",)):
+            for s, sims, mask in gram.iter_sim_chunks(x):
+                ka, ib = np.nonzero(mask & (sims >= threshold))
+                if not len(ka):
+                    continue
+                # canonical (smaller id, larger id) regardless of row order
+                va, vb = ids[s + ka], ids[ib]
+                lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": lo.astype("int64"),
+                        "vec_b": hi.astype("int64"),
+                        "cosine": np.round(sims[ka, ib], 6),
+                    }
+                )
 
     src = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")

@@ -281,35 +281,36 @@ def q_cluster_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle mirrors this: SUM(CAST(ROUND(cos,6) AS DECIMAL(28,6))).
     Mean-of-rounded differs from round-of-mean by < 1e-6 — fine for a
     threshold-picking analytics view and it is what makes the result
-    engine-independent."""
+    engine-independent.
+
+    Memory contract (round-3 rework): Arrow batches stream into
+    per-label buffers (no whole-partition ``pd.concat``) and the gram is
+    computed in :data:`~...operators.gram.GRAM_CHUNK`-row chunks — one
+    partial row per (label, chunk), merged by the downstream aggregate.
+    A hot label costs O(n*d + chunk*n), never O(n^2)."""
     import numpy as np
     import pandas as pd
 
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
     def fold(batches):
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        for label, grp in pdf.groupby("label", sort=False):
-            if len(grp) < 2:
+        for label, x in gram.iter_label_matrices(batches):
+            if len(x) < 2:
                 continue
-            x = np.vstack(grp["emb"].to_numpy())
-            # dot / (na*nb), matching list_cosine_similarity's algebra
-            # (normalize-then-matmul rounds differently at ulp level)
-            g = x @ x.T
-            n = np.sqrt(np.diag(g))
-            sims = g / np.outer(n, n)
-            iu = np.triu_indices(len(grp), k=1)
-            cos = np.round(sims[iu], 6)
-            micro = np.rint(cos * 1e6).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "label": [label],
-                    "n_pairs": [len(micro)],
-                    "sum_micro": [int(micro.sum())],
-                    "max_cosine": [float(cos.max())],
-                }
-            )
+            for _, sims, mask in gram.iter_sim_chunks(x):
+                vals = sims[mask]
+                if not len(vals):
+                    continue
+                cos = np.round(vals, 6)
+                micro = np.rint(cos * 1e6).astype("int64")
+                yield pd.DataFrame(
+                    {
+                        "label": [label],
+                        "n_pairs": [len(micro)],
+                        "sum_micro": [int(micro.sum())],
+                        "max_cosine": [float(cos.max())],
+                    }
+                )
 
     e = load_table(spark, sf_dir, "embeddings")
     src = e.select(
