@@ -459,19 +459,39 @@ def curation_pipeline(
     """
     from cours_datalake_dwh_td_kafka_spark.plans.barriers import project_once
 
-    toks = F.split(norm_text(F.col("text")), " ")
-    feat = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        F.md5(norm_text(F.col("text"))).alias("fp"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).alias("n_stop"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
+    # Stage 1: tokenize ONCE — `toks` is its own pinned projection, so
+    # the three token features below reference the array column instead
+    # of each re-expanding split(norm(text)) (the optimized plan carries
+    # exactly one split(); pinned by tests/test_plans.py).
+    tokd = project_once(
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.md5(norm_text(F.col("text"))).alias("fp"),
+            F.split(norm_text(F.col("text")), " ").alias("toks"),
+            F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias(
+                "n_punct"
+            ),
+        )
     )
-    feat = project_once(feat)
+    # Stage 2: cheap array-length features over the materialized column.
+    feat = project_once(
+        tokd.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            "fp",
+            "n_punct",
+            F.size("toks").alias("n_tokens"),
+            F.size(
+                F.filter("toks", lambda x: x.isin(*_STOPWORDS))
+            ).alias("n_stop"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+        )
+    )
     stop_r = F.col("n_stop").cast("double") / F.col("n_tokens")
     punct_r = F.col("n_punct").cast("double") / F.col("n_chars")
     dist_r = F.col("n_distinct").cast("double") / F.col("n_tokens")

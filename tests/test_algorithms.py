@@ -271,3 +271,32 @@ def test_frame_sample_counts(spark):
         for r in rows:
             if r.frame_idx < n_frames - 1:
                 assert r.frame_len == FRAME_SIZE
+
+
+def test_connected_components_contracted_star_fallback(spark):
+    """Non-convergence path (ADVICE r2): a chain longer than max_iter
+    must fall back to large-star/small-star on the LABEL-CONTRACTED
+    graph — preserving the min-label rounds already done — and still
+    return exact components."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 40  # diameter 39 chain >> max_iter=3
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101)],
+        "src BIGINT, dst BIGINT",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(100,), (101,), (200,)], "node BIGINT"
+    )
+    got = {
+        (r.node, r.cluster_rep)
+        for r in connected_components(nodes, edges, max_iter=3).collect()
+    }
+    want = (
+        {(i, 0) for i in range(n)}
+        | {(100, 100), (101, 100)}
+        | {(200, 200)}
+    )
+    assert got == want

@@ -83,3 +83,15 @@ def test_exchange_reuse_in_self_joins(spark):
     df = registry.queries()["dedup_simhash_pairs"](spark, SF_ORACLE)
     f = plan_facts(df, executed=True)
     assert f.n_reused_exchanges >= 1
+
+
+def test_project_once_blocks_hof_inlining(spark):
+    """ADVICE r2: the round-2 guard column was pruned and the barrier was
+    a no-op. The reworked barrier (nondeterministic tautology filter)
+    must hold the tokenization to EXACTLY ONE split() in the optimized
+    plan — without it, PushDownPredicate+CollapseProject re-expand
+    split(norm(text)) once per feature reference (3x) plus once inside
+    the inlined quality predicate."""
+    df = registry.queries()["curation_pipeline"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
