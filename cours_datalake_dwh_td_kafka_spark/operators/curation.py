@@ -1,0 +1,341 @@
+"""Training-data curation operators beyond the dedup/similarity families:
+the pipeline stages between "scored corpus" and "training shards" that a
+100 TB pretraining build runs daily. All are built-in column algebra
+(window sums, regex counts, hashed-shingle joins) — zero Python UDFs —
+and every one is oracle-paired, so the driver value-hashes them.
+
+- document packing: assign docs to fixed token-budget shards by
+  cumulative offset (the concat-and-chunk approximation used by most
+  pretraining data loaders).
+- PII scrubbing: count + redact emails / IPv4s / phone-like spans.
+- benchmark contamination: flag training docs sharing an 8-gram with a
+  held-out benchmark slice (decontamination, the Dolma/C4-style check).
+- domain mixing: per-source token shares -> temperature-scaled sampling
+  weights.
+- balanced sampling: deterministic per-source top-k by quality score
+  (the RNG-free twin of `stratified_sample` — driver value-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import NORM_SQL, norm_text
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# document packing into token-budget shards
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 2048
+
+_N_TOKENS_SQL = f"len(string_split({NORM_SQL.format(c='text')}, ' '))"
+
+_DOC_PACK_SQL = f"""
+    WITH sized AS (
+      SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_off
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(start_off // {PACK_BUDGET} AS BIGINT) AS shard_id,
+           CAST(start_off % {PACK_BUDGET} AS BIGINT) AS offset_in_shard
+    FROM cum
+    ORDER BY source, doc_id
+"""
+
+
+def pack_documents(d: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-and-chunk packing: within each source, documents are laid
+    out in doc_id order and cut into ``budget``-token shards; a doc's
+    shard is the shard containing its START offset (docs straddling a
+    boundary spill into the next shard's read window — the standard
+    data-loader approximation, deterministic and join-free).
+
+    Scale shape: ONE window sum per source partition — no shuffle beyond
+    the window's hash partition on source, no iteration. At 100 TB the
+    window is per-source sequential by construction (packing is
+    order-defined), so parallelism = number of sources; for single-giant
+    -source corpora, pre-split the source key by hash range upstream."""
+    toks = F.size(F.split(norm_text(F.col("text")), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = d.select("doc_id", "source", toks.alias("n_tokens"))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return (
+        sized.select("doc_id", "source", "n_tokens", start)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("start_off") / budget).cast("long").alias(
+                "shard_id"
+            ),
+            (F.col("start_off") % budget).cast("long").alias(
+                "offset_in_shard"
+            ),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+@register("doc_pack", _DOC_PACK_SQL)
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_documents(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+# Patterns deliberately use only portable constructs (char classes +
+# bounded repetition — no lookaround), identical under Java regex (Spark)
+# and RE2 (DuckDB), pinned by the oracle value-hash.
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = r"\+[0-9][0-9 ()-]{7,}[0-9]"
+
+_PII_SQL = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_len
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+def scrub_pii(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact emails / IPv4s / phone-like spans in one
+    projection. Counting rides ``regexp_count`` and redaction chains
+    three ``regexp_replace`` — all codegen'd JVM regex over the scan, no
+    extra pass, no UDF. Returns per-doc counts plus the scrubbed length
+    (the scrubbed text itself is produced by :func:`scrub_pii_text` —
+    the driver query emits only hash-stable scalars)."""
+    c = F.col(text_col)
+    return d.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(_PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(c, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.length(scrub_pii_text(c)).cast("long").alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
+def scrub_pii_text(c: Column) -> Column:
+    """The redacted text column: emails -> <EMAIL>, IPv4 -> <IP>,
+    phone spans -> <PHONE>."""
+    out = F.regexp_replace(c, _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_IPV4, "<IP>")
+    return F.regexp_replace(out, _PII_PHONE, "<PHONE>")
+
+
+@register("pii_scrub", _PII_SQL)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination check (decontamination)
+# ---------------------------------------------------------------------------
+CONTAM_NGRAM = 8
+#: every doc_id divisible by this is the held-out "benchmark" slice
+CONTAM_BENCH_MOD = 50
+
+_CONTAM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {CONTAM_NGRAM - 1}, 1)),
+               i -> array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ')
+             ))) AS shingle
+      FROM toks
+    ),
+    bench AS (
+      SELECT shingle, doc_id AS bench_doc FROM sh
+      WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} != 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.shingle) AS n_hit_shingles,
+           COUNT(DISTINCT b.bench_doc) AS n_bench_docs
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+def contamination_check(
+    d: DataFrame,
+    n: int = CONTAM_NGRAM,
+    bench_mod: int = CONTAM_BENCH_MOD,
+) -> DataFrame:
+    """Flag training docs sharing any distinct word ``n``-gram with the
+    benchmark slice (doc_id % bench_mod == 0): per contaminated doc, the
+    number of distinct overlapping n-grams and of benchmark docs hit.
+
+    Scale shape: one explode-first shingle pass over the corpus, split
+    into train/bench sides by a scan-stage predicate; shingles leave the
+    map side as xxhash64 longs (never strings, same trick as
+    dedup_ngram_jaccard); the bench side of the equi-join is the tiny
+    slice — broadcast by AQE when it fits, shuffle-hash otherwise. No
+    cartesian anything; cost ~ corpus n-gram count + join on matches."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(d, n=n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    bench = sh.where(F.col("doc_id") % bench_mod == 0).select(
+        F.col("shingle"), F.col("doc_id").alias("bench_doc")
+    )
+    train = sh.where(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_hit_shingles"),
+            F.count_distinct("bench_doc").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("contamination_check", _CONTAM_SQL)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination_check(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# domain mixing weights
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.5
+
+_MIX_SQL = f"""
+    WITH tok AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM({_N_TOKENS_SQL}) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(POW(n_tokens, {MIX_ALPHA})
+                 / SUM(POW(n_tokens, {MIX_ALPHA})) OVER (), 6) AS mix_weight
+    FROM tok
+    ORDER BY source
+"""
+
+
+def domain_mix_weights(d: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
+    """Per-source sampling weights w_s = tokens_s^alpha / sum(tokens^alpha)
+    — the temperature-scaled multinomial mix (alpha=1 proportional,
+    alpha->0 uniform) every multi-domain pretraining run tunes. One
+    aggregate to sources (tiny) + one unpartitioned window over it."""
+    toks = F.size(F.split(norm_text(F.col("text")), " ")).cast("long")
+    per = d.select("source", toks.alias("t")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens")
+    )
+    powed = F.pow(F.col("n_tokens"), F.lit(alpha))
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            powed / F.sum(powed).over(Window.partitionBy()), 6
+        ).alias("mix_weight"),
+    ).orderBy("source")
+
+
+@register("domain_mix_weights", _MIX_SQL)
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic balanced sample: per-source top-k by quality
+# ---------------------------------------------------------------------------
+BALANCED_K = 5
+
+
+def balanced_sample_topk(d: DataFrame, k: int = BALANCED_K) -> DataFrame:
+    """Per-source quality quota: the top ``k`` docs of each source by
+    quality score (ties broken by doc_id — fully deterministic, unlike
+    the seeded-RNG `stratified_sample`, so the driver value-hashes it).
+    One window rank per source; at scale this is the classic top-k
+    window that AQE executes as partial top-k before the shuffle."""
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        quality_scores,
+    )
+
+    q = quality_scores(d).select("doc_id", "quality_score")
+    src = d.select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        src.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("source", "doc_id", "quality_score", F.col("rk").cast("long").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+_BALANCED_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             string_split({NORM_SQL.format(c='text')}, ' ') AS toks,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and',
+               'to', 'in', 'is', 'it'))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct, n_punct
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(
+               0.4 * LEAST(n_tokens / 100.0, 1.0)
+               + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+               + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+               + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
+               6) AS quality_score
+      FROM feat
+    ),
+    ranked AS (
+      SELECT d.source, s.doc_id, s.quality_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY s.quality_score DESC, s.doc_id
+             ) AS rk
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT source, doc_id, quality_score, rk
+    FROM ranked WHERE rk <= {BALANCED_K}
+    ORDER BY source, rk
+"""
+
+@register("balanced_sample_topk", _BALANCED_SQL)
+def q_balanced_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return balanced_sample_topk(load_table(spark, sf_dir, "documents"))

@@ -131,6 +131,7 @@ def _load_all() -> None:
     from cours_datalake_dwh_td_kafka_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        curation,
         dedup,
         joins,
         joins_advanced,
