@@ -78,13 +78,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        # int64 nanos -> micros via integer `div` (truncation, not a double
-        # round-trip: 1.7e18 exceeds double's 53-bit exact-integer range)
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            # int64 nanos -> micros via integer `div` (truncation, not a
+            # double round-trip: 1.7e18 exceeds double's 53-bit
+            # exact-integer range)
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+    # Parquet written without isAdjustedToUTC reads back as TIMESTAMP_NTZ.
+    # Normalize to session-TZ TIMESTAMP (sessions pin UTC) so the public
+    # schema is stable whether the lake stores nanos, micros-UTC, or
+    # micros-naive — downstream window/lag/oracle comparisons see one type.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -64,6 +64,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- newly oracle-paired this round (left the rows-only bucket) ------
     "approx_quantiles",
     "approx_distinct_count",
+    # -- new this round: curation family, never attested -----------------
+    "doc_pack",
+    "pii_scrub",
+    "contamination_check",
+    "domain_mix_weights",
+    "balanced_sample_topk",
     # -- attested only in the round-1 window; re-attest on current code --
     "alert_banding",
     "composite_key_agg",
