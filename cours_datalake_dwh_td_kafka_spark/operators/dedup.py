@@ -662,6 +662,116 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style): data-independent LSH cells + greedy
+# within-cell keep decision
+# ---------------------------------------------------------------------------
+SEM_BITS = 6  # sign bits of the leading dims -> 2^6 hypercube cells
+SEM_THRESHOLD = COSINE_DUP_THRESHOLD
+
+
+def _sem_bucket_sql(bits: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+_SEM_DEDUP_SQL = f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_sem_bucket_sql(SEM_BITS)} AS bucket
+      FROM embeddings
+    ),
+    drops AS (
+      SELECT DISTINCT y.vec_id
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.emb, y.emb), 6)
+            >= {SEM_THRESHOLD}
+    )
+    SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket,
+           (d.vec_id IS NULL) AS keep
+    FROM b LEFT JOIN drops d ON b.vec_id = d.vec_id
+    ORDER BY b.vec_id
+"""
+
+
+def semantic_dedup(
+    e: DataFrame, bits: int = SEM_BITS, threshold: float = SEM_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: bucket vectors into sign-bit
+    hypercube cells (the sign of each of the leading ``bits`` dimensions
+    — a data-INDEPENDENT random-hyperplane LSH, so no quantizer fit and
+    the bucket id is reproducible anywhere), then within each cell drop
+    every vector that has a smaller-id neighbor with cosine >= threshold.
+    Greedy smaller-id-wins is the standard deterministic keep rule — no
+    iterative clustering, one pass.
+
+    Scale shape: the pair join is an equi-join on the cell id, so nothing
+    quadratic crosses cells; cell count is 2^bits — raise ``bits`` with
+    corpus size to hold expected cell occupancy constant (each extra bit
+    halves it). Cosines ride JVM array lambdas with per-SIDE norms
+    precomputed (one norm per vector, not per pair); a cell hot enough to
+    make even that quadratic scan hurt is the cue to switch the pair
+    stage to the chunked-gram kernel (:func:`embedding_cosine_pairs_blocked`)
+    keyed by cell instead of label — same downstream keep rule."""
+    emb = F.col("embedding").cast("array<double>")
+    bucket = sum(
+        (
+            F.when(F.element_at("emb", i + 1) > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i in range(bits)
+        ),
+        start=F.lit(0),
+    )
+    base = (
+        e.select("vec_id", emb.alias("emb"))
+        .withColumn("bucket", bucket.cast("long"))
+        .withColumn("nrm", vec_norm(F.col("emb")))
+    )
+    a = base.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = base.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.round(
+        vec_dot(F.col("a_emb"), F.col("b_emb"))
+        / (F.col("a_nrm") * F.col("b_nrm")),
+        6,
+    )
+    drops = (
+        a.join(b, ["bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cos >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        base.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("dropped").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("dedup_semantic", _SEM_DEDUP_SQL)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # dup-cluster resolution: connected components over the near-dup pair graph
 # (the stage after pair generation in every dedup pipeline — pairs alone
 # don't say which docs to keep; components + min-id rep do)

@@ -334,3 +334,98 @@ def q_cluster_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (per-vector max-abs scale)
+# ---------------------------------------------------------------------------
+_QUANT_SQL = """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             greatest(list_max(list_transform(embedding::DOUBLE[],
+               x -> abs(x))), 1e-12) / 127 AS scale
+      FROM embeddings
+    ),
+    err AS (
+      SELECT vec_id, scale,
+             len(emb) AS n_dims,
+             list_transform(emb, x -> abs(x - round(x / scale) * scale))
+               AS errs
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(n_dims AS BIGINT) AS n_dims,
+           ROUND(scale, 6) AS scale,
+           ROUND(sqrt(list_sum(list_transform(errs, x -> x * x))
+                      / n_dims), 6) AS rmse,
+           ROUND(list_max(errs), 6) AS max_abs_err
+    FROM err
+    ORDER BY vec_id
+"""
+
+
+def quantize_embeddings(e: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization — code_i =
+    round(v_i / scale) with scale = max|v| / 127 — plus reconstruction
+    error stats (rmse, max abs error). This is the storage/bandwidth
+    lever for ANN at 100 TB: 4x smaller vectors, and the IVF probe can
+    score int8 codes with one dequant multiply. Everything is
+    ``transform``/``aggregate`` array lambdas over the scan — one
+    projection, no shuffle, no Python.
+
+    The driver query emits the error STATS (hash-stable scalars);
+    :func:`quantized_codes` returns the actual code arrays for sinks."""
+    emb = F.col("embedding").cast("array<double>")
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(emb, lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127
+    )
+    s = e.select("vec_id", emb.alias("emb"), scale.alias("scale"))
+    errs = F.transform(
+        F.col("emb"),
+        lambda x: F.abs(x - F.round(x / F.col("scale")) * F.col("scale")),
+    )
+    err = s.select(
+        "vec_id",
+        "scale",
+        F.size("emb").alias("n_dims"),
+        errs.alias("errs"),
+    )
+    sq = F.aggregate(
+        F.col("errs"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return err.select(
+        "vec_id",
+        F.col("n_dims").cast("long").alias("n_dims"),
+        F.round("scale", 6).alias("scale"),
+        F.round(F.sqrt(sq / F.col("n_dims")), 6).alias("rmse"),
+        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+def quantized_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, scale, codes array<int>) — the materializable quantized
+    form; codes fit int8 by construction (|code| <= 127)."""
+    emb = F.col("embedding").cast("array<double>")
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(emb, lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127
+    )
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            emb, lambda x: F.round(x / scale).cast("int")
+        ).alias("codes"),
+    )
+
+
+@register("embedding_quantize", _QUANT_SQL)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))

@@ -135,6 +135,101 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+_REP_NGRAM_SQL = """
+    {name} AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - {nm1}, 1)),
+               i -> array_to_string(t[i:i+{nm1}], ' ')
+             )) AS s
+      FROM toks
+    ),
+    {name}_c AS (
+      SELECT doc_id, s, COUNT(*) AS c FROM {name} GROUP BY doc_id, s
+    ),
+    {name}_a AS (
+      SELECT doc_id, MAX(c) AS top, SUM(c) AS tot, COUNT(*) AS nd
+      FROM {name}_c GROUP BY doc_id
+    )"""
+
+_REPETITION_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    {_REP_NGRAM_SQL.format(name='g2', nm1=1)},
+    {_REP_NGRAM_SQL.format(name='g3', nm1=2)}
+    SELECT g2_a.doc_id,
+           CAST(g2_a.tot AS BIGINT) AS n_bigrams,
+           ROUND(CAST(g2_a.top AS DOUBLE) / g2_a.tot, 6) AS top_bigram_frac,
+           ROUND(CAST(g3_a.top AS DOUBLE) / g3_a.tot, 6) AS top_trigram_frac,
+           ROUND(1 - CAST(g3_a.nd AS DOUBLE) / g3_a.tot, 6) AS dup_trigram_frac
+    FROM g2_a JOIN g3_a USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+def repetition_stats(d: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: the fraction of n-gram occurrences
+    claimed by the single most frequent n-gram (top_{{bi,tri}}gram_frac)
+    and the fraction that are repeat occurrences (dup_trigram_frac) —
+    high values mark boilerplate / keyword-stuffed / looping documents
+    that every large-scale curation pass drops before training.
+
+    Scale shape: per n, one explode-first shingle pass (linear in tokens,
+    see :func:`~..dedup.shingle_rows`), with shingles hashed to int64
+    BEFORE the occurrence-count groupBy so the shuffle carries
+    (doc_id, int64, count) instead of raw n-gram strings; then a per-doc
+    re-aggregate on the already-doc_id-clustered counts. The two n-gram
+    sizes run as independent branches joined on doc_id at the end —
+    at 100 TB each branch is a straight map->combine->reduce with no
+    skew beyond document length itself (xxhash64 collisions within one
+    doc are the only divergence risk vs the string-keyed oracle:
+    ~n_grams^2/2^64 per doc, negligible)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import shingle_rows
+
+    def per_doc(n: int, pfx: str) -> DataFrame:
+        rows = shingle_rows(d, n=n, distinct=False).select(
+            "doc_id", F.xxhash64("shingle").alias("sh")
+        )
+        counts = rows.groupBy("doc_id", "sh").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return counts.groupBy("doc_id").agg(
+            F.max("c").alias(f"{pfx}_top"),
+            F.sum("c").alias(f"{pfx}_tot"),
+            F.count(F.lit(1)).alias(f"{pfx}_nd"),
+        )
+
+    g2 = per_doc(2, "b")
+    g3 = per_doc(3, "t")
+    return (
+        g2.join(g3, "doc_id")
+        .select(
+            "doc_id",
+            F.col("b_tot").cast("long").alias("n_bigrams"),
+            F.round(
+                F.col("b_top").cast("double") / F.col("b_tot"), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.col("t_top").cast("double") / F.col("t_tot"), 6
+            ).alias("top_trigram_frac"),
+            F.round(
+                1 - F.col("t_nd").cast("double") / F.col("t_tot"), 6
+            ).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("repetition_stats", _REPETITION_SQL)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # language ID: stopword-profile heuristic. Scores = hit counts of per-lang
 # marker words; argmax with deterministic tiebreak on language code.
 # ---------------------------------------------------------------------------

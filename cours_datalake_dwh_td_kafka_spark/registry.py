@@ -70,6 +70,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "contamination_check",
     "domain_mix_weights",
     "balanced_sample_topk",
+    "repetition_stats",
+    "dedup_semantic",
+    "embedding_quantize",
     # -- attested only in the round-1 window; re-attest on current code --
     "alert_banding",
     "composite_key_agg",

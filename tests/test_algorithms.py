@@ -300,3 +300,66 @@ def test_connected_components_contracted_star_fallback(spark):
         | {(200, 200)}
     )
     assert got == want
+
+
+def test_quantized_codes_int8_bounds_and_error(spark):
+    """Quantized codes fit int8 and per-element dequant error is bounded
+    by scale/2 (round-to-nearest guarantee)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        quantized_codes,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    q = quantized_codes(e)
+    bad = q.where(
+        F.exists("codes", lambda c: (F.abs(c) > 127))
+    ).count()
+    assert bad == 0
+    # reconstruct and bound the error element-wise
+    joined = q.join(e, "vec_id").select(
+        F.arrays_zip(
+            F.transform("codes", lambda c: c * F.col("scale")).alias("recon"),
+            F.col("embedding").cast("array<double>").alias("orig"),
+        ).alias("z"),
+        "scale",
+    )
+    viol = joined.where(
+        F.exists(
+            "z", lambda p: F.abs(p.recon - p.orig) > F.col("scale") / 2 + 1e-12
+        )
+    ).count()
+    assert viol == 0
+
+
+def test_semantic_dedup_keeps_bucket_min(spark):
+    """The smallest vec_id of every LSH cell is always kept (greedy
+    smaller-id-wins can never drop a vector with no smaller neighbor)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(load_table(spark, SF_ORACLE, "embeddings"))
+    w_min = out.groupBy("bucket").agg(F.min("vec_id").alias("vec_id"))
+    dropped_min = out.join(w_min, ["bucket", "vec_id"]).where(
+        ~F.col("keep")
+    ).count()
+    assert dropped_min == 0
+    # and the operator covers every input vector exactly once
+    assert out.count() == load_table(spark, SF_ORACLE, "embeddings").count()
+
+
+def test_repetition_stats_flags_looping_doc(spark):
+    """A doc that loops one phrase scores far higher on every repetition
+    signal than a doc of all-distinct tokens."""
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),            # one bigram looped
+            (2, " ".join(f"w{i}" for i in range(100))),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].top_bigram_frac > 0.4 > rows[2].top_bigram_frac
+    assert rows[1].dup_trigram_frac > 0.9 > rows[2].dup_trigram_frac
