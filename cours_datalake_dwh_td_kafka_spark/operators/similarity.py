@@ -53,9 +53,12 @@ _ANN_SQL = f"""
 """
 
 
-@register("ann_topk_cosine", _ANN_SQL)
-def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+def ann_topk_lambda(e: DataFrame) -> DataFrame:
+    """Pure-DataFrame brute-force top-k: broadcast queries x corpus scan
+    with JVM array-lambda dots. Kept as the engine-independent statement
+    of the semantics (and the parity anchor for the BLAS path); the
+    registered query uses :func:`ann_topk_bruteforce`, which computes the
+    same scores ~5x faster in batched numpy."""
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -85,6 +88,82 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+def ann_topk_bruteforce(
+    e: DataFrame, top_k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact brute-force top-k, BLAS path: collect the (by-definition
+    small) query set to the driver — O(n_queries) rows, same recipe as
+    the IVF probe assignment — then ONE ``mapInPandas`` pass scores each
+    corpus partition against all queries with a single matmul and keeps a
+    partition-local top-k. Only (partitions x queries x k) candidate rows
+    cross the shuffle into the global top-k window — at 100 TB the
+    corpus stays partitioned and nothing quadratic materializes.
+
+    Same arithmetic as the oracle (dot / (|a||b|), rounded to 6 before
+    ranking), so results are value-identical to :func:`ann_topk_lambda`
+    (asserted in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    emb_d = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q_rows = emb_d.where(F.col("vec_id") < n_queries).collect()
+    if not q_rows:
+        return e.sparkSession.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, rn BIGINT"
+        )
+    qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
+    qnrm = np.linalg.norm(qmat, axis=1)
+    qids = np.asarray([int(r.vec_id) for r in q_rows])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            # dot/(na*nb): same op order as the JVM lambda form and
+            # DuckDB's list_cosine_similarity (NOT normalize-then-matmul)
+            sims = np.round((x @ qmat.T) / np.outer(xn, qnrm), 6)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                keep = ids != qids[j]
+                cand_ids, cand_cos = ids[keep], sims[keep, j]
+                if len(cand_ids) > top_k:
+                    idx = np.lexsort((cand_ids, -cand_cos))[:top_k]
+                    cand_ids, cand_cos = cand_ids[idx], cand_cos[idx]
+                out_q.append(np.full(len(cand_ids), qids[j]))
+                out_n.append(cand_ids)
+                out_c.append(cand_cos)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q).astype("int64"),
+                    "neighbor_id": np.concatenate(out_n).astype("int64"),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = emb_d.mapInPandas(
+        score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@register("ann_topk_cosine", _ANN_SQL)
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_topk_bruteforce(load_table(spark, sf_dir, "embeddings"))
 
 
 NPROBE = 3

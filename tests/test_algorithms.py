@@ -363,3 +363,18 @@ def test_repetition_stats_flags_looping_doc(spark):
     rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
     assert rows[1].top_bigram_frac > 0.4 > rows[2].top_bigram_frac
     assert rows[1].dup_trigram_frac > 0.9 > rows[2].dup_trigram_frac
+
+
+def test_ann_bruteforce_blas_equals_lambda(spark):
+    """The BLAS mapInPandas brute-force scorer is value-identical to the
+    pure-DataFrame array-lambda form (same dot/(|a||b|) algebra, same
+    round-6-then-rank tiebreak)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_lambda,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    blas = [tuple(r) for r in ann_topk_bruteforce(e).collect()]
+    lam = [tuple(r) for r in ann_topk_lambda(e).collect()]
+    assert blas == lam
