@@ -285,14 +285,14 @@ def balanced_sample_topk(d: DataFrame, k: int = BALANCED_K) -> DataFrame:
         quality_scores,
     )
 
-    q = quality_scores(d).select("doc_id", "quality_score")
-    src = d.select("doc_id", "source")
+    q = quality_scores(d, extra=("source",), ordered=False).select(
+        "doc_id", "source", "quality_score"
+    )
     w = Window.partitionBy("source").orderBy(
         F.col("quality_score").desc(), "doc_id"
     )
     return (
-        src.join(q, "doc_id")
-        .withColumn("rk", F.row_number().over(w))
+        q.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("source", "doc_id", "quality_score", F.col("rk").cast("long").alias("rk"))
         .orderBy("source", "rk")

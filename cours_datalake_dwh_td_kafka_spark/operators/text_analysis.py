@@ -92,13 +92,22 @@ _QUALITY_SQL = f"""
 """
 
 
-def quality_scores(d: DataFrame) -> DataFrame:
+def quality_scores(
+    d: DataFrame, extra: tuple[str, ...] = (), ordered: bool = True
+) -> DataFrame:
+    """Per-doc quality features + combined score. ``extra`` names input
+    columns carried through the projection chain — consumers that need
+    e.g. ``source`` alongside the score get it from the SAME scan instead
+    of re-reading the table and self-joining on doc_id. ``ordered=False``
+    skips the final global sort (a range-partition shuffle) for consumers
+    that immediately re-partition anyway (windows, joins, aggregates)."""
     toks = F.split(norm_text(F.col("text")), " ")
     base = d.select(
         "doc_id",
         "n_chars",
         toks.alias("toks"),
         F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
+        *extra,
     )
     feat = base.select(
         "doc_id",
@@ -109,6 +118,7 @@ def quality_scores(d: DataFrame) -> DataFrame:
         ).alias("n_stop"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
         "n_punct",
+        *extra,
     )
     stop_r = F.col("n_stop").cast("double") / F.col("n_tokens")
     punct_r = F.col("n_punct").cast("double") / F.col("n_chars")
@@ -119,14 +129,16 @@ def quality_scores(d: DataFrame) -> DataFrame:
         + 0.2 * F.least(stop_r * 5.0, F.lit(1.0))
         + 0.1 * (1.0 - F.least(punct_r * 10.0, F.lit(1.0)))
     )
-    return feat.select(
+    out = feat.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(stop_r, 6).alias("stopword_ratio"),
         F.round(punct_r, 6).alias("punct_ratio"),
         F.round(dist_r, 6).alias("distinct_ratio"),
         F.round(score, 6).alias("quality_score"),
-    ).orderBy("doc_id")
+        *extra,
+    )
+    return out.orderBy("doc_id") if ordered else out
 
 
 @register("quality_score", _QUALITY_SQL)
