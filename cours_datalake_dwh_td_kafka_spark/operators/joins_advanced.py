@@ -244,3 +244,63 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# interval join (batch twin of the stream-stream join): click -> purchase
+# attribution within a bounded delay, per user
+# --------------------------------------------------------------------------
+ATTRIB_DELAY_MIN = 10
+
+_INTERVAL_JOIN_SQL = f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTRIB_DELAY_MIN} MINUTE
+    ORDER BY click_id, purchase_id
+"""
+
+
+@register("interval_join_events", _INTERVAL_JOIN_SQL)
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch execution of the SAME :func:`~..streaming.pipelines
+    .stream_stream_join` plan the speed layer runs (source-agnostic by
+    construction; watermarks are no-ops on batch frames): every click
+    paired with the same user's purchases in the next 10 minutes.
+
+    Scale shape: equi-join on user_id with the time band as a post-join
+    predicate — per-key fan-out is bounded by purchases-per-user within
+    the delay window, not by history. Skewed power users are AQE
+    skew-join territory; the streaming form bounds STATE by
+    watermark + delay instead."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        stream_stream_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return stream_stream_join(
+        clicks,
+        purchases,
+        on=("user_id",),
+        left_time="click_ts",
+        right_time="purchase_ts",
+        max_delay=f"{ATTRIB_DELAY_MIN} minutes",
+    ).orderBy("click_id", "purchase_id")

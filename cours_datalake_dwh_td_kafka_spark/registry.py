@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "repetition_stats",
     "dedup_semantic",
     "embedding_quantize",
+    "interval_join_events",
     # -- attested only in the round-1 window; re-attest on current code --
     "alert_banding",
     "composite_key_agg",

@@ -235,6 +235,51 @@ def stream_dedup(
     return df.dropDuplicatesWithinWatermark(list(key_cols))
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, ...],
+    left_time: str,
+    right_time: str,
+    watermark: str = "10 minutes",
+    max_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream INNER interval join: pair each left row with the
+    right rows sharing ``on`` whose event time lands in
+    ``[left_time, left_time + max_delay]`` (the click->purchase /
+    reading->reading correlation absent from the reference, which only
+    joins stream x static — work/anomaly_detector.py:35).
+
+    Both sides carry a watermark, and the join condition bounds
+    right_time relative to left_time — together these let the engine
+    EXPIRE buffered rows: left state is dropped once
+    watermark > left_time + max_delay, right state once
+    watermark > right_time. An unbounded-condition stream-stream join
+    buffers both streams forever; this shape is the production-safe
+    form, and at 100 TB/day state is O(throughput x (watermark +
+    max_delay)), not O(history).
+
+    Source-agnostic (works on batch frames unchanged, where the
+    watermark is a no-op) — the oracle-paired batch twin is
+    ``interval_join_events``. Non-key column names must not collide
+    across sides; key columns are emitted once (from the left)."""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    la, ra = lw.alias("l"), rw.alias("r")
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (la[k] == ra[k])
+    cond = (
+        cond
+        & (ra[right_time] >= la[left_time])
+        & (ra[right_time] <= la[left_time] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    joined = la.join(ra, cond, "inner")
+    keep_left = [la[c] for c in left.columns]
+    keep_right = [ra[c] for c in right.columns if c not in on]
+    return joined.select(*keep_left, *keep_right)
+
+
 def write_stream_to_lake(
     df: DataFrame,
     path: str,

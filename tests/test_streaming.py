@@ -496,3 +496,62 @@ def test_stateful_session_extends_start_for_late_in_watermark_event(
     assert s.session_start.timestamp() == BASE_TS - 60  # extended backwards
     assert s.session_end.timestamp() == BASE_TS + 120 + 300
     assert s.sum_value == pytest.approx(80.0)  # 4 x 20.0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner interval join (click -> purchase within 10
+    min, same user): in-window pairs join, out-of-window and
+    wrong-direction pairs don't, and batch execution of the same
+    function yields the identical result set."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        stream_stream_join,
+    )
+
+    ldir, rdir = tmp_path / "clicks", tmp_path / "purchases"
+    ldir.mkdir(), rdir.mkdir()
+    clicks = [
+        {"user_id": 1, "click_id": 10, "ts": BASE_TS},
+        {"user_id": 3, "click_id": 30, "ts": BASE_TS + 600},
+    ]
+    purchases = [
+        # joins: 5 min after user 1's click
+        {"user_id": 1, "purchase_id": 100, "ts": BASE_TS + 300, "value": 9.5},
+        # no join: 15 min after the click (> max_delay)
+        {"user_id": 1, "purchase_id": 101, "ts": BASE_TS + 900, "value": 1.0},
+        # no join: no click from user 2
+        {"user_id": 2, "purchase_id": 102, "ts": BASE_TS + 60, "value": 2.0},
+        # no join: purchase BEFORE user 3's click
+        {"user_id": 3, "purchase_id": 103, "ts": BASE_TS + 540, "value": 3.0},
+    ]
+    _write_batch(str(ldir), clicks, "c0")
+    _write_batch(str(rdir), purchases, "p0")
+
+    c_schema = "user_id LONG, click_id LONG, ts DOUBLE"
+    p_schema = "user_id LONG, purchase_id LONG, ts DOUBLE, value DOUBLE"
+
+    def prep(df, tcol):
+        return df.withColumn(tcol, F.timestamp_seconds("ts")).drop("ts")
+
+    def run(cdf, pdf):
+        return stream_stream_join(
+            prep(cdf, "click_ts"),
+            prep(pdf, "purchase_ts"),
+            on=("user_id",),
+            left_time="click_ts",
+            right_time="purchase_ts",
+            max_delay="10 minutes",
+        )
+
+    sc = spark.readStream.schema(c_schema).json(str(ldir))
+    sp = spark.readStream.schema(p_schema).json(str(rdir))
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(run(sc, sp), name, mode="append")
+    got = {
+        (r.click_id, r.purchase_id) for r in spark.table(name).collect()
+    }
+    assert got == {(10, 100)}
+
+    bc = spark.read.schema(c_schema).json(str(ldir))
+    bp = spark.read.schema(p_schema).json(str(rdir))
+    batch = {(r.click_id, r.purchase_id) for r in run(bc, bp).collect()}
+    assert batch == got
