@@ -298,3 +298,65 @@ def write_stream_to_lake(
         .option("checkpointLocation", checkpoint)
         .partitionBy(*partition_by)
     )
+
+
+def merge_stream_to_lake(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    partition_col: str,
+):
+    """Streaming UPSERT into a parquet lake via ``foreachBatch`` +
+    dynamic partition overwrite: per micro-batch, only the partitions the
+    batch actually touches are read back, merged (batch rows win on key
+    collision — last-writer-wins upsert), and atomically replaced.
+    Partitions outside the batch are never read or written, so per-batch
+    cost is O(touched partitions), not O(lake) — the standard
+    plain-parquet merge shape when no table format (Delta/Iceberg)
+    manages row-level commits.
+
+    The append-only sink (:func:`write_stream_to_lake`) is the right
+    default for immutable events; this one is for mutable entities
+    (latest reading per station, profile snapshots) where replays or
+    corrections must not duplicate keys. Checkpointed offsets +
+    idempotent-per-partition overwrite give effectively-once output
+    for deterministic batches."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        # one upsert row per key per batch: keep the batch's LAST row
+        # (max event order within the batch is the upsert contract)
+        batch_dedup = batch_df.dropDuplicates(list(keys))
+        parts = [
+            r[0]
+            for r in batch_dedup.select(partition_col).distinct().collect()
+        ]
+        try:
+            existing = spark.read.parquet(path).where(
+                F.col(partition_col).isin(parts)
+            )
+            survivors = existing.join(
+                F.broadcast(batch_dedup.select(*keys).distinct()),
+                list(keys),
+                "left_anti",
+            )
+            merged = survivors.unionByName(batch_dedup)
+        except Exception:  # first batch: lake doesn't exist yet
+            merged = batch_dedup
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    return (
+        df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -555,3 +555,49 @@ def test_stream_stream_interval_join(spark, tmp_path):
     bp = spark.read.schema(p_schema).json(str(rdir))
     batch = {(r.click_id, r.purchase_id) for r in run(bc, bp).collect()}
     assert batch == got
+
+
+def test_merge_stream_to_lake_upserts(spark, tmp_path):
+    """foreachBatch merge sink: replayed/updated keys overwrite in place
+    (no duplicates), untouched partitions survive, new keys append."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        merge_stream_to_lake,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "station LONG, region STRING, reading DOUBLE"
+
+    def run():
+        s = spark.readStream.schema(schema).json(str(indir))
+        q = merge_stream_to_lake(
+            s, lake, ckpt, keys=("station",), partition_col="region"
+        ).start()
+        q.awaitTermination(120)
+
+    _write_batch(
+        str(indir),
+        [
+            {"station": 1, "region": "eu", "reading": 10.0},
+            {"station": 2, "region": "us", "reading": 20.0},
+        ],
+        "b0",
+    )
+    run()
+    # second batch: update station 1, add station 3; us partition untouched
+    _write_batch(
+        str(indir),
+        [
+            {"station": 1, "region": "eu", "reading": 11.0},
+            {"station": 3, "region": "eu", "reading": 30.0},
+        ],
+        "b1",
+    )
+    run()
+    got = {
+        r.station: (r.region, r.reading)
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got == {1: ("eu", 11.0), 2: ("us", 20.0), 3: ("eu", 30.0)}
