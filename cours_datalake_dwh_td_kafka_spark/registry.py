@@ -53,6 +53,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- code changed after last driver attestation (round 3 edits) ------
+    "anomaly_batch",
+    "ann_topk_cosine",
     "dedup_clusters",
     "range_join",
     "salted_skew_agg",
