@@ -339,3 +339,173 @@ _BALANCED_SQL = f"""
 @register("balanced_sample_topk", _BALANCED_SQL)
 def q_balanced_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_sample_topk(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pretraining prep: gate -> dedup -> decontaminate -> pack
+# ---------------------------------------------------------------------------
+PT_QUALITY_MIN = 0.5
+
+_PT_QUALITY_EXPR = """ROUND(
+              0.4 * LEAST(n_tokens / 100.0, 1.0)
+              + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+              + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+              + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
+              6)"""
+
+_PT_8GRAMS = (
+    f"list_distinct(list_transform("
+    f"generate_series(1, greatest(len(toks) - {CONTAM_NGRAM - 1}, 1)), "
+    f"i -> array_to_string(toks[i:i+{CONTAM_NGRAM - 1}], ' ')))"
+)
+
+_PT_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             string_split({NORM_SQL.format(c='text')}, ' ') AS toks,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             md5({NORM_SQL.format(c='text')}) AS fp
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, fp, toks,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and',
+               'to', 'in', 'is', 'it'))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct,
+             n_punct, n_chars
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, source, fp, toks, n_tokens,
+             {_PT_QUALITY_EXPR} AS q
+      FROM feat
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE q >= {PT_QUALITY_MIN} AND doc_id % {CONTAM_BENCH_MOD} != 0
+    ),
+    keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM gated GROUP BY fp),
+    keepers AS (
+      SELECT g.* FROM gated g
+      JOIN keep k ON g.fp = k.fp AND g.doc_id = k.keep_id
+    ),
+    bench_sh AS (
+      SELECT DISTINCT unnest({_PT_8GRAMS}) AS s
+      FROM base WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    kept_sh AS (
+      SELECT doc_id, unnest({_PT_8GRAMS}) AS s FROM keepers
+    ),
+    contaminated AS (
+      SELECT DISTINCT k.doc_id FROM kept_sh k JOIN bench_sh b USING (s)
+    ),
+    clean AS (
+      SELECT * FROM keepers
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens, q,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_off
+      FROM clean
+    )
+    SELECT source,
+           CAST(start_off // {PACK_BUDGET} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_quality
+    FROM cum
+    GROUP BY source, shard_id
+    ORDER BY source, shard_id
+"""
+
+
+def pretraining_pipeline(
+    d: DataFrame,
+    q_min: float = PT_QUALITY_MIN,
+    budget: int = PACK_BUDGET,
+    bench_mod: int = CONTAM_BENCH_MOD,
+) -> DataFrame:
+    """The full daily pretraining-prep chain as ONE declarative plan:
+
+      quality gate -> exact dedup (min-id keeper per fingerprint)
+      -> benchmark decontamination (drop docs sharing an 8-gram with the
+      held-out slice) -> token-budget shard packing -> per-shard report
+      (doc count, token count, mean quality).
+
+    Composes the stages the standalone queries verify individually
+    (`quality_score`, `dedup_fingerprint`, `contamination_check`,
+    `doc_pack`) — this query is the integration check that they chain:
+    one corpus scan feeds the gate+fingerprint, only KEPT docs are
+    re-shingled for the decontamination join (the expensive stage runs
+    on the smallest surviving set), and the packer windows the clean
+    survivors. Catalyst pipelines the gate into the scan; every shuffle
+    is keyed (fp / shingle hash / source) — nothing quadratic, no
+    driver-side loop, at any corpus size."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import shingle_rows
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        quality_scores,
+    )
+
+    q = quality_scores(d, extra=("source", "text"), ordered=False)
+    base = q.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("quality_score").alias("q"),
+        F.md5(norm_text(F.col("text"))).alias("fp"),
+        "text",
+    )
+    gated = base.where(
+        (F.col("q") >= q_min) & (F.col("doc_id") % bench_mod != 0)
+    )
+    keepers = gated.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).where(F.col("doc_id") == F.col("keep_id"))
+    bench_sh = (
+        shingle_rows(d.where(F.col("doc_id") % bench_mod == 0), n=CONTAM_NGRAM)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    kept_sh = shingle_rows(
+        keepers.select("doc_id", "text"), n=CONTAM_NGRAM
+    ).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    contaminated = kept_sh.join(bench_sh, "sh").select("doc_id").distinct()
+    clean = keepers.join(contaminated, "doc_id", "left_anti")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = clean.select(
+        "source",
+        "n_tokens",
+        "q",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        packed.groupBy(
+            "source",
+            F.floor(F.col("start_off") / budget).cast("long").alias(
+                "shard_id"
+            ),
+        )
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(28,6)")).cast("double") / n, 6
+            ).alias("avg_quality"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
+@register("pretraining_pipeline", _PT_SQL)
+def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pretraining_pipeline(load_table(spark, sf_dir, "documents"))

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_semantic",
     "embedding_quantize",
     "interval_join_events",
+    "pretraining_pipeline",
     # -- attested only in the round-1 window; re-attest on current code --
     "alert_banding",
     "composite_key_agg",
