@@ -630,3 +630,125 @@ def curation_pipeline(
 @register("curation_pipeline", _CURATION_SQL)
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (text retrieval twin of the vector ANN surface)
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "scan", "merge")
+BM25_TOP_N = 20
+
+_BM25_TERM_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             ROUND(CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_dl
+      FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, s AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS s FROM toks)
+      WHERE s IN ({_BM25_TERM_IN})
+      GROUP BY doc_id, s
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({BM25_K1} + 1)
+               / (tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl / avg_dl))
+             ) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN lens ON tf.doc_id = lens.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, ROUND(s, 6) AS bm25,
+             ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, bm25, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {BM25_TOP_N}
+    ORDER BY rn
+"""
+
+
+def bm25_search(
+    d: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_n: int = BM25_TOP_N,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents for a bag of query terms — the
+    inverted-index retrieval every corpus-curation stack pairs with
+    vector ANN (keyword recall + semantic recall).
+
+    Scale shape: the term filter lands in the explode stage, so only
+    query-term occurrences leave the scan (the posting list, not the
+    corpus); tf/df are two keyed aggregates over it; N and avg doc
+    length ride one broadcast scalar row. The final top-n is a single
+    unpartitioned row_number — over docs MATCHING the query, not the
+    corpus; for fat queries swap in the partial-top-k pattern from
+    :func:`~..similarity.ann_topk_bruteforce`. Ranking compares the
+    round-6 score (ties by doc_id) so engine libm ulp noise can't
+    reorder."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    tokd = d.select("doc_id", toks.alias("t"))
+    lens = tokd.select("doc_id", F.size("t").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_dl"),
+    )
+    tf = (
+        tokd.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= top_n)
+        .select("doc_id", "bm25", "rn")
+        .orderBy("rn")
+    )
+
+
+@register("bm25_search", _BM25_SQL)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_search(load_table(spark, sf_dir, "documents"))

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_quantize",
     "interval_join_events",
     "pretraining_pipeline",
+    "bm25_search",
     # -- attested only in the round-1 window; re-attest on current code --
     "alert_banding",
     "composite_key_agg",
