@@ -196,3 +196,37 @@ def write_json(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table write: rows are hash-partitioned
+    into ``n_buckets`` files per partition ON WRITE, and the bucketing
+    metadata is recorded in the catalog — so a later join or aggregate
+    keyed on ``bucket_cols`` reads co-located data and SKIPS ITS SHUFFLE
+    entirely (the Exchange disappears from the plan; pinned in
+    tests/test_io.py). ``sort_cols`` additionally sorts within each
+    bucket file, letting sort-merge joins skip their sort.
+
+    This is the 100 TB lever for fact-fact joins the broadcast path
+    can't serve (both sides huge): pay the shuffle ONCE at ingest, then
+    every downstream join/agg on the same key is exchange-free. Size
+    ``n_buckets`` so one bucket of the biggest table fits an executor
+    core's working set (~128-512 MB of parquet per bucket).
+
+    ``path`` makes it an external table (tests use tmp dirs); bucketing
+    requires ``saveAsTable`` — a bare ``.parquet(path)`` write silently
+    drops the bucket metadata.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)

@@ -154,3 +154,42 @@ def test_events_nanos_timestamps_load(spark):
     assert dict(e.dtypes)["ts"] == "timestamp"
     row = e.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     assert row.lo.year == 2024 and row.hi.year == 2024
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange on either side (the pay-shuffle-once-at-ingest contract)."""
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import plan_facts
+
+    o = io.load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = io.load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    io.write_bucketed(
+        o, "t_orders_b", ["o_orderkey"], n_buckets=4,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "ob"),
+    )
+    io.write_bucketed(
+        li, "t_lineitem_b", ["l_orderkey"], n_buckets=4,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "lb"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the planner must pick sort-merge — the
+        # strategy bucketing accelerates
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        f = plan_facts(joined)
+        assert f.n_sortmerge_joins >= 1
+        assert f.n_shuffles == 0, "bucketed join must not re-shuffle"
+        # same join on the raw (unbucketed) frames DOES shuffle
+        raw = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        assert plan_facts(raw).n_shuffles >= 2
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
