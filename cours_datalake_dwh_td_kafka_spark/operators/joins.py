@@ -224,3 +224,118 @@ def q_join_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("s_suppkey").alias("n_suppliers"))
         .orderBy("r_name", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped multi-way analytics joins: the fact-fact-dim plans a user
+# of the reference's batch layer grows into. Both are oracle-paired.
+# --------------------------------------------------------------------------
+_Q3_CUTOFF = "1998-07-01"
+
+_SHIP_PRIORITY_SQL = f"""
+    SELECT l.l_orderkey,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@register("shipping_priority", _SHIP_PRIORITY_SQL)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 not-yet-shipped high-revenue orders in one
+    segment. Plan: both date/segment filters push into their scans
+    BEFORE the joins; the orders->lineitem fact-fact join shuffles on
+    the order key — exactly the key bucketing co-locates at ingest
+    (:func:`~..io.write_bucketed`). The top-10 is TakeOrderedAndProject
+    on the rounded revenue, not a global sort."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < _Q3_CUTOFF
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > _Q3_CUTOFF
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer scales WITH the lake (unlike nation/region), so no forced
+    # broadcast hint — AQE broadcasts it while it fits and falls back to
+    # a shuffled join when it doesn't; a F.broadcast() here would OOM the
+    # build side at full scale
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dec_sum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q5_YEAR = 1997
+
+_LOCAL_VOLUME_SQL = f"""
+    SELECT n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '{_Q5_YEAR}-01-01'
+      AND o.o_orderdate < TIMESTAMP '{_Q5_YEAR + 1}-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+"""
+
+
+@register("local_supplier_volume", _LOCAL_VOLUME_SQL)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the customer bought from
+    a LOCAL supplier (c_nationkey == s_nationkey), one region, one year.
+    Six-table join: nation/region (fixed cardinality) force-broadcast;
+    customer and supplier joins are AQE-planned — broadcast while they
+    fit, shuffled hash/sort-merge beyond that; the fact-fact join
+    shuffles on the order key. The local-supplier condition rides the
+    supplier join, so non-local pairs never reach the aggregate."""
+    year_lo, year_hi = f"{_Q5_YEAR}-01-01", f"{_Q5_YEAR + 1}-01-01"
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= year_lo) & (F.col("o_orderdate") < year_hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # forced broadcast ONLY on the fixed-cardinality dims (nation,
+    # region); customer/supplier scale with the lake, so AQE picks their
+    # strategy — broadcast while small, shuffle when not
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dec_sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

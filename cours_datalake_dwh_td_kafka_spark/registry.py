@@ -78,6 +78,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "interval_join_events",
     "pretraining_pipeline",
     "bm25_search",
+    "shipping_priority",
+    "local_supplier_volume",
     # -- attested only in the round-1 window; re-attest on current code --
     "alert_banding",
     "composite_key_agg",
