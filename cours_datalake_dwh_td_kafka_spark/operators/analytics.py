@@ -255,3 +255,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT/melt: wide per-customer numeric columns -> long (metric, value)
+# rows — the inverse of pivot, and the shape feature-store exports use.
+# --------------------------------------------------------------------------
+_UNPIVOT_SQL = """
+    SELECT c_custkey, metric, value FROM (
+      SELECT c_custkey,
+             'acctbal' AS metric, c_acctbal AS value
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+      FROM customer
+    )
+    ORDER BY c_custkey, metric
+"""
+
+
+@register("unpivot_customer", _UNPIVOT_SQL)
+def q_unpivot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt via the native ``unpivot`` operator (an Expand
+    node — one scan emits all metric rows, NOT a per-metric union that
+    rescans the table per column; the oracle SQL spells the UNION ALL
+    form because that is its relational definition)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+        .orderBy("c_custkey", "metric")
+    )

@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "shipping_priority",
     "local_supplier_volume",
+    "unpivot_customer",
     # -- attested only in the round-1 window; re-attest on current code --
     "alert_banding",
     "composite_key_agg",
