@@ -230,3 +230,36 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction for a parquet directory: rewrite to
+    ``ceil(total_bytes / target_mb)`` files and swap into place. Returns
+    the new file count.
+
+    Streaming sinks commit one file per partition per micro-batch, so a
+    lake ingesting all day accumulates thousands of KB-sized files —
+    and at read time each costs a task + a footer fetch (the classic
+    small-files tax). Compaction runs as a periodic batch job on
+    partitions the stream has moved past. File sizes come from Spark's
+    own listing (``df.inputFiles``), so the same code works on any
+    supported filesystem; the swap is two renames — on object stores
+    front it with a manifest commit or run it under a table format's
+    transaction instead."""
+    import math
+    import shutil
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(path)
+    files = [urlparse(f).path for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = f"{path}.compact.tmp"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.compact.old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return len(spark.read.parquet(path).inputFiles())

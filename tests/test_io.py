@@ -193,3 +193,19 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compact_parquet_preserves_rows(spark, tmp_path):
+    """Compaction collapses a many-small-files directory into few files
+    with identical content."""
+    lake = str(tmp_path / "many")
+    src = io.load_table(spark, SF, "orders")
+    src.repartition(24).write.parquet(lake)
+    assert len(spark.read.parquet(lake).inputFiles()) == 24
+    before = src.count()
+    n_after = io.compact_parquet(spark, lake, target_mb=128)
+    assert n_after <= 2
+    after_df = spark.read.parquet(lake)
+    assert after_df.count() == before
+    # content identical, not just counts
+    assert after_df.exceptAll(src).count() == 0
