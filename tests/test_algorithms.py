@@ -378,3 +378,70 @@ def test_ann_bruteforce_blas_equals_lambda(spark):
     blas = [tuple(r) for r in ann_topk_bruteforce(e).collect()]
     lam = [tuple(r) for r in ann_topk_lambda(e).collect()]
     assert blas == lam
+
+
+def test_doc_pack_offsets_within_budget(spark):
+    """Packing invariants: offset_in_shard < budget, shard ids start at 0
+    and never decrease within a source, and offsets reconstruct the
+    cumulative token sum."""
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        PACK_BUDGET,
+        pack_documents,
+    )
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    out = pack_documents(d).collect()
+    by_src = {}
+    for r in out:
+        assert 0 <= r.offset_in_shard < PACK_BUDGET
+        assert r.shard_id * PACK_BUDGET + r.offset_in_shard >= 0
+        by_src.setdefault(r.source, []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.shard_id == cum // PACK_BUDGET
+            assert r.offset_in_shard == cum % PACK_BUDGET
+            cum += r.n_tokens
+
+
+def test_domain_mix_weights_sum_to_one(spark):
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        domain_mix_weights,
+    )
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    rows = domain_mix_weights(d).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    assert all(r.mix_weight > 0 for r in rows)
+    # temperature alpha<1 flattens: max/min weight ratio below raw ratio
+    toks = {r.source: r.n_tokens for r in rows}
+    w = {r.source: r.mix_weight for r in rows}
+    raw_ratio = max(toks.values()) / min(toks.values())
+    mix_ratio = max(w.values()) / min(w.values())
+    assert mix_ratio <= raw_ratio + 1e-9
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text changes nothing (placeholders
+    contain no scrubbable spans)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        scrub_pii_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com ip 10.0.0.1 tel +33 1 23 45 67 89 end"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    once = docs.select(
+        "doc_id", scrub_pii_text(F.col("text")).alias("t1")
+    )
+    twice = once.select(
+        "doc_id", "t1", scrub_pii_text(F.col("t1")).alias("t2")
+    ).collect()
+    for r in twice:
+        assert r.t1 == r.t2
+        assert "@" not in r.t2 or "<EMAIL>" in r.t2
