@@ -209,3 +209,133 @@ def sessionize_pandas_batch(events: DataFrame, gap_seconds: int) -> DataFrame:
         .sortWithinPartitions("user_id", "event_time")
         .mapInPandas(fold_partition, OUTPUT_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState twin (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - import guard for older Spark
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    _HAS_TWS = False
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class SessionProcessor(StatefulProcessor):
+    """Gap sessionizer on the Spark 4 ``transformWithState`` API — the
+    successor to ``applyInPandasWithState`` with named state variables,
+    explicit timers, and TTL support. Same contract as
+    :func:`sessionize_stateful` (session_end = last event + gap; a
+    late-but-in-watermark event extends session_start backwards), so the
+    two operators are interchangeable and cross-checked in tests.
+
+    State: one ValueState row per open session (start/last/n/sum).
+    Timers: one event-time timer at last_event + gap; on expiry, if the
+    watermark has truly passed the horizon the session closes, else
+    (a stale timer superseded by newer events) it re-registers. Runs on
+    the RocksDB state store provider — per-key state is on-disk with an
+    in-memory working set, the configuration that holds at millions of
+    open sessions per executor."""
+
+    def __init__(self, gap_seconds: int) -> None:
+        self._gap_us = gap_seconds * _US
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._open = handle.getValueState("open", STATE_SCHEMA)
+
+    def _emit(self, user_id: int, closed: list) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [
+                    pd.Timestamp(c[0], unit="us") for c in closed
+                ],
+                "session_end": [
+                    pd.Timestamp(c[1] + self._gap_us, unit="us")
+                    for c in closed
+                ],
+                "n_obs": [c[2] for c in closed],
+                "sum_value": [c[3] for c in closed],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues: "TimerValues"):
+        (user_id,) = key
+        gap_us = self._gap_us
+        pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+            "event_time", kind="stable"
+        )
+        ts_us = (pdf["event_time"].astype("int64") // 1_000).to_numpy()
+        vals = pdf["value"].to_numpy()
+        if self._open.exists():
+            start_us, last_us, n, s = self._open.get()
+        else:
+            start_us = last_us = int(ts_us[0])
+            n, s = 0, 0.0
+        closed = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if n > 0 and t - last_us > gap_us:
+                closed.append((start_us, last_us, n, s))
+                start_us, n, s = t, 0, 0.0
+            n += 1
+            s += float(v)
+            last_us = max(last_us, t) if n > 1 else t
+            start_us = min(start_us, t)
+        self._open.update((start_us, last_us, int(n), float(s)))
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        self._handle.registerTimer(
+            max((last_us + gap_us) // 1_000, wm_ms + 1)
+        )
+        if closed:
+            yield self._emit(user_id, closed)
+
+    def handleExpiredTimer(
+        self, key, timerValues: "TimerValues", expiredTimerInfo: "ExpiredTimerInfo"
+    ):
+        (user_id,) = key
+        if not self._open.exists():
+            return
+        start_us, last_us, n, s = self._open.get()
+        horizon_ms = (last_us + self._gap_us) // 1_000
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        if wm_ms >= horizon_ms:
+            self._open.clear()
+            yield self._emit(user_id, [(start_us, last_us, n, s)])
+        else:
+            # stale timer (newer events moved the horizon): rearm
+            self._handle.registerTimer(max(horizon_ms, wm_ms + 1))
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_transform_with_state(
+    events: DataFrame,
+    gap_seconds: int = 4 * 3600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """:func:`sessionize_stateful` on ``transformWithStateInPandas``.
+    Needs the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    if not _HAS_TWS:  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithState requires Spark >= 4.0"
+        )
+    src = events.select("user_id", "event_time", "value")
+    if events.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return src.groupBy("user_id").transformWithStateInPandas(
+        SessionProcessor(gap_seconds),
+        OUTPUT_SCHEMA,
+        "append",
+        "eventTime",
+    )
