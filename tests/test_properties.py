@@ -294,3 +294,68 @@ def test_ngram_pairs_no_false_positives(spark, docs):
         assert r.n_shared == inter
         assert true_jac >= JACCARD_THRESHOLD
         assert abs(r.jaccard - round(true_jac, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup vs a pure-python reference on random vectors
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_semantic_dedup_matches_python_reference(spark, vecs):
+    """semantic_dedup == brute-force python: same sign-bit buckets, same
+    greedy smaller-id-wins keep decisions."""
+    import math as m
+
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        SEM_THRESHOLD,
+        semantic_dedup,
+    )
+
+    # drop zero vectors (cosine undefined — production embeddings are
+    # normalized; the operator itself is tested on real data elsewhere)
+    vecs = [v for v in vecs if any(x != 0 for x in v)] or [[1.0] * 8]
+    bits = 3
+
+    def bucket(v):
+        return sum((1 << i) for i in range(bits) if v[i] > 0)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = m.sqrt(sum(x * x for x in a))
+        nb = m.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    expect = {}
+    for i, v in enumerate(vecs):
+        keep = not any(
+            bucket(w) == bucket(v) and cos(w, v) >= SEM_THRESHOLD
+            for j, w in enumerate(vecs)
+            if j < i
+        )
+        expect[i] = (bucket(v), keep)
+
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.bucket, r.keep)
+        for r in semantic_dedup(e, bits=bits).collect()
+    }
+    assert got == expect
