@@ -290,3 +290,125 @@ def q_unpivot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
         .orderBy("c_custkey", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# funnel analysis: ordered stage progression per user
+# --------------------------------------------------------------------------
+_FUNNEL_STAGES = ("click", "view", "purchase")
+
+_FUNNEL_SQL = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users, step FROM (
+      SELECT 'click' AS stage, COUNT(*) AS n_users, 1 AS step FROM s1
+      UNION ALL
+      SELECT 'view', COUNT(*), 2 FROM s2
+      UNION ALL
+      SELECT 'purchase', COUNT(*), 3 FROM s3
+    )
+    ORDER BY step
+"""
+
+
+@register("funnel_stages", _FUNNEL_SQL)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who clicked, then VIEWED AFTER the first
+    click, then PURCHASED AFTER that first qualifying view. Each stage
+    is one filtered aggregate keyed on user_id joined to the previous
+    stage's frontier — per-stage cost is one shuffle on the user key
+    (the frontier side shrinks monotonically and broadcasts when small).
+    Order matters: a purchase BEFORE the first click does not count, so
+    this is sequence matching, not set intersection."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage_after(ev_type: str, prev: DataFrame, tcol: str, out: str):
+        return (
+            e.where(F.col("event_type") == ev_type)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage_after("view", s1, "t1", "t2")
+    s3 = stage_after("purchase", s2, "t2", "t3")
+    spark_sess = e.sparkSession
+
+    def count_row(df: DataFrame, stage: str, step: int) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.lit(step).cast("int").alias("step"),
+        )
+
+    return (
+        count_row(s1, "click", 1)
+        .unionByName(count_row(s2, "view", 2))
+        .unionByName(count_row(s3, "purchase", 3))
+        .orderBy("step")
+    )
+
+
+# --------------------------------------------------------------------------
+# retention cohorts: weekly activity by first-seen week
+# --------------------------------------------------------------------------
+_RETENTION_SQL = """
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, w.week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active
+    FROM wk w JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, week_offset
+    ORDER BY c.cohort_week, week_offset
+"""
+
+
+@register("retention_cohorts", _RETENTION_SQL)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-active week
+    (cohort), counted in every later week they appear. Two aggregates
+    and one join, all keyed on user_id / (cohort, offset) — the wk
+    frame is the distinct (user, week) activity matrix, so volume into
+    the join is bounded by users x weeks, not raw events."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -81,6 +81,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "shipping_priority",
     "local_supplier_volume",
     "unpivot_customer",
+    "funnel_stages",
+    "retention_cohorts",
     # -- attested only in the round-1 window; re-attest on current code --
     "alert_banding",
     "composite_key_agg",
