@@ -502,3 +502,61 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").asc_nulls_first(),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# histogram: fixed-width value binning (the profiling primitive behind
+# every dashboard distribution plot; reference analog: the describe/
+# summary profiling surface, work/Intro_pySpark.ipynb:959,244)
+# --------------------------------------------------------------------------
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 200.0, 20
+
+_HIST_BUCKET_SQL = (
+    f"CASE WHEN value < {_HIST_LO} THEN 0 "
+    f"WHEN value >= {_HIST_HI} THEN {_HIST_BINS + 1} "
+    f"ELSE CAST(floor((value - {_HIST_LO}) * {_HIST_BINS} "
+    f"/ ({_HIST_HI} - {_HIST_LO})) AS BIGINT) + 1 END"
+)
+
+_HIST_SQL = f"""
+    SELECT CAST({_HIST_BUCKET_SQL} AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS lo_val,
+           ROUND(MAX(value), 6) AS hi_val
+    FROM events
+    GROUP BY bin
+    ORDER BY bin
+"""
+
+
+@register("value_histogram", _HIST_SQL)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value — one hash aggregate on the
+    bin id (bins+2 groups: 0 = below range, bins+1 = above), no sort
+    until the final tiny ORDER BY. The map-side combine reduces each
+    partition to at most bins+2 rows, so shuffle volume is
+    O(partitions x bins) regardless of row count — the right shape for
+    a 100 TB profile pass."""
+    e = load_table(spark, sf_dir, "events")
+    # explicit bucket arithmetic (identical expression on both engines —
+    # DuckDB has no width_bucket, and matching the FORMULA beats
+    # matching a builtin's private edge-case behavior)
+    bucket = (
+        F.when(F.col("value") < _HIST_LO, F.lit(0))
+        .when(F.col("value") >= _HIST_HI, F.lit(_HIST_BINS + 1))
+        .otherwise(
+            F.floor(
+                (F.col("value") - _HIST_LO) * _HIST_BINS / (_HIST_HI - _HIST_LO)
+            ).cast("long")
+            + 1
+        )
+    )
+    return (
+        e.groupBy(bucket.cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo_val"),
+            F.round(F.max("value"), 6).alias("hi_val"),
+        )
+        .orderBy("bin")
+    )
