@@ -263,3 +263,70 @@ def compact_parquet(
     shutil.move(tmp, path)
     shutil.rmtree(old)
     return len(spark.read.parquet(path).inputFiles())
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    integer column into one long. Sorting by this key clusters rows
+    that are close in EVERY dimension into the same parquet row groups,
+    so min/max row-group stats stay tight for ALL interleaved columns
+    at once — a linear sort gets tight stats only for its leading
+    column. Built from shift/mask/sum terms (disjoint bit positions, so
+    ``+`` is bitwise OR) — pure codegen arithmetic, no UDF.
+
+    Columns must be non-negative integers; pre-map other types to an
+    integer rank (e.g. ``F.unix_timestamp``, dictionary codes) first.
+    """
+    n = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c) if isinstance(c, str) else c, i)
+            bit = bit.cast("long").bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * n + j))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Write parquet clustered by the Z-order of ``zorder_cols``: each
+    column is min/max-normalized to the full ``bits`` range (without
+    this, a narrow column's high interleave bits are constant zeros and
+    the wide column silently dominates the sort — i.e. no Z at all),
+    then a range repartition + in-partition sort on the Morton key
+    clusters row groups so min/max stats stay tight on EVERY clustered
+    column and point/range scans on any of them prune most of the lake
+    (tests pin the stats-tightness win vs a linear sort).
+
+    The normalization bounds cost one tiny min/max aggregate over the
+    input — at 100 TB that's a column-pruned scan the write was going
+    to do anyway, and the bounds can be cached per partition batch."""
+    hi = (1 << bits) - 1
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in zorder_cols],
+        *[F.max(c).alias(f"hi_{c}") for c in zorder_cols],
+    ).first()
+    scaled = []
+    for c in zorder_cols:
+        lo, span = bounds[f"lo_{c}"], bounds[f"hi_{c}"] - bounds[f"lo_{c}"]
+        span = span if span else 1
+        scaled.append(
+            ((F.col(c) - F.lit(lo)) * hi / F.lit(span)).cast("long")
+        )
+    out = df.withColumn("__z", zorder_key(scaled, bits=bits))
+    out = (
+        out.repartitionByRange(n_files, "__z")
+        if n_files
+        else out.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode(
+        "overwrite"
+    ).parquet(path)

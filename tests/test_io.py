@@ -209,3 +209,43 @@ def test_compact_parquet_preserves_rows(spark, tmp_path):
     assert after_df.count() == before
     # content identical, not just counts
     assert after_df.exceptAll(src).count() == 0
+
+
+def test_zorder_tightens_rowgroup_stats(spark, tmp_path):
+    """Z-order clustering vs linear sort: the SECOND dimension's summed
+    row-group (max - min) spread must shrink, while the first stays
+    usable — the property that makes multi-column data skipping work."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    li = io.load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def spread(path, col):
+        tot = 0.0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                tot += st.max - st.min
+        return tot
+
+    linear = str(tmp_path / "linear")
+    (
+        li.repartitionByRange(4, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(linear)
+    )
+    zordered = str(tmp_path / "z")
+    # l_partkey x l_quantity: genuinely independent dimensions (suppkey
+    # correlates with partkey in TPC-H and shows no win)
+    io.write_zordered(li, zordered, ["l_partkey", "l_quantity"], n_files=4)
+
+    assert spark.read.parquet(zordered).count() == li.count()
+    # linear partkey sort leaves l_quantity full-range in every row
+    # group; z-order must tighten it markedly while partkey stays
+    # clustered enough to keep skipping useful
+    assert spread(zordered, "l_quantity") < 0.7 * spread(linear, "l_quantity")
+    assert spread(zordered, "l_partkey") < 4 * spread(linear, "l_partkey")
