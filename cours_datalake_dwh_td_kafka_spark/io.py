@@ -252,6 +252,15 @@ def compact_parquet(
     import shutil
     from urllib.parse import urlparse
 
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} is a structured-streaming file-sink output: its "
+            "_spark_metadata log pins the exact file set, so rewriting "
+            "files underneath it corrupts reads and the running "
+            "stream's commit protocol. Compact individual partition "
+            "directories the stream has finished writing, or move the "
+            "data out of the sink's root first."
+        )
     df = spark.read.parquet(path)
     files = [urlparse(f).path for f in df.inputFiles()]
     total = sum(os.path.getsize(f) for f in files)
@@ -278,6 +287,14 @@ def zorder_key(cols: list, bits: int = 16):
     integer rank (e.g. ``F.unix_timestamp``, dictionary codes) first.
     """
     n = len(cols)
+    if n * bits > 63:
+        # position 63 is the long's sign bit and Java shifts wrap at 64
+        # — past this the key silently scrambles the sort order
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} key bits; a signed "
+            f"long holds 63. Lower bits (e.g. bits={63 // n}) or drop a "
+            "column."
+        )
     terms = []
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -308,7 +325,12 @@ def write_zordered(
 
     The normalization bounds cost one tiny min/max aggregate over the
     input — at 100 TB that's a column-pruned scan the write was going
-    to do anyway, and the bounds can be cached per partition batch."""
+    to do anyway, and the bounds can be cached per partition batch.
+
+    ``bits`` is clamped so the interleaved key fits a signed long
+    (n_cols * bits <= 63); precision beyond that adds nothing once the
+    values are min/max-normalized anyway."""
+    bits = min(bits, 63 // len(zorder_cols))
     hi = (1 << bits) - 1
     bounds = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in zorder_cols],

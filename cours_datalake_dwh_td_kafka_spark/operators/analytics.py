@@ -352,7 +352,6 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = stage_after("view", s1, "t1", "t2")
     s3 = stage_after("purchase", s2, "t2", "t3")
-    spark_sess = e.sparkSession
 
     def count_row(df: DataFrame, stage: str, step: int) -> DataFrame:
         return df.agg(

@@ -644,7 +644,7 @@ def embedding_cosine_pairs_blocked(
                     {
                         "vec_a": lo.astype("int64"),
                         "vec_b": hi.astype("int64"),
-                        "cosine": np.round(sims[ka, ib], 6),
+                        "cosine": gram.round_half_away(sims[ka, ib]),
                     }
                 )
 

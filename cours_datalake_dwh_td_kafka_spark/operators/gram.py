@@ -106,3 +106,14 @@ try:
     register_pickle_by_value(sys.modules[__name__])
 except Exception:  # pragma: no cover - old pyspark without the API
     pass
+
+
+def round_half_away(x: "np.ndarray", decimals: int = 6) -> "np.ndarray":
+    """Round half AWAY from zero — the tie rule Spark's ``F.round`` and
+    DuckDB's ``ROUND`` share. ``np.round`` rounds half to EVEN
+    (banker's), so a value landing exactly on a 5e-7 boundary would
+    round differently from both engines and flip a round-6 comparison
+    or ranking; every numpy kernel whose output is oracle-compared must
+    use this instead."""
+    p = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p

@@ -131,49 +131,23 @@ def detect_anomalies(events: DataFrame, profile: DataFrame) -> DataFrame:
 
 @register("anomaly_batch", _ANOMALY_SQL)
 def q_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch anomaly detection in ONE pass: the per-(type, month) profile
-    rides a window aggregate over the event scan instead of a separate
-    profile aggregation joined back (two scans + a broadcast join —
-    measured 2.5x slower at sf0.1). Same values: window avg/stddev over
-    the full partition equal the groupBy profile by definition.
-    The STREAMING variant keeps the join form (:func:`detect_anomalies`)
-    — a stream can't window-aggregate over its own unbounded history, so
-    there the profile is the batch-computed static side."""
-    e = load_table(spark, sf_dir, "events").withColumn("month", F.month("ts"))
-    w = Window.partitionBy("event_type", "month")
-    # same algebra as the oracle's profile CTE (exact decimal sum, round
-    # 6) so set MEMBERSHIP at the 2-sigma boundary can't flip on
-    # double-summation order — only expressed over a window, not a
-    # groupBy + join-back
-    mean = F.round(
-        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
-        / F.count(F.lit(1)).over(w),
-        6,
+    """Batch anomaly detection: aggregate the per-(type, month) profile
+    (map-side combine reduces each partition to ~60 rows before any
+    exchange), broadcast it, and join it back against the event scan —
+    the scan itself never shuffles.
+
+    A window-aggregate single-pass form (``avg(...).over(partitionBy
+    (type, month))``) measured ~2.5x faster at sf0.1 but was REJECTED:
+    it hash-partitions the ENTIRE event table into only
+    #(type x month) ~= 60 window tasks, so at 100 TB each task holds
+    terabytes — a straggler/OOM shape. The groupBy+broadcast-join form
+    keeps per-task work proportional to input partitioning at any
+    scale."""
+    events = load_table(spark, sf_dir, "events")
+    prof = monthly_profile(events).select(
+        "event_type", "month", "value_mean", "value_std"
     )
-    stats = e.withColumn("value_mean", mean).withColumn(
-        "value_std", F.round(F.stddev_samp("value").over(w), 6)
-    )
-    return (
-        stats.where(
-            F.abs(F.col("value") - F.col("value_mean")) > 2 * F.col("value_std")
-        )
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.col("ts").alias("event_time"),
-            F.lit("value").alias("variable"),
-            F.col("value").alias("observed_value"),
-            F.col("value_mean").alias("expected_value"),
-            F.when(
-                F.col("value") > F.col("value_mean") + 2 * F.col("value_std"),
-                "high",
-            )
-            .otherwise("low")
-            .alias("anomaly_type"),
-        )
-        .orderBy("event_id")
-    )
+    return detect_anomalies(events, prof)
 
 
 # --------------------------------------------------------------------------

@@ -107,6 +107,8 @@ def ann_topk_bruteforce(
     import numpy as np
     import pandas as pd
 
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
     emb_d = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -128,7 +130,7 @@ def ann_topk_bruteforce(
             xn = np.linalg.norm(x, axis=1)
             # dot/(na*nb): same op order as the JVM lambda form and
             # DuckDB's list_cosine_similarity (NOT normalize-then-matmul)
-            sims = np.round((x @ qmat.T) / np.outer(xn, qnrm), 6)
+            sims = gram.round_half_away((x @ qmat.T) / np.outer(xn, qnrm))
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
                 keep = ids != qids[j]
@@ -219,6 +221,8 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -281,7 +285,7 @@ def ivf_topk(
                     continue
                 cids = ids[mask]
                 sims = xu[mask] @ qmat[probe_qis].T  # (m_cell, n_probe_q)
-                sims = np.round(sims, 6)
+                sims = gram.round_half_away(sims)
                 for j, qi in enumerate(probe_qis):
                     col = sims[:, j]
                     keep = cids != qids[qi]  # self-exclusion
@@ -380,7 +384,7 @@ def q_cluster_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vals = sims[mask]
                 if not len(vals):
                     continue
-                cos = np.round(vals, 6)
+                cos = gram.round_half_away(vals)
                 micro = np.rint(cos * 1e6).astype("int64")
                 yield pd.DataFrame(
                     {
@@ -443,6 +447,21 @@ _QUANT_SQL = """
 """
 
 
+def _quant_scale(emb):
+    """Per-vector symmetric int8 scale: max|v| / 127, epsilon-guarded so
+    a zero vector quantizes to zeros instead of NaNs. Shared by
+    :func:`quantize_embeddings` (error stats) and
+    :func:`quantized_codes` (code arrays) so the quantization contract
+    is defined exactly once."""
+    return (
+        F.greatest(
+            F.array_max(F.transform(emb, lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127
+    )
+
+
 def quantize_embeddings(e: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization — code_i =
     round(v_i / scale) with scale = max|v| / 127 — plus reconstruction
@@ -455,13 +474,7 @@ def quantize_embeddings(e: DataFrame) -> DataFrame:
     The driver query emits the error STATS (hash-stable scalars);
     :func:`quantized_codes` returns the actual code arrays for sinks."""
     emb = F.col("embedding").cast("array<double>")
-    scale = (
-        F.greatest(
-            F.array_max(F.transform(emb, lambda x: F.abs(x))),
-            F.lit(1e-12),
-        )
-        / 127
-    )
+    scale = _quant_scale(emb)
     s = e.select("vec_id", emb.alias("emb"), scale.alias("scale"))
     errs = F.transform(
         F.col("emb"),
@@ -489,13 +502,7 @@ def quantized_codes(e: DataFrame) -> DataFrame:
     """(vec_id, scale, codes array<int>) — the materializable quantized
     form; codes fit int8 by construction (|code| <= 127)."""
     emb = F.col("embedding").cast("array<double>")
-    scale = (
-        F.greatest(
-            F.array_max(F.transform(emb, lambda x: F.abs(x))),
-            F.lit(1e-12),
-        )
-        / 127
-    )
+    scale = _quant_scale(emb)
     return e.select(
         "vec_id",
         scale.alias("scale"),

@@ -306,15 +306,28 @@ def merge_stream_to_lake(
     checkpoint: str,
     keys: tuple[str, ...],
     partition_col: str,
+    order_col: str | None = None,
 ):
     """Streaming UPSERT into a parquet lake via ``foreachBatch`` +
     dynamic partition overwrite: per micro-batch, only the partitions the
     batch actually touches are read back, merged (batch rows win on key
-    collision — last-writer-wins upsert), and atomically replaced.
-    Partitions outside the batch are never read or written, so per-batch
-    cost is O(touched partitions), not O(lake) — the standard
-    plain-parquet merge shape when no table format (Delta/Iceberg)
-    manages row-level commits.
+    collision), and atomically replaced. Partitions outside the batch
+    are never read or written, so per-batch cost is O(touched
+    partitions), not O(lake) — the standard plain-parquet merge shape
+    when no table format (Delta/Iceberg) manages row-level commits.
+
+    CONTRACT: ``partition_col`` must be stable per key (derived from the
+    key, or immutable like an entity's home region). The merge only
+    rewrites partitions the batch touches, so a key that MOVES partition
+    would leave its old row behind in the old partition — model moving
+    entities with an append sink + compaction, or a table format.
+
+    ``order_col`` names the column that decides which of several
+    same-key rows in ONE batch wins (max value wins — e.g. an event
+    timestamp). Without it the choice falls to ``dropDuplicates``,
+    which keeps an arbitrary row — fine for idempotent re-sends,
+    wrong for in-batch corrections; pass it whenever upstream can emit
+    multiple versions per key per batch.
 
     The append-only sink (:func:`write_stream_to_lake`) is the right
     default for immutable events; this one is for mutable entities
@@ -327,17 +340,30 @@ def merge_stream_to_lake(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        # one upsert row per key per batch: keep the batch's LAST row
-        # (max event order within the batch is the upsert contract)
-        batch_dedup = batch_df.dropDuplicates(list(keys))
+        if order_col is not None:
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(*keys).orderBy(F.desc(order_col))
+            batch_dedup = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch_dedup = batch_df.dropDuplicates(list(keys))
         parts = [
             r[0]
             for r in batch_dedup.select(partition_col).distinct().collect()
         ]
-        try:
+        # existence is checked EXPLICITLY: a blanket try/except around
+        # the read would also swallow transient FS/schema errors and
+        # then overwrite surviving rows with batch-only data
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(hpath):
             existing = spark.read.parquet(path).where(
                 F.col(partition_col).isin(parts)
             )
@@ -347,13 +373,31 @@ def merge_stream_to_lake(
                 "left_anti",
             )
             merged = survivors.unionByName(batch_dedup)
-        except Exception:  # first batch: lake doesn't exist yet
+        else:  # first batch: lake doesn't exist yet
             merged = batch_dedup
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", None
         )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                merged.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            # restore the session-wide conf: leaking dynamic mode would
+            # silently change overwrite semantics for every later write
+            if prev_mode is None:
+                spark.conf.unset(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
 
     return (
         df.writeStream.foreachBatch(merge)

@@ -568,30 +568,33 @@ def test_merge_stream_to_lake_upserts(spark, tmp_path):
     indir.mkdir()
     lake = str(tmp_path / "lake")
     ckpt = str(tmp_path / "ckpt")
-    schema = "station LONG, region STRING, reading DOUBLE"
+    schema = "station LONG, region STRING, reading DOUBLE, seq LONG"
 
     def run():
         s = spark.readStream.schema(schema).json(str(indir))
         q = merge_stream_to_lake(
-            s, lake, ckpt, keys=("station",), partition_col="region"
+            s, lake, ckpt, keys=("station",), partition_col="region",
+            order_col="seq",
         ).start()
         q.awaitTermination(120)
 
     _write_batch(
         str(indir),
         [
-            {"station": 1, "region": "eu", "reading": 10.0},
-            {"station": 2, "region": "us", "reading": 20.0},
+            {"station": 1, "region": "eu", "reading": 10.0, "seq": 1},
+            {"station": 2, "region": "us", "reading": 20.0, "seq": 1},
         ],
         "b0",
     )
     run()
-    # second batch: update station 1, add station 3; us partition untouched
+    # second batch: update station 1 TWICE (the higher seq must win —
+    # in-batch correction), add station 3; us partition untouched
     _write_batch(
         str(indir),
         [
-            {"station": 1, "region": "eu", "reading": 11.0},
-            {"station": 3, "region": "eu", "reading": 30.0},
+            {"station": 1, "region": "eu", "reading": 10.5, "seq": 2},
+            {"station": 1, "region": "eu", "reading": 11.0, "seq": 3},
+            {"station": 3, "region": "eu", "reading": 30.0, "seq": 1},
         ],
         "b1",
     )
