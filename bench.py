@@ -47,6 +47,9 @@ def main() -> None:
 
     qs = registry.queries()
     if only:
+        unknown = only - set(qs)
+        if unknown:
+            sys.exit(f"unknown queries: {sorted(unknown)}")
         qs = {n: f for n, f in qs.items() if n in only}
 
     # Warm-up: JVM, codegen, parquet footer caches — touch every table

@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
 from cours_datalake_dwh_td_kafka_spark.operators.dedup import NORM_SQL, norm_text
+from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+    QUALITY_EXPR_SQL as _QE,
+)
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -202,8 +205,13 @@ def contamination_check(
     cartesian anything; cost ~ corpus n-gram count + join on matches."""
     from cours_datalake_dwh_td_kafka_spark.operators.dedup import shingle_rows
 
-    sh = shingle_rows(d, n=n).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
+    # hash BEFORE the (doc, shingle) distinct: with distinct=True the
+    # dedup Aggregate sits below the hash projection and the exchange
+    # carries ~25-byte n-gram strings; this order shuffles 8-byte longs
+    sh = (
+        shingle_rows(d, n=n, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
     )
     bench = sh.where(F.col("doc_id") % bench_mod == 0).select(
         F.col("shingle"), F.col("doc_id").alias("bench_doc")
@@ -315,12 +323,7 @@ _BALANCED_SQL = f"""
     ),
     scored AS (
       SELECT doc_id,
-             ROUND(
-               0.4 * LEAST(n_tokens / 100.0, 1.0)
-               + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-               + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
-               + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
-               6) AS quality_score
+             {_QE} AS quality_score
       FROM feat
     ),
     ranked AS (
@@ -346,12 +349,7 @@ def q_balanced_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 PT_QUALITY_MIN = 0.5
 
-_PT_QUALITY_EXPR = """ROUND(
-              0.4 * LEAST(n_tokens / 100.0, 1.0)
-              + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-              + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
-              + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
-              6)"""
+_PT_QUALITY_EXPR = _QE
 
 _PT_8GRAMS = (
     f"list_distinct(list_transform("
@@ -466,14 +464,24 @@ def pretraining_pipeline(
     keepers = gated.withColumn(
         "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
     ).where(F.col("doc_id") == F.col("keep_id"))
+    # hash-first (see contamination_check): distinct runs on int64
+    # hashes, never on shingle strings
     bench_sh = (
-        shingle_rows(d.where(F.col("doc_id") % bench_mod == 0), n=CONTAM_NGRAM)
+        shingle_rows(
+            d.where(F.col("doc_id") % bench_mod == 0),
+            n=CONTAM_NGRAM,
+            distinct=False,
+        )
         .select(F.xxhash64("shingle").alias("sh"))
         .distinct()
     )
-    kept_sh = shingle_rows(
-        keepers.select("doc_id", "text"), n=CONTAM_NGRAM
-    ).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    kept_sh = (
+        shingle_rows(
+            keepers.select("doc_id", "text"), n=CONTAM_NGRAM, distinct=False
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
     contaminated = kept_sh.join(bench_sh, "sh").select("doc_id").distinct()
     clean = keepers.join(contaminated, "doc_id", "left_anti")
     w = (

@@ -58,11 +58,17 @@ def iter_label_matrices(
             entry[0].append(np.vstack(grp["emb"].to_numpy()))
             for i, c in enumerate(extra_cols):
                 entry[i + 1].append(grp[c].to_numpy())
-    for label, entry in bufs.items():
+    # pop each label's buffer BEFORE stacking: vstack allocates the
+    # label's O(n*d) matrix while the per-batch pieces are still alive,
+    # and holding every label's pieces until the generator drains would
+    # peak at ~2x the partition — release each as it is consumed
+    for label in list(bufs):
+        entry = bufs.pop(label)
         x = entry[0][0] if len(entry[0]) == 1 else np.vstack(entry[0])
         extras = tuple(
             e[0] if len(e) == 1 else np.concatenate(e) for e in entry[1:]
         )
+        del entry
         yield (label, x, *extras)
 
 

@@ -212,7 +212,10 @@ def range_join_bucketed(o: DataFrame, bands: DataFrame) -> DataFrame:
     <= bucket(min(hi, clamp)) always holds when clamp >= every lo.
     Deriving the clamp costs one O(n_bands) driver-side aggregate on a
     table that is broadcast-small by precondition."""
-    hi_clamp = float(bands.agg(F.max("lo")).first()[0])
+    max_lo = bands.agg(F.max("lo")).first()[0]
+    # empty band table: any clamp works (the join below yields no rows);
+    # float(None) would crash where the NLJ twin returns empty
+    hi_clamp = float(max_lo) if max_lo is not None else 0.0
     bucket = lambda c: (F.least(c, F.lit(hi_clamp)) / _BUCKET_W).cast("long")  # noqa: E731
     bands_b = bands.select(
         "band",

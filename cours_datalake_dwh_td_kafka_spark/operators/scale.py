@@ -30,7 +30,7 @@ from cours_datalake_dwh_td_kafka_spark.registry import register
 N_SALTS = 16
 
 
-def salt_expr(df: DataFrame, n_salts: int = N_SALTS):
+def salt_expr(n_salts: int = N_SALTS):
     """Row-spreading salt: hash of a per-row id, mod n_salts. The id is
     deterministic under task retry (monotonically_increasing_id is a
     function of partition id + row offset) and distinct per row, so —
@@ -62,7 +62,7 @@ def salted_agg(
     differ; for fully-identical rows the partial aggregate itself
     already collapses them, so the reduce stays balanced either way.
     """
-    salted = df.withColumn("_salt", salt_expr(df, n_salts))
+    salted = df.withColumn("_salt", salt_expr(n_salts))
     partial = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(value).cast("decimal(28,6)")).alias("_s"),
@@ -115,7 +115,7 @@ def salted_join(
     adaptively; explicit salting is the deterministic fallback when the
     skew is known and extreme, or when AQE is off — e.g. inside
     streaming micro-batches, where AQE does not run.)"""
-    b = big.withColumn("_salt", salt_expr(big, n_salts))
+    b = big.withColumn("_salt", salt_expr(n_salts))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -61,6 +61,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
+#: The combined quality score over (n_tokens, n_distinct, n_stop,
+#: n_punct, n_chars) — ONE definition shared by every oracle that scores
+#: documents, so the formula cannot drift between queries.
+QUALITY_EXPR_SQL = """ROUND(
+    0.4 * LEAST(n_tokens / 100.0, 1.0)
+    + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+    + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
+    + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
+    6)"""
+
+_QE = QUALITY_EXPR_SQL
+
 _QUALITY_SQL = f"""
     WITH base AS (
       SELECT doc_id, n_chars,
@@ -81,12 +93,7 @@ _QUALITY_SQL = f"""
            ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
            ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
            ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
-           ROUND(
-             0.4 * LEAST(n_tokens / 100.0, 1.0)
-             + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-             + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
-             + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
-             6) AS quality_score
+           {_QE} AS quality_score
     FROM feat
     ORDER BY doc_id
 """
@@ -526,12 +533,7 @@ _CURATION_SQL = f"""
     cand AS (
       SELECT doc_id, source, lang, fp
       FROM feat
-      WHERE ROUND(
-              0.4 * LEAST(n_tokens / 100.0, 1.0)
-              + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-              + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
-              + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
-              6) >= {CURATION_QUALITY_MIN}
+      WHERE {_QE} >= {CURATION_QUALITY_MIN}
     ),
     keep AS (
       SELECT fp, MIN(doc_id) AS keep_id FROM cand GROUP BY fp

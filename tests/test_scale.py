@@ -43,7 +43,7 @@ def test_salt_actually_spreads_hot_key(spark):
     from cours_datalake_dwh_td_kafka_spark.operators.scale import salt_expr
 
     e = load_table(spark, SF_ORACLE, "events")
-    salted = e.withColumn("_salt", salt_expr(e))
+    salted = e.withColumn("_salt", salt_expr())
     spread = (
         salted.groupBy("event_type")
         .agg(F.countDistinct("_salt").alias("n_buckets"))
@@ -69,7 +69,7 @@ def test_salt_spreads_constant_value_hot_key(spark):
     )
     df = hot.unionAll(cold)
     spread = (
-        df.withColumn("_salt", salt_expr(df))
+        df.withColumn("_salt", salt_expr())
         .where(F.col("k") == "hot")
         .select(F.countDistinct("_salt").alias("n"))
         .collect()[0]
