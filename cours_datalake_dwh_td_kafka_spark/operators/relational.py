@@ -155,6 +155,47 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# deterministic hash sample: the value-checkable twin of `sampling`.
+# --------------------------------------------------------------------------
+HASH_SAMPLE_PCT = 10
+
+
+def _hash_sample_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import HASH32_SQL
+
+    h = HASH32_SQL.format(c="CAST(c_custkey AS VARCHAR)")
+    return f"""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE ({h}) % 100 < {HASH_SAMPLE_PCT}
+    ORDER BY c_custkey
+    """
+
+
+@register("hash_sample", _hash_sample_sql())
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% sample selected by a content hash of the key instead of an
+    RNG: md5-derived hash32(key) % 100 < pct. Unlike the seeded
+    Bernoulli sampler (engine-specific stream of draws -> rows-only
+    driver check), the hash sample is a pure per-row predicate —
+    reproducible across engines, runs, partitionings, AND dataset
+    versions (a key keeps its in/out fate as the corpus grows — exactly
+    what held-out eval splits need). Pushed to the scan like any
+    filter; no shuffle."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _HASH32_SPARK,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    h = _HASH32_SPARK(F.col("c_custkey").cast("string"))
+    return (
+        c.where(h % 100 < HASH_SAMPLE_PCT)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # O1/O4: multi-column sort + top-k. Catalyst plans limit+sort as
 # TakeOrderedAndProject — no global sort materialization.
 # --------------------------------------------------------------------------
