@@ -243,16 +243,21 @@ def compact_parquet(
     lake ingesting all day accumulates thousands of KB-sized files —
     and at read time each costs a task + a footer fetch (the classic
     small-files tax). Compaction runs as a periodic batch job on
-    partitions the stream has moved past. File sizes come from Spark's
-    own listing (``df.inputFiles``), so the same code works on any
-    supported filesystem; the swap is two renames — on object stores
-    front it with a manifest commit or run it under a table format's
-    transaction instead."""
+    partitions the stream has moved past. Sizes and the directory swap
+    both go through the Hadoop FileSystem API, so the same code runs on
+    local paths and hdfs:// alike; on object stores (rename is a copy,
+    not atomic) front the swap with a manifest commit or run it under a
+    table format's transaction instead."""
     import math
-    import shutil
-    from urllib.parse import urlparse
 
-    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = hpath(path).getFileSystem(hconf)
+    if fs.exists(hpath(f"{path}/_spark_metadata")):
         raise ValueError(
             f"{path} is a structured-streaming file-sink output: its "
             "_spark_metadata log pins the exact file set, so rewriting "
@@ -262,15 +267,18 @@ def compact_parquet(
             "data out of the sink's root first."
         )
     df = spark.read.parquet(path)
-    files = [urlparse(f).path for f in df.inputFiles()]
-    total = sum(os.path.getsize(f) for f in files)
+    total = sum(fs.getFileStatus(hpath(f)).getLen() for f in df.inputFiles())
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     tmp = f"{path}.compact.tmp"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
     old = f"{path}.compact.old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    if not fs.rename(hpath(path), hpath(old)):
+        raise OSError(f"compact_parquet: rename {path} -> {old} failed")
+    if not fs.rename(hpath(tmp), hpath(path)):
+        # roll back so the lake path is never left missing
+        fs.rename(hpath(old), hpath(path))
+        raise OSError(f"compact_parquet: rename {tmp} -> {path} failed")
+    fs.delete(hpath(old), True)
     return len(spark.read.parquet(path).inputFiles())
 
 
@@ -336,6 +344,12 @@ def write_zordered(
         *[F.min(c).alias(f"lo_{c}") for c in zorder_cols],
         *[F.max(c).alias(f"hi_{c}") for c in zorder_cols],
     ).first()
+    if any(bounds[f"lo_{c}"] is None for c in zorder_cols):
+        # empty input (or an all-NULL cluster column): there is nothing
+        # to cluster — write the frame as-is instead of crashing on
+        # None arithmetic below
+        df.write.mode("overwrite").parquet(path)
+        return
     scaled = []
     for c in zorder_cols:
         lo, span = bounds[f"lo_{c}"], bounds[f"hi_{c}"] - bounds[f"lo_{c}"]

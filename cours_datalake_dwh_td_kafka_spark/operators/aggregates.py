@@ -524,6 +524,7 @@ _HIST_SQL = f"""
            ROUND(MIN(value), 6) AS lo_val,
            ROUND(MAX(value), 6) AS hi_val
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY bin
     ORDER BY bin
 """
@@ -537,7 +538,11 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition to at most bins+2 rows, so shuffle volume is
     O(partitions x bins) regardless of row count — the right shape for
     a 100 TB profile pass."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL values are filtered explicitly: a NULL would otherwise form
+    # its own NULL-bin group, and Spark's orderBy puts NULLS FIRST while
+    # DuckDB's puts them LAST — the query's contract must not depend on
+    # the current dataset happening to be non-null
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     # explicit bucket arithmetic (identical expression on both engines —
     # DuckDB has no width_bucket, and matching the FORMULA beats
     # matching a builtin's private edge-case behavior)

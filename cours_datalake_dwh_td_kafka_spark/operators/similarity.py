@@ -31,6 +31,49 @@ from cours_datalake_dwh_td_kafka_spark.registry import register
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 
+#: salt width of the pre-reduce in :func:`global_topk` — the max candidate
+#: rows any single reducer task sees per query is TOPK_FANIN * k
+TOPK_FANIN = 64
+
+
+def global_topk(scored: DataFrame, top_k: int, fanin: int = TOPK_FANIN) -> DataFrame:
+    """Tree-reduced global top-k per query over a candidate stream of
+    (query_id, neighbor_id, cosine) rows.
+
+    A single ``Window.partitionBy("query_id")`` funnels EVERY partition's
+    candidates for a query into one reducer task — fine at 10^4 upstream
+    partitions, but at 100 TB (~10^6 tasks x k candidates each) that one
+    task sorts millions of rows. Two stages bound it: (1) salt each
+    candidate by a hash of its neighbor_id into ``fanin`` buckets and
+    take a per-(query, salt) local top-k — each of these reducers sees
+    ~partitions/fanin * k rows; (2) the final per-query window ranks at
+    most fanin * k survivors. Exactness: each (query, neighbor) candidate
+    is unique (one corpus partition / one IVF cell owns a vector) and
+    lands in exactly one salt bucket, and any global top-k row is
+    necessarily in its own bucket's top-k, so stage 2 sees every true
+    winner. Ordering (cosine desc, neighbor_id asc) is a total order per
+    query, so ranks are deterministic."""
+    w_local = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pruned = (
+        scored.withColumn(
+            "_salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(fanin))
+        )
+        .withColumn("_rn", F.row_number().over(w_local))
+        .where(F.col("_rn") <= top_k)
+        .drop("_rn", "_salt")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
 
 _ANN_SQL = f"""
     WITH q AS (
@@ -98,8 +141,9 @@ def ann_topk_bruteforce(
     the IVF probe assignment — then ONE ``mapInPandas`` pass scores each
     corpus partition against all queries with a single matmul and keeps a
     partition-local top-k. Only (partitions x queries x k) candidate rows
-    cross the shuffle into the global top-k window — at 100 TB the
-    corpus stays partitioned and nothing quadratic materializes.
+    leave the scan, and the global reduce is the two-stage
+    :func:`global_topk` tree — no single reducer ever sees more than
+    TOPK_FANIN * k rows per query, so the plan survives a 10^6-task scan.
 
     Same arithmetic as the oracle (dot / (|a||b|), rounded to 6 before
     ranking), so results are value-identical to :func:`ann_topk_lambda`
@@ -152,15 +196,7 @@ def ann_topk_bruteforce(
     scored = emb_d.mapInPandas(
         score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .where(F.col("rn") <= top_k)
-        .select("query_id", "neighbor_id", "cosine", "rn")
-        .orderBy("query_id", "rn")
-    )
+    return global_topk(scored, top_k)
 
 
 @register("ann_topk_cosine", _ANN_SQL)
@@ -310,15 +346,7 @@ def ivf_topk(
     scored = emb_d.mapInPandas(
         score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .where(F.col("rn") <= top_k)
-        .select("query_id", "neighbor_id", "cosine", "rn")
-        .orderBy("query_id", "rn")
-    )
+    return global_topk(scored, top_k)
 
 
 @register("ann_ivf_topk")

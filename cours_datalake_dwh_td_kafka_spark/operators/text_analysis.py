@@ -665,12 +665,12 @@ _BM25_SQL = f"""
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT tf.doc_id,
-             SUM(
+             CAST(SUM(CAST(
                ln((n_docs - df + 0.5) / (df + 0.5) + 1)
                * tf * ({BM25_K1} + 1)
                / (tf + {BM25_K1}
                   * (1 - {BM25_B} + {BM25_B} * dl / avg_dl))
-             ) AS s
+             AS DECIMAL(28,6))) AS DOUBLE) AS s
       FROM tf
       JOIN df USING (term)
       JOIN lens ON tf.doc_id = lens.doc_id
@@ -707,7 +707,9 @@ def bm25_search(
     corpus; for fat queries swap in the partial-top-k pattern from
     :func:`~..similarity.ann_topk_bruteforce`. Ranking compares the
     round-6 score (ties by doc_id) so engine libm ulp noise can't
-    reorder."""
+    reorder; per-term scores are summed as DECIMAL(28,6) (the repo's
+    dec_sum discipline) so partial-aggregation ORDER can't shift the
+    sum by an ulp and flip the round-6 value either."""
     toks = F.split(norm_text(F.col("text")), " ")
     tokd = d.select("doc_id", toks.alias("t"))
     lens = tokd.select("doc_id", F.size("t").alias("dl"))
@@ -740,7 +742,11 @@ def bm25_search(
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .agg(
+            F.round(
+                F.sum(term_score.cast("decimal(28,6)")).cast("double"), 6
+            ).alias("bm25")
+        )
     )
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (

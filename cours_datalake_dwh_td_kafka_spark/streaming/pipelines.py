@@ -375,29 +375,17 @@ def merge_stream_to_lake(
             merged = survivors.unionByName(batch_dedup)
         else:  # first batch: lake doesn't exist yet
             merged = batch_dedup
-        prev_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", None
+        # writer-scoped dynamic overwrite (takes precedence over the
+        # session conf since Spark 2.4): a static-mode overwrite here
+        # would truncate the whole lake before reading it, and setting
+        # the session conf instead would leak dynamic semantics to every
+        # concurrent write in the session for the duration of the batch
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
         )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(path)
-            )
-        finally:
-            # restore the session-wide conf: leaking dynamic mode would
-            # silently change overwrite semantics for every later write
-            if prev_mode is None:
-                spark.conf.unset(
-                    "spark.sql.sources.partitionOverwriteMode"
-                )
-            else:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev_mode
-                )
 
     return (
         df.writeStream.foreachBatch(merge)

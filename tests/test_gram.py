@@ -59,6 +59,25 @@ def test_embedding_cosine_pairs_chunk_invariant(spark, small_batches):
     assert len(chunked) > 0
 
 
+def test_semantic_dedup_chunk_invariant(spark, small_batches):
+    """The cell-keyed semantic-dedup pair stage (round-4 rework) rides
+    the same chunked-gram kernel: a hot cell's live memory is bounded by
+    the chunk, so forcing tiny Arrow batches and 7-row chunks must not
+    change a single keep decision."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, SF, "embeddings")
+    # bits=2 -> 4 fat cells (stress the hot-cell path); threshold 0 so
+    # roughly half of all within-cell pairs trip the drop rule
+    chunked = _rows(semantic_dedup(e, bits=2, threshold=0.0))
+    gram.GRAM_CHUNK = 1 << 30
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    whole = _rows(semantic_dedup(e, bits=2, threshold=0.0))
+    assert chunked == whole
+    assert len(chunked) > 0
+    assert any(not keep for _, _, keep in chunked)
+
+
 def test_label_larger_than_one_batch_exercised(spark, small_batches):
     """Guard the fixture premise: at least one label holds more rows than
     the Arrow batch size, so the streamed buffers really merge
