@@ -201,9 +201,9 @@ def write_json(
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_cols: list[str],
+    bucket_cols: str | list[str],
     n_buckets: int = 32,
-    sort_cols: list[str] | None = None,
+    sort_cols: str | list[str] | None = None,
     path: str | None = None,
 ) -> None:
     """Bucketed (hash-clustered) table write: rows are hash-partitioned
@@ -223,7 +223,15 @@ def write_bucketed(
     ``path`` makes it an external table (tests use tmp dirs); bucketing
     requires ``saveAsTable`` — a bare ``.parquet(path)`` write silently
     drops the bucket metadata.
+
+    This is the ONE definition of the bucketed-write lever (round 4
+    unified the former operators.scale twin into it — two sources of
+    truth for the same lake contract drift).
     """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -257,6 +257,54 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_strat_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import HASH32_SQL
+
+    h = HASH32_SQL.format(c="'strat:' || CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {int(frac * 100)}"
+        for lang, frac in STRATA_FRACTIONS.items()
+    )
+    return f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ({h}) % 100 < CASE lang {whens} ELSE 0 END
+    ORDER BY doc_id
+    """
+
+
+@register("hash_stratified_sample", _hash_strat_sql())
+def q_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-checkable twin of `stratified_sample`, the same way
+    `hash_sample` twins `sampling`: per-stratum rates come from a pure
+    md5-threshold predicate on the key (salted 'strat:' so this split is
+    independent of hash_sample's), not an RNG — reproducible across
+    engines, runs, partitionings, and corpus versions, and pushed to the
+    scan like any filter. Strata absent from STRATA_FRACTIONS sample at
+    0, matching sampleBy's missing-key semantics."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _HASH32_SPARK,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        _HASH32_SPARK(
+            F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    pct = F.lit(0)
+    for lang, frac in STRATA_FRACTIONS.items():
+        pct = F.when(F.col("lang") == lang, F.lit(int(frac * 100))).otherwise(
+            pct
+        )
+    return (
+        d.where(h < pct)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # UNPIVOT/melt: wide per-customer numeric columns -> long (metric, value)
 # rows — the inverse of pivot, and the shape feature-store exports use.
@@ -341,6 +389,87 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.where(F.col("event_type") == ev_type)
             .join(prev, "user_id")
             .where(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage_after("view", s1, "t1", "t2")
+    s3 = stage_after("purchase", s2, "t2", "t3")
+
+    def count_row(df: DataFrame, stage: str, step: int) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.lit(step).cast("int").alias("step"),
+        )
+
+    return (
+        count_row(s1, "click", 1)
+        .unionByName(count_row(s2, "view", 2))
+        .unionByName(count_row(s3, "purchase", 3))
+        .orderBy("step")
+    )
+
+
+# Conversion-windowed funnel: each step must land within
+# FUNNEL_WINDOW_DAYS of the previous step's timestamp — how a real
+# product-analytics user asks the question (unbounded follow-time counts
+# a purchase a year later as "converted").
+FUNNEL_WINDOW_DAYS = 7
+
+_FUNNEL_WINDOWED_SQL = f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users, step FROM (
+      SELECT 'click' AS stage, COUNT(*) AS n_users, 1 AS step FROM s1
+      UNION ALL
+      SELECT 'view', COUNT(*), 2 FROM s2
+      UNION ALL
+      SELECT 'purchase', COUNT(*), 3 FROM s3
+    )
+    ORDER BY step
+"""
+
+
+@register("funnel_stages_windowed", _FUNNEL_WINDOWED_SQL)
+def q_funnel_stages_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_funnel_stages` with a max-conversion-window: a step only
+    counts if it happens within FUNNEL_WINDOW_DAYS of the previous
+    step. Same join/aggregate shape (one user-keyed shuffle per stage,
+    shrinking frontier); the window predicate rides the stage filter, so
+    it prunes before the aggregate rather than after."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY")
+
+    def stage_after(ev_type: str, prev: DataFrame, tcol: str, out: str):
+        return (
+            e.where(F.col("event_type") == ev_type)
+            .join(prev, "user_id")
+            .where(
+                (F.col("ts") > F.col(tcol))
+                & (F.col("ts") <= F.col(tcol) + win)
+            )
             .groupBy("user_id")
             .agg(F.min("ts").alias(out))
         )

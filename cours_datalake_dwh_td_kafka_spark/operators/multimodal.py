@@ -7,9 +7,18 @@ columns; metadata rides in sibling typed columns (modality, byte length,
 content hash). Decode / resize / frame-sample are `mapInPandas`
 featurizers over Arrow batches — at 100 TB only the binary column's
 partitions stream through the Python workers, everything else is pruned
-at the parquet scan. The actual image/audio codecs aren't in this
-container, so `decode_stub` produces a deterministic fake feature vector
-from the bytes; real codecs drop into the same UDF signature.
+at the parquet scan.
+
+Codec layer (round 4): the AUDIO path is REAL — a pure-numpy RIFF/WAVE
+PCM-16 encoder/decoder (:func:`encode_wav_pcm16` /
+:func:`decode_wav_pcm16`, no external codec libs needed), exercised
+end-to-end by the oracle-paired ``multimodal_audio_stats`` query
+(synthesize -> encode -> DECODE -> stats; the DuckDB oracle recomputes
+the stats from the source bytes, so a mis-parsed header or byte order
+flips the value hash). Compressed image/video codecs (PIL/ffmpeg) aren't
+in this container, so `decode_stub` stays a deterministic byte-level
+featurizer for those modalities; real codecs drop into the same UDF
+signature.
 """
 
 from __future__ import annotations
@@ -75,6 +84,84 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL codec: RIFF/WAVE 16-bit PCM, pure numpy + struct. Uncompressed WAV
+# is fully specified by its container (RFC 2361 / the original RIFF spec),
+# so a from-scratch parser is exact — no codec library required.
+# ---------------------------------------------------------------------------
+
+def encode_wav_pcm16(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Serialize an int16 sample array into a canonical 44-byte-header
+    RIFF/WAVE file (PCM format 1, little-endian, ``channels``
+    interleaved). Inverse of :func:`decode_wav_pcm16` (round-trip is
+    byte-exact; property-tested)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    block = 2 * channels
+    fmt = struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate,
+        sample_rate * block, block, 16,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Parse a RIFF/WAVE payload: walk the chunk list (skipping unknown
+    chunks and honoring RIFF's odd-size pad byte), validate PCM/16-bit,
+    and return ``(sample_rate, samples)`` — samples shaped ``(n,)`` for
+    mono or ``(n, channels)`` otherwise. Raises ``ValueError`` on a
+    non-WAV payload, a non-PCM format code, or a missing fmt/data chunk
+    — a pipeline must fail loudly on undecodable media, not emit
+    garbage features."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate = channels = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: format={audio_fmt} bits={bits} "
+                    "(only 16-bit PCM)"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    if channels and channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels].reshape(
+            -1, channels
+        )
+    return int(rate), samples
+
+
+# ---------------------------------------------------------------------------
 # featurizer: mapInPandas over Arrow batches. The decode step is a
 # deterministic stub (real pipelines swap in PIL/ffmpeg here — marked).
 # ---------------------------------------------------------------------------
@@ -92,22 +179,39 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_stub(payload: bytes, modality: str) -> dict:
-    """Deterministic stand-in for the codec layer.
+    """Deterministic stand-in for the compressed-codec layer (the audio
+    path has a REAL codec — see :func:`decode_wav_pcm16`).
 
-    Real deployment: replace the body with PIL.Image.open /
-    soundfile.read / av.open — same signature, same output dict. Raising
-    path kept for unknown modalities so pipelines fail loudly.
+    Real deployment: replace the body with PIL.Image.open / av.open —
+    same signature, same output dict. Raising path kept for unknown
+    modalities so pipelines fail loudly.
+
+    Byte stats use exact-integer algebra (sum / sum-of-squares, one
+    final sqrt/divide) rather than ``np.mean``/``np.std`` so the values
+    are reproducible by ANY engine doing exact integer aggregation —
+    that is what lets ``multimodal_features`` carry a value oracle
+    instead of a rows-only check: mean = S/n, population std =
+    sqrt(n*SS - S^2)/n, both rounded half-away to 6.
     """
     if modality not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for modality {modality!r}")
+    import math
+
     import numpy as np
 
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return {"byte_mean": 0.0, "byte_std": 0.0, "fake_width": 0, "fake_height": 0}
+    n = int(arr.size)
+    a = arr.astype(np.int64)
+    s, ss = int(a.sum()), int((a * a).sum())
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6  # x >= 0 here
+
     return {
-        "byte_mean": float(arr.mean()),
-        "byte_std": float(arr.std()),
+        "byte_mean": r6(s / n),
+        "byte_std": r6(math.sqrt(float(n * ss - s * s)) / n),
         # fake dimensions derived from content so tests are reproducible
         "fake_width": int(arr[: min(4, arr.size)].sum()) % 512 + 1,
         "fake_height": int(arr[-min(4, arr.size):].sum()) % 512 + 1,
@@ -127,10 +231,13 @@ def featurize(mm: DataFrame, batch_size: int = 1024) -> DataFrame:
     field_names = [f.name for f in FEATURE_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
 
         def decode(payload: bytes, modality: str) -> dict:
             # deterministic stand-in for PIL/ffmpeg — see decode_stub
+            # (exact-integer stat algebra so the oracle can recompute)
             if modality not in ("image", "audio", "video"):
                 raise NotImplementedError(f"no codec for modality {modality!r}")
             arr = np.frombuffer(payload, dtype=np.uint8)
@@ -141,9 +248,14 @@ def featurize(mm: DataFrame, batch_size: int = 1024) -> DataFrame:
                     "fake_width": 0,
                     "fake_height": 0,
                 }
+            n = int(arr.size)
+            a = arr.astype(np.int64)
+            s, ss = int(a.sum()), int((a * a).sum())
             return {
-                "byte_mean": float(arr.mean()),
-                "byte_std": float(arr.std()),
+                "byte_mean": math.floor(s / n * 1e6 + 0.5) / 1e6,
+                "byte_std": math.floor(
+                    math.sqrt(float(n * ss - s * s)) / n * 1e6 + 0.5
+                ) / 1e6,
                 "fake_width": int(arr[: min(4, arr.size)].sum()) % 512 + 1,
                 "fake_height": int(arr[-min(4, arr.size):].sum()) % 512 + 1,
             }
@@ -161,12 +273,58 @@ def featurize(mm: DataFrame, batch_size: int = 1024) -> DataFrame:
     )
 
 
-# Python featurizer output is engine-specific -> rows-only driver check;
-# numeric determinism is covered by tests (same input -> same features).
-@register("multimodal_features")
+# Value-oracled as of round 4: the featurizer's byte stats are exact
+# integer algebra (S, SS, head/tail sums -> one sqrt/divide + round),
+# which DuckDB recomputes per byte via generate_series + ord() — so the
+# Python UDF's output is hash-checked, not just row-counted.
+_FEATURES_SQL = """
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(generate_series(1, length(text))) AS i, text
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, n, i,
+             ord(substr(text, CAST(i AS INT), 1)) AS byte
+      FROM b
+    ),
+    agg AS (
+      SELECT doc_id, n,
+             SUM(byte) AS s, SUM(byte * byte) AS ss,
+             SUM(CASE WHEN i <= 4 THEN byte ELSE 0 END) AS head_sum,
+             SUM(CASE WHEN i > n - 4 THEN byte ELSE 0 END) AS tail_sum
+      FROM v GROUP BY doc_id, n
+    )
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(n AS BIGINT) AS n_bytes,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS byte_mean,
+           ROUND(SQRT(CAST(n * ss - s * s AS DOUBLE)) / n, 6) AS byte_std,
+           CAST(head_sum % 512 + 1 AS BIGINT) AS fake_width,
+           CAST(tail_sum % 512 + 1 AS BIGINT) AS fake_height
+    FROM agg
+    ORDER BY doc_id
+"""
+
+
+@register("multimodal_features", _FEATURES_SQL)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle assumes ASCII text (byte == code point), true of the
+    lake's documents table; real media bytes replace the text payload
+    without touching the UDF plumbing. Empty payloads are excluded on
+    BOTH sides (stats of zero bytes are undefined; the oracle's
+    generate_series naturally yields no rows for them)."""
     mm = multimodal_table(load_table(spark, sf_dir, "documents"))
-    return featurize(mm).orderBy("doc_id")
+    return featurize(mm.where(F.col("n_bytes") > 0)).select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "byte_mean",
+        "byte_std",
+        F.col("fake_width").cast("long").alias("fake_width"),
+        F.col("fake_height").cast("long").alias("fake_height"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +466,109 @@ _FRAME_STATS_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL-codec query: synthesize deterministic PCM-16 audio from each doc's
+# bytes, serialize through encode_wav_pcm16, parse it back with
+# decode_wav_pcm16, and emit sample stats from the DECODED samples. The
+# DuckDB oracle recomputes every stat from the source bytes directly —
+# so the value hash fails if the codec mis-writes or mis-parses a single
+# header field, sample, or byte order. This is the end-to-end proof the
+# codec layer is real, not stubbed.
+# ---------------------------------------------------------------------------
+AUDIO_SCHEMA = (
+    "doc_id BIGINT, sample_rate BIGINT, n_samples BIGINT, n_bytes BIGINT, "
+    "duration_ms BIGINT, amp_mean DOUBLE, amp_rms DOUBLE, "
+    "amp_min BIGINT, amp_max BIGINT"
+)
+
+_AUDIO_SQL = """
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(generate_series(1, length(text))) AS i, text
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, n,
+             (ord(substr(text, CAST(i AS INT), 1)) - 128) * 256 AS amp
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+           COUNT(*) AS n_samples,
+           CAST(44 + 2 * COUNT(*) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+             AS duration_ms,
+           ROUND(CAST(SUM(amp) AS DOUBLE) / COUNT(*), 6) AS amp_mean,
+           ROUND(SQRT(CAST(SUM(amp * amp) AS DOUBLE) / COUNT(*)), 6)
+             AS amp_rms,
+           CAST(MIN(amp) AS BIGINT) AS amp_min,
+           CAST(MAX(amp) AS BIGINT) AS amp_max
+    FROM v
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+def audio_wav_stats(d: DataFrame) -> DataFrame:
+    """documents -> (synthesized WAV payload) -> real decode -> stats.
+
+    Sample synthesis is deterministic: byte b of the doc becomes int16
+    sample (b - 128) * 256; sample rate is 8000 * (1 + doc_id % 3) so
+    the fmt-chunk parse is exercised on three distinct rates. The stats
+    ride exact integer sums (one final sqrt/divide + half-away round),
+    so any engine computing the same integers agrees bit-for-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "n_bytes": [], "duration_ms": [], "amp_mean": [],
+                "amp_rms": [], "amp_min": [], "amp_max": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if b.size == 0:
+                    continue
+                samples = ((b.astype(np.int64) - 128) * 256).astype("<i2")
+                rate = 8000 * (1 + int(doc_id) % 3)
+                payload = encode_wav_pcm16(samples, rate)
+                dec_rate, decoded = decode_wav_pcm16(payload)
+                a = decoded.astype(np.int64)
+                n = int(a.size)
+                s, ss = int(a.sum()), int((a * a).sum())
+                mean = s / n
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(dec_rate)
+                out["n_samples"].append(n)
+                out["n_bytes"].append(len(payload))
+                out["duration_ms"].append(n * 1000 // dec_rate)
+                out["amp_mean"].append(
+                    math.copysign(
+                        math.floor(abs(mean) * 1e6 + 0.5) / 1e6, mean
+                    )
+                )
+                out["amp_rms"].append(
+                    math.floor(math.sqrt(ss / n) * 1e6 + 0.5) / 1e6
+                )
+                out["amp_min"].append(int(a.min()))
+                out["amp_max"].append(int(a.max()))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(run, AUDIO_SCHEMA)
+
+
+@register("multimodal_audio_stats", _AUDIO_SQL)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_wav_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 @register("multimodal_frame_stats", _FRAME_STATS_SQL)
 def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = multimodal_table(load_table(spark, sf_dir, "documents"))
@@ -321,3 +582,18 @@ def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# The audio_wav_stats closure references the module-level codec functions;
+# ship them BY VALUE inside the serialized task so executors' Python
+# workers never need this package on their own sys.path (same rationale
+# and pattern as operators/gram.py — caught by the /verify plain-session
+# simulation in round 3).
+try:
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - old pyspark without the API
+    pass

@@ -162,19 +162,8 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    key: str,
-    n_buckets: int = 8,
-    sort_by: str | None = None,
-) -> None:
-    """Persist a table bucketed (and optionally sorted) on the join key:
-    subsequent equi-joins between tables bucketed the same way read
-    co-located buckets and skip the shuffle entirely (verified by plan
-    in tests/test_scale.py)."""
-    writer = df.write.mode("overwrite").format("parquet")
-    writer = writer.bucketBy(n_buckets, key)
-    if sort_by:
-        writer = writer.sortBy(sort_by)
-    writer.saveAsTable(table)
+# Single source of truth for the bucketed-write lake lever lives in io.py;
+# re-exported here because salting + bucketing are presented together as
+# the two engine-side scale knobs (tests/test_scale.py exercises the
+# exchange-free join plan through this name).
+from cours_datalake_dwh_td_kafka_spark.io import write_bucketed  # noqa: E402,F401

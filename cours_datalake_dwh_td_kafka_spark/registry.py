@@ -52,60 +52,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- code changed after last driver attestation (round 3 edits) ------
-    "anomaly_batch",
-    "ann_topk_cosine",
-    "dedup_clusters",
-    "range_join",
-    "salted_skew_agg",
-    "salted_skew_join",
-    "dedup_ngram_jaccard",
-    "cluster_similarity_stats",
-    "dedup_embedding_cosine",
-    "curation_pipeline",
-    # -- newly oracle-paired this round (left the rows-only bucket) ------
-    "approx_quantiles",
-    "approx_distinct_count",
-    # -- new this round: curation family, never attested -----------------
-    "doc_pack",
-    "pii_scrub",
-    "contamination_check",
-    "domain_mix_weights",
-    "balanced_sample_topk",
-    "repetition_stats",
-    "dedup_semantic",
-    "embedding_quantize",
-    "interval_join_events",
-    "pretraining_pipeline",
-    "bm25_search",
-    "shipping_priority",
-    "local_supplier_volume",
-    "unpivot_customer",
-    "funnel_stages",
-    "retention_cohorts",
-    "value_histogram",
-    "hash_sample",
+    # -- code changed after last driver attestation (round 4 rewrites) ---
+    "dedup_semantic",       # cell-keyed chunked-gram pair stage
+    "ann_topk_cosine",      # two-stage tree-reduced global top-k
+    "bm25_search",          # decimal(28,6) per-term score sums
+    "value_histogram",      # explicit NULL-value filter
+    "multimodal_features",  # exact-integer stats -> newly oracle-paired
+    # -- new this round, never attested -----------------------------------
+    "multimodal_audio_stats",   # real WAV codec round-trip
+    "hash_stratified_sample",   # RNG-free stratified-sample twin
+    "funnel_stages_windowed",   # max-conversion-window funnel
     # -- attested only in the round-1 window; re-attest on current code --
-    "alert_banding",
-    "composite_key_agg",
-    "conditional_agg",
-    "corr_cov",
-    "cube_agg",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_incremental",
-    "dedup_keep_list",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "describe_profile",
-    "distinct_count",
-    "explode_array",
-    "global_agg",
-    "group_minmax",
-    "grouping_sets_agg",
-    "haversine_distance",
-    "join_left_outer",
     "join_revenue_per_nation",
     "json_extract",
     "minhash_signatures",
@@ -116,12 +73,50 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scalar_functions",
     "semi_join",
     "sql_entry",
-    "stratified_sample",
     "tfidf_top_terms",
     "top_k_frequency",
     "validity_audit",
     "window_suite",
     "yearly_avg",
+    # -- round-2 attestations, same source file as round-4 edits ---------
+    "multimodal_meta",
+    "multimodal_frame_stats",
+    # -- oldest remaining tier: round-2-only attestations (alphabetical;
+    #    the ~9 that miss this round's window lead the round-5 rotation) --
+    "anti_join",
+    "asof_join",
+    "boolean_disjunction",
+    "corpus_source_stats",
+    "cross_join_small",
+    "distinct_rows",
+    "doc_fingerprint",
+    "filter_project",
+    "intersect_customers",
+    "join_enrich_counts",
+    "join_full_outer",
+    "knn_join",
+    "knn_join_grid",
+    "language_id",
+    "mode_per_group",
+    "monthly_profile",
+    "null_handling",
+    "orderby_limit_topk",
+    "pandas_sessionization",
+    "quality_score",
+    "rank_top3",
+    "records",
+    "rolling_frame_max",
+    "row_number_first",
+    "running_sum",
+    "self_join_pairs",
+    "session_window_agg",
+    "sessionization",
+    "sliding_window_agg",
+    "token_count",
+    "tumbling_window_agg",
+    "union_except",
+    "where_sql_string",
+    "window_lag_delta",
 )
 
 

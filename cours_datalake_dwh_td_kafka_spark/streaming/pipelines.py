@@ -334,7 +334,17 @@ def merge_stream_to_lake(
     (latest reading per station, profile snapshots) where replays or
     corrections must not duplicate keys. Checkpointed offsets +
     idempotent-per-partition overwrite give effectively-once output
-    for deterministic batches."""
+    for deterministic batches.
+
+    RESTART CONTRACT (checkpoint upgrade): the query may be restarted
+    from its existing checkpoint with ADDED projected columns — the lake
+    read merges schemas across files and the union fills missing columns
+    with NULL on whichever side lacks them, so pre-upgrade rows coexist
+    with post-upgrade rows (pinned by
+    tests/test_streaming.py::test_merge_lake_restart_with_added_column).
+    Keys, ``partition_col`` and ``order_col`` must NOT change across
+    restarts (they define row identity); type changes of an existing
+    column are not supported (parquet mergeSchema rejects them)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -364,15 +374,26 @@ def merge_stream_to_lake(
             spark._jsc.hadoopConfiguration()
         )
         if fs.exists(hpath):
-            existing = spark.read.parquet(path).where(
-                F.col(partition_col).isin(parts)
+            # mergeSchema: after a checkpoint-upgrade restart the stream
+            # may project MORE columns than the files written before the
+            # upgrade; the merged read surfaces the union schema so the
+            # new column isn't silently dropped from surviving rows
+            existing = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(path)
+                .where(F.col(partition_col).isin(parts))
             )
             survivors = existing.join(
                 F.broadcast(batch_dedup.select(*keys).distinct()),
                 list(keys),
                 "left_anti",
             )
-            merged = survivors.unionByName(batch_dedup)
+            # allowMissingColumns: pre-upgrade survivors carry NULL for
+            # columns the upgraded stream added (and vice versa on a
+            # column retirement) — the restart contract below
+            merged = survivors.unionByName(
+                batch_dedup, allowMissingColumns=True
+            )
         else:  # first batch: lake doesn't exist yet
             merged = batch_dedup
         # writer-scoped dynamic overwrite (takes precedence over the

@@ -380,6 +380,99 @@ def test_ann_bruteforce_blas_equals_lambda(spark):
     assert blas == lam
 
 
+def test_wav_codec_roundtrip_and_validation():
+    """The real PCM-16 RIFF/WAVE codec: byte-exact round-trip (mono +
+    stereo, odd lengths), chunk-walking past unknown chunks with RIFF's
+    odd-size pad byte, and loud failure on junk / unsupported formats."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(3)
+    for n in (1, 7, 256):
+        s = rng.integers(-32768, 32768, size=n).astype("<i2")
+        payload = encode_wav_pcm16(s, 44100)
+        assert len(payload) == 44 + 2 * n  # canonical header
+        rate, out = decode_wav_pcm16(payload)
+        assert rate == 44100
+        assert np.array_equal(out, s)
+    # stereo: interleaved samples come back shaped (n, 2)
+    st = rng.integers(-1000, 1000, size=10).astype("<i2")
+    rate, out = decode_wav_pcm16(encode_wav_pcm16(st, 8000, channels=2))
+    assert rate == 8000 and out.shape == (5, 2)
+    assert np.array_equal(out.ravel(), st)
+    # an unknown odd-sized chunk (pad byte!) before fmt/data is skipped
+    s = np.array([1, -2, 3], dtype="<i2")
+    p = encode_wav_pcm16(s, 16000)
+    extra = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    hacked = p[:12] + extra + p[12:]
+    hacked = b"RIFF" + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    rate, out = decode_wav_pcm16(hacked)
+    assert rate == 16000 and np.array_equal(out, s)
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"JUNKJUNKJUNKJUNKJUNK")
+    bad = bytearray(p)
+    bad[34] = 8  # bits-per-sample field: 8-bit PCM unsupported
+    with _pytest.raises(ValueError, match="16-bit"):
+        decode_wav_pcm16(bytes(bad))
+
+
+def test_sem_bits_scaling_rule():
+    """bits auto-derivation: exactly SEM_BITS at the driver's 500-vector
+    sf0.01 corpus (the oracle pin), monotone in corpus size, and ~+7 bits
+    per 100x (occupancy held constant)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        SEM_BITS,
+        sem_bits_for,
+    )
+
+    assert sem_bits_for(500) == SEM_BITS
+    assert sem_bits_for(1) == 1
+    sizes = [10, 100, 1_000, 10_000, 100_000, 1_000_000]
+    bits = [sem_bits_for(n) for n in sizes]
+    assert bits == sorted(bits)
+    assert sem_bits_for(50_000) - sem_bits_for(500) == 7  # 100x -> +log2(100)
+    assert sem_bits_for(10**12) <= 30  # clamp
+
+
+def test_global_topk_equals_single_window(spark):
+    """The two-stage (salted local -> final) top-k reduce is value-equal
+    to the naive single per-query window, including on rounded-cosine
+    ties (total order via neighbor_id)."""
+    from pyspark.sql import Window
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        global_topk,
+    )
+
+    rows = [
+        # cosine collides across neighbors (i % 7) to force tie-breaks
+        (q, n, float((n * 31 + q) % 7) / 10.0)
+        for q in range(3)
+        for n in range(200)
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cosine double"
+    ).repartition(8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    naive = (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+    tree = global_topk(scored, 5, fanin=4)
+    assert sorted(map(tuple, tree.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
 def test_doc_pack_offsets_within_budget(spark):
     """Packing invariants: offset_in_shard < budget, shard ids start at 0
     and never decrease within a source, and offsets reconstruct the

@@ -606,6 +606,129 @@ def test_merge_stream_to_lake_upserts(spark, tmp_path):
     assert got == {1: ("eu", 11.0), 2: ("us", 20.0), 3: ("eu", 30.0)}
 
 
+def test_merge_lake_restart_with_added_column(spark, tmp_path):
+    """Checkpoint-upgrade compatibility (SURVEY §7 hard-point #1): the
+    merge sink restarted from its existing checkpoint with an ADDED
+    projected column must keep pre-upgrade rows (NULL in the new
+    column), upsert across the schema boundary, and write the new
+    column for post-upgrade rows."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        merge_stream_to_lake,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(schema, project=None):
+        s = spark.readStream.schema(schema).json(str(indir))
+        if project:
+            s = s.select(*project)
+        q = merge_stream_to_lake(
+            s, lake, ckpt, keys=("station",), partition_col="region",
+            order_col="seq",
+        ).start()
+        q.awaitTermination(120)
+
+    v1 = "station LONG, region STRING, reading DOUBLE, seq LONG"
+    _write_batch(
+        str(indir),
+        [
+            {"station": 1, "region": "eu", "reading": 10.0, "seq": 1},
+            {"station": 2, "region": "us", "reading": 20.0, "seq": 1},
+        ],
+        "b0",
+    )
+    run(v1)
+
+    # upgrade: the stream now projects an extra `quality` column; same
+    # checkpoint. Station 1 is corrected post-upgrade, station 2 is
+    # untouched pre-upgrade data, station 3 is new.
+    v2 = v1 + ", quality STRING"
+    _write_batch(
+        str(indir),
+        [
+            {"station": 1, "region": "eu", "reading": 10.5, "seq": 2,
+             "quality": "good"},
+            {"station": 3, "region": "eu", "reading": 30.0, "seq": 1,
+             "quality": "poor"},
+        ],
+        "b1",
+    )
+    run(v2)
+    got = {
+        r.station: (r.reading, r.quality)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(lake)
+        .collect()
+    }
+    assert got == {
+        1: (10.5, "good"),
+        2: (20.0, None),  # pre-upgrade row survives with NULL quality
+        3: (30.0, "poor"),
+    }
+
+
+def test_windowed_agg_restart_with_added_column(spark, stream_dir, tmp_path):
+    """The sliding-window agg restarted from its checkpoint with an
+    added DOWNSTREAM projection (derived after the stateful agg, so the
+    state-store schema is untouched) keeps processing; rows emitted
+    before the upgrade lack the column, rows after carry it."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        sliding_window_agg,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def run(with_ratio: bool):
+        agg = sliding_window_agg(
+            enrich_alerts(_read_stream(spark, stream_dir))
+        )
+        if with_ratio:
+            agg = agg.withColumn(
+                "alert_ratio",
+                F.round(F.col("n_alerts") / F.col("n_obs"), 6),
+            )
+        q = (
+            agg.writeStream.format("json")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 + a watermark-advancing flush so windows finalize pre-upgrade
+    _write_batch(stream_dir, _rows(0, 5, step=60), "b0")
+    flush1 = _rows(0, 1, city="Nice")
+    flush1[0]["timestamp"] = BASE_TS + 3600
+    _write_batch(stream_dir, flush1, "b0f")
+    run(with_ratio=False)
+    n1 = spark.read.json(outdir).count()
+    assert n1 > 0
+
+    # upgrade: restart same checkpoint with the derived column; new data
+    later = _rows(0, 5, step=60)
+    for r in later:
+        r["timestamp"] += 7200
+    _write_batch(stream_dir, later, "b1")
+    flush2 = _rows(0, 1, city="Nice")
+    flush2[0]["timestamp"] = BASE_TS + 86400
+    _write_batch(stream_dir, flush2, "b1f")
+    run(with_ratio=True)
+
+    rows = spark.read.json(outdir).collect()
+    assert len(rows) > n1, "restarted query must emit the new windows"
+    with_col = [r for r in rows if "alert_ratio" in r.asDict()
+                and r["alert_ratio"] is not None]
+    without_col = [r for r in rows if r.asDict().get("alert_ratio") is None]
+    assert with_col, "post-upgrade rows must carry the derived column"
+    assert without_col, "pre-upgrade rows must survive without it"
+
+
 def test_transform_with_state_matches_apply_in_pandas(spark, stream_dir):
     """The Spark 4 transformWithState sessionizer closes the same
     sessions as the applyInPandasWithState one on identical input
