@@ -36,13 +36,29 @@ LAKE_TABLES = (
 
 @lru_cache(maxsize=256)
 def _nanos_timestamp_cols_cached(path: str, mtime_ns: int) -> tuple[str, ...]:
-    schema = _pq.read_schema(path)
-    import pyarrow as pa
-
+    # directory-style parquet (anything Spark itself wrote): probe one
+    # part file — all parts of a table share the footer schema
+    if os.path.isdir(path):
+        parts = sorted(
+            e
+            for e in os.listdir(path)
+            if e.endswith(".parquet") and not e.startswith(("_", "."))
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
+    # the PARQUET schema, not the Arrow one: Arrow reports legacy INT96
+    # timestamps (Spark's own historical default) as timestamp[ns] too,
+    # but Spark reads INT96 natively — only true INT64 TIMESTAMP(NANOS)
+    # needs the nanosAsLong escape hatch
+    schema = _pq.ParquetFile(path).schema
     return tuple(
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        c.name
+        for c in (schema.column(i) for i in range(len(schema)))
+        if c.physical_type == "INT64"
+        and c.logical_type is not None
+        and c.logical_type.type == "TIMESTAMP"
+        and "nanoseconds" in str(c.logical_type)
     )
 
 

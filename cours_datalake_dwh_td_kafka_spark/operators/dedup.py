@@ -510,13 +510,22 @@ _SIMHASH_PAIRS_SQL = f"""
 
 
 def simhash_pairs_banded(sh: DataFrame) -> DataFrame:
-    """Near-dup pairs via pigeonhole banding: split the 32-bit simhash into
-    4 bands of 8 bits; any pair with hamming <= 3 differs in at most 3
-    bands, so it matches EXACTLY on at least one band. Candidates come
-    from an equi-join on (band_idx, band_bits) — no cartesian product —
-    then the true hamming distance verifies. Identical output to the
-    all-pairs theta join (asserted in tests), but the candidate join
-    shards by band key, which is the plan that survives 100 TB.
+    """Near-dup pairs via TWO-LEVEL pigeonhole banding.
+
+    Level 1: split the 32-bit simhash into 4 bands of 8 bits — a pair
+    with hamming <= 3 differs in at most 3 bands, so it matches exactly
+    on some band i. Level 2 (round-4 scale fix): given band i matched,
+    the OTHER 24 bits still carry all <= 3 differences, so of their 4
+    sub-bands of 6 bits at least one is also exact. Candidates therefore
+    come from an equi-join on the packed key (i, band_bits, j,
+    subband_bits) — 16 keys per doc instead of 4, but expected bucket
+    occupancy drops from n/2^8 to n/2^14, cutting random-collision
+    candidate pairs ~16x. That term (~n^2/2^key_bits) is what turned
+    superlinear in the 10x scale run (9.7x wall at 10x rows); with the
+    second level it stays within ~2x of row-ratio. The true hamming
+    distance verifies every candidate, and a pair colliding in several
+    keys dedupes in the final distinct — output is provably identical
+    to the all-pairs theta join (asserted in tests).
 
     NOTE: the posting-list formulation used by ngram_jaccard_pairs
     (collect_list per band -> pair explosion) was measured ~2x SLOWER
@@ -527,17 +536,28 @@ def simhash_pairs_banded(sh: DataFrame) -> DataFrame:
     n_bands = 4
     bits_per = SIMHASH_BITS // n_bands
     mask = (1 << bits_per) - 1
-    # single explode of inline band keys (not an n_bands-way union — see
-    # minhash_lsh_pairs); key packs (band_idx, band_bits) into one long
-    band_keys = F.array(
-        *[
-            F.expr(
-                f"{i} * {mask + 1} + (shiftright(simhash, {i * bits_per}) & {mask})"
+    rem_bits = SIMHASH_BITS - bits_per  # bits outside band i
+    n_sub = 4
+    sub_per = rem_bits // n_sub
+    sub_mask = (1 << sub_per) - 1
+    keys = []
+    for i in range(n_bands):
+        # the 24 bits outside band i, packed contiguously
+        lo_bits = i * bits_per  # bits below band i
+        rest = (
+            f"((shiftright(simhash, {lo_bits + bits_per}) "
+            f"<< {lo_bits}) | (simhash & {(1 << lo_bits) - 1}))"
+        )
+        band = f"(shiftright(simhash, {lo_bits}) & {mask})"
+        for j in range(n_sub):
+            sub = f"(shiftright({rest}, {j * sub_per}) & {sub_mask})"
+            keys.append(
+                F.expr(
+                    f"{(i * n_sub + j)} * {1 << (bits_per + sub_per)} "
+                    f"+ ({band} << {sub_per}) + {sub}"
+                )
             )
-            for i in range(n_bands)
-        ]
-    )
-    bands = sh.select("doc_id", "simhash", F.explode(band_keys).alias("band_key"))
+    bands = sh.select("doc_id", "simhash", F.explode(F.array(*keys)).alias("band_key"))
     a = bands.select(
         "band_key",
         F.col("doc_id").alias("doc_a"),

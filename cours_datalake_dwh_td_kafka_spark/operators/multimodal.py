@@ -162,6 +162,69 @@ def decode_wav_pcm16(payload: bytes):
 
 
 # ---------------------------------------------------------------------------
+# REAL codec #2: BMP (BITMAPINFOHEADER, 24-bit BI_RGB). Uncompressed BMP
+# carries the classic raster-format parsing hazards — BGR channel order,
+# rows padded to 4-byte boundaries, bottom-up row storage (positive
+# height) — all handled explicitly below.
+# ---------------------------------------------------------------------------
+
+def encode_bmp24(pixels, flip_rows: bool = True) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP:
+    54-byte header, BGR byte order, rows padded to 4 bytes and stored
+    bottom-up (the format's default, signalled by positive height)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = px[::-1] if flip_rows else px  # bottom-up row order
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr[:, :, ::-1].reshape(h, row_bytes)  # RGB->BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp24(payload: bytes):
+    """Parse a 24-bit BI_RGB BMP into an (h, w, 3) uint8 RGB array.
+    Honors the pixel-data offset, per-row 4-byte padding, and both row
+    orders (positive height = bottom-up, negative = top-down). Raises
+    ``ValueError`` on a non-BMP payload or an unsupported bit depth /
+    compression."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP: bpp={bpp} compression={compression} "
+            "(only 24-bit BI_RGB)"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                        offset=data_off).reshape(h, stride)
+    bgr = raw[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return (rgb[::-1] if bottom_up else rgb).copy()
+
+
+# ---------------------------------------------------------------------------
 # featurizer: mapInPandas over Arrow batches. The decode step is a
 # deterministic stub (real pipelines swap in PIL/ffmpeg here — marked).
 # ---------------------------------------------------------------------------
@@ -565,6 +628,104 @@ def audio_wav_stats(d: DataFrame) -> DataFrame:
 @register("multimodal_audio_stats", _AUDIO_SQL)
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_wav_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL-codec query #2 (image): doc bytes -> RGB pixel grid -> BMP encode
+# -> real BMP decode -> per-channel stats. Width 7 on purpose: each
+# 21-byte pixel row pads to a 24-byte stride, so the oracle only matches
+# if the decoder strips padding, un-reverses BGR, and re-flips the
+# bottom-up rows correctly.
+# ---------------------------------------------------------------------------
+IMG_W = 7  # pixels per row -> 21 data bytes + 3 pad bytes per stored row
+
+IMAGE_SCHEMA = (
+    "doc_id BIGINT, width BIGINT, height BIGINT, n_bytes BIGINT, "
+    "r_mean DOUBLE, g_mean DOUBLE, b_mean DOUBLE, "
+    "px_min BIGINT, px_max BIGINT"
+)
+
+_IMAGE_SQL = f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(generate_series(1, length(text))) AS i, text
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, n // (3 * {IMG_W}) AS h,
+             (i - 1) % 3 AS chan,
+             ord(substr(text, CAST(i AS INT), 1)) AS byte
+      FROM b
+      WHERE n >= 3 * {IMG_W} AND i <= (n // (3 * {IMG_W})) * 3 * {IMG_W}
+    )
+    SELECT doc_id,
+           CAST({IMG_W} AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(54 + (3 * {IMG_W} + 3) // 4 * 4 * h AS BIGINT) AS n_bytes,
+           ROUND(CAST(SUM(CASE WHEN chan = 0 THEN byte ELSE 0 END) AS DOUBLE)
+                 / ({IMG_W} * h), 6) AS r_mean,
+           ROUND(CAST(SUM(CASE WHEN chan = 1 THEN byte ELSE 0 END) AS DOUBLE)
+                 / ({IMG_W} * h), 6) AS g_mean,
+           ROUND(CAST(SUM(CASE WHEN chan = 2 THEN byte ELSE 0 END) AS DOUBLE)
+                 / ({IMG_W} * h), 6) AS b_mean,
+           CAST(MIN(byte) AS BIGINT) AS px_min,
+           CAST(MAX(byte) AS BIGINT) AS px_max
+    FROM v
+    GROUP BY doc_id, h
+    ORDER BY doc_id
+"""
+
+
+def image_bmp_stats(d: DataFrame, width: int = IMG_W) -> DataFrame:
+    """documents -> deterministic RGB grid -> BMP encode -> real decode
+    -> per-channel stats from the DECODED pixels. Byte 3p+c of the doc
+    is channel c of pixel p (row-major); docs too short for one full
+    pixel row are skipped on both engines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        row_px = width
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_bytes": [],
+                "r_mean": [], "g_mean": [], "b_mean": [],
+                "px_min": [], "px_max": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                h = int(b.size) // (3 * row_px)
+                if h == 0:
+                    continue
+                pixels = b[: h * row_px * 3].reshape(h, row_px, 3)
+                payload = encode_bmp24(pixels)
+                img = decode_bmp24(payload)
+                a = img.astype(np.int64)
+                npx = h * row_px
+                sums = a.reshape(npx, 3).sum(axis=0)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(row_px)
+                out["height"].append(h)
+                out["n_bytes"].append(len(payload))
+                for key, c in (("r_mean", 0), ("g_mean", 1), ("b_mean", 2)):
+                    out[key].append(
+                        math.floor(int(sums[c]) / npx * 1e6 + 0.5) / 1e6
+                    )
+                out["px_min"].append(int(a.min()))
+                out["px_max"].append(int(a.max()))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(run, IMAGE_SCHEMA)
+
+
+@register("multimodal_image_stats", _IMAGE_SQL)
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_bmp_stats(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
 

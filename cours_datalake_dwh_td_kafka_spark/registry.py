@@ -54,12 +54,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- code changed after last driver attestation (round 4 rewrites) ---
     "dedup_semantic",       # cell-keyed chunked-gram pair stage
+    "dedup_simhash_pairs",  # two-level pigeonhole banding
     "ann_topk_cosine",      # two-stage tree-reduced global top-k
     "bm25_search",          # decimal(28,6) per-term score sums
     "value_histogram",      # explicit NULL-value filter
     "multimodal_features",  # exact-integer stats -> newly oracle-paired
     # -- new this round, never attested -----------------------------------
     "multimodal_audio_stats",   # real WAV codec round-trip
+    "multimodal_image_stats",   # real BMP codec round-trip
     "hash_stratified_sample",   # RNG-free stratified-sample twin
     "funnel_stages_windowed",   # max-conversion-window funnel
     # -- attested only in the round-1 window; re-attest on current code --

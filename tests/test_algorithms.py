@@ -423,6 +423,40 @@ def test_wav_codec_roundtrip_and_validation():
         decode_wav_pcm16(bytes(bad))
 
 
+def test_bmp_codec_roundtrip_and_validation():
+    """The real 24-bit BMP codec: pixel-exact round-trip across widths
+    that do and don't need row padding, top-down row-order support, and
+    loud failure on junk / unsupported depth."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in ((1, 1), (3, 7), (5, 4), (2, 13)):  # strides 4,24,12,40
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payload = encode_bmp24(px)
+        stride = (w * 3 + 3) & ~3
+        assert len(payload) == 54 + stride * h
+        assert np.array_equal(decode_bmp24(payload), px)
+    # top-down variant (negative height) decodes to the same pixels
+    px = rng.integers(0, 256, size=(3, 7, 3)).astype(np.uint8)
+    p = bytearray(encode_bmp24(px, flip_rows=False))
+    p[22:26] = struct.pack("<i", -3)  # height field: top-down marker
+    assert np.array_equal(decode_bmp24(bytes(p)), px)
+    with _pytest.raises(ValueError, match="BMP"):
+        decode_bmp24(b"JUNK" * 20)
+    bad = bytearray(encode_bmp24(px))
+    bad[28:30] = struct.pack("<H", 8)  # bpp field: 8-bit unsupported
+    with _pytest.raises(ValueError, match="24-bit"):
+        decode_bmp24(bytes(bad))
+
+
 def test_sem_bits_scaling_rule():
     """bits auto-derivation: exactly SEM_BITS at the driver's 500-vector
     sf0.01 corpus (the oracle pin), monotone in corpus size, and ~+7 bits

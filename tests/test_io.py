@@ -82,6 +82,22 @@ def test_json_scan_and_glob(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_load_table_directory_parquet(spark, tmp_path):
+    """load_table must accept directory-style parquet (anything Spark
+    itself wrote) — the nanos footer probe reads one part file instead
+    of choking on the directory (caught by the round-4 scale run)."""
+    src = io.load_table(spark, SF, "customer")
+    src.write.parquet(str(tmp_path / "customer.parquet"))
+    # and a nanos-bearing table written back out (micros after load)
+    io.load_table(spark, SF, "events").write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    assert io.load_table(spark, str(tmp_path), "customer").count() == src.count()
+    ev = io.load_table(spark, str(tmp_path), "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
+
+
 def test_parquet_roundtrip_and_partitioned_layout(spark, tmp_path):
     """S6/S8/S9: partitionBy writer produces Hive-style dirs readers can
     prune; roundtrip preserves data."""
@@ -154,6 +170,27 @@ def test_events_nanos_timestamps_load(spark):
     assert dict(e.dtypes)["ts"] == "timestamp"
     row = e.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     assert row.lo.year == 2024 and row.hi.year == 2024
+
+
+def test_nanos_parquet_load_truncates_to_micros(spark, tmp_path):
+    """Synthetic TIMESTAMP(NANOS) parquet (the events-table quirk some
+    driver generations emit): load_table must truncate to micros by
+    integer division — and must NOT misfire on Spark's own INT96 or
+    micros files (pinned by test_load_table_directory_parquet)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = [1_700_000_000_123_456_789, 1_700_000_000_999_999_999]
+    t = pa.table({"ts": pa.array(ns, type=pa.timestamp("ns")), "v": [1.0, 2.0]})
+    pq.write_table(t, str(tmp_path / "evn.parquet"))
+    df = io.load_table(spark, str(tmp_path), "evn")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in df.collect())
+    epoch = dt.datetime(1970, 1, 1)
+    exp = sorted(epoch + dt.timedelta(microseconds=n // 1000) for n in ns)
+    assert got == exp
 
 
 def test_bucketed_join_skips_shuffle(spark, tmp_path):

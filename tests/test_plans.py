@@ -53,6 +53,24 @@ def test_dimension_joins_broadcast(spark):
     assert f.n_sortmerge_joins == 0
 
 
+def test_ann_topk_two_stage_reduce(spark):
+    """The exact-ANN global top-k must be the tree shape: TWO Window
+    operators (salted local top-k, then the final per-query rank) over
+    two distinct partitionings — a single per-query window would funnel
+    every scan partition's candidates into one reducer task at scale."""
+    import re
+
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    df = registry.queries()["ann_topk_cosine"](spark, SF_ORACLE)
+    plan = physical_plan(df)
+    windows = re.findall(r"\bWindow\b", plan)
+    assert len(windows) >= 2, "expected salted + final Window stages"
+    assert "_salt" in plan, "local stage must partition by the salt"
+
+
 def test_semi_join_not_driver_collect(spark):
     """The reference's collect()+isin is a broadcast left-semi join here:
     the plan must contain a semi join, not an In-filter of literals."""
