@@ -335,16 +335,14 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_lsh_pairs(
-    d: DataFrame, threshold: float = JACCARD_THRESHOLD
-) -> DataFrame:
-    """LSH: band the signature (r=2 -> 4 bands), candidates = docs sharing
-    any band key, verified with exact Jaccard. The band join is an
-    equi-join on the band hash — the scale path for all-pairs near-dup."""
+def lsh_candidates(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing at least one minhash band
+    key — the shared front half of every LSH-verified dedup variant
+    (Jaccard verify, edit-distance verify). One explode over an inline
+    band-key array — NOT a 4-way union of selects on the signature:
+    union branches each re-evaluate the whole signature subtree (4x the
+    shuffles; measured via plans.inspect)."""
     sig = minhash_signature(d)
-    # one explode over an inline band-key array — NOT a 4-way union of
-    # selects on sig: union branches each re-evaluate the whole signature
-    # subtree (4x the shuffles; measured via plans.inspect)
     keys = F.array(
         *[
             F.concat_ws(
@@ -359,7 +357,7 @@ def minhash_lsh_pairs(
         ]
     )
     all_bands = sig.select("doc_id", F.explode(keys).alias("band_key"))
-    cand = (
+    return (
         all_bands.alias("a")
         .join(all_bands.alias("b"), "band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -368,6 +366,15 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    d: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """LSH: band the signature (r=2 -> 4 bands), candidates = docs sharing
+    any band key, verified with exact Jaccard. The band join is an
+    equi-join on the band hash — the scale path for all-pairs near-dup."""
+    cand = lsh_candidates(d)
     # verify candidates with exact jaccard over shingle sets
     docs = _doc_shingles(d)
     da = docs.select(
@@ -393,28 +400,38 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 
 
-# Oracle: LSH banding is recall-lossy by design, but with these (k, r)
-# parameters candidate recall at jaccard>=0.8 is asserted in tests; the
-# ORACLE instead re-states the exact algorithm: pairs sharing any band.
-def _minhash_lsh_sql() -> str:
+def _lsh_cand_ctes() -> str:
+    """The shared sig/bands/cand CTE prefix of every LSH-candidate
+    oracle (the SQL twin of :func:`lsh_candidates`)."""
     sig = _minhash_sig_sql().replace("ORDER BY doc_id", "")
     band_keys = []
     for band in range(N_HASHES // BAND_R):
         parts = " || '_' || ".join(
             f"CAST(h{band * BAND_R + j} AS VARCHAR)" for j in range(BAND_R)
         )
-        band_keys.append(f"SELECT doc_id, '{band}_' || {parts} AS band_key FROM sig")
+        band_keys.append(
+            f"SELECT doc_id, '{band}_' || {parts} AS band_key FROM sig"
+        )
     bands_sql = " UNION ALL ".join(band_keys)
-    sh_expr = SHINGLES_SQL.format(
-        t="string_split(" + NORM_SQL.format(c="text") + ", ' ')"
-    )
     return f"""
     WITH sig AS ({sig}),
     bands AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+
+
+# Oracle: LSH banding is recall-lossy by design, but with these (k, r)
+# parameters candidate recall at jaccard>=0.8 is asserted in tests; the
+# ORACLE instead re-states the exact algorithm: pairs sharing any band.
+def _minhash_lsh_sql() -> str:
+    sh_expr = SHINGLES_SQL.format(
+        t="string_split(" + NORM_SQL.format(c="text") + ", ' ')"
+    )
+    return f"""
+    {_lsh_cand_ctes()},
     docs AS (SELECT doc_id, {sh_expr} AS sh FROM documents),
     verified AS (
       SELECT c.doc_a, c.doc_b,
@@ -435,6 +452,70 @@ def _minhash_lsh_sql() -> str:
 @register("dedup_minhash_lsh", _minhash_lsh_sql())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup: LSH candidates verified by Levenshtein on the
+# normalized text (the character-level verify a title/short-doc dedup
+# uses where shingle Jaccard is too coarse)
+# ---------------------------------------------------------------------------
+EDIT_SIM_THRESHOLD = 0.8
+
+
+def _edit_distance_sql() -> str:
+    norm = NORM_SQL.format(c="text")
+    return f"""
+    {_lsh_cand_ctes()},
+    norm AS (SELECT doc_id, {norm} AS t FROM documents),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             levenshtein(x.t, y.t) AS edit_dist,
+             greatest(greatest(length(x.t), length(y.t)), 1) AS max_len
+      FROM cand c
+      JOIN norm x ON x.doc_id = c.doc_a
+      JOIN norm y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(edit_dist AS BIGINT) AS edit_dist,
+           ROUND(1 - CAST(edit_dist AS DOUBLE) / max_len, 6) AS edit_sim
+    FROM scored
+    WHERE 1 - CAST(edit_dist AS DOUBLE) / max_len >= {EDIT_SIM_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("dedup_edit_distance", _edit_distance_sql())
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: :func:`lsh_candidates` prunes the pair
+    space (nothing quadratic in the corpus), then each candidate pair is
+    verified with the exact Levenshtein distance on normalized text and
+    kept when similarity 1 - dist/max_len >= threshold. The O(len^2)
+    DP runs JVM-side (built-in `levenshtein`) on CANDIDATES only — the
+    scale contract is the banding's, same as the Jaccard verify; for
+    longer documents swap the verify input to a fixed-length
+    fingerprint, the join shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidates(d)
+    norm = d.select("doc_id", norm_text(F.col("text")).alias("t"))
+    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    b = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    max_len = F.greatest(
+        F.greatest(F.length("t_a"), F.length("t_b")), F.lit(1)
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("edit_dist", F.levenshtein("t_a", "t_b").cast("long"))
+        .withColumn(
+            "edit_sim",
+            F.round(1 - F.col("edit_dist") / max_len, 6),
+        )
+    )
+    return (
+        scored.where(F.col("edit_sim") >= EDIT_SIM_THRESHOLD)
+        .select("doc_a", "doc_b", "edit_dist", "edit_sim")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------------

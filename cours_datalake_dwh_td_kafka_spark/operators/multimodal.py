@@ -730,6 +730,112 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL-codec resize: BMP decode -> nearest-neighbor resample to a fixed
+# target grid -> BMP re-encode -> decode again -> stats. The oracle
+# recomputes every resampled pixel by index arithmetic (output pixel
+# (r, c) <- input pixel (r*h/OUT, c*W/OUT)), so the value hash pins the
+# actual resize semantics — the honest twin of the rows-only
+# `multimodal_resize` whose binary output can't hash-compare.
+# ---------------------------------------------------------------------------
+RESIZE_OUT = 4  # target grid: 4 x 4 pixels
+
+RESIZE_STATS_SCHEMA = (
+    "doc_id BIGINT, out_width BIGINT, out_height BIGINT, n_bytes BIGINT, "
+    "px_sum BIGINT, px_min BIGINT, px_max BIGINT"
+)
+
+_RESIZE_STATS_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, text, length(text) // (3 * {IMG_W}) AS h
+      FROM documents
+      WHERE length(text) >= 3 * {IMG_W}
+    ),
+    -- every (output row, output col, channel) of the 4x4 target
+    grid AS (
+      SELECT doc_id, text, h,
+             unnest(generate_series(0, {RESIZE_OUT * RESIZE_OUT * 3 - 1}))
+               AS o
+      FROM docs
+    ),
+    px AS (
+      SELECT doc_id, h,
+             -- output pixel (r, c), channel ch
+             (o // 3) // {RESIZE_OUT} AS r,
+             (o // 3) % {RESIZE_OUT} AS c,
+             o % 3 AS ch,
+             ord(substr(text, CAST(
+               3 * ((((o // 3) // {RESIZE_OUT}) * h // {RESIZE_OUT})
+                    * {IMG_W}
+                    + (((o // 3) % {RESIZE_OUT}) * {IMG_W} // {RESIZE_OUT}))
+               + (o % 3) + 1 AS INT), 1)) AS byte
+      FROM grid
+    )
+    SELECT doc_id,
+           CAST({RESIZE_OUT} AS BIGINT) AS out_width,
+           CAST({RESIZE_OUT} AS BIGINT) AS out_height,
+           CAST(54 + ({RESIZE_OUT} * 3 + 3) // 4 * 4 * {RESIZE_OUT}
+                AS BIGINT) AS n_bytes,
+           CAST(SUM(byte) AS BIGINT) AS px_sum,
+           CAST(MIN(byte) AS BIGINT) AS px_min,
+           CAST(MAX(byte) AS BIGINT) AS px_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+def image_resize_stats(
+    d: DataFrame, width: int = IMG_W, out: int = RESIZE_OUT
+) -> DataFrame:
+    """Real resize through the BMP codec: synthesize (h, IMG_W) RGB from
+    doc bytes, encode, DECODE, nearest-neighbor resample to (out, out)
+    with the floor-index rule (src = dst * src_dim // dst_dim), encode
+    the result, decode it AGAIN, and emit stats of what came back —
+    two full codec round-trips plus the resample are all on the hash
+    path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "doc_id": [], "out_width": [], "out_height": [],
+                "n_bytes": [], "px_sum": [], "px_min": [], "px_max": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                h = int(b.size) // (3 * width)
+                if h == 0:
+                    continue
+                src = decode_bmp24(
+                    encode_bmp24(b[: h * width * 3].reshape(h, width, 3))
+                )
+                rows = (np.arange(out) * h) // out
+                colsel = (np.arange(out) * width) // out
+                resized = src[rows][:, colsel]
+                back = decode_bmp24(encode_bmp24(resized))
+                a = back.astype(np.int64)
+                cols["doc_id"].append(int(doc_id))
+                cols["out_width"].append(out)
+                cols["out_height"].append(out)
+                cols["n_bytes"].append(54 + ((out * 3 + 3) & ~3) * out)
+                cols["px_sum"].append(int(a.sum()))
+                cols["px_min"].append(int(a.min()))
+                cols["px_max"].append(int(a.max()))
+            if cols["doc_id"]:
+                yield pd.DataFrame(cols)
+
+    return d.select("doc_id", "text").mapInPandas(run, RESIZE_STATS_SCHEMA)
+
+
+@register("multimodal_resize_stats", _RESIZE_STATS_SQL)
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_resize_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 @register("multimodal_frame_stats", _FRAME_STATS_SQL)
 def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = multimodal_table(load_table(spark, sf_dir, "documents"))

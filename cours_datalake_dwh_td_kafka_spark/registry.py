@@ -62,6 +62,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new this round, never attested -----------------------------------
     "multimodal_audio_stats",   # real WAV codec round-trip
     "multimodal_image_stats",   # real BMP codec round-trip
+    "multimodal_resize_stats",  # real decode->resize->encode pipeline
+    "dedup_edit_distance",      # LSH candidates + Levenshtein verify
+    "dedup_minhash_lsh",        # refactored onto shared lsh_candidates
     "hash_stratified_sample",   # RNG-free stratified-sample twin
     "funnel_stages_windowed",   # max-conversion-window funnel
     # -- attested only in the round-1 window; re-attest on current code --
