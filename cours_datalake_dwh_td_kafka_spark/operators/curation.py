@@ -517,3 +517,54 @@ def pretraining_pipeline(
 @register("pretraining_pipeline", _PT_SQL)
 def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pretraining_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split assignment (hash ranges)
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_PCT = 90  # hash%100 < 90 -> train
+SPLIT_VAL_PCT = 95    # 90..94 -> val, 95..99 -> test
+
+
+def _dataset_split_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import HASH32_SQL
+
+    h = HASH32_SQL.format(c="'split:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, source,
+           CASE WHEN ({h}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN ({h}) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@register("dataset_split", _dataset_split_sql())
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment by content hash of the key (the
+    'split:' salt decouples it from every other hash split in the
+    pipeline). A document NEVER changes split as the corpus grows or is
+    re-partitioned — the property that keeps held-out data held out
+    across dataset versions, which no RNG split gives you. Pure per-row
+    projection: no shuffle, no state, evaluated inside the scan stage."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _HASH32_SPARK,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        _HASH32_SPARK(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    split = (
+        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .orderBy("doc_id")
+    )

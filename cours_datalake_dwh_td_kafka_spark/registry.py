@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_edit_distance",      # LSH candidates + Levenshtein verify
     "dedup_minhash_lsh",        # refactored onto shared lsh_candidates
     "hash_stratified_sample",   # RNG-free stratified-sample twin
+    "dataset_split",            # hash-range train/val/test assignment
     "funnel_stages_windowed",   # max-conversion-window funnel
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",

@@ -359,3 +359,57 @@ def test_semantic_dedup_matches_python_reference(spark, vecs):
         for r in semantic_dedup(e, bits=bits).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# real codecs: encode -> decode is the identity on arbitrary inputs
+# (pure numpy, no Spark jobs -> generous example counts)
+# ---------------------------------------------------------------------------
+@settings(max_examples=50, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+    ),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    channels=st.integers(min_value=1, max_value=4),
+)
+def test_wav_roundtrip_property(samples, rate, channels):
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    # interleaved frames: truncate to whole frames like a real encoder
+    n = len(samples) - len(samples) % channels
+    if n == 0:
+        n, channels = len(samples), 1
+    arr = np.asarray(samples[:n], dtype="<i2")
+    got_rate, got = decode_wav_pcm16(encode_wav_pcm16(arr, rate, channels))
+    assert got_rate == rate
+    assert np.array_equal(got.ravel(), arr)
+    if channels > 1:
+        assert got.shape == (n // channels, channels)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3)
+    ).astype(np.uint8)
+    payload = encode_bmp24(px)
+    assert len(payload) == 54 + ((w * 3 + 3) & ~3) * h
+    assert np.array_equal(decode_bmp24(payload), px)
