@@ -37,16 +37,27 @@ LAKE_TABLES = (
 @lru_cache(maxsize=256)
 def _nanos_timestamp_cols_cached(path: str, mtime_ns: int) -> tuple[str, ...]:
     # directory-style parquet (anything Spark itself wrote): probe one
-    # part file — all parts of a table share the footer schema
-    if os.path.isdir(path):
-        parts = sorted(
-            e
-            for e in os.listdir(path)
-            if e.endswith(".parquet") and not e.startswith(("_", "."))
+    # part file — all parts of a table share the footer schema. A
+    # partitionBy layout nests part files under key=value dirs, so
+    # descend (bounded) until one is found.
+    for _ in range(8):  # partition-depth bound
+        if not os.path.isdir(path):
+            break
+        entries = sorted(
+            e for e in os.listdir(path) if not e.startswith(("_", "."))
         )
-        if not parts:
-            return ()
-        path = os.path.join(path, parts[0])
+        parts = [e for e in entries if e.endswith(".parquet")]
+        if parts:
+            path = os.path.join(path, parts[0])
+            break
+        subdirs = [
+            e for e in entries if os.path.isdir(os.path.join(path, e))
+        ]
+        if not subdirs:
+            return ()  # empty dataset: nothing to probe
+        path = os.path.join(path, subdirs[0])
+    else:
+        return ()
     # the PARQUET schema, not the Arrow one: Arrow reports legacy INT96
     # timestamps (Spark's own historical default) as timestamp[ns] too,
     # but Spark reads INT96 natively — only true INT64 TIMESTAMP(NANOS)
@@ -113,6 +124,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def parquet_row_count(path: str) -> int:
+    """Exact row count from parquet footer metadata — no Spark job, no
+    data scan, O(files). The cheap way for an operator to size a
+    data-dependent parameter (e.g. semantic-dedup cell bits) at
+    plan-BUILD time without running an eager count() job."""
+    if os.path.isdir(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(
+                _pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return total
+    return _pq.ParquetFile(path).metadata.num_rows
 
 
 def load_lake(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

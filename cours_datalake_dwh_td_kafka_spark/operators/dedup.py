@@ -479,7 +479,11 @@ def _edit_distance_sql() -> str:
            CAST(edit_dist AS BIGINT) AS edit_dist,
            ROUND(1 - CAST(edit_dist AS DOUBLE) / max_len, 6) AS edit_sim
     FROM scored
-    WHERE 1 - CAST(edit_dist AS DOUBLE) / max_len >= {EDIT_SIM_THRESHOLD}
+    -- filter on the ROUND-6 value, exactly like the Spark side: a raw
+    -- comparison would diverge on boundary pairs (sim in
+    -- [0.7999995, 0.8) rounds up to the threshold)
+    WHERE ROUND(1 - CAST(edit_dist AS DOUBLE) / max_len, 6)
+          >= {EDIT_SIM_THRESHOLD}
     ORDER BY doc_a, doc_b
     """
 
@@ -832,8 +836,11 @@ def semantic_dedup(
     :func:`embedding_cosine_pairs_blocked`: a hot cell costs
     O(n*d + chunk*n), never O(n^2) live floats, and only dropped ids
     leave the kernel — not pairs). ``bits`` defaults to
-    :func:`sem_bits_for` (one O(1)-row count job), which holds expected
-    cell occupancy at ~SEM_TARGET_OCCUPANCY as the corpus grows, so the
+    :func:`sem_bits_for` over a count (callers that know the corpus size
+    cheaply — e.g. from parquet footer metadata, see
+    ``io.parquet_row_count`` — should pass ``bits`` explicitly; the
+    ``None`` fallback runs an eager count() job at build time), which
+    holds expected cell occupancy at ~SEM_TARGET_OCCUPANCY so the
     per-cell pair work is constant in corpus size instead of the fixed
     64-cell fan-out going quadratic-per-cell at 100x."""
     import numpy as np
@@ -897,8 +904,16 @@ def semantic_dedup(
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bits auto-derives from the corpus count; at the driver's sf0.01
     (500 vectors) that is exactly SEM_BITS=6, matching the fixed-bits
-    oracle SQL."""
-    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    oracle SQL (the oracle's bits are pinned, so its validity is scoped
+    to the sf0.01 attestation scale by construction). The count comes
+    from parquet footer metadata — O(1), so building this query never
+    runs an eager Spark job (plan-inspection sweeps build every query)."""
+    from cours_datalake_dwh_td_kafka_spark.io import parquet_row_count
+
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), bits=sem_bits_for(n)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def round6_half_away(x: float) -> float:
+    """Scalar round-half-AWAY-from-zero to 6 decimals — the tie rule
+    Spark's ``F.round`` and DuckDB's ``ROUND`` share (see
+    ``operators.gram.round_half_away`` for the array form and the full
+    rationale). Every oracle-compared stat this module emits must round
+    through ONE of those two helpers: a bare ``floor(x*1e6+0.5)`` is
+    only correct for x >= 0 and silently becomes round-toward--inf on a
+    signed stat."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 # ---------------------------------------------------------------------------
 # REAL codec: RIFF/WAVE 16-bit PCM, pure numpy + struct. Uncompressed WAV
 # is fully specified by its container (RFC 2361 / the original RIFF spec),
@@ -136,6 +149,14 @@ def decode_wav_pcm16(payload: bytes):
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            # a declared chunk size past the payload end means the file
+            # was truncated in transit — failing loudly beats emitting
+            # plausible stats over half the samples
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if len(body) < 16:
@@ -170,8 +191,12 @@ def decode_wav_pcm16(payload: bytes):
 
 def encode_bmp24(pixels, flip_rows: bool = True) -> bytes:
     """Serialize an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP:
-    54-byte header, BGR byte order, rows padded to 4 bytes and stored
-    bottom-up (the format's default, signalled by positive height)."""
+    54-byte header, BGR byte order, rows padded to 4 bytes.
+    ``flip_rows=True`` stores rows bottom-up with positive header height
+    (the format's default); ``flip_rows=False`` stores them top-down and
+    writes the NEGATIVE height that signals it — either way the file is
+    self-consistent and any conformant decoder returns the input
+    pixels."""
     import struct
 
     import numpy as np
@@ -182,12 +207,13 @@ def encode_bmp24(pixels, flip_rows: bool = True) -> bytes:
     pad = (-row_bytes) % 4
     stride = row_bytes + pad
     img_size = stride * h
+    hdr_h = h if flip_rows else -h
     header = struct.pack(
         "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
     ) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    bgr = px[::-1] if flip_rows else px  # bottom-up row order
+    bgr = px[::-1] if flip_rows else px  # bottom-up vs top-down row order
     rows = np.zeros((h, stride), dtype=np.uint8)
     rows[:, :row_bytes] = bgr[:, :, ::-1].reshape(h, row_bytes)  # RGB->BGR
     return header + rows.tobytes()
@@ -268,13 +294,9 @@ def decode_stub(payload: bytes, modality: str) -> dict:
     n = int(arr.size)
     a = arr.astype(np.int64)
     s, ss = int(a.sum()), int((a * a).sum())
-
-    def r6(x: float) -> float:
-        return math.floor(x * 1e6 + 0.5) / 1e6  # x >= 0 here
-
     return {
-        "byte_mean": r6(s / n),
-        "byte_std": r6(math.sqrt(float(n * ss - s * s)) / n),
+        "byte_mean": round6_half_away(s / n),
+        "byte_std": round6_half_away(math.sqrt(float(n * ss - s * s)) / n),
         # fake dimensions derived from content so tests are reproducible
         "fake_width": int(arr[: min(4, arr.size)].sum()) % 512 + 1,
         "fake_height": int(arr[-min(4, arr.size):].sum()) % 512 + 1,
@@ -287,44 +309,19 @@ def featurize(mm: DataFrame, batch_size: int = 1024) -> DataFrame:
     so parquet column pruning keeps unrelated columns out of the Arrow
     stream.
 
-    The decode logic is inlined into the closure (not a call to the
-    module-level ``decode_stub``) so cloudpickle ships it BY VALUE: the
-    executors' Python workers must not need this package importable —
-    the driver contract runs from an arbitrary cwd."""
+    The closure calls the module-level :func:`decode_stub` directly:
+    this module is registered for by-value pickling (bottom of file),
+    so cloudpickle ships the stub's code inside the task and executors'
+    Python workers never need this package importable — the driver
+    contract runs from an arbitrary cwd."""
     field_names = [f.name for f in FEATURE_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
-        import numpy as np
-
-        def decode(payload: bytes, modality: str) -> dict:
-            # deterministic stand-in for PIL/ffmpeg — see decode_stub
-            # (exact-integer stat algebra so the oracle can recompute)
-            if modality not in ("image", "audio", "video"):
-                raise NotImplementedError(f"no codec for modality {modality!r}")
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            if arr.size == 0:
-                return {
-                    "byte_mean": 0.0,
-                    "byte_std": 0.0,
-                    "fake_width": 0,
-                    "fake_height": 0,
-                }
-            n = int(arr.size)
-            a = arr.astype(np.int64)
-            s, ss = int(a.sum()), int((a * a).sum())
-            return {
-                "byte_mean": math.floor(s / n * 1e6 + 0.5) / 1e6,
-                "byte_std": math.floor(
-                    math.sqrt(float(n * ss - s * s)) / n * 1e6 + 0.5
-                ) / 1e6,
-                "fake_width": int(arr[: min(4, arr.size)].sum()) % 512 + 1,
-                "fake_height": int(arr[-min(4, arr.size):].sum()) % 512 + 1,
-            }
-
         for pdf in batches:
-            feats = [decode(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            feats = [
+                decode_stub(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             out.insert(1, "modality", pdf["modality"].values)
@@ -603,20 +600,13 @@ def audio_wav_stats(d: DataFrame) -> DataFrame:
                 a = decoded.astype(np.int64)
                 n = int(a.size)
                 s, ss = int(a.sum()), int((a * a).sum())
-                mean = s / n
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(dec_rate)
                 out["n_samples"].append(n)
                 out["n_bytes"].append(len(payload))
                 out["duration_ms"].append(n * 1000 // dec_rate)
-                out["amp_mean"].append(
-                    math.copysign(
-                        math.floor(abs(mean) * 1e6 + 0.5) / 1e6, mean
-                    )
-                )
-                out["amp_rms"].append(
-                    math.floor(math.sqrt(ss / n) * 1e6 + 0.5) / 1e6
-                )
+                out["amp_mean"].append(round6_half_away(s / n))
+                out["amp_rms"].append(round6_half_away(math.sqrt(ss / n)))
                 out["amp_min"].append(int(a.min()))
                 out["amp_max"].append(int(a.max()))
             if out["doc_id"]:
@@ -685,8 +675,6 @@ def image_bmp_stats(d: DataFrame, width: int = IMG_W) -> DataFrame:
     pixel row are skipped on both engines."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
         import numpy as np
 
         row_px = width
@@ -712,9 +700,7 @@ def image_bmp_stats(d: DataFrame, width: int = IMG_W) -> DataFrame:
                 out["height"].append(h)
                 out["n_bytes"].append(len(payload))
                 for key, c in (("r_mean", 0), ("g_mean", 1), ("b_mean", 2)):
-                    out[key].append(
-                        math.floor(int(sums[c]) / npx * 1e6 + 0.5) / 1e6
-                    )
+                    out[key].append(round6_half_away(int(sums[c]) / npx))
                 out["px_min"].append(int(a.min()))
                 out["px_max"].append(int(a.max()))
             if out["doc_id"]:

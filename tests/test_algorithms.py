@@ -444,11 +444,12 @@ def test_bmp_codec_roundtrip_and_validation():
         stride = (w * 3 + 3) & ~3
         assert len(payload) == 54 + stride * h
         assert np.array_equal(decode_bmp24(payload), px)
-    # top-down variant (negative height) decodes to the same pixels
+    # top-down variant: encoder writes the negative height itself, so
+    # the file stays self-consistent and decodes to the same pixels
     px = rng.integers(0, 256, size=(3, 7, 3)).astype(np.uint8)
-    p = bytearray(encode_bmp24(px, flip_rows=False))
-    p[22:26] = struct.pack("<i", -3)  # height field: top-down marker
-    assert np.array_equal(decode_bmp24(bytes(p)), px)
+    p = encode_bmp24(px, flip_rows=False)
+    assert struct.unpack("<i", p[22:26])[0] == -3
+    assert np.array_equal(decode_bmp24(p), px)
     with _pytest.raises(ValueError, match="BMP"):
         decode_bmp24(b"JUNK" * 20)
     bad = bytearray(encode_bmp24(px))
