@@ -357,6 +357,29 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("ann_ivf_topk_int8")
+def q_ann_ivf_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the INT8-QUANTIZED corpus — the 4x
+    storage/bandwidth lever :func:`quantize_embeddings` documents, run
+    end-to-end: per-vector max-abs codes are dequantized
+    (code * scale, a single array-lambda projection) and fed through
+    the same IVF plan, so ranking quality degrades only by the
+    reconstruction error (|err| <= scale/2 per dim). Rows-only driver
+    check (quantized ranks are definitionally approximate); the test
+    pins recall@k against the float brute-force answer. At 100 TB the
+    codes column is what sits on disk and crosses the scan — this query
+    is the proof the search path works on it directly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = quantized_codes(e)
+    recon = codes.select(
+        "vec_id",
+        F.transform(
+            F.col("codes"), lambda c: c.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    return ivf_topk(recon)
+
+
 # --------------------------------------------------------------------------
 # pairwise similarity stats per label cluster (embedding analytics: the
 # aggregate view a curation pipeline uses to pick cluster-level thresholds)

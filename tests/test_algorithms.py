@@ -66,6 +66,32 @@ def test_ivf_partial_probe_beats_random_baseline(spark):
     assert recall >= 0.8 * NPROBE / N_CELLS, f"IVF recall {recall}"
 
 
+def test_ivf_int8_full_probe_recall_vs_float(spark):
+    """Searching the int8-dequantized corpus at FULL probe must recover
+    nearly all of the float brute-force top-k: per-dim reconstruction
+    error is <= scale/2, so rank flips happen only on near-ties."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+        ivf_topk,
+        quantized_codes,
+    )
+
+    qs = registry.queries()
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    recon = quantized_codes(e).select(
+        "vec_id",
+        F.transform(
+            F.col("codes"), lambda c: c.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    brute = qs["ann_topk_cosine"](spark, SF_ORACLE).collect()
+    int8 = ivf_topk(recon, nprobe=N_CELLS).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    found = {(r.query_id, r.neighbor_id) for r in int8}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"int8 full-probe recall {recall}"
+
+
 def test_minhash_lsh_finds_planted_near_dups(spark):
     """Every pair the exact n-gram Jaccard pass certifies at >= 0.9 must be
     recovered by the banded MinHash-LSH candidates (banding theory: at
