@@ -68,6 +68,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hash_stratified_sample",   # RNG-free stratified-sample twin
     "dataset_split",            # hash-range train/val/test assignment
     "funnel_stages_windowed",   # max-conversion-window funnel
+    "priority_late_shipments",  # Q4-shape EXISTS semi-join
+    "volume_shipping",          # Q7-shape nation-pair trade volume
+    "returned_item_revenue",    # Q10-shape returned-revenue top-20
+    "promo_revenue_share",      # Q14-shape conditional revenue ratio
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",
     "json_extract",
@@ -165,6 +169,7 @@ def _load_all() -> None:
         session_queries,
         similarity,
         text_analysis,
+        tpch_shapes,
         window_time,
         windows,
     )
