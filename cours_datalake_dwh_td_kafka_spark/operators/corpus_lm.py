@@ -1,0 +1,149 @@
+"""Corpus-level language-model statistics for training-data curation
+(BASELINE.json north star; course analog: the nltk frequency analyses in
+work/requirements.txt:1-7): a unigram-LM log-probability quality score
+(the classic "perplexity filter" in every pretraining pipeline, here
+with the corpus itself as the LM) and corpus-wide top-bigram counts.
+
+Both are pure built-in column algebra — explode-first tokenization (see
+dedup.shingle_rows for why explode-FIRST), keyed aggregations, one
+broadcast scalar row — zero Python UDFs, so they ride WholeStageCodegen
+and scale linearly in corpus bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+    NORM_SQL,
+    norm_text,
+    shingle_rows,
+)
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# unigram-LM average log-probability per document
+# ---------------------------------------------------------------------------
+_UNIGRAM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, s AS tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS s FROM toks)
+      GROUP BY doc_id, s
+    ),
+    cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS n_corpus FROM cnts)
+    SELECT tf.doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(
+                 tf * log2(cnt / CAST(n_corpus AS DOUBLE))
+               AS DECIMAL(28,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+    FROM tf
+    JOIN cnts USING (tok)
+    CROSS JOIN tot
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+"""
+
+
+def unigram_logprob(d: DataFrame) -> DataFrame:
+    """Per-document mean log2 probability of its tokens under the
+    corpus-wide unigram MLE — low scores flag boilerplate/rare-garbage
+    docs, the standard perplexity-style quality filter with the corpus
+    itself as the model (no token is unseen, so no smoothing term).
+
+    Scale shape: tokens collapse to per-doc (doc, tok, tf) BEFORE the
+    corpus join, so the token-keyed shuffle carries distinct-terms-per-
+    doc rows, not every occurrence; the global count table derives from
+    the same tf aggregate (one tokenization pass total); the corpus
+    token total rides one broadcast scalar row. The tok join key is
+    Zipf-skewed (stop words) — AQE skew-join splits the hot partitions,
+    and tf-weighting means the hot rows are few-per-doc anyway.
+    Per-term contributions are summed as DECIMAL(28,6) (repo-wide
+    dec_sum discipline) so partial-agg order can't shift the round-6
+    value."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    tokd = d.select("doc_id", toks.alias("t"))
+    tf = (
+        tokd.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cnts = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    tot = cnts.agg(F.sum("cnt").alias("n_corpus"))
+    term = F.col("tf") * F.log2(
+        F.col("cnt") / F.col("n_corpus").cast("double")
+    )
+    return (
+        tf.join(cnts, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(term.cast("decimal(28,6)")).cast("double")
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("unigram_logprob", _UNIGRAM_SQL)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide top bigrams
+# ---------------------------------------------------------------------------
+BIGRAM_TOP_N = 30
+
+_BIGRAM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 1)),
+               i -> array_to_string(t[i:i+1], ' ')
+             )) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT {BIGRAM_TOP_N}
+"""
+
+
+def bigram_top_counts(d: DataFrame, top_n: int = BIGRAM_TOP_N) -> DataFrame:
+    """Most frequent word bigrams across the corpus — the collocation
+    table curation teams eyeball for boilerplate ("all rights
+    reserved") and that n-gram LMs start from.
+
+    Scale shape: explode-first bigram rows (linear per doc, see
+    shingle_rows), map-side partial count, ONE shuffle on the bigram
+    key, TakeOrderedAndProject top-n (no global sort). Occurrence
+    counting keeps duplicates (distinct=False) — no per-doc dedup
+    shuffle."""
+    rows = shingle_rows(d, n=2, distinct=False)
+    return (
+        rows.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(top_n)
+    )
+
+
+@register("bigram_top_counts", _BIGRAM_SQL)
+def q_bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_top_counts(load_table(spark, sf_dir, "documents"))

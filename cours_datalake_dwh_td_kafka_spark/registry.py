@@ -72,6 +72,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "volume_shipping",          # Q7-shape nation-pair trade volume
     "returned_item_revenue",    # Q10-shape returned-revenue top-20
     "promo_revenue_share",      # Q14-shape conditional revenue ratio
+    "unigram_logprob",          # corpus-unigram-LM quality score
+    "bigram_top_counts",        # corpus collocation table
+    "heavy_hitters_cms",        # count-min sketch with in-query bound
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",
     "json_extract",
@@ -157,6 +160,7 @@ def _load_all() -> None:
     from cours_datalake_dwh_td_kafka_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        corpus_lm,
         curation,
         dedup,
         joins,
@@ -168,6 +172,7 @@ def _load_all() -> None:
         scale,
         session_queries,
         similarity,
+        sketches,
         text_analysis,
         tpch_shapes,
         window_time,
