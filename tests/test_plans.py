@@ -103,6 +103,44 @@ def test_exchange_reuse_in_self_joins(spark):
     assert f.n_reused_exchanges >= 1
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """The third 100 TB join lever after broadcast and bucketing
+    (scale.py): Catalyst's runtime bloom filter. A selective filter on
+    the creation side (orders) must inject a might_contain() predicate
+    on the application side (lineitem), so fact rows that cannot join
+    die at the scan instead of riding the shuffle. Conf-gated because
+    the application-side threshold (10 GB default) never triggers on
+    test data; the PLAN SHAPE is what we pin."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        from cours_datalake_dwh_td_kafka_spark.io import load_table
+
+        o = load_table(spark, SF_ORACLE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_project_once_blocks_hof_inlining(spark):
     """ADVICE r2: the round-2 guard column was pruned and the barrier was
     a no-op. The reworked barrier (nondeterministic tautology filter)
