@@ -566,3 +566,73 @@ def quantized_codes(e: DataFrame) -> DataFrame:
 @register("embedding_quantize", _QUANT_SQL)
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids (k-means E-step / IVF coarse-quantizer refresh)
+# ---------------------------------------------------------------------------
+_CENTROID_SQL = """
+    WITH flat AS (
+      SELECT label, pv.pos AS pos, CAST(pv.v AS DOUBLE) AS v
+      FROM (
+        SELECT label,
+               unnest(list_transform(
+                 generate_series(1, len(embedding)),
+                 i -> struct_pack(pos := i, v := embedding[i])
+               )) AS pv
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT label, pos,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS c
+      FROM flat GROUP BY label, pos
+    ),
+    nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT label, list(c ORDER BY pos) AS centroid, n_vecs
+    FROM cent JOIN nv USING (label)
+    GROUP BY label, n_vecs
+    ORDER BY label
+"""
+
+
+def embedding_centroids(e: DataFrame) -> DataFrame:
+    """Element-wise mean vector per label — the k-means assignment-step
+    partner of :func:`ivf_topk`'s quantizer and the cluster summary
+    SemDeDup-style pipelines refresh each epoch.
+
+    Scale shape: posexplode fans each vector into (label, pos, value)
+    rows, ONE (label, pos) keyed aggregate computes the exact decimal
+    mean per dimension (k x d result rows regardless of corpus size —
+    the map-side partial agg absorbs the d-fold row blowup), then a
+    collect_list + array_sort per label reassembles the d means in
+    position order. No driver collect, no UDF; compare MLlib KMeans
+    which pays the same shuffle shape per iteration."""
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = pos.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(28,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    nv = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .join(F.broadcast(nv), "label")
+        .select("label", "centroid", "n_vecs")
+        .orderBy("label")
+    )
+
+
+@register("embedding_centroids", _CENTROID_SQL)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_centroids(load_table(spark, sf_dir, "embeddings"))

@@ -75,6 +75,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "unigram_logprob",          # corpus-unigram-LM quality score
     "bigram_top_counts",        # corpus collocation table
     "heavy_hitters_cms",        # count-min sketch with in-query bound
+    "scd2_dimension",           # type-2 SCD validity intervals
+    "embedding_centroids",      # per-label mean vectors
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",
     "json_extract",
@@ -163,6 +165,7 @@ def _load_all() -> None:
         corpus_lm,
         curation,
         dedup,
+        dwh,
         joins,
         joins_advanced,
         knn,
