@@ -565,3 +565,54 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# beyond-ref: per-key linear trend via native regression aggregates
+# --------------------------------------------------------------------------
+_TREND_EPOCH = "1995-01-01"
+
+_TREND_SQL = f"""
+    SELECT user_id,
+           CAST(regr_count(value, d) AS BIGINT) AS n_points,
+           ROUND(regr_slope(value, d), 6) AS slope,
+           ROUND(regr_intercept(value, d), 6) AS intercept,
+           ROUND(regr_r2(value, d), 6) AS r2
+    FROM (
+      SELECT user_id, value,
+             date_diff('day', DATE '{_TREND_EPOCH}', CAST(ts AS DATE)) AS d
+      FROM events
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+def value_trend(e: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key OLS trend of ``value`` over time (day index) using the
+    native SQL regression aggregates — slope/intercept/R² in ONE keyed
+    aggregation pass, no MLlib, no UDF, no per-key collect. The x axis
+    is an integer day offset from a fixed epoch, identical in both
+    engines (timestamp->epoch-seconds casts differ in fractional
+    handling; a date diff does not). Keys whose events all fall on one
+    day have zero x-variance -> NULL slope on both engines. The
+    single-pass co-moment accumulation is double-typed; outputs are
+    rounded to 6 dp, far above the ~1e-13 relative noise partial-agg
+    order can introduce at these magnitudes."""
+    d = F.datediff(F.col("ts").cast("date"), F.lit(_TREND_EPOCH).cast("date"))
+    return (
+        e.select(key, F.col("value"), d.cast("double").alias("d"))
+        .groupBy(key)
+        .agg(
+            F.regr_count("value", "d").cast("bigint").alias("n_points"),
+            F.round(F.regr_slope("value", "d"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "d"), 6).alias("intercept"),
+            F.round(F.regr_r2("value", "d"), 6).alias("r2"),
+        )
+        .orderBy(key)
+    )
+
+
+@register("user_value_trend", _TREND_SQL)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_trend(load_table(spark, sf_dir, "events"))

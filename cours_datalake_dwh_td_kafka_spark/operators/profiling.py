@@ -199,3 +199,147 @@ def q_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# beyond-ref: multi-table data-quality audit (extends A16 validity_audit
+# to the cross-table checks a DWH load gate runs before publishing)
+# --------------------------------------------------------------------------
+_DQ_SQL = """
+    WITH checks AS (
+      SELECT 'lineitem_discount_out_of_range' AS check_name,
+             COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+               AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_nonpositive_quantity',
+             COUNT(CASE WHEN l_quantity <= 0 THEN 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_orphan_orderkey', COUNT(*)
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'orders_duplicate_orderkey',
+             COUNT(*) - COUNT(DISTINCT o_orderkey)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_null_custkey',
+             COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_orphan_custkey', COUNT(*)
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'orders_nonpositive_total',
+             COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_shipped_before_order', COUNT(*)
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate < o.o_orderdate
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           (n_violations = 0) AS passed
+    FROM checks
+    ORDER BY check_name
+"""
+
+
+def dq_audit(
+    li: DataFrame, o: DataFrame, c: DataFrame
+) -> DataFrame:
+    """DWH load-gate quality suite: domain checks (ranges, positivity),
+    uniqueness, null keys, referential integrity (orphan foreign keys
+    as LEFT ANTI joins — never a collect), and one cross-table temporal
+    invariant (no line shipped before its order). One row per check
+    with its violation count and verdict — the dbt-test / expectation
+    report shape.
+
+    Scale shape: every domain check is a single scan-side conditional
+    aggregate (the checks against one table could share one scan; kept
+    separate so each check stays independently readable and Catalyst
+    still prunes to the 1-2 columns it needs). The two referential
+    checks project to their key columns BEFORE the anti-join, so only
+    8-byte keys ride the shuffle; the temporal check reuses the
+    orders->lineitem equi-join shape every other fact query shuffles
+    on (bucketing co-locates it at ingest)."""
+
+    def check(name: str, df: DataFrame, cnt) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            cnt.cast("bigint").alias("n_violations"),
+        )
+
+    bad = F.count  # conditional count: non-matching rows -> NULL -> uncounted
+    checks = [
+        check(
+            "lineitem_discount_out_of_range",
+            li,
+            bad(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)),
+        ),
+        check(
+            "lineitem_nonpositive_quantity",
+            li,
+            bad(F.when(F.col("l_quantity") <= 0, 1)),
+        ),
+        check(
+            "lineitem_orphan_orderkey",
+            li.select("l_orderkey").join(
+                o.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            ),
+            F.count(F.lit(1)),
+        ),
+        check(
+            "orders_duplicate_orderkey",
+            o,
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+        ),
+        check(
+            "orders_null_custkey",
+            o,
+            bad(F.when(F.col("o_custkey").isNull(), 1)),
+        ),
+        check(
+            "orders_orphan_custkey",
+            o.select("o_custkey").join(
+                c.select("c_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            ),
+            F.count(F.lit(1)),
+        ),
+        check(
+            "orders_nonpositive_total",
+            o,
+            bad(F.when(F.col("o_totalprice") <= 0, 1)),
+        ),
+        check(
+            "lineitem_shipped_before_order",
+            li.select("l_orderkey", "l_shipdate").join(
+                o.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).where(F.col("l_shipdate") < F.col("o_orderdate")),
+            F.count(F.lit(1)),
+        ),
+    ]
+    out = checks[0]
+    for ck in checks[1:]:
+        out = out.unionByName(ck)
+    return out.withColumn("passed", F.col("n_violations") == 0).orderBy(
+        "check_name"
+    )
+
+
+@register("dq_audit", _DQ_SQL)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_audit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )

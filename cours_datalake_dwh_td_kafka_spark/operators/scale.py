@@ -167,3 +167,70 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two engine-side scale knobs (tests/test_scale.py exercises the
 # exchange-free join plan through this name).
 from cours_datalake_dwh_td_kafka_spark.io import write_bucketed  # noqa: E402,F401
+
+
+# --------------------------------------------------------------------------
+# beyond-ref: distributed dense surrogate keys (DWH dimension loads)
+# --------------------------------------------------------------------------
+_SK_SQL = """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS sk,
+           c_custkey, c_name
+    FROM customer
+    ORDER BY sk
+"""
+
+_SK_BUCKETS = 16
+
+
+def dense_ids(df: DataFrame, order_col: str, n_buckets: int = _SK_BUCKETS) -> DataFrame:
+    """Gap-free 1..N ids in ``order_col`` order WITHOUT the classic
+    single-reducer global window. ROW_NUMBER() OVER (ORDER BY k) — the
+    textbook surrogate-key assignment — funnels all N rows through one
+    task; at 100 TB that task never finishes. This is the two-phase
+    shape instead (the DataFrame form of zipWithIndex):
+
+    1. range-repartition on the key -> ordered, contiguous buckets;
+    2. per-bucket row counts -> running offsets (a window over
+       n_buckets rows, driver-scale, broadcast back);
+    3. ROW_NUMBER within each bucket (parallel) + the bucket's offset.
+
+    The ids are DETERMINISTIC even though repartitionByRange samples
+    its bounds nondeterministically: buckets are contiguous in key
+    order, so offset + within-bucket rank == global rank wherever the
+    bounds happen to fall (``order_col`` must be unique — ties could
+    straddle a bound). Oracle: the plain global ROW_NUMBER."""
+    import pyspark.sql.window as W
+
+    bucketed = df.repartitionByRange(n_buckets, order_col).withColumn(
+        "_bucket", F.spark_partition_id()
+    )
+    offsets = (
+        bucketed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.sum("_n").over(
+                W.Window.orderBy("_bucket").rowsBetween(
+                    W.Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_bucket", F.coalesce("_offset", F.lit(0)).alias("_offset"))
+    )
+    rn = F.row_number().over(
+        W.Window.partitionBy("_bucket").orderBy(order_col)
+    )
+    return (
+        bucketed.withColumn("_rn", rn)
+        .join(F.broadcast(offsets), "_bucket")
+        .withColumn("sk", (F.col("_offset") + F.col("_rn")).cast("bigint"))
+        .drop("_bucket", "_rn", "_offset")
+    )
+
+
+@register("surrogate_keys", _SK_SQL)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return dense_ids(c, "c_custkey").select(
+        "sk", "c_custkey", "c_name"
+    ).orderBy("sk")

@@ -77,6 +77,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitters_cms",        # count-min sketch with in-query bound
     "scd2_dimension",           # type-2 SCD validity intervals
     "embedding_centroids",      # per-label mean vectors
+    "user_value_trend",         # native regr_slope/intercept/r2
+    "dq_audit",                 # cross-table quality gate
+    "surrogate_keys",           # two-phase dense ids, no global window
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",
     "json_extract",

@@ -158,3 +158,28 @@ def test_range_join_bucketed_equals_nlj(spark):
     )
     assert nlj == bkt
     assert len(nlj) == o.count()  # bands partition the price domain
+
+
+def test_dense_ids_invariant_to_bucket_count(spark):
+    """Surrogate keys must be a pure function of the data: the same
+    gap-free 1..N assignment whatever the bucket count (including the
+    degenerate single-bucket = plain global window case), because
+    range buckets are contiguous in key order."""
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import dense_ids
+
+    c = load_table(spark, SF_ORACLE, "customer").select("c_custkey")
+    ref = sorted(
+        map(tuple, dense_ids(c, "c_custkey", 1).select("sk", "c_custkey").collect())
+    )
+    n = c.count()
+    assert [r[0] for r in ref] == list(range(1, n + 1))  # gap-free 1..N
+    for buckets in (7, 32):
+        got = sorted(
+            map(
+                tuple,
+                dense_ids(c, "c_custkey", buckets)
+                .select("sk", "c_custkey")
+                .collect(),
+            )
+        )
+        assert got == ref, f"ids changed with n_buckets={buckets}"
