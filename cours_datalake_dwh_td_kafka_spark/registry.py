@@ -80,6 +80,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_value_trend",         # native regr_slope/intercept/r2
     "dq_audit",                 # cross-table quality gate
     "surrogate_keys",           # two-phase dense ids, no global window
+    "forecast_revenue",         # Q6-shape scan-only global sum
+    "top_revenue_parts",        # Q11-shape global-share HAVING
+    "customer_order_distribution",  # Q13-shape left-join count histogram
+    "top_supplier",             # Q15-shape broadcast-scalar argmax
+    "small_quantity_revenue",   # Q17-shape decorrelated per-part avg
+    "large_orders",             # Q18-shape IN-aggregate semi-join
+    "disjunctive_revenue",      # Q19-shape hand-CNF OR brackets
+    "idle_customer_balance",    # Q22-shape scalar-subquery + anti-join
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",
     "json_extract",
@@ -181,6 +189,7 @@ def _load_all() -> None:
         sketches,
         text_analysis,
         tpch_shapes,
+        tpch_shapes2,
         window_time,
         windows,
     )
