@@ -1,0 +1,180 @@
+"""Time-series post-processing the reference's batch layer gestures at
+(daily/monthly profiling, work/batch_profiling_enriched.py:20-27) but
+never completes: exponential smoothing over each key's event history and
+gap-filled daily resampling with forward fill — the two standard steps
+between a raw event lake and a dashboard-ready series.
+
+Both are exact cross-engine: the EWMA is a left fold whose float ops run
+in the same order on both engines (list_reduce in DuckDB, F.aggregate in
+Spark, identical literals), and the gap-fill spine is a deterministic
+per-key date sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# EWMA per user: exact sequential fold, no UDF.
+# ---------------------------------------------------------------------------
+# 1 - 0.3 != 0.7 in IEEE doubles: both weights are spelled as literals so
+# the Spark lambda and the DuckDB lambda compile to the same constants.
+_EWMA_ALPHA = 0.3
+_EWMA_BETA = 0.7
+
+_EWMA_SQL = f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(list_reduce(
+               list(value ORDER BY ts, event_id),
+               (acc, x) -> {_EWMA_ALPHA} * x + {_EWMA_BETA} * acc
+           ), 6) AS ewma_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+def ewma(e: DataFrame, key: str = "user_id", alpha: float = _EWMA_ALPHA) -> DataFrame:
+    """Final exponentially-weighted moving average of ``value`` per key,
+    folding events in (ts, event_id) order: ewma_0 = x_0, ewma_t =
+    alpha*x_t + (1-alpha)*ewma_{t-1}.
+
+    EWMA is a non-associative recurrence — it cannot be a partial-
+    aggregable SUM, and a window-function form needs pow(beta, t-i)
+    weights that overflow at large t. The scale-correct shape is a
+    per-key SEQUENTIAL fold: collect the key's ordered history into an
+    array (bounded by events-per-key, the same invariant every
+    sessionization here relies on; for millions of events per key,
+    switch to applyInPandas chunk folding) and F.aggregate over it —
+    array lambdas execute JVM-side in codegen, so this is one shuffle
+    on the key and zero Python.
+
+    Cross-engine exactness: DuckDB's list_reduce seeds the fold with the
+    first element; the Spark fold reproduces that with a NULL-seeded
+    accumulator and a first-element branch. Same literals, same op
+    order -> bit-identical doubles, rounded once for output."""
+    beta = _EWMA_BETA if alpha == _EWMA_ALPHA else 1.0 - alpha
+    xs = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", F.col("value")))
+    )
+    fold = F.aggregate(
+        F.col("xs"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            F.lit(alpha) * x["value"] + F.lit(beta) * acc
+        ),
+    )
+    return (
+        e.select(key, "ts", "event_id", "value")
+        .groupBy(key)
+        .agg(xs.alias("xs"))
+        .select(
+            key,
+            F.size("xs").cast("bigint").alias("n_events"),
+            F.round(fold, 6).alias("ewma_value"),
+        )
+        .orderBy(key)
+    )
+
+
+@register("ewma_per_user", _EWMA_SQL)
+def q_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Daily resample with forward fill over a per-key date spine.
+# ---------------------------------------------------------------------------
+_GAP_FILL_SQL = """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
+                 AS day_value
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    bounds AS (
+        SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily
+        GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day, d.day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+           ) AS filled_value
+    FROM spine s
+    LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ORDER BY s.user_id, s.day
+"""
+
+
+def gap_fill_daily(e: DataFrame, key: str = "user_id") -> DataFrame:
+    """Resample each key's events to a dense daily series between its
+    first and last active day, forward-filling days with no events from
+    the most recent observed day.
+
+    Scale shape: the spine is sequence(min_day, max_day) per key —
+    generated FROM the aggregate (one row per key explodes to its own
+    day range), never a driver-side calendar loop or a global-calendar
+    cross join. The daily aggregate, the bounds, the spine join and the
+    fill window are all keyed on user_id, so AQE plans one shuffle
+    family; the forward fill is last(ignorenulls) over the per-key
+    chronological frame — identical default frame (unbounded preceding
+    .. current row) on both engines. Day sums use the repo's exact
+    decimal discipline, so filled values propagate bit-identical
+    doubles."""
+    day = F.date_trunc("day", F.col("ts"))
+    daily = (
+        e.select(key, day.alias("day"), "value")
+        .groupBy(key, "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
+            ).alias("day_value")
+        )
+    )
+    spine = (
+        daily.groupBy(key)
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            key,
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    d = daily.select(
+        F.col(key).alias("d_key"),
+        F.col("day").alias("d_day"),
+        "day_value",
+    )
+    w = Window.partitionBy(key).orderBy("day")
+    return (
+        spine.join(
+            d,
+            (F.col(key) == F.col("d_key")) & (F.col("day") == F.col("d_day")),
+            "left",
+        )
+        .select(
+            key,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias(
+                "filled_value"
+            ),
+        )
+        .orderBy(key, "day")
+    )
+
+
+@register("gap_fill_daily", _GAP_FILL_SQL)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_fill_daily(load_table(spark, sf_dir, "events"))

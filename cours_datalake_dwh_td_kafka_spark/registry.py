@@ -88,6 +88,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "large_orders",             # Q18-shape IN-aggregate semi-join
     "disjunctive_revenue",      # Q19-shape hand-CNF OR brackets
     "idle_customer_balance",    # Q22-shape scalar-subquery + anti-join
+    "ewma_per_user",            # exact sequential fold, no UDF
+    "gap_fill_daily",           # per-key date spine + forward fill
+    "doc_chunks",               # overlapping RAG chunk windows
+    "weighted_sample",          # deterministic A-ES weighted top-k
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",
     "json_extract",
@@ -182,12 +186,14 @@ def _load_all() -> None:
         knn,
         multimodal,
         profiling,
+        rag,
         relational,
         scale,
         session_queries,
         similarity,
         sketches,
         text_analysis,
+        timeseries,
         tpch_shapes,
         tpch_shapes2,
         window_time,
