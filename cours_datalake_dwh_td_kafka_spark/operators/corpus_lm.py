@@ -12,7 +12,7 @@ and scale linearly in corpus bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
@@ -147,3 +147,73 @@ def bigram_top_counts(d: DataFrame, top_n: int = BIGRAM_TOP_N) -> DataFrame:
 @register("bigram_top_counts", _BIGRAM_SQL)
 def q_bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_top_counts(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the token frequency spectrum
+# ---------------------------------------------------------------------------
+ZIPF_TOP_N = 1000
+
+_ZIPF_SQL = f"""
+    WITH toks AS (
+      SELECT string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    cnts AS (
+      SELECT s AS tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(t) AS s FROM toks)
+      GROUP BY s
+    ),
+    top AS (
+      SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT {ZIPF_TOP_N}
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM top
+    )
+    SELECT COUNT(*) AS n_terms,
+           ROUND(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(cnt), ln(rnk)), 6) AS zipf_intercept,
+           ROUND(regr_r2(ln(cnt), ln(rnk)), 6) AS zipf_r2
+    FROM ranked
+"""
+
+
+def zipf_fit(d: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Least-squares fit of log(count) ~ log(rank) over the corpus's
+    top-n token frequencies — the Zipf diagnostic curation teams use to
+    spot synthetic/templated corpora (natural language sits near slope
+    -1 with high R²; generated boilerplate bends the curve).
+
+    Scale shape: token counts partial-aggregate map-side and shuffle
+    once on the token key; the top-n is TakeOrderedAndProject (per-
+    partition heaps), so the full vocabulary never sorts globally; only
+    the n surviving rows pass through the single-partition rank window
+    (bounded by the constant n, not the corpus). Fit uses the native
+    regr_* aggregates (same discipline as user_value_trend,
+    aggregates.py): double co-moments, rounded to 6 dp — far above the
+    ~1e-13 partial-order noise at these magnitudes."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    cnts = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = cnts.orderBy(F.desc("cnt"), "tok").limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = top.select(
+        "cnt", F.row_number().over(w).alias("rnk")
+    )
+    y, x = F.log(F.col("cnt")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
+    )
+
+
+@register("zipf_law_fit", _ZIPF_SQL)
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_fit(load_table(spark, sf_dir, "documents"))

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gap_fill_daily",           # per-key date spine + forward fill
     "doc_chunks",               # overlapping RAG chunk windows
     "weighted_sample",          # deterministic A-ES weighted top-k
+    "zipf_law_fit",             # frequency-spectrum OLS diagnostic
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",
     "json_extract",
