@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_chunks",               # overlapping RAG chunk windows
     "weighted_sample",          # deterministic A-ES weighted top-k
     "zipf_law_fit",             # frequency-spectrum OLS diagnostic
+    "dedup_span_runs",          # ExactSubstr-style duplicated spans
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",
     "json_extract",
@@ -193,6 +194,7 @@ def _load_all() -> None:
         session_queries,
         similarity,
         sketches,
+        substring_dedup,
         text_analysis,
         timeseries,
         tpch_shapes,

@@ -599,3 +599,54 @@ def test_pii_scrub_idempotent(spark):
     for r in twice:
         assert r.t1 == r.t2
         assert "@" not in r.t2 or "<EMAIL>" in r.t2
+
+
+def test_span_runs_finds_planted_copied_paragraph(spark):
+    """A paragraph copied verbatim between two otherwise-different docs
+    must surface as one span of exactly the paragraph's length; unrelated
+    docs with no >=16-token overlap must not pair."""
+    from cours_datalake_dwh_td_kafka_spark.operators.substring_dedup import (
+        span_runs,
+    )
+
+    para = " ".join(f"w{i}" for i in range(40))  # 40-token copied span
+    docs = [
+        (1, "alpha beta " + para + " gamma delta epsilon zeta"),
+        (2, "one two three four five " + para + " six seven"),
+        (3, " ".join(f"x{i}" for i in range(60))),  # unrelated
+        (4, " ".join(f"y{i}" for i in range(60))),  # unrelated
+    ]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {(r.doc_a, r.doc_b): r for r in span_runs(d).collect()}
+    assert set(rows) == {(1, 2)}
+    hit = rows[(1, 2)]
+    assert hit.n_spans == 1
+    assert hit.max_span_tokens == 40
+    assert hit.dup_tokens == 40
+
+
+def test_span_runs_merges_diagonal_and_caps_boilerplate(spark):
+    """Two disjoint copied spans on different diagonals count separately,
+    and a gram present in more than SPAN_MAX_DF docs is suppressed."""
+    from cours_datalake_dwh_td_kafka_spark.operators.substring_dedup import (
+        SPAN_MAX_DF,
+        span_runs,
+    )
+
+    s1 = " ".join(f"a{i}" for i in range(20))
+    s2 = " ".join(f"b{i}" for i in range(25))
+    boiler = " ".join(f"c{i}" for i in range(20))
+    docs = [
+        (1, s1 + " filler1 filler2 filler3 " + s2),
+        (2, s2 + " unrelated tokens here okay " + s1),
+    ]
+    # boilerplate shared by MANY docs -> df cap suppresses its grams
+    docs += [(10 + i, boiler + f" tail{i}") for i in range(SPAN_MAX_DF + 2)]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {(r.doc_a, r.doc_b): r for r in span_runs(d).collect()}
+    assert (1, 2) in rows
+    assert rows[(1, 2)].n_spans == 2
+    assert rows[(1, 2)].max_span_tokens == 25
+    assert rows[(1, 2)].dup_tokens == 45
+    boiler_pairs = [p for p in rows if p[0] >= 10 and p[1] >= 10]
+    assert not boiler_pairs, f"df cap failed: {boiler_pairs}"
