@@ -339,3 +339,127 @@ def sessionize_transform_with_state(
         "append",
         "eventTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-ordered streaming EWMA (order-sensitive stateful fold)
+# ---------------------------------------------------------------------------
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_folded", LongType()),
+        StructField("ewma_value", DoubleType()),
+    ]
+)
+
+#: (pending event times us, pending values, folded count, current ewma)
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_vals", ArrayType(DoubleType())),
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def _ewma_fn(alpha: float, beta: float):
+    def _fold(pend, n, ewma, wm_us):
+        """Fold every pending event at-or-before the watermark, in event-
+        time order; later events stay buffered."""
+        ripe = sorted(p for p in pend if p[0] <= wm_us)
+        rest = [p for p in pend if p[0] > wm_us]
+        for _, v in ripe:
+            ewma = v if n == 0 else alpha * v + beta * ewma
+            n += 1
+        return rest, n, ewma, len(ripe)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            pend_ts, pend_vals, n, ewma = state.get
+            pend = list(zip(pend_ts, pend_vals))
+        else:
+            pend, n, ewma = [], 0, 0.0
+
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            ts_us = (pdf["event_time"].astype("int64") // 1_000).to_numpy()
+            vals = pdf["value"].to_numpy()
+            pend.extend((int(t), float(v)) for t, v in zip(ts_us, vals))
+
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        pend, n, ewma, n_ripe = _fold(pend, n, ewma, wm_us)
+
+        state.update(
+            (
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                int(n),
+                float(ewma),
+            )
+        )
+        if pend:
+            # re-fire when the watermark moves past the current horizon so
+            # buffered events fold even if this key sees no new data
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if n_ripe:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_folded": [n],
+                    "ewma_value": [ewma],
+                }
+            )
+
+    return fn
+
+
+def ewma_stateful(
+    events: DataFrame,
+    alpha: float | None = None,
+    beta: float | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch EWMA fold (operators/timeseries.py):
+    per-key exponentially-weighted moving average emitted incrementally,
+    in update mode.
+
+    EWMA is ORDER-SENSITIVE — alpha*x_t + (1-alpha)*ewma gives a
+    different answer if events fold out of event-time order — so unlike
+    the sessionizer (whose per-session aggregates are order-insensitive
+    within a session) this operator cannot fold rows as they arrive.
+    Instead it buffers each key's events in state and folds ONLY the
+    prefix the watermark has certified complete (ts <= watermark), in
+    event-time order; later arrivals within the watermark slot into the
+    still-pending suffix. State per key is O(events inside the
+    watermark horizon) — bounded by the lateness allowance, not the
+    stream length — plus the O(1) running (n, ewma). Same weights as
+    the batch twin (explicit alpha AND beta literals: 1 - 0.3 != 0.7
+    in IEEE doubles), so a watermark-complete stream replay reproduces
+    the batch values bit-for-bit."""
+    from cours_datalake_dwh_td_kafka_spark.operators.timeseries import (
+        _EWMA_ALPHA,
+        _EWMA_BETA,
+    )
+
+    if alpha is None:
+        alpha = _EWMA_ALPHA
+    if beta is None:
+        beta = _EWMA_BETA if alpha == _EWMA_ALPHA else 1.0 - alpha
+    src = events.select("user_id", "event_time", "value")
+    if events.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn(alpha, beta),
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -787,3 +787,64 @@ def test_transform_with_state_matches_apply_in_pandas(spark, stream_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_ewma_matches_batch_fold(spark, stream_dir):
+    """The watermark-ordered streaming EWMA, after a flush row pushes the
+    watermark past every real event, must equal the batch array-fold
+    (operators/timeseries.ewma) bit-for-bit — including when a late (but
+    in-watermark) second batch delivers events that PREDATE already-
+    buffered ones (the ordering hazard the pending buffer exists for)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.timeseries import ewma
+    from cours_datalake_dwh_td_kafka_spark.streaming.stateful import (
+        ewma_stateful,
+    )
+
+    temps1 = [20.0, 24.0, 18.0, 30.0]
+    temps2 = [22.0, 26.0]  # arrive later but sit BETWEEN batch-1 events
+    b1 = []
+    for i, t in enumerate(temps1):
+        r = _rows(0, 1, temp=t)[0]
+        r["timestamp"] = BASE_TS + i * 120  # 0s,120s,240s,360s
+        b1.append(r)
+    b2 = []
+    for i, t in enumerate(temps2):
+        r = _rows(0, 1, temp=t)[0]
+        r["timestamp"] = BASE_TS + 60 + i * 120  # 60s,180s: interleave
+        b2.append(r)
+    _write_batch(stream_dir, b1, "b0")
+    _write_batch(stream_dir, b2, "b1")
+    flush = _rows(0, 1, city="Nice")
+    flush[0]["timestamp"] = BASE_TS + 86400
+    _write_batch(stream_dir, flush, "b2")
+
+    enriched = enrich_alerts(_read_stream(spark, stream_dir)).select(
+        F.xxhash64("city").alias("user_id"),
+        "event_time",
+        F.col("temperature").alias("value"),
+    )
+    out = ewma_stateful(enriched, watermark="10 minutes")
+    name = f"tewma_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="update")
+    got = spark.table(name).collect()
+
+    paris_key = None
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], RAW_SCHEMA
+    )
+    bsrc = enrich_alerts(batch).select(
+        F.xxhash64("city").alias("user_id"),
+        F.col("event_time").alias("ts"),
+        F.monotonically_increasing_id().alias("event_id"),
+        F.col("temperature").alias("value"),
+    )
+    want = {r.user_id: (r.n_events, r.ewma_value) for r in ewma(bsrc).collect()}
+    (paris_key,) = {u for u in want if want[u][0] == 6}
+
+    # update mode: the row with the largest n_folded is the final state
+    final = max(
+        (r for r in got if r.user_id == paris_key), key=lambda r: r.n_folded
+    )
+    assert final.n_folded == 6
+    # batch twin rounds to 6dp at output; the stream emits the raw fold
+    assert round(final.ewma_value, 6) == want[paris_key][1]
