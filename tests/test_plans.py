@@ -151,3 +151,29 @@ def test_project_once_blocks_hof_inlining(spark):
     df = registry.queries()["curation_pipeline"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
+
+
+def test_forecast_revenue_is_pure_scan_path(spark):
+    """Q6 shape is the scan-path probe: all three predicates reach
+    PushedFilters, ReadSchema carries only the four needed columns, and
+    the plan has no join at all."""
+    df = registry.queries()["forecast_revenue"](spark, SF_ORACLE)
+    f = plan_facts(df)
+    pushed = " ".join(f.pushed_filters)
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "LessThan(l_quantity" in pushed
+    assert f.read_schemas and "l_orderkey" not in f.read_schemas[0]
+    assert f.n_broadcast_joins + f.n_sortmerge_joins == 0
+
+
+def test_disjunctive_revenue_hand_cnf_pushdown(spark):
+    """Q19 shape: the hand-derived single-table supersets of the mixed
+    OR must reach BOTH parquet scans (brand IN + size bound on part,
+    quantity range on lineitem) and part must broadcast."""
+    df = registry.queries()["disjunctive_revenue"](spark, SF_ORACLE)
+    f = plan_facts(df)
+    pushed = " ".join(f.pushed_filters)
+    assert "In(p_brand" in pushed
+    assert "GreaterThanOrEqual(l_quantity" in pushed
+    assert f.n_broadcast_joins >= 1
