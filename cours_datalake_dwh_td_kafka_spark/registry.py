@@ -94,6 +94,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample",          # deterministic A-ES weighted top-k
     "zipf_law_fit",             # frequency-spectrum OLS diagnostic
     "dedup_span_runs",          # ExactSubstr-style duplicated spans
+    "pagerank_copurchase",      # iterative power method, CTE-unrolled oracle
     # -- attested only in the round-1 window; re-attest on current code --
     "join_revenue_per_nation",
     "json_extract",
@@ -183,6 +184,7 @@ def _load_all() -> None:
         curation,
         dedup,
         dwh,
+        graph,
         joins,
         joins_advanced,
         knn,
