@@ -343,3 +343,90 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+# --------------------------------------------------------------------------
+# beyond-ref: robust (median/MAD) anomaly profile — the outlier detector
+# that survives the outliers it hunts
+# --------------------------------------------------------------------------
+_ROBUST_Z = 3.5  # Iglewicz–Hoaglin modified-z cutoff
+_MAD_SCALE = 0.6745  # Phi^-1(0.75): makes MAD comparable to sigma
+
+_ROBUST_SQL = f"""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ),
+    mad AS (
+      SELECT e.user_id, med.med,
+             quantile_cont(abs(e.value - med.med), 0.5) AS mad
+      FROM events e JOIN med ON e.user_id = med.user_id
+      GROUP BY e.user_id, med.med
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           ROUND(mad.med, 6) AS med_value,
+           ROUND(mad.mad, 6) AS mad_value,
+           CAST(SUM(CASE WHEN mad.mad > 0
+                          AND abs({_MAD_SCALE} * (e.value - mad.med)
+                                  / mad.mad) > {_ROBUST_Z}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad ON e.user_id = mad.user_id
+    GROUP BY e.user_id, mad.med, mad.mad
+    ORDER BY e.user_id
+"""
+
+
+def robust_anomaly(e: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key robust outlier profile: median, MAD, and the count of
+    events whose modified z-score 0.6745*(x - med)/MAD exceeds 3.5
+    (Iglewicz–Hoaglin). Unlike the mean/std detector (anomaly_batch
+    above), a handful of extreme values cannot drag the baseline —
+    median and MAD have a 50% breakdown point — which is what you want
+    when the contamination being hunted is also in the statistic.
+
+    Scale shape: three aggregations on the SAME key (median, MAD over
+    rejoined deviations, outlier count) — the median/MAD tables are one
+    row per key, so the two join-backs broadcast under AQE; exchange
+    reuse keeps it one fact shuffle family. Exact interpolated
+    percentiles (F.percentile <-> quantile_cont, the parity the
+    quantiles query pins); a zero MAD (>= half the key's values
+    identical) flags nothing rather than dividing by zero."""
+    med = e.groupBy(key).agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    with_med = e.select(key, "value").join(med, key)
+    mad = with_med.groupBy(key, "med").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    z = F.lit(_MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        e.select(key, "value")
+        .join(mad, key)
+        .groupBy(key, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0) & (F.abs(z) > _ROBUST_Z), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            key,
+            "n_events",
+            F.round("med", 6).alias("med_value"),
+            F.round("mad", 6).alias("mad_value"),
+            "n_outliers",
+        )
+        .orderBy(key)
+    )
+
+
+@register("robust_anomaly", _ROBUST_SQL)
+def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return robust_anomaly(load_table(spark, sf_dir, "events"))

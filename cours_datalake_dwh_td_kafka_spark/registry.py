@@ -95,7 +95,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zipf_law_fit",             # frequency-spectrum OLS diagnostic
     "dedup_span_runs",          # ExactSubstr-style duplicated spans
     "pagerank_copurchase",      # iterative power method, CTE-unrolled oracle
-    # -- attested only in the round-1 window; re-attest on current code --
+    "robust_anomaly",           # median/MAD modified-z outlier profile
+    # -- attested only in the round-1 window; re-attest on current code.
+    #    NOTE: the r4 io-footer-probe change touches load_table's path,
+    #    so every pre-r4 attestation rides on changed shared code; the
+    #    whole pre-r4 tail therefore re-attests across r4-r6 in list
+    #    order (pytest oracle-parity covers ALL oracled queries on the
+    #    current code each round regardless of the driver's 50-cap). --
     "join_revenue_per_nation",
     "json_extract",
     "minhash_signatures",
