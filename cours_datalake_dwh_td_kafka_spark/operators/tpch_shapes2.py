@@ -473,3 +473,89 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: one nation's market share inside a region, by year.
+# ---------------------------------------------------------------------------
+_Q8_NATION = "NATION_1"
+_Q8_REGION = "EUROPE"
+
+_MARKET_SHARE_SQL = f"""
+    SELECT o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                           THEN volume
+                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(28,6)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = '{_Q8_REGION}'
+    ) t
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@register("nation_market_share", _MARKET_SHARE_SQL)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the share of one supplier nation in the revenue
+    bought by one region's customers, per year. The region filter
+    collapses the customer-side dim chain BEFORE it touches the fact
+    table — region -> nation is folded into one broadcast key list, so
+    customers outside the region drop at their first (broadcast) join
+    and the fact shuffle carries only in-region orders. Both sums
+    accumulate exactly in decimal and divide once as doubles (the
+    promo_revenue_share discipline), so the yearly shares hash-match."""
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == _Q8_REGION
+    )
+    n1 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cust_nkey"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    in_region_cust = c.join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey")
+    ).select("c_custkey")
+    nat_share = F.sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, vol).otherwise(zero)
+    ).cast("double")
+    total = F.sum(vol).cast("double")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(in_region_cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("supp_nkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(nat_share / total, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_span_runs",          # ExactSubstr-style duplicated spans
     "pagerank_copurchase",      # iterative power method, CTE-unrolled oracle
     "robust_anomaly",           # median/MAD modified-z outlier profile
+    "nation_market_share",      # Q8-shape regional market share by year
     # -- attested only in the round-1 window; re-attest on current code.
     #    NOTE: the r4 io-footer-probe change touches load_table's path,
     #    so every pre-r4 attestation rides on changed shared code; the
