@@ -122,6 +122,11 @@ def span_runs(
             (F.col("p0") + 1).alias("pos"),
             F.xxhash64("gram").alias("gh"),
         )
+        # the gram table feeds the df-cap aggregate AND both join sides;
+        # materialize it once (20 bytes/row) instead of tokenizing the
+        # corpus three times — the same scan-vs-materialize trade the
+        # suffix-array construction makes, at a far smaller footprint
+        .localCheckpoint(eager=False)
     )
     keep = (
         grams.groupBy("gh")

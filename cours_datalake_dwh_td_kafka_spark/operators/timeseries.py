@@ -140,6 +140,11 @@ def gap_fill_daily(e: DataFrame, key: str = "user_id") -> DataFrame:
                 F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
             ).alias("day_value")
         )
+        # the daily aggregate feeds BOTH the spine bounds and the fill
+        # join; without a checkpoint Spark recomputes it (a second full
+        # scan of the event lake — the kind of silent 2x that matters at
+        # 100 TB). Materialized once, lazily, at O(keys x active days).
+        .localCheckpoint(eager=False)
     )
     spine = (
         daily.groupBy(key)
