@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pagerank_copurchase",      # iterative power method, CTE-unrolled oracle
     "robust_anomaly",           # median/MAD modified-z outlier profile
     "nation_market_share",      # Q8-shape regional market share by year
+    "bpe_train_merges",         # distributed BPE trainer, unrolled oracle
     # -- attested only in the round-1 window; re-attest on current code.
     #    NOTE: the r4 io-footer-probe change touches load_table's path,
     #    so every pre-r4 attestation rides on changed shared code; the
@@ -187,6 +188,7 @@ def _load_all() -> None:
     from cours_datalake_dwh_td_kafka_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        bpe,
         corpus_lm,
         curation,
         dedup,

@@ -650,3 +650,64 @@ def test_span_runs_merges_diagonal_and_caps_boilerplate(spark):
     assert rows[(1, 2)].dup_tokens == 45
     boiler_pairs = [p for p in rows if p[0] >= 10 and p[1] >= 10]
     assert not boiler_pairs, f"df cap failed: {boiler_pairs}"
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed BPE trainer must learn exactly the merges a
+    textbook sequential implementation learns — same pairs, same counts,
+    same greedy chain handling ('aaaa' + (a,a) -> two 'aa'), same
+    lexicographic tie-breaks."""
+    from collections import Counter
+
+    from cours_datalake_dwh_td_kafka_spark.operators.bpe import bpe_train
+
+    docs = [
+        (1, "low low low lower lowest"),
+        (2, "newer newer new newest"),
+        (3, "aaaa aaaa abab banana"),
+    ]
+
+    def reference(texts, merges):
+        words = Counter()
+        for t in texts:
+            for w in t.split():
+                words[w] += 1
+        reprs = {w: list(w) for w in words}
+        out = []
+        for step in range(1, merges + 1):
+            pairs = Counter()
+            for w, cnt in words.items():
+                r = reprs[w]
+                for i in range(len(r) - 1):
+                    pairs[(r[i], r[i + 1])] += cnt
+            if not pairs:
+                break
+            # count desc, then (left, right) asc — the engine's tie-break
+            (l, r), c = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((step, l, r, l + r, c))
+            for w in reprs:
+                old = reprs[w]
+                new, i = [], 0
+                while i < len(old):
+                    if (
+                        i + 1 < len(old)
+                        and old[i] == l
+                        and old[i + 1] == r
+                    ):
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(old[i])
+                        i += 1
+                reprs[w] = new
+        return out
+
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train(d, merges=5).collect()
+    ]
+    want = reference([t for _, t in docs], 5)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
