@@ -41,7 +41,7 @@ from cours_datalake_dwh_td_kafka_spark.registry import register
 BPE_MERGES = 6
 
 
-def _bpe_sql(merges: int = BPE_MERGES) -> str:
+def _bpe_sql(merges: int = BPE_MERGES, final_select: str | None = None) -> str:
     """Unroll ``merges`` BPE steps into chained MATERIALIZED CTEs
     (DuckDB inlines plain CTEs per reference — a 3-way-referenced chain
     would re-derive the whole prefix exponentially). Each step derives
@@ -102,22 +102,21 @@ def _bpe_sql(merges: int = BPE_MERGES) -> str:
       GROUP BY wl.word, wl.cnt
     )"""
         )
-    unions = "\n    UNION ALL ".join(
-        f"SELECT {t + 1} AS step, l AS left_sym, r AS right_sym,"
-        f" l || r AS merged, c AS pair_count FROM top{t}"
-        for t in range(merges)
-    )
     chain = ",\n    ".join(ctes)
+    if final_select is None:
+        final_select = "\n    UNION ALL ".join(
+            f"SELECT {t + 1} AS step, l AS left_sym, r AS right_sym,"
+            f" l || r AS merged, c AS pair_count FROM top{t}"
+            for t in range(merges)
+        ) + "\n    ORDER BY step"
     return f"""
     WITH {chain}
-    {unions}
-    ORDER BY step
+    {final_select}
 """
 
 
-def bpe_train(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
-    """Learn the first ``merges`` BPE merge rules from the corpus,
-    returning (step, left_sym, right_sym, merged, pair_count).
+def _bpe_core(d: DataFrame, merges: int):
+    """Shared train loop: returns (merge rows, final word-repr DataFrame).
 
     Per step: per-word adjacent pairs via a lead window (partitioned by
     word — bounded), weighted counts, a ONE-ROW argmax to the driver
@@ -125,7 +124,6 @@ def bpe_train(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
     oracle), greedy merge application via islands-parity selection, and
     a rebuild of the symbol arrays (collect sorted structs — per-word
     arrays, bounded by word length)."""
-    spark = d.sparkSession
     words = (
         d.select(
             F.explode(F.split(norm_text(F.col("text")), " ")).alias("word")
@@ -216,7 +214,14 @@ def bpe_train(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return spark.createDataFrame(
+    return out_rows, words
+
+
+def bpe_train(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
+    """Learn the first ``merges`` BPE merge rules from the corpus,
+    returning (step, left_sym, right_sym, merged, pair_count)."""
+    out_rows, _ = _bpe_core(d, merges)
+    return d.sparkSession.createDataFrame(
         out_rows,
         "step int, left_sym string, right_sym string, merged string,"
         " pair_count bigint",
@@ -226,3 +231,68 @@ def bpe_train(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
 @register("bpe_train_merges", _bpe_sql())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Apply the learned merges back to the corpus: per-doc subword stats.
+# ---------------------------------------------------------------------------
+_SEGMENT_SELECT = """SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(w.repr)) AS BIGINT) AS n_subwords,
+           ROUND(CAST(SUM(len(w.repr)) AS DOUBLE) / COUNT(*), 6)
+             AS avg_pieces_per_word
+    FROM (
+      SELECT doc_id,
+             unnest(string_split({norm}, ' ')) AS word
+      FROM documents
+    ) d
+    JOIN w{m} w ON w.word = d.word
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id"""
+
+
+def bpe_segment(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
+    """Tokenize the corpus with the merges just learned: per document,
+    word count, subword-piece count, and mean pieces per word (the
+    fertility statistic tokenizer teams track — high fertility means
+    the vocabulary fits the corpus badly).
+
+    Scale shape: training's final word-repr table IS the segmentation
+    of every distinct word, so applying BPE to the corpus is ONE
+    equi-join of the exploded corpus words against the vocab-sized
+    piece table (broadcast when it fits) — no per-document merge loop
+    ever runs. The oracle reuses the training CTE chain and reads the
+    final w{n} relation, so the learned segmentation is value-checked
+    end-to-end, not just the merge list."""
+    _, words = _bpe_core(d, merges)
+    pieces = words.select(
+        F.col("word").alias("w"), F.size("repr").alias("n_pieces")
+    )
+    corpus = d.select(
+        "doc_id",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("word"),
+    )
+    return (
+        corpus.join(pieces, corpus.word == pieces.w)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_subwords"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_pieces_per_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "bpe_segment_stats",
+    _bpe_sql(
+        final_select=_SEGMENT_SELECT.format(
+            norm=NORM_SQL.format(c="text"), m=BPE_MERGES
+        )
+    ),
+)
+def q_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_segment(load_table(spark, sf_dir, "documents"))

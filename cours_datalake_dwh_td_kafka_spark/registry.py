@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "robust_anomaly",           # median/MAD modified-z outlier profile
     "nation_market_share",      # Q8-shape regional market share by year
     "bpe_train_merges",         # distributed BPE trainer, unrolled oracle
+    "bpe_segment_stats",        # learned segmentation applied corpus-wide
     # -- attested only in the round-1 window; re-attest on current code.
     #    NOTE: the r4 io-footer-probe change touches load_table's path,
     #    so every pre-r4 attestation rides on changed shared code; the
