@@ -234,3 +234,51 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(c, "c_custkey").select(
         "sk", "c_custkey", "c_name"
     ).orderBy("sk")
+
+
+# --------------------------------------------------------------------------
+# key-skew diagnostic: the statistic you inspect BEFORE reaching for the
+# salted variants above
+# --------------------------------------------------------------------------
+_SKEW_SQL = """
+    WITH per_key AS (
+      SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           ROUND(quantile_cont(n, 0.5), 6) AS p50_rows,
+           ROUND(quantile_cont(n, 0.99), 6) AS p99_rows,
+           ROUND(CAST(MAX(n) AS DOUBLE) / quantile_cont(n, 0.5), 6)
+             AS skew_ratio
+    FROM per_key
+"""
+
+
+def key_skew_profile(d: DataFrame, key: str) -> DataFrame:
+    """One-row skew profile of a prospective join/aggregation key:
+    distinct-key count, the hottest key's row count, median and p99
+    rows per key, and max/median as the skew ratio — the number that
+    decides between a plain hash join (ratio ~ 1-10), AQE skew-join
+    splitting (10-100), and explicit salting (beyond, or when a single
+    key exceeds one executor's memory).
+
+    Scale shape: one keyed count (map-side partial) then a single
+    all-reduce over the per-key counts — the profile costs one shuffle
+    of (key, count) pairs, which is exactly what any re-keying decision
+    already pays. Exact interpolated percentiles, the same
+    F.percentile <-> quantile_cont parity the quantiles query pins."""
+    per_key = d.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    p50 = F.percentile("n", F.lit(0.5))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.round(p50, 6).alias("p50_rows"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_rows"),
+        F.round(F.max("n").cast("double") / p50, 6).alias("skew_ratio"),
+    )
+
+
+@register("key_skew_profile", _SKEW_SQL)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return key_skew_profile(li, "l_orderkey")
