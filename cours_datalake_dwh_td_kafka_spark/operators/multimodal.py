@@ -9,16 +9,18 @@ featurizers over Arrow batches — at 100 TB only the binary column's
 partitions stream through the Python workers, everything else is pruned
 at the parquet scan.
 
-Codec layer (round 4): the AUDIO path is REAL — a pure-numpy RIFF/WAVE
-PCM-16 encoder/decoder (:func:`encode_wav_pcm16` /
-:func:`decode_wav_pcm16`, no external codec libs needed), exercised
-end-to-end by the oracle-paired ``multimodal_audio_stats`` query
-(synthesize -> encode -> DECODE -> stats; the DuckDB oracle recomputes
-the stats from the source bytes, so a mis-parsed header or byte order
-flips the value hash). Compressed image/video codecs (PIL/ffmpeg) aren't
-in this container, so `decode_stub` stays a deterministic byte-level
-featurizer for those modalities; real codecs drop into the same UDF
-signature.
+Codec layer (round 4): THREE paths are REAL, no codec libs needed —
+RIFF/WAVE PCM-16 (:func:`encode_wav_pcm16`/:func:`decode_wav_pcm16`),
+24-bit BMP (:func:`encode_bmp24`/:func:`decode_bmp24`), and PNG with
+chunk CRCs and all five scanline filters
+(:func:`encode_png_rgb8`/:func:`decode_png_rgb8`, stdlib zlib). Each is
+exercised end-to-end by an oracle-paired query (synthesize -> encode ->
+DECODE -> stats; the DuckDB oracle recomputes the stats from the source
+bytes, so a mis-parsed header, byte order, row padding, or filter
+reconstruction flips the value hash). Lossy codecs (JPEG/ffmpeg video)
+aren't in this container, so `decode_stub` stays a deterministic
+byte-level featurizer for those modalities; real codecs drop into the
+same UDF signature.
 """
 
 from __future__ import annotations
@@ -850,3 +852,250 @@ try:
     register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # pragma: no cover - old pyspark without the API
     pass
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #3: PNG (RFC 2083), pure python + stdlib zlib. Color type 2
+# (8-bit RGB), all five scanline filters on both sides, chunk CRCs
+# verified on decode. The encoder deliberately CYCLES the filter type
+# per row (None/Sub/Up/Average/Paeth) so a decoder that fakes any
+# reconstruction branch cannot round-trip.
+# ---------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_rgb8(pixels) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG.
+    Scanline r uses filter type r % 5, so every filter's FORWARD
+    transform (and therefore every decoder branch) is exercised on any
+    image of >= 5 rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    h, w, _ = px.shape
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for r in range(h):
+        row = px[r].reshape(-1).astype(np.int64)
+        f = r % 5
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            left = np.concatenate(([0] * bpp, row[:-bpp]))
+            filt = (row - left) % 256
+        elif f == 2:  # Up
+            filt = (row - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate(([0] * bpp, row[:-bpp]))
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate(([0] * bpp, row[:-bpp]))
+            upleft = np.concatenate(([0] * bpp, prev[:-bpp]))
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, upleft)],
+                dtype=np.int64,
+            )
+            filt = (row - pred) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8(payload: bytes):
+    """Parse an 8-bit truecolor PNG into an (h, w, 3) uint8 RGB array:
+    signature + chunk walk with CRC verification, concatenated-IDAT
+    zlib inflate, then per-scanline reconstruction of all five filter
+    types (the Paeth/Average math is where hand-rolled decoders usually
+    go wrong — the round-trip tests pin it). Raises ``ValueError`` on a
+    non-PNG payload, a bad CRC, or an unsupported color mode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, b"", None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG: depth={} color={} interlace={}".format(
+                        depth, color, interlace
+                    )
+                )
+            meta = (w, h)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h = meta
+    bpp = 3
+    stride = w * bpp
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f = raw[r * (1 + stride)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8,
+            count=stride, offset=r * (1 + stride) + 1,
+        ).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                upleft = prev[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(int(left), int(up), int(upleft))
+                rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[r] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# REAL-codec query #3 (PNG): same doc-byte pixel grid as the BMP query,
+# pushed through encode_png_rgb8 -> decode_png_rgb8. The oracle
+# recomputes the stats from the raw bytes, so any broken filter branch
+# (the encoder cycles all five) flips the value hash. n_bytes is NOT
+# emitted: zlib stream size is compressor-version-specific, and the
+# decoded pixels — not the container bytes — are the contract.
+# ---------------------------------------------------------------------------
+PNG_SCHEMA = (
+    "doc_id BIGINT, width BIGINT, height BIGINT, "
+    "r_mean DOUBLE, g_mean DOUBLE, b_mean DOUBLE, "
+    "px_min BIGINT, px_max BIGINT"
+)
+
+_PNG_SQL = f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(generate_series(1, length(text))) AS i, text
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, n // (3 * {IMG_W}) AS h,
+             (i - 1) % 3 AS chan,
+             ord(substr(text, CAST(i AS INT), 1)) AS byte
+      FROM b
+      WHERE n >= 3 * {IMG_W} AND i <= (n // (3 * {IMG_W})) * 3 * {IMG_W}
+    )
+    SELECT doc_id,
+           CAST({IMG_W} AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           ROUND(CAST(SUM(CASE WHEN chan = 0 THEN byte ELSE 0 END) AS DOUBLE)
+                 / ({IMG_W} * h), 6) AS r_mean,
+           ROUND(CAST(SUM(CASE WHEN chan = 1 THEN byte ELSE 0 END) AS DOUBLE)
+                 / ({IMG_W} * h), 6) AS g_mean,
+           ROUND(CAST(SUM(CASE WHEN chan = 2 THEN byte ELSE 0 END) AS DOUBLE)
+                 / ({IMG_W} * h), 6) AS b_mean,
+           CAST(MIN(byte) AS BIGINT) AS px_min,
+           CAST(MAX(byte) AS BIGINT) AS px_max
+    FROM v
+    GROUP BY doc_id, h
+    ORDER BY doc_id
+"""
+
+
+def image_png_stats(d: DataFrame, width: int = IMG_W) -> DataFrame:
+    """documents -> deterministic RGB grid -> PNG encode (cycling all
+    five scanline filters) -> real PNG decode -> per-channel stats from
+    the DECODED pixels. Same byte->pixel contract as image_bmp_stats,
+    so the two queries cross-check each other's codecs against one
+    oracle definition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        row_px = width
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "r_mean": [], "g_mean": [], "b_mean": [],
+                "px_min": [], "px_max": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                h = int(b.size) // (3 * row_px)
+                if h == 0:
+                    continue
+                pixels = b[: h * row_px * 3].reshape(h, row_px, 3)
+                img = decode_png_rgb8(encode_png_rgb8(pixels))
+                a = img.astype(np.int64)
+                npx = h * row_px
+                sums = a.reshape(npx, 3).sum(axis=0)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(row_px)
+                out["height"].append(h)
+                for key, c in (("r_mean", 0), ("g_mean", 1), ("b_mean", 2)):
+                    out[key].append(round6_half_away(int(sums[c]) / npx))
+                out["px_min"].append(int(a.min()))
+                out["px_max"].append(int(a.max()))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(run, PNG_SCHEMA)
+
+
+@register("multimodal_png_stats", _PNG_SQL)
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_png_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )

@@ -711,3 +711,73 @@ def test_bpe_train_matches_pure_python_reference(spark):
     ]
     want = reference([t for _, t in docs], 5)
     assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_png_codec_roundtrip_and_validation():
+    """encode_png_rgb8 -> decode_png_rgb8 must be identity for images
+    tall enough to exercise ALL five scanline filters (the encoder
+    cycles them per row); truncated/corrupted payloads must be
+    rejected, and the PNG and BMP codecs must agree on the same
+    pixels."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_bmp24,
+        decode_png_rgb8,
+        encode_bmp24,
+        encode_png_rgb8,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (5, 7), (11, 3), (8, 8)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_png_rgb8(px)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        back = decode_png_rgb8(payload)
+        assert back.shape == (h, w, 3)
+        assert (back == px).all(), f"round-trip failed at {h}x{w}"
+        # the two image codecs must agree bit-for-bit on the same pixels
+        assert (decode_bmp24(encode_bmp24(px)) == back).all()
+
+    px = rng.randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_png_rgb8(px))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_rgb8(b"GIF89a" + bytes(payload))
+    # flip one IDAT byte: the chunk CRC must catch it
+    payload[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_rgb8(bytes(payload))
+
+
+def test_png_decoder_reads_foreign_gradient():
+    """Decode a PNG NOT produced by our encoder: a hand-built all-Up
+    filter stream (valid per spec) must reconstruct the gradient."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_png_rgb8,
+    )
+
+    w, h = 3, 4
+    rows = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w * 3) % 256
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for r in range(h):
+        raw.append(2)  # Up filter everywhere
+        raw.extend(((rows[r].astype(np.int64) - prev) % 256).astype(
+            np.uint8).tobytes())
+        prev = rows[r].astype(np.int64)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    got = decode_png_rgb8(payload)
+    assert (got.reshape(h, w * 3) == rows).all()
