@@ -120,6 +120,12 @@ def pagerank(
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty graph: 1/n below would constant-fold to a divide-by-zero
+        # under ANSI mode before any row could even exist
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # the per-iteration message structure never changes: annotate each
     # edge with its source degree ONCE, outside the loop

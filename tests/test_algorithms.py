@@ -781,3 +781,45 @@ def test_png_decoder_reads_foreign_gradient():
                + chunk(b"IEND", b""))
     got = decode_png_rgb8(payload)
     assert (got.reshape(h, w * 3) == rows).all()
+
+
+def test_round4_operators_tolerate_empty_input(spark):
+    """Every new composable operator must return an EMPTY frame (not
+    raise) on empty input — the degenerate partition every real lake
+    eventually feeds them."""
+    from cours_datalake_dwh_td_kafka_spark.operators.bpe import bpe_train
+    from cours_datalake_dwh_td_kafka_spark.operators.graph import pagerank
+    from cours_datalake_dwh_td_kafka_spark.operators.profiling import (
+        robust_anomaly,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.rag import (
+        doc_chunks,
+        weighted_sample,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.substring_dedup import (
+        span_runs,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.timeseries import (
+        ewma,
+        gap_fill_daily,
+    )
+
+    no_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, n_chars bigint"
+    )
+    no_events = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    no_edges = spark.createDataFrame([], "src bigint, dst bigint")
+
+    for name, df in [
+        ("doc_chunks", doc_chunks(no_docs)),
+        ("weighted_sample", weighted_sample(no_docs)),
+        ("span_runs", span_runs(no_docs)),
+        ("bpe_train", bpe_train(no_docs, merges=3)),
+        ("ewma", ewma(no_events)),
+        ("gap_fill_daily", gap_fill_daily(no_events)),
+        ("robust_anomaly", robust_anomaly(no_events)),
+        ("pagerank", pagerank(no_edges, iters=2)),
+    ]:
+        assert df.count() == 0, f"{name} should be empty on empty input"
