@@ -1,0 +1,163 @@
+"""Persisted IVF index: the build/serve split of the in-query IVF search
+(similarity.py). ``ivf_topk`` re-trains its quantizer and re-assigns the
+corpus on every call — correct for one-shot analytics, wasteful for a
+serving workload that answers many query batches against one corpus.
+
+Index layout (plain parquet, no sidecar formats):
+    <index>/centroids.parquet             (cell, centroid array<double>)
+    <index>/vectors/cell=<c>/part-*.parquet   cell-PARTITIONED embeddings
+
+The partitionBy("cell") layout is the mechanism, not a convenience: a
+probe reads ``WHERE cell IN (...)`` and Spark's partition pruning turns
+that into "open only the probed cells' directories" — the scan cost per
+query batch is nprobe/n_cells of the corpus, enforced by the LAYOUT
+rather than by a runtime filter (pinned by a plan test on
+PartitionFilters). This is the same files-are-the-index idea behind the
+lake layer's z-order/bucket levers (io.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+    N_CELLS,
+    NPROBE,
+    TOP_K,
+    QUANTIZER_SAMPLE,
+    _fit_cells,
+    global_topk,
+)
+
+
+def build_ivf_index(
+    emb: DataFrame, path: str, n_cells: int = N_CELLS
+) -> int:
+    """Train the coarse quantizer (deterministic sample, O(1) in corpus
+    size), assign every vector to its nearest cell (one BLAS
+    mapInPandas pass, no shuffle), and persist:
+    cell-partitioned vectors + the centroid table. Returns the cell
+    count actually used (clamped on tiny corpora)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sample_rows = (
+        emb_d.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(QUANTIZER_SAMPLE)
+        .select("emb")
+        .collect()
+    )
+    centroids = _fit_cells([r.emb for r in sample_rows], n_cells)
+    n_cells = len(centroids)
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            pdf = pdf.copy()
+            pdf["cell"] = (xn @ cents.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    assigned = emb_d.mapInPandas(
+        assign, "vec_id bigint, emb array<double>, cell int"
+    )
+    assigned.write.partitionBy("cell").parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.parquet(f"{path}/centroids.parquet")
+    return n_cells
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Answer a (query_id, emb) batch against a persisted index.
+
+    The centroid table is tiny (one row per cell) — collected, the
+    probed cells per query are a driver-side numpy matmul (the same
+    probe-assignment shape as ivf_topk). The vector scan then carries
+    ``cell IN (probed)``, which partition pruning resolves to directory
+    selection — the corpus outside the probed cells is never opened.
+    Scoring is one BLAS mapInPandas pass with the (small) query matrix
+    in the closure; the global top-k is the shared tree reduce."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids.parquet").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cell] = r.centroid
+    n_cells = len(cent_rows)
+    nprobe = min(nprobe, n_cells)
+
+    q_rows = queries.collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, rn BIGINT"
+        )
+    qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray([int(r.query_id) for r in q_rows])
+    sims_qc = qmat @ cents.T
+    cell_probes: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        order = sorted(range(n_cells), key=lambda i: (-sims_qc[qi, i], i))
+        for c in order[:nprobe]:
+            cell_probes.setdefault(c, []).append(qi)
+    probed = sorted(cell_probes)
+
+    vecs = spark.read.parquet(f"{path}/vectors").where(
+        F.col("cell").isin(probed)
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for c, grp in pdf.groupby("cell", sort=False):
+                probes = cell_probes.get(int(c))
+                if not probes:
+                    continue
+                x = np.vstack(grp["emb"].to_numpy()).astype(np.float64)
+                xn = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+                sims = qmat[probes] @ xn.T
+                ids = grp["vec_id"].to_numpy()
+                for row, qi in enumerate(probes):
+                    mask = ids != qids[qi]
+                    if not mask.any():
+                        continue
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[qi],
+                                "neighbor_id": ids[mask],
+                                "cosine": np.round(sims[row][mask], 6),
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = vecs.mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+    return global_topk(scored, top_k)

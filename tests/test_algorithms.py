@@ -823,3 +823,50 @@ def test_round4_operators_tolerate_empty_input(spark):
         ("pagerank", pagerank(no_edges, iters=2)),
     ]:
         assert df.count() == 0, f"{name} should be empty on empty input"
+
+
+def test_persisted_ivf_index_matches_inquery_and_prunes(spark, tmp_path):
+    """build-once/query-many IVF: the persisted index must return the
+    SAME neighbors as the in-query ivf_topk at the same probe settings,
+    and the probe scan must use partition pruning (cell is a partition
+    column resolved via PartitionFilters, not a row filter)."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        ivf_topk,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    path = str(tmp_path / "ivf")
+    n_cells = build_ivf_index(emb, path)
+    assert n_cells >= 1
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    served = ivf_query_index(spark, path, queries)
+    inquery = ivf_topk(emb)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inquery.collect())
+    )
+
+    # second query batch against the SAME index: no rebuild, same answers
+    again = ivf_query_index(spark, path, queries)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+
+    # the layout IS the filter: cell must appear as a partition filter
+    vecs = spark.read.parquet(f"{path}/vectors").where(
+        F.col("cell").isin([0, 1])
+    )
+    plan = vecs._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
