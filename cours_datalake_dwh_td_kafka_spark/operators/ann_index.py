@@ -40,7 +40,6 @@ def build_ivf_index(
     cell-partitioned vectors + the centroid table. Returns the cell
     count actually used (clamped on tiny corpora)."""
     import numpy as np
-    import pandas as pd
 
     spark = emb.sparkSession
     emb_d = emb.select(

@@ -125,8 +125,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-2 attestations, same source file as round-4 edits ---------
     "multimodal_meta",
     "multimodal_frame_stats",
-    # -- oldest remaining tier: round-2-only attestations (alphabetical;
-    #    the ~9 that miss this round's window lead the round-5 rotation) --
+    # -- oldest remaining tier: round-2-only attestations (alphabetical).
+    #    The r4 head is larger than the 50-row window, so most of the
+    #    pre-r4 tail re-attests in rounds 5-6 in this order. --
     "anti_join",
     "asof_join",
     "boolean_disjunction",
