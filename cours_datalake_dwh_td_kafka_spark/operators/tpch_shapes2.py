@@ -94,17 +94,17 @@ _TOP_REV_PARTS_SQL = f"""
 def q_top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (no partsupp in this lake, so value = lineitem
     revenue): parts holding more than a fixed fraction of total
-    revenue. The per-part aggregate is computed ONCE and reused for
-    both the rows and the global total (self-derived scalar — Spark
-    caches nothing here, but the total is one broadcast row, so the
-    recompute is a second pass over the small aggregate, not the fact
-    table). The share threshold compares doubles cast from the exact
-    decimal sums — one cast and one multiply per side on both engines."""
+    revenue. The per-part aggregate feeds both the output rows and the
+    global-total scalar; materialized once (lazy localCheckpoint,
+    O(parts) rows) so the second use reads the tiny aggregate instead
+    of re-scanning and re-shuffling the fact table. The share threshold
+    compares doubles cast from the exact decimal sums — one cast and
+    one multiply per side on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pr = li.groupBy("l_partkey").agg(
         F.sum(rev.cast("decimal(28,6)")).alias("rev")
-    )
+    ).localCheckpoint(eager=False)
     tot = pr.agg(F.sum("rev").cast("double").alias("total_rev"))
     return (
         pr.crossJoin(F.broadcast(tot))
@@ -203,9 +203,12 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _Q15_LO) & (F.col("l_shipdate") < _Q15_HI)
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # the per-supplier aggregate feeds both the argmax scalar and the
+    # output join: materialize it once (O(suppliers) rows) rather than
+    # re-scanning the quarter's lineitems for the MAX branch
     rev = li.groupBy("l_suppkey").agg(
         F.sum(vol.cast("decimal(28,6)")).alias("total_rev")
-    )
+    ).localCheckpoint(eager=False)
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -265,9 +268,12 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
+    # the brand slice (~1/25 of the fact table) feeds both the per-part
+    # average and the revenue branch: materialize the slice once instead
+    # of scanning + broadcast-joining the full fact table twice
     brand_li = li.join(
         F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
-    ).drop("p_partkey")
+    ).drop("p_partkey").localCheckpoint(eager=False)
     pq = brand_li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
         (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
     )
