@@ -393,12 +393,17 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias(out))
         )
 
+    # each frontier feeds BOTH the next stage and its own count row:
+    # materialize the tiny per-user aggregates once (lazy localCheckpoint)
+    # so counting a stage does not re-derive the whole prefix chain —
+    # without this the count branches re-scan events 6x total
     s1 = (
         e.where(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
-    s2 = stage_after("view", s1, "t1", "t2")
+    s2 = stage_after("view", s1, "t1", "t2").localCheckpoint(eager=False)
     s3 = stage_after("purchase", s2, "t2", "t3")
 
     def count_row(df: DataFrame, stage: str, step: int) -> DataFrame:
@@ -474,12 +479,17 @@ def q_funnel_stages_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias(out))
         )
 
+    # each frontier feeds BOTH the next stage and its own count row:
+    # materialize the tiny per-user aggregates once (lazy localCheckpoint)
+    # so counting a stage does not re-derive the whole prefix chain —
+    # without this the count branches re-scan events 6x total
     s1 = (
         e.where(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
-    s2 = stage_after("view", s1, "t1", "t2")
+    s2 = stage_after("view", s1, "t1", "t2").localCheckpoint(eager=False)
     s3 = stage_after("purchase", s2, "t2", "t3")
 
     def count_row(df: DataFrame, stage: str, step: int) -> DataFrame:

@@ -73,6 +73,9 @@ def unigram_logprob(d: DataFrame) -> DataFrame:
         tokd.select("doc_id", F.explode("t").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # tf feeds the corpus count table AND the scoring join:
+        # materialize once so the corpus tokenizes once, not thrice
+        .localCheckpoint(eager=False)
     )
     cnts = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     tot = cnts.agg(F.sum("cnt").alias("n_corpus"))

@@ -712,7 +712,13 @@ def bm25_search(
     sum by an ulp and flip the round-6 value either."""
     toks = F.split(norm_text(F.col("text")), " ")
     tokd = d.select("doc_id", toks.alias("t"))
-    lens = tokd.select("doc_id", F.size("t").alias("dl"))
+    # lens feeds the corpus stats AND the scoring join; tf feeds the df
+    # aggregate AND the scoring join — materialize both once (lazy
+    # localCheckpoint; doc-count / posting-list sized), which halves the
+    # tokenization scans from four to the two irreducible passes
+    lens = tokd.select("doc_id", F.size("t").alias("dl")).localCheckpoint(
+        eager=False
+    )
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(
@@ -726,6 +732,7 @@ def bm25_search(
         .where(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
