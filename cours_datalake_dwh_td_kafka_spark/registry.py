@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_search",          # decimal(28,6) per-term score sums
     "value_histogram",      # explicit NULL-value filter
     "multimodal_features",  # exact-integer stats -> newly oracle-paired
+    "funnel_stages",        # r4: frontier aggregates materialized once
     # -- new this round, never attested -----------------------------------
     "multimodal_audio_stats",   # real WAV codec round-trip
     "multimodal_image_stats",   # real BMP codec round-trip
