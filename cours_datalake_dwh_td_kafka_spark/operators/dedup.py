@@ -1266,3 +1266,134 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_new_docs(
         d.where(F.col("doc_id") < cut), d.where(F.col("doc_id") >= cut)
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-aware canonical selection: dedup clusters x quality score
+# ---------------------------------------------------------------------------
+_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             {{sh}} AS sh
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM docs),
+    inv0 AS (SELECT doc_id, n_sh, UNNEST(sh) AS shingle FROM sized),
+    rare AS (
+      SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= {MAX_DF}
+    ),
+    inv AS (SELECT i.* FROM inv0 i JOIN rare r USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT doc_a AS src, doc_b AS dst FROM shared
+      WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_rep FROM walk GROUP BY node
+    ),
+    qbase AS (
+      SELECT doc_id, n_chars,
+             string_split({{norm}}, ' ') AS toks,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    qfeat AS (
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({{stop_in}}))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct, n_punct
+      FROM qbase
+    ),
+    q AS (SELECT doc_id, {{qe}} AS quality_score FROM qfeat),
+    ranked AS (
+      SELECT c.cluster_rep, c.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY c.cluster_rep
+                                ORDER BY q.quality_score DESC, c.doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_rep) AS cluster_size
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT cluster_rep, doc_id AS kept_doc,
+           quality_score AS kept_quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked
+    WHERE rn = 1 AND cluster_size >= 2
+    ORDER BY cluster_rep
+"""
+
+
+def _keep_best_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        _QE,
+        _STOP_IN,
+    )
+
+    return _KEEP_BEST_SQL.format(
+        sh=SHINGLES_SQL.format(
+            t="string_split(" + NORM_SQL.format(c="text") + ", ' ')"
+        ),
+        norm=NORM_SQL.format(c="text"),
+        stop_in=_STOP_IN,
+        qe=_QE,
+    )
+
+
+def dedup_keep_best(d: DataFrame) -> DataFrame:
+    """Canonical-document selection per NEAR-DUP cluster, keeping the
+    HIGHEST-QUALITY member instead of the smallest id — what a curation
+    pipeline actually ships (the boilerplate-laden copy of an article
+    should lose to the clean one, whatever their ids).
+
+    Composition, not new machinery: n-gram-Jaccard pairs (df-capped
+    inverted index) -> connected components (min-label propagation,
+    O(1) lineage) -> quality scores from ONE corpus scan -> per-cluster
+    argmax via a bounded window (components are LSH-clique sized). The
+    oracle replays the same chain with a recursive CTE for the
+    components — the whole composite is value-checked end-to-end, and
+    ties (identical quality) break on doc_id identically in both
+    engines."""
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        quality_scores,
+    )
+
+    pairs = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs)
+    q = quality_scores(d, ordered=False).select("doc_id", "quality_score")
+    joined = cc.join(q, cc.node == q.doc_id)
+    w = Window.partitionBy("cluster_rep")
+    wr = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .where((F.col("rn") == 1) & (F.col("cluster_size") >= 2))
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("quality_score").alias("kept_quality"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
+@register("dedup_keep_best", _keep_best_sql())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_keep_best(load_table(spark, sf_dir, "documents"))
