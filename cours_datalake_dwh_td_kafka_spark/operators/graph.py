@@ -169,3 +169,97 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "part")
         .limit(PAGERANK_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# association rules over the same baskets: support / confidence / lift
+# ---------------------------------------------------------------------------
+BASKET_MIN_PAIR = 3
+BASKET_TOP_N = 20
+
+_LIFT_SQL = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS n_baskets
+          FROM items),
+    item_n AS (
+      SELECT item, COUNT(*) AS n_item FROM items GROUP BY item
+    ),
+    pair_n AS (
+      SELECT a.item AS part_a, b.item AS part_b, COUNT(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= {BASKET_MIN_PAIR}
+    )
+    SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(n_pair / n.n_baskets, 6) AS support,
+           ROUND(CAST(n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+           ROUND(n_pair * n.n_baskets / (ia.n_item * CAST(ib.n_item
+                 AS DOUBLE)), 6) AS lift
+    FROM pair_n
+    JOIN item_n ia ON ia.item = part_a
+    JOIN item_n ib ON ib.item = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {BASKET_TOP_N}
+"""
+
+
+@register("market_basket_lift", _LIFT_SQL)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: the top part pairs by lift
+    (n_pair * N / (n_a * n_b)) with support and confidence — the
+    frequent-itemset mining step product analytics runs over the same
+    co-purchase structure PageRank above ranks.
+
+    Scale shape: distinct (basket, item) once; the pair join is keyed on
+    the basket id, fan-out bounded by basket size squared (the KNN-grid
+    argument again); the min-pair HAVING prunes the long tail BEFORE the
+    two item-frequency joins; item counts broadcast (one row per part).
+    All ratios are exact-integer arithmetic in doubles (counts << 2^53),
+    rounded once — bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    items = li.distinct().localCheckpoint(eager=False)  # 3 consumers below
+    n_baskets = items.select("basket").distinct().count()
+    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select("basket", F.col("item").alias("part_a"))
+    b = items.select("basket", F.col("item").alias("part_b"))
+    pair_n = (
+        a.join(b, "basket")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= BASKET_MIN_PAIR)
+    )
+    ia = item_n.select(
+        F.col("item").alias("ia_item"), F.col("n_item").alias("n_a")
+    )
+    ib = item_n.select(
+        F.col("item").alias("ib_item"), F.col("n_item").alias("n_b")
+    )
+    nb = float(n_baskets)
+    return (
+        pair_n.join(F.broadcast(ia), F.col("part_a") == F.col("ia_item"))
+        .join(F.broadcast(ib), F.col("part_b") == F.col("ib_item"))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.round(F.col("n_pair") / nb, 6).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_a"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_pair") * nb
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
+    )

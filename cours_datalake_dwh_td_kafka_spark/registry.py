@@ -103,6 +103,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "key_skew_profile",         # max/median rows-per-key salting diagnostic
     "multimodal_png_stats",     # real PNG codec, all five filters
     "dedup_keep_best",          # quality-argmax canonical per near-dup cluster
+    "market_basket_lift",       # association rules: support/confidence/lift
     # -- attested only in the round-1 window; re-attest on current code.
     #    NOTE: the r4 io-footer-probe change touches load_table's path,
     #    so every pre-r4 attestation rides on changed shared code; the
