@@ -413,3 +413,79 @@ def merge_stream_to_lake(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def curate_stream(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    q_min: float | None = None,
+) -> DataFrame:
+    """Speed-layer twin of the batch curation pipeline
+    (operators/text_analysis.curation_pipeline): quality-gate ->
+    content dedup, incrementally over a document stream.
+
+    ``docs`` needs (doc_id, event_time, text, source). Stage 1 scores
+    each document with the SAME inline quality expression as the batch
+    gate (pure projections — streaming-safe, evaluated in the scan
+    stage so rejected bytes never reach state). Stage 2 drops
+    re-published content via the content fingerprint inside the
+    watermark horizon (dropDuplicatesWithinWatermark — state bounded by
+    the lateness allowance, NOT the corpus; the batch keeper rule
+    min-doc-id-ever needs the full history and stays a batch job, see
+    dedup_incremental for the cross-run reconcile).
+
+    Emits the curated stream in append mode: (doc_id, event_time,
+    source, n_tokens, quality_score, fingerprint)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import norm_text
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        _STOPWORDS,
+        CURATION_QUALITY_MIN,
+    )
+
+    if q_min is None:
+        q_min = CURATION_QUALITY_MIN
+    toks = F.split(norm_text(F.col("text")), " ")
+    feat = docs.select(
+        "doc_id",
+        "event_time",
+        "source",
+        F.md5(norm_text(F.col("text"))).alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast(
+                "double"
+            )
+            / F.size(toks)
+        ).alias("stop_r"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("dist_r"),
+        (
+            F.length(
+                F.regexp_replace("text", r"[^.,!?;:]", "")
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_r"),
+    )
+    score = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * F.col("dist_r")
+        + 0.2 * F.least(F.col("stop_r") * 5.0, F.lit(1.0))
+        + 0.1 * (1.0 - F.least(F.col("punct_r") * 10.0, F.lit(1.0)))
+    )
+    gated = feat.withColumn("quality_score", F.round(score, 6)).where(
+        F.col("quality_score") >= q_min
+    )
+    if docs.isStreaming:
+        gated = gated.withWatermark("event_time", watermark)
+        deduped = gated.dropDuplicatesWithinWatermark(["fingerprint"])
+    else:
+        deduped = gated.dropDuplicates(["fingerprint"])
+    return deduped.select(
+        "doc_id",
+        "event_time",
+        "source",
+        "n_tokens",
+        "quality_score",
+        "fingerprint",
+    )

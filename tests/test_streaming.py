@@ -848,3 +848,86 @@ def test_stream_ewma_matches_batch_fold(spark, stream_dir):
     assert final.n_folded == 6
     # batch twin rounds to 6dp at output; the stream emits the raw fold
     assert round(final.ewma_value, 6) == want[paris_key][1]
+
+
+def test_curate_stream_gates_and_dedups(spark, stream_dir):
+    """Speed-layer curation: a low-quality doc is rejected at the gate, a
+    re-published doc (same content, new doc_id) is dropped by the
+    content fingerprint, and the surviving quality scores equal the
+    batch pipeline's on identical text."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import LongType, StructType as _St, StructField as _Sf
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        curate_stream,
+    )
+
+    good_a = (
+        "the quick brown fox jumps over a lazy dog and then it runs to "
+        "the river in the morning light while birds of every kind sing "
+        + " ".join(f"word{i}" for i in range(80))
+    )
+    good_b = (
+        "a completely different story about ships and the open sea told "
+        "in many distinct words " + " ".join(f"term{i}" for i in range(90))
+    )
+    low_q = "a a a a"  # 4 repeated stopword tokens -> far below the gate
+    good_c = (
+        "yet another long and varied document about mountains it is "
+        + " ".join(f"peak{i}" for i in range(85))
+    )
+
+    def doc_rows(rows):
+        return [
+            {
+                "doc_id": i,
+                "timestamp": BASE_TS + i * 60,
+                "text": t,
+                "source": "web",
+            }
+            for i, t in rows
+        ]
+
+    global _batch_seq
+    b0 = doc_rows([(1, good_a), (2, low_q), (3, good_b)])
+    b1 = doc_rows([(4, good_a), (5, good_c)])  # 4 = re-publish of 1
+    _write_batch(stream_dir, b0, "d0")
+    _write_batch(stream_dir, b1, "d1")
+
+    schema = _St(
+        [
+            _Sf("doc_id", LongType()),
+            _Sf("timestamp", DoubleType()),
+            _Sf("text", StringType()),
+            _Sf("source", StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stream_dir)
+        .withColumn("event_time", F.timestamp_seconds(F.col("timestamp")))
+    )
+    out = curate_stream(src)
+    name = f"tcur_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="append")
+    got = {r.doc_id: r for r in spark.table(name).collect()}
+
+    assert set(got) == {1, 3, 5}, f"kept {sorted(got)}"
+    assert all(r.quality_score >= 0.5 for r in got.values())
+
+    # batch twin scores the identical text identically
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        quality_scores,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in [(1, good_a), (3, good_b), (5, good_c)]],
+        "doc_id long, text string, n_chars long",
+    )
+    want = {
+        r.doc_id: r.quality_score for r in quality_scores(batch).collect()
+    }
+    for i, r in got.items():
+        assert r.quality_score == pytest.approx(want[i], abs=1e-6), i
