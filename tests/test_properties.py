@@ -413,3 +413,112 @@ def test_bmp_roundtrip_property(h, w, seed):
     payload = encode_bmp24(px)
     assert len(payload) == 54 + ((w * 3 + 3) & ~3) * h
     assert np.array_equal(decode_bmp24(payload), px)
+
+
+# ---------------------------------------------------------------------------
+# BPE: distributed trainer == sequential textbook reference on random
+# corpora (random small alphabets force heavy merge chains and ties)
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=5,
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bpe_matches_sequential_reference_on_random_corpora(spark, texts):
+    from collections import Counter
+
+    from cours_datalake_dwh_td_kafka_spark.operators.bpe import bpe_train
+
+    def reference(txts, merges):
+        words = Counter(w for t in txts for w in t.split())
+        reprs = {w: list(w) for w in words}
+        out = []
+        for step in range(1, merges + 1):
+            pairs = Counter()
+            for w, cnt in words.items():
+                r = reprs[w]
+                for i in range(len(r) - 1):
+                    pairs[(r[i], r[i + 1])] += cnt
+            if not pairs:
+                break
+            (l, r), c = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((step, l, r, l + r, c))
+            for w in reprs:
+                old, new, i = reprs[w], [], 0
+                while i < len(old):
+                    if i + 1 < len(old) and old[i] == l and old[i + 1] == r:
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(old[i])
+                        i += 1
+                reprs[w] = new
+        return out
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train(d, merges=3).collect()
+    ]
+    assert got == reference(texts, 3), f"texts={texts}"
+
+
+# ---------------------------------------------------------------------------
+# EWMA: JVM array fold == numpy sequential fold on random series
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    series=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_ewma_fold_matches_sequential_reference(spark, series):
+    from cours_datalake_dwh_td_kafka_spark.operators.timeseries import ewma
+
+    rows = []
+    for uid, vals in enumerate(series):
+        for i, v in enumerate(vals):
+            rows.append((uid, float(1_700_000_000 + i * 60), i, v))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_raw double, event_id long, value double"
+    ).select(
+        "user_id",
+        F.to_timestamp("ts_raw").alias("ts"),
+        "event_id",
+        "value",
+    )
+    got = {r.user_id: (r.n_events, r.ewma_value) for r in ewma(df).collect()}
+    for uid, vals in enumerate(series):
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = 0.3 * v + 0.7 * acc
+        n, e = got[uid]
+        assert n == len(vals)
+        assert e == round(acc, 6) or abs(e - round(acc, 6)) < 1e-9, (
+            uid,
+            vals,
+            e,
+            acc,
+        )
