@@ -418,3 +418,31 @@ def write_zordered(
     out.sortWithinPartitions("__z").drop("__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+# --------------------------------------------------------------------------
+# ORC (built into Spark, no external package): the other columnar lake
+# format a reference user migrating an existing Hive warehouse brings —
+# same pushdown/pruning contract as parquet, verified in tests.
+# --------------------------------------------------------------------------
+
+def read_orc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning reach the reader
+    exactly like the parquet path (pinned by test_orc_roundtrip)."""
+    if isinstance(paths, str):
+        return spark.read.orc(paths)
+    return spark.read.orc(*paths)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with the same hive-style partition layout as
+    :func:`write_parquet`."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

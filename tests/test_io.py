@@ -286,3 +286,38 @@ def test_zorder_tightens_rowgroup_stats(spark, tmp_path):
     # clustered enough to keep skipping useful
     assert spread(zordered, "l_quantity") < 0.7 * spread(linear, "l_quantity")
     assert spread(zordered, "l_partkey") < 4 * spread(linear, "l_partkey")
+
+
+def test_orc_roundtrip_pushdown_and_partitioned_layout(spark, tmp_path):
+    """ORC sink/scan: values round-trip, filters reach the ORC reader as
+    PushedFilters, and partitionBy produces the same prunable hive
+    layout as parquet."""
+    import os
+
+    from cours_datalake_dwh_td_kafka_spark.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(30)], "id long, name string, g int"
+    )
+    flat = str(tmp_path / "flat")
+    write_orc(df, flat)
+    back = read_orc(spark, flat)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    plan = (
+        back.where(F.col("id") > 20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan(id" in plan
+
+    part = str(tmp_path / "part")
+    write_orc(df, part, partition_by=["g"])
+    assert sorted(
+        d for d in os.listdir(part) if d.startswith("g=")
+    ) == ["g=0", "g=1", "g=2"]
+    pruned = read_orc(spark, part).where(F.col("g") == 1)
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan
+    assert pruned.count() == 10
