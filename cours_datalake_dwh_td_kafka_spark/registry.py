@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_png_stats",     # real PNG codec, all five filters
     "dedup_keep_best",          # quality-argmax canonical per near-dup cluster
     "market_basket_lift",       # association rules: support/confidence/lift
+    "station_zone_assignment",  # UDF-free even-odd point-in-polygon join
     # -- attested only in the round-1 window; re-attest on current code.
     #    NOTE: the r4 io-footer-probe change touches load_table's path,
     #    so every pre-r4 attestation rides on changed shared code; the
@@ -212,6 +213,7 @@ def _load_all() -> None:
         session_queries,
         similarity,
         sketches,
+        spatial,
         substring_dedup,
         text_analysis,
         timeseries,

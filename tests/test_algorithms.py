@@ -870,3 +870,45 @@ def test_persisted_ivf_index_matches_inquery_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters"
     )[1][:120]
+
+
+def test_point_in_polygon_matches_pure_python_raycast(spark):
+    """The array-lambda even-odd test must agree with a textbook python
+    ray cast on a deterministic point grid over all three zone shapes —
+    including the concave L, where bbox shortcuts would differ."""
+    from cours_datalake_dwh_td_kafka_spark.operators.spatial import (
+        ZONES,
+        point_in_polygon,
+        zones_polygons,
+    )
+
+    def inside(px, py, verts):
+        n, c = len(verts), False
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (
+                y2 - y1
+            ) + x1:
+                c = not c
+        return c
+
+    pts = [
+        (i, float(px), float(py))
+        for i, (px, py) in enumerate(
+            (px, py) for px in range(-60, 61, 7) for py in range(-30, 31, 7)
+        )
+    ]
+    d = spark.createDataFrame(pts, "pid long, x double, y double")
+    got = {
+        (r.pid, r.zone)
+        for r in point_in_polygon(d, zones_polygons(spark)).collect()
+    }
+    want = {
+        (pid, zone)
+        for pid, px, py in pts
+        for zone, verts in ZONES
+        if inside(px, py, verts)
+    }
+    assert want, "grid should hit every zone"
+    assert got == want
