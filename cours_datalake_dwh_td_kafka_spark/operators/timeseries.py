@@ -183,3 +183,75 @@ def gap_fill_daily(e: DataFrame, key: str = "user_id") -> DataFrame:
 @register("gap_fill_daily", _GAP_FILL_SQL)
 def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_daily(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+_DOW_SQL = """
+    WITH e AS (
+      SELECT dayofweek(ts) AS dow, value FROM events
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) AS grand_mean
+      FROM e
+    )
+    SELECT dow,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS dow_mean,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*) / tot.grand_mean, 6) AS seasonality_index
+    FROM e CROSS JOIN tot
+    GROUP BY dow, tot.grand_mean
+    ORDER BY dow
+"""
+
+
+def dow_seasonality(e: DataFrame) -> DataFrame:
+    """Per-day-of-week mean value and its ratio to the grand mean — the
+    seasonality index a forecaster divides out before trend fitting
+    (multiplicative decomposition's first factor; pairs with
+    user_value_trend's OLS trend in aggregates.py).
+
+    One scan: the grand mean rides a broadcast scalar row; both means
+    use the exact-decimal-sum-then-one-division discipline, so the
+    index is a ratio of two deterministic doubles. NOTE on the dow key:
+    Spark's dayofweek() and DuckDB's dayofweek() disagree (1=Sunday vs
+    0=Sunday); both sides use their engine's EXTRACT-equivalent mapped
+    to ISO 1=Monday..7=Sunday explicitly so the group keys align."""
+    dow = (
+        (F.dayofweek("ts") + 5) % 7 + 1  # Spark 1=Sun..7=Sat -> ISO
+    ).alias("dow")
+    per = e.select(dow, "value")
+    tot = per.agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("grand_mean")
+    )
+    mean = F.sum(F.col("value").cast("decimal(28,6)")).cast(
+        "double"
+    ) / F.count(F.lit(1))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("dow", "grand_mean")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(mean, 6).alias("dow_mean"),
+            F.round(mean / F.col("grand_mean"), 6).alias(
+                "seasonality_index"
+            ),
+        )
+        .drop("grand_mean")
+        .orderBy("dow")
+    )
+
+
+@register(
+    "dow_seasonality",
+    _DOW_SQL.replace("dayofweek(ts)", "isodow(ts)"),
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dow_seasonality(load_table(spark, sf_dir, "events"))
