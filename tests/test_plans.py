@@ -177,3 +177,18 @@ def test_disjunctive_revenue_hand_cnf_pushdown(spark):
     assert "In(p_brand" in pushed
     assert "GreaterThanOrEqual(l_quantity" in pushed
     assert f.n_broadcast_joins >= 1
+
+
+def test_explain_cli_lists_and_reports(spark, capsys):
+    """The module-level EXPLAIN surface: --list enumerates the registry;
+    a query name prints its plan facts (reusing the live session)."""
+    from cours_datalake_dwh_td_kafka_spark.explain import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "shipping_priority" in out and "(rows-only)" in out
+
+    assert main(["forecast_revenue", "--sf-dir", SF_ORACLE]) == 0
+    out = capsys.readouterr().out
+    assert "pushed_filters" in out and "l_shipdate" in out
+    assert main(["no_such_query"]) == 2

@@ -522,3 +522,35 @@ def test_ewma_fold_matches_sequential_reference(spark, series):
             e,
             acc,
         )
+
+
+# ---------------------------------------------------------------------------
+# span dedup: randomly planted copied spans are recovered with exact
+# lengths; random non-overlapping filler never pairs
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    span_len=st.integers(min_value=16, max_value=40),
+    offset_a=st.integers(min_value=0, max_value=10),
+    offset_b=st.integers(min_value=0, max_value=10),
+)
+def test_span_runs_recovers_random_planted_span(
+    spark, span_len, offset_a, offset_b
+):
+    from cours_datalake_dwh_td_kafka_spark.operators.substring_dedup import (
+        span_runs,
+    )
+
+    span = " ".join(f"s{i}" for i in range(span_len))
+    pre_a = " ".join(f"a{i}" for i in range(offset_a))
+    pre_b = " ".join(f"b{i}" for i in range(offset_b))
+    docs = [
+        (1, f"{pre_a} {span} atail1 atail2".strip()),
+        (2, f"{pre_b} {span} btail1 btail2 btail3".strip()),
+        (3, " ".join(f"z{i}" for i in range(50))),
+    ]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {(r.doc_a, r.doc_b): r for r in span_runs(d).collect()}
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)].max_span_tokens == span_len
+    assert rows[(1, 2)].dup_tokens == span_len
