@@ -97,6 +97,8 @@ def ivf_query_index(
     import numpy as np
 
     cent_rows = spark.read.parquet(f"{path}/centroids.parquet").collect()
+    if not cent_rows:
+        raise ValueError(f"empty IVF index at {path}")
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cell] = r.centroid

@@ -190,3 +190,48 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("top_event_type"), "n_events")
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# beyond-ref: rolling MEDIAN frame — the robust twin of rolling_frame_max
+# --------------------------------------------------------------------------
+@register(
+    "rolling_median",
+    """
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_median
+    FROM events
+    ORDER BY user_id, event_id
+    LIMIT 500
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-row rolling median per user — the outlier-resistant smoother a
+    robust dashboard uses where rolling mean would chase spikes (pairs
+    with robust_anomaly's global median/MAD in profiling.py). Exact
+    interpolated percentile as a FRAMED window aggregate: per-frame
+    sort cost is bounded by the 4-row frame, the partition by the
+    user's events — nothing global. Same F.percentile <-> quantile_cont
+    parity the quantiles query pins, here per frame."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.percentile("value", F.lit(0.5)).over(w), 6
+            ).alias("rolling_median"),
+            "ts",
+        )
+        .orderBy("user_id", "event_id")
+        .limit(500)
+        .drop("ts")
+    )

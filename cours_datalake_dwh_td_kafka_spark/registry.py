@@ -106,6 +106,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "market_basket_lift",       # association rules: support/confidence/lift
     "station_zone_assignment",  # UDF-free even-odd point-in-polygon join
     "dow_seasonality",          # ISO day-of-week multiplicative index
+    "rolling_median",           # framed exact-percentile robust smoother
     # -- attested only in the round-1 window; re-attest on current code.
     #    NOTE: the r4 io-footer-probe change touches load_table's path,
     #    so every pre-r4 attestation rides on changed shared code; the
