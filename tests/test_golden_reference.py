@@ -98,3 +98,59 @@ def test_sessionize_replays_reference_golden_output(spark):
         assert math.isclose(r.avg_value, vmoy, abs_tol=5e-7), key
         # the +1-minute rule must match exactly (whole-minute timestamps)
         assert math.isclose(r.duration_min, duree, abs_tol=1e-9), key
+
+
+def test_villes_notebook_outputs_replay_bit_exact(spark):
+    """Second golden replay: the API-tour notebook's PRINTED numeric
+    outputs over its committed villes CSV (reference:
+    work/Intro_pySpark.ipynb cells 27-35 — corr, cov, seeded sample +
+    exceptAll counts, describe, grouped averages) must reproduce
+    bit-for-bit through our reader + the same operator surface. The
+    seeded Bernoulli sample matching (3 kept / 47 except) additionally
+    pins that Spark's sampler stream is stable across the reference's
+    Spark 3 and our Spark 4 for this partitioning."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.io import read_csv
+
+    v = read_csv(
+        spark,
+        "/root/reference/work/data/Villes/ville_1.csv",
+        header=True,
+        infer_schema=True,
+    )
+    assert v.count() == 50
+    # cells 27/28: Pearson corr and sample covariance
+    assert v.stat.corr("age", "vitesse_a_velo") == -0.06411845578664936
+    assert v.stat.cov("age", "vitesse_a_velo") == -1.5721945755314064
+    # cells 29/30: seeded 10% sample keeps 3; exceptAll leaves 47
+    s = v.sample(fraction=0.1, seed=42)
+    assert s.count() == 3
+    assert v.exceptAll(s).count() == 47
+    # cell 33: describe(age) after the int cast
+    d = {
+        r["summary"]: r["age"]
+        for r in v.withColumn("age", F.col("age").cast("int"))
+        .describe("age")
+        .collect()
+    }
+    assert d["count"] == "50"
+    assert d["mean"] == "48.4"
+    assert d["stddev"] == "19.79898987322333"
+    assert d["min"] == "16"
+    # cells 34/35: grouped means
+    g = {
+        r.sexe: (r.ma, r.ms)
+        for r in v.groupBy("sexe")
+        .agg(F.avg("age").alias("ma"), F.avg("sportivite").alias("ms"))
+        .collect()
+    }
+    assert g["F"] == (
+        pytest.approx(46.095238095238095, abs=0),
+        pytest.approx(1.8410619134680517, abs=0),
+    )
+    assert g["H"] == (
+        pytest.approx(50.06896551724138, abs=0),
+        pytest.approx(1.6356186755623958, abs=0),
+    )
