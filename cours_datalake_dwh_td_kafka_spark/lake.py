@@ -164,3 +164,32 @@ def lake_vacuum(path: str, keep_versions: int = 1) -> list[str]:
     for v in doomed_manifests:
         os.remove(os.path.join(_manifest_dir(path), f"v{v}.json"))
     return deleted
+
+
+def lake_diff(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> "DataFrame":
+    """Row-level change feed between two snapshots: every row of the
+    newer snapshot not present in the older one is an ``insert``, every
+    older row missing from the newer is a ``delete`` (an update appears
+    as delete + insert — plain parquet rows carry no identity beyond
+    their values). This is the CDC readout the manifest layout makes
+    cheap to answer AFTER the fact, without having subscribed to a
+    change stream while the commits happened.
+
+    Shape: two exceptAll set-differences over the manifests' file sets
+    — each a hash anti-join keyed on the full row. At scale, diff
+    pruned slices (partition/bucket columns) rather than whole
+    snapshots; the file-set arithmetic in the manifests tells you which
+    files CAN differ (files shared by both versions can be skipped
+    entirely — an optimization worth adding when file counts grow)."""
+    from pyspark.sql import functions as F
+
+    new = lake_read(spark, path, to_version)
+    old = lake_read(spark, path, from_version)
+    inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+    return inserts.unionByName(deletes)

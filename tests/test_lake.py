@@ -96,3 +96,24 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     }
     with pytest.raises(FileNotFoundError):
         lake_read(spark, path, 1)
+
+
+def test_lake_diff_reports_inserts_and_deletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lake_commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+    lake_delete_where(spark, path, "id = 2")          # v2: drop row 2
+    lake_commit(_df(spark, [(4, "d")]), path)         # v3: add row 4
+
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_diff
+
+    d = {
+        (r.id, r.val, r._change)
+        for r in lake_diff(spark, path, from_version=1).collect()
+    }
+    assert d == {(4, "d", "insert"), (2, "b", "delete")}
+    # adjacent-version diff isolates one commit's effect
+    d12 = {
+        (r.id, r._change)
+        for r in lake_diff(spark, path, 1, 2).collect()
+    }
+    assert d12 == {(2, "delete")}
