@@ -77,8 +77,8 @@ _PIP_SQL = f"""
                AND x < (p[CASE WHEN i = len(p) THEN 1 ELSE i + 1 END].x
                         - p[i].x)
                        * (y - p[i].y)
-                       / (p[CASE WHEN i = len(p) THEN 1 ELSE i + 1 END].y
-                          - p[i].y)
+                       / nullif(p[CASE WHEN i = len(p) THEN 1
+                                 ELSE i + 1 END].y - p[i].y, 0)
                        + p[i].x)) % 2 = 1
     ORDER BY station_id, zone
 """
@@ -99,13 +99,19 @@ def point_in_polygon(
         F.col("p"), F.when(i == n, F.lit(1)).otherwise(i + 1)
     )
     cur = lambda i: F.element_at(F.col("p"), i)  # noqa: E731
+    # the sign test already excludes horizontal edges, BUT conjunction
+    # short-circuiting is a codegen detail, not a semantic guarantee —
+    # under ANSI mode a reordered predicate would raise DIVIDE_BY_ZERO.
+    # nullif makes the divisor null-safe: a horizontal edge yields NULL,
+    # NULL never passes the filter, semantics unchanged (same guard in
+    # the oracle SQL).
     crossing = lambda i: (  # noqa: E731
         (cur(i)["y"] > F.col(y)) != (nxt(i)["y"] > F.col(y))
     ) & (
         F.col(x)
         < (nxt(i)["x"] - cur(i)["x"])
         * (F.col(y) - cur(i)["y"])
-        / (nxt(i)["y"] - cur(i)["y"])
+        / F.nullif(nxt(i)["y"] - cur(i)["y"], F.lit(0.0))
         + cur(i)["x"]
     )
     odd = F.size(F.filter(F.sequence(F.lit(1), n), crossing)) % 2 == 1
