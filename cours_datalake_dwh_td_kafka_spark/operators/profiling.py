@@ -369,7 +369,7 @@ _ROBUST_SQL = f"""
            ROUND(mad.mad, 6) AS mad_value,
            CAST(SUM(CASE WHEN mad.mad > 0
                           AND abs({_MAD_SCALE} * (e.value - mad.med)
-                                  / mad.mad) > {_ROBUST_Z}
+                                  / nullif(mad.mad, 0)) > {_ROBUST_Z}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN mad ON e.user_id = mad.user_id
     GROUP BY e.user_id, mad.med, mad.mad
@@ -401,7 +401,14 @@ def robust_anomaly(e: DataFrame, key: str = "user_id") -> DataFrame:
             "mad"
         )
     )
-    z = F.lit(_MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad")
+    # mad == 0 (>= half the key's values identical) must never divide:
+    # the (mad > 0) conjunct is not a short-circuit guarantee under ANSI
+    # mode, so the divisor itself is null-safe on both engines
+    z = (
+        F.lit(_MAD_SCALE)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
     return (
         e.select(key, "value")
         .join(mad, key)

@@ -111,6 +111,7 @@ _WEIGHTED_SAMPLE_SQL = f"""
                ({HASH32_SQL.format(c="CAST(doc_id AS VARCHAR)")} + 1)
                  / 4294967296.0 AS u
         FROM documents
+        WHERE n_chars > 0
     )
     ORDER BY sample_key DESC, doc_id
     LIMIT {WEIGHTED_SAMPLE_K}
@@ -141,7 +142,10 @@ def weighted_sample(
     )
     key = F.round(F.log(u) / F.col(weight_col), 9)
     return (
-        d.select("doc_id", weight_col, key.alias("sample_key"))
+        # zero-weight rows are excluded, not divided (ANSI-safe, and a
+        # zero-weight item has zero selection probability anyway)
+        d.where(F.col(weight_col) > 0)
+        .select("doc_id", weight_col, key.alias("sample_key"))
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(k)
     )
