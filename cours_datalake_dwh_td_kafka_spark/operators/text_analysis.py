@@ -68,7 +68,7 @@ QUALITY_EXPR_SQL = """ROUND(
     0.4 * LEAST(n_tokens / 100.0, 1.0)
     + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
     + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5.0, 1.0)
-    + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0)),
+    + 0.1 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0) * 10.0, 1.0)),
     6)"""
 
 _QE = QUALITY_EXPR_SQL
@@ -128,7 +128,11 @@ def quality_scores(
         *extra,
     )
     stop_r = F.col("n_stop").cast("double") / F.col("n_tokens")
-    punct_r = F.col("n_punct").cast("double") / F.col("n_chars")
+    # nullif: an empty doc (n_chars 0) must score NULL (and so fail
+    # any quality gate), not raise under ANSI division
+    punct_r = F.col("n_punct").cast("double") / F.nullif(
+        F.col("n_chars"), F.lit(0)
+    )
     dist_r = F.col("n_distinct").cast("double") / F.col("n_tokens")
     score = (
         0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
@@ -602,7 +606,11 @@ def curation_pipeline(
         )
     )
     stop_r = F.col("n_stop").cast("double") / F.col("n_tokens")
-    punct_r = F.col("n_punct").cast("double") / F.col("n_chars")
+    # nullif: an empty doc (n_chars 0) must score NULL (and so fail
+    # any quality gate), not raise under ANSI division
+    punct_r = F.col("n_punct").cast("double") / F.nullif(
+        F.col("n_chars"), F.lit(0)
+    )
     dist_r = F.col("n_distinct").cast("double") / F.col("n_tokens")
     score = (
         0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))

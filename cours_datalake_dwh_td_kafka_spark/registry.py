@@ -60,6 +60,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "value_histogram",      # explicit NULL-value filter
     "multimodal_features",  # exact-integer stats -> newly oracle-paired
     "funnel_stages",        # r4: frontier aggregates materialized once
+    "quality_score",        # r4: null-safe punct ratio divisor
+    "curation_pipeline",    # r4: same shared-expression change
     # -- new this round, never attested -----------------------------------
     "multimodal_audio_stats",   # real WAV codec round-trip
     "multimodal_image_stats",   # real BMP codec round-trip

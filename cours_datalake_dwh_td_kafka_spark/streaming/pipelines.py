@@ -464,7 +464,7 @@ def curate_stream(
             F.length(
                 F.regexp_replace("text", r"[^.,!?;:]", "")
             ).cast("double")
-            / F.length("text")
+            / F.nullif(F.length("text"), F.lit(0))
         ).alias("punct_r"),
     )
     score = (
