@@ -155,7 +155,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "null_handling",
     "orderby_limit_topk",
     "pandas_sessionization",
-    "quality_score",
     "rank_top3",
     "records",
     "rolling_frame_max",
