@@ -54,9 +54,31 @@ def current_version(path: str) -> int:
     return max(versions, default=0)
 
 
+def _existing_versions(path: str) -> list[int]:
+    """Versions whose manifest file actually exists, ascending. After a
+    vacuum the range 1..current is NOT contiguous, so anything iterating
+    versions must walk this list, never ``range``."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
 def _read_manifest(path: str, version: int) -> dict:
-    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
-        return json.load(f)
+    try:
+        mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
+        with open(mpath) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"version {version} of {path} does not exist (never "
+            f"committed, or removed by lake_vacuum); available: "
+            f"{_existing_versions(path)}"
+        ) from None
 
 
 def _write_data_files(df: DataFrame, path: str) -> list[str]:
@@ -75,11 +97,22 @@ def _commit_manifest(path: str, version: int, files: list[str], op: str) -> int:
     os.makedirs(mdir, exist_ok=True)
     manifest = {"version": version, "op": op, "files": files}
     target = os.path.join(mdir, f"v{version}.json")
-    # O_EXCL is the whole concurrency story: the first writer of v{N}
-    # wins, the loser gets FileExistsError and must retry on top of N
-    fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
+    # Two-step publish so readers NEVER see a partial manifest: the body
+    # is fully written (and fsynced) to a private temp name first, then
+    # os.link publishes it atomically. link(2) fails with FileExistsError
+    # if a rival already published v{N} — same single-winner semantics as
+    # a bare O_EXCL create, without the window where the target exists
+    # but its JSON body hasn't been written yet.
+    tmp = os.path.join(mdir, f"v{version}.json.tmp.{uuid.uuid4().hex}")
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.link(tmp, target)
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -126,31 +159,48 @@ def lake_delete_where(spark: SparkSession, path: str, predicate: str) -> int:
 
 
 def lake_history(path: str) -> list[dict]:
-    """All snapshots oldest-first: version, operation, file count."""
+    """All SURVIVING snapshots oldest-first: version, operation, file
+    count. Walks the manifests that actually exist, so history still
+    works after a vacuum has removed old versions."""
     return [
         {
             "version": v,
             "op": (m := _read_manifest(path, v))["op"],
             "n_files": len(m["files"]),
         }
-        for v in range(1, current_version(path) + 1)
+        for v in _existing_versions(path)
     ]
 
 
-def lake_vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def lake_vacuum(
+    path: str,
+    keep_versions: int = 1,
+    orphan_grace_seconds: float = 24 * 3600,
+) -> list[str]:
     """Drop manifests older than the newest ``keep_versions`` and delete
     data files no surviving manifest references. Returns the deleted
-    file paths. This is the ONLY operation that removes data — and it
-    runs file-set arithmetic on manifests, never a directory scan race:
-    a file is deleted iff no kept manifest lists it."""
-    latest = current_version(path)
-    if latest == 0:
+    file paths. This is the ONLY operation that removes data. Two
+    sources of garbage are reclaimed:
+
+    - files listed by a doomed manifest and no kept one (file-set
+      arithmetic on manifests — never a directory-scan race);
+    - ORPHANS: files under data/ that no surviving manifest ever
+      referenced — the residue of a commit that lost the O_EXCL race or
+      crashed between the data write and the manifest publish. These ARE
+      found by directory scan, guarded by ``orphan_grace_seconds`` of
+      mtime age so an in-flight commit's fresh files are never swept
+      (Delta/Iceberg vacuum uses the same retention-window guard).
+    """
+    import time
+
+    existing = _existing_versions(path)
+    if not existing:
         return []
-    keep = set(range(max(1, latest - keep_versions + 1), latest + 1))
+    keep = set(existing[-keep_versions:]) if keep_versions > 0 else set()
     kept_files = set()
     for v in keep:
         kept_files.update(_read_manifest(path, v)["files"])
-    doomed_manifests = [v for v in range(1, latest + 1) if v not in keep]
+    doomed_manifests = [v for v in existing if v not in keep]
     doomed_files: set[str] = set()
     for v in doomed_manifests:
         doomed_files.update(_read_manifest(path, v)["files"])
@@ -163,6 +213,29 @@ def lake_vacuum(path: str, keep_versions: int = 1) -> list[str]:
             deleted.append(rel)
     for v in doomed_manifests:
         os.remove(os.path.join(_manifest_dir(path), f"v{v}.json"))
+    # Orphan sweep: anything under data/ that no surviving manifest
+    # references and that is older than the grace window.
+    data_root = os.path.join(path, "data")
+    cutoff = time.time() - orphan_grace_seconds
+    kept_commits = {rel.split(os.sep)[1] for rel in kept_files}
+    if os.path.isdir(data_root):
+        for commit_id in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit_id)
+            # A commit dir with ANY kept file is live — leave it whole
+            # (its _SUCCESS/.crc markers included).
+            if not os.path.isdir(cdir) or commit_id in kept_commits:
+                continue
+            for fname in sorted(os.listdir(cdir)):
+                rel = os.path.join("data", commit_id, fname)
+                full = os.path.join(cdir, fname)
+                if os.path.isfile(full) and os.path.getmtime(full) <= cutoff:
+                    os.remove(full)
+                    # _SUCCESS/.crc markers aren't manifest-listed, so
+                    # only report parquet files as reclaimed data.
+                    if fname.endswith(".parquet"):
+                        deleted.append(rel)
+            if not os.listdir(cdir):
+                os.rmdir(cdir)
     return deleted
 
 

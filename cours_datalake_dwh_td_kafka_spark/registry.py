@@ -52,68 +52,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- code changed after last driver attestation (round 4 rewrites) ---
-    "dedup_semantic",       # cell-keyed chunked-gram pair stage
-    "dedup_simhash_pairs",  # two-level pigeonhole banding
-    "ann_topk_cosine",      # two-stage tree-reduced global top-k
-    "bm25_search",          # decimal(28,6) per-term score sums
-    "value_histogram",      # explicit NULL-value filter
-    "multimodal_features",  # exact-integer stats -> newly oracle-paired
-    "funnel_stages",        # r4: frontier aggregates materialized once
-    "quality_score",        # r4: null-safe punct ratio divisor
-    "curation_pipeline",    # r4: same shared-expression change
-    # -- new this round, never attested -----------------------------------
-    "multimodal_audio_stats",   # real WAV codec round-trip
-    "multimodal_image_stats",   # real BMP codec round-trip
-    "multimodal_resize_stats",  # real decode->resize->encode pipeline
-    "dedup_edit_distance",      # LSH candidates + Levenshtein verify
-    "dedup_minhash_lsh",        # refactored onto shared lsh_candidates
-    "hash_stratified_sample",   # RNG-free stratified-sample twin
-    "dataset_split",            # hash-range train/val/test assignment
-    "funnel_stages_windowed",   # max-conversion-window funnel
-    "priority_late_shipments",  # Q4-shape EXISTS semi-join
-    "volume_shipping",          # Q7-shape nation-pair trade volume
-    "returned_item_revenue",    # Q10-shape returned-revenue top-20
-    "promo_revenue_share",      # Q14-shape conditional revenue ratio
-    "unigram_logprob",          # corpus-unigram-LM quality score
-    "bigram_top_counts",        # corpus collocation table
-    "heavy_hitters_cms",        # count-min sketch with in-query bound
-    "scd2_dimension",           # type-2 SCD validity intervals
-    "embedding_centroids",      # per-label mean vectors
-    "user_value_trend",         # native regr_slope/intercept/r2
-    "dq_audit",                 # cross-table quality gate
-    "surrogate_keys",           # two-phase dense ids, no global window
-    "forecast_revenue",         # Q6-shape scan-only global sum
-    "top_revenue_parts",        # Q11-shape global-share HAVING
-    "customer_order_distribution",  # Q13-shape left-join count histogram
-    "top_supplier",             # Q15-shape broadcast-scalar argmax
-    "small_quantity_revenue",   # Q17-shape decorrelated per-part avg
-    "large_orders",             # Q18-shape IN-aggregate semi-join
-    "disjunctive_revenue",      # Q19-shape hand-CNF OR brackets
-    "idle_customer_balance",    # Q22-shape scalar-subquery + anti-join
-    "ewma_per_user",            # exact sequential fold, no UDF
-    "gap_fill_daily",           # per-key date spine + forward fill
-    "doc_chunks",               # overlapping RAG chunk windows
-    "weighted_sample",          # deterministic A-ES weighted top-k
-    "zipf_law_fit",             # frequency-spectrum OLS diagnostic
-    "dedup_span_runs",          # ExactSubstr-style duplicated spans
-    "pagerank_copurchase",      # iterative power method, CTE-unrolled oracle
-    "robust_anomaly",           # median/MAD modified-z outlier profile
-    "nation_market_share",      # Q8-shape regional market share by year
-    "bpe_train_merges",         # distributed BPE trainer, unrolled oracle
-    "bpe_segment_stats",        # learned segmentation applied corpus-wide
-    "key_skew_profile",         # max/median rows-per-key salting diagnostic
-    "multimodal_png_stats",     # real PNG codec, all five filters
-    "dedup_keep_best",          # quality-argmax canonical per near-dup cluster
-    "market_basket_lift",       # association rules: support/confidence/lift
-    "station_zone_assignment",  # UDF-free even-odd point-in-polygon join
-    "dow_seasonality",          # ISO day-of-week multiplicative index
-    "rolling_median",           # framed exact-percentile robust smoother
-    # -- attested only in the round-1 window; re-attest on current code.
-    #    NOTE: the r4 io-footer-probe change touches load_table's path,
-    #    so every pre-r4 attestation rides on changed shared code; the
-    #    whole pre-r4 tail therefore re-attests across r4-r6 in list
-    #    order (pytest oracle-parity covers ALL oracled queries on the
+    # ---- round-5 attestation window (driver caps at ~50 rows/round) ----
+    # -- code changed this round: must re-attest on current code --------
+    "embedding_centroids",      # r5: long-form scalar output (driver's
+                                #     pandas canonicalizer can't hash
+                                #     array cells — the one r4 red row)
+    "bpe_train_merges",         # r5: shared memoized training core
+    "bpe_segment_stats",        # r5: reuses the trainer's word table
+    # -- oracled but never driver-attested (queued behind the r4 cap) ---
+    "dedup_keep_best",
+    "market_basket_lift",
+    "station_zone_assignment",
+    "dow_seasonality",
+    "rolling_median",
+    # -- new this round, never attested ----------------------------------
+    # (names inserted here as round 5 adds operators)
+    # -- stalest tier: attested only in the round-1 window; every pre-r4
+    #    row additionally rides on the r4 io.load_table footer-probe
+    #    change, so the whole pre-r4 tail re-attests across r5-r6 in
+    #    list order (pytest oracle-parity covers ALL oracled queries on
     #    current code each round regardless of the driver's 50-cap). --
     "join_revenue_per_nation",
     "json_extract",
@@ -130,12 +87,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "validity_audit",
     "window_suite",
     "yearly_avg",
-    # -- round-2 attestations, same source file as round-4 edits ---------
+    # -- round-2 attestations whose source file saw round-4 edits --------
     "multimodal_meta",
     "multimodal_frame_stats",
-    # -- oldest remaining tier: round-2-only attestations (alphabetical).
-    #    The r4 head is larger than the 50-row window, so most of the
-    #    pre-r4 tail re-attests in rounds 5-6 in this order. --
+    # -- remaining round-2-only attestations (alphabetical); the r5
+    #    window's tail reaches partway in, round 6 takes the rest. -----
     "anti_join",
     "asof_join",
     "boolean_disjunction",

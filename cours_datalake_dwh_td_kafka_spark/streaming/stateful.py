@@ -354,11 +354,14 @@ EWMA_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-#: (pending event times us, pending values, folded count, current ewma)
+#: (pending event times us, pending tie-break ids, pending values,
+#:  next arrival sequence, folded count, current ewma)
 EWMA_STATE_SCHEMA = StructType(
     [
         StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_ids", ArrayType(LongType())),
         StructField("pend_vals", ArrayType(DoubleType())),
+        StructField("next_seq", LongType()),
         StructField("n", LongType()),
         StructField("ewma", DoubleType()),
     ]
@@ -367,11 +370,14 @@ EWMA_STATE_SCHEMA = StructType(
 
 def _ewma_fn(alpha: float, beta: float):
     def _fold(pend, n, ewma, wm_us):
-        """Fold every pending event at-or-before the watermark, in event-
-        time order; later events stay buffered."""
+        """Fold every pending event at-or-before the watermark, in
+        (event time, tie-break id) order — the SAME secondary key the
+        batch twin sorts by (timeseries.ewma orders by ts, event_id),
+        so two events sharing a timestamp fold in the same order in both
+        engines. Later events stay buffered."""
         ripe = sorted(p for p in pend if p[0] <= wm_us)
         rest = [p for p in pend if p[0] > wm_us]
-        for _, v in ripe:
+        for _, _, v in ripe:
             ewma = v if n == 0 else alpha * v + beta * ewma
             n += 1
         return rest, n, ewma, len(ripe)
@@ -383,16 +389,26 @@ def _ewma_fn(alpha: float, beta: float):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            pend_ts, pend_vals, n, ewma = state.get
-            pend = list(zip(pend_ts, pend_vals))
+            pend_ts, pend_ids, pend_vals, seq, n, ewma = state.get
+            pend = list(zip(pend_ts, pend_ids, pend_vals))
         else:
-            pend, n, ewma = [], 0, 0.0
+            pend, seq, n, ewma = [], 0, 0, 0.0
 
         if not state.hasTimedOut:
             pdf = pd.concat(list(pdfs), ignore_index=True)
             ts_us = (pdf["event_time"].astype("int64") // 1_000).to_numpy()
             vals = pdf["value"].to_numpy()
-            pend.extend((int(t), float(v)) for t, v in zip(ts_us, vals))
+            if "event_id" in pdf.columns:
+                ids = pdf["event_id"].astype("int64").to_numpy()
+            else:
+                # no upstream id: tie-break by arrival sequence (stable
+                # across watermark re-fires because it lives in state)
+                ids = range(seq, seq + len(pdf))
+                seq += len(pdf)
+            pend.extend(
+                (int(t), int(i), float(v))
+                for t, i, v in zip(ts_us, ids, vals)
+            )
 
         wm_us = state.getCurrentWatermarkMs() * 1_000
         pend, n, ewma, n_ripe = _fold(pend, n, ewma, wm_us)
@@ -401,6 +417,8 @@ def _ewma_fn(alpha: float, beta: float):
             (
                 [p[0] for p in pend],
                 [p[1] for p in pend],
+                [p[2] for p in pend],
+                int(seq),
                 int(n),
                 float(ewma),
             )
@@ -453,7 +471,12 @@ def ewma_stateful(
         alpha = _EWMA_ALPHA
     if beta is None:
         beta = _EWMA_BETA if alpha == _EWMA_ALPHA else 1.0 - alpha
-    src = events.select("user_id", "event_time", "value")
+    cols = ["user_id", "event_time", "value"]
+    if "event_id" in events.columns:
+        # carry the batch twin's tie-break key so same-timestamp events
+        # fold in the identical order stream-side
+        cols.append("event_id")
+    src = events.select(*cols)
     if events.isStreaming:
         src = src.withWatermark("event_time", watermark)
     return src.groupBy("user_id").applyInPandasWithState(

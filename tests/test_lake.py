@@ -94,8 +94,12 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     assert {tuple(r) for r in lake_read(spark, path, 2).collect()} == {
         (9, "z")
     }
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ValueError, match="removed by lake_vacuum"):
         lake_read(spark, path, 1)
+    # history still works after the vacuum: only surviving versions
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_history
+
+    assert [h["version"] for h in lake_history(path)] == [2, 3]
 
 
 def test_lake_diff_reports_inserts_and_deletes(spark, tmp_path):
@@ -117,3 +121,64 @@ def test_lake_diff_reports_inserts_and_deletes(spark, tmp_path):
         for r in lake_diff(spark, path, 1, 2).collect()
     }
     assert d12 == {(2, "delete")}
+
+
+def test_vacuum_reclaims_orphaned_commit_dirs(spark, tmp_path):
+    """Data files written by a commit that never published its manifest
+    (crashed, or lost the O_EXCL race) are swept by vacuum once they are
+    older than the grace window — and never before."""
+    path = str(tmp_path / "t")
+    lake_commit(_df(spark, [(1, "a")]), path)
+    orphan = os.path.join(path, "data", "deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
+        f.write("x")
+    # inside the grace window: untouched
+    assert lake_vacuum(path, keep_versions=1) == []
+    assert os.path.exists(os.path.join(orphan, "part-00000.parquet"))
+    # past the grace window: reclaimed, dir removed, live commit intact
+    deleted = lake_vacuum(path, keep_versions=1, orphan_grace_seconds=0)
+    assert deleted == [
+        os.path.join("data", "deadbeef0000", "part-00000.parquet")
+    ]
+    assert not os.path.exists(orphan)
+    assert {tuple(r) for r in lake_read(spark, path).collect()} == {(1, "a")}
+
+
+def test_manifest_publish_is_atomic_no_partial_visible(spark, tmp_path):
+    """The published v{N}.json is complete the instant it exists: no
+    .tmp residue survives a commit, and every manifest in the directory
+    parses (the O_EXCL-create-then-write window of the old scheme would
+    leave an empty target visible mid-commit)."""
+    import json
+
+    path = str(tmp_path / "t")
+    lake_commit(_df(spark, [(1, "a")]), path)
+    lake_commit(_df(spark, [(2, "b")]), path)
+    mdir = os.path.join(path, "_manifests")
+    names = sorted(os.listdir(mdir))
+    assert names == ["v1.json", "v2.json"]  # no tmp files left behind
+    for n in names:
+        with open(os.path.join(mdir, n)) as f:
+            m = json.load(f)  # parses => never published empty
+        assert m["files"]
+
+
+def test_ivf_index_rebuild_in_place(spark, tmp_path):
+    """build_ivf_index at an existing path refreshes the index instead
+    of throwing errorifexists — the build-once/serve-many refresh path."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    idx = str(tmp_path / "ivf")
+    n1 = build_ivf_index(emb, idx, n_cells=4)
+    n2 = build_ivf_index(emb, idx, n_cells=4)  # rebuild: no throw
+    assert n1 == n2 == 4
+    q = emb.limit(2).selectExpr("vec_id AS query_id", "embedding AS emb")
+    got = ivf_query_index(spark, idx, q, nprobe=2, top_k=3)
+    assert got.count() > 0
