@@ -389,14 +389,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: pixels per synthesized-image row (7 -> each 21-byte BMP pixel row pads
+#: to a 24-byte stride, keeping padding/stride handling on the hash path)
+IMG_W = 7
+
 # ---------------------------------------------------------------------------
-# resize: binary -> binary transform over the image slice. The stub
-# resamples the byte stream to target_w x target_h by index striding;
-# a real pipeline swaps the body for PIL's Image.resize with the same
-# (payload in, payload out + dims) contract. Plumbing that IS real:
-# the modality filter prunes at the scan, only (doc_id, payload) crosses
-# the Arrow boundary, and the output is again an opaque binary column.
+# resize: binary -> binary transform over the image slice, on the REAL
+# BMP codec (round 5; the byte-striding stub is gone). Source payloads
+# are genuine BMP files (see synth_bmp_images), the kernel is
+# decode -> nearest-neighbor resample -> re-encode, and the registered
+# query emits scalar columns a DuckDB oracle recomputes per pixel — so
+# the resize is value-hashed end to end, container bytes included.
+# Plumbing: the modality filter prunes at the scan, only
+# (doc_id, payload) crosses the Arrow boundary, output is again an
+# opaque binary column plus its audit scalars.
 # ---------------------------------------------------------------------------
+RESIZE_W = 16
+RESIZE_H = 16
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -404,123 +414,334 @@ RESIZE_SCHEMA = StructType(
         StructField("out_height", LongType()),
         StructField("payload", BinaryType()),
         StructField("n_bytes", LongType()),
+        StructField("payload_byte_sum", LongType()),
+        StructField("px_sum", LongType()),
     ]
 )
 
 
+def bmp24_header_byte_sum(w: int, h: int) -> int:
+    """Byte sum of the 54-byte BMP header the SPEC prescribes for a
+    ``w x h`` 24-bit BI_RGB file — computed from the public layout
+    (BITMAPFILEHEADER + BITMAPINFOHEADER field list), not by calling
+    :func:`encode_bmp24`, so the oracle constant it feeds is an
+    independent restatement of the format: if the encoder mis-writes any
+    header field, payload_byte_sum hash-mismatches."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return sum(header)
+
+
+def synth_bmp_images(d: DataFrame, width: int = IMG_W) -> DataFrame:
+    """documents -> (doc_id, payload) where payload is a REAL BMP file:
+    byte 3p+c of the doc is channel c of pixel p, row-major, ``width``
+    pixels per row (the same byte->pixel contract as image_bmp_stats,
+    so every image query shares one oracle definition). Docs shorter
+    than one pixel row are dropped — both engines agree."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                h = int(b.size) // (3 * width)
+                if h == 0:
+                    continue
+                ids.append(int(doc_id))
+                payloads.append(
+                    encode_bmp24(b[: h * width * 3].reshape(h, width, 3))
+                )
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return d.select("doc_id", "text").mapInPandas(
+        run, "doc_id BIGINT, payload BINARY"
+    )
+
+
 def resize_images(
-    mm: DataFrame, target_w: int = 16, target_h: int = 16
+    images: DataFrame, target_w: int = RESIZE_W, target_h: int = RESIZE_H
 ) -> DataFrame:
-    """Resize every image-modality payload to ``target_w x target_h``."""
+    """Resize every BMP payload to ``target_w x target_h`` by
+    nearest-neighbor (floor-index rule src = dst * src_dim // dst_dim):
+    real decode, real resample, real re-encode. Alongside the resized
+    binary, two audit scalars put the WHOLE output byte stream on the
+    value-hash path: px_sum (sum of decoded output pixels — BGR
+    reordering and row flipping are sum-invariant, padding is zero) and
+    payload_byte_sum (header bytes + pixel bytes of the encoded file)."""
     out_names = [f.name for f in RESIZE_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        n_out = target_w * target_h
-
-        def resize(payload: bytes) -> bytes:
-            # stub resample: stride the source bytes onto the target grid
-            # (real codec: PIL decode -> resize -> re-encode, same contract)
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            if arr.size == 0:
-                return bytes(n_out)
-            idx = (np.arange(n_out, dtype=np.int64) * arr.size) // n_out
-            return arr[idx].tobytes()
-
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "out_width": target_w,
-                    "out_height": target_h,
-                    "payload": [resize(p) for p in pdf["payload"]],
-                }
-            )
-            out["n_bytes"] = out["payload"].map(len)
-            yield out[out_names]
+            rows: dict[str, list] = {n: [] for n in out_names}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                src = decode_bmp24(bytes(payload))
+                h, w, _ = src.shape
+                r_idx = (np.arange(target_h) * h) // target_h
+                c_idx = (np.arange(target_w) * w) // target_w
+                resized = src[r_idx][:, c_idx]
+                out_payload = encode_bmp24(resized)
+                rows["doc_id"].append(int(doc_id))
+                rows["out_width"].append(target_w)
+                rows["out_height"].append(target_h)
+                rows["payload"].append(out_payload)
+                rows["n_bytes"].append(len(out_payload))
+                rows["payload_byte_sum"].append(
+                    int(sum(out_payload))
+                )
+                rows["px_sum"].append(int(resized.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
 
-    src = mm.where(F.col("modality") == "image").select("doc_id", "payload")
-    return src.mapInPandas(run, RESIZE_SCHEMA)
+    return images.select("doc_id", "payload").mapInPandas(
+        run, RESIZE_SCHEMA
+    )
 
 
-@register("multimodal_resize")
+# Oracle: recompute every output pixel of the nearest-neighbor resample
+# by index arithmetic over the doc bytes (output pixel (r, c) channel ch
+# <- doc byte 3*((r*h//RESIZE_H)*IMG_W + c*IMG_W//RESIZE_W) + ch), then
+# n_bytes / payload_byte_sum from the BMP spec (fixed 16x16 target:
+# stride 48, no padding, so file sum = header sum + pixel sum).
+_RESIZE_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, text, length(text) // (3 * {IMG_W}) AS h
+      FROM documents
+      WHERE doc_id % 3 = 0 AND length(text) >= 3 * {IMG_W}
+    ),
+    grid AS (
+      SELECT doc_id, text, h,
+             unnest(generate_series(0, {RESIZE_W * RESIZE_H * 3 - 1})) AS o
+      FROM docs
+    ),
+    px AS (
+      SELECT doc_id,
+             ord(substr(text, CAST(
+               3 * ((((o // 3) // {RESIZE_W}) * h // {RESIZE_H})
+                    * {IMG_W}
+                    + (((o // 3) % {RESIZE_W}) * {IMG_W} // {RESIZE_W}))
+               + (o % 3) + 1 AS INT), 1)) AS byte
+      FROM grid
+    )
+    SELECT doc_id,
+           CAST({RESIZE_W} AS BIGINT) AS out_width,
+           CAST({RESIZE_H} AS BIGINT) AS out_height,
+           CAST(54 + ({RESIZE_W} * 3 + 3) // 4 * 4 * {RESIZE_H}
+                AS BIGINT) AS n_bytes,
+           CAST({bmp24_header_byte_sum(RESIZE_W, RESIZE_H)} + SUM(byte)
+                AS BIGINT) AS payload_byte_sum,
+           CAST(SUM(byte) AS BIGINT) AS px_sum
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize", _RESIZE_SQL)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver check (binary output); determinism + shape are
-    asserted in tests/test_algorithms.py."""
-    mm = multimodal_table(load_table(spark, sf_dir, "documents"))
-    return resize_images(mm).orderBy("doc_id")
+    """Image-modality docs (doc_id % 3 = 0) -> real BMP -> real resize.
+    The binary payload column is dropped for the driver contract (the
+    harness canonicalizer hashes scalars); payload_byte_sum keeps the
+    encoded bytes on the hash path anyway."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    return (
+        resize_images(synth_bmp_images(docs))
+        .select(
+            "doc_id", "out_width", "out_height", "n_bytes",
+            "payload_byte_sum", "px_sum",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
 # frame sampling: one video payload -> N frame rows (the 1->many batch
-# shape). The stub treats each 64-byte slice as a frame and keeps every
-# n-th; a real pipeline swaps in av/ffmpeg keyframe extraction with the
-# same output schema.
+# shape), on a REAL container (round 5; the 64-byte-slice stub is gone).
+# A synthesized "video" is a concatenation of per-frame BMP files; the
+# sampler DEMUXES it by walking the headers (magic check + declared file
+# size), keeps every n-th frame, and decodes each kept frame for its
+# audit scalars — so both the container walk and the frame codec are on
+# the value-hash path of the registered query.
 # ---------------------------------------------------------------------------
+FRAME_W = 4
+FRAME_H = 4
+#: bytes of source pixel data consumed per frame
+FRAME_SIZE = FRAME_W * FRAME_H * 3
+#: encoded size of one frame BMP (stride 12, no padding)
+FRAME_BMP_BYTES = 54 + ((FRAME_W * 3 + 3) & ~3) * FRAME_H
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("frame_idx", LongType()),
         StructField("frame_bytes", BinaryType()),
         StructField("frame_len", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
     ]
 )
 
-FRAME_SIZE = 64
+
+def synth_video_bmp(d: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload) where payload concatenates one
+    4x4 BMP frame per 48 source bytes (frame f's pixels are doc bytes
+    [48f, 48f+48), row-major RGB). Docs too short for one frame drop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n_frames = int(b.size) // FRAME_SIZE
+                if n_frames == 0:
+                    continue
+                frames = [
+                    encode_bmp24(
+                        b[f * FRAME_SIZE : (f + 1) * FRAME_SIZE].reshape(
+                            FRAME_H, FRAME_W, 3
+                        )
+                    )
+                    for f in range(n_frames)
+                ]
+                ids.append(int(doc_id))
+                payloads.append(b"".join(frames))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return d.select("doc_id", "text").mapInPandas(
+        run, "doc_id BIGINT, payload BINARY"
+    )
 
 
-def sample_frames(mm: DataFrame, every_n: int = 4) -> DataFrame:
-    """Emit every ``every_n``-th fixed-size frame of each video payload."""
+def sample_frames(videos: DataFrame, every_n: int = 4) -> DataFrame:
+    """Demux each video payload by walking its concatenated BMP headers
+    (verify the 'BM' magic, honor each frame's DECLARED file size — the
+    walk never assumes uniform frames) and keep every ``every_n``-th
+    frame, decoded for px stats."""
     out_names = [f.name for f in FRAME_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
         for pdf in batches:
-            rows = {n: [] for n in out_names}
+            rows: dict[str, list] = {n: [] for n in out_names}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
-                for fi in range(0, n_frames, every_n):
-                    chunk = payload[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE]
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(fi)
-                    rows["frame_bytes"].append(bytes(chunk))
-                    rows["frame_len"].append(len(chunk))
+                payload = bytes(payload)
+                pos, fi = 0, 0
+                while pos + 54 <= len(payload):
+                    if payload[pos : pos + 2] != b"BM":
+                        raise ValueError(
+                            f"doc {doc_id}: bad frame magic at {pos}"
+                        )
+                    (size,) = struct.unpack(
+                        "<I", payload[pos + 2 : pos + 6]
+                    )
+                    frame = payload[pos : pos + size]
+                    if fi % every_n == 0:
+                        a = decode_bmp24(frame).astype(np.int64)
+                        rows["doc_id"].append(int(doc_id))
+                        rows["frame_idx"].append(fi)
+                        rows["frame_bytes"].append(frame)
+                        rows["frame_len"].append(len(frame))
+                        rows["px_sum"].append(int(a.sum()))
+                        rows["px_min"].append(int(a.min()))
+                        rows["px_max"].append(int(a.max()))
+                    pos += size
+                    fi += 1
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)
 
-    src = mm.where(F.col("modality") == "video").select("doc_id", "payload")
-    return src.mapInPandas(run, FRAME_SCHEMA)
+    return videos.select("doc_id", "payload").mapInPandas(
+        run, FRAME_SCHEMA
+    )
 
 
-@register("multimodal_frame_sample")
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver check (binary output); frame-count arithmetic is
-    asserted in tests/test_algorithms.py."""
-    mm = multimodal_table(load_table(spark, sf_dir, "documents"))
-    return sample_frames(mm).orderBy("doc_id", "frame_idx")
-
-
-# Per-doc rollup of the frame sampler — every column is scalar arithmetic
-# over byte lengths, so the 1->many UDF's slicing gets a REAL value-hash
-# oracle (generate_series twin) instead of the rows-only check the binary
-# frame payloads force on `multimodal_frame_sample` itself.
-_FRAME_STATS_SQL = f"""
+# Oracle: frame f of a video doc covers bytes [48f+1, 48f+48] (1-based);
+# kept frames are f % 4 = 0; frame_len is the spec-fixed encoded size.
+_FRAME_SAMPLE_SQL = f"""
     WITH v AS (
-      SELECT doc_id, octet_length(encode(text)) AS nb
-      FROM documents WHERE doc_id % 3 = 2
+      SELECT doc_id, text, length(text) // {FRAME_SIZE} AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2 AND length(text) >= {FRAME_SIZE}
     ),
     f AS (
-      SELECT doc_id, nb,
-             unnest(generate_series(
-               0, CAST(CEIL(nb / {FRAME_SIZE}.0) AS BIGINT) - 1, 4)) AS frame_idx
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+      FROM v
+    ),
+    b AS (
+      SELECT doc_id, frame_idx,
+             ord(substr(text,
+                 CAST(frame_idx * {FRAME_SIZE} + i AS INT), 1)) AS byte
+      FROM f, unnest(generate_series(1, {FRAME_SIZE})) AS t(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST({FRAME_BMP_BYTES} AS BIGINT) AS frame_len,
+           CAST(SUM(byte) AS BIGINT) AS px_sum,
+           CAST(MIN(byte) AS BIGINT) AS px_min,
+           CAST(MAX(byte) AS BIGINT) AS px_max
+    FROM b
+    GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_SQL)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality docs (doc_id % 3 = 2) -> concatenated-BMP video ->
+    demux + keep every 4th frame. Binary frame payload dropped for the
+    driver contract; the decoded-pixel stats hash-pin the demux walk and
+    the per-frame decode."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    return (
+        sample_frames(synth_video_bmp(docs))
+        .select(
+            "doc_id", "frame_idx", "frame_len", "px_sum", "px_min",
+            "px_max",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+# Per-doc rollup of the frame sampler — kept-frame count, demuxed bytes,
+# and last kept index, recomputed by the oracle from the frame-layout
+# arithmetic alone (round 5: updated to the real concatenated-BMP
+# container — whole frames only, spec-fixed encoded size).
+_FRAME_STATS_SQL = f"""
+    WITH v AS (
+      SELECT doc_id, length(text) // {FRAME_SIZE} AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2 AND length(text) >= {FRAME_SIZE}
+    ),
+    f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
       FROM v
     )
     SELECT doc_id,
            COUNT(*) AS n_frames_kept,
-           CAST(SUM(LEAST({FRAME_SIZE}, nb - frame_idx * {FRAME_SIZE})) AS BIGINT)
-             AS bytes_kept,
+           CAST(COUNT(*) * {FRAME_BMP_BYTES} AS BIGINT) AS bytes_kept,
            MAX(frame_idx) AS last_frame_idx
     FROM f
     GROUP BY doc_id
@@ -626,13 +847,11 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL-codec query #2 (image): doc bytes -> RGB pixel grid -> BMP encode
-# -> real BMP decode -> per-channel stats. Width 7 on purpose: each
-# 21-byte pixel row pads to a 24-byte stride, so the oracle only matches
-# if the decoder strips padding, un-reverses BGR, and re-flips the
-# bottom-up rows correctly.
+# -> real BMP decode -> per-channel stats. Width 7 on purpose (IMG_W,
+# defined above the resize section): each 21-byte pixel row pads to a
+# 24-byte stride, so the oracle only matches if the decoder strips
+# padding, un-reverses BGR, and re-flips the bottom-up rows correctly.
 # ---------------------------------------------------------------------------
-IMG_W = 7  # pixels per row -> 21 data bytes + 3 pad bytes per stored row
-
 IMAGE_SCHEMA = (
     "doc_id BIGINT, width BIGINT, height BIGINT, n_bytes BIGINT, "
     "r_mean DOUBLE, g_mean DOUBLE, b_mean DOUBLE, "
@@ -826,9 +1045,11 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_frame_stats", _FRAME_STATS_SQL)
 def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = multimodal_table(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
     return (
-        sample_frames(mm)
+        sample_frames(synth_video_bmp(docs))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_frames_kept"),

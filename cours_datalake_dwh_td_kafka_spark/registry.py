@@ -67,6 +67,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rolling_median",
     # -- new this round, never attested ----------------------------------
     # (names inserted here as round 5 adds operators)
+    "multimodal_resize",        # r5: real BMP decode->resize->encode,
+                                #     newly oracle-paired (was rows-only)
+    "multimodal_frame_sample",  # r5: real concatenated-BMP demux,
+                                #     newly oracle-paired (was rows-only)
+    "multimodal_frame_stats",   # r5: rollup re-based on the real demux
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in
@@ -87,9 +92,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "validity_audit",
     "window_suite",
     "yearly_avg",
-    # -- round-2 attestations whose source file saw round-4 edits --------
+    # -- round-2 attestation whose source file saw round-4/5 edits -------
     "multimodal_meta",
-    "multimodal_frame_stats",
     # -- remaining round-2-only attestations (alphabetical); the r5
     #    window's tail reaches partway in, round 6 takes the rest. -----
     "anti_join",

@@ -260,43 +260,71 @@ def test_connected_components_chain_and_isolates(spark):
     assert got == want
 
 
-def test_resize_deterministic_shape(spark):
+def test_resize_real_codec_round_trip(spark):
+    """resize_images output payloads are REAL BMPs whose decoded pixels
+    equal the nearest-neighbor resample of the decoded source."""
+    import numpy as np
+
     from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_bmp24,
         resize_images,
+        synth_bmp_images,
     )
 
-    docs = load_table(spark, SF_ORACLE, "documents")
-    mm = multimodal_table(docs)
-    a = resize_images(mm, 8, 8).orderBy("doc_id").collect()
-    n_images = mm.where("modality = 'image'").count()
-    assert len(a) == n_images
-    assert all(r.n_bytes == 64 and len(r.payload) == 64 for r in a)
-    b = resize_images(mm, 8, 8).orderBy("doc_id").collect()
-    assert [bytes(r.payload) for r in a] == [bytes(r.payload) for r in b]
+    docs = load_table(spark, SF_ORACLE, "documents").where("doc_id % 3 = 0")
+    images = synth_bmp_images(docs)
+    srcs = {r.doc_id: bytes(r.payload) for r in images.collect()}
+    out = resize_images(images, 8, 8).orderBy("doc_id").collect()
+    assert {r.doc_id for r in out} == set(srcs)
+    for r in out:
+        got = decode_bmp24(bytes(r.payload))
+        assert got.shape == (8, 8, 3)
+        src = decode_bmp24(srcs[r.doc_id])
+        h, w, _ = src.shape
+        want = src[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8]
+        assert (got == want).all()
+        assert r.px_sum == int(want.astype(np.int64).sum())
+        assert r.payload_byte_sum == sum(bytes(r.payload))
+        assert r.n_bytes == len(r.payload)
 
 
-def test_frame_sample_counts(spark):
+def test_frame_sample_demuxes_concatenated_bmps(spark):
+    """sample_frames walks the container by declared frame sizes and
+    keeps every 4th frame; each kept frame decodes to the source slice."""
+    import numpy as np
+
     from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        FRAME_BMP_BYTES,
         FRAME_SIZE,
+        decode_bmp24,
         sample_frames,
+        synth_video_bmp,
     )
 
-    docs = load_table(spark, SF_ORACLE, "documents")
-    mm = multimodal_table(docs)
-    frames = sample_frames(mm, every_n=4).collect()
-    vids = {r.doc_id: r.n_bytes for r in mm.where("modality = 'video'").collect()}
+    docs = load_table(spark, SF_ORACLE, "documents").where("doc_id % 3 = 2")
+    vids = synth_video_bmp(docs)
+    frames = sample_frames(vids, every_n=4).collect()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
     by_doc = {}
     for r in frames:
         by_doc.setdefault(r.doc_id, []).append(r)
-    assert set(by_doc) == {d for d, n in vids.items() if n > 0}
+    expected_docs = {
+        d for d, t in texts.items() if len(t.encode()) >= FRAME_SIZE
+    }
+    assert set(by_doc) == expected_docs
     for doc_id, rows in by_doc.items():
-        n_frames = (vids[doc_id] + FRAME_SIZE - 1) // FRAME_SIZE
-        want_idx = list(range(0, n_frames, 4))
-        assert sorted(r.frame_idx for r in rows) == want_idx
-        # every full frame is FRAME_SIZE bytes; only the tail may be short
+        b = np.frombuffer(texts[doc_id].encode(), dtype=np.uint8)
+        n_frames = b.size // FRAME_SIZE
+        assert sorted(r.frame_idx for r in rows) == list(
+            range(0, n_frames, 4)
+        )
         for r in rows:
-            if r.frame_idx < n_frames - 1:
-                assert r.frame_len == FRAME_SIZE
+            assert r.frame_len == FRAME_BMP_BYTES
+            px = decode_bmp24(bytes(r.frame_bytes))
+            want = b[
+                r.frame_idx * FRAME_SIZE : (r.frame_idx + 1) * FRAME_SIZE
+            ].reshape(4, 4, 3)
+            assert (px == want).all()
 
 
 def test_connected_components_contracted_star_fallback(spark):
