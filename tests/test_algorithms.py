@@ -52,18 +52,25 @@ def test_ivf_partial_probe_beats_random_baseline(spark):
     random-cell baseline. On genuinely clustered corpora recall is high —
     the property that matters (exactness of the machinery) is covered by
     test_ivf_full_probe_equals_brute_force."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
     from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
         N_CELLS,
         NPROBE,
+        ivf_topk,
     )
 
     qs = registry.queries()
     brute = qs["ann_topk_cosine"](spark, SF_ORACLE).collect()
-    ivf = qs["ann_ivf_topk"](spark, SF_ORACLE).collect()
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    ivf = ivf_topk(emb).collect()
     truth = {(r.query_id, r.neighbor_id) for r in brute}
     found = {(r.query_id, r.neighbor_id) for r in ivf}
     recall = len(truth & found) / len(truth)
     assert recall >= 0.8 * NPROBE / N_CELLS, f"IVF recall {recall}"
+    # the registered query folds this guarantee into its value hash:
+    # every row must come back recall_ok and k_truth-complete
+    checked = qs["ann_ivf_topk"](spark, SF_ORACLE).collect()
+    assert checked and all(r.recall_ok for r in checked)
 
 
 def test_ivf_int8_full_probe_recall_vs_float(spark):
