@@ -13,6 +13,7 @@ cluster bill would notice it.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -77,6 +78,40 @@ def plan_facts(df: DataFrame, executed: bool = False) -> PlanFacts:
         read_schemas=re.findall(r"ReadSchema: (\S+)", fmt),
     )
     return facts
+
+
+@contextmanager
+def count_local_checkpoints():
+    """Count ``DataFrame.localCheckpoint`` calls made while a query is
+    BUILT — the round-count plan fact for iterative operators
+    (pagerank / dedup_clusters / BPE), which the final physical plan
+    cannot show: by design each round's checkpoint truncates lineage,
+    so only the last round survives into the plan text. Pinning the
+    call count in tests means an edit cannot silently double the
+    per-query iteration cost the same way it cannot silently add a
+    CartesianProduct.
+
+    Yields a mutable ``{"n": int}`` counter; restores the original
+    method on exit. Patches the CONCRETE DataFrame class (PySpark >= 4
+    splits the public ``pyspark.sql.DataFrame`` ABC from
+    ``pyspark.sql.classic.dataframe.DataFrame``, and instances resolve
+    methods on the latter)."""
+    try:  # PySpark >= 4
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover - PySpark 3.x
+        _DF = DataFrame
+    counter = {"n": 0}
+    orig = _DF.localCheckpoint
+
+    def patched(self, eager=True):
+        counter["n"] += 1
+        return orig(self, eager)
+
+    _DF.localCheckpoint = patched
+    try:
+        yield counter
+    finally:
+        _DF.localCheckpoint = orig
 
 
 def assert_no_cartesian(df: DataFrame) -> None:

@@ -192,3 +192,47 @@ def test_explain_cli_lists_and_reports(spark, capsys):
     out = capsys.readouterr().out
     assert "pushed_filters" in out and "l_shipdate" in out
     assert main(["no_such_query"]) == 2
+
+
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        # 3 setup (edges, nodes, degree-annotated e2) + iters/2 amortized
+        ("pagerank_copurchase", 5),
+        # edges + labels + rounds-to-convergence on this corpus
+        ("dedup_clusters", 4),
+        # 1 word table + 6 merge rebuilds
+        ("bpe_train_merges", 7),
+    ],
+)
+def test_iterative_round_counts_pinned(spark, name, expected):
+    """Iterative operators bound lineage with per-round localCheckpoint;
+    the FINAL plan can't show the round count (each checkpoint truncates
+    it by design), so pin the checkpoint-call count instead — an edit
+    can't silently double the iteration cost any more than it can
+    silently add a CartesianProduct."""
+    from cours_datalake_dwh_td_kafka_spark.operators import bpe
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+        count_local_checkpoints,
+    )
+
+    bpe._CORE_CACHE.clear()
+    with count_local_checkpoints() as c:
+        registry.queries()[name](spark, SF_ORACLE)
+    assert c["n"] == expected, f"{name}: {c['n']} checkpoints"
+
+
+def test_bpe_segment_reuses_memoized_training(spark):
+    """bpe_segment_stats after bpe_train_merges must train ZERO extra
+    rounds — the round-4 bench's dominant line was exactly this double
+    training."""
+    from cours_datalake_dwh_td_kafka_spark.operators import bpe
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+        count_local_checkpoints,
+    )
+
+    bpe._CORE_CACHE.clear()
+    registry.queries()["bpe_train_merges"](spark, SF_ORACLE)
+    with count_local_checkpoints() as c:
+        registry.queries()["bpe_segment_stats"](spark, SF_ORACLE)
+    assert c["n"] == 0, "segment stats re-trained BPE"
