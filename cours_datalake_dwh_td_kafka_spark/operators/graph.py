@@ -263,3 +263,104 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(BASKET_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the same co-purchase graph (degree-ordered)
+# ---------------------------------------------------------------------------
+TRIANGLE_TOP_N = 20
+
+_TRIANGLE_SQL = f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS part, COUNT(*) AS n_triangles
+    FROM members
+    GROUP BY node
+    ORDER BY n_triangles DESC, part
+    LIMIT {TRIANGLE_TOP_N}
+"""
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge table (directed
+    (src, dst) pairs in both orientations, as :func:`copurchase_edges`
+    emits). Classic clustering-coefficient numerator: which parts sit in
+    densely co-purchased cliques.
+
+    Scale shape (the MapReduce triangle recipe of Suri & Vassilvitskii,
+    WWW'11): orient every edge from the lower-(degree, id) endpoint to
+    the higher — each triangle then has EXACTLY one wedge whose center
+    is its lowest-ranked vertex, and the wedge-closing join counts it
+    once. Degree-ordering bounds each vertex's out-degree by O(sqrt(m))
+    regardless of how big a hub it is, so the wedge fan-out — the step
+    that explodes on skewed graphs if you orient by id alone — stays
+    O(m^1.5) worst-case with NO hot key: a celebrity node of degree d
+    contributes d wedges as a spoke, not d^2 as a center. Both joins
+    are plain equi-joins (wedge: on the center; closure: on the
+    (lo, hi) edge key); nothing is ever collected."""
+    und = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    directed = ranked.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    w1 = directed.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = directed.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    # closure probes the UNDIRECTED canonical edge set: the third side's
+    # orientation under the degree rank is unknown at the wedge
+    closing = und.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("a", "c") == F.col("x"))
+        & (F.greatest("a", "c") == F.col("y")),
+    ).select("a", "b", "c")
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@register("triangle_count", _TRIANGLE_SQL)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return (
+        triangle_counts(copurchase_edges(li))
+        .select(F.col("node").alias("part"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(TRIANGLE_TOP_N)
+    )

@@ -9,18 +9,21 @@ featurizers over Arrow batches — at 100 TB only the binary column's
 partitions stream through the Python workers, everything else is pruned
 at the parquet scan.
 
-Codec layer (round 4): THREE paths are REAL, no codec libs needed —
+Codec layer (rounds 4-5): FOUR paths are REAL, no codec libs needed —
 RIFF/WAVE PCM-16 (:func:`encode_wav_pcm16`/:func:`decode_wav_pcm16`),
-24-bit BMP (:func:`encode_bmp24`/:func:`decode_bmp24`), and PNG with
-chunk CRCs and all five scanline filters
-(:func:`encode_png_rgb8`/:func:`decode_png_rgb8`, stdlib zlib). Each is
-exercised end-to-end by an oracle-paired query (synthesize -> encode ->
-DECODE -> stats; the DuckDB oracle recomputes the stats from the source
-bytes, so a mis-parsed header, byte order, row padding, or filter
-reconstruction flips the value hash). Lossy codecs (JPEG/ffmpeg video)
-aren't in this container, so `decode_stub` stays a deterministic
-byte-level featurizer for those modalities; real codecs drop into the
-same UDF signature.
+24-bit BMP (:func:`encode_bmp24`/:func:`decode_bmp24`), PNG with chunk
+CRCs and all five scanline filters
+(:func:`encode_png_rgb8`/:func:`decode_png_rgb8`, stdlib zlib), and a
+hand-walked gzip member parser (:func:`decode_gzip_member`, RFC 1952
+header/trailer + raw inflate). Each is exercised end-to-end by an
+oracle-paired query (synthesize -> encode -> DECODE -> stats; the
+DuckDB oracle recomputes the stats from the source bytes, so a
+mis-parsed header, byte order, row padding, or filter reconstruction
+flips the value hash). Resize and frame-sampling run ON the BMP codec
+(round 5; the byte-striding stubs are gone). Lossy codecs (JPEG/ffmpeg
+video) aren't in this container, so `decode_stub` stays a
+deterministic byte-level featurizer for `multimodal_features` only;
+real codecs drop into the same UDF signature.
 """
 
 from __future__ import annotations
@@ -1318,5 +1321,116 @@ def image_png_stats(d: DataFrame, width: int = IMG_W) -> DataFrame:
 @register("multimodal_png_stats", _PNG_SQL)
 def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_png_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #4: gzip (RFC 1952) — the compressed-TEXT container every
+# web-crawl pipeline ingests (WARC/WET payloads are gzip members). The
+# encoder is stdlib; the DECODER is hand-walked: magic/method/flag
+# parse, optional-field skipping, raw-DEFLATE inflate, and CRC32 +
+# ISIZE trailer verification — all on the value-hash path, because the
+# emitted stats come from the DECODED bytes and the check booleans.
+# ---------------------------------------------------------------------------
+GZIP_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, byte_sum BIGINT, "
+    "crc_ok BOOLEAN, isize_ok BOOLEAN"
+)
+
+_GZIP_SQL = """
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(generate_series(1, length(text))) AS i, text
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(SUM(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT)
+             AS byte_sum,
+           TRUE AS crc_ok,
+           TRUE AS isize_ok
+    FROM b
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+"""
+
+
+def decode_gzip_member(payload: bytes) -> tuple[bytes, bool, bool]:
+    """Parse one RFC 1952 gzip member by hand: verify the 1f 8b magic
+    and deflate method byte, walk the FLG-gated optional fields (FEXTRA
+    length-prefixed, FNAME/FCOMMENT zero-terminated, FHCRC 2 bytes),
+    raw-inflate the body, and check the CRC32/ISIZE trailer against
+    what actually decompressed. Returns (raw_bytes, crc_ok, isize_ok);
+    raises ``ValueError`` on a malformed container — undecodable
+    archives must fail loudly, not truncate silently."""
+    import struct
+    import zlib
+
+    if len(payload) < 18 or payload[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip payload")
+    if payload[2] != 8:
+        raise ValueError(f"unsupported gzip method {payload[2]}")
+    flg = payload[3]
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        (xlen,) = struct.unpack("<H", payload[pos : pos + 2])
+        pos += 2 + xlen
+    if flg & 0x08:  # FNAME
+        pos = payload.index(b"\x00", pos) + 1
+    if flg & 0x10:  # FCOMMENT
+        pos = payload.index(b"\x00", pos) + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    d = zlib.decompressobj(-15)  # raw DEFLATE: container handled above
+    raw = d.decompress(payload[pos:]) + d.flush()
+    trailer = d.unused_data[:8]
+    if len(trailer) < 8:
+        raise ValueError("gzip trailer truncated")
+    crc, isize = struct.unpack("<II", trailer)
+    return (
+        raw,
+        zlib.crc32(raw) & 0xFFFFFFFF == crc,
+        len(raw) % (1 << 32) == isize,
+    )
+
+
+def gzip_text_stats(d: DataFrame) -> DataFrame:
+    """documents -> gzip-compressed payload -> hand-walked decode ->
+    stats of the DECODED bytes plus the container's own integrity
+    verdicts. The oracle recomputes n_bytes/byte_sum from the plain
+    text, so a decoder that drops, duplicates, or corrupts a single
+    byte — or a trailer check that lies — flips the value hash.
+    Compressed SIZE is deliberately not emitted (deflate stream length
+    is compressor-version-specific, the PNG lesson)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip as _gzip
+
+        out_cols = ["doc_id", "n_bytes", "byte_sum", "crc_ok", "isize_ok"]
+
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in out_cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if not data:
+                    continue
+                payload = _gzip.compress(data, mtime=0)
+                raw, crc_ok, isize_ok = decode_gzip_member(payload)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(raw))
+                rows["byte_sum"].append(int(sum(raw)))
+                rows["crc_ok"].append(bool(crc_ok))
+                rows["isize_ok"].append(bool(isize_ok))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "text").mapInPandas(run, GZIP_SCHEMA)
+
+
+@register("multimodal_gzip_stats", _GZIP_SQL)
+def q_multimodal_gzip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gzip_text_stats(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )

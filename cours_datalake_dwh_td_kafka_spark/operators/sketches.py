@@ -128,3 +128,54 @@ def heavy_hitters_cms(
 @register("heavy_hitters_cms", _CMS_SQL)
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_cms(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count with an in-query relative-error bound
+# ---------------------------------------------------------------------------
+HLL_RSD = 0.05
+
+_HLL_SQL = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def distinct_hll_bound(
+    e: DataFrame, key: str = "event_type", col: str = "user_id",
+    rsd: float = HLL_RSD,
+) -> DataFrame:
+    """Per-group approximate distinct count (Spark's HLL++,
+    ``approx_count_distinct``) checked in-query against the exact
+    count: the driver-hashed columns are the exact distinct plus
+    ``within_bound`` — |approx - exact| <= 6*rsd*exact (6 sigma of the
+    advertised relative standard deviation; HLL++'s bias correction
+    keeps observed error well inside). Same contract pattern as
+    ``approx_quantiles``/``heavy_hitters_cms``: the sketch VALUE is
+    engine-specific, the GUARANTEE is the oracle-checkable fact.
+
+    Scale shape: the exact side is here only because the check needs
+    ground truth — in production the sketch runs alone: one pass, O(1)
+    state per group, mergeable across partitions (it's the partial-agg
+    that makes count-distinct cheap at 100 TB)."""
+    agg = e.groupBy(key).agg(
+        F.approx_count_distinct(col, rsd).alias("approx"),
+        F.count_distinct(F.col(col)).alias("exact_distinct"),
+    )
+    err = F.abs(F.col("approx") - F.col("exact_distinct"))
+    return agg.select(
+        key,
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (err <= F.lit(6.0 * rsd) * F.col("exact_distinct")).alias(
+            "within_bound"
+        ),
+    ).orderBy(key)
+
+
+@register("distinct_hll_bound", _HLL_SQL)
+def q_distinct_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_hll_bound(load_table(spark, sf_dir, "events"))

@@ -255,3 +255,158 @@ def dow_seasonality(e: DataFrame) -> DataFrame:
 )
 def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_seasonality(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (mean-shift changepoint screen)
+# ---------------------------------------------------------------------------
+_CUSUM_H_SIGMA = 5.0  # drift flag threshold, in per-user sigma units
+
+_CUSUM_SQL = f"""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v6
+      FROM events
+    ),
+    mu AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             ROUND(CAST(SUM(v6) AS DOUBLE) / COUNT(*), 6) AS mu,
+             SQRT(GREATEST(
+               COUNT(*) * CAST(SUM(CAST(v6 * v6 AS DECIMAL(38,12)))
+                               AS DOUBLE)
+               - CAST(SUM(v6) AS DOUBLE) * CAST(SUM(v6) AS DOUBLE),
+               0.0)) / COUNT(*) AS sigma
+      FROM v GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, v.ts, v.event_id, mu.n, mu.sigma,
+             SUM(CAST(ROUND(CAST(v6 AS DOUBLE) - mu, 6)
+                 AS DECIMAL(28,6)))
+               OVER (PARTITION BY v.user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS ct
+      FROM v JOIN mu USING (user_id)
+    ),
+    s AS (
+      SELECT user_id, n, sigma,
+             ct - MIN(ct) OVER w AS s_pos,
+             MAX(ct) OVER w - ct AS s_neg
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(MAX(s_pos) AS DOUBLE), 6) AS max_pos_cusum,
+           ROUND(CAST(MAX(s_neg) AS DOUBLE), 6) AS max_neg_cusum,
+           GREATEST(ROUND(CAST(MAX(s_pos) AS DOUBLE), 6),
+                    ROUND(CAST(MAX(s_neg) AS DOUBLE), 6))
+             > {_CUSUM_H_SIGMA} * sigma AS drift_detected
+    FROM s
+    GROUP BY user_id, n, sigma
+    ORDER BY user_id
+"""
+
+
+def cusum_changepoint(e: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key CUSUM mean-shift screen: with C_t the running sum of
+    mean-centered values in (ts, event_id) order, the classic one-sided
+    CUSUM with resets equals the prefix-min identity
+    S+_t = C_t - min_{j<=t} C_j (and S-_t = max_{j<=t} C_j - C_t), so
+    the whole sequential-looking statistic is three window functions —
+    no fold, no UDF. A key drifts if either side's maximum exceeds
+    ``_CUSUM_H_SIGMA`` per-key sigmas.
+
+    Cross-engine exactness: each centered deviation rounds to 6 dp and
+    accumulates as DECIMAL(28,6), so the running sums are exact integers
+    of micro-units on both engines — window-accumulation order (Spark's
+    running aggregate vs DuckDB's segment tree) cannot shift them. The
+    per-key mean/sigma ride the repo's exact-decimal sum discipline.
+
+    Scale shape: one shuffle on the key; the three windows share one
+    sort; per-key state in the window operator is O(1)."""
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    cum = Window.partitionBy(key).orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v6 = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    stats = (
+        e.select(key, F.col("value"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mu"),
+            (
+                F.sqrt(
+                    F.greatest(
+                        F.count(F.lit(1))
+                        * F.sum(
+                            (
+                                F.round(F.col("value"), 6).cast(
+                                    "decimal(18,6)"
+                                )
+                                * F.round(F.col("value"), 6).cast(
+                                    "decimal(18,6)"
+                                )
+                            ).cast("decimal(38,12)")
+                        ).cast("double")
+                        - F.sum(
+                            F.round(F.col("value"), 6).cast("decimal(18,6)")
+                        ).cast("double")
+                        * F.sum(
+                            F.round(F.col("value"), 6).cast("decimal(18,6)")
+                        ).cast("double"),
+                        F.lit(0.0),
+                    )
+                )
+                / F.count(F.lit(1))
+            ).alias("sigma"),
+        )
+    )
+    dev = F.round(v6.cast("double") - F.col("mu"), 6).cast("decimal(28,6)")
+    ct = (
+        e.select(key, "ts", "event_id", "value")
+        .join(stats, key)
+        .withColumn("ct", F.sum(dev).over(cum))
+    )
+    s_pos = F.col("ct") - F.min("ct").over(cum)
+    s_neg = F.max("ct").over(cum) - F.col("ct")
+    runs = ct.select(
+        key,
+        "n",
+        "sigma",
+        s_pos.alias("s_pos"),
+        s_neg.alias("s_neg"),
+    )
+    return (
+        runs.groupBy(key, "n", "sigma")
+        .agg(
+            F.round(F.max("s_pos").cast("double"), 6).alias(
+                "max_pos_cusum"
+            ),
+            F.round(F.max("s_neg").cast("double"), 6).alias(
+                "max_neg_cusum"
+            ),
+        )
+        .select(
+            key,
+            F.col("n").cast("bigint").alias("n_events"),
+            "max_pos_cusum",
+            "max_neg_cusum",
+            (
+                F.greatest("max_pos_cusum", "max_neg_cusum")
+                > F.lit(_CUSUM_H_SIGMA) * F.col("sigma")
+            ).alias("drift_detected"),
+        )
+        .orderBy(key)
+    )
+
+
+@register("cusum_changepoint", _CUSUM_SQL)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_changepoint(load_table(spark, sf_dir, "events"))

@@ -75,6 +75,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",             # r5: in-query recall bound, newly
                                 #     oracle-paired (was rows-only)
     "ann_ivf_topk_int8",        # r5: same bound vs float truth
+    "triangle_count",           # r5: degree-ordered triangle join
+    "distinct_hll_bound",       # r5: HLL++ with in-query error bound
+    "cusum_changepoint",        # r5: prefix-min CUSUM, decimal-exact
+    "multimodal_gzip_stats",    # r5: hand-walked RFC 1952 container
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in
