@@ -716,3 +716,97 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "pos", "c", "n_vecs")
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding outliers: the SemDeDup-style prune list
+# ---------------------------------------------------------------------------
+OUTLIER_BOTTOM_K = 5
+
+_OUTLIER_SQL = """
+    WITH flat AS (
+      SELECT label, pv.pos AS pos, CAST(pv.v AS DOUBLE) AS v
+      FROM (
+        SELECT label,
+               unnest(list_transform(
+                 generate_series(1, len(embedding)),
+                 i -> struct_pack(pos := i, v := embedding[i])
+               )) AS pv
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT label, pos,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS c
+      FROM flat GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT label, list(c ORDER BY pos) AS centroid
+      FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          ca.centroid), 6) AS cos_centroid
+      FROM embeddings e JOIN cent_arr ca USING (label)
+    ),
+    ranked AS (
+      SELECT label, vec_id, cos_centroid,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cos_centroid, vec_id) AS rn
+      FROM scored
+    )
+    SELECT label, vec_id, cos_centroid, CAST(rn AS BIGINT) AS rn
+    FROM ranked
+    WHERE rn <= 5
+    ORDER BY label, rn
+"""
+
+
+def embedding_outliers(
+    e: DataFrame, bottom_k: int = OUTLIER_BOTTOM_K
+) -> DataFrame:
+    """Per label, the ``bottom_k`` vectors LEAST aligned with their
+    label centroid (lowest cosine) — the candidate prune list a
+    SemDeDup/quality pass reviews: members far from their cluster's
+    mean are mislabeled points or junk embeddings.
+
+    Scale shape: the centroid table is k x d (tiny — one posexplode agg,
+    shared with :func:`embedding_centroids`), broadcast onto the corpus
+    for a single cosine projection per vector; the per-label bottom-k is
+    one window on the label key. Rounded-to-6 centroids and cosines keep
+    ranks engine-identical (the ann_topk discipline)."""
+    cent = embedding_centroids(e).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    scored = (
+        e.join(F.broadcast(cent), e.label == F.col("c_label"))
+        .select(
+            "label",
+            "vec_id",
+            F.round(
+                vec_dot(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("centroid"),
+                )
+                / (
+                    vec_norm(F.col("embedding").cast("array<double>"))
+                    * vec_norm(F.col("centroid"))
+                ),
+                6,
+            ).alias("cos_centroid"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= bottom_k)
+        .select("label", "vec_id", "cos_centroid", "rn")
+        .orderBy("label", "rn")
+    )
+
+
+@register("embedding_outliers", _OUTLIER_SQL)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_outliers(load_table(spark, sf_dir, "embeddings"))

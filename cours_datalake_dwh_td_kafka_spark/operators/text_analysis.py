@@ -336,6 +336,58 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-source language mismatch rate — the ingest-quality gate that catches
+# a feed whose declared language stops matching its content
+# ---------------------------------------------------------------------------
+def _lang_mismatch_sql() -> str:
+    inner = _lang_sql().replace("ORDER BY doc_id", "")
+    return f"""
+    WITH lang_pred AS ({inner}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang_pred <> lang_actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           ROUND(CAST(SUM(CASE WHEN lang_pred <> lang_actual
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS mismatch_rate
+    FROM lang_pred JOIN src USING (doc_id)
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("lang_mismatch_rate", _lang_mismatch_sql())
+def q_lang_mismatch_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each source's docs whose n-gram-marker language guess
+    disagrees with the declared ``lang`` column (an 'unknown' guess
+    counts as a mismatch — an undecidable doc is exactly what the gate
+    must surface). A drifting feed shows up as one source's rate
+    jumping; the per-doc detail stays in ``language_id``.
+
+    Scale shape: one doc-keyed join of the scored frame back to the
+    (doc_id, source) projection — both sides partition on doc_id, and
+    the counts are integer sums, exact on any engine."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = language_id(d).select("doc_id", "lang_actual", "lang_pred")
+    mism = F.when(
+        F.col("lang_pred") != F.col("lang_actual"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        pred.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(mism).cast("bigint").alias("n_mismatch"),
+            F.round(
+                F.sum(mism).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mismatch_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprint (md5 + 32-bit prefix) — the join key for incremental
 # curation runs
 # ---------------------------------------------------------------------------

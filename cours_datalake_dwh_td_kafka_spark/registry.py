@@ -79,6 +79,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "distinct_hll_bound",       # r5: HLL++ with in-query error bound
     "cusum_changepoint",        # r5: prefix-min CUSUM, decimal-exact
     "multimodal_gzip_stats",    # r5: hand-walked RFC 1952 container
+    "lang_mismatch_rate",       # r5: per-source declared-vs-detected gate
+    "embedding_outliers",       # r5: per-label centroid-cosine prune list
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in
