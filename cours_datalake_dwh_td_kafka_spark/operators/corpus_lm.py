@@ -220,3 +220,101 @@ def zipf_fit(d: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
 @register("zipf_law_fit", _ZIPF_SQL)
 def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: V(n) ~ K * n^beta
+# ---------------------------------------------------------------------------
+_HEAPS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split({NORM_SQL.format(c='text')}, ' ')) AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+    ),
+    first_doc AS (
+      SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok
+    ),
+    news AS (
+      SELECT fd AS doc_id, COUNT(*) AS new_types FROM first_doc GROUP BY fd
+    ),
+    series AS (
+      SELECT d.doc_id,
+             SUM(d.n_toks) OVER (ORDER BY d.doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_toks,
+             SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY d.doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      FROM per_doc d LEFT JOIN news n USING (doc_id)
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(MAX(cum_toks) AS BIGINT) AS n_tokens,
+           CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                            ln(CAST(cum_toks AS DOUBLE))), 6) AS heaps_beta,
+           ROUND(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                            ln(CAST(cum_toks AS DOUBLE))), 6)
+             AS heaps_log_k,
+           ROUND(regr_r2(ln(CAST(cum_vocab AS DOUBLE)),
+                         ln(CAST(cum_toks AS DOUBLE))), 6) AS heaps_r2
+    FROM series
+"""
+
+
+def heaps_law_fit(d: DataFrame) -> DataFrame:
+    """Vocabulary-growth diagnostic: walk the corpus in doc_id order,
+    accumulate (tokens seen, distinct types seen), and fit
+    log V = log K + beta * log n (Heaps'/Herdan's law; beta ~ 0.5 for
+    natural text). Together with :func:`zipf_law_fit` this is the
+    corpus-health pair curation teams watch: a beta collapse means the
+    feed started repeating itself — dedup upstream is failing.
+
+    Scale shape: the cumulative-vocab trick is FIRST-OCCURRENCE
+    attribution — a token contributes a type exactly at its MIN(doc_id)
+    — so cumulative distinct never materializes running sets: two keyed
+    aggregations (per-doc token counts, per-token first doc), a
+    doc-keyed left join, two running integer sums over the doc spine
+    (exact — no float order hazard), and one regr_* fit over
+    docs-many points. The single-partition window is over per-DOC rows
+    (corpus/1000s smaller than the token stream); at extreme doc counts
+    swap in the two-phase dense-id recipe (scale.surrogate_keys)."""
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
+    ).localCheckpoint(eager=False)  # feeds both aggregations below
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    news = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = (
+        per_doc.join(news, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w).alias("cum_toks"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .alias("cum_vocab"),
+        )
+    )
+    y = F.ln(F.col("cum_vocab").cast("double"))
+    x = F.ln(F.col("cum_toks").cast("double"))
+    return series.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum_toks").cast("bigint").alias("n_tokens"),
+        F.max("cum_vocab").cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope(y, x), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(y, x), 6).alias("heaps_log_k"),
+        F.round(F.regr_r2(y, x), 6).alias("heaps_r2"),
+    )
+
+
+@register("heaps_law_fit", _HEAPS_SQL)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heaps_law_fit(load_table(spark, sf_dir, "documents"))

@@ -437,3 +437,80 @@ def robust_anomaly(e: DataFrame, key: str = "user_id") -> DataFrame:
 @register("robust_anomaly", _ROBUST_SQL)
 def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_anomaly(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# winsorized per-key mean: the robust location estimate for heavy tails
+# ---------------------------------------------------------------------------
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+_WINSOR_SQL = f"""
+    WITH cuts AS (
+      SELECT user_id,
+             quantile_cont(value, {_WINSOR_LO}) AS lo,
+             quantile_cont(value, {_WINSOR_HI}) AS hi
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN e.value < cuts.lo OR e.value > cuts.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(CAST(SUM(CAST(ROUND(
+                   LEAST(GREATEST(e.value, cuts.lo), cuts.hi), 6)
+                 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean
+    FROM events e JOIN cuts USING (user_id)
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+"""
+
+
+def winsorized_mean(
+    e: DataFrame,
+    key: str = "user_id",
+    lo: float = _WINSOR_LO,
+    hi: float = _WINSOR_HI,
+) -> DataFrame:
+    """Per-key mean with values clipped to the key's own [p5, p95]
+    band — the standard heavy-tail-resistant location estimate sitting
+    between the raw mean (anomaly_batch) and the median (robust_anomaly)
+    in breakdown point vs efficiency.
+
+    Scale shape: one percentile aggregate per key (exact interpolated —
+    the `quantiles` parity anchor), re-joined one-row-per-key (AQE
+    broadcasts it), then one clipped-sum aggregate. Clipped values
+    round to 6 dp and sum as DECIMAL(28,6), so partial-agg order can't
+    move the mean."""
+    cuts = e.groupBy(key).agg(
+        F.percentile("value", F.lit(lo)).alias("lo"),
+        F.percentile("value", F.lit(hi)).alias("hi"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6
+    )
+    out_of_band = (F.col("value") < F.col("lo")) | (
+        F.col("value") > F.col("hi")
+    )
+    return (
+        e.select(key, "value")
+        .join(cuts, key)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(out_of_band.cast("int")).cast("bigint").alias(
+                "n_clipped"
+            ),
+            F.round(
+                F.sum(clipped.cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy(key)
+    )
+
+
+@register("winsorized_mean", _WINSOR_SQL)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorized_mean(load_table(spark, sf_dir, "events"))

@@ -81,6 +81,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_gzip_stats",    # r5: hand-walked RFC 1952 container
     "lang_mismatch_rate",       # r5: per-source declared-vs-detected gate
     "embedding_outliers",       # r5: per-label centroid-cosine prune list
+    "winsorized_mean",          # r5: per-key p5/p95-clipped robust mean
+    "heaps_law_fit",            # r5: vocabulary-growth power-law fit
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in
