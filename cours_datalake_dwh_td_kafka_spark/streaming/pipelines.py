@@ -489,3 +489,51 @@ def curate_stream(
         "quality_score",
         "fingerprint",
     )
+
+
+def trending_topk(
+    enriched: DataFrame,
+    window: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+    key: str = "city",
+    k: int = 3,
+):
+    """Windowed trending top-k: per tumbling window, the ``k`` hottest
+    keys by event count. Streaming aggregations cannot carry a rank
+    window (no analytic functions over an unfinished aggregate), so
+    this returns the per-(window, key) COUNT stream; pair it with
+    :func:`rank_topk_snapshot` in a foreachBatch sink — each micro-batch
+    ranks the aggregate snapshot it was handed, which is exactly the
+    "trending now" board a dashboard wants (complete/update mode).
+
+    At scale the count stream is the standard watermark-bounded state
+    (one row per open window x key); the ranking step runs over the
+    already-aggregated snapshot — windows x keys rows, not events."""
+    df = enriched
+    if watermark is not None:
+        df = df.withWatermark("event_time", watermark)
+    return df.groupBy(F.window("event_time", window), key).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def rank_topk_snapshot(counts: DataFrame, key: str = "city", k: int = 3) -> DataFrame:
+    """Rank a (window, key, n_events) aggregate snapshot to its per-window
+    top-k — the batch-side half of :func:`trending_topk` (ties break on
+    the key for determinism). Works identically on a foreachBatch
+    micro-batch snapshot and on a batch twin of the same aggregate, which
+    is what the stream/batch parity test pins."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window").orderBy(F.desc("n_events"), F.asc(key))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("window.start").alias("window_start"),
+            key,
+            "n_events",
+            "rank",
+        )
+        .orderBy("window_start", "rank")
+    )

@@ -931,3 +931,65 @@ def test_curate_stream_gates_and_dedups(spark, stream_dir):
     }
     for i, r in got.items():
         assert r.quality_score == pytest.approx(want[i], abs=1e-6), i
+
+
+def test_trending_topk_stream_matches_batch(spark, stream_dir, tmp_path):
+    """Trending top-k: the foreachBatch-ranked final snapshot of the
+    streaming count aggregate equals rank_topk_snapshot over the batch
+    twin of the same tumbling-window counts — including the tie-break
+    (two cities on equal counts rank alphabetically)."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        rank_topk_snapshot,
+        trending_topk,
+    )
+
+    b1 = (
+        _rows(0, 4, city="Paris")
+        + _rows(0, 3, city="Lyon")
+        + _rows(0, 3, city="Nice")  # ties Lyon: alphabetical break
+        + _rows(0, 1, city="Brest")
+    )
+    b2 = _rows(10, 2, city="Brest")  # second window, different leader
+    _write_batch(stream_dir, b1, "b0")
+    _write_batch(stream_dir, b2, "b1")
+
+    enriched = enrich_alerts(_read_stream(spark, stream_dir))
+    counts = trending_topk(enriched, window="5 minutes", k=3)
+    out_dir = str(tmp_path / "topk")
+
+    def sink(batch_df, batch_id):
+        # each micro-batch ranks the aggregate snapshot it was handed;
+        # overwrite = the dashboard shows the latest board
+        rank_topk_snapshot(batch_df, k=3).write.mode("overwrite").parquet(
+            out_dir
+        )
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.city, r.n_events, r.rank)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], RAW_SCHEMA
+    )
+    bcounts = trending_topk(
+        enrich_alerts(batch), window="5 minutes", watermark=None, k=3
+    )
+    want = {
+        (r.window_start, r.city, r.n_events, r.rank)
+        for r in rank_topk_snapshot(bcounts, k=3).collect()
+    }
+    assert got == want
+    # per-window board depth respects k and the tie-break is stable
+    per_window = {}
+    for w_start, city, n, rank in sorted(got):
+        per_window.setdefault(w_start, []).append((rank, city, n))
+    assert all(len(v) <= 3 for v in per_window.values())
