@@ -318,3 +318,94 @@ def heaps_law_fit(d: DataFrame) -> DataFrame:
 @register("heaps_law_fit", _HEAPS_SQL)
 def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law_fit(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve: what share of corpus tokens the top-V types cover
+# ---------------------------------------------------------------------------
+VOCAB_SIZES = (10, 30, 100)
+
+_COVERAGE_SQL = f"""
+    WITH toks AS (
+      SELECT unnest(string_split({NORM_SQL.format(c='text')}, ' ')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS n_corpus FROM freq),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM freq
+    )
+    SELECT v.vocab_size,
+           CAST(MAX(CASE WHEN rnk <= v.vocab_size THEN cum END)
+                AS BIGINT) AS covered_tokens,
+           ROUND(CAST(MAX(CASE WHEN rnk <= v.vocab_size THEN cum END)
+                      AS DOUBLE) / MAX(n_corpus), 6) AS coverage
+    FROM ranked
+    CROSS JOIN tot
+    CROSS JOIN (VALUES {", ".join(f"({v})" for v in VOCAB_SIZES)})
+      AS v(vocab_size)
+    GROUP BY v.vocab_size
+    ORDER BY v.vocab_size
+"""
+
+
+def vocab_coverage(
+    d: DataFrame, sizes: tuple[int, ...] = VOCAB_SIZES
+) -> DataFrame:
+    """Token-coverage curve: for each candidate vocabulary size V, the
+    fraction of all corpus tokens covered by the V most frequent types
+    (count-desc, tok tiebreak) — the first number a tokenizer team asks
+    for when sizing a vocab against a new corpus.
+
+    Scale shape: ONE tokenization -> type-frequency table (vocab-sized),
+    a single-partition rank/cumsum window over the VOCAB (not the
+    corpus; for web-scale vocabularies switch to the two-phase dense-id
+    recipe), and a broadcast scalar total. Integer counts -> exact
+    cumulative sums; one divide + round at output."""
+    toks = d.select(
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n_corpus"))
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    cum = Window.orderBy(F.desc("cnt"), "tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = freq.select(
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(cum).alias("cum"),
+    )
+    sizes_df = d.sparkSession.createDataFrame(
+        [(v,) for v in sizes], "vocab_size INT"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sizes_df))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size")
+        .agg(
+            F.max(
+                F.when(F.col("rnk") <= F.col("vocab_size"), F.col("cum"))
+            )
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rnk") <= F.col("vocab_size"), F.col("cum")
+                    )
+                ).cast("double")
+                / F.max("n_corpus"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@register("vocab_coverage", _COVERAGE_SQL)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))

@@ -312,8 +312,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     contributes d wedges as a spoke, not d^2 as a center. Both joins
     are plain equi-joins (wedge: on the center; closure: on the
     (lo, hi) edge key); nothing is ever collected."""
-    und = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
+    # the canonical edge set feeds FOUR consumers (degrees, orientation,
+    # both closure probes) — materialize the order self-join + distinct
+    # once instead of recomputing the corpus-scale upstream per consumer
+    und = (
+        edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -329,19 +334,25 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     directed = ranked.select(
         F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    ).localCheckpoint(eager=False)
+    # CENTER-based wedges: both spokes leave the triangle's lowest-ranked
+    # vertex, and hi1 < hi2 emits each unordered spoke pair once —
+    # sum_v C(outdeg_v, 2) wedge rows, half the path-based (a->b->c) form
+    w1 = directed.select("lo", F.col("hi").alias("b"))
+    w2 = directed.select(F.col("lo").alias("lo2"), F.col("hi").alias("c"))
+    wedges = (
+        w1.join(w2, F.col("lo") == F.col("lo2"))
+        .where(F.col("b") < F.col("c"))
+        .select(F.col("lo").alias("a"), "b", "c")
     )
-    w1 = directed.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    w2 = directed.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
-    wedges = w1.join(w2, F.col("b") == F.col("b2")).select("a", "b", "c")
-    # closure probes the UNDIRECTED canonical edge set: the third side's
-    # orientation under the degree rank is unknown at the wedge
+    # closure probes the UNDIRECTED canonical edge set: the spokes' ends
+    # are id-ordered (b < c) but their degree-rank order is unknown
     closing = und.select(
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
     tri = wedges.join(
         closing,
-        (F.least("a", "c") == F.col("x"))
-        & (F.greatest("a", "c") == F.col("y")),
+        (F.col("b") == F.col("x")) & (F.col("c") == F.col("y")),
     ).select("a", "b", "c")
     members = (
         tri.select(F.col("a").alias("node"))

@@ -827,3 +827,91 @@ def bm25_search(
 @register("bm25_search", _BM25_SQL)
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# positional-index phrase search (exact adjacency, the step beyond BM25's
+# bag-of-words)
+# ---------------------------------------------------------------------------
+PHRASE_QUERY = "data slow"
+
+
+def _phrase_sql(phrase: str = PHRASE_QUERY) -> str:
+    """Oracle generated from the SAME phrase constant the Spark side
+    uses — one posting-list CTE per term, chained on pos + offset."""
+    terms = phrase.split(" ")
+    ctes = ",\n    ".join(
+        f"t{i} AS (SELECT doc_id, pos FROM toks WHERE tok = '{t}')"
+        for i, t in enumerate(terms, start=1)
+    )
+    joins = "\n    ".join(
+        f"JOIN t{i} ON t{i}.doc_id = t1.doc_id"
+        f" AND t{i}.pos = t1.pos + {i - 1}"
+        for i in range(2, len(terms) + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split({NORM_SQL.format(c='text')}, ' ')) AS tok,
+             generate_subscripts(
+               string_split({NORM_SQL.format(c='text')}, ' '), 1) AS pos
+      FROM documents
+    ),
+    {ctes}
+    SELECT t1.doc_id,
+           COUNT(*) AS n_occurrences,
+           CAST(MIN(t1.pos) AS BIGINT) AS first_pos
+    FROM t1
+    {joins}
+    GROUP BY t1.doc_id
+    ORDER BY t1.doc_id
+"""
+
+
+_PHRASE_SQL = _phrase_sql()
+
+
+def phrase_search(d: DataFrame, phrase: str = PHRASE_QUERY) -> DataFrame:
+    """Exact phrase matching via a POSITIONAL inverted index: tokenize
+    with positions, filter each phrase term's posting list, and chain
+    them with (doc_id, pos + offset) equi-joins — the adjacency
+    operator a bag-of-words scorer (bm25_search) cannot express.
+    Returns per matching doc the occurrence count and first position.
+
+    Scale shape: each join leg is a FILTERED posting list (one term's
+    occurrences, a tiny fraction of the corpus after predicate
+    pushdown... of the explode output), and the chain joins on
+    (doc_id, pos) — fully keyed, no windows, no arrays carried across
+    the shuffle. An n-word phrase is n-1 such joins; selectivity
+    multiplies down the chain, so the intermediate never exceeds the
+    rarest term's postings."""
+    terms = phrase.split(" ")
+    toks = F.split(norm_text(F.col("text")), " ")
+    pos = (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.posexplode("t").alias("p0", "tok"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    )
+    cur = pos.where(F.col("tok") == terms[0]).select("doc_id", "pos")
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = pos.where(F.col("tok") == term).select(
+            F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+        )
+        cur = cur.join(
+            nxt,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("p2") == F.col("pos") + i),
+        ).select("doc_id", "pos")
+    return (
+        cur.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("phrase_search", _PHRASE_SQL)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase_search(load_table(spark, sf_dir, "documents"))

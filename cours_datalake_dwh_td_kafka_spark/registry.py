@@ -83,6 +83,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_outliers",       # r5: per-label centroid-cosine prune list
     "winsorized_mean",          # r5: per-key p5/p95-clipped robust mean
     "heaps_law_fit",            # r5: vocabulary-growth power-law fit
+    "vocab_coverage",           # r5: tokenizer-sizing coverage curve
+    "phrase_search",            # r5: positional-index exact adjacency
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in
