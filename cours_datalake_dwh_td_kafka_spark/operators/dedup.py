@@ -1397,3 +1397,114 @@ def dedup_keep_best(d: DataFrame) -> DataFrame:
 @register("dedup_keep_best", _keep_best_sql())
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered EXACT Jaccard join (SSJoin/PPJoin family) — the
+# candidate-generation alternative to banded MinHash when the answer must
+# be exact, not probabilistic
+# ---------------------------------------------------------------------------
+_PREFIX_JACCARD_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             {SHINGLES_SQL.format(t="string_split(" + NORM_SQL.format(c='text') + ", ' ')")} AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+def jaccard_prefix_pairs(
+    d: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs via PREFIX FILTERING (the
+    SSJoin/PPJoin recipe — Chaudhuri et al. ICDE'06, Bayardo et al.
+    WWW'07): order every doc's shingles by a global rarity order
+    (document frequency asc, hash tiebreak) and index only each doc's
+    first |d| - ceil(t*|d|) + 1 shingles — any pair with Jaccard >= t
+    MUST collide on at least one prefix token, so the candidate join
+    touches the rare end of every posting list and skips the stop-
+    shingle skew entirely. Verification computes exact Jaccard on the
+    full sets. Complementary to `dedup_minhash_lsh` (probabilistic,
+    fixed-cost signatures) and `dedup_ngram_jaccard` (df-capped
+    postings): prefix filtering is exact AND unconditionally complete —
+    nothing above the threshold can be dropped by a cap. The oracle is
+    brute force over all pairs, so the driver hash PROVES completeness
+    on the attested corpus, not just precision.
+
+    Scale shape: df table is one keyed agg; the per-doc rarity rank is
+    a window bounded by doc length; the candidate join is an equi-join
+    on prefix-shingle hash whose lists are short BY CONSTRUCTION (a
+    token in many prefixes is a rare token — df-ordered prefixes push
+    common tokens out of the index); verify joins candidates (small)
+    against per-doc sorted-set arrays. The epsilon inside ceil keeps a
+    float bump from SHORTENING a prefix (longer prefix = more
+    candidates = still exact; shorter = missed pairs)."""
+    rows = shingle_rows(d).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    df_tab = rows.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sized = rows.join(df_tab, "sh")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    wn = Window.partitionBy("doc_id")
+    ranked = sized.select(
+        "doc_id",
+        "sh",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n_sh"),
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    )
+    prefix = ranked.where(F.col("r") <= prefix_len).select("doc_id", "sh")
+    cand = (
+        prefix.join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh2")
+            ),
+            (F.col("sh") == F.col("sh2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sets = rows.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sh")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_jaccard_prefix", _PREFIX_JACCARD_SQL)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))

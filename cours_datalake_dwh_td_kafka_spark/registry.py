@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heaps_law_fit",            # r5: vocabulary-growth power-law fit
     "vocab_coverage",           # r5: tokenizer-sizing coverage curve
     "phrase_search",            # r5: positional-index exact adjacency
+    "dedup_jaccard_prefix",     # r5: SSJoin prefix filter, exact+complete
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in
