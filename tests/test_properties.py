@@ -554,3 +554,64 @@ def test_span_runs_recovers_random_planted_span(
     assert set(rows) == {(1, 2)}
     assert rows[(1, 2)].max_span_tokens == span_len
     assert rows[(1, 2)].dup_tokens == span_len
+
+
+@given(
+    data=st.binary(min_size=1, max_size=4096),
+    fname=st.booleans(),
+    fcomment=st.booleans(),
+    fextra=st.booleans(),
+    fhcrc=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gzip_member_decode_handles_all_flag_fields(
+    data, fname, fcomment, fextra, fhcrc
+):
+    """decode_gzip_member must walk every RFC 1952 optional field
+    combination (stdlib gzip.compress never emits them, so the UDF path
+    alone wouldn't exercise these branches) and verify the trailer."""
+    import struct
+    import zlib
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_gzip_member,
+    )
+
+    flg = (
+        (0x04 if fextra else 0)
+        | (0x08 if fname else 0)
+        | (0x10 if fcomment else 0)
+        | (0x02 if fhcrc else 0)
+    )
+    hdr = bytearray(b"\x1f\x8b\x08" + bytes([flg]) + b"\x00" * 6)
+    if fextra:
+        extra = b"XYzz"
+        hdr += struct.pack("<H", len(extra)) + extra
+    if fname:
+        hdr += b"name.bin\x00"
+    if fcomment:
+        hdr += b"a comment\x00"
+    if fhcrc:
+        hdr += struct.pack("<H", zlib.crc32(bytes(hdr)) & 0xFFFF)
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = comp.compress(data) + comp.flush()
+    trailer = struct.pack(
+        "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) % (1 << 32)
+    )
+    payload = bytes(hdr) + body + trailer
+
+    raw, crc_ok, isize_ok = decode_gzip_member(payload)
+    assert raw == data and crc_ok and isize_ok
+
+    # corrupted trailer: decode still returns bytes but the verdicts flip
+    bad = payload[:-8] + struct.pack(
+        "<II", (zlib.crc32(data) ^ 1) & 0xFFFFFFFF, (len(data) + 1) % (1 << 32)
+    )
+    raw2, crc2, isize2 = decode_gzip_member(bad)
+    assert raw2 == data and not crc2 and not isize2
+
+    # malformed container fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gzip_member(b"\x1f\x8c" + payload[2:])
