@@ -1508,3 +1508,66 @@ def jaccard_prefix_pairs(
 @register("dedup_jaccard_prefix", _PREFIX_JACCARD_SQL)
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cross-source near-dup overlap matrix — which FEEDS are copying each other
+# ---------------------------------------------------------------------------
+_SOURCE_OVERLAP_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             {SHINGLES_SQL.format(t="string_split(" + NORM_SQL.format(c='text') + ", ' ')")} AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT LEAST(a.source, b.source) AS source_a,
+             GREATEST(a.source, b.source) AS source_b,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_pairs
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+"""
+
+
+def source_overlap_matrix(
+    d: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Roll the exact near-dup pair set up to the SOURCE level: for each
+    unordered source pair (diagonal included), how many cross-doc
+    near-duplicates connect them. The matrix is the first artifact a
+    curation team reads when deciding which feed to drop — a heavy
+    off-diagonal cell means one source is republishing another.
+
+    Scale shape: the pair set comes from :func:`jaccard_prefix_pairs`
+    (exact and complete — the rollup inherits its proof), the source
+    lookup is two broadcast-able (doc_id, source) joins, and the final
+    aggregate is sources^2-bounded."""
+    pairs = jaccard_prefix_pairs(d, threshold)
+    src = d.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("s_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("s_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register("source_overlap_matrix", _SOURCE_OVERLAP_SQL)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))

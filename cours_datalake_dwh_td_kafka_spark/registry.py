@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_coverage",           # r5: tokenizer-sizing coverage curve
     "phrase_search",            # r5: positional-index exact adjacency
     "dedup_jaccard_prefix",     # r5: SSJoin prefix filter, exact+complete
+    "source_overlap_matrix",    # r5: cross-feed near-dup rollup
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in
