@@ -235,3 +235,61 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
         .drop("ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram via NTILE — the quantile-bucket profile
+# ---------------------------------------------------------------------------
+N_DEPTH_BUCKETS = 10
+
+_EQUI_DEPTH_SQL = f"""
+    WITH b AS (
+      SELECT event_type, value,
+             NTILE({N_DEPTH_BUCKETS}) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM b
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+"""
+
+
+def equi_depth_histogram(
+    e: DataFrame, key: str = "event_type", n_buckets: int = N_DEPTH_BUCKETS
+) -> DataFrame:
+    """Per-key equi-DEPTH histogram: NTILE splits each key's values into
+    ``n_buckets`` equal-count buckets and reports each bucket's row
+    count and [lo, hi] span — the complement of the fixed-width
+    ``value_histogram`` (equal-width bins, skewed counts) for
+    heavy-tailed columns where width-binning puts 99% of rows in bin 0.
+
+    Determinism: the NTILE order includes event_id, so ties at a bucket
+    boundary land identically on both engines (bucket COUNTS are always
+    engine-identical; the tie-break pins lo/hi too).
+
+    Scale shape: one shuffle on the key; NTILE + the rollup share the
+    sort. SQL-standard NTILE gives earlier buckets the remainder row —
+    same rule both engines."""
+    w = Window.partitionBy(key).orderBy("value", "event_id")
+    return (
+        e.select(key, "value", "event_id")
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(key, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy(key, "bucket")
+    )
+
+
+@register("equi_depth_histogram", _EQUI_DEPTH_SQL)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return equi_depth_histogram(load_table(spark, sf_dir, "events"))
