@@ -486,3 +486,146 @@ def ewma_stateful(
         "update",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-ordered streaming CUSUM (drift monitor vs a KNOWN baseline)
+# ---------------------------------------------------------------------------
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_folded", LongType()),
+        StructField("max_pos_cusum", DoubleType()),
+        StructField("max_neg_cusum", DoubleType()),
+    ]
+)
+
+#: (pending buffer) + exact integer-micro running state: cumulative sum,
+#: its running min/max, and the two one-sided maxima
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_ids", ArrayType(LongType())),
+        StructField("pend_vals", ArrayType(DoubleType())),
+        StructField("next_seq", LongType()),
+        StructField("n", LongType()),
+        StructField("c_micro", LongType()),
+        StructField("min_c", LongType()),
+        StructField("max_c", LongType()),
+        StructField("spos", LongType()),
+        StructField("sneg", LongType()),
+    ]
+)
+
+
+def _cusum_fn(mu: float):
+    import math
+
+    def _micro(v: float) -> int:
+        d = v - mu
+        return int(math.copysign(math.floor(abs(d) * 1e6 + 0.5), d))
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            pend_ts, pend_ids, pend_vals, seq, n, c, mn, mx, sp, sn = (
+                state.get
+            )
+            pend = list(zip(pend_ts, pend_ids, pend_vals))
+        else:
+            pend, seq, n, c, mn, mx, sp, sn = [], 0, 0, 0, 0, 0, 0, 0
+
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            ts_us = (pdf["event_time"].astype("int64") // 1_000).to_numpy()
+            vals = pdf["value"].to_numpy()
+            if "event_id" in pdf.columns:
+                ids = pdf["event_id"].astype("int64").to_numpy()
+            else:
+                ids = range(seq, seq + len(pdf))
+                seq += len(pdf)
+            pend.extend(
+                (int(t), int(i), float(v))
+                for t, i, v in zip(ts_us, ids, vals)
+            )
+
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        ripe = sorted(p for p in pend if p[0] <= wm_us)
+        pend = [p for p in pend if p[0] > wm_us]
+        for _, _, v in ripe:
+            c += _micro(v)
+            if n == 0:
+                # the batch twin's running MIN/MAX ranges over rows
+                # 1..t (no empty-prefix zero), so seed from the first
+                # folded row, not from 0
+                mn = mx = c
+            else:
+                mn, mx = min(mn, c), max(mx, c)
+            sp, sn = max(sp, c - mn), max(sn, mx - c)
+            n += 1
+
+        state.update(
+            (
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+                int(seq),
+                int(n),
+                int(c),
+                int(mn),
+                int(mx),
+                int(sp),
+                int(sn),
+            )
+        )
+        if pend:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if ripe:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_folded": [n],
+                    "max_pos_cusum": [sp / 1e6],
+                    "max_neg_cusum": [sn / 1e6],
+                }
+            )
+
+    return fn
+
+
+def cusum_stateful(
+    events: DataFrame,
+    mu: float,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``timeseries.cusum_changepoint(target_mu=mu)``:
+    per-key one-sided CUSUM maxima against a KNOWN baseline mean,
+    emitted incrementally in update mode. A stream cannot know its
+    full-series sample mean, so the monitored form takes the target —
+    exactly how production drift monitors run (the batch operator
+    accepts the same ``target_mu`` for parity testing).
+
+    Order discipline is the EWMA twin's: buffer events inside the
+    watermark horizon, fold only the watermark-certified prefix in
+    (event time, tie-break id) order. Exactness: each deviation rounds
+    half-away to 6 dp and accumulates as INTEGER micro-units, the same
+    integers the batch twin's DECIMAL(28,6) running sums produce — a
+    watermark-complete replay reproduces the batch maxima exactly.
+    State per key is O(horizon buffer) + seven integers."""
+    cols = ["user_id", "event_time", "value"]
+    if "event_id" in events.columns:
+        cols.append("event_id")
+    src = events.select(*cols)
+    if events.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        _cusum_fn(mu),
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )

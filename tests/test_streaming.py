@@ -1000,3 +1000,66 @@ def test_trending_topk_stream_matches_batch(spark, stream_dir, tmp_path):
     for w_start, city, n, rank in sorted(got):
         per_window.setdefault(w_start, []).append((rank, city, n))
     assert all(len(v) <= 3 for v in per_window.values())
+
+
+def test_stream_cusum_matches_batch_fold(spark, stream_dir):
+    """Streaming CUSUM vs a fixed target mean reproduces the batch
+    operator's one-sided maxima exactly (target_mu parity mode) —
+    including when a late-but-in-watermark batch delivers events that
+    PREDATE buffered ones."""
+    from cours_datalake_dwh_td_kafka_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.stateful import (
+        cusum_stateful,
+    )
+
+    mu = 22.0
+    temps1 = [20.0, 24.0, 18.0, 30.0]
+    temps2 = [22.5, 26.0]  # interleave between batch-1 events
+    b1 = []
+    for i, t in enumerate(temps1):
+        r = _rows(0, 1, temp=t)[0]
+        r["timestamp"] = BASE_TS + i * 120
+        b1.append(r)
+    b2 = []
+    for i, t in enumerate(temps2):
+        r = _rows(0, 1, temp=t)[0]
+        r["timestamp"] = BASE_TS + 60 + i * 120
+        b2.append(r)
+    _write_batch(stream_dir, b1, "b0")
+    _write_batch(stream_dir, b2, "b1")
+    flush = _rows(0, 1, city="Nice")
+    flush[0]["timestamp"] = BASE_TS + 86400
+    _write_batch(stream_dir, flush, "b2")
+
+    enriched = enrich_alerts(_read_stream(spark, stream_dir)).select(
+        F.xxhash64("city").alias("user_id"),
+        "event_time",
+        F.col("temperature").alias("value"),
+    )
+    out = cusum_stateful(enriched, mu=mu, watermark="10 minutes")
+    name = f"tcusum_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="update")
+    got = spark.table(name).collect()
+
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], RAW_SCHEMA
+    )
+    bsrc = enrich_alerts(batch).select(
+        F.xxhash64("city").alias("user_id"),
+        F.col("event_time").alias("ts"),
+        F.monotonically_increasing_id().alias("event_id"),
+        F.col("temperature").alias("value"),
+    )
+    want = {
+        r.user_id: (r.n_events, r.max_pos_cusum, r.max_neg_cusum)
+        for r in cusum_changepoint(bsrc, target_mu=mu).collect()
+    }
+    (paris_key,) = {u for u in want if want[u][0] == 6}
+    final = max(
+        (r for r in got if r.user_id == paris_key), key=lambda r: r.n_folded
+    )
+    assert final.n_folded == 6
+    assert final.max_pos_cusum == want[paris_key][1]
+    assert final.max_neg_cusum == want[paris_key][2]
