@@ -409,3 +409,130 @@ def vocab_coverage(
 @register("vocab_coverage", _COVERAGE_SQL)
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM document scoring with unigram interpolation (backoff)
+# ---------------------------------------------------------------------------
+_BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram term
+
+_BIGRAM_LP_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT s AS tok, COUNT(*) AS c1
+      FROM (SELECT unnest(t) AS s FROM toks)
+      GROUP BY s
+    ),
+    tot AS (SELECT SUM(c1) AS n_corpus FROM uni),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 1)),
+               i -> struct_pack(w1 := t[i], w2 := t[i + 1])
+             )) AS p
+      FROM toks
+      WHERE len(t) >= 2
+    ),
+    bgf AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2, COUNT(*) AS tf
+      FROM bg GROUP BY doc_id, p.w1, p.w2
+    ),
+    big AS (
+      SELECT w1, w2, SUM(tf) AS c2 FROM bgf GROUP BY w1, w2
+    )
+    SELECT bgf.doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(
+             tf * log2({_BIGRAM_LAMBDA} * c2 / CAST(u1.c1 AS DOUBLE)
+                       + {1.0 - _BIGRAM_LAMBDA} * u2.c1
+                         / CAST(n_corpus AS DOUBLE))
+           AS DECIMAL(28,6))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+    FROM bgf
+    JOIN big USING (w1, w2)
+    JOIN uni u1 ON u1.tok = bgf.w1
+    JOIN uni u2 ON u2.tok = bgf.w2
+    CROSS JOIN tot
+    GROUP BY bgf.doc_id
+    ORDER BY bgf.doc_id
+"""
+
+
+def bigram_logprob(
+    d: DataFrame, lam: float = _BIGRAM_LAMBDA
+) -> DataFrame:
+    """Per-document mean log2 probability under an INTERPOLATED bigram
+    LM: p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/N. The
+    context-aware upgrade of :func:`unigram_logprob` — a doc of real
+    words in scrambled order scores high on unigrams but low here,
+    which is exactly the shuffled-boilerplate signature a perplexity
+    filter wants to catch. Interpolation (Jelinek-Mercer) keeps every
+    bigram in-vocabulary without the zero-probability cliff.
+
+    Scale shape: bigrams collapse to per-doc (w1, w2, tf) BEFORE any
+    corpus join (the unigram_logprob discipline); the corpus bigram
+    table derives from the same aggregate; two unigram joins ride the
+    token key (Zipf-skewed -> AQE skew-join); one broadcast scalar.
+    Per-term contributions round through DECIMAL(28,6) so partial-agg
+    order cannot move the mean."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    pairs = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - 2)
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.col("t")[F.col("i")].alias("w1"),
+            F.col("t")[F.col("i") + 1].alias("w2"),
+        )
+    )
+    bgf = (
+        pairs.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds corpus table + scoring
+    )
+    big = bgf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    toks_flat = d.select(
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
+    )
+    uni = toks_flat.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c1")
+    ).localCheckpoint(eager=False)  # joined twice + totalled
+    tot = uni.agg(F.sum("c1").alias("n_corpus"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_w2"))
+    term = F.col("tf") * F.log2(
+        F.lit(lam) * F.col("c2") / F.col("c1_w1").cast("double")
+        + F.lit(1.0 - lam)
+        * F.col("c1_w2")
+        / F.col("n_corpus").cast("double")
+    )
+    return (
+        bgf.join(big, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(term.cast("decimal(28,6)")).cast("double")
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("bigram_logprob", _BIGRAM_LP_SQL)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
