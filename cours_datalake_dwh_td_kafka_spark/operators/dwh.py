@@ -90,3 +90,99 @@ def scd2_dimension(
 @register("scd2_dimension", _SCD2_SQL)
 def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_dimension(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+_RFM_SQL = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                        AS DOUBLE), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT MAX(o_orderdate) AS corpus_last FROM orders),
+    feat AS (
+      SELECT o_custkey,
+             date_diff('day', last_order, corpus_last) AS recency_days,
+             n_orders, monetary
+      FROM per_cust CROSS JOIN anchor
+    ),
+    scored AS (
+      SELECT *,
+             NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+               AS r_score,
+             NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM feat
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    ORDER BY o_custkey
+"""
+
+
+def rfm_segments(o: DataFrame) -> DataFrame:
+    """Classic RFM segmentation: per customer, days since last order
+    (recency, anchored at the corpus's newest order so the result is
+    reproducible), order count (frequency), and exact-decimal lifetime
+    spend (monetary), each quintile-scored 1-5 with 5 best; the
+    concatenated score string is the marketing segment key ('555' =
+    champions, '155' = at-risk big spender).
+
+    Scale shape: one aggregate on the customer key collapses the fact
+    table to one row per customer BEFORE the scoring windows; the
+    global NTILE windows then rank customers, not orders (same
+    customers << facts argument as surrogate_keys — at extreme customer
+    counts switch the quintiles to percentile thresholds, which
+    partial-aggregate). Tie-breaks on the customer key keep bucket
+    edges engine-identical."""
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("corpus_last"))
+    feat = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("corpus_last", "last_order").alias("recency_days"),
+        "n_orders",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), "o_custkey")
+    w_f = Window.orderBy("n_orders", "o_custkey")
+    w_m = Window.orderBy("monetary", "o_custkey")
+    scored = feat.select(
+        "o_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    ).orderBy("o_custkey")
+
+
+@register("rfm_segments", _RFM_SQL)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segments(load_table(spark, sf_dir, "orders"))

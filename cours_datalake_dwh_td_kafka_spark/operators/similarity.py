@@ -810,3 +810,135 @@ def embedding_outliers(
 @register("embedding_outliers", _OUTLIER_SQL)
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# cluster separation: intra-cohesion vs nearest-other-centroid cosine
+# ---------------------------------------------------------------------------
+_SEPARATION_SQL = """
+    WITH flat AS (
+      SELECT label, pv.pos AS pos, CAST(pv.v AS DOUBLE) AS v
+      FROM (
+        SELECT label,
+               unnest(list_transform(
+                 generate_series(1, len(embedding)),
+                 i -> struct_pack(pos := i, v := embedding[i])
+               )) AS pv
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT label, pos,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS c
+      FROM flat GROUP BY label, pos
+    ),
+    cent_arr AS (
+      SELECT label, list(c ORDER BY pos) AS centroid
+      FROM cent GROUP BY label
+    ),
+    intra AS (
+      SELECT e.label,
+             ROUND(CAST(SUM(CAST(ROUND(list_cosine_similarity(
+                     e.embedding::DOUBLE[], ca.centroid), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_intra_cos
+      FROM embeddings e JOIN cent_arr ca USING (label)
+      GROUP BY e.label
+    ),
+    inter AS (
+      SELECT a.label,
+             b.label AS nearest_label,
+             ROUND(list_cosine_similarity(a.centroid, b.centroid), 6)
+               AS inter_cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.label
+               ORDER BY ROUND(list_cosine_similarity(a.centroid,
+                                                     b.centroid), 6) DESC,
+                        b.label
+             ) AS rn
+      FROM cent_arr a JOIN cent_arr b ON a.label <> b.label
+    )
+    SELECT i.label, n.nearest_label, n.inter_cos, i.mean_intra_cos,
+           ROUND(i.mean_intra_cos - n.inter_cos, 6) AS separation
+    FROM intra i JOIN inter n ON n.label = i.label AND n.rn = 1
+    ORDER BY i.label
+"""
+
+
+def centroid_separation(e: DataFrame) -> DataFrame:
+    """Per-label cluster quality: mean cosine of members to their own
+    centroid (cohesion) vs the cosine to the NEAREST other centroid
+    (separation margin) — the cheap silhouette stand-in embedding
+    pipelines track per epoch. A label whose nearest-other cosine
+    approaches its cohesion is a merge candidate (or a labeling bug).
+
+    Scale shape: the centroid table is k x d; pairwise centroid cosines
+    are a k^2 driver-free broadcast join (k = label count, tiny by
+    definition); cohesion is one broadcast join + keyed aggregate over
+    the corpus — the expensive pass is a single scan."""
+    cent = embedding_centroids(e).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    intra = (
+        e.join(F.broadcast(cent), e.label == F.col("c_label"))
+        .select(
+            "label",
+            F.round(
+                vec_dot(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("centroid"),
+                )
+                / (
+                    vec_norm(F.col("embedding").cast("array<double>"))
+                    * vec_norm(F.col("centroid"))
+                ),
+                6,
+            ).alias("cosc"),
+        )
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("cosc").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_intra_cos")
+        )
+    )
+    ca = cent.select(F.col("c_label").alias("label"), F.col("centroid").alias("ca"))
+    cb = cent.select(
+        F.col("c_label").alias("nearest_label"), F.col("centroid").alias("cb")
+    )
+    pair_cos = F.round(
+        vec_dot(F.col("ca"), F.col("cb"))
+        / (vec_norm(F.col("ca")) * vec_norm(F.col("cb"))),
+        6,
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("inter_cos"), "nearest_label"
+    )
+    inter = (
+        ca.join(cb, F.col("label") != F.col("nearest_label"))
+        .select("label", "nearest_label", pair_cos.alias("inter_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        intra.join(inter, "label")
+        .select(
+            "label",
+            "nearest_label",
+            "inter_cos",
+            "mean_intra_cos",
+            F.round(
+                F.col("mean_intra_cos") - F.col("inter_cos"), 6
+            ).alias("separation"),
+        )
+        .orderBy("label")
+    )
+
+
+@register("centroid_separation", _SEPARATION_SQL)
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return centroid_separation(load_table(spark, sf_dir, "embeddings"))

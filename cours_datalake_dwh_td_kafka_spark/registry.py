@@ -89,6 +89,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "source_overlap_matrix",    # r5: cross-feed near-dup rollup
     "equi_depth_histogram",     # r5: NTILE quantile-bucket profile
     "bigram_logprob",           # r5: interpolated bigram-LM doc score
+    "rfm_segments",             # r5: recency/frequency/monetary quintiles
+    "centroid_separation",      # r5: cohesion vs nearest-other-centroid
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in
