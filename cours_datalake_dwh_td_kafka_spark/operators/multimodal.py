@@ -1434,3 +1434,168 @@ def q_multimodal_gzip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gzip_text_stats(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #5: lossy DCT transform coding — JPEG's compression core
+# (8x8 block DCT-II -> quantization -> dequantize -> IDCT), pure numpy.
+# A lossy round-trip can't be byte-oracled, so the registered query uses
+# the approx_quantiles PATTERN: exact container facts (dims, coeff byte
+# count — pure spec arithmetic) are value-hashed directly, and the
+# reconstruction quality is folded to an in-query PSNR floor boolean.
+# ---------------------------------------------------------------------------
+DCT_BLOCK = 8
+
+#: JPEG Annex K luminance quantization table (public spec constants)
+_JPEG_QTABLE = [
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+]
+
+#: reconstruction-quality floor for the Annex K table on arbitrary
+#: 8-bit content; typical measured PSNR on the synthetic grids is ~30 dB
+DCT_PSNR_FLOOR_DB = 20.0
+
+
+def _dct_matrix(n: int = DCT_BLOCK):
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+def encode_dct8(gray) -> bytes:
+    """Transform-code an (h, w) uint8 grayscale array (h, w multiples of
+    8): per 8x8 block, level-shift, 2-D DCT-II (orthonormal), divide by
+    the JPEG luminance table, round to int16. Serialized as a minimal
+    container: magic + dims + raw int16 coefficients (entropy coding is
+    JPEG's final stage and lossless — the LOSSY math, which is the hard
+    part, is all here)."""
+    import struct
+
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64) - 128.0
+    h, w = g.shape
+    if h % DCT_BLOCK or w % DCT_BLOCK:
+        raise ValueError("dims must be multiples of 8")
+    m = _dct_matrix()
+    q = np.asarray(_JPEG_QTABLE, dtype=np.float64)
+    blocks = g.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,abjk,kl->abil", m, blocks, m.T)
+    quant = np.round(coeffs / q).astype("<i2")
+    return (
+        b"DCT8"
+        + struct.pack("<II", w, h)
+        + quant.transpose(0, 2, 1, 3).reshape(h, w).tobytes()
+    )
+
+
+def decode_dct8(payload: bytes):
+    """Inverse of :func:`encode_dct8`: parse the container, dequantize,
+    IDCT, un-shift, clip to uint8."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"DCT8":
+        raise ValueError("not a DCT8 payload")
+    w, h = struct.unpack("<II", payload[4:12])
+    quant = (
+        np.frombuffer(payload, dtype="<i2", count=h * w, offset=12)
+        .reshape(h, w)
+        .reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .astype(np.float64)
+    )
+    q = np.asarray(_JPEG_QTABLE, dtype=np.float64)
+    m = _dct_matrix()
+    blocks = np.einsum("ij,abjk,kl->abil", m.T, quant * q, m)
+    g = blocks.transpose(0, 2, 1, 3).reshape(h, w) + 128.0
+    return np.clip(np.round(g), 0, 255).astype(np.uint8)
+
+
+DCT_W = 16  # synthesized grayscale grid: 16 px wide, 8-row blocks
+
+DCT_SCHEMA = (
+    "doc_id BIGINT, width BIGINT, height BIGINT, coeff_bytes BIGINT, "
+    "psnr_ok BOOLEAN"
+)
+
+_DCT_SQL = f"""
+    SELECT doc_id,
+           CAST({DCT_W} AS BIGINT) AS width,
+           CAST(length(text) // {DCT_W} // 8 * 8 AS BIGINT) AS height,
+           CAST(12 + 2 * {DCT_W} * (length(text) // {DCT_W} // 8 * 8)
+                AS BIGINT) AS coeff_bytes,
+           TRUE AS psnr_ok
+    FROM documents
+    WHERE length(text) >= {DCT_W * 8}
+    ORDER BY doc_id
+"""
+
+
+def dct_codec_stats(d: DataFrame, width: int = DCT_W) -> DataFrame:
+    """documents -> grayscale grid (byte p is pixel p, row-major,
+    ``width`` px/row, truncated to whole 8-row blocks) -> REAL lossy
+    encode -> decode -> quality stats. The hash-checked columns are the
+    exact container facts (dims + coefficient byte count, recomputed by
+    the oracle from the spec arithmetic) and the folded quality
+    guarantee PSNR(source, decoded) >= {DCT_PSNR_FLOOR_DB} dB. (An
+    earlier draft also asserted re-encode idempotence; clipping at the
+    0/255 rails makes lossy re-encoding NOT a fixed point in general —
+    one corpus doc disproved it — so the claim was removed rather than
+    weakened to flakiness.)"""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        cols = ["doc_id", "width", "height", "coeff_bytes", "psnr_ok"]
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                h = (int(b.size) // width) // 8 * 8
+                if h == 0:
+                    continue
+                src = b[: h * width].reshape(h, width)
+                payload = encode_dct8(src)
+                dec = decode_dct8(payload)
+                mse = float(
+                    np.mean(
+                        (src.astype(np.float64) - dec.astype(np.float64))
+                        ** 2
+                    )
+                )
+                psnr = (
+                    float("inf")
+                    if mse == 0
+                    else 10.0 * math.log10(255.0 * 255.0 / mse)
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(width)
+                rows["height"].append(h)
+                rows["coeff_bytes"].append(len(payload))
+                rows["psnr_ok"].append(psnr >= DCT_PSNR_FLOOR_DB)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "text").mapInPandas(run, DCT_SCHEMA)
+
+
+@register("multimodal_dct_stats", _DCT_SQL)
+def q_multimodal_dct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dct_codec_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
