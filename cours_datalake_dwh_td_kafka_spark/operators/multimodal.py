@@ -9,21 +9,26 @@ featurizers over Arrow batches — at 100 TB only the binary column's
 partitions stream through the Python workers, everything else is pruned
 at the parquet scan.
 
-Codec layer (rounds 4-5): FOUR paths are REAL, no codec libs needed —
+Codec layer (rounds 4-5): FIVE paths are REAL, no codec libs needed —
 RIFF/WAVE PCM-16 (:func:`encode_wav_pcm16`/:func:`decode_wav_pcm16`),
 24-bit BMP (:func:`encode_bmp24`/:func:`decode_bmp24`), PNG with chunk
 CRCs and all five scanline filters
 (:func:`encode_png_rgb8`/:func:`decode_png_rgb8`, stdlib zlib), and a
 hand-walked gzip member parser (:func:`decode_gzip_member`, RFC 1952
-header/trailer + raw inflate). Each is exercised end-to-end by an
+header/trailer + raw inflate), and a LOSSY DCT transform codec
+(:func:`encode_dct8`/:func:`decode_dct8` — JPEG's 8x8 DCT +
+Annex K quantization core, quality folded to an in-query PSNR floor
+since a lossy round-trip can't byte-compare). Each is exercised
+end-to-end by an
 oracle-paired query (synthesize -> encode -> DECODE -> stats; the
 DuckDB oracle recomputes the stats from the source bytes, so a
 mis-parsed header, byte order, row padding, or filter reconstruction
 flips the value hash). Resize and frame-sampling run ON the BMP codec
-(round 5; the byte-striding stubs are gone). Lossy codecs (JPEG/ffmpeg
-video) aren't in this container, so `decode_stub` stays a
-deterministic byte-level featurizer for `multimodal_features` only;
-real codecs drop into the same UDF signature.
+(round 5; the byte-striding stubs are gone). Entropy-coded containers (full
+JPEG bitstreams, ffmpeg video) aren't in this container, so
+`decode_stub` stays a deterministic byte-level featurizer for
+`multimodal_features` only; real codecs drop into the same UDF
+signature.
 """
 
 from __future__ import annotations
