@@ -203,6 +203,12 @@ def test_explain_cli_lists_and_reports(spark, capsys):
         ("dedup_clusters", 4),
         # 1 word table + 6 merge rebuilds
         ("bpe_train_merges", 7),
+        # canonical edge set + degree orientation, each multi-consumer
+        ("triangle_count", 2),
+        # per-doc bigram tf table + unigram table, each multi-consumer
+        ("bigram_logprob", 2),
+        # token rows feed both aggregations once
+        ("heaps_law_fit", 1),
     ],
 )
 def test_iterative_round_counts_pinned(spark, name, expected):
