@@ -915,3 +915,70 @@ def phrase_search(d: DataFrame, phrase: str = PHRASE_QUERY) -> DataFrame:
 @register("phrase_search", _PHRASE_SQL)
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# LDA validity facts — the oracle-checkable half of the topic model
+# ---------------------------------------------------------------------------
+_TOPIC_VALIDITY_SQL = f"""
+    SELECT t.topic,
+           CAST({LDA_TOP_N} AS BIGINT) AS n_terms,
+           TRUE AS weights_desc_ok,
+           TRUE AS weights_in_range,
+           TRUE AS terms_distinct,
+           TRUE AS terms_in_vocab
+    FROM (SELECT unnest(generate_series(0, {LDA_K - 1})) AS topic) t
+    ORDER BY t.topic
+"""
+
+
+@register("topic_model_validity", _TOPIC_VALIDITY_SQL)
+def q_topic_model_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``approx_quantiles`` pattern applied to LDA: topic-term
+    WEIGHTS are optimizer-specific (rows-only on `topic_model` by
+    design), but the model's structural guarantees are not — per topic,
+    exactly top-n ranked terms, weights strictly descending in (0, 1),
+    terms distinct, and every term drawn from the df>=2 candidate
+    vocabulary (CountVectorizer's minDF gate, recomputable exactly by
+    the oracle as a superset check). Any broken guarantee flips a
+    boolean and fails the value hash."""
+    d = load_table(spark, sf_dir, "documents")
+    topics = topic_model_top_terms(d)
+    # candidate vocabulary: tokens appearing in >= 2 distinct docs
+    eligible = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(norm_text(F.col("text")), " "))
+            ).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    w = Window.partitionBy("topic").orderBy("rank")
+    checked = (
+        topics.join(F.broadcast(eligible), "term", "left")
+        .withColumn("prev_w", F.lag("weight").over(w))
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.min(
+                F.when(F.col("prev_w").isNull(), F.lit(True)).otherwise(
+                    F.col("weight") < F.col("prev_w")
+                )
+            ).alias("weights_desc_ok"),
+            F.min(
+                (F.col("weight") > 0) & (F.col("weight") < 1)
+            ).alias("weights_in_range"),
+            (
+                F.count_distinct(F.col("term"))
+                == F.count(F.lit(1))
+            ).alias("terms_distinct"),
+            F.min(F.coalesce(F.col("in_vocab"), F.lit(False))).alias(
+                "terms_in_vocab"
+            ),
+        )
+    )
+    return checked.orderBy("topic")
