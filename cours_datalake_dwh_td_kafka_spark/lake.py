@@ -236,6 +236,18 @@ def lake_vacuum(
                         deleted.append(rel)
             if not os.listdir(cdir):
                 os.rmdir(cdir)
+    # manifest-dir residue: a crash between tmp-create and the
+    # finally-unlink in _commit_manifest leaves v{N}.json.tmp.<uuid>
+    # files that version enumeration already ignores; sweep them past
+    # the same grace window
+    mdir = _manifest_dir(path)
+    if os.path.isdir(mdir):
+        for fname in os.listdir(mdir):
+            if ".json.tmp." not in fname:
+                continue
+            full = os.path.join(mdir, fname)
+            if os.path.isfile(full) and os.path.getmtime(full) <= cutoff:
+                os.remove(full)
     return deleted
 
 

@@ -3,9 +3,17 @@
 corpus on every call — correct for one-shot analytics, wasteful for a
 serving workload that answers many query batches against one corpus.
 
-Index layout (plain parquet, no sidecar formats):
-    <index>/centroids.parquet             (cell, centroid array<double>)
-    <index>/vectors/cell=<c>/part-*.parquet   cell-PARTITIONED embeddings
+Index layout (plain parquet, no sidecar formats; versioned like the
+lake layer so a rebuild is ATOMIC for readers):
+    <index>/CURRENT                          pointer file -> live version
+    <index>/v_<id>/centroids.parquet         (cell, centroid array<double>)
+    <index>/v_<id>/vectors/cell=<c>/part-*.parquet  cell-PARTITIONED rows
+
+A rebuild writes a complete NEW version directory and atomically swaps
+the CURRENT pointer (tmp + rename); a reader that resolved the pointer
+keeps reading its immutable version even while a rebuild lands — no
+mixed old-centroids/new-vectors state, no missing-file window. Stale
+versions are reclaimed by :func:`vacuum_index`.
 
 The partitionBy("cell") layout is the mechanism, not a convenience: a
 probe reads ``WHERE cell IN (...)`` and Spark's partition pruning turns
@@ -17,6 +25,9 @@ lake layer's z-order/bucket levers (io.py).
 """
 
 from __future__ import annotations
+
+import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,14 +42,53 @@ from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
 )
 
 
+def _current_version_dir(path: str) -> str:
+    """Resolve the live version directory via the CURRENT pointer."""
+    try:
+        with open(os.path.join(path, "CURRENT")) as f:
+            name = f.read().strip()
+    except FileNotFoundError:
+        raise ValueError(f"no IVF index at {path} (missing CURRENT)") from None
+    return os.path.join(path, name)
+
+
+def _publish_current(path: str, version_name: str) -> None:
+    """Atomically point CURRENT at ``version_name`` (tmp + rename —
+    last writer wins, which is the right semantic for an index refresh;
+    readers that already resolved the old pointer keep their immutable
+    snapshot)."""
+    tmp = os.path.join(path, f"CURRENT.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(version_name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+
+
+def vacuum_index(path: str) -> list[str]:
+    """Delete version directories the CURRENT pointer no longer
+    references (the rebuild residue). Returns removed version names."""
+    import shutil
+
+    live = os.path.basename(_current_version_dir(path))
+    removed = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if name.startswith("v_") and name != live and os.path.isdir(full):
+            shutil.rmtree(full)
+            removed.append(name)
+    return removed
+
+
 def build_ivf_index(
     emb: DataFrame, path: str, n_cells: int = N_CELLS
 ) -> int:
     """Train the coarse quantizer (deterministic sample, O(1) in corpus
     size), assign every vector to its nearest cell (one BLAS
-    mapInPandas pass, no shuffle), and persist:
-    cell-partitioned vectors + the centroid table. Returns the cell
-    count actually used (clamped on tiny corpora)."""
+    mapInPandas pass, no shuffle), and persist a complete NEW index
+    version, then atomically swap the CURRENT pointer — rebuild-in-place
+    is safe under concurrent readers. Returns the cell count actually
+    used (clamped on tiny corpora)."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -70,19 +120,19 @@ def build_ivf_index(
     assigned = emb_d.mapInPandas(
         assign, "vec_id bigint, emb array<double>, cell int"
     )
-    # overwrite: an index is build-once/serve-many but REFRESHED in place
-    # (quantizer drift, corpus growth) — and a partially-failed build
-    # must not poison the path for the retry, so errorifexists is wrong
-    # here. Vectors first, centroids last: the centroid table is the
-    # serve-side entry point, so a reader racing a rebuild sees either
-    # the old complete index or the new one.
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/vectors"
-    )
+    # fresh immutable version dir; the pointer swap below is the ONLY
+    # mutation readers can observe, so a half-failed build never poisons
+    # the path (its unreferenced v_ dir is vacuum_index residue) and a
+    # racing reader never pairs old centroids with new vectors
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    vdir = os.path.join(path, version)
+    assigned.write.partitionBy("cell").parquet(f"{vdir}/vectors")
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    ).write.parquet(f"{vdir}/centroids.parquet")
+    os.makedirs(path, exist_ok=True)
+    _publish_current(path, version)
     return n_cells
 
 
@@ -104,7 +154,8 @@ def ivf_query_index(
     in the closure; the global top-k is the shared tree reduce."""
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{path}/centroids.parquet").collect()
+    vdir = _current_version_dir(path)
+    cent_rows = spark.read.parquet(f"{vdir}/centroids.parquet").collect()
     if not cent_rows:
         raise ValueError(f"empty IVF index at {path}")
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
@@ -129,7 +180,7 @@ def ivf_query_index(
             cell_probes.setdefault(c, []).append(qi)
     probed = sorted(cell_probes)
 
-    vecs = spark.read.parquet(f"{path}/vectors").where(
+    vecs = spark.read.parquet(f"{vdir}/vectors").where(
         F.col("cell").isin(probed)
     )
 

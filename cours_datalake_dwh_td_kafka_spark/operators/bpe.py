@@ -234,18 +234,29 @@ def bpe_train(d: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
 # bpe_segment_stats. Memoize on (Spark app id, corpus path, merges): the
 # checkpointed `words` DataFrame is only valid within the session that
 # materialized it, and the registered corpus is immutable test data.
+# SINGLE-slot by design: a new key evicts the old entry, so a dead
+# session's checkpoint blocks never pin memory across corpora, and the
+# lock closes the check-then-train race between concurrent callers.
 # Library entry points (bpe_train / bpe_segment) stay uncached — they
 # accept arbitrary DataFrames whose identity we cannot key on.
+import threading as _threading
+
 _CORE_CACHE: dict[tuple[str, str, int], tuple[list, DataFrame]] = {}
+_CORE_LOCK = _threading.Lock()
 
 
 def _bpe_core_cached(spark: SparkSession, sf_dir: str, merges: int):
     key = (spark.sparkContext.applicationId, sf_dir, merges)
-    if key not in _CORE_CACHE:
-        _CORE_CACHE[key] = _bpe_core(
-            load_table(spark, sf_dir, "documents"), merges
-        )
-    return _CORE_CACHE[key]
+    with _CORE_LOCK:
+        if key in _CORE_CACHE:
+            return _CORE_CACHE[key]
+    # train outside the lock (minutes-long); worst case two concurrent
+    # FIRST callers train once each, later callers always hit
+    result = _bpe_core(load_table(spark, sf_dir, "documents"), merges)
+    with _CORE_LOCK:
+        _CORE_CACHE.clear()  # single slot: drop any stale session/corpus
+        _CORE_CACHE[key] = result
+    return result
 
 
 @register("bpe_train_merges", _bpe_sql())

@@ -369,7 +369,13 @@ def vocab_coverage(
     toks = d.select(
         F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # feeds the rank window AND the corpus total: materialize once
+        # so the corpus-scale tokenization doesn't execute twice
+        .localCheckpoint(eager=False)
+    )
     tot = freq.agg(F.sum("cnt").alias("n_corpus"))
     w = Window.orderBy(F.desc("cnt"), "tok")
     cum = Window.orderBy(F.desc("cnt"), "tok").rowsBetween(

@@ -723,7 +723,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 OUTLIER_BOTTOM_K = 5
 
-_OUTLIER_SQL = """
+_OUTLIER_SQL = f"""
     WITH flat AS (
       SELECT label, pv.pos AS pos, CAST(pv.v AS DOUBLE) AS v
       FROM (
@@ -759,7 +759,7 @@ _OUTLIER_SQL = """
     )
     SELECT label, vec_id, cos_centroid, CAST(rn AS BIGINT) AS rn
     FROM ranked
-    WHERE rn <= 5
+    WHERE rn <= {OUTLIER_BOTTOM_K}
     ORDER BY label, rn
 """
 

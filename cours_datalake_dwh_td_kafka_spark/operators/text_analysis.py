@@ -937,7 +937,7 @@ def q_topic_model_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``approx_quantiles`` pattern applied to LDA: topic-term
     WEIGHTS are optimizer-specific (rows-only on `topic_model` by
     design), but the model's structural guarantees are not — per topic,
-    exactly top-n ranked terms, weights strictly descending in (0, 1),
+    exactly top-n ranked terms, weights non-increasing in (0, 1),
     terms distinct, and every term drawn from the df>=2 candidate
     vocabulary (CountVectorizer's minDF gate, recomputable exactly by
     the oracle as a superset check). Any broken guarantee flips a
@@ -964,9 +964,12 @@ def q_topic_model_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("topic")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            # non-increasing, NOT strictly decreasing: describeTopics can
+            # legitimately emit tied adjacent weights (degenerate topic on
+            # a tiny vocabulary), and a ranked list only guarantees <=
             F.min(
                 F.when(F.col("prev_w").isNull(), F.lit(True)).otherwise(
-                    F.col("weight") < F.col("prev_w")
+                    F.col("weight") <= F.col("prev_w")
                 )
             ).alias("weights_desc_ok"),
             F.min(

@@ -334,94 +334,50 @@ def cusum_changepoint(
     ``target_mu``/``target_sigma``: monitor drift against a KNOWN
     baseline instead of the key's own sample stats — the form a
     streaming monitor runs (and what ``streaming.cusum_stateful``
-    mirrors, since a stream cannot know its full-series mean)."""
-    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    mirrors, since a stream cannot know its full-series mean). Both
+    modes share the SAME downstream pipeline; only the (n, mu, sigma)
+    source differs."""
     cum = Window.partitionBy(key).orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     v6 = F.round(F.col("value"), 6).cast("decimal(18,6)")
     if target_mu is not None:
         sigma_lit = float(target_sigma if target_sigma is not None else 1.0)
-        src = e.select(
-            key,
-            "ts",
-            "event_id",
-            "value",
-            F.lit(float(target_mu)).alias("mu"),
-            F.lit(sigma_lit).alias("sigma"),
-        )
-        counted = src.withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy(key))
-        )
-        dev0 = F.round(v6.cast("double") - F.col("mu"), 6).cast(
-            "decimal(28,6)"
-        )
-        ct0 = counted.withColumn("ct", F.sum(dev0).over(cum))
-        sp = F.col("ct") - F.min("ct").over(cum)
-        sn = F.max("ct").over(cum) - F.col("ct")
-        runs0 = ct0.select(
-            key, "n", "sigma", sp.alias("s_pos"), sn.alias("s_neg")
-        )
-        return (
-            runs0.groupBy(key, "n", "sigma")
-            .agg(
-                F.round(F.max("s_pos").cast("double"), 6).alias(
-                    "max_pos_cusum"
-                ),
-                F.round(F.max("s_neg").cast("double"), 6).alias(
-                    "max_neg_cusum"
-                ),
-            )
+        stats = (
+            e.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
             .select(
                 key,
-                F.col("n").cast("bigint").alias("n_events"),
-                "max_pos_cusum",
-                "max_neg_cusum",
-                (
-                    F.greatest("max_pos_cusum", "max_neg_cusum")
-                    > F.lit(_CUSUM_H_SIGMA) * F.col("sigma")
-                ).alias("drift_detected"),
+                "n",
+                F.lit(float(target_mu)).alias("mu"),
+                F.lit(sigma_lit).alias("sigma"),
             )
-            .orderBy(key)
         )
-    stats = (
-        e.select(key, F.col("value"))
-        .groupBy(key)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mu"),
-            (
-                F.sqrt(
-                    F.greatest(
-                        F.count(F.lit(1))
-                        * F.sum(
-                            (
-                                F.round(F.col("value"), 6).cast(
-                                    "decimal(18,6)"
-                                )
-                                * F.round(F.col("value"), 6).cast(
-                                    "decimal(18,6)"
-                                )
-                            ).cast("decimal(38,12)")
-                        ).cast("double")
-                        - F.sum(
-                            F.round(F.col("value"), 6).cast("decimal(18,6)")
-                        ).cast("double")
-                        * F.sum(
-                            F.round(F.col("value"), 6).cast("decimal(18,6)")
-                        ).cast("double"),
-                        F.lit(0.0),
+    else:
+        stats = (
+            e.select(key, F.col("value"))
+            .groupBy(key)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(v6).cast("double") / F.count(F.lit(1)), 6
+                ).alias("mu"),
+                (
+                    F.sqrt(
+                        F.greatest(
+                            F.count(F.lit(1))
+                            * F.sum(
+                                (v6 * v6).cast("decimal(38,12)")
+                            ).cast("double")
+                            - F.sum(v6).cast("double")
+                            * F.sum(v6).cast("double"),
+                            F.lit(0.0),
+                        )
                     )
-                )
-                / F.count(F.lit(1))
-            ).alias("sigma"),
+                    / F.count(F.lit(1))
+                ).alias("sigma"),
+            )
         )
-    )
     dev = F.round(v6.cast("double") - F.col("mu"), 6).cast("decimal(28,6)")
     ct = (
         e.select(key, "ts", "event_id", "value")

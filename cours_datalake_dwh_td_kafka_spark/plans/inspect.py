@@ -103,9 +103,11 @@ def count_local_checkpoints():
     counter = {"n": 0}
     orig = _DF.localCheckpoint
 
-    def patched(self, eager=True):
+    def patched(self, *args, **kwargs):
+        # pass-through signature: PySpark 4 adds storageLevel and may
+        # add more — the counter must never reject a valid call
         counter["n"] += 1
-        return orig(self, eager)
+        return orig(self, *args, **kwargs)
 
     _DF.localCheckpoint = patched
     try:

@@ -496,13 +496,12 @@ def trending_topk(
     window: str = "5 minutes",
     watermark: str | None = "10 minutes",
     key: str = "city",
-    k: int = 3,
 ):
     """Windowed trending top-k: per tumbling window, the ``k`` hottest
     keys by event count. Streaming aggregations cannot carry a rank
     window (no analytic functions over an unfinished aggregate), so
-    this returns the per-(window, key) COUNT stream; pair it with
-    :func:`rank_topk_snapshot` in a foreachBatch sink — each micro-batch
+    this returns the per-(window, key) COUNT stream; the k lives on
+    :func:`rank_topk_snapshot`, which ranks it in a foreachBatch sink — each micro-batch
     ranks the aggregate snapshot it was handed, which is exactly the
     "trending now" board a dashboard wants (complete/update mode).
 

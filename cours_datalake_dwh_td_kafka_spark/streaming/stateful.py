@@ -461,7 +461,14 @@ def ewma_stateful(
     stream length — plus the O(1) running (n, ewma). Same weights as
     the batch twin (explicit alpha AND beta literals: 1 - 0.3 != 0.7
     in IEEE doubles), so a watermark-complete stream replay reproduces
-    the batch values bit-for-bit."""
+    the batch values bit-for-bit.
+
+    STATE-SCHEMA COMPATIBILITY: round 5 widened EWMA_STATE_SCHEMA
+    (added pend_ids + next_seq for the tie-break fix) — a checkpoint
+    written by the old 4-field schema cannot restart on this code
+    (Spark validates state schemas); drain the old query to a
+    watermark-complete stop and start a fresh checkpoint, replaying
+    from the last folded offset."""
     from cours_datalake_dwh_td_kafka_spark.operators.timeseries import (
         _EWMA_ALPHA,
         _EWMA_BETA,

@@ -898,9 +898,13 @@ def test_persisted_ivf_index_matches_inquery_and_prunes(spark, tmp_path):
     )
 
     # the layout IS the filter: cell must appear as a partition filter
-    vecs = spark.read.parquet(f"{path}/vectors").where(
-        F.col("cell").isin([0, 1])
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        _current_version_dir,
     )
+
+    vecs = spark.read.parquet(
+        f"{_current_version_dir(path)}/vectors"
+    ).where(F.col("cell").isin([0, 1]))
     plan = vecs._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters"

@@ -177,8 +177,16 @@ def test_ivf_index_rebuild_in_place(spark, tmp_path):
     emb = load_table(spark, sf, "embeddings")
     idx = str(tmp_path / "ivf")
     n1 = build_ivf_index(emb, idx, n_cells=4)
-    n2 = build_ivf_index(emb, idx, n_cells=4)  # rebuild: no throw
+    n2 = build_ivf_index(emb, idx, n_cells=4)  # rebuild: atomic swap
     assert n1 == n2 == 4
     q = emb.limit(2).selectExpr("vec_id AS query_id", "embedding AS emb")
     got = ivf_query_index(spark, idx, q, nprobe=2, top_k=3)
     assert got.count() > 0
+    # the superseded version dir is residue until vacuumed
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        vacuum_index,
+    )
+
+    removed = vacuum_index(idx)
+    assert len(removed) == 1 and removed[0].startswith("v_")
+    assert ivf_query_index(spark, idx, q, nprobe=2, top_k=3).count() > 0

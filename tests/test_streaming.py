@@ -961,7 +961,7 @@ def test_trending_topk_stream_matches_batch(spark, stream_dir, tmp_path):
     _write_batch(stream_dir, b2, "b1")
 
     enriched = enrich_alerts(_read_stream(spark, stream_dir))
-    counts = trending_topk(enriched, window="5 minutes", k=3)
+    counts = trending_topk(enriched, window="5 minutes")
     out_dir = str(tmp_path / "topk")
 
     def sink(batch_df, batch_id):
@@ -988,7 +988,7 @@ def test_trending_topk_stream_matches_batch(spark, stream_dir, tmp_path):
         [tuple(r.values()) for r in b1 + b2], RAW_SCHEMA
     )
     bcounts = trending_topk(
-        enrich_alerts(batch), window="5 minutes", watermark=None, k=3
+        enrich_alerts(batch), window="5 minutes", watermark=None
     )
     want = {
         (r.window_start, r.city, r.n_events, r.rank)
