@@ -550,3 +550,83 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# time-to-convert distribution: latency percentiles of signup -> purchase
+# ---------------------------------------------------------------------------
+_TTC_SQL = """
+    WITH first_signup AS (
+      SELECT user_id, MIN(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN first_signup s
+        ON s.user_id = e.user_id
+       AND e.ts >= s.t_signup
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT date_diff('second', s.t_signup, p.t_purchase) AS secs
+      FROM first_signup s JOIN first_purchase p USING (user_id)
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(FLOOR(quantile_cont(secs, 0.5)) AS BIGINT) AS p50_secs,
+           CAST(FLOOR(quantile_cont(secs, 0.9)) AS BIGINT) AS p90_secs,
+           CAST(MAX(secs) AS BIGINT) AS max_secs
+    FROM lat
+"""
+
+
+@register("time_to_convert", _TTC_SQL)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for users whose first purchase
+    happens AT OR AFTER their first signup, the p50/p90/max seconds
+    between the two — the number a growth team reads next to the funnel
+    counts (funnel_stages says HOW MANY convert; this says HOW FAST).
+
+    Scale shape: two filtered MIN aggregates on the user key, one
+    equi-join (the signup frontier bounds the purchase scan's
+    qualifying rows), exact interpolated percentiles over the
+    converted-users row set (one row per converter — tiny). The >=
+    ordering constraint keeps it sequence-aware, matching the funnel's
+    semantics. quantile_cont at integer-second inputs interpolates to
+    exact halves at worst — and the integer cast goes through an
+    EXPLICIT FLOOR on both sides, because bare double->BIGINT casts
+    disagree across engines (Spark truncates, DuckDB rounds — a
+    measured 1-second p90 mismatch)."""
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    purchase = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(signup, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = (
+        signup.join(purchase, "user_id")
+        .select(
+            (
+                F.unix_timestamp("t_purchase")
+                - F.unix_timestamp("t_signup")
+            ).alias("secs")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.floor(F.percentile("secs", F.lit(0.5)))
+        .cast("bigint")
+        .alias("p50_secs"),
+        F.floor(F.percentile("secs", F.lit(0.9)))
+        .cast("bigint")
+        .alias("p90_secs"),
+        F.max("secs").cast("bigint").alias("max_secs"),
+    )

@@ -1571,3 +1571,49 @@ def source_overlap_matrix(
 @register("source_overlap_matrix", _SOURCE_OVERLAP_SQL)
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup-method evaluation: banded-LSH recall against the exact truth
+# ---------------------------------------------------------------------------
+def _dedup_eval_sql() -> str:
+    lsh = _minhash_lsh_sql().strip().rstrip()
+    return f"""
+    WITH exact_pairs AS ({_PREFIX_JACCARD_SQL}),
+    lsh_pairs AS ({lsh})
+    SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+           (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+           ROUND(CAST((SELECT COUNT(*) FROM lsh_pairs) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM exact_pairs), 6) AS lsh_recall
+"""
+
+
+@register("dedup_eval_lsh", _dedup_eval_sql())
+def q_dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-evaluation row: how much of the EXACT near-dup truth
+    (prefix filtering — unconditionally complete) does the banded
+    MinHash path recover? Verified LSH pairs are a subset of the truth
+    by construction (candidates are re-checked with exact Jaccard), so
+    the single number that matters is recall = n_lsh / n_exact —
+    banding theory predicts 1-(1-s^r)^b = 0.983 at the 0.8 threshold
+    with (r=2, b=4). Both pair sets are deterministic on BOTH engines
+    (md5-derived minhash, shared shingle normalization), so all three
+    columns are value-hashed exactly — no probabilistic bound needed.
+
+    Scale shape: the two pair pipelines are the registered operators'
+    own plans; the final combine is two one-row aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    n_exact = jaccard_prefix_pairs(d).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_lsh = minhash_lsh_pairs(d).agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            F.round(
+                F.col("n_lsh").cast("double") / F.col("n_exact"), 6
+            ).alias("lsh_recall"),
+        )
+    )

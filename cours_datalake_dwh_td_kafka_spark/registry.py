@@ -93,6 +93,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "centroid_separation",      # r5: cohesion vs nearest-other-centroid
     "multimodal_dct_stats",     # r5: real lossy DCT codec, PSNR-bounded
     "topic_model_validity",     # r5: LDA structural guarantees, oracled
+    "dedup_eval_lsh",           # r5: LSH recall vs exact-complete truth
+    "time_to_convert",          # r5: funnel latency percentiles
     # -- stalest tier: attested only in the round-1 window; every pre-r4
     #    row additionally rides on the r4 io.load_table footer-probe
     #    change, so the whole pre-r4 tail re-attests across r5-r6 in
