@@ -615,3 +615,41 @@ def test_gzip_member_decode_handles_all_flag_fields(
 
     with _pytest.raises(ValueError):
         decode_gzip_member(b"\x1f\x8c" + payload[2:])
+
+
+@given(
+    hb=st.integers(min_value=1, max_value=4),
+    wb=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_dct_codec_reconstruction_property(hb, wb, seed):
+    """The lossy DCT codec must (a) preserve container dims exactly,
+    (b) reconstruct within the Annex-K quantization error envelope on
+    arbitrary uint8 content, and (c) reject malformed payloads."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_dct8,
+        encode_dct8,
+    )
+
+    rng = np.random.RandomState(seed)
+    h, w = hb * 8, wb * 8
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    payload = encode_dct8(img)
+    dec = decode_dct8(payload)
+    assert dec.shape == (h, w)
+    # error bound: per-coefficient quantization error <= q/2; the IDCT
+    # is orthonormal, so pixel RMSE <= RMS(q)/2 (~40 for Annex K) —
+    # assert a loose multiple to absorb clipping
+    rmse = float(np.sqrt(np.mean((img.astype(float) - dec) ** 2)))
+    assert rmse <= 60.0, rmse
+    assert len(payload) == 12 + 2 * h * w
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_dct8(b"JUNK" + payload[4:])
+    with _pytest.raises(ValueError):
+        encode_dct8(img[: h - 1])  # non-multiple-of-8 dims
