@@ -1063,3 +1063,72 @@ def test_stream_cusum_matches_batch_fold(spark, stream_dir):
     assert final.n_folded == 6
     assert final.max_pos_cusum == want[paris_key][1]
     assert final.max_neg_cusum == want[paris_key][2]
+
+
+def test_lambda_architecture_end_to_end(spark, stream_dir, tmp_path):
+    """The reference's full Lambda topology, assembled from the engine's
+    own pieces: a BATCH layer (historical events committed to the
+    versioned lake), a SPEED layer (file-stream -> enrich -> partitioned
+    streaming lake sink), and a SERVING view that unions the two and
+    must equal a pure-batch recompute over ALL events — the Lambda
+    correctness contract."""
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_commit, lake_read
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        write_stream_to_lake,
+    )
+
+    hist_rows = _rows(0, 12, temp=21.0) + _rows(0, 6, city="Lyon", temp=27.0)
+    live_rows = _rows(100, 8, temp=31.0) + _rows(
+        100, 4, city="Lyon", temp=19.0
+    )
+
+    # batch layer: history enriched once, committed to the lake
+    batch_src = spark.createDataFrame(
+        [tuple(r.values()) for r in hist_rows], RAW_SCHEMA
+    )
+    batch_path = str(tmp_path / "batch_lake")
+    lake_commit(enrich_alerts(batch_src), batch_path)
+
+    # speed layer: live stream through the SAME enrichment into a
+    # partitioned streaming sink
+    _write_batch(stream_dir, live_rows, "live0")
+    speed_path = str(tmp_path / "speed")
+    q = (
+        write_stream_to_lake(
+            enrich_alerts(_read_stream(spark, stream_dir)),
+            speed_path,
+            str(tmp_path / "ckpt"),
+            fmt="parquet",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # serving: batch snapshot UNION speed partition, one aggregate
+    def per_city(df):
+        return {
+            (r.city, r.n, round(r.avg_t, 6), r.n_alerts)
+            for r in df.groupBy("city")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("temperature").alias("avg_t"),
+                F.sum(
+                    (F.col("wind_alert_level") != "level_0").cast("int")
+                ).alias("n_alerts"),
+            )
+            .collect()
+        }
+
+    cols = ["city", "temperature", "wind_alert_level"]
+    serving = lake_read(spark, batch_path).select(*cols).unionByName(
+        spark.read.parquet(speed_path).select(*cols)
+    )
+
+    # ground truth: one batch pass over EVERYTHING
+    truth_src = spark.createDataFrame(
+        [tuple(r.values()) for r in hist_rows + live_rows], RAW_SCHEMA
+    )
+    truth = enrich_alerts(truth_src).select(*cols)
+
+    assert per_city(serving) == per_city(truth)
