@@ -190,13 +190,22 @@ def lake_vacuum(
       found by directory scan, guarded by ``orphan_grace_seconds`` of
       mtime age so an in-flight commit's fresh files are never swept
       (Delta/Iceberg vacuum uses the same retention-window guard).
+
+    ``keep_versions`` must be >= 1: the newest version always survives.
+    Vacuum is a retention operation, not a table drop — a caller that
+    wants to destroy the table should remove its directory explicitly.
     """
     import time
 
+    if keep_versions < 1:
+        raise ValueError(
+            "keep_versions must be >= 1 (lake_vacuum never deletes the "
+            "newest version; remove the table directory to drop it)"
+        )
     existing = _existing_versions(path)
     if not existing:
         return []
-    keep = set(existing[-keep_versions:]) if keep_versions > 0 else set()
+    keep = set(existing[-keep_versions:])
     kept_files = set()
     for v in keep:
         kept_files.update(_read_manifest(path, v)["files"])

@@ -65,16 +65,31 @@ def _publish_current(path: str, version_name: str) -> None:
     os.replace(tmp, os.path.join(path, "CURRENT"))
 
 
-def vacuum_index(path: str) -> list[str]:
+def vacuum_index(path: str, grace_seconds: float = 24 * 3600) -> list[str]:
     """Delete version directories the CURRENT pointer no longer
-    references (the rebuild residue). Returns removed version names."""
+    references (the rebuild residue). Returns removed version names.
+
+    ``grace_seconds`` is the same retention-window guard the lake's
+    vacuum uses: a version directory younger than the window is never
+    swept, so a concurrent :func:`build_ivf_index` that has written its
+    new ``v_*`` dir but not yet swapped CURRENT can't have it deleted
+    out from under it (which would leave CURRENT pointing at a missing
+    directory). Pass ``grace_seconds=0`` only when no rebuild can be
+    in flight."""
     import shutil
+    import time
 
     live = os.path.basename(_current_version_dir(path))
+    cutoff = time.time() - grace_seconds
     removed = []
     for name in sorted(os.listdir(path)):
         full = os.path.join(path, name)
-        if name.startswith("v_") and name != live and os.path.isdir(full):
+        if (
+            name.startswith("v_")
+            and name != live
+            and os.path.isdir(full)
+            and os.path.getmtime(full) <= cutoff
+        ):
             shutil.rmtree(full)
             removed.append(name)
     return removed

@@ -108,16 +108,38 @@ _RFM_SQL = """
     feat AS (
       SELECT o_custkey,
              date_diff('day', last_order, corpus_last) AS recency_days,
-             n_orders, monetary
+             n_orders, monetary,
+             CAST(ROUND(monetary * 100) AS BIGINT) AS m_cents
       FROM per_cust CROSS JOIN anchor
     ),
-    scored AS (
-      SELECT *,
-             NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
-               AS r_score,
-             NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
-             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+    th AS (
+      SELECT
+        list_transform(quantile_cont(-recency_days, [0.2, 0.4, 0.6, 0.8]),
+                       x -> CAST(FLOOR(x) AS BIGINT)) AS r_th,
+        list_transform(quantile_cont(n_orders, [0.2, 0.4, 0.6, 0.8]),
+                       x -> CAST(FLOOR(x) AS BIGINT)) AS f_th,
+        list_transform(quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]),
+                       x -> CAST(FLOOR(x) AS BIGINT)) AS m_th
       FROM feat
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, n_orders, monetary,
+             1 + CASE WHEN -recency_days > r_th[1] THEN 1 ELSE 0 END
+               + CASE WHEN -recency_days > r_th[2] THEN 1 ELSE 0 END
+               + CASE WHEN -recency_days > r_th[3] THEN 1 ELSE 0 END
+               + CASE WHEN -recency_days > r_th[4] THEN 1 ELSE 0 END
+               AS r_score,
+             1 + CASE WHEN n_orders > f_th[1] THEN 1 ELSE 0 END
+               + CASE WHEN n_orders > f_th[2] THEN 1 ELSE 0 END
+               + CASE WHEN n_orders > f_th[3] THEN 1 ELSE 0 END
+               + CASE WHEN n_orders > f_th[4] THEN 1 ELSE 0 END
+               AS f_score,
+             1 + CASE WHEN m_cents > m_th[1] THEN 1 ELSE 0 END
+               + CASE WHEN m_cents > m_th[2] THEN 1 ELSE 0 END
+               + CASE WHEN m_cents > m_th[3] THEN 1 ELSE 0 END
+               + CASE WHEN m_cents > m_th[4] THEN 1 ELSE 0 END
+               AS m_score
+      FROM feat CROSS JOIN th
     )
     SELECT o_custkey,
            CAST(recency_days AS BIGINT) AS recency_days,
@@ -130,22 +152,23 @@ _RFM_SQL = """
     ORDER BY o_custkey
 """
 
+_RFM_PCTS = [0.2, 0.4, 0.6, 0.8]
 
-def rfm_segments(o: DataFrame) -> DataFrame:
-    """Classic RFM segmentation: per customer, days since last order
-    (recency, anchored at the corpus's newest order so the result is
-    reproducible), order count (frequency), and exact-decimal lifetime
-    spend (monetary), each quintile-scored 1-5 with 5 best; the
-    concatenated score string is the marketing segment key ('555' =
-    champions, '155' = at-risk big spender).
 
-    Scale shape: one aggregate on the customer key collapses the fact
-    table to one row per customer BEFORE the scoring windows; the
-    global NTILE windows then rank customers, not orders (same
-    customers << facts argument as surrogate_keys — at extreme customer
-    counts switch the quintiles to percentile thresholds, which
-    partial-aggregate). Tie-breaks on the customer key keep bucket
-    edges engine-identical."""
+def _quintile_score(v, th) -> "F.Column":
+    """1-5 score: one plus the number of broadcast thresholds ``v``
+    strictly exceeds (ties share a bucket, unlike NTILE's row-split)."""
+    s = F.lit(1)
+    for i in range(4):
+        s = s + F.when(v > th[i], 1).otherwise(0)
+    return s
+
+
+def rfm_features(o: DataFrame) -> DataFrame:
+    """Per-customer RFM feature table: days since last order (anchored
+    at the corpus's newest order so the result is reproducible), order
+    count, exact-decimal lifetime spend, plus integer cents for
+    fp-robust threshold comparisons."""
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -157,23 +180,71 @@ def rfm_segments(o: DataFrame) -> DataFrame:
         ).alias("monetary"),
     )
     anchor = o.agg(F.max("o_orderdate").alias("corpus_last"))
-    feat = per_cust.crossJoin(F.broadcast(anchor)).select(
+    return per_cust.crossJoin(F.broadcast(anchor)).select(
         "o_custkey",
-        F.datediff("corpus_last", "last_order").alias("recency_days"),
-        "n_orders",
-        "monetary",
-    )
-    w_r = Window.orderBy(F.desc("recency_days"), "o_custkey")
-    w_f = Window.orderBy("n_orders", "o_custkey")
-    w_m = Window.orderBy("monetary", "o_custkey")
-    scored = feat.select(
-        "o_custkey",
-        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.datediff("corpus_last", "last_order")
+        .cast("bigint")
+        .alias("recency_days"),
         F.col("n_orders").cast("bigint").alias("n_orders"),
         "monetary",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        F.round(F.col("monetary") * 100)
+        .cast("bigint")
+        .alias("m_cents"),
+    )
+
+
+def rfm_segments(o: DataFrame) -> DataFrame:
+    """Classic RFM segmentation: per customer, recency / frequency /
+    monetary, each quintile-scored 1-5 with 5 best; the concatenated
+    score string is the marketing segment key ('555' = champions,
+    '155' = at-risk big spender).
+
+    Scale shape — NO global window anywhere: one aggregate on the
+    customer key collapses the fact table to one row per customer, one
+    partial-aggregable ``percentile`` pass computes the p20/p40/p60/p80
+    thresholds of each metric (12 scalars), and scoring is a broadcast
+    join + CASE buckets. Every customer row is touched map-side; the
+    quintile NTILE form (``rfm_segments_ntile``) survives as the
+    tie-splitting cross-check in tests. Threshold semantics: score =
+    1 + #(thresholds strictly exceeded), so metric TIES share a bucket
+    — the stable choice at scale, where NTILE's row-split of a tie is
+    an artifact of its tie-break column.
+
+    Cross-engine exactness: all three metrics compare as INTEGERS
+    (recency days, order counts, monetary cents) against FLOOR'd
+    interpolated percentiles — adjacent order statistics bound each
+    threshold, so a sub-ulp interpolation difference between engines
+    cannot move any integer comparison."""
+    feat = rfm_features(o)
+    pcts = F.lit(_RFM_PCTS)
+    th = feat.agg(
+        F.transform(
+            F.percentile(-F.col("recency_days").cast("double"), pcts),
+            lambda x: F.floor(x).cast("bigint"),
+        ).alias("r_th"),
+        F.transform(
+            F.percentile(F.col("n_orders").cast("double"), pcts),
+            lambda x: F.floor(x).cast("bigint"),
+        ).alias("f_th"),
+        F.transform(
+            F.percentile(F.col("m_cents").cast("double"), pcts),
+            lambda x: F.floor(x).cast("bigint"),
+        ).alias("m_th"),
+    )
+    scored = feat.crossJoin(F.broadcast(th)).select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        _quintile_score(-F.col("recency_days"), F.col("r_th"))
+        .cast("int")
+        .alias("r_score"),
+        _quintile_score(F.col("n_orders"), F.col("f_th"))
+        .cast("int")
+        .alias("f_score"),
+        _quintile_score(F.col("m_cents"), F.col("m_th"))
+        .cast("int")
+        .alias("m_score"),
     )
     return scored.select(
         "*",
@@ -181,6 +252,26 @@ def rfm_segments(o: DataFrame) -> DataFrame:
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
     ).orderBy("o_custkey")
+
+
+def rfm_segments_ntile(o: DataFrame) -> DataFrame:
+    """NTILE(5) form of :func:`rfm_segments` — three GLOBAL windows, a
+    single-task sort at extreme customer counts, kept ONLY as the
+    tie-splitting cross-check in tests (the two forms agree on every
+    row whose metric value doesn't straddle a quintile edge)."""
+    feat = rfm_features(o)
+    w_r = Window.orderBy(F.desc("recency_days"), "o_custkey")
+    w_f = Window.orderBy("n_orders", "o_custkey")
+    w_m = Window.orderBy("monetary", "o_custkey")
+    return feat.select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
 
 
 @register("rfm_segments", _RFM_SQL)

@@ -529,7 +529,12 @@ def _cusum_fn(mu: float):
     import math
 
     def _micro(v: float) -> int:
-        d = v - mu
+        # Mirror the batch pipeline's TWO rounding steps exactly: it
+        # first rounds value to 6 dp (ROUND(value, 6) -> DECIMAL(18,6)),
+        # then rounds (v6 - mu). Skipping the pre-round differs by one
+        # micro-unit on inputs with > 6 fractional digits.
+        v6 = math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+        d = v6 - mu
         return int(math.copysign(math.floor(abs(d) * 1e6 + 0.5), d))
 
     def fn(

@@ -187,6 +187,18 @@ def test_ivf_index_rebuild_in_place(spark, tmp_path):
         vacuum_index,
     )
 
-    removed = vacuum_index(idx)
+    # inside the grace window: never swept (a concurrent rebuild's
+    # not-yet-published version dir must survive vacuum)
+    assert vacuum_index(idx) == []
+    removed = vacuum_index(idx, grace_seconds=0)
     assert len(removed) == 1 and removed[0].startswith("v_")
     assert ivf_query_index(spark, idx, q, nprobe=2, top_k=3).count() > 0
+
+
+def test_lake_vacuum_rejects_destroy_all(spark, tmp_path):
+    """keep_versions < 1 is a table drop, not a vacuum — refused."""
+    path = str(tmp_path / "t")
+    lake_commit(_df(spark, [(1, "a")]), path)
+    with pytest.raises(ValueError, match="keep_versions"):
+        lake_vacuum(path, keep_versions=0)
+    assert {tuple(r) for r in lake_read(spark, path).collect()} == {(1, "a")}

@@ -1014,8 +1014,12 @@ def test_stream_cusum_matches_batch_fold(spark, stream_dir):
         cusum_stateful,
     )
 
-    mu = 22.0
-    temps1 = [20.0, 24.0, 18.0, 30.0]
+    # mu with a sub-micro fraction + a >6dp reading pin the DOUBLE
+    # rounding order: the batch twin rounds value to 6 dp FIRST, then
+    # rounds (v6 - mu); folding the two into one round of (v - mu)
+    # lands one micro-unit off on 18.00000065 (−3.999999 vs −4.000000).
+    mu = 22.00000025
+    temps1 = [20.0, 24.0, 18.00000065, 30.0]
     temps2 = [22.5, 26.0]  # interleave between batch-1 events
     b1 = []
     for i, t in enumerate(temps1):

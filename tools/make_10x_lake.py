@@ -57,6 +57,10 @@ def main() -> int:
         return out
 
     d = load_table(spark, args.sf_dir, "documents")
+    # n_chars is recomputed from the PERTURBED text (replica r > 0 gains
+    # an x{r} suffix per word) so length-derived metrics — quality-score
+    # divisors, weighted_sample keys, dq audits — stay internally
+    # consistent on every replica, not just replica 0.
     union_all(
         [
             d.select(
@@ -68,8 +72,7 @@ def main() -> int:
                 ).alias("text"),
                 "lang",
                 "source",
-                "n_chars",
-            )
+            ).withColumn("n_chars", F.length("text").cast("long"))
             for r in range(R)
         ]
     ).write.mode("overwrite").parquet(f"{args.out}/documents.parquet")
