@@ -276,9 +276,14 @@ def heaps_law_fit(d: DataFrame) -> DataFrame:
     aggregations (per-doc token counts, per-token first doc), a
     doc-keyed left join, two running integer sums over the doc spine
     (exact — no float order hazard), and one regr_* fit over
-    docs-many points. The single-partition window is over per-DOC rows
-    (corpus/1000s smaller than the token stream); at extreme doc counts
-    swap in the two-phase dense-id recipe (scale.surrogate_keys)."""
+    docs-many points. The running sums use the two-phase prefix-sum
+    recipe (``scale.prefix_sums``: range-bucket, broadcast per-bucket
+    offsets, sum within buckets) — NO single-partition window, so the
+    doc spine parallelizes at any corpus size."""
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        prefix_sums,
+    )
+
     toks = d.select(
         "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
     ).localCheckpoint(eager=False)  # feeds both aggregations below
@@ -289,19 +294,13 @@ def heaps_law_fit(d: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("new_types"))
     )
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine = per_doc.join(news, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
     )
-    series = (
-        per_doc.join(news, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_toks").over(w).alias("cum_toks"),
-            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
-            .over(w)
-            .alias("cum_vocab"),
-        )
+    series = prefix_sums(
+        spine, "doc_id", {"cum_toks": "n_toks", "cum_vocab": "new_types"}
     )
     y = F.ln(F.col("cum_vocab").cast("double"))
     x = F.ln(F.col("cum_toks").cast("double"))

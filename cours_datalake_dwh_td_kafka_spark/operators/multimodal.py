@@ -1604,3 +1604,346 @@ def q_multimodal_dct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dct_codec_stats(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec #6: JPEG-complete entropy layer on the DCT core — zigzag
+# scan, DC difference coding, run-length AC symbols, canonical Huffman
+# codes built from the PUBLIC Annex K BITS/HUFFVAL lists (tables K.3 /
+# K.5), MSB-first bit packing with 0xFF byte stuffing. Entropy coding is
+# JPEG's LOSSLESS final stage, so the decoder must reproduce the
+# quantized coefficients bit-exactly — that exactness is the query's
+# hashed guarantee (the PNG lesson still applies: the encoded byte
+# COUNT is this codec's choice, not spec arithmetic, so it is folded
+# into booleans rather than hashed raw).
+# ---------------------------------------------------------------------------
+
+#: Annex K table K.3: luminance DC — BITS (codes per length 1..16), HUFFVAL
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+
+#: Annex K table K.5: luminance AC — BITS and the standard 162 HUFFVAL
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _canonical_codes(bits, vals):
+    """Spec C.2 code assignment: within ascending code length, codes
+    increment; lengths advance by left shift. Returns
+    {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _zigzag_order(n: int = DCT_BLOCK):
+    """Index pairs of the standard zigzag scan of an n x n block."""
+    order = sorted(
+        ((i, j) for i in range(n) for j in range(n)),
+        key=lambda p: (p[0] + p[1], p[1] if (p[0] + p[1]) % 2 else p[0]),
+    )
+    return order
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # spec F.1.2.3 byte stuffing
+
+    def done(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits (spec)
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Inverse of :class:`_BitWriter` (unstuffs 0xFF 0x00)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def take(self, length: int) -> int:
+        while self.nbits < length:
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("bad byte stuffing")
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        self.nbits -= length
+        out = (self.acc >> self.nbits) & ((1 << length) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+
+def _amplitude_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + amplitude code: (ssss, bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _amplitude_value(s: int, bits: int) -> int:
+    """Inverse of :func:`_amplitude_bits`."""
+    if s == 0:
+        return 0
+    if bits >> (s - 1):  # leading 1 -> positive
+        return bits
+    return bits - (1 << s) + 1
+
+
+def jpeg_entropy_encode(quant) -> bytes:
+    """Huffman-code an (n_blocks, 8, 8) int array of quantized DCT
+    coefficients exactly as a baseline JPEG scan would: per block, the
+    zigzag sequence opens with the DC DIFFERENCE (vs the previous
+    block's DC) coded via table K.3, then AC coefficients as
+    (runlength, size) symbols via table K.5 with ZRL (0xF0) for 16-zero
+    runs and EOB (0x00) for a trailing-zero tail."""
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    zz = _zigzag_order()
+    w = _BitWriter()
+    prev_dc = 0
+    for blk in quant:
+        seq = [int(blk[i][j]) for i, j in zz]
+        s, bits = _amplitude_bits(seq[0] - prev_dc)
+        prev_dc = seq[0]
+        code, length = dc_codes[s]
+        w.put(code, length)
+        if s:
+            w.put(bits, s)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if seq[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = seq[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_codes[0xF0]  # ZRL
+                w.put(code, length)
+                run -= 16
+            s, bits = _amplitude_bits(v)
+            code, length = ac_codes[(run << 4) | s]
+            w.put(code, length)
+            w.put(bits, s)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            w.put(code, length)
+    return w.done()
+
+
+def jpeg_entropy_decode(data: bytes, n_blocks: int):
+    """Inverse of :func:`jpeg_entropy_encode`: canonical-Huffman walk
+    back to the (n_blocks, 8, 8) quantized coefficient array."""
+    import numpy as np
+
+    dc_decode = {
+        (ln, code): sym
+        for sym, (code, ln) in _canonical_codes(_DC_BITS, _DC_VALS).items()
+    }
+    ac_decode = {
+        (ln, code): sym
+        for sym, (code, ln) in _canonical_codes(_AC_BITS, _AC_VALS).items()
+    }
+    zz = _zigzag_order()
+    r = _BitReader(data)
+
+    def read_symbol(table):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | r.take(1)
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code")
+
+    out = np.zeros((n_blocks, DCT_BLOCK, DCT_BLOCK), dtype=np.int16)
+    prev_dc = 0
+    for b in range(n_blocks):
+        seq = [0] * 64
+        s = read_symbol(dc_decode)
+        prev_dc += _amplitude_value(s, r.take(s) if s else 0)
+        seq[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = read_symbol(ac_decode)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            s = sym & 0x0F
+            seq[k] = _amplitude_value(s, r.take(s))
+            k += 1
+        for idx, (i, j) in enumerate(zz):
+            out[b, i, j] = seq[idx]
+    return out
+
+
+def _quantize_blocks(gray):
+    """(h, w) uint8 -> (n_blocks, 8, 8) int16 quantized DCT blocks in
+    raster block order (the shared lossy front half of encode_dct8)."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64) - 128.0
+    h, w = g.shape
+    m = _dct_matrix()
+    q = np.asarray(_JPEG_QTABLE, dtype=np.float64)
+    blocks = g.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,abjk,kl->abil", m, blocks, m.T)
+    return (
+        np.round(coeffs / q)
+        .astype(np.int16)
+        .reshape(-1, DCT_BLOCK, DCT_BLOCK)
+    )
+
+
+def _dequantize_blocks(quant, h: int, w: int):
+    """(n_blocks, 8, 8) int -> (h, w) uint8 via dequantize + IDCT."""
+    import numpy as np
+
+    q = np.asarray(_JPEG_QTABLE, dtype=np.float64)
+    m = _dct_matrix()
+    qb = quant.astype(np.float64).reshape(h // 8, w // 8, 8, 8)
+    blocks = np.einsum("ij,abjk,kl->abil", m.T, qb * q, m)
+    g = blocks.transpose(0, 2, 1, 3).reshape(h, w) + 128.0
+    return np.clip(np.round(g), 0, 255).astype(np.uint8)
+
+
+JPEG_SCHEMA = (
+    "doc_id BIGINT, width BIGINT, height BIGINT, n_blocks BIGINT, "
+    "lossless_ok BOOLEAN, stuffing_ok BOOLEAN, psnr_ok BOOLEAN"
+)
+
+_JPEG_SQL = f"""
+    SELECT doc_id,
+           CAST({DCT_W} AS BIGINT) AS width,
+           CAST(length(text) // {DCT_W} // 8 * 8 AS BIGINT) AS height,
+           CAST((length(text) // {DCT_W} // 8) * ({DCT_W} // 8)
+                AS BIGINT) AS n_blocks,
+           TRUE AS lossless_ok,
+           TRUE AS stuffing_ok,
+           TRUE AS psnr_ok
+    FROM documents
+    WHERE length(text) >= {DCT_W * 8}
+    ORDER BY doc_id
+"""
+
+
+def jpeg_codec_stats(d: DataFrame, width: int = DCT_W) -> DataFrame:
+    """documents -> grayscale grid -> FULL baseline-JPEG pipeline:
+    quantized DCT blocks -> zigzag + DC-diff + run-length Huffman
+    bitstream (Annex K tables, 0xFF stuffing) -> decode all the way
+    back. Hashed guarantees: the entropy layer is LOSSLESS
+    (decoded quantized coefficients match bit-exactly), the stream is
+    stuffing-clean (every 0xFF is followed by 0x00), and the lossy
+    half keeps the {DCT_PSNR_FLOOR_DB} dB PSNR floor of the DCT core.
+    Container facts (dims, block count) are spec arithmetic the oracle
+    recomputes; the encoded byte count is this codec's own choice and
+    stays OFF the hash path (the PNG lesson)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        cols = [
+            "doc_id", "width", "height", "n_blocks",
+            "lossless_ok", "stuffing_ok", "psnr_ok",
+        ]
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                h = (int(b.size) // width) // 8 * 8
+                if h == 0:
+                    continue
+                src = b[: h * width].reshape(h, width)
+                quant = _quantize_blocks(src)
+                stream = jpeg_entropy_encode(quant)
+                back = jpeg_entropy_decode(stream, quant.shape[0])
+                lossless = bool(np.array_equal(quant, back))
+                stuffing = all(
+                    stream[i + 1] == 0x00
+                    for i in range(len(stream) - 1)
+                    if stream[i] == 0xFF
+                ) and stream[-1] != 0xFF
+                dec = _dequantize_blocks(back, h, width)
+                mse = float(
+                    np.mean(
+                        (src.astype(np.float64) - dec.astype(np.float64))
+                        ** 2
+                    )
+                )
+                psnr = (
+                    float("inf")
+                    if mse == 0
+                    else 10.0 * math.log10(255.0 * 255.0 / mse)
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(width)
+                rows["height"].append(h)
+                rows["n_blocks"].append(int(quant.shape[0]))
+                rows["lossless_ok"].append(lossless)
+                rows["stuffing_ok"].append(bool(stuffing))
+                rows["psnr_ok"].append(psnr >= DCT_PSNR_FLOOR_DB)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "text").mapInPandas(run, JPEG_SCHEMA)
+
+
+@register("multimodal_jpeg_stats", _JPEG_SQL)
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jpeg_codec_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )

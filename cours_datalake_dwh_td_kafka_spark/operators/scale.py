@@ -228,6 +228,60 @@ def dense_ids(df: DataFrame, order_col: str, n_buckets: int = _SK_BUCKETS) -> Da
     )
 
 
+def prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sums: dict[str, str],
+    n_buckets: int = _SK_BUCKETS,
+) -> DataFrame:
+    """Inclusive running sums of integer columns in ``order_col`` order
+    WITHOUT the single-reducer global window — the running-sum twin of
+    :func:`dense_ids` (same two-phase zipWithIndex shape):
+
+    1. range-repartition on the key -> ordered, contiguous buckets;
+    2. per-bucket totals -> exclusive running offsets (a window over
+       n_buckets rows, driver-scale, broadcast back);
+    3. running sum WITHIN each bucket (parallel) + the bucket's offset.
+
+    ``sums`` maps output column name -> source column; sources must be
+    integer-typed so bucket-boundary placement can't perturb a float
+    accumulation order (``order_col`` must be unique — ties could
+    straddle a range bound). Oracle: the plain global
+    ``SUM() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``."""
+    import pyspark.sql.window as W
+
+    bucketed = df.repartitionByRange(n_buckets, order_col).withColumn(
+        "_bucket", F.spark_partition_id()
+    )
+    off_w = W.Window.orderBy("_bucket").rowsBetween(
+        W.Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("_bucket")
+        .agg(*[F.sum(src).alias(f"_tot_{out}") for out, src in sums.items()])
+        .select(
+            "_bucket",
+            *[
+                F.coalesce(
+                    F.sum(f"_tot_{out}").over(off_w), F.lit(0)
+                ).alias(f"_off_{out}")
+                for out in sums
+            ],
+        )
+    )
+    run_w = (
+        W.Window.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(W.Window.unboundedPreceding, W.Window.currentRow)
+    )
+    out = bucketed.join(F.broadcast(offsets), "_bucket")
+    for name, src in sums.items():
+        out = out.withColumn(
+            name, F.sum(src).over(run_w) + F.col(f"_off_{name}")
+        )
+    return out.drop("_bucket", *[f"_off_{n}" for n in sums])
+
+
 @register("surrogate_keys", _SK_SQL)
 def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")

@@ -52,74 +52,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-5 attestation window (driver caps at ~50 rows/round) ----
+    # ---- round-6 attestation window (driver caps at ~50 rows/round) ----
     # -- code changed this round: must re-attest on current code --------
-    "embedding_centroids",      # r5: long-form scalar output (driver's
-                                #     pandas canonicalizer can't hash
-                                #     array cells — the one r4 red row)
-    "bpe_train_merges",         # r5: shared memoized training core
-    "bpe_segment_stats",        # r5: reuses the trainer's word table
-    # -- oracled but never driver-attested (queued behind the r4 cap) ---
-    "dedup_keep_best",
-    "market_basket_lift",
-    "station_zone_assignment",
-    "dow_seasonality",
-    "rolling_median",
+    "rfm_segments",             # r6: global NTILE trio -> broadcast
+                                #     percentile thresholds + CASE
+    "heaps_law_fit",            # r6: doc-spine cumsums -> two-phase
+                                #     prefix sums (scale.prefix_sums)
     # -- new this round, never attested ----------------------------------
-    # (names inserted here as round 5 adds operators)
-    "multimodal_resize",        # r5: real BMP decode->resize->encode,
-                                #     newly oracle-paired (was rows-only)
-    "multimodal_frame_sample",  # r5: real concatenated-BMP demux,
-                                #     newly oracle-paired (was rows-only)
-    "multimodal_frame_stats",   # r5: rollup re-based on the real demux
-    "ann_ivf_topk",             # r5: in-query recall bound, newly
-                                #     oracle-paired (was rows-only)
-    "ann_ivf_topk_int8",        # r5: same bound vs float truth
-    "triangle_count",           # r5: degree-ordered triangle join
-    "distinct_hll_bound",       # r5: HLL++ with in-query error bound
-    "cusum_changepoint",        # r5: prefix-min CUSUM, decimal-exact
-    "multimodal_gzip_stats",    # r5: hand-walked RFC 1952 container
-    "lang_mismatch_rate",       # r5: per-source declared-vs-detected gate
-    "embedding_outliers",       # r5: per-label centroid-cosine prune list
-    "winsorized_mean",          # r5: per-key p5/p95-clipped robust mean
-    "heaps_law_fit",            # r5: vocabulary-growth power-law fit
-    "vocab_coverage",           # r5: tokenizer-sizing coverage curve
-    "phrase_search",            # r5: positional-index exact adjacency
-    "dedup_jaccard_prefix",     # r5: SSJoin prefix filter, exact+complete
-    "source_overlap_matrix",    # r5: cross-feed near-dup rollup
-    "equi_depth_histogram",     # r5: NTILE quantile-bucket profile
-    "bigram_logprob",           # r5: interpolated bigram-LM doc score
-    "rfm_segments",             # r5: recency/frequency/monetary quintiles
-    "centroid_separation",      # r5: cohesion vs nearest-other-centroid
-    "multimodal_dct_stats",     # r5: real lossy DCT codec, PSNR-bounded
-    "topic_model_validity",     # r5: LDA structural guarantees, oracled
-    "dedup_eval_lsh",           # r5: LSH recall vs exact-complete truth
-    "time_to_convert",          # r5: funnel latency percentiles
-    # -- stalest tier: attested only in the round-1 window; every pre-r4
-    #    row additionally rides on the r4 io.load_table footer-probe
-    #    change, so the whole pre-r4 tail re-attests across r5-r6 in
-    #    list order (pytest oracle-parity covers ALL oracled queries on
-    #    current code each round regardless of the driver's 50-cap). --
-    "join_revenue_per_nation",
-    "json_extract",
-    "minhash_signatures",
-    "pivot_event_counts",
-    "pricing_summary",
-    "quantiles",
-    "rollup_agg",
-    "scalar_functions",
-    "semi_join",
-    "sql_entry",
-    "tfidf_top_terms",
-    "top_k_frequency",
-    "validity_audit",
-    "window_suite",
-    "yearly_avg",
-    # -- round-2 attestation whose source file saw round-4/5 edits -------
-    "multimodal_meta",
-    # -- remaining round-2-only attestations (alphabetical); the r5
-    #    window's tail reaches partway in, round 6 takes the rest. -----
-    "anti_join",
+    "min_cost_supplier",        # r6: Q2 correlated-min join-back
+    "product_type_profit",      # r6: Q9 star profit rollup
+    "shipping_delay_buckets",   # r6: Q12 conditional counts
+    "part_supplier_counts",     # r6: Q16 distinct + NOT-IN anti-join
+    "promotion_candidate_suppliers",  # r6: Q20 nested semi-joins
+    "blocking_suppliers",       # r6: Q21 multi-EXISTS collapse
+    "multimodal_jpeg_stats",    # r6: full Huffman entropy layer on the
+                                #     DCT core (Annex K, byte-stuffed)
+    # -- stalest tier: newest driver stamp is round 2 (round 1 for
+    #    stratified_sample, rows-only); every pre-r4 row additionally
+    #    rides on the r4 io.load_table change. This is the WHOLE
+    #    remaining pre-r3 tail — after this window the attestation debt
+    #    is structurally zero. (pytest oracle-parity covers ALL oracled
+    #    queries on current code each round regardless of the cap.) ----
     "asof_join",
     "boolean_disjunction",
     "corpus_source_stats",
@@ -152,6 +105,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "union_except",
     "where_sql_string",
     "window_lag_delta",
+    "stratified_sample",
 )
 
 
@@ -205,6 +159,7 @@ def _load_all() -> None:
         timeseries,
         tpch_shapes,
         tpch_shapes2,
+        tpch_shapes3,
         window_time,
         windows,
     )

@@ -653,3 +653,49 @@ def test_dct_codec_reconstruction_property(hb, wb, seed):
         decode_dct8(b"JUNK" + payload[4:])
     with _pytest.raises(ValueError):
         encode_dct8(img[: h - 1])  # non-multiple-of-8 dims
+
+
+@given(
+    n_blocks=st.integers(min_value=1, max_value=6),
+    density=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_entropy_layer_is_lossless_and_stuffed(n_blocks, density, seed):
+    """The Huffman entropy layer must round-trip ANY plausible quantized
+    coefficient content bit-exactly (it is JPEG's lossless stage), and
+    its bitstream must be 0xFF-stuffed. Also pins the canonical-code
+    builder against two spec-known Annex K codewords."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _canonical_codes,
+        jpeg_entropy_decode,
+        jpeg_entropy_encode,
+    )
+
+    rng = np.random.RandomState(seed)
+    mask = rng.random_sample((n_blocks, 8, 8)) < density
+    quant = (
+        rng.randint(-1000, 1001, size=(n_blocks, 8, 8)) * mask
+    ).astype(np.int16)
+    stream = jpeg_entropy_encode(quant)
+    assert np.array_equal(
+        jpeg_entropy_decode(stream, n_blocks), quant
+    )
+    for i, byte in enumerate(stream[:-1]):
+        if byte == 0xFF:
+            assert stream[i + 1] == 0x00
+
+    # spec pins (ITU T.81 Annex K): DC category 0 -> code 00 (len 2);
+    # AC EOB (0x00) -> 1010 (len 4); AC ZRL (0xF0) -> len 11.
+    dc = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac = _canonical_codes(_AC_BITS, _AC_VALS)
+    assert dc[0] == (0b00, 2)
+    assert ac[0x00] == (0b1010, 4)
+    assert ac[0xF0][1] == 11
+    assert len(ac) == 162
