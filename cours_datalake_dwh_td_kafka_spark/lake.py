@@ -287,3 +287,51 @@ def lake_diff(
     inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
     return inserts.unionByName(deletes)
+
+
+def lake_compact(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_files: int = 1,
+) -> int:
+    """Small-file compaction — the lifecycle op a streaming lake
+    accumulates toward: every micro-batch commit adds a few small
+    parquet files, and scan cost degrades with file count (task
+    scheduling + footer reads dominate). Rewrite the current snapshot's
+    files smaller than ``small_file_bytes`` into ``target_files``
+    coalesced files and commit the swapped file set as a new version
+    (op ``compact``).
+
+    Invariants inherited from the commit protocol:
+    - the table's ROWS are untouched (compaction is a physical rewrite;
+      :func:`lake_read` of the new version equals the old one);
+    - old files stay on disk — prior versions still read (time travel);
+      they become reclaimable by :func:`lake_vacuum` only when every
+      manifest referencing them is dropped;
+    - the manifest publish is the same O_EXCL-raced single-winner
+      commit: a rival committer landing first makes THIS compaction
+      fail fast (FileExistsError) instead of silently dropping the
+      rival's files — rerun on the new current version.
+
+    Returns the new version, or the CURRENT version unchanged when
+    fewer than two files qualify (nothing to compact). At DFS scale the
+    same file-size walk reads the FileSystem API instead of os.stat
+    (the module's documented porting boundary)."""
+    v = current_version(path)
+    if v < 1:
+        raise ValueError(f"no committed version at {path}")
+    files = _read_manifest(path, v)["files"]
+    small = [
+        f
+        for f in files
+        if os.path.getsize(os.path.join(path, f)) < small_file_bytes
+    ]
+    if len(small) <= max(1, target_files):
+        return v
+    keep = [f for f in files if f not in set(small)]
+    rewritten = spark.read.parquet(
+        *(os.path.join(path, f) for f in small)
+    ).coalesce(target_files)
+    new_files = _write_data_files(rewritten, path)
+    return _commit_manifest(path, v + 1, keep + new_files, "compact")

@@ -32,6 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cours_datalake_dwh_td_kafka_spark.io import load_table
 from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
     N_CELLS,
     NPROBE,
@@ -40,6 +41,7 @@ from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
     _fit_cells,
     global_topk,
 )
+from cours_datalake_dwh_td_kafka_spark.registry import register
 
 
 def _current_version_dir(path: str) -> str:
@@ -236,3 +238,127 @@ def ivf_query_index(
         score, "query_id bigint, neighbor_id bigint, cosine double"
     )
     return global_topk(scored, top_k)
+
+
+# ---------------------------------------------------------------------------
+# Index-staleness drift monitor: the SERVED (epoch-0) index answered
+# against the FULL (drifted) corpus, measured against brute-force truth
+# ---------------------------------------------------------------------------
+N_DRIFT_QUERIES = 10
+
+_DRIFT_SQL = f"""
+    SELECT CAST({N_DRIFT_QUERIES} AS BIGINT) AS n_queries,
+           TRUE AS served_ids_stale_only,
+           TRUE AS fresh_finds_drifted,
+           TRUE AS drift_gain_ok
+"""
+
+
+def ann_index_drift(
+    spark: SparkSession,
+    e: DataFrame,
+    index_path: str,
+    top_k: int = TOP_K,
+    n_queries: int = N_DRIFT_QUERIES,
+) -> DataFrame:
+    """Index-staleness as a monitored number — the refresh-loop health
+    check a serving deployment runs per epoch. The corpus is split into
+    an indexed SNAPSHOT (even vec_ids — epoch 0) and the drifted full
+    corpus (odd ids arrived after the build). The same query batch is
+    answered three ways: the persisted snapshot index
+    (:func:`ivf_query_index` — what production serves), a fresh
+    in-query IVF over the full corpus (what a rebuild would serve), and
+    exact brute force over the full corpus (truth). Folded guarantees,
+    all verified on the actual result sets:
+
+    - ``served_ids_stale_only``: the served index can only ever return
+      snapshot members (structural — the build saw no odd id);
+    - ``fresh_finds_drifted``: the rebuilt path surfaces post-snapshot
+      neighbors the served index cannot;
+    - ``drift_gain_ok``: mean recall@k vs truth of the rebuilt path is
+      >= the served path's (a rebuild never loses ground).
+
+    Scale shape: the index build is one assignment pass over the
+    snapshot + a partitioned write; serving scans only probed cells
+    (partition pruning); truth is the two-stage tree-reduced brute
+    force; recall arithmetic is exact integer counts over k·n_queries
+    rows. Driver collects stay bounded: query batch + centroids."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb_d = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    snapshot = emb_d.where(F.col("vec_id") % 2 == 0)
+    build_ivf_index(
+        snapshot.select(
+            "vec_id", F.col("emb").alias("embedding")
+        ),
+        index_path,
+    )
+    q = emb_d.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    served = ivf_query_index(spark, index_path, q, top_k=top_k).select(
+        "query_id", "neighbor_id"
+    )
+    fresh = ivf_topk(e, top_k=top_k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    truth = ann_topk_bruteforce(e, top_k=top_k, n_queries=n_queries).select(
+        F.col("query_id").alias("t_query_id"),
+        F.col("neighbor_id").alias("t_neighbor_id"),
+    )
+
+    def recall_hits(path: DataFrame) -> DataFrame:
+        return path.join(
+            truth,
+            (F.col("query_id") == F.col("t_query_id"))
+            & (F.col("neighbor_id") == F.col("t_neighbor_id")),
+            "leftsemi",
+        ).agg(F.count(F.lit(1)).alias("hits"))
+
+    served_stats = served.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("neighbor_id") % 2 != 0, 1).otherwise(0)
+        ).alias("odd"),
+    )
+    fresh_odd = fresh.agg(
+        F.sum(
+            F.when(F.col("neighbor_id") % 2 != 0, 1).otherwise(0)
+        ).alias("odd")
+    )
+    sh = recall_hits(served).collect()[0].hits
+    fh = recall_hits(fresh).collect()[0].hits
+    srow = served_stats.collect()[0]
+    f_odd = fresh_odd.collect()[0].odd
+    nq = q.count()
+    return spark.createDataFrame(
+        [
+            (
+                int(nq),
+                int(srow.odd or 0) == 0,
+                int(f_odd or 0) > 0,
+                int(fh) >= int(sh),
+            )
+        ],
+        "n_queries BIGINT, served_ids_stale_only BOOLEAN, "
+        "fresh_finds_drifted BOOLEAN, drift_gain_ok BOOLEAN",
+    )
+
+
+@register("ann_index_drift", _DRIFT_SQL)
+def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_drift_idx_{tag}"
+    )
+    return ann_index_drift(
+        spark, load_table(spark, sf_dir, "embeddings"), path
+    )

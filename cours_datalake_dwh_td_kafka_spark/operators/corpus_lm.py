@@ -541,3 +541,85 @@ def bigram_logprob(
 @register("bigram_logprob", _BIGRAM_LP_SQL)
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: per-source unigram KL divergence vs the corpus LM
+# ---------------------------------------------------------------------------
+_KL_SQL = f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split({NORM_SQL.format(c='text')}, ' ')) AS tok
+      FROM documents
+    ),
+    sc AS (
+      SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+    ),
+    stot AS (SELECT source, SUM(c) AS ns FROM sc GROUP BY source),
+    corpus AS (SELECT tok, SUM(c) AS cc FROM sc GROUP BY tok),
+    ctot AS (SELECT SUM(cc) AS n FROM corpus)
+    SELECT sc.source,
+           CAST(stot.ns AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(
+               (sc.c / CAST(stot.ns AS DOUBLE))
+               * log2((sc.c / CAST(stot.ns AS DOUBLE))
+                      / (corpus.cc / CAST(ctot.n AS DOUBLE)))
+             AS DECIMAL(28,6))) AS DOUBLE), 6) AS kl_bits
+    FROM sc
+    JOIN stot USING (source)
+    JOIN corpus USING (tok)
+    CROSS JOIN ctot
+    GROUP BY sc.source, stot.ns
+    ORDER BY sc.source
+"""
+
+
+def source_kl_divergence(d: DataFrame) -> DataFrame:
+    """KL(source-unigram || corpus-unigram) in bits, per feed — the
+    domain-shift number a mixing pipeline watches: a source whose KL
+    spikes changed its content distribution (new crawl seed, template
+    rot) and should trigger re-weighting (domain_mix_weights is the
+    actuator; this is the sensor). No smoothing needed: every source
+    term exists in the corpus distribution by construction, so the
+    ratio is always finite and KL >= 0.
+
+    Scale shape: tokens collapse to (source, tok, count) FIRST (the
+    unigram_logprob discipline — the tok-keyed join carries distinct
+    terms per source, not occurrences), the corpus table derives from
+    the SAME aggregate (one tokenization), and the corpus total rides a
+    broadcast scalar. Per-term contributions round through
+    DECIMAL(28,6) before summing, so partial order cannot move the
+    6-dp result (proven cross-engine by the unigram/zipf family)."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    sc = (
+        d.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds source, corpus, and total
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    corpus = sc.groupBy("tok").agg(F.sum("c").alias("cc"))
+    ctot = corpus.agg(F.sum("cc").alias("n"))
+    p = F.col("c") / F.col("ns").cast("double")
+    q = F.col("cc") / F.col("n").cast("double")
+    contrib = (p * F.log2(p / q)).cast("decimal(28,6)")
+    return (
+        sc.join(stot, "source")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source", "ns")
+        .agg(
+            F.round(F.sum(contrib).cast("double"), 6).alias("kl_bits")
+        )
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            "kl_bits",
+        )
+        .orderBy("source")
+    )
+
+
+@register("source_kl_divergence", _KL_SQL)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_kl_divergence(load_table(spark, sf_dir, "documents"))

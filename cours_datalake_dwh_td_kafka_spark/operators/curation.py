@@ -568,3 +568,110 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", split.alias("split"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: stage-attrition accounting of the quality filter chain
+# ---------------------------------------------------------------------------
+FUNNEL_MIN_CHARS = 100
+FUNNEL_LANGS = ("en", "fr", "de", "es", "zh")
+FUNNEL_MIN_DIVERSITY = 0.3
+FUNNEL_TOKEN_LEN_LO, FUNNEL_TOKEN_LEN_HI = 2.0, 15.0
+
+_FUNNEL_SQL = f"""
+    WITH feats AS (
+      SELECT doc_id,
+             n_chars >= {FUNNEL_MIN_CHARS} AS f1,
+             lang IN ({", ".join(f"'{x}'" for x in FUNNEL_LANGS)}) AS f2,
+             len(list_distinct(string_split({NORM_SQL.format(c='text')}, ' ')))
+               / CAST(len(string_split({NORM_SQL.format(c='text')}, ' '))
+                      AS DOUBLE) >= {FUNNEL_MIN_DIVERSITY} AS f3,
+             length({NORM_SQL.format(c='text')})
+               / CAST(len(string_split({NORM_SQL.format(c='text')}, ' '))
+                      AS DOUBLE)
+               BETWEEN {FUNNEL_TOKEN_LEN_LO} AND {FUNNEL_TOKEN_LEN_HI} AS f4
+      FROM documents
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+             SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS n4
+      FROM feats
+    )
+    SELECT stage, stage_name,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(n_in - n_out AS BIGINT) AS n_dropped
+    FROM (
+      SELECT 1 AS stage, 'min_length' AS stage_name, n0 AS n_in, n1 AS n_out FROM agg
+      UNION ALL
+      SELECT 2, 'known_lang', n1, n2 FROM agg
+      UNION ALL
+      SELECT 3, 'lexical_diversity', n2, n3 FROM agg
+      UNION ALL
+      SELECT 4, 'token_length_band', n3, n4 FROM agg
+    )
+    ORDER BY stage
+"""
+
+
+def quality_filter_funnel(d: DataFrame) -> DataFrame:
+    """Stage-attrition ledger of the standard quality chain — minimum
+    length, known language, lexical diversity (distinct/total token
+    ratio), mean-token-length band — the table a curation team reads
+    before blaming a filter for corpus shrinkage (C4/Gopher-style
+    filter accounting). Conjunctive: stage k's input is stage k-1's
+    survivors, so n_dropped attributes each loss to the FIRST filter
+    that rejects.
+
+    Scale shape: ONE pass computes all stage flags per document (the
+    tokenization is shared, projected once), the funnel collapses to a
+    single all-reduce of five integer counters, and the 4-row ledger
+    unpivots from that one aggregate row — no per-stage rescans, no
+    shuffle beyond the scalar aggregate."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    n_toks = F.size(toks)
+    f1 = F.col("n_chars") >= FUNNEL_MIN_CHARS
+    f2 = F.col("lang").isin(*FUNNEL_LANGS)
+    f3 = (
+        F.size(F.array_distinct(toks)) / n_toks.cast("double")
+        >= FUNNEL_MIN_DIVERSITY
+    )
+    mean_len = F.length(norm_text(F.col("text"))) / n_toks.cast("double")
+    f4 = (mean_len >= FUNNEL_TOKEN_LEN_LO) & (
+        mean_len <= FUNNEL_TOKEN_LEN_HI
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    # one-row aggregate materialized once (lazy localCheckpoint) — the
+    # 4-stage unpivot below must NOT re-scan documents per stage
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n0"),
+        cnt(f1).alias("n1"),
+        cnt(f1 & f2).alias("n2"),
+        cnt(f1 & f2 & f3).alias("n3"),
+        cnt(f1 & f2 & f3 & f4).alias("n4"),
+    ).localCheckpoint(eager=False)
+    stages = [
+        (1, "min_length", "n0", "n1"),
+        (2, "known_lang", "n1", "n2"),
+        (3, "lexical_diversity", "n2", "n3"),
+        (4, "token_length_band", "n3", "n4"),
+    ]
+    ledger = None
+    for idx, name, src, dst in stages:
+        row = agg.select(
+            F.lit(idx).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(src).cast("bigint").alias("n_in"),
+            F.col(dst).cast("bigint").alias("n_out"),
+            (F.col(src) - F.col(dst)).cast("bigint").alias("n_dropped"),
+        )
+        ledger = row if ledger is None else ledger.unionByName(row)
+    return ledger.orderBy("stage")
+
+
+@register("quality_filter_funnel", _FUNNEL_SQL)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filter_funnel(load_table(spark, sf_dir, "documents"))

@@ -375,3 +375,65 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part")
         .limit(TRIANGLE_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: degree distribution of the co-purchase graph
+# ---------------------------------------------------------------------------
+_DEGREE_DIST_SQL = """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src)
+    SELECT CAST(FLOOR(LOG2(degree)) AS INT) AS log2_bucket,
+           CAST(POW(2, FLOOR(LOG2(degree))) AS BIGINT) AS bucket_min_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(degree) AS BIGINT) AS min_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM deg
+    GROUP BY 1, 2
+    ORDER BY log2_bucket
+"""
+
+
+def degree_distribution(li: DataFrame) -> DataFrame:
+    """Log2-bucketed out-degree histogram of the co-purchase graph —
+    the first diagnostic before any graph algorithm (PageRank /
+    triangles): a heavy tail here predicts hub-induced skew in every
+    subsequent neighborhood join, and the bucket counts are what sizes
+    the degree-ordering defence (graph.triangle_count) against.
+
+    Scale shape: edges come from the same per-order bounded self-join
+    as PageRank (fan-out = order line count squared, never corpus
+    scale), degree is one keyed count, the histogram is a ~log(max
+    degree)-group aggregate. Integer-exact throughout; LOG2 only
+    buckets integers (exact for any degree < 2^53)."""
+    deg = copurchase_edges(li).groupBy(
+        F.col("src").alias("node")
+    ).agg(F.count(F.lit(1)).alias("degree"))
+    bucket = F.floor(F.log2("degree")).cast("int")
+    return (
+        deg.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+        .select(
+            "log2_bucket",
+            F.pow(F.lit(2.0), F.col("log2_bucket").cast("double"))
+            .cast("bigint")
+            .alias("bucket_min_degree"),
+            "n_nodes",
+            "min_degree",
+            "max_degree",
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+@register("degree_distribution", _DEGREE_DIST_SQL)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_distribution(load_table(spark, sf_dir, "lineitem"))

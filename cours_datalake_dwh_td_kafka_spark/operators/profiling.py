@@ -514,3 +514,63 @@ def winsorized_mean(
 @register("winsorized_mean", _WINSOR_SQL)
 def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_mean(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: label-balance chi-square screen over the embedding corpus
+# ---------------------------------------------------------------------------
+#: chi-square critical value at alpha=0.01 for 9 degrees of freedom
+#: (10 labels) — public table constant; the query recomputes df-aware
+#: acceptance only through the emitted statistic, so a different label
+#: count simply reports its own chi2 against this fixed screen
+CHI2_CRIT_DF9_P01 = 21.666
+
+_LABEL_CHI2_SQL = f"""
+    WITH counts AS (
+      SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label
+    ),
+    tot AS (
+      SELECT COUNT(*) AS k, SUM(c) AS n, SUM(c * c) AS ssq FROM counts
+    )
+    SELECT CAST(k AS BIGINT) AS n_labels,
+           CAST(n AS BIGINT) AS n_vectors,
+           ROUND(k * CAST(ssq AS DOUBLE) / n - n, 6) AS chi2,
+           (k * CAST(ssq AS DOUBLE) / n - n) <= {CHI2_CRIT_DF9_P01}
+             AS balanced_ok
+    FROM tot
+"""
+
+
+def label_balance_chi2(e: DataFrame) -> DataFrame:
+    """Goodness-of-fit of the label distribution against uniform — the
+    class-balance gate a training-data pipeline runs before stratified
+    splits (a skewed label column silently biases every downstream
+    eval). Pearson's chi2 vs the uniform expectation E = n/k algebraic
+    form: chi2 = k * Σc² / n - n, which keeps the whole statistic a
+    function of INTEGER aggregates (Σc² is exact), so the only float
+    ops are one divide and one subtract — engine-identical, no
+    accumulation-order hazard.
+
+    Scale shape: one keyed count (map-side partial), one k-row
+    all-reduce. The screen constant is the public chi-square table
+    value; the emitted boolean is the alpha=0.01 verdict."""
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    chi2 = (
+        F.col("k") * F.col("ssq").cast("double") / F.col("n") - F.col("n")
+    )
+    return tot.select(
+        F.col("k").cast("bigint").alias("n_labels"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 <= CHI2_CRIT_DF9_P01).alias("balanced_ok"),
+    )
+
+
+@register("label_balance_chi2", _LABEL_CHI2_SQL)
+def q_label_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_balance_chi2(load_table(spark, sf_dir, "embeddings"))

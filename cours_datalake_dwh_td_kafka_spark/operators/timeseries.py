@@ -420,3 +420,102 @@ def cusum_changepoint(
 @register("cusum_changepoint", _CUSUM_SQL)
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: autocorrelation function of the daily value series
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 5
+
+_ACF_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS x
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             a.x AS xa, b.x AS xb
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+    ),
+    mom AS (
+      SELECT lag,
+             COUNT(*) AS n,
+             SUM(CAST(xa AS DECIMAL(38,12))) AS sa,
+             SUM(CAST(xb AS DECIMAL(38,12))) AS sb,
+             SUM(CAST(xa AS DECIMAL(38,12)) * xb) AS sab,
+             SUM(CAST(xa AS DECIMAL(38,12)) * xa) AS saa,
+             SUM(CAST(xb AS DECIMAL(38,12)) * xb) AS sbb
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(
+             (n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / SQRT(
+                 (n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+               ),
+             6) AS acf
+    FROM mom
+    ORDER BY lag
+"""
+
+
+def autocorrelation_acf(
+    e: DataFrame, max_lag: int = ACF_MAX_LAG
+) -> DataFrame:
+    """Sample autocorrelation of the daily total-value series at lags
+    1..max_lag — the seasonality probe a monitoring pipeline runs
+    before picking a forecasting window (pairs with dow_seasonality,
+    which fixes the period at 7; ACF FINDS the period).
+
+    Scale shape — deliberately NO window function: the lagged pairing
+    is an equi-join of the daily aggregate against itself on
+    ``day + lag`` (days-many rows, range-partitionable at any horizon),
+    never a single-partition LAG window over the series. Pearson terms
+    accumulate as exact DECIMAL(38,12) moments (the daily inputs are
+    6-dp decimals, so every product is exact), and the correlation
+    assembles in doubles once per lag — bit-identical across engines
+    and partition orders."""
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("x")
+    )
+    lags = e.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("x").alias("xb"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b,
+        F.expr("date_add(a_day, lag)") == F.col("b_day"),
+    )
+    d12 = lambda c: F.col(c).cast("decimal(38,12)")  # noqa: E731
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d12("xa")).alias("sa"),
+        F.sum(d12("xb")).alias("sb"),
+        F.sum(d12("xa") * F.col("xb")).alias("sab"),
+        F.sum(d12("xa") * F.col("xa")).alias("saa"),
+        F.sum(d12("xb") * F.col("xb")).alias("sbb"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    acf = (
+        F.col("n") * dbl("sab") - dbl("sa") * dbl("sb")
+    ) / F.sqrt(
+        (F.col("n") * dbl("saa") - dbl("sa") * dbl("sa"))
+        * (F.col("n") * dbl("sbb") - dbl("sb") * dbl("sb"))
+    )
+    return mom.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    ).orderBy("lag")
+
+
+@register("autocorrelation_acf", _ACF_SQL)
+def q_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return autocorrelation_acf(load_table(spark, sf_dir, "events"))

@@ -67,6 +67,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "blocking_suppliers",       # r6: Q21 multi-EXISTS collapse
     "multimodal_jpeg_stats",    # r6: full Huffman entropy layer on the
                                 #     DCT core (Annex K, byte-stuffed)
+    "ann_index_drift",          # r6: served-index staleness monitor vs
+                                #     rebuild + brute-force truth
+    "pca_top_components",       # r6: distributed Gram -> driver eigh,
+                                #     folded eigenpair guarantees
+    "autocorrelation_acf",      # r6: lag join, exact decimal moments
+    "degree_distribution",      # r6: log2 degree histogram
+    "label_balance_chi2",       # r6: integer-algebra chi-square gate
+    "quality_filter_funnel",    # r6: one-pass stage-attrition ledger
+    "source_kl_divergence",     # r6: per-feed unigram KL sensor
+    "point_in_time_join",       # r6: SCD2 snapshot state counts
     # -- stalest tier: newest driver stamp is round 2 (round 1 for
     #    stratified_sample, rows-only); every pre-r4 row additionally
     #    rides on the r4 io.load_table change. This is the WHOLE
@@ -136,6 +146,7 @@ def _load_all() -> None:
     from cours_datalake_dwh_td_kafka_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        ann_index,
         bpe,
         corpus_lm,
         curation,
@@ -146,6 +157,7 @@ def _load_all() -> None:
         joins_advanced,
         knn,
         multimodal,
+        pca,
         profiling,
         rag,
         relational,

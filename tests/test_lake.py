@@ -202,3 +202,65 @@ def test_lake_vacuum_rejects_destroy_all(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_versions"):
         lake_vacuum(path, keep_versions=0)
     assert {tuple(r) for r in lake_read(spark, path).collect()} == {(1, "a")}
+
+
+def test_lake_compact_rewrites_small_files(spark, tmp_path):
+    """Compaction folds a micro-batch-shaped pile of small files into
+    one, preserves the rows EXACTLY, keeps time travel to the
+    pre-compaction version, and leaves the superseded files for vacuum
+    (which then reclaims them without touching the live compacted
+    file)."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_compact,
+        lake_history,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(4):  # four tiny commits = many small files
+        lake_commit(_df(spark, [(i, f"v{i}")]), path)
+    v_before = 4
+    n_files_before = len(
+        lake_read(spark, path).inputFiles()
+    )
+    assert n_files_before >= 4
+    rows_before = {tuple(r) for r in lake_read(spark, path).collect()}
+
+    v_after = lake_compact(spark, path, target_files=1)
+    assert v_after == v_before + 1
+    assert {tuple(r) for r in lake_read(spark, path).collect()} == rows_before
+    assert len(lake_read(spark, path).inputFiles()) == 1
+    # time travel to the pre-compaction snapshot still works
+    assert {
+        tuple(r) for r in lake_read(spark, path, v_before).collect()
+    } == rows_before
+    assert lake_history(path)[-1]["op"] == "compact"
+    # compacting an already-compacted table is a no-op at the same version
+    assert lake_compact(spark, path, target_files=1) == v_after
+    # vacuum drops the superseded manifests and reclaims the small files
+    deleted = lake_vacuum(path, keep_versions=1, orphan_grace_seconds=0)
+    assert deleted, "superseded small files must be reclaimed"
+    assert {tuple(r) for r in lake_read(spark, path).collect()} == rows_before
+
+
+def test_lake_compact_loses_commit_race(spark, tmp_path, monkeypatch):
+    """A rival commit that lands between compaction's read of the
+    current version and its manifest publish must make the compaction
+    FAIL (single-winner O_EXCL), never silently drop the rival's
+    files. Simulated by pinning compaction's version read to the stale
+    value while the rival publishes the next version for real."""
+    import json
+
+    from cours_datalake_dwh_td_kafka_spark import lake
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_compact
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        lake_commit(_df(spark, [(i, "x")]), path)
+    # rival lands v4 AFTER compaction (below) reads "current = 3"
+    mdir = os.path.join(path, "_manifests")
+    rival = {"version": 4, "op": "append", "files": []}
+    with open(os.path.join(mdir, "v4.json"), "w") as f:
+        json.dump(rival, f)
+    monkeypatch.setattr(lake, "current_version", lambda p: 3)
+    with pytest.raises(FileExistsError):
+        lake_compact(spark, path)

@@ -1136,3 +1136,74 @@ def test_lambda_architecture_end_to_end(spark, stream_dir, tmp_path):
     truth = enrich_alerts(truth_src).select(*cols)
 
     assert per_city(serving) == per_city(truth)
+
+
+def test_trending_topk_restart_from_checkpoint(spark, stream_dir, tmp_path):
+    """The r5 trending board under the reference's restart discipline
+    (T4): kill the query after the first window's batches commit, land
+    MORE data (late rows for the same window plus a new window),
+    restart from the SAME checkpoint — the resumed aggregate must fold
+    old state + new rows exactly once, so the final board is identical
+    to a batch recompute over everything (KAFKA exos §5's complete-mode
+    windowed count, with durability added)."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        rank_topk_snapshot,
+        trending_topk,
+    )
+
+    out_dir = str(tmp_path / "board")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, batch_id):
+        rank_topk_snapshot(batch_df, k=3).write.mode("overwrite").parquet(
+            out_dir
+        )
+
+    def run_once():
+        enriched = enrich_alerts(_read_stream(spark, stream_dir))
+        counts = trending_topk(enriched, window="5 minutes")
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = _rows(0, 3, city="Paris") + _rows(0, 2, city="Lyon")
+    _write_batch(stream_dir, b1, "b0")
+    run_once()  # first life: window-1 partial counts committed
+
+    first_board = {
+        (r.window_start, r.city, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert first_board, "first life produced no board"
+
+    # second life input: LATE rows for window 1 + a fresh window
+    b2 = _rows(0, 2, city="Lyon") + _rows(0, 1, city="Nice")
+    b3 = _rows(10, 2, city="Brest")
+    _write_batch(stream_dir, b2, "b1")
+    _write_batch(stream_dir, b3, "b2")
+    run_once()  # restart from checkpoint — must NOT re-count b0
+
+    got = {
+        (r.window_start, r.city, r.n_events, r.rank)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2 + b3], RAW_SCHEMA
+    )
+    bcounts = trending_topk(
+        enrich_alerts(batch), window="5 minutes", watermark=None
+    )
+    want = {
+        (r.window_start, r.city, r.n_events, r.rank)
+        for r in rank_topk_snapshot(bcounts, k=3).collect()
+    }
+    assert got == want
+    # the restart MOVED the board (Lyon 2 -> 4 overtakes Paris 3): state
+    # was resumed, not reset, and b0 was not double-counted
+    lyon = {t for t in got if t[1] == "Lyon"}
+    assert any(n == 4 for (_, _, n, _) in lyon), got
