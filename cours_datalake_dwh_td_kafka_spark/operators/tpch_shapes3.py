@@ -112,7 +112,9 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_type")
     return (
         eligible.join(
-            best.withColumnRenamed("l_partkey", "b_partkey"),
+            # per-part minima are dimension-sized (one row per part) —
+            # broadcast the join-back instead of sort-merging offers
+            F.broadcast(best.withColumnRenamed("l_partkey", "b_partkey")),
             (F.col("l_partkey") == F.col("b_partkey"))
             & (F.col("unit_cost") == F.col("min_cost")),
         )
@@ -193,10 +195,10 @@ _DELAY_SQL = """
                 WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
                 THEN '31-90'
                 ELSE '90+' END AS delay_bucket,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1 ORDER BY delay_bucket
 """
@@ -227,8 +229,12 @@ def q_shipping_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(bucket.alias("delay_bucket"))
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
         )
         .orderBy("delay_bucket")
     )
