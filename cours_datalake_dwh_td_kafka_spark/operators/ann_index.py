@@ -359,6 +359,11 @@ def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_drift_idx_{tag}"
     )
-    return ann_index_drift(
+    out = ann_index_drift(
         spark, load_table(spark, sf_dir, "embeddings"), path
     )
+    # each call rebuilds the snapshot index (atomic swap) — reclaim
+    # superseded version dirs past the grace window so repeated bench/
+    # driver runs don't accumulate residue in the temp dir
+    vacuum_index(path, grace_seconds=3600)
+    return out

@@ -1861,7 +1861,8 @@ def _dequantize_blocks(quant, h: int, w: int):
 
 JPEG_SCHEMA = (
     "doc_id BIGINT, width BIGINT, height BIGINT, n_blocks BIGINT, "
-    "lossless_ok BOOLEAN, stuffing_ok BOOLEAN, psnr_ok BOOLEAN"
+    "jfif_ok BOOLEAN, lossless_ok BOOLEAN, stuffing_ok BOOLEAN, "
+    "psnr_ok BOOLEAN"
 )
 
 _JPEG_SQL = f"""
@@ -1870,6 +1871,7 @@ _JPEG_SQL = f"""
            CAST(length(text) // {DCT_W} // 8 * 8 AS BIGINT) AS height,
            CAST((length(text) // {DCT_W} // 8) * ({DCT_W} // 8)
                 AS BIGINT) AS n_blocks,
+           TRUE AS jfif_ok,
            TRUE AS lossless_ok,
            TRUE AS stuffing_ok,
            TRUE AS psnr_ok
@@ -1880,16 +1882,20 @@ _JPEG_SQL = f"""
 
 
 def jpeg_codec_stats(d: DataFrame, width: int = DCT_W) -> DataFrame:
-    """documents -> grayscale grid -> FULL baseline-JPEG pipeline:
+    """documents -> grayscale grid -> COMPLETE baseline-JPEG file:
     quantized DCT blocks -> zigzag + DC-diff + run-length Huffman
-    bitstream (Annex K tables, 0xFF stuffing) -> decode all the way
-    back. Hashed guarantees: the entropy layer is LOSSLESS
-    (decoded quantized coefficients match bit-exactly), the stream is
-    stuffing-clean (every 0xFF is followed by 0x00), and the lossy
-    half keeps the {DCT_PSNR_FLOOR_DB} dB PSNR floor of the DCT core.
-    Container facts (dims, block count) are spec arithmetic the oracle
-    recomputes; the encoded byte count is this codec's own choice and
-    stays OFF the hash path (the PNG lesson)."""
+    bitstream (Annex K tables, 0xFF stuffing) -> JFIF marker segments
+    (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) -> a byte stream any JPEG reader
+    opens -> decoded all the way back by the SELF-DESCRIBING parser
+    (tables rebuilt from the container bytes, not module constants).
+    Hashed guarantees: the container walk succeeds and its parsed
+    quantized coefficients match the encoder's input bit-exactly
+    (``jfif_ok``), the bare entropy layer is LOSSLESS (``lossless_ok``),
+    the scan is stuffing-clean, and the lossy half keeps the
+    {DCT_PSNR_FLOOR_DB} dB PSNR floor of the DCT core. Container facts
+    (dims, block count) are spec arithmetic the oracle recomputes; the
+    encoded byte count is this codec's own choice and stays OFF the
+    hash path (the PNG lesson)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -1898,7 +1904,7 @@ def jpeg_codec_stats(d: DataFrame, width: int = DCT_W) -> DataFrame:
 
         cols = [
             "doc_id", "width", "height", "n_blocks",
-            "lossless_ok", "stuffing_ok", "psnr_ok",
+            "jfif_ok", "lossless_ok", "stuffing_ok", "psnr_ok",
         ]
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in cols}
@@ -1917,7 +1923,13 @@ def jpeg_codec_stats(d: DataFrame, width: int = DCT_W) -> DataFrame:
                     for i in range(len(stream) - 1)
                     if stream[i] == 0xFF
                 ) and stream[-1] != 0xFF
-                dec = _dequantize_blocks(back, h, width)
+                jfif = encode_jfif(src)
+                dec, jf_quant = decode_jfif(jfif)
+                jfif_ok = bool(
+                    jfif[:2] == b"\xff\xd8"
+                    and jfif[-2:] == b"\xff\xd9"
+                    and np.array_equal(jf_quant, quant)
+                )
                 mse = float(
                     np.mean(
                         (src.astype(np.float64) - dec.astype(np.float64))
@@ -1933,6 +1945,7 @@ def jpeg_codec_stats(d: DataFrame, width: int = DCT_W) -> DataFrame:
                 rows["width"].append(width)
                 rows["height"].append(h)
                 rows["n_blocks"].append(int(quant.shape[0]))
+                rows["jfif_ok"].append(jfif_ok)
                 rows["lossless_ok"].append(lossless)
                 rows["stuffing_ok"].append(bool(stuffing))
                 rows["psnr_ok"].append(psnr >= DCT_PSNR_FLOOR_DB)
@@ -1947,3 +1960,147 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_codec_stats(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# JFIF container: the marker-segment walk that makes the entropy stream
+# a REAL baseline JPEG file (ITU T.81 Annex B) — SOI, APP0/JFIF, DQT
+# (zigzag), SOF0, the two DHT segments, SOS, entropy data, EOI. The
+# decoder below is fully self-describing: it rebuilds the quantization
+# and Huffman tables FROM THE PARSED SEGMENTS, not from this module's
+# constants, so a wrong byte anywhere in the container breaks decode.
+# ---------------------------------------------------------------------------
+
+
+def encode_jfif(gray) -> bytes:
+    """(h, w) uint8 grayscale (multiples of 8) -> complete baseline
+    JFIF/JPEG byte stream (single component, Annex K tables)."""
+    import struct
+
+    quant = _quantize_blocks(gray)
+    h, w = gray.shape
+    zz = _zigzag_order()
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 "JFIF", version 1.1, no density units, no thumbnail
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT: Pq=0 (8-bit), Tq=0, 64 bytes in zigzag order
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        _JPEG_QTABLE[i][j] for i, j in zz
+    )
+    # SOF0: 8-bit precision, dims, 1 component (id 1, 1x1 sampling, Tq 0)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes((1, 0x11, 0))
+    # DHT: DC (class 0, id 0) then AC (class 1, id 0)
+    for cls, bits, vals in (
+        (0x00, _DC_BITS, _DC_VALS),
+        (0x10, _AC_BITS, _AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([cls]) + bytes(bits) + bytes(vals)
+    # SOS: 1 component, DC/AC table 0, full spectral selection
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+        (1, 0x00, 0, 63, 0)
+    )
+    out += jpeg_entropy_encode(quant)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jfif(payload: bytes):
+    """Parse a single-component baseline JFIF stream produced by
+    :func:`encode_jfif` back to ((h, w) uint8 image, quantized coeff
+    array) using ONLY the tables carried in the container."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos = 2
+    qtable = None
+    dims = None
+    huff: dict[int, dict] = {}
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            if body[0] != 0x00:
+                raise ValueError("only 8-bit table 0 supported")
+            zz = _zigzag_order()
+            qtable = np.zeros((8, 8), dtype=np.int64)
+            for k, (i, j) in enumerate(zz):
+                qtable[i][j] = body[1 + k]
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("single-component 8-bit only")
+            dims = (h, w)
+        elif marker == 0xC4:  # DHT
+            cls = body[0]
+            bits = tuple(body[1:17])
+            vals = tuple(body[17 : 17 + sum(bits)])
+            huff[cls] = {
+                (ln, code): sym
+                for sym, (code, ln) in _canonical_codes(bits, vals).items()
+            }
+        elif marker == 0xDA:  # SOS — entropy data follows until EOI
+            if len(payload) < 2 or payload[-2:] != b"\xff\xd9":
+                raise ValueError("missing EOI")
+            scan = payload[pos + seglen : -2]
+            pos = len(payload)
+            continue
+        pos += seglen
+    if qtable is None or dims is None or scan is None or 0x00 not in huff:
+        raise ValueError("incomplete JFIF stream")
+    h, w = dims
+    n_blocks = (h // 8) * (w // 8)
+
+    # entropy decode with the PARSED tables (self-describing round-trip)
+    zz = _zigzag_order()
+    r = _BitReader(scan)
+
+    def read_symbol(table):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | r.take(1)
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code")
+
+    quant = np.zeros((n_blocks, DCT_BLOCK, DCT_BLOCK), dtype=np.int16)
+    prev_dc = 0
+    for b in range(n_blocks):
+        seq = [0] * 64
+        s = read_symbol(huff[0x00])
+        prev_dc += _amplitude_value(s, r.take(s) if s else 0)
+        seq[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = read_symbol(huff[0x10])
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            k += sym >> 4
+            s = sym & 0x0F
+            seq[k] = _amplitude_value(s, r.take(s))
+            k += 1
+        for idx, (i, j) in enumerate(zz):
+            quant[b, i, j] = seq[idx]
+
+    # dequantize + IDCT with the PARSED quant table
+    m = _dct_matrix()
+    qb = quant.astype(np.float64).reshape(h // 8, w // 8, 8, 8)
+    blocks = np.einsum("ij,abjk,kl->abil", m.T, qb * qtable, m)
+    g = blocks.transpose(0, 2, 1, 3).reshape(h, w) + 128.0
+    return np.clip(np.round(g), 0, 255).astype(np.uint8), quant

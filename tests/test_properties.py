@@ -699,3 +699,49 @@ def test_jpeg_entropy_layer_is_lossless_and_stuffed(n_blocks, density, seed):
     assert ac[0x00] == (0b1010, 4)
     assert ac[0xF0][1] == 11
     assert len(ac) == 162
+
+
+@given(
+    hb=st.integers(min_value=1, max_value=3),
+    wb=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jfif_container_roundtrip_and_tamper_detection(hb, wb, seed):
+    """encode_jfif must emit a structurally complete baseline JPEG
+    (SOI/APP0/DQT/SOF0/2xDHT/SOS/EOI) whose SELF-DESCRIBING decode
+    reproduces the quantized coefficients exactly and whose parsed
+    dimensions match; corrupting the DQT segment must CHANGE the
+    decode (the parser reads the container's tables, not the module
+    constants), and truncating the EOI must raise."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        _quantize_blocks,
+        decode_jfif,
+        encode_jfif,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(hb * 8, wb * 8)).astype(np.uint8)
+    payload = encode_jfif(img)
+    assert payload[:4] == b"\xff\xd8\xff\xe0"
+    assert payload[-2:] == b"\xff\xd9"
+    # marker inventory, in order
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in payload
+    dec, quant = decode_jfif(payload)
+    assert dec.shape == img.shape
+    assert np.array_equal(quant, _quantize_blocks(img))
+
+    # tamper: double the first DQT entry -> dequantization must shift
+    dqt_at = payload.index(b"\xff\xdb") + 5  # marker+len+Pq/Tq -> q[0]
+    tampered = bytearray(payload)
+    tampered[dqt_at] = min(255, tampered[dqt_at] * 2)
+    dec2, _ = decode_jfif(bytes(tampered))
+    assert not np.array_equal(dec, dec2), "parser ignored container DQT"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_jfif(payload[:-2])  # EOI gone

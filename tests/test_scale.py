@@ -183,3 +183,41 @@ def test_dense_ids_invariant_to_bucket_count(spark):
             )
         )
         assert got == ref, f"ids changed with n_buckets={buckets}"
+
+
+def test_prefix_sums_invariant_to_bucket_count(spark):
+    """prefix_sums must equal the single-partition global running sum
+    for ANY bucket count (1, fewer-rows-than-buckets, many) — the
+    two-phase offsets cannot depend on where the range bounds fall."""
+    from pyspark.sql import Window as W
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        prefix_sums,
+    )
+
+    c = (
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 7).alias("a"),
+            (F.col("c_custkey") % 3).alias("b"),
+        )
+    )
+    w = W.orderBy("c_custkey").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        (r.c_custkey, r.ca, r.cb)
+        for r in c.select(
+            "c_custkey",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        ).collect()
+    }
+    for buckets in (1, 4, 16, 100_000):
+        got = {
+            (r.c_custkey, r.cum_a, r.cum_b)
+            for r in prefix_sums(
+                c, "c_custkey", {"cum_a": "a", "cum_b": "b"}, buckets
+            ).collect()
+        }
+        assert got == want, f"buckets={buckets}"
