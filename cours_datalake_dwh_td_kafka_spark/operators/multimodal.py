@@ -2104,3 +2104,220 @@ def decode_jfif(payload: bytes):
     blocks = np.einsum("ij,abjk,kl->abil", m.T, qb * qtable, m)
     g = blocks.transpose(0, 2, 1, 3).reshape(h, w) + 128.0
     return np.clip(np.round(g), 0, 255).astype(np.uint8), quant
+
+
+# ---------------------------------------------------------------------------
+# REAL container #2: ISO base media file format (the MP4 family, ISO/IEC
+# 14496-12) — ftyp + mdat + a structurally valid moov/trak/mdia/minf/
+# stbl hierarchy whose SAMPLE TABLE (stsz sizes + stco offsets) indexes
+# the frames. Demux walks the BOX TREE and slices mdat by the parsed
+# sample table — the mechanism real video pipelines use — unlike
+# sample_frames above, which walks concatenated frame headers.
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def mux_bmff(frames: "list[bytes]") -> bytes:
+    """Frame payloads -> a complete ISO-BMFF stream: ``ftyp`` (isom),
+    ``mdat`` carrying the concatenated samples, and ``moov`` with the
+    full stbl chain — ``stsd`` (one 'raw ' entry), ``stts`` (uniform
+    deltas), ``stsc`` (one sample per chunk), ``stsz`` (per-sample
+    sizes), ``stco`` (absolute chunk offsets). mdat precedes moov (the
+    streaming-unfriendly but offset-simple layout), so stco offsets are
+    exact file positions."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat_body = b"".join(frames)
+    mdat = _box(b"mdat", mdat_body)
+    base = len(ftyp) + 8  # first sample's absolute offset
+    offsets = []
+    pos = base
+    for f in frames:
+        offsets.append(pos)
+        pos += len(f)
+    n = len(frames)
+    full = struct.pack(">I", 0)  # version 0 + zero flags
+    stsd = _box(
+        b"stsd",
+        full
+        + struct.pack(">I", 1)
+        + _box(b"raw ", struct.pack(">6xH", 1)),
+    )
+    stts = _box(b"stts", full + struct.pack(">III", 1, n, 1))
+    stsc = _box(b"stsc", full + struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _box(
+        b"stsz",
+        full
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _box(
+        b"stco",
+        full
+        + struct.pack(">I", n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad box size {size} at {pos}")
+        yield btype, pos + 8, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("trailing bytes after last box")
+
+
+def demux_bmff(payload: bytes) -> "list[bytes]":
+    """Parse the box tree, locate stbl through the moov hierarchy, and
+    slice the samples out of the file by the PARSED stsz/stco tables.
+    Raises on any structural violation (unknown top-level layout,
+    stsz/stco disagreement, offsets outside mdat)."""
+    import struct
+
+    tops = {
+        bytes(t): (s, e) for t, s, e in _walk_boxes(payload, 0, len(payload))
+    }
+    if b"ftyp" not in tops or b"mdat" not in tops or b"moov" not in tops:
+        raise ValueError("missing required top-level box")
+    container_chain = (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+    s, e = tops[b"moov"]
+    for child in container_chain[1:]:
+        found = {bytes(t): (cs, ce) for t, cs, ce in _walk_boxes(payload, s, e)}
+        if child not in found:
+            raise ValueError(f"missing {child!r}")
+        s, e = found[child]
+    stbl = {bytes(t): (cs, ce) for t, cs, ce in _walk_boxes(payload, s, e)}
+    for req in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+        if req not in stbl:
+            raise ValueError(f"missing {req!r}")
+    zs, ze = stbl[b"stsz"]
+    (fixed, n) = struct.unpack(">II", payload[zs + 4 : zs + 12])
+    if fixed != 0:
+        raise ValueError("fixed-size samples unsupported")
+    sizes = struct.unpack(f">{n}I", payload[zs + 12 : zs + 12 + 4 * n])
+    cs, ce = stbl[b"stco"]
+    (cn,) = struct.unpack(">I", payload[cs + 4 : cs + 8])
+    if cn != n:
+        raise ValueError("stsz/stco sample count mismatch")
+    offsets = struct.unpack(f">{n}I", payload[cs + 8 : cs + 8 + 4 * n])
+    ms, me = tops[b"mdat"]
+    frames = []
+    for off, size in zip(offsets, sizes):
+        if off < ms or off + size > me:
+            raise ValueError("sample outside mdat")
+        frames.append(payload[off : off + size])
+    return frames
+
+
+_MP4_SQL = f"""
+    WITH v AS (
+      SELECT doc_id, text, length(text) // {FRAME_SIZE} AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2 AND length(text) >= {FRAME_SIZE}
+    ),
+    f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+      FROM v
+    ),
+    b AS (
+      SELECT doc_id, frame_idx,
+             ord(substr(text,
+                 CAST(frame_idx * {FRAME_SIZE} + i AS INT), 1)) AS byte
+      FROM f, unnest(generate_series(1, {FRAME_SIZE})) AS t(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST({FRAME_BMP_BYTES} AS BIGINT) AS frame_len,
+           CAST(SUM(byte) AS BIGINT) AS px_sum,
+           CAST(MIN(byte) AS BIGINT) AS px_min,
+           CAST(MAX(byte) AS BIGINT) AS px_max,
+           TRUE AS box_walk_ok
+    FROM b
+    GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+"""
+
+MP4_SCHEMA = (
+    "doc_id BIGINT, frame_idx BIGINT, frame_len BIGINT, px_sum BIGINT, "
+    "px_min BIGINT, px_max BIGINT, box_walk_ok BOOLEAN"
+)
+
+
+def mp4_demux_stats(d: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video docs -> BMP frames muxed into a REAL ISO-BMFF container ->
+    demux via the PARSED sample table (never the frame headers) -> keep
+    every ``every_n``-th frame, decode, pixel stats. The stats hash-pin
+    the whole chain against the oracle's direct byte arithmetic: a
+    wrong stco offset, an off-by-one stsz size, or a broken box walk
+    shifts a pixel and flips the hash. ``box_walk_ok`` additionally
+    pins that every demuxed sample byte-equals its source frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [
+            "doc_id", "frame_idx", "frame_len", "px_sum",
+            "px_min", "px_max", "box_walk_ok",
+        ]
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n_frames = int(b.size) // FRAME_SIZE
+                if n_frames == 0:
+                    continue
+                frames = [
+                    encode_bmp24(
+                        b[f * FRAME_SIZE : (f + 1) * FRAME_SIZE].reshape(
+                            FRAME_H, FRAME_W, 3
+                        )
+                    )
+                    for f in range(n_frames)
+                ]
+                payload = mux_bmff(frames)
+                out = demux_bmff(payload)
+                ok = len(out) == len(frames) and all(
+                    a == b_ for a, b_ in zip(out, frames)
+                )
+                for fi in range(0, n_frames, every_n):
+                    a = decode_bmp24(out[fi]).astype(np.int64)
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(fi)
+                    rows["frame_len"].append(len(out[fi]))
+                    rows["px_sum"].append(int(a.sum()))
+                    rows["px_min"].append(int(a.min()))
+                    rows["px_max"].append(int(a.max()))
+                    rows["box_walk_ok"].append(bool(ok))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "text").mapInPandas(run, MP4_SCHEMA)
+
+
+@register("multimodal_mp4_demux", _MP4_SQL)
+def q_multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 3 == 2)
+        & (F.length("text") >= FRAME_SIZE)
+    )
+    return mp4_demux_stats(docs).orderBy("doc_id", "frame_idx")

@@ -116,6 +116,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "where_sql_string",
     "window_lag_delta",
     "stratified_sample",
+    # -- new this round, past the ~50-row cap: first in line for the r7
+    #    window (local parity suite covers it on current code) ---------
+    "multimodal_mp4_demux",
 )
 
 

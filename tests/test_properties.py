@@ -745,3 +745,50 @@ def test_jfif_container_roundtrip_and_tamper_detection(hb, wb, seed):
 
     with _pytest.raises(ValueError):
         decode_jfif(payload[:-2])  # EOI gone
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_bmff_mux_demux_roundtrip_and_validation(n_frames, seed):
+    """The ISO-BMFF mux/demux pair: every sample round-trips byte-exact
+    through the parsed stsz/stco tables; a corrupted chunk offset, a
+    sample-count mismatch, and a missing stbl child all raise instead
+    of returning wrong frames."""
+    import struct
+
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        demux_bmff,
+        mux_bmff,
+    )
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.bytes(int(rng.randint(5, 60))) for _ in range(n_frames)
+    ]
+    payload = mux_bmff(frames)
+    assert payload[4:8] == b"ftyp"
+    assert demux_bmff(payload) == frames
+
+    import pytest as _pytest
+
+    # corrupt the first stco offset -> sample lands outside mdat
+    at = payload.rindex(b"stco") + 4 + 4 + 4  # type+fullbox+count
+    bad = bytearray(payload)
+    bad[at : at + 4] = struct.pack(">I", len(payload) + 50)
+    with _pytest.raises(ValueError):
+        demux_bmff(bytes(bad))
+
+    # shrink the stco entry count -> stsz/stco disagreement
+    bad2 = bytearray(payload)
+    bad2[at - 4 : at] = struct.pack(">I", n_frames + 1)
+    with _pytest.raises(ValueError):
+        demux_bmff(bytes(bad2))
+
+    # truncating moov's tail breaks the box walk
+    with _pytest.raises(ValueError):
+        demux_bmff(payload[:-1])
