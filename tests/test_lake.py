@@ -264,3 +264,37 @@ def test_lake_compact_loses_commit_race(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(lake, "current_version", lambda p: 3)
     with pytest.raises(FileExistsError):
         lake_compact(spark, path)
+
+
+def test_graftlake_python_datasource(spark, tmp_path):
+    """The Spark-4 Python DataSource surface: spark.read.format
+    ('graftlake') resolves the manifest inside the engine's own planning
+    contract — latest snapshot by default, option('version', n) time
+    travel, one scan partition per committed file."""
+    pytest.importorskip("pyspark.sql.datasource")
+    from cours_datalake_dwh_td_kafka_spark.sources.lake_source import (
+        register_lake_source,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(_df(spark, [(1, "a"), (2, "b")]), path)
+    lake_commit(_df(spark, [(3, "c")]), path)
+    assert register_lake_source(spark)
+
+    latest = spark.read.format("graftlake").option("path", path).load()
+    assert {tuple(r) for r in latest.collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    v1 = (
+        spark.read.format("graftlake")
+        .option("path", path)
+        .option("version", 1)
+        .load()
+    )
+    assert {tuple(r) for r in v1.collect()} == {(1, "a"), (2, "b")}
+    # agrees with the manifest-resolving reader on the same snapshot
+    assert {tuple(r) for r in lake_read(spark, path).collect()} == {
+        tuple(r) for r in latest.collect()
+    }
