@@ -723,7 +723,11 @@ def test_jfif_container_roundtrip_and_tamper_detection(hb, wb, seed):
     )
 
     rng = np.random.RandomState(seed)
-    img = rng.randint(0, 256, size=(hb * 8, wb * 8)).astype(np.uint8)
+    # bright image: block means sit far above 128, so every block's
+    # quantized DC coefficient is NONZERO and the DQT[0] tamper below
+    # must move the reconstruction (a mid-gray image can quantize every
+    # DC to 0, making the tamper legitimately invisible)
+    img = rng.randint(192, 256, size=(hb * 8, wb * 8)).astype(np.uint8)
     payload = encode_jfif(img)
     assert payload[:4] == b"\xff\xd8\xff\xe0"
     assert payload[-2:] == b"\xff\xd9"
