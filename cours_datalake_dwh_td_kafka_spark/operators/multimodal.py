@@ -1916,19 +1916,21 @@ def jpeg_codec_stats(d: DataFrame, width: int = DCT_W) -> DataFrame:
                 src = b[: h * width].reshape(h, width)
                 quant = _quantize_blocks(src)
                 stream = jpeg_entropy_encode(quant)
-                back = jpeg_entropy_decode(stream, quant.shape[0])
-                lossless = bool(np.array_equal(quant, back))
                 stuffing = all(
                     stream[i + 1] == 0x00
                     for i in range(len(stream) - 1)
                     if stream[i] == 0xFF
                 ) and stream[-1] != 0xFF
-                jfif = encode_jfif(src)
+                # ONE decode serves both checks: the self-describing
+                # parse of the real file covers the bare entropy layer
+                # (same scan bytes) — no duplicate entropy pass
+                jfif = jfif_wrap(stream, h, width)
                 dec, jf_quant = decode_jfif(jfif)
+                lossless = bool(np.array_equal(quant, jf_quant))
                 jfif_ok = bool(
                     jfif[:2] == b"\xff\xd8"
                     and jfif[-2:] == b"\xff\xd9"
-                    and np.array_equal(jf_quant, quant)
+                    and dec.shape == (h, width)
                 )
                 mse = float(
                     np.mean(
@@ -1975,10 +1977,17 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def encode_jfif(gray) -> bytes:
     """(h, w) uint8 grayscale (multiples of 8) -> complete baseline
     JFIF/JPEG byte stream (single component, Annex K tables)."""
-    import struct
-
     quant = _quantize_blocks(gray)
     h, w = gray.shape
+    return jfif_wrap(jpeg_entropy_encode(quant), h, w)
+
+
+def jfif_wrap(scan: bytes, h: int, w: int) -> bytes:
+    """Wrap an already-entropy-coded scan in the JFIF marker segments —
+    the container half of :func:`encode_jfif`, split out so callers
+    that already hold the scan don't re-run the entropy loop."""
+    import struct
+
     zz = _zigzag_order()
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 "JFIF", version 1.1, no density units, no thumbnail
@@ -2003,7 +2012,7 @@ def encode_jfif(gray) -> bytes:
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
         (1, 0x00, 0, 63, 0)
     )
-    out += jpeg_entropy_encode(quant)
+    out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
