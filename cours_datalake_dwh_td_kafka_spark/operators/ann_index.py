@@ -292,12 +292,18 @@ def ann_index_drift(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     snapshot = emb_d.where(F.col("vec_id") % 2 == 0)
-    build_ivf_index(
-        snapshot.select(
-            "vec_id", F.col("emb").alias("embedding")
-        ),
-        index_path,
-    )
+    # the SERVED index is the pre-existing epoch-0 snapshot — build it
+    # only when absent (its content is deterministic per corpus, so an
+    # existing CURRENT is exactly the index a prior epoch published;
+    # rebuilding per probe would contradict the staleness story and
+    # triple the monitor's cost)
+    if not os.path.exists(os.path.join(index_path, "CURRENT")):
+        build_ivf_index(
+            snapshot.select(
+                "vec_id", F.col("emb").alias("embedding")
+            ),
+            index_path,
+        )
     q = emb_d.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "emb"
     )
@@ -355,7 +361,9 @@ def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # format tag in the path: an index published by an older layout is
+    # never reused after a code change — it just builds fresh beside it
+    tag = hashlib.md5(f"{sf_dir}|fmt1".encode()).hexdigest()[:10]
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_drift_idx_{tag}"
     )
