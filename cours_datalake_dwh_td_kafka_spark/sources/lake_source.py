@@ -14,8 +14,10 @@ lake_read, now enforced by the engine's own planning contract).
 Scale notes: partitions() returns file-level splits (the lake writes
 bounded-size files, so no further splitting is needed at this layer);
 read() streams pyarrow RECORD BATCHES, the Arrow fast path — rows never
-materialize in Python. Filters are accepted but not pushed (pushFilters
-default): Spark applies them post-scan; the lake's z-order/bucket
+materialize in Python. With ``option("pushdown", "true")``, =/> filters
+push into pyarrow row-group pruning (opt-in — see
+LakeDataSourceReader.pushFilters for the shared-DataFrame caveat);
+otherwise Spark applies them post-scan and the lake's z-order/bucket
 levers (io.py) remain the pruning mechanism.
 """
 
@@ -54,8 +56,49 @@ class _LakeFilePartition(InputPartition):
 
 
 class LakeDataSourceReader(DataSourceReader):
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], pushdown: bool = False):
         self._files = files
+        self._pushdown = pushdown
+        self._pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        """With option('pushdown', 'true'): consume EqualTo/GreaterThan
+        on top-level columns — they translate 1:1 to pyarrow read
+        filters, which prune parquet ROW GROUPS by footer min/max
+        before any page decodes (the mechanism Spark's native scan
+        uses, reached through the Python DataSource seam; pyarrow
+        applies them exactly row-level, so consumed filters need no
+        Spark re-evaluation).
+
+        OFF by default, deliberately: the planning worker caches ONE
+        reader per loaded DataFrame and re-plans it only when a query
+        has pushable filters, so a filter consumed by query 1 would
+        silently keep pruning a later filterless query on the SAME
+        DataFrame object (verified empirically; neither pushFilters nor
+        partitions is re-invoked for the later query). Enable it for
+        the load-filter-once ETL pattern; leave it off for a shared
+        DataFrame handle."""
+        try:  # Filter classes exist only on PySpark >= 4.1
+            from pyspark.sql.datasource import EqualTo, GreaterThan
+        except ImportError:  # pragma: no cover
+            yield from filters
+            return
+        if not self._pushdown:
+            yield from filters
+            return
+        self._pushed = []
+        for f in filters:
+            op = (
+                "=="
+                if isinstance(f, EqualTo)
+                else ">"
+                if isinstance(f, GreaterThan)
+                else None
+            )
+            if op is not None and len(f.attribute) == 1:
+                self._pushed.append((f.attribute[0], op, f.value))
+            else:
+                yield f
 
     def partitions(self):
         return [_LakeFilePartition(f) for f in self._files]
@@ -65,7 +108,10 @@ class LakeDataSourceReader(DataSourceReader):
         # parquet file — the zero-copy path the API is designed around
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.file_path)
+        table = pq.read_table(
+            partition.file_path,
+            filters=self._pushed or None,
+        )
         yield from table.to_batches()
 
 
@@ -73,7 +119,10 @@ class LakeDataSource(DataSource):
     """``format("graftlake")``. Options:
 
     - ``path`` (required): lake table root;
-    - ``version`` (optional): snapshot to read (default: latest).
+    - ``version`` (optional): snapshot to read (default: latest);
+    - ``pushdown`` (optional, default false): consume =/> filters into
+      pyarrow row-group pruning — see
+      :meth:`LakeDataSourceReader.pushFilters` for why this is opt-in.
     """
 
     @classmethod
@@ -108,7 +157,8 @@ class LakeDataSource(DataSource):
         return [os.path.join(path, f) for f in m["files"]]
 
     def reader(self, schema) -> LakeDataSourceReader:
-        return LakeDataSourceReader(self._resolve_files())
+        pushdown = self.options.get("pushdown", "false").lower() == "true"
+        return LakeDataSourceReader(self._resolve_files(), pushdown)
 
 
 def register_lake_source(spark) -> bool:
@@ -116,5 +166,11 @@ def register_lake_source(spark) -> bool:
     PySpark < 4 (no Python DataSource API) instead of raising."""
     if not _HAS_DATASOURCE_API:
         return False
+    try:
+        # runtime-settable in Spark 4.1; reader init asserts it when a
+        # pushFilters override is present
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # pragma: no cover - conf locked down
+        pass
     spark.dataSource.register(LakeDataSource)
     return True

@@ -298,3 +298,48 @@ def test_graftlake_python_datasource(spark, tmp_path):
     assert {tuple(r) for r in lake_read(spark, path).collect()} == {
         tuple(r) for r in latest.collect()
     }
+
+
+def test_graftlake_filter_pushdown(spark, tmp_path):
+    """With option('pushdown', 'true'), EqualTo/GreaterThan predicates
+    push through the Python DataSource into pyarrow read filters
+    (row-group pruning) — each load-filter-once pattern gives correct
+    results; OR shapes (not pushable per the API) evaluate Spark-side.
+    With pushdown OFF (the default), filters are never consumed, so a
+    SHARED DataFrame handle stays correct across differently-filtered
+    queries (the planning worker caches one reader per DataFrame —
+    the reason pushdown is opt-in)."""
+    pytest.importorskip("pyspark.sql.datasource")
+    from cours_datalake_dwh_td_kafka_spark.sources.lake_source import (
+        register_lake_source,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], ["id", "val"]
+        ),
+        path,
+    )
+    register_lake_source(spark)
+
+    def load(pushdown):
+        return (
+            spark.read.format("graftlake")
+            .option("path", path)
+            .option("pushdown", "true" if pushdown else "false")
+            .load()
+        )
+
+    # load-filter-once with pushdown: correct for every supported shape
+    assert load(True).filter("id = 7").collect() == [(7, "v7")]
+    assert load(True).filter("id > 95").count() == 4
+    assert load(True).filter("id > 90 AND id = 93").collect() == [
+        (93, "v93")
+    ]
+    assert load(True).filter("id = 3 OR id = 96").count() == 2  # not pushed
+    # default mode: one shared handle, many query shapes — all correct
+    df = load(False)
+    assert df.filter("id = 7").count() == 1
+    assert df.filter("id = 3 OR id = 96").count() == 2
+    assert df.count() == 100
