@@ -985,3 +985,77 @@ def q_topic_model_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return checked.orderBy("topic")
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: doc-ordered n-gram novelty (incremental-crawl freshness)
+# ---------------------------------------------------------------------------
+_NOVELTY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks
+    ),
+    firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN firsts f USING (shingle)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+"""
+
+
+def ngram_novelty(d: DataFrame) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    3-grams whose FIRST occurrence (by doc_id order) is in that doc —
+    the freshness sensor an incremental crawl watches. A feed whose
+    novelty collapses toward 0 is re-crawling what the corpus already
+    has (dedup upstream will soon agree); the corpus-level decay of
+    this curve is exactly the Heaps'-law derivative
+    (:func:`corpus_lm.heaps_law_fit` fits the integral).
+
+    Scale shape — the heaps first-occurrence trick at per-doc grain:
+    distinct (doc, shingle) rows, one shingle-keyed MIN to attribute
+    each shingle to its first doc, one equi-join back, one doc-keyed
+    count. No running sets, no windows; both shuffles key on the
+    shingle (df-skew bounded by distinct-per-doc collapse)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        shingle_rows,
+    )
+
+    sh = shingle_rows(d, n=3, distinct=True).localCheckpoint(
+        eager=False  # feeds the MIN aggregate and the join back
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(
+                novel / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("ngram_novelty", _NOVELTY_SQL)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))

@@ -117,8 +117,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_lag_delta",
     "stratified_sample",
     # -- new this round, past the ~50-row cap: first in line for the r7
-    #    window (local parity suite covers it on current code) ---------
+    #    window (local parity suite covers them on current code) -------
     "multimodal_mp4_demux",
+    "ngram_novelty",
 )
 
 
