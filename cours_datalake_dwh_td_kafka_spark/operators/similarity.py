@@ -942,3 +942,93 @@ def centroid_separation(e: DataFrame) -> DataFrame:
 @register("centroid_separation", _SEPARATION_SQL)
 def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_separation(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: k-NN label agreement — embedding-quality eval as a query
+# ---------------------------------------------------------------------------
+_KNN_LABEL_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, q.label AS true_label, e.vec_id AS neighbor_id,
+             e.label AS n_label,
+             ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]),
+                   6) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, n_label, COUNT(*) AS n_votes
+      FROM ranked WHERE rn <= {TOP_K}
+      GROUP BY query_id, true_label, n_label
+    ),
+    best AS (
+      SELECT query_id, true_label, n_label AS predicted_label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, n_label) AS vr
+      FROM votes
+    )
+    SELECT query_id,
+           CAST(true_label AS INT) AS true_label,
+           CAST(predicted_label AS INT) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           predicted_label = true_label AS correct
+    FROM best WHERE vr = 1
+    ORDER BY query_id
+"""
+
+
+def knn_label_accuracy(e: DataFrame) -> DataFrame:
+    """k-NN majority-vote label prediction over the exact cosine top-k —
+    the standard embedding-quality eval (kNN probe): if an embedding
+    space is any good, a vector's nearest neighbors share its label.
+    Per query: the true label, the top-k majority label (ties break on
+    the smaller label id), the winning vote count, and the verdict —
+    the confusion table a training run tracks per checkpoint.
+
+    Scale shape: neighbor search is the tree-reduced BLAS brute force
+    (:func:`ann_topk_bruteforce` — the same plan the ANN family pins);
+    voting adds two query-keyed aggregations over k·n_queries rows,
+    driver-free. Swap the search stage for :func:`ivf_topk` when the
+    corpus outgrows brute force — the vote half is search-agnostic."""
+    topk = ann_topk_bruteforce(e)
+    labels = e.select("vec_id", "label")
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    nlab = labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "n_label"
+    )
+    votes = (
+        topk.join(F.broadcast(truth), "query_id")
+        .join(F.broadcast(nlab), "neighbor_id")
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("n_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("n_label").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register("knn_label_accuracy", _KNN_LABEL_SQL)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_label_accuracy(load_table(spark, sf_dir, "embeddings"))

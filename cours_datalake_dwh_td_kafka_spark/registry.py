@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    window (local parity suite covers them on current code) -------
     "multimodal_mp4_demux",
     "ngram_novelty",
+    "knn_label_accuracy",
 )
 
 
