@@ -796,3 +796,36 @@ def test_bmff_mux_demux_roundtrip_and_validation(n_frames, seed):
     # truncating moov's tail breaks the box walk
     with _pytest.raises(ValueError):
         demux_bmff(payload[:-1])
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=15, deadline=None)
+def test_bmff_and_header_walk_demux_agree(seed):
+    """The two video-container paths — ISO-BMFF sample-table demux and
+    the concatenated-BMP header walk — must recover the IDENTICAL frame
+    byte sequence from the same frames (two independent mechanisms, one
+    truth)."""
+    import struct
+
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        encode_bmp24,
+        demux_bmff,
+        mux_bmff,
+    )
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        encode_bmp24(rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8))
+        for _ in range(int(rng.randint(1, 8)))
+    ]
+    # header walk over the concatenated payload (sample_frames's walk)
+    payload = b"".join(frames)
+    walked, pos = [], 0
+    while pos + 54 <= len(payload):
+        assert payload[pos : pos + 2] == b"BM"
+        (size,) = struct.unpack("<I", payload[pos + 2 : pos + 6])
+        walked.append(payload[pos : pos + size])
+        pos += size
+    assert walked == demux_bmff(mux_bmff(frames)) == frames
