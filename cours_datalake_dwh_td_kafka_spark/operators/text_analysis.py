@@ -1059,3 +1059,40 @@ def ngram_novelty(d: DataFrame) -> DataFrame:
 @register("ngram_novelty", _NOVELTY_SQL)
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: full declared-vs-detected language confusion matrix
+# ---------------------------------------------------------------------------
+def _lang_confusion_sql() -> str:
+    inner = _lang_sql().replace("ORDER BY doc_id", "")
+    return f"""
+    WITH preds AS ({inner})
+    SELECT lang_actual, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM preds
+    GROUP BY lang_actual, lang_pred
+    ORDER BY lang_actual, lang_pred
+    """
+
+
+def lang_confusion_matrix(d: DataFrame) -> DataFrame:
+    """The full confusion matrix behind lang_mismatch_rate's scalar:
+    per (declared, detected) language pair, the document count — the
+    table that distinguishes 'the detector is weak on zh' from 'feed X
+    mislabels es as fr', which the rate alone cannot.
+
+    Scale shape: the per-doc detector is pure column algebra (marker-
+    word hit counts + argmax, zero UDFs, rides WholeStageCodegen); the
+    matrix is one |langs|^2-group aggregate with map-side partials."""
+    preds = language_id(d)
+    return (
+        preds.groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang_actual", "lang_pred")
+    )
+
+
+@register("lang_confusion_matrix", _lang_confusion_sql())
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_confusion_matrix(load_table(spark, sf_dir, "documents"))

@@ -121,6 +121,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_mp4_demux",
     "ngram_novelty",
     "knn_label_accuracy",
+    "lang_confusion_matrix",
 )
 
 
