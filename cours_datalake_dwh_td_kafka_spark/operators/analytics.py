@@ -630,3 +630,87 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_secs"),
         F.max("secs").cast("bigint").alias("max_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: user-concentration (Lorenz) shares of the event stream
+# ---------------------------------------------------------------------------
+_CONC_TOPS = (0.01, 0.10)
+
+_CONCENTRATION_SQL = f"""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_users, SUM(c) AS n_events FROM per_user
+    ),
+    th AS (
+      SELECT
+        {", ".join(
+            f"CAST(FLOOR(quantile_cont(c, {1 - p})) AS BIGINT) AS th_{i}"
+            for i, p in enumerate(_CONC_TOPS)
+        )}
+      FROM per_user
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {p} AS top_pct,
+           CAST(SUM(CASE WHEN c > th_{i} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_heavy_users,
+           CAST(MAX(n_users) AS BIGINT) AS n_users,
+           ROUND(SUM(CASE WHEN c > th_{i} THEN c ELSE 0 END)
+                 / CAST(MAX(n_events) AS DOUBLE), 6) AS event_share
+        FROM per_user CROSS JOIN tot CROSS JOIN th'''
+        for i, p in enumerate(_CONC_TOPS)
+    )}
+    ORDER BY top_pct
+"""
+
+
+def user_concentration(
+    e: DataFrame, tops: tuple[float, ...] = _CONC_TOPS
+) -> DataFrame:
+    """Lorenz-curve points of the event stream: what share of all
+    events the heaviest ~p of users generate (p = 1%, 10%) — the
+    concentration number that decides whether per-user keys need
+    salting and whether a 'power user' tier exists at all. 'Heaviest
+    p' is threshold semantics (count > FLOOR(percentile(1-p)) — ties
+    at the threshold excluded), so the share is exactly reproducible.
+
+    Scale shape — the rfm_segments recipe on the activity axis: one
+    keyed count collapses events to users, one partial-aggregable
+    percentile pass yields the thresholds (broadcast scalars), and the
+    shares are conditional integer sums — no sort, no window, no rank
+    of the user table."""
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    per_user = per_user.localCheckpoint(eager=False)  # feeds th + shares
+    th = per_user.agg(
+        *[
+            F.floor(F.percentile(F.col("c").cast("double"), F.lit(1 - p)))
+            .cast("bigint")
+            .alias(f"th_{i}")
+            for i, p in enumerate(tops)
+        ]
+    )
+    joined = per_user.crossJoin(F.broadcast(th))
+    out = None
+    for i, p in enumerate(tops):
+        heavy = F.col("c") > F.col(f"th_{i}")
+        row = joined.agg(
+            F.lit(p).alias("top_pct"),
+            F.sum(F.when(heavy, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_heavy_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                F.sum(F.when(heavy, F.col("c")).otherwise(0))
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("event_share"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("top_pct")
+
+
+@register("user_concentration", _CONCENTRATION_SQL)
+def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_concentration(load_table(spark, sf_dir, "events"))

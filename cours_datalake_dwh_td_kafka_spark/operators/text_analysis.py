@@ -1096,3 +1096,67 @@ def lang_confusion_matrix(d: DataFrame) -> DataFrame:
 @register("lang_confusion_matrix", _lang_confusion_sql())
 def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_confusion_matrix(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: character-level Shannon entropy (gibberish/compressibility)
+# ---------------------------------------------------------------------------
+_CHAR_ENTROPY_SQL = f"""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(string_split_regex({NORM_SQL.format(c='text')}, ''))
+               AS ch
+      FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id,
+           CAST(tot.n AS BIGINT) AS n_chars_norm,
+           ROUND(-CAST(SUM(CAST(
+               (cc.c / CAST(tot.n AS DOUBLE))
+               * log2(cc.c / CAST(tot.n AS DOUBLE))
+             AS DECIMAL(28,6))) AS DOUBLE), 6) AS entropy_bits
+    FROM cc JOIN tot USING (doc_id)
+    GROUP BY cc.doc_id, tot.n
+    ORDER BY cc.doc_id
+"""
+
+
+def char_entropy(d: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the normalized character
+    distribution, in bits — the classic compressibility proxy: natural
+    text sits ~3.5-4.5 bits/char, base64/hex blobs push toward
+    log2(alphabet), and single-char spam collapses toward 0. The cheap
+    gibberish gate that needs no model at all (pairs with
+    quality_score's token-level signals).
+
+    Scale shape: explode-first chars -> (doc, char) counts (alphabet-
+    bounded per doc) -> per-doc total -> one join + keyed sum. Per-term
+    contributions round through DECIMAL(28,6) before summing (the
+    unigram_logprob discipline), so partial order can't move the 6-dp
+    value."""
+    chars = d.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), "")).alias("ch")
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    term = (p * F.log2(p)).cast("decimal(28,6)")
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(term).cast("double"), 6).alias("entropy_bits"))
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars_norm"),
+            "entropy_bits",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("char_entropy", _CHAR_ENTROPY_SQL)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy(load_table(spark, sf_dir, "documents"))

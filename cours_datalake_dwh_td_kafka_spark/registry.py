@@ -122,6 +122,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_novelty",
     "knn_label_accuracy",
     "lang_confusion_matrix",
+    "char_entropy",
+    "user_concentration",
 )
 
 
