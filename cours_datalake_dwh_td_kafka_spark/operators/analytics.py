@@ -714,3 +714,71 @@ def user_concentration(
 @register("user_concentration", _CONCENTRATION_SQL)
 def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_concentration(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: first-order Markov transition matrix of user event types
+# ---------------------------------------------------------------------------
+_MARKOV_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    rowtot AS (
+      SELECT from_type, SUM(n) AS tot FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           ROUND(t.n / CAST(r.tot AS DOUBLE), 6) AS prob
+    FROM trans t JOIN rowtot r USING (from_type)
+    ORDER BY from_type, to_type
+"""
+
+
+def event_markov_matrix(e: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences: P(next = b | current = a), with counts — the behavioral
+    fingerprint funnels summarize away (a purchase->error hot cell is
+    a product bug; a view->view diagonal near 1 is a crawler). Also the
+    input a sequence-model sanity check starts from.
+
+    Scale shape: the LAG window partitions by user (the same per-key
+    window discipline as sessionization — never a global sort), then
+    two small keyed aggregates over |types|^2 rows. Probabilities are
+    integer-count ratios rounded once — engine-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rowtot = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(rowtot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias(
+                "prob"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register("event_markov_matrix", _MARKOV_SQL)
+def q_event_markov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_markov_matrix(load_table(spark, sf_dir, "events"))

@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lang_confusion_matrix",
     "char_entropy",
     "user_concentration",
+    "event_markov_matrix",
 )
 
 
