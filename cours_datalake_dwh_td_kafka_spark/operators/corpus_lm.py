@@ -360,11 +360,15 @@ def vocab_coverage(
     (count-desc, tok tiebreak) — the first number a tokenizer team asks
     for when sizing a vocab against a new corpus.
 
-    Scale shape: ONE tokenization -> type-frequency table (vocab-sized),
-    a single-partition rank/cumsum window over the VOCAB (not the
-    corpus; for web-scale vocabularies switch to the two-phase dense-id
-    recipe), and a broadcast scalar total. Integer counts -> exact
-    cumulative sums; one divide + round at output."""
+    Scale shape: ONE tokenization -> type-frequency table, then
+    limit-first (TakeOrderedAndProject per-partition heaps) down to the
+    max(sizes) most frequent types BEFORE any window — coverage is only
+    ever read at rnk <= max(sizes), so the rank/cumsum window runs over
+    a constant-bounded input (max(sizes) rows), never the full
+    vocabulary (which is ~1e8+ types at 100 TB by Heaps' law). The
+    corpus total is a separate full-freq aggregate riding one broadcast
+    scalar row. Integer counts -> exact cumulative sums; one divide +
+    round at output."""
     toks = d.select(
         F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
     )
@@ -376,11 +380,14 @@ def vocab_coverage(
         .localCheckpoint(eager=False)
     )
     tot = freq.agg(F.sum("cnt").alias("n_corpus"))
+    # limit-first (zipf pattern): bound the window input by the constant
+    # max(sizes) so the full vocabulary never funnels into one task
+    top = freq.orderBy(F.desc("cnt"), "tok").limit(max(sizes))
     w = Window.orderBy(F.desc("cnt"), "tok")
     cum = Window.orderBy(F.desc("cnt"), "tok").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = freq.select(
+    ranked = top.select(
         F.row_number().over(w).alias("rnk"),
         F.sum("cnt").over(cum).alias("cum"),
     )

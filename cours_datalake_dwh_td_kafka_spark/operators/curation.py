@@ -256,20 +256,35 @@ def domain_mix_weights(d: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
     """Per-source sampling weights w_s = tokens_s^alpha / sum(tokens^alpha)
     — the temperature-scaled multinomial mix (alpha=1 proportional,
     alpha->0 uniform) every multi-domain pretraining run tunes. One
-    aggregate to sources (tiny) + one unpartitioned window over it."""
+    aggregate to sources + a broadcast scalar normalizer — NO window at
+    all: the empty-partitionBy sum would funnel every source row
+    through one task (harmless at 20 sources, a one-task sort at a
+    many-thousand-domain web crawl), and the scalar-agg + crossJoin
+    form is plan-provably bounded for the global-window gate."""
     toks = F.size(F.split(norm_text(F.col("text")), " ")).cast("long")
-    per = d.select("source", toks.alias("t")).groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens")
+    per = (
+        d.select("source", toks.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+        )
+        # feeds the normalizer AND the output: one materialization so
+        # the corpus-scale tokenization doesn't run twice
+        .localCheckpoint(eager=False)
     )
     powed = F.pow(F.col("n_tokens"), F.lit(alpha))
-    return per.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(
-            powed / F.sum(powed).over(Window.partitionBy()), 6
-        ).alias("mix_weight"),
-    ).orderBy("source")
+    tot = per.agg(F.sum(powed).alias("_tot_pow"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(powed / F.col("_tot_pow"), 6).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
 
 
 @register("domain_mix_weights", _MIX_SQL)

@@ -762,10 +762,11 @@ def bm25_search(
     Scale shape: the term filter lands in the explode stage, so only
     query-term occurrences leave the scan (the posting list, not the
     corpus); tf/df are two keyed aggregates over it; N and avg doc
-    length ride one broadcast scalar row. The final top-n is a single
-    unpartitioned row_number — over docs MATCHING the query, not the
-    corpus; for fat queries swap in the partial-top-k pattern from
-    :func:`~..similarity.ann_topk_bruteforce`. Ranking compares the
+    length ride one broadcast scalar row. The final top-n is limit-first
+    (TakeOrderedAndProject: per-partition heaps, no single-partition
+    sort of all matching docs); only the top_n survivors pass through
+    the rank window, so the window input is constant-bounded no matter
+    how fat the query gets. Ranking compares the
     round-6 score (ties by doc_id) so engine libm ulp noise can't
     reorder; per-term scores are summed as DECIMAL(28,6) (the repo's
     dec_sum discipline) so partial-aggregation ORDER can't shift the
@@ -815,11 +816,19 @@ def bm25_search(
             ).alias("bm25")
         )
     )
+    # limit-first top-k (zipf pattern, corpus_lm.zipf_fit): orderBy+limit
+    # plans TakeOrderedAndProject — per-partition heaps, NO
+    # single-partition sort of every scored document — and only the k
+    # surviving rows pass through the rank window (bounded by the
+    # constant top_n, not the corpus).
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_n)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .where(F.col("rn") <= top_n)
-        .select("doc_id", "bm25", "rn")
+        top.select(
+            "doc_id",
+            "bm25",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
         .orderBy("rn")
     )
 
