@@ -116,6 +116,107 @@ def count_local_checkpoints():
         _DF.localCheckpoint = orig
 
 
+def _jtree(node):
+    """Depth-first iteration over a JVM SparkPlan tree via py4j.
+    AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) hide the real
+    plan from ``children()`` — unwrap them explicitly or the walk stops
+    at the root."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        yield from _jtree(node.initialPlan())
+        return
+    if "QueryStage" in name:  # ShuffleQueryStage / BroadcastQueryStage
+        yield from _jtree(node.plan())
+        return
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _jtree(ch.apply(i))
+
+
+# Physical nodes that provably bound their output row count by a
+# constant regardless of input scale — a window fed (transitively, on
+# every branch) by one of these cannot funnel data-scale rows into its
+# single partition.
+_BOUNDING_NODES = {
+    "TakeOrderedAndProject",  # orderBy().limit(k): per-partition heaps
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalTableScan",  # driver-local literals (createDataFrame)
+}
+
+
+def _is_bounding(node) -> bool:
+    name = node.nodeName()
+    if name in _BOUNDING_NODES:
+        return True
+    if "Aggregate" in name:
+        s = node.simpleString(30)
+        # scalar aggregate (no grouping keys) -> exactly one output row
+        if "keys=[]" in s:
+            return True
+        # repo convention (operators/scale.py two-phase prefix sums):
+        # an aggregate grouped ONLY on a `_bucket` column is grouped on
+        # spark_partition_id() after an n_buckets repartitionByRange —
+        # its output cardinality is the constant n_buckets, not data
+        # scale, so the offset window it feeds is bounded.
+        if re.search(r"keys=\[_bucket#\d+L?\]", s):
+            return True
+    return False
+
+
+def _jchildren(node) -> list:
+    """Children of a JVM SparkPlan node, unwrapping AQE wrappers."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return [node.initialPlan()]
+    if "QueryStage" in name:
+        return [node.plan()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _subtree_bounded(node) -> bool:
+    """True iff every leaf-ward path from ``node`` hits a bounding
+    operator before reaching a data source — i.e. the subtree's row
+    count is constant-bounded by construction, independent of data
+    scale. Pass-through/join/union nodes recurse into ALL children;
+    unknown leaves (file scans, checkpointed RDD scans, reused
+    exchanges) count as data-scale (conservative)."""
+    if _is_bounding(node):
+        return True
+    ch = _jchildren(node)
+    if not ch:
+        return False  # a data source (FileScan / ExistingRDD / Range)
+    return all(_subtree_bounded(c) for c in ch)
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """The 100 TB window discipline (VERDICT r6 findings #1/#2): return
+    the node strings of every physical Window/WindowGroupLimit whose
+    required child distribution is AllTuples (empty partitionBy ->
+    Exchange SinglePartition) and whose input subtree is NOT provably
+    constant-bounded. Empirically this Spark build's
+    InferWindowGroupLimit does NOT rescue the global rank-then-filter
+    form, so every such window sorts ALL its input rows through one
+    task — the fix is always limit-first (TakeOrderedAndProject), then
+    the window over the k survivors."""
+    bad: list[str] = []
+    plan = df._jdf.queryExecution().executedPlan()
+    for node in _jtree(plan):
+        if "Window" not in node.nodeName():
+            continue
+        req = node.requiredChildDistribution()
+        all_tuples = any(
+            "AllTuples" in str(req.apply(i)) for i in range(req.size())
+        )
+        if not all_tuples:
+            continue
+        if not all(_subtree_bounded(c) for c in _jchildren(node)):
+            bad.append(node.simpleString(30))
+    return bad
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     f = plan_facts(df)
     assert f.n_cartesian == 0, f"unexpected CartesianProduct:\n{physical_plan(df)}"

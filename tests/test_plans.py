@@ -207,8 +207,10 @@ def test_explain_cli_lists_and_reports(spark, capsys):
         ("triangle_count", 2),
         # per-doc bigram tf table + unigram table, each multi-consumer
         ("bigram_logprob", 2),
-        # token rows feed both aggregations once
-        ("heaps_law_fit", 1),
+        # token rows feed both aggregations once + the prefix_sums
+        # bucket pin (one materialized range-partitioning for both the
+        # offset aggregate and the probe join)
+        ("heaps_law_fit", 2),
     ],
 )
 def test_iterative_round_counts_pinned(spark, name, expected):
@@ -245,6 +247,60 @@ def test_no_global_data_scale_windows(spark):
     for line in physical_plan(heaps).splitlines():
         if "Window [" in line and "doc_id ASC" in line:
             assert "_bucket" in line, f"global doc-spine window:\n{line}"
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_no_unbounded_global_window_any_query(spark, name):
+    """The permanent gate for the class behind VERDICT r5/r6 findings
+    (rfm/heaps r5, bm25/vocab_coverage r6 — the class regressed
+    silently past two audits): NO registered query may contain a
+    physical Window requiring AllTuples (empty partitionBy -> Exchange
+    SinglePartition) unless its input subtree is provably
+    constant-bounded (TakeOrderedAndProject / GlobalLimit / scalar or
+    partition-id-keyed aggregate / driver-local literal on every leaf
+    path). At 100 TB an unbounded one is a one-task sort of the
+    dataset."""
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+        unbounded_global_windows,
+    )
+
+    df = registry.queries()[name](spark, SF_ORACLE)
+    bad = unbounded_global_windows(df)
+    assert not bad, f"{name}: unbounded global window(s): {bad}"
+
+
+def test_global_window_gate_catches_seeded_regression(spark):
+    """The gate must FAIL on the anti-pattern it polices — a global
+    running sum over a full parquet scan (never optimizer-rescued, no
+    rank filter to push) — and pass the limit-first rescue of the same
+    query. A detector that can't catch the seeded regression is a
+    green light, not a gate."""
+    from pyspark.sql import Window, functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+        unbounded_global_windows,
+    )
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    w = Window.orderBy(F.desc("n_chars"), "doc_id")
+    cum = d.select(
+        F.sum("n_chars")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c")
+    )
+    assert unbounded_global_windows(cum), "gate missed the seeded regression"
+
+    rescued = (
+        d.orderBy(F.desc("n_chars"), "doc_id")
+        .limit(10)
+        .select(
+            F.sum("n_chars")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("c")
+        )
+    )
+    assert not unbounded_global_windows(rescued)
 
 
 def test_rfm_threshold_scores_cross_check_ntile(spark):
