@@ -67,7 +67,11 @@ def _publish_current(path: str, version_name: str) -> None:
     os.replace(tmp, os.path.join(path, "CURRENT"))
 
 
-def vacuum_index(path: str, grace_seconds: float = 24 * 3600) -> list[str]:
+def vacuum_index(
+    path: str,
+    grace_seconds: float = 24 * 3600,
+    drop_all: bool = False,
+) -> list[str]:
     """Delete version directories the CURRENT pointer no longer
     references (the rebuild residue). Returns removed version names.
 
@@ -77,12 +81,34 @@ def vacuum_index(path: str, grace_seconds: float = 24 * 3600) -> list[str]:
     new ``v_*`` dir but not yet swapped CURRENT can't have it deleted
     out from under it (which would leave CURRENT pointing at a missing
     directory). Pass ``grace_seconds=0`` only when no rebuild can be
-    in flight."""
+    in flight.
+
+    ``drop_all=True`` retires the ENTIRE index (CURRENT included) —
+    the content-drift case where the corpus fingerprint changed and
+    this tag directory can never be served again. The whole tree is
+    removed once its newest entry is older than the grace window; a
+    reader that opened CURRENT inside the window is never pulled out
+    from under."""
     import shutil
     import time
 
-    live = os.path.basename(_current_version_dir(path))
     cutoff = time.time() - grace_seconds
+    if drop_all:
+        if not os.path.isdir(path):
+            return []
+        newest = max(
+            (
+                os.path.getmtime(os.path.join(path, n))
+                for n in os.listdir(path)
+            ),
+            default=os.path.getmtime(path),
+        )
+        if newest <= cutoff:
+            shutil.rmtree(path)
+            return [os.path.basename(path)]
+        return []
+
+    live = os.path.basename(_current_version_dir(path))
     removed = []
     for name in sorted(os.listdir(path)):
         full = os.path.join(path, name)
@@ -356,22 +382,61 @@ def ann_index_drift(
     )
 
 
+def _user_index_root() -> str:
+    """Per-user scratch root for served indexes, squat-proof: created
+    0o700 under the system tempdir, and REJECTED if an entry with that
+    name already exists but is owned by someone else (a hostile
+    pre-created directory on a shared machine must never be written
+    into or rmtree'd)."""
+    import tempfile
+
+    parent = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_idx_u{os.getuid()}"
+    )
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    if os.stat(parent).st_uid != os.getuid():
+        raise RuntimeError(
+            f"{parent} exists but is not owned by this user — refusing "
+            "to serve an ANN index from a squattable directory"
+        )
+    return parent
+
+
 @register("ann_index_drift", _DRIFT_SQL)
 def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
-    import tempfile
 
-    # format tag in the path: an index published by an older layout is
-    # never reused after a code change — it just builds fresh beside it
-    tag = hashlib.md5(f"{sf_dir}|fmt1".encode()).hexdigest()[:10]
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_drift_idx_{tag}"
+    e = load_table(spark, sf_dir, "embeddings")
+    # key the index tag on corpus CONTENT, not just the path string:
+    # regenerated data at the same sf_dir must not silently reuse an
+    # index built from the old corpus. Row count + id bounds + id sum
+    # is a cheap one-aggregate fingerprint of the snapshot membership
+    # (the epoch-0 build input), and the format tag retires indexes
+    # published by older layouts after a code change.
+    fp = (
+        e.where(F.col("vec_id") % 2 == 0)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("vec_id").alias("mx"),
+            F.sum("vec_id").alias("sm"),
+        )
+        .collect()[0]
     )
-    out = ann_index_drift(
-        spark, load_table(spark, sf_dir, "embeddings"), path
-    )
-    # each call rebuilds the snapshot index (atomic swap) — reclaim
-    # superseded version dirs past the grace window so repeated bench/
-    # driver runs don't accumulate residue in the temp dir
-    vacuum_index(path, grace_seconds=3600)
+    tag = hashlib.md5(
+        f"{sf_dir}|n{fp.n}|mx{fp.mx}|sm{fp.sm}|fmt1".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(_user_index_root(), f"drift_idx_{tag}")
+    out = ann_index_drift(spark, e, path)
+    # build-once-reuse semantics: ann_index_drift builds the epoch-0
+    # snapshot index only when CURRENT is absent, so a repeat run on
+    # the same corpus serves the published version and creates no new
+    # ones. vacuum still runs for the content-drift case: a regenerated
+    # corpus changes the fingerprint tag, and the STALE sibling tag
+    # directories are what accumulate — reclaim those past the grace
+    # window.
+    root = os.path.dirname(path)
+    for entry in os.listdir(root):
+        sib = os.path.join(root, entry)
+        if entry.startswith("drift_idx_") and sib != path:
+            vacuum_index(sib, grace_seconds=3600, drop_all=True)
     return out
