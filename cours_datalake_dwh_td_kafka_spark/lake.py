@@ -318,6 +318,11 @@ def lake_compact(
     fewer than two files qualify (nothing to compact). At DFS scale the
     same file-size walk reads the FileSystem API instead of os.stat
     (the module's documented porting boundary)."""
+    if target_files < 1:
+        # mirrors lake_vacuum's keep_versions guard: 0 would otherwise
+        # either silently no-op via the small-count gate or surface as
+        # an opaque coalesce(0) IllegalArgumentException from Spark
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
     v = current_version(path)
     if v < 1:
         raise ValueError(f"no committed version at {path}")
@@ -327,7 +332,7 @@ def lake_compact(
         for f in files
         if os.path.getsize(os.path.join(path, f)) < small_file_bytes
     ]
-    if len(small) <= max(1, target_files):
+    if len(small) <= target_files:
         return v
     keep = [f for f in files if f not in set(small)]
     rewritten = spark.read.parquet(

@@ -1704,6 +1704,10 @@ class _BitReader:
 
     def take(self, length: int) -> int:
         while self.nbits < length:
+            if self.pos >= len(self.data):
+                # graceful rejection, not IndexError: a truncated ECS
+                # must surface as a parse failure the caller can flag
+                raise ValueError("truncated entropy-coded segment")
             byte = self.data[self.pos]
             self.pos += 1
             if byte == 0xFF:
@@ -1716,6 +1720,22 @@ class _BitReader:
         out = (self.acc >> self.nbits) & ((1 << length) - 1)
         self.acc &= (1 << self.nbits) - 1
         return out
+
+    def sync_restart(self) -> int:
+        """Spec E.2.4 restart processing: discard the partial byte's
+        pad bits, require the next two bytes to be an RSTn marker, and
+        return n (the caller checks the 0..7 modular sequence)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("missing restart marker")
+        n = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
 
 
 def _amplitude_bits(v: int) -> tuple[int, int]:
@@ -1735,19 +1755,33 @@ def _amplitude_value(s: int, bits: int) -> int:
     return bits - (1 << s) + 1
 
 
-def jpeg_entropy_encode(quant) -> bytes:
+def jpeg_entropy_encode(quant, restart_interval: int = 0) -> bytes:
     """Huffman-code an (n_blocks, 8, 8) int array of quantized DCT
     coefficients exactly as a baseline JPEG scan would: per block, the
     zigzag sequence opens with the DC DIFFERENCE (vs the previous
     block's DC) coded via table K.3, then AC coefficients as
     (runlength, size) symbols via table K.5 with ZRL (0xF0) for 16-zero
-    runs and EOB (0x00) for a trailing-zero tail."""
+    runs and EOB (0x00) for a trailing-zero tail.
+
+    ``restart_interval`` > 0 emits spec E.2.4 restart processing: every
+    that-many MCUs the bit stream is padded to a byte boundary, an RSTn
+    marker (n cycling 0..7) is written, and the DC predictor resets —
+    the resync points every real encoder inserts so one corrupt MCU
+    can't poison the rest of the scan."""
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     zz = _zigzag_order()
+    parts = []
     w = _BitWriter()
     prev_dc = 0
-    for blk in quant:
+    for b_idx, blk in enumerate(quant):
+        if restart_interval and b_idx and b_idx % restart_interval == 0:
+            parts.append(w.done())
+            parts.append(
+                bytes((0xFF, 0xD0 + ((b_idx // restart_interval - 1) % 8)))
+            )
+            w = _BitWriter()
+            prev_dc = 0
         seq = [int(blk[i][j]) for i, j in zz]
         s, bits = _amplitude_bits(seq[0] - prev_dc)
         prev_dc = seq[0]
@@ -1778,7 +1812,8 @@ def jpeg_entropy_encode(quant) -> bytes:
         if last_nz < 63:
             code, length = ac_codes[0x00]  # EOB
             w.put(code, length)
-    return w.done()
+    parts.append(w.done())
+    return b"".join(parts)
 
 
 def jpeg_entropy_decode(data: bytes, n_blocks: int):
@@ -1822,6 +1857,8 @@ def jpeg_entropy_decode(data: bytes, n_blocks: int):
                 continue
             k += sym >> 4
             s = sym & 0x0F
+            if k > 63:
+                raise ValueError("AC run past block end")
             seq[k] = _amplitude_value(s, r.take(s))
             k += 1
         for idx, (i, j) in enumerate(zz):
@@ -1974,20 +2011,47 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def encode_jfif(gray) -> bytes:
+def encode_jfif(
+    gray, restart_interval: int = 0, table_id: int = 0
+) -> bytes:
     """(h, w) uint8 grayscale (multiples of 8) -> complete baseline
-    JFIF/JPEG byte stream (single component, Annex K tables)."""
+    JFIF/JPEG byte stream (single component, Annex K tables).
+
+    ``restart_interval`` > 0 adds a DRI segment + RSTn resync markers;
+    ``table_id`` publishes the Huffman tables under DHT destination 1
+    and selects them via the SOS Td/Ta nibbles — the two container
+    variants a real (non-self-produced) baseline stream commonly uses,
+    so the decoder's segment parsing is exercised beyond the exact
+    layout this module's default encoder emits."""
     quant = _quantize_blocks(gray)
     h, w = gray.shape
-    return jfif_wrap(jpeg_entropy_encode(quant), h, w)
+    return jfif_wrap(
+        jpeg_entropy_encode(quant, restart_interval=restart_interval),
+        h,
+        w,
+        restart_interval=restart_interval,
+        table_id=table_id,
+    )
 
 
-def jfif_wrap(scan: bytes, h: int, w: int) -> bytes:
+def jfif_wrap(
+    scan: bytes,
+    h: int,
+    w: int,
+    restart_interval: int = 0,
+    table_id: int = 0,
+) -> bytes:
     """Wrap an already-entropy-coded scan in the JFIF marker segments —
     the container half of :func:`encode_jfif`, split out so callers
     that already hold the scan don't re-run the entropy loop."""
     import struct
 
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        # SOF0 packs dims as >H — silently truncated dims would produce
+        # a structurally valid but wrong-geometry stream
+        raise ValueError(f"JFIF dims out of 16-bit range: {h}x{w}")
+    if not 0 <= table_id <= 3:
+        raise ValueError(f"baseline DHT destination must be 0-3: {table_id}")
     zz = _zigzag_order()
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 "JFIF", version 1.1, no density units, no thumbnail
@@ -2001,16 +2065,19 @@ def jfif_wrap(scan: bytes, h: int, w: int) -> bytes:
     # SOF0: 8-bit precision, dims, 1 component (id 1, 1x1 sampling, Tq 0)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
     out += bytes((1, 0x11, 0))
-    # DHT: DC (class 0, id 0) then AC (class 1, id 0)
+    # DHT: DC (class 0) then AC (class 1), destination = table_id
     for cls, bits, vals in (
-        (0x00, _DC_BITS, _DC_VALS),
-        (0x10, _AC_BITS, _AC_VALS),
+        (0x00 | table_id, _DC_BITS, _DC_VALS),
+        (0x10 | table_id, _AC_BITS, _AC_VALS),
     ):
         out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
         out += bytes([cls]) + bytes(bits) + bytes(vals)
-    # SOS: 1 component, DC/AC table 0, full spectral selection
+    if restart_interval:
+        # DRI: the decoder must expect an RSTn every this-many MCUs
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS: 1 component, Td/Ta select the published destination
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
-        (1, 0x00, 0, 63, 0)
+        (1, (table_id << 4) | table_id, 0, 63, 0)
     )
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -2032,6 +2099,8 @@ def decode_jfif(payload: bytes):
     dims = None
     huff: dict[int, dict] = {}
     scan = None
+    restart_interval = 0
+    dc_key, ac_key = 0x00, 0x10  # SOS Td/Ta overwrite these
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -2053,7 +2122,9 @@ def decode_jfif(payload: bytes):
             if prec != 8 or ncomp != 1:
                 raise ValueError("single-component 8-bit only")
             dims = (h, w)
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT — keyed (class<<4)|destination, so a
+            # stream carrying its tables under destination 1-3 decodes
+            # through the same SOS-selected lookup as destination 0
             cls = body[0]
             bits = tuple(body[1:17])
             vals = tuple(body[17 : 17 + sum(bits)])
@@ -2061,14 +2132,28 @@ def decode_jfif(payload: bytes):
                 (ln, code): sym
                 for sym, (code, ln) in _canonical_codes(bits, vals).items()
             }
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
+            if body[0] != 1:
+                raise ValueError("single-component scan only")
+            tdta = body[2]  # the component's Td/Ta table selectors
+            dc_key = 0x00 | (tdta >> 4)
+            ac_key = 0x10 | (tdta & 0x0F)
             if len(payload) < 2 or payload[-2:] != b"\xff\xd9":
                 raise ValueError("missing EOI")
             scan = payload[pos + seglen : -2]
             pos = len(payload)
             continue
         pos += seglen
-    if qtable is None or dims is None or scan is None or 0x00 not in huff:
+    if (
+        qtable is None
+        or dims is None
+        or scan is None
+        or dc_key not in huff  # DC table (class 0, SOS-selected dest)
+        or ac_key not in huff  # AC table (class 1) — without it the
+        # entropy decode below would die in a raw KeyError mid-scan
+    ):
         raise ValueError("incomplete JFIF stream")
     h, w = dims
     n_blocks = (h // 8) * (w // 8)
@@ -2088,13 +2173,20 @@ def decode_jfif(payload: bytes):
     quant = np.zeros((n_blocks, DCT_BLOCK, DCT_BLOCK), dtype=np.int16)
     prev_dc = 0
     for b in range(n_blocks):
+        if restart_interval and b and b % restart_interval == 0:
+            # spec E.2.4: byte-align, consume RSTn, check the modular
+            # sequence, reset the DC predictor
+            n = r.sync_restart()
+            if n != (b // restart_interval - 1) % 8:
+                raise ValueError("restart marker out of sequence")
+            prev_dc = 0
         seq = [0] * 64
-        s = read_symbol(huff[0x00])
+        s = read_symbol(huff[dc_key])
         prev_dc += _amplitude_value(s, r.take(s) if s else 0)
         seq[0] = prev_dc
         k = 1
         while k < 64:
-            sym = read_symbol(huff[0x10])
+            sym = read_symbol(huff[ac_key])
             if sym == 0x00:
                 break
             if sym == 0xF0:
@@ -2102,6 +2194,8 @@ def decode_jfif(payload: bytes):
                 continue
             k += sym >> 4
             s = sym & 0x0F
+            if k > 63:
+                raise ValueError("AC run past block end")
             seq[k] = _amplitude_value(s, r.take(s))
             k += 1
         for idx, (i, j) in enumerate(zz):

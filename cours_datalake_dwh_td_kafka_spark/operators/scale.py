@@ -201,8 +201,15 @@ def dense_ids(df: DataFrame, order_col: str, n_buckets: int = _SK_BUCKETS) -> Da
     straddle a bound). Oracle: the plain global ROW_NUMBER."""
     import pyspark.sql.window as W
 
-    bucketed = df.repartitionByRange(n_buckets, order_col).withColumn(
-        "_bucket", F.spark_partition_id()
+    bucketed = (
+        df.repartitionByRange(n_buckets, order_col)
+        .withColumn("_bucket", F.spark_partition_id())
+        # feeds BOTH the offset aggregate and the rank/probe side: pin
+        # ONE materialization so RangePartitioner's nondeterministic
+        # bound sampling cannot place boundary rows in different
+        # buckets between the two subtrees (which would silently skew
+        # every downstream offset)
+        .localCheckpoint(eager=False)
     )
     offsets = (
         bucketed.groupBy("_bucket")
@@ -250,8 +257,13 @@ def prefix_sums(
     ``SUM() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``."""
     import pyspark.sql.window as W
 
-    bucketed = df.repartitionByRange(n_buckets, order_col).withColumn(
-        "_bucket", F.spark_partition_id()
+    bucketed = (
+        df.repartitionByRange(n_buckets, order_col)
+        .withColumn("_bucket", F.spark_partition_id())
+        # same shared-subtree pin as dense_ids: both consumers (offset
+        # aggregate, probe join) must read ONE partition assignment —
+        # re-running the range shuffle could sample different bounds
+        .localCheckpoint(eager=False)
     )
     off_w = W.Window.orderBy("_bucket").rowsBetween(
         W.Window.unboundedPreceding, -1
