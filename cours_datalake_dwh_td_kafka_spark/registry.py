@@ -52,72 +52,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-6 attestation window (driver caps at ~50 rows/round) ----
-    # -- code changed this round: must re-attest on current code --------
-    "rfm_segments",             # r6: global NTILE trio -> broadcast
-                                #     percentile thresholds + CASE
-    "heaps_law_fit",            # r6: doc-spine cumsums -> two-phase
-                                #     prefix sums (scale.prefix_sums)
-    # -- new this round, never attested ----------------------------------
-    "min_cost_supplier",        # r6: Q2 correlated-min join-back
-    "product_type_profit",      # r6: Q9 star profit rollup
-    "shipping_delay_buckets",   # r6: Q12 conditional counts
-    "part_supplier_counts",     # r6: Q16 distinct + NOT-IN anti-join
-    "promotion_candidate_suppliers",  # r6: Q20 nested semi-joins
-    "blocking_suppliers",       # r6: Q21 multi-EXISTS collapse
-    "multimodal_jpeg_stats",    # r6: full Huffman entropy layer on the
-                                #     DCT core (Annex K, byte-stuffed)
-    "ann_index_drift",          # r6: served-index staleness monitor vs
-                                #     rebuild + brute-force truth
-    "pca_top_components",       # r6: distributed Gram -> driver eigh,
-                                #     folded eigenpair guarantees
-    "autocorrelation_acf",      # r6: lag join, exact decimal moments
-    "degree_distribution",      # r6: log2 degree histogram
-    "label_balance_chi2",       # r6: integer-algebra chi-square gate
-    "quality_filter_funnel",    # r6: one-pass stage-attrition ledger
-    "source_kl_divergence",     # r6: per-feed unigram KL sensor
-    "point_in_time_join",       # r6: SCD2 snapshot state counts
-    # -- stalest tier: newest driver stamp is round 2 (round 1 for
-    #    stratified_sample, rows-only); every pre-r4 row additionally
-    #    rides on the r4 io.load_table change. This is the WHOLE
-    #    remaining pre-r3 tail — after this window the attestation debt
-    #    is structurally zero. (pytest oracle-parity covers ALL oracled
-    #    queries on current code each round regardless of the cap.) ----
-    "asof_join",
-    "boolean_disjunction",
-    "corpus_source_stats",
-    "cross_join_small",
-    "distinct_rows",
-    "doc_fingerprint",
-    "filter_project",
-    "intersect_customers",
-    "join_enrich_counts",
-    "join_full_outer",
-    "knn_join",
-    "knn_join_grid",
-    "language_id",
-    "mode_per_group",
-    "monthly_profile",
-    "null_handling",
-    "orderby_limit_topk",
-    "pandas_sessionization",
-    "rank_top3",
-    "records",
-    "rolling_frame_max",
-    "row_number_first",
-    "running_sum",
-    "self_join_pairs",
-    "session_window_agg",
-    "sessionization",
-    "sliding_window_agg",
-    "token_count",
-    "tumbling_window_agg",
-    "union_except",
-    "where_sql_string",
-    "window_lag_delta",
-    "stratified_sample",
-    # -- new this round, past the ~50-row cap: first in line for the r7
-    #    window (local parity suite covers them on current code) -------
+    # ---- round-7 attestation window (driver caps at ~50 rows/round) ----
+    # -- registered in r6 AFTER that round's window filled: never
+    #    driver-attested (local parity green) — lead the window --------
     "multimodal_mp4_demux",
     "ngram_novelty",
     "knn_label_accuracy",
@@ -125,6 +62,59 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "char_entropy",
     "user_concentration",
     "event_markov_matrix",
+    # -- code changed this round: must re-attest on current code --------
+    "bm25_search",          # r7: global rank -> limit-first top-k
+    "vocab_coverage",       # r7: full-vocab window -> limit(max sizes)
+    "domain_mix_weights",   # r7: global window -> broadcast scalar
+    "surrogate_keys",       # r7: dense_ids bucket pin (localCheckpoint)
+    "heaps_law_fit",        # r7: prefix_sums bucket pin (localCheckpoint)
+    # -- new this round, never attested ---------------------------------
+    # (round-7 registrations are appended here as they land)
+    # -- stalest tier: newest driver stamp is round 3; 41 names — the
+    #    window takes the first ~38, the overflow leads the r8 rotation.
+    #    (pytest oracle-parity covers ALL oracled queries on current
+    #    code each round regardless of the cap.) ------------------------
+    "alert_banding",
+    "anomaly_batch",
+    "approx_distinct_count",
+    "approx_quantiles",
+    "balanced_sample_topk",
+    "cluster_similarity_stats",
+    "composite_key_agg",
+    "conditional_agg",
+    "contamination_check",
+    "corr_cov",
+    "cube_agg",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_incremental",
+    "dedup_keep_list",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "describe_profile",
+    "distinct_count",
+    "doc_pack",
+    "embedding_quantize",
+    "explode_array",
+    "global_agg",
+    "group_minmax",
+    "grouping_sets_agg",
+    "hash_sample",
+    "haversine_distance",
+    "interval_join_events",
+    "join_left_outer",
+    "local_supplier_volume",
+    "pii_scrub",
+    "pretraining_pipeline",
+    "range_join",
+    "repetition_stats",
+    "retention_cohorts",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "shipping_priority",
+    "unpivot_customer",
 )
 
 
