@@ -752,6 +752,122 @@ def test_jfif_container_roundtrip_and_tamper_detection(hb, wb, seed):
 
 
 @given(
+    hb=st.integers(min_value=1, max_value=3),
+    wb=st.integers(min_value=1, max_value=3),
+    ri=st.integers(min_value=1, max_value=4),
+    table_id=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jfif_decodes_non_self_produced_variants(hb, wb, ri, table_id, seed):
+    """The decoder must handle baseline streams its own default encoder
+    never emits: DRI + RSTn restart markers (DC predictor resets, byte
+    alignment, modular marker sequence) and Huffman tables published
+    under a non-zero DHT destination selected via the SOS Td/Ta nibbles
+    — both spec-legal layouts a real-world encoder uses. The decoded
+    coefficients must equal the restart-free, table-0 decode exactly
+    (restarts and table destinations are container framing, not
+    content)."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        _quantize_blocks,
+        decode_jfif,
+        encode_jfif,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(hb * 8, wb * 8)).astype(np.uint8)
+    variant = encode_jfif(img, restart_interval=ri, table_id=table_id)
+    dec, quant = decode_jfif(variant)
+    assert np.array_equal(quant, _quantize_blocks(img))
+    base_dec, base_quant = decode_jfif(encode_jfif(img))
+    assert np.array_equal(quant, base_quant)
+    assert np.array_equal(dec, base_dec)
+    if ri < hb * wb:  # at least one restart fired: RST0 must be present
+        assert b"\xff\xd0" in variant
+
+
+def test_jfif_rejects_corrupt_streams_gracefully():
+    """Deterministic corruption cases must all surface as ValueError —
+    never a raw IndexError/KeyError mid-parse: truncated ECS, bad byte
+    stuffing, an out-of-sequence restart marker, and a scan removed
+    entirely."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_jfif,
+        encode_jfif,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(24, 24)).astype(np.uint8)
+    payload = encode_jfif(img, restart_interval=1)
+    sos_at = payload.index(b"\xff\xda")
+    scan_start = sos_at + 2 + 8  # marker + seglen(8)-byte SOS header
+
+    # truncated ECS: keep the container but almost none of the scan
+    truncated = payload[: scan_start + 1] + b"\xff\xd9"
+    with _pytest.raises(ValueError):
+        decode_jfif(truncated)
+
+    # bad stuffing: force an 0xFF not followed by 0x00/RSTn up front
+    bad = bytearray(payload)
+    bad[scan_start : scan_start + 2] = b"\xff\x37"
+    with _pytest.raises(ValueError):
+        decode_jfif(bytes(bad))
+
+    # out-of-sequence restart: RST0 must come first; remap it to RST5
+    rst0_at = payload.index(b"\xff\xd0", scan_start)
+    oos = bytearray(payload)
+    oos[rst0_at + 1] = 0xD5
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jfif(bytes(oos))
+
+    # scan removed entirely (SOS header present, zero entropy bytes)
+    gutted = payload[:scan_start] + b"\xff\xd9"
+    with _pytest.raises(ValueError):
+        decode_jfif(gutted)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_flips=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=40, deadline=None)
+def test_jfif_scan_bitflip_fuzz_never_crashes(seed, n_flips):
+    """Random bit flips inside the entropy-coded segment must either
+    decode to SOME well-formed image (baseline JPEG carries no scan
+    checksum — silent coefficient damage is spec-permitted) or raise
+    ValueError. Any other exception is a parser crash on hostile
+    input."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_jfif,
+        encode_jfif,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    payload = bytearray(encode_jfif(img, restart_interval=rng.randint(0, 3)))
+    scan_start = bytes(payload).index(b"\xff\xda") + 10
+    scan_end = len(payload) - 2
+    if scan_end <= scan_start:
+        return
+    for _ in range(n_flips):
+        at = rng.randint(scan_start, scan_end)
+        payload[at] ^= 1 << rng.randint(0, 8)
+    try:
+        dec, quant = decode_jfif(bytes(payload))
+    except ValueError:
+        return
+    assert dec.shape == img.shape
+    assert quant.shape == ((16 // 8) * (16 // 8), 8, 8)
+
+
+@given(
     n_frames=st.integers(min_value=1, max_value=6),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
