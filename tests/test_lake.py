@@ -242,6 +242,82 @@ def test_lake_compact_rewrites_small_files(spark, tmp_path):
     assert {tuple(r) for r in lake_read(spark, path).collect()} == rows_before
 
 
+def test_lake_stream_compact_vacuum_lifecycle(spark, tmp_path):
+    """The full maintenance loop a streaming lake lives on, end-to-end:
+    micro-batch appends (foreachBatch -> lake_commit, one version per
+    trigger) accumulate small files -> compact folds them -> vacuum
+    drops superseded manifests -> EVERY kept version still time-travels
+    to its exact rows, and a concurrent reader that resolved its
+    snapshot BEFORE the maintenance ran still collects unchanged rows
+    AFTER compact+vacuum (kept manifests pin their files)."""
+    import json
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_compact,
+        lake_history,
+    )
+
+    path = str(tmp_path / "lake")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(4):
+        with open(indir / f"b{i}.json", "w") as f:
+            f.write(json.dumps({"id": i, "val": f"v{i}"}) + "\n")
+
+    src = (
+        spark.readStream.schema("id BIGINT, val STRING")
+        .option("maxFilesPerTrigger", 1)  # one commit per micro-batch
+        .json(str(indir))
+    )
+    (
+        src.writeStream.foreachBatch(
+            lambda batch_df, batch_id: lake_commit(batch_df, path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert current_version(path) == 4
+    per_version = {
+        v: {tuple(r) for r in lake_read(spark, path, v).collect()}
+        for v in range(1, 5)
+    }
+    assert per_version[4] == {(i, f"v{i}") for i in range(4)}
+
+    # concurrent reader: resolves v4's manifest now, collects later
+    concurrent = lake_read(spark, path, 4)
+
+    v5 = lake_compact(spark, path, target_files=1)
+    assert v5 == 5
+    assert len(lake_read(spark, path).inputFiles()) == 1
+    # keep v4 (the reader's snapshot) and v5; v1-v3 manifests drop, but
+    # their FILES survive because v4's manifest still references them
+    deleted = lake_vacuum(path, keep_versions=2, orphan_grace_seconds=0)
+    assert [h["version"] for h in lake_history(path)] == [4, 5]
+    assert not deleted, "v4 references every pre-compact file: none die"
+
+    # every kept version still resolves to its exact rows
+    assert {tuple(r) for r in lake_read(spark, path, 4).collect()} == (
+        per_version[4]
+    )
+    assert {tuple(r) for r in lake_read(spark, path, 5).collect()} == (
+        per_version[4]
+    )
+    # the pre-maintenance reader is unharmed
+    assert {tuple(r) for r in concurrent.collect()} == per_version[4]
+    # dropped manifests are gone from time travel, explicitly
+    with pytest.raises(ValueError, match="removed by lake_vacuum"):
+        lake_read(spark, path, 2)
+
+    # second vacuum round: drop v4 too -> the small files ARE reclaimed
+    deleted2 = lake_vacuum(path, keep_versions=1, orphan_grace_seconds=0)
+    assert deleted2, "superseded small files must be reclaimed"
+    assert {tuple(r) for r in lake_read(spark, path).collect()} == (
+        per_version[4]
+    )
+
+
 def test_lake_compact_loses_commit_race(spark, tmp_path, monkeypatch):
     """A rival commit that lands between compaction's read of the
     current version and its manifest publish must make the compaction
