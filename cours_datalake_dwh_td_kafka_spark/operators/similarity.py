@@ -996,9 +996,18 @@ def knn_label_accuracy(e: DataFrame) -> DataFrame:
     Scale shape: neighbor search is the tree-reduced BLAS brute force
     (:func:`ann_topk_bruteforce` — the same plan the ANN family pins);
     voting adds two query-keyed aggregations over k·n_queries rows,
-    driver-free. Swap the search stage for :func:`ivf_topk` when the
-    corpus outgrows brute force — the vote half is search-agnostic."""
-    topk = ann_topk_bruteforce(e)
+    driver-free. The vote half is search-agnostic (:func:`knn_vote`) —
+    the persisted-index 100 TB path is ``knn_label_accuracy_ivf``
+    (operators/ann_index.py), which feeds it the SERVED top-k."""
+    return knn_vote(ann_topk_bruteforce(e), e)
+
+
+def knn_vote(topk: DataFrame, e: DataFrame) -> DataFrame:
+    """Search-agnostic voting half of the kNN label probe: given ANY
+    (query_id, neighbor_id) top-k result set, predict each query's
+    label by neighbor majority (ties break on the smaller label id) and
+    compare against its true label. Two broadcast label joins + two
+    query-keyed aggregations over k·n_queries rows — driver-free."""
     labels = e.select("vec_id", "label")
     truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
         "label", "true_label"

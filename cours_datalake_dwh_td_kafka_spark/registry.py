@@ -69,7 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "surrogate_keys",       # r7: dense_ids bucket pin (localCheckpoint)
     "heaps_law_fit",        # r7: prefix_sums bucket pin (localCheckpoint)
     # -- new this round, never attested ---------------------------------
-    # (round-7 registrations are appended here as they land)
+    "knn_label_accuracy_ivf",  # r7: kNN label probe on the SERVED index
     # -- stalest tier: newest driver stamp is round 3; 41 names — the
     #    window takes the first ~38, the overflow leads the r8 rotation.
     #    (pytest oracle-parity covers ALL oracled queries on current

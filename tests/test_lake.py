@@ -195,6 +195,39 @@ def test_ivf_index_rebuild_in_place(spark, tmp_path):
     assert ivf_query_index(spark, idx, q, nprobe=2, top_k=3).count() > 0
 
 
+def test_knn_label_accuracy_ivf_matches_exact_anchor(spark, tmp_path):
+    """The served-index kNN probe's acc_exact must equal the brute-force
+    probe's aggregated accuracy (same vote half, same truth), its
+    guarantees must hold, and the second call must SERVE the published
+    index (build-once-reuse: no new version dir)."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        knn_label_accuracy_ivf,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        knn_label_accuracy,
+    )
+
+    # sf0.01, not sf0.001: the documented recall floor is probabilistic
+    # in how clustered the corpus is, and the ~60-vector toy corpus can
+    # legitimately dip under it (too few vectors per cell for a top-5)
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    idx = str(tmp_path / "knn_idx")
+    row = knn_label_accuracy_ivf(spark, emb, idx).collect()[0]
+    exact = knn_label_accuracy(emb).collect()
+    anchor = round(sum(r.correct for r in exact) / len(exact), 6)
+    assert row.n_queries == len(exact)
+    assert row.acc_exact == anchor
+    assert row.served_recall_ok and row.acc_delta_bounded
+    versions = sorted(n for n in os.listdir(idx) if n.startswith("v_"))
+    row2 = knn_label_accuracy_ivf(spark, emb, idx).collect()[0]
+    assert row2 == row
+    assert (
+        sorted(n for n in os.listdir(idx) if n.startswith("v_")) == versions
+    ), "second call must reuse the published index, not rebuild"
+
+
 def test_lake_vacuum_rejects_destroy_all(spark, tmp_path):
     """keep_versions < 1 is a table drop, not a vacuum — refused."""
     path = str(tmp_path / "t")
