@@ -630,3 +630,130 @@ def source_kl_divergence(d: DataFrame) -> DataFrame:
 @register("source_kl_divergence", _KL_SQL)
 def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_kl_divergence(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: the statistically-bound word pairs (not just frequent)
+# ---------------------------------------------------------------------------
+PMI_TOP_N = 30
+PMI_MIN_COUNT = 5
+
+_PMI_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({{norm}}, ' ') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT s AS tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(t) AS s FROM toks)
+      GROUP BY s
+    ),
+    nu AS (SELECT SUM(cnt) AS n_uni FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 1)),
+               i -> array_to_string(t[i:i+1], ' ')
+             )) AS bigram
+      FROM toks
+    ),
+    bgc AS (
+      SELECT bigram, COUNT(*) AS cnt,
+             string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2
+      FROM bg
+      GROUP BY bigram
+      HAVING len(string_split(bigram, ' ')) = 2
+    ),
+    nb AS (SELECT SUM(cnt) AS n_bi FROM bgc),
+    scored AS (
+      SELECT c.bigram, c.cnt,
+             ROUND(log2((c.cnt / CAST(n_bi AS DOUBLE))
+                   / ((u1.cnt / CAST(n_uni AS DOUBLE))
+                      * (u2.cnt / CAST(n_uni AS DOUBLE)))), 6) AS pmi
+      FROM bgc c
+      JOIN uni u1 ON c.w1 = u1.tok
+      JOIN uni u2 ON c.w2 = u2.tok
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE c.cnt >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, CAST(cnt AS BIGINT) AS cnt, pmi
+    FROM scored
+    ORDER BY pmi DESC, bigram
+    LIMIT {PMI_TOP_N}
+""".format(norm=NORM_SQL.format(c="text"))
+
+
+def pmi_collocations(
+    d: DataFrame,
+    top_n: int = PMI_TOP_N,
+    min_count: int = PMI_MIN_COUNT,
+) -> DataFrame:
+    """Top word pairs by pointwise mutual information,
+    pmi = log2(p(ab) / (p(a) p(b))) — the collocation measure that
+    surfaces STATISTICALLY bound pairs ("los angeles") rather than
+    merely frequent ones ("of the"), the classic phrase-mining signal
+    (Church & Hanks 1990) a tokenizer/phrase vocabulary is seeded from.
+    ``min_count`` guards the estimator: PMI of a hapax pair is pure
+    noise (it maximizes PMI by construction), so rare pairs are dropped
+    BEFORE scoring, which also collapses the Zipf-tail candidate set to
+    a sliver of the bigram vocabulary.
+
+    Scale shape: ONE tokenization feeds both tables (unigram counts
+    pinned via localCheckpoint — three consumers: total + two join
+    probes); bigrams are explode-first rows (shingle_rows) partially
+    aggregated map-side; the min-count filter lands before the two
+    tok-keyed joins; totals ride broadcast scalar rows; the final top-n
+    is limit-first (TakeOrderedAndProject on the ROUNDED score, bigram
+    tiebreak — the repo's cross-engine ranking discipline)."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    uni = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("u_cnt"))
+        .localCheckpoint(eager=False)  # total + w1 probe + w2 probe
+    )
+    n_uni = uni.agg(F.sum("u_cnt").alias("n_uni"))
+    bgc = (
+        shingle_rows(d, n=2, distinct=False)
+        .groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("parts", F.split("bigram", " "))
+        .where(F.size("parts") == 2)  # 1-token docs yield degenerates
+        .select(
+            "bigram",
+            "cnt",
+            F.col("parts")[0].alias("w1"),
+            F.col("parts")[1].alias("w2"),
+        )
+        .localCheckpoint(eager=False)  # feeds the total AND the scorer
+    )
+    n_bi = bgc.agg(F.sum("cnt").alias("n_bi"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("u_cnt").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("u_cnt").alias("c2"))
+    scored = (
+        bgc.where(F.col("cnt") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "bigram",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                F.log2(
+                    (F.col("cnt") / F.col("n_bi").cast("double"))
+                    / (
+                        (F.col("c1") / F.col("n_uni").cast("double"))
+                        * (F.col("c2") / F.col("n_uni").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(top_n)
+
+
+@register("pmi_collocations", _PMI_SQL)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))

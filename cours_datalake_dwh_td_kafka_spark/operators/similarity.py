@@ -1041,3 +1041,106 @@ def knn_vote(topk: DataFrame, e: DataFrame) -> DataFrame:
 @register("knn_label_accuracy", _KNN_LABEL_SQL)
 def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_accuracy(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: matryoshka prefix-dimension retrieval agreement
+# ---------------------------------------------------------------------------
+PREFIX_DIMS = 16
+
+_PREFIX_OVERLAP_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             embedding::DOUBLE[] AS q_full,
+             (embedding[1:{PREFIX_DIMS}])::DOUBLE[] AS q_pre
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.q_full, e.embedding::DOUBLE[]),
+                   6) AS cos_full,
+             ROUND(list_cosine_similarity(
+                     q.q_pre, (e.embedding[1:{PREFIX_DIMS}])::DOUBLE[]),
+                   6) AS cos_pre
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    rk AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id)
+               AS rn_full,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_pre DESC, neighbor_id)
+               AS rn_pre
+      FROM scored
+    ),
+    f AS (SELECT query_id, neighbor_id FROM rk WHERE rn_full <= {TOP_K}),
+    p AS (SELECT query_id, neighbor_id FROM rk WHERE rn_pre <= {TOP_K}),
+    ov AS (
+      SELECT f.query_id, COUNT(p.neighbor_id) AS n_overlap
+      FROM f LEFT JOIN p
+        ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+      GROUP BY f.query_id
+    )
+    SELECT query_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           ROUND(n_overlap / CAST({TOP_K} AS DOUBLE), 6) AS overlap_frac
+    FROM ov
+    ORDER BY query_id
+"""
+
+
+def embedding_prefix_overlap(
+    e: DataFrame, prefix_dims: int = PREFIX_DIMS
+) -> DataFrame:
+    """Retrieval agreement between full-dimension and PREFIX-dimension
+    cosine top-k — the matryoshka-representation question (Kusupati et
+    al. 2022): how much ranking quality survives truncating every
+    embedding to its first ``prefix_dims`` coordinates? Per query:
+    overlap@k between the exact full-dim top-k and the exact
+    truncated-dim top-k. High overlap means the cheap prefix index
+    (4x less memory and FLOPs here) can serve first-stage retrieval
+    with full-dim rescoring only on the short list.
+
+    Scale shape: both searches are the tree-reduced BLAS brute force
+    (the ANN family's pinned plan) — the truncated side just maps over
+    a sliced array column, so it costs prefix/full of the FLOPs; the
+    overlap is one (query, neighbor)-keyed join over two k-by-n_queries
+    result sets plus a query-keyed count. Both rankings are
+    deterministic (round-6 cosine, neighbor-id tiebreak), so the
+    overlap is exact, not a sampled estimate."""
+    full = ann_topk_bruteforce(e).select("query_id", "neighbor_id")
+    pre = ann_topk_bruteforce(
+        e.select(
+            "vec_id",
+            F.slice(F.col("embedding"), 1, prefix_dims).alias("embedding"),
+        )
+    ).select(
+        F.col("query_id").alias("p_query_id"),
+        F.col("neighbor_id").alias("p_neighbor_id"),
+    )
+    return (
+        full.join(
+            pre,
+            (F.col("query_id") == F.col("p_query_id"))
+            & (F.col("neighbor_id") == F.col("p_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("p_neighbor_id").alias("n_overlap"))
+        .select(
+            "query_id",
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.round(F.col("n_overlap") / F.lit(float(TOP_K)), 6).alias(
+                "overlap_frac"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register("embedding_prefix_overlap", _PREFIX_OVERLAP_SQL)
+def q_embedding_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_prefix_overlap(load_table(spark, sf_dir, "embeddings"))

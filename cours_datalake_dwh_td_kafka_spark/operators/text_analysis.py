@@ -1169,3 +1169,127 @@ def char_entropy(d: DataFrame) -> DataFrame:
 @register("char_entropy", _CHAR_ENTROPY_SQL)
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# readability: the Flesch-style reading-ease proxy per document
+# ---------------------------------------------------------------------------
+_READABILITY_SQL = f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split({NORM_SQL.format(c='text')}, ' ')) AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           ROUND(206.835
+                 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)),
+                 6) AS flesch_score
+    FROM feat
+    ORDER BY doc_id
+"""
+
+
+def readability_scores(d: DataFrame) -> DataFrame:
+    """Per-document Flesch reading-ease proxy: 206.835 - 1.015 *
+    (words/sentences) - 84.6 * (syllables/words), with sentences
+    counted as terminator runs ([.!?]+, floored at 1) and syllables
+    approximated by vowel-group runs — the dictionary-free proxy every
+    at-scale readability filter uses (true syllabification needs a
+    pronunciation lexicon). Complements quality_score: that one flags
+    boilerplate/garbage, this one stratifies legitimate prose by
+    difficulty, the knob reading-level-targeted corpus mixes tune.
+
+    Scale shape: three regexp/split projections per row, zero shuffles
+    beyond the output sort — pure WholeStageCodegen, linear in bytes.
+    All engine-shared integer counts; one double expression rounded at
+    6 dp."""
+    n_words = F.size(F.split(norm_text(F.col("text")), " "))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sents.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words / n_sents.cast("double"))
+            - F.lit(84.6) * (n_syll / n_words.cast("double")),
+            6,
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")
+
+
+@register("readability_scores", _READABILITY_SQL)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility: tokens per 100 chars, by declared language
+# ---------------------------------------------------------------------------
+_FERTILITY_SQL = f"""
+    WITH feat AS (
+      SELECT lang,
+             len(string_split({NORM_SQL.format(c='text')}, ' ')) AS n_toks,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(100.0 * SUM(n_toks) / CAST(SUM(n_chars) AS DOUBLE), 6)
+             AS tokens_per_100_chars
+    FROM feat
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+def tokenizer_fertility(d: DataFrame) -> DataFrame:
+    """Tokens per 100 characters by declared language — the fertility
+    table a tokenizer team reads before fixing a vocab budget: a
+    language whose fertility is half the corpus mean pays double the
+    context length per unit of text, the classic multilingual-tokenizer
+    fairness number. Whitespace tokens here; swap the splitter for the
+    trained BPE (operators/bpe.py) to audit a real vocab.
+
+    Scale shape: one projection per row, one keyed aggregation on the
+    (tiny-cardinality) lang key with map-side partial combine — integer
+    sums, one divide + round at output."""
+    n_toks = F.size(F.split(norm_text(F.col("text")), " "))
+    return (
+        d.select("lang", n_toks.alias("n_toks"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.round(
+                F.lit(100.0)
+                * F.sum("n_toks")
+                / F.sum("n_chars").cast("double"),
+                6,
+            ).alias("tokens_per_100_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register("tokenizer_fertility", _FERTILITY_SQL)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility(load_table(spark, sf_dir, "documents"))

@@ -70,6 +70,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heaps_law_fit",        # r7: prefix_sums bucket pin (localCheckpoint)
     # -- new this round, never attested ---------------------------------
     "knn_label_accuracy_ivf",  # r7: kNN label probe on the SERVED index
+    "pmi_collocations",        # r7: top PMI word pairs (phrase mining)
+    "readability_scores",      # r7: Flesch-style reading-ease proxy
+    "tokenizer_fertility",     # r7: tokens/100 chars by language
+    "embedding_prefix_overlap",  # r7: matryoshka truncation agreement
     # -- stalest tier: newest driver stamp is round 3; 41 names — the
     #    window takes the first ~38, the overflow leads the r8 rotation.
     #    (pytest oracle-parity covers ALL oracled queries on current
