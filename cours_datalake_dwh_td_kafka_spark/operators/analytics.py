@@ -782,3 +782,188 @@ def event_markov_matrix(e: DataFrame) -> DataFrame:
 @register("event_markov_matrix", _MARKOV_SQL)
 def q_event_markov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_markov_matrix(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: log2-bucketed inter-event-time distribution
+# ---------------------------------------------------------------------------
+_INTER_EVENT_SQL = """
+    WITH seq AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    gaps AS (
+      SELECT GREATEST(CAST(FLOOR(
+               epoch_us(ts - prev_ts) / 1000000.0) AS BIGINT), 1)
+               AS gap_s
+      FROM seq WHERE prev_ts IS NOT NULL
+    )
+    SELECT CAST(FLOOR(LOG2(gap_s)) AS INT) AS log2_bucket,
+           CAST(POW(2, FLOOR(LOG2(gap_s))) AS BIGINT) AS bucket_min_s,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps
+    GROUP BY 1, 2
+    ORDER BY log2_bucket
+"""
+
+
+def inter_event_time_distribution(e: DataFrame) -> DataFrame:
+    """Log2-bucketed histogram of per-user inter-arrival gaps (whole
+    seconds, floored at 1) — the burstiness fingerprint that sizes
+    every sessionization gap threshold and watermark: human activity
+    is bimodal (seconds-scale bursts, hours-scale returns) and the
+    valley between the modes IS the right session gap; a unimodal or
+    shifted histogram flags bot traffic or a clock-skewed feed.
+
+    Scale shape: the LAG window partitions by user (the sessionization
+    discipline — never a global sort); gaps truncate to integer seconds
+    via exact integer microsecond arithmetic; the histogram is a
+    ~log2(max gap)-group aggregate with map-side combine. LOG2 only
+    buckets integers (exact below 2^53 — the degree_distribution
+    precedent)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.greatest(
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")) / 1e6
+        ).cast("bigint"),
+        F.lit(1),
+    )
+    gaps = (
+        e.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+        .where(F.col("prev_ts").isNotNull())
+        .select(gap_s.alias("gap_s"))
+    )
+    bucket = F.floor(F.log2("gap_s")).cast("int")
+    return (
+        gaps.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .select(
+            "log2_bucket",
+            F.pow(F.lit(2.0), F.col("log2_bucket").cast("double"))
+            .cast("bigint")
+            .alias("bucket_min_s"),
+            "n_gaps",
+            "min_gap_s",
+            "max_gap_s",
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+@register("inter_event_time_distribution", _INTER_EVENT_SQL)
+def q_inter_event_time_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return inter_event_time_distribution(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: most common whole-session event-type paths
+# ---------------------------------------------------------------------------
+PATH_GAP_MINUTES = 30
+PATH_TOP_N = 20
+
+_TOP_PATHS_SQL = f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w
+                       > INTERVAL {PATH_GAP_MINUTES} MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM seq
+    ),
+    paths AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP_N}
+"""
+
+
+def top_event_paths(
+    e: DataFrame,
+    gap_minutes: int = PATH_GAP_MINUTES,
+    top_n: int = PATH_TOP_N,
+) -> DataFrame:
+    """Most common WHOLE-session event-type paths under a
+    ``gap_minutes`` inactivity sessionization — funnel DISCOVERY, where
+    funnel_stages measures a path someone already hypothesized: the
+    top paths table is where the hypotheses come from (and where the
+    loops a predefined funnel can't see show up, e.g. view>view>view>
+    purchase vs view>purchase).
+
+    Scale shape: gap-break flag + running session number are the two
+    per-user windows sessionization already pins (ONE exchange — both
+    windows and the session groupBy share the user clustering); the
+    path string builds from array_sort(collect_list(struct)) — struct
+    field order (ts, event_id, type) makes the sort a total order, so
+    the path is deterministic regardless of aggregation order; the
+    final top-n over path counts is limit-first
+    (TakeOrderedAndProject). Path strings stay bounded because sessions
+    are gap-bounded — at 100 TB, cap session length with the same
+    windowed-funnel guard funnel_stages_windowed uses."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    brk = F.when(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+        1,
+    ).otherwise(0)
+    sess = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .withColumn("brk", brk)
+        .withColumn(
+            "sess_id",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_n)
+    )
+
+
+@register("top_event_paths", _TOP_PATHS_SQL)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_event_paths(load_table(spark, sf_dir, "events"))

@@ -74,6 +74,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "readability_scores",      # r7: Flesch-style reading-ease proxy
     "tokenizer_fertility",     # r7: tokens/100 chars by language
     "embedding_prefix_overlap",  # r7: matryoshka truncation agreement
+    "inter_event_time_distribution",  # r7: burstiness log2 histogram
+    "top_event_paths",          # r7: whole-session funnel discovery
     # -- stalest tier: newest driver stamp is round 3; 41 names — the
     #    window takes the first ~38, the overflow leads the r8 rotation.
     #    (pytest oracle-parity covers ALL oracled queries on current
