@@ -1,0 +1,106 @@
+"""The versioned-lake layer (lake.py) driven through the driver
+correctness gate as a QUERY: until round 7 the commit/time-travel/CDC/
+compaction protocol was pytest-pinned only; this module folds one full
+lifecycle into a deterministic one-row result the DuckDB oracle can
+assert, so the lake's guarantees carry a driver attestation like every
+other operator family.
+
+Scale note: the lifecycle here runs against a scratch COPY of the
+documents table because a registered query must be self-contained; a
+production deployment points the same calls at its real table path.
+Driver-side collects are bounded scalars (change-type counts, row
+counts) — the drift-monitor precedent (operators/ann_index.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.lake import (
+    lake_commit,
+    lake_compact,
+    lake_delete_where,
+    lake_diff,
+    lake_history,
+    lake_read,
+)
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+_LIFECYCLE_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(0 AS BIGINT) AS n_inserted,
+           TRUE AS time_travel_ok,
+           TRUE AS compact_preserved_rows,
+           'append>delete>compact' AS history_ops
+    FROM documents
+"""
+
+
+def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
+    """Commit the corpus (v1), copy-on-write delete the English docs
+    (v2), compact (v3), and fold the protocol's guarantees into one
+    deterministic row:
+
+    - ``n_deleted``/``n_inserted``: the v1→v2 CDC diff (lake_diff)
+      must report exactly the predicate's rows as deletes, nothing as
+      inserts — the after-the-fact change feed the manifest layout
+      makes cheap;
+    - ``time_travel_ok``: v1 still reads the FULL corpus after the
+      delete and the compaction (snapshot isolation);
+    - ``compact_preserved_rows``: compaction is a physical rewrite —
+      the current snapshot's row count is untouched;
+    - ``history_ops``: the surviving manifest operations in order.
+
+    The commit input is repartitioned to a fixed width so the
+    compaction step always has files to fold regardless of the
+    caller's parallelism (keeps ``history_ops`` deterministic)."""
+    lake_commit(d.repartition(4), path)  # v1: small-file-shaped commit
+    lake_delete_where(spark, path, "lang = 'en'")  # v2: CoW delete
+    n_docs = lake_read(spark, path, 1).count()
+    n_after = lake_read(spark, path, 2).count()
+    changes = {
+        r["_change"]: r["n"]
+        for r in lake_diff(spark, path, 1, 2)
+        .groupBy("_change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    lake_compact(spark, path, target_files=1)  # v3
+    compact_ok = lake_read(spark, path).count() == n_after
+    travel_ok = lake_read(spark, path, 1).count() == n_docs
+    ops = ">".join(h["op"] for h in lake_history(path))
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                int(changes.get("delete", 0)),
+                int(changes.get("insert", 0)),
+                bool(travel_ok),
+                bool(compact_ok),
+                ops,
+            )
+        ],
+        "n_docs BIGINT, n_deleted BIGINT, n_inserted BIGINT, "
+        "time_travel_ok BOOLEAN, compact_preserved_rows BOOLEAN, "
+        "history_ops STRING",
+    )
+
+
+@register("lake_lifecycle", _LIFECYCLE_SQL)
+def q_lake_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_lake_lifecycle_")
+    try:
+        return lake_lifecycle(spark, d, os.path.join(tmp, "t"))
+    finally:
+        # the result is a driver-local literal row — the lake files are
+        # not needed to collect it later
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_prefix_overlap",  # r7: matryoshka truncation agreement
     "inter_event_time_distribution",  # r7: burstiness log2 histogram
     "top_event_paths",          # r7: whole-session funnel discovery
+    "lake_lifecycle",           # r7: commit/CoW-delete/CDC/compact row
     # -- stalest tier: newest driver stamp is round 3; 41 names — the
     #    window takes the first ~38, the overflow leads the r8 rotation.
     #    (pytest oracle-parity covers ALL oracled queries on current
@@ -161,6 +162,7 @@ def _load_all() -> None:
         joins,
         joins_advanced,
         knn,
+        lake_queries,
         multimodal,
         pca,
         profiling,
