@@ -437,3 +437,148 @@ def degree_distribution(li: DataFrame) -> DataFrame:
 @register("degree_distribution", _DEGREE_DIST_SQL)
 def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_distribution(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: connected components of the co-purchase graph (hash-min)
+# ---------------------------------------------------------------------------
+#: minimum distinct-order co-purchase support for a CC edge — prunes the
+#: one-off clique blowup (every multi-line order connects all its parts)
+#: down to REPEATED co-purchases, the market-basket convention
+CC_MIN_SUPPORT = 2
+
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {CC_MIN_SUPPORT}
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+    sizes AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp)
+    SELECT CAST(FLOOR(LOG2(sz)) AS INT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(MIN(sz) AS BIGINT) AS min_size,
+           CAST(MAX(sz) AS BIGINT) AS max_size,
+           CAST(SUM(sz) AS BIGINT) AS n_nodes
+    FROM sizes
+    GROUP BY 1
+    ORDER BY log2_bucket
+"""
+
+
+def graph_components(li: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components of the co-purchase graph by hash-min label
+    propagation, summarized as a log2 histogram of component sizes —
+    the fragmentation diagnostic behind dedup clustering and any
+    "related products" feature: one giant component means transitive
+    similarity chains everything together; many small ones mean the
+    graph is actually informative.
+
+    Scale shape: the same bounded per-order edge self-join as PageRank,
+    then a support filter (>= CC_MIN_SUPPORT distinct orders) that prunes
+    the one-off clique noise every multi-line order injects — the
+    market-basket convention, and what keeps both the component
+    structure informative and the oracle's transitive closure bounded;
+    each round is ONE (edge join + node-keyed min) — the standard
+    distributed CC (hash-min), rounds bounded by the graph diameter
+    with an early exit when a round changes no label (the change count
+    is a one-scalar driver read per round, the PageRank convention, and
+    at most ``max_iters`` rounds run). The inter-round state is the
+    O(nodes) label vector, localCheckpoint-ed so lineage doesn't stack.
+    Oracle: DuckDB transitive closure via recursive CTE + MIN — a
+    different algorithm entirely, so agreement pins semantics, not
+    implementation. For path-compressed O(log n) rounds at web scale,
+    swap in the star-contraction kernel dedup_clusters already uses."""
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count_distinct(F.col("ok")).alias("support"))
+        .where(F.col("support") >= CC_MIN_SUPPORT)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # candidate label per node: min over (its own, each neighbor's)
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "comp", "n_comp"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("n_comp").alias("n_comp"))
+        )
+        stepped = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jump: comp := min(comp, comp[comp]) — a label is always
+        # itself a node id, so chasing one hop of the label chain per
+        # round turns the O(diameter) propagation into O(log diameter)
+        # (the pointer-doubling half of star contraction)
+        jump = stepped.select(
+            F.col("node").alias("j_node"), F.col("comp").alias("j_comp")
+        )
+        nxt = (
+            stepped.join(
+                jump, stepped["comp"] == jump["j_node"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("j_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(
+                labels.withColumnRenamed("comp", "old"), "node"
+            )
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    bucket = F.floor(F.log2("sz")).cast("int")
+    return (
+        sizes.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.min("sz").cast("bigint").alias("min_size"),
+            F.max("sz").cast("bigint").alias("max_size"),
+            F.sum("sz").cast("bigint").alias("n_nodes"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+@register("graph_components", _COMPONENTS_SQL)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_components(load_table(spark, sf_dir, "lineitem"))
