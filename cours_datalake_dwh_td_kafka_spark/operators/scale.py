@@ -348,3 +348,138 @@ def key_skew_profile(d: DataFrame, key: str) -> DataFrame:
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     return key_skew_profile(li, "l_orderkey")
+
+
+def prefix_min(
+    df: DataFrame,
+    order_col: str,
+    mins: dict[str, str],
+    n_buckets: int = _SK_BUCKETS,
+) -> DataFrame:
+    """EXCLUSIVE running minimums in ``order_col`` order without the
+    single-reducer global window — the running-min sibling of
+    :func:`prefix_sums` (same two-phase shape: range buckets, per-bucket
+    totals, a window over the n_buckets offset rows only, then parallel
+    in-bucket windows). Exclusive (strictly-preceding rows) because the
+    canonical consumer is dominance testing (skyline), where a row must
+    not see itself; the first row's prefix is NULL.
+
+    ``order_col`` must be unique (ties could straddle a range bound).
+    Oracle: ``MIN() OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)``."""
+    import pyspark.sql.window as W
+
+    bucketed = (
+        df.repartitionByRange(n_buckets, order_col)
+        .withColumn("_bucket", F.spark_partition_id())
+        # shared-subtree pin (see prefix_sums): offset aggregate and
+        # probe join must read ONE partition assignment
+        .localCheckpoint(eager=False)
+    )
+    off_w = W.Window.orderBy("_bucket").rowsBetween(
+        W.Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("_bucket")
+        .agg(*[F.min(src).alias(f"_tot_{out}") for out, src in mins.items()])
+        .select(
+            "_bucket",
+            *[
+                F.min(f"_tot_{out}").over(off_w).alias(f"_off_{out}")
+                for out in mins
+            ],
+        )
+    )
+    run_w = (
+        W.Window.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(W.Window.unboundedPreceding, -1)
+    )
+    out = bucketed.join(F.broadcast(offsets), "_bucket")
+    for name, src in mins.items():
+        # least() skips nulls: first row of first bucket -> NULL prefix
+        out = out.withColumn(
+            name, F.least(F.min(src).over(run_w), F.col(f"_off_{name}"))
+        )
+    return out.drop("_bucket", *[f"_off_{n}" for n in mins])
+
+
+# --------------------------------------------------------------------------
+# skyline (Pareto frontier) via the two-phase exclusive running min
+# --------------------------------------------------------------------------
+_PARETO_SQL = """
+    WITH per_part AS (
+      SELECT l_partkey,
+             MIN(l_extendedprice) AS px,
+             MIN(date_diff('day', o.o_orderdate, l.l_shipdate)) AS dy
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l_partkey
+    ),
+    per_price AS (
+      SELECT px AS price, MIN(dy) AS delay_days FROM per_part GROUP BY px
+    ),
+    ranked AS (
+      SELECT price, delay_days,
+             MIN(delay_days) OVER (ORDER BY price
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_min
+      FROM per_price
+    )
+    SELECT ROUND(price, 6) AS price,
+           CAST(delay_days AS BIGINT) AS delay_days
+    FROM ranked
+    WHERE prev_min IS NULL OR delay_days < prev_min
+    ORDER BY price
+"""
+
+
+def pareto_frontier(li: DataFrame, o: DataFrame) -> DataFrame:
+    """Skyline query: the Pareto frontier of (cheapest observed price,
+    fastest observed ship delay) over parts — every point no other
+    point beats on BOTH axes, the classic multi-criteria shortlist
+    (cheap-and-fast suppliers, small-and-accurate models, ...). An
+    operator class plain GROUP BY can't express: dominance couples rows
+    across the whole set.
+
+    Scale shape: the naive skyline is a quadratic dominance self-join;
+    the 2-D case collapses to sort + exclusive running min (a point
+    survives iff no cheaper point ships as fast), and the running min
+    uses the two-phase :func:`prefix_min` — range buckets, an offset
+    window over n_buckets rows only — so NO data-scale single-partition
+    window exists (the repo's global-window discipline). Inputs
+    collapse to one row per distinct price before the frontier pass.
+    MIN-picked doubles and integer day counts compare exactly across
+    engines (no accumulation)."""
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    per_part = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_extendedprice").alias("px"),
+            F.min(delay).alias("dy"),
+        )
+    )
+    per_price = (
+        per_part.groupBy(F.col("px").alias("price"))
+        .agg(F.min("dy").alias("delay_days"))
+    )
+    ranked = prefix_min(per_price, "price", {"prev_min": "delay_days"})
+    return (
+        ranked.where(
+            F.col("prev_min").isNull()
+            | (F.col("delay_days") < F.col("prev_min"))
+        )
+        .select(
+            F.round("price", 6).alias("price"),
+            F.col("delay_days").cast("bigint").alias("delay_days"),
+        )
+        .orderBy("price")
+    )
+
+
+@register("pareto_frontier", _PARETO_SQL)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pareto_frontier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )

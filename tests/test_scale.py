@@ -221,3 +221,35 @@ def test_prefix_sums_invariant_to_bucket_count(spark):
             ).collect()
         }
         assert got == want, f"buckets={buckets}"
+
+
+def test_prefix_min_invariant_to_bucket_count(spark):
+    """prefix_min must equal the single-partition global EXCLUSIVE
+    running min for ANY bucket count (1, fewer-rows-than-buckets,
+    many) — including the NULL prefix on the first row."""
+    from pyspark.sql import Window as W
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        prefix_min,
+    )
+
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 101).alias("a"),
+    )
+    w = W.orderBy("c_custkey").rowsBetween(W.unboundedPreceding, -1)
+    want = {
+        (r.c_custkey, r.m)
+        for r in c.select(
+            "c_custkey", F.min("a").over(w).alias("m")
+        ).collect()
+    }
+    for buckets in (1, 4, 16, 100_000):
+        got = {
+            (r.c_custkey, r.prev_min)
+            for r in prefix_min(
+                c, "c_custkey", {"prev_min": "a"}, n_buckets=buckets
+            ).collect()
+        }
+        assert got == want, f"n_buckets={buckets}"
