@@ -530,11 +530,18 @@ def graph_components(li: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("n_comp").alias("n_comp"))
         )
-        stepped = labels.join(neigh, "node", "left").select(
-            "node",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
-            ).alias("comp"),
+        stepped = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            # the pointer jump below self-joins this frame: pin ONE
+            # materialization so the edge-join subtree doesn't run twice
+            # per round (the shared-subtree convention)
+            .localCheckpoint(eager=False)
         )
         # pointer jump: comp := min(comp, comp[comp]) — a label is always
         # itself a node id, so chasing one hop of the label chain per

@@ -641,3 +641,111 @@ def cusum_stateful(
         "update",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-ordered streaming inter-event gaps (feeds the burstiness
+# histogram — streaming twin of operators/analytics.py
+# inter_event_time_distribution's gap extraction)
+# ---------------------------------------------------------------------------
+GAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("gap_s", LongType()),
+    ]
+)
+
+#: (pending event times us, pending tie-break ids, next arrival
+#:  sequence, last folded event time us — -1 before the first fold)
+GAP_STATE_SCHEMA = StructType(
+    [
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_ids", ArrayType(LongType())),
+        StructField("next_seq", LongType()),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+
+def _gap_fn():
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            pend_ts, pend_ids, seq, last_ts = state.get
+            pend = list(zip(pend_ts, pend_ids))
+        else:
+            pend, seq, last_ts = [], 0, -1
+
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            ts_us = (pdf["event_time"].astype("int64") // 1_000).to_numpy()
+            if "event_id" in pdf.columns:
+                ids = pdf["event_id"].astype("int64").to_numpy()
+            else:
+                ids = range(seq, seq + len(pdf))
+                seq += len(pdf)
+            pend.extend((int(t), int(i)) for t, i in zip(ts_us, ids))
+
+        # gaps are ORDER-SENSITIVE (each event's gap is against its
+        # event-time predecessor), so fold only the watermark-certified
+        # prefix in (ts, id) order — the ewma_stateful discipline
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        ripe = sorted(p for p in pend if p[0] <= wm_us)
+        pend = [p for p in pend if p[0] > wm_us]
+        gaps = []
+        for t, _ in ripe:
+            if last_ts >= 0:
+                # integer microsecond diff -> whole seconds, floored at
+                # 1 — the batch twin's exact bucketing input
+                gaps.append(max((t - last_ts) // 1_000_000, 1))
+            last_ts = t
+
+        state.update(
+            (
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                int(seq),
+                int(last_ts),
+            )
+        )
+        if pend:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if gaps:
+            yield pd.DataFrame(
+                {"user_id": user_id, "gap_s": pd.array(gaps, dtype="int64")}
+            )
+
+    return fn
+
+
+def gap_stateful(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of the batch inter-event-gap extraction
+    (operators/analytics.py inter_event_time_distribution): one row per
+    (user, consecutive-event gap in whole seconds), emitted as the
+    watermark certifies each event's predecessor order is final. The
+    downstream histogram is a plain streaming aggregation over these
+    rows — gap extraction is the stateful part, bucketing is not.
+
+    Same buffered-fold shape as :func:`ewma_stateful`: state per key is
+    the pending suffix inside the watermark horizon plus O(1) (last
+    folded event time), and a timeout re-fires buffered keys when the
+    watermark advances past them."""
+    cols = ["user_id", "event_time"]
+    if "event_id" in events.columns:
+        cols.append("event_id")
+    src = events.select(*cols)
+    if events.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        _gap_fn(),
+        GAP_OUTPUT_SCHEMA,
+        GAP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

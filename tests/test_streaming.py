@@ -1207,3 +1207,77 @@ def test_trending_topk_restart_from_checkpoint(spark, stream_dir, tmp_path):
     # was resumed, not reset, and b0 was not double-counted
     lyon = {t for t in got if t[1] == "Lyon"}
     assert any(n == 4 for (_, _, n, _) in lyon), got
+
+
+def test_stream_gaps_match_batch_lag(spark, stream_dir):
+    """The watermark-ordered streaming gap extractor, after a flush row
+    pushes the watermark past every real event, must emit EXACTLY the
+    batch LAG-window gaps (the inter_event_time_distribution input) —
+    including when a late-but-in-watermark second batch delivers events
+    that interleave BETWEEN already-buffered ones (each such event
+    changes its successor's predecessor, the hazard the pending buffer
+    exists for)."""
+    from pyspark.sql import Window
+
+    from cours_datalake_dwh_td_kafka_spark.streaming.stateful import (
+        gap_stateful,
+    )
+
+    b1 = []
+    for i in range(4):
+        r = _rows(0, 1)[0]
+        r["timestamp"] = BASE_TS + i * 120  # 0s,120s,240s,360s
+        b1.append(r)
+    b2 = []
+    for i in range(2):
+        r = _rows(0, 1)[0]
+        r["timestamp"] = BASE_TS + 60 + i * 120  # 60s,180s: interleave
+        b2.append(r)
+    _write_batch(stream_dir, b1, "b0")
+    _write_batch(stream_dir, b2, "b1")
+    flush = _rows(0, 1, city="Nice")
+    flush[0]["timestamp"] = BASE_TS + 86400
+    _write_batch(stream_dir, flush, "b2")
+
+    enriched = enrich_alerts(_read_stream(spark, stream_dir)).select(
+        F.xxhash64("city").alias("user_id"), "event_time"
+    )
+    out = gap_stateful(enriched, watermark="10 minutes")
+    name = f"tgap_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="append")
+    got = sorted(
+        (r.user_id, r.gap_s) for r in spark.table(name).collect()
+    )
+
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], RAW_SCHEMA
+    )
+    bsrc = enrich_alerts(batch).select(
+        F.xxhash64("city").alias("user_id"),
+        F.col("event_time").alias("ts"),
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        (r.user_id, r.gap_s)
+        for r in bsrc.select(
+            "user_id",
+            F.lag("ts").over(w).alias("prev_ts"),
+            "ts",
+        )
+        .where(F.col("prev_ts").isNotNull())  # first event has no gap
+        .select(
+            "user_id",
+            F.greatest(
+                F.floor(
+                    (F.unix_micros("ts") - F.unix_micros("prev_ts")) / 1e6
+                ).cast("bigint"),
+                F.lit(1),
+            ).alias("gap_s"),
+        )
+        .collect()
+    )
+    # interleaved batch-2 events split four 120s gaps into 60s halves;
+    # the last original gap (240s->360s) stays 120s
+    assert {g for _, g in want} == {60, 120}
+    assert got == want and len(got) == 5
