@@ -1144,3 +1144,69 @@ def embedding_prefix_overlap(
 @register("embedding_prefix_overlap", _PREFIX_OVERLAP_SQL)
 def q_embedding_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_prefix_overlap(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: the nprobe tuning curve with its structural guarantees
+# ---------------------------------------------------------------------------
+NPROBE_CURVE = (1, 2, 4, N_CELLS)
+
+_NPROBE_CURVE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({p} AS BIGINT) AS nprobe, TRUE AS monotone_ok, "
+    "TRUE AS full_probe_exact"
+    for p in NPROBE_CURVE
+) + " ORDER BY nprobe"
+
+
+def ivf_nprobe_curve(e: DataFrame, probes: tuple = NPROBE_CURVE) -> DataFrame:
+    """The recall-vs-nprobe tuning curve every IVF deployment sizes its
+    probe budget from, folded to its two STRUCTURAL guarantees (the
+    raw recalls are quantizer-specific, so the driver-checked columns
+    are the invariants — the approx_quantiles pattern):
+
+    - ``monotone_ok``: recall@k never decreases as nprobe grows. This
+      is a theorem for a FIXED quantizer: probing more cells yields a
+      candidate superset, and a new candidate can only evict a row
+      from the local top-k by outranking it — but anything outranking
+      a true top-k member is itself a true top-k member, so hits never
+      drop. A violation means the rank order isn't total (rounding /
+      tiebreak bug), not that the corpus is unclustered.
+    - ``full_probe_exact``: at nprobe == n_cells the search IS brute
+      force — recall exactly 1 (also pinned in tests; this row makes
+      it driver-attested).
+
+    Scale shape: one exact brute-force truth (tree-reduced, pinned
+    localCheckpoint — it feeds every curve point), |probes| IVF passes
+    (each the standard scan-bounded kernel), and the verdicts are
+    integer hit counts through scalar aggregates — no window, no
+    driver math beyond the bounded query/centroid collects each pass
+    already does."""
+    truth = (
+        ann_topk_bruteforce(e)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    n_truth = truth.count()
+    spark = e.sparkSession
+    rows = []
+    prev_hits = -1
+    for nprobe in probes:
+        got = ivf_topk(e, nprobe=nprobe).select("query_id", "neighbor_id")
+        hits = got.join(truth, ["query_id", "neighbor_id"]).count()
+        full = nprobe >= N_CELLS
+        rows.append(
+            (
+                int(nprobe),
+                hits >= prev_hits,
+                (not full) or hits == n_truth,
+            )
+        )
+        prev_hits = hits
+    return spark.createDataFrame(
+        rows, "nprobe BIGINT, monotone_ok BOOLEAN, full_probe_exact BOOLEAN"
+    ).orderBy("nprobe")
+
+
+@register("ivf_nprobe_curve", _NPROBE_CURVE_SQL)
+def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_nprobe_curve(load_table(spark, sf_dir, "embeddings"))
