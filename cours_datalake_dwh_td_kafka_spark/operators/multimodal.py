@@ -2424,3 +2424,124 @@ def q_multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length("text") >= FRAME_SIZE)
     )
     return mp4_demux_stats(docs).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# REAL-codec query: audio RESAMPLE — the audio analog of image resize.
+# Synthesized PCM-16 -> real WAV encode -> real decode -> 2:1 decimation
+# (pair means, the box low-pass) -> RE-encode at half rate -> real decode
+# -> stats of the resampled signal. The oracle recomputes the pair means
+# from the source bytes directly, so the value hash fails if EITHER
+# codec pass or the decimation kernel is wrong.
+# ---------------------------------------------------------------------------
+RESAMPLE_SCHEMA = (
+    "doc_id BIGINT, in_rate BIGINT, out_rate BIGINT, n_in BIGINT, "
+    "n_out BIGINT, out_mean DOUBLE, out_rms DOUBLE"
+)
+
+_AUDIO_RESAMPLE_SQL = """
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(generate_series(1, length(text))) AS i, text
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, n,
+             CAST((i - 1) // 2 AS BIGINT) AS pair,
+             (ord(substr(text, CAST(i AS INT), 1)) - 128) * 256 AS amp
+      FROM b
+    ),
+    pairs AS (
+      -- FLOOR of the exact half, NOT integer division: DuckDB's //
+      -- truncates toward zero while numpy floors — floor() of the
+      -- exact .0/.5 double is the engine-neutral spelling
+      SELECT doc_id, MAX(n) AS n, pair,
+             CAST(FLOOR(SUM(amp) / 2.0) AS BIGINT) AS dec_amp,
+             COUNT(*) AS cnt
+      FROM v GROUP BY doc_id, pair
+      HAVING COUNT(*) = 2
+    )
+    SELECT doc_id,
+           CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS in_rate,
+           CAST(8000 * (1 + doc_id % 3) // 2 AS BIGINT) AS out_rate,
+           CAST(MAX(n) AS BIGINT) AS n_in,
+           COUNT(*) AS n_out,
+           ROUND(CAST(SUM(dec_amp) AS DOUBLE) / COUNT(*), 6) AS out_mean,
+           ROUND(SQRT(CAST(SUM(dec_amp * dec_amp) AS DOUBLE) / COUNT(*)),
+                 6) AS out_rms
+    FROM pairs
+    GROUP BY doc_id
+    HAVING COUNT(*) > 0
+    ORDER BY doc_id
+"""
+
+
+def audio_resample_stats(d: DataFrame) -> DataFrame:
+    """documents -> WAV encode -> decode -> 2:1 box decimation -> WAV
+    RE-encode at half rate -> decode -> stats. Decimation is the pair
+    FLOOR-mean (the simplest anti-aliased downsample, floored so the
+    output stays int16 — floor(mean(a, b)) always lies between a and b,
+    whereas the raw pair SUM can overflow int16); a trailing odd sample
+    drops (no fabricated partner). All stats ride exact integer sums —
+    one divide/sqrt + half-away round at output — so both engines agree
+    bit-for-bit.
+
+    Scale shape: one Arrow-batched mapInPandas pass per partition, two
+    codec round-trips per doc, linear in payload bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "in_rate": [], "out_rate": [], "n_in": [],
+                "n_out": [], "out_mean": [], "out_rms": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if b.size < 2:
+                    continue
+                samples = ((b.astype(np.int64) - 128) * 256).astype("<i2")
+                rate = 8000 * (1 + int(doc_id) % 3)
+                # pass 1: the full-rate codec round trip
+                _, dec = decode_wav_pcm16(encode_wav_pcm16(samples, rate))
+                a = dec.astype(np.int64)
+                n_in = int(a.size)
+                n_pairs = n_in // 2
+                pair_sums = a[: 2 * n_pairs].reshape(-1, 2).sum(axis=1)
+                # floor-mean: numpy // floors, matching the oracle's
+                # FLOOR(sum/2.0); always within int16 (between a and b)
+                carried = (pair_sums // 2).astype("<i2")
+                out_rate = rate // 2
+                dec2_rate, dec2 = decode_wav_pcm16(
+                    encode_wav_pcm16(carried, out_rate)
+                )
+                m = dec2.astype(np.int64)
+                n_out = int(m.size)
+                if n_out == 0:
+                    continue
+                s, ss = int(m.sum()), int((m * m).sum())
+                out["doc_id"].append(int(doc_id))
+                out["in_rate"].append(rate)
+                out["out_rate"].append(dec2_rate)
+                out["n_in"].append(n_in)
+                out["n_out"].append(n_out)
+                out["out_mean"].append(round6_half_away(s / n_out))
+                out["out_rms"].append(
+                    round6_half_away(math.sqrt(ss / n_out))
+                )
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(run, RESAMPLE_SCHEMA)
+
+
+@register("multimodal_audio_resample", _AUDIO_RESAMPLE_SQL)
+def q_multimodal_audio_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return audio_resample_stats(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
