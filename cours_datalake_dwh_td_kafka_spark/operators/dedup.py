@@ -1617,3 +1617,102 @@ def q_dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lsh_recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: the LSH banding curve with its structural guarantees
+# ---------------------------------------------------------------------------
+BANDS_CURVE_R = (8, 4, 2)  # rows per band; 2 is the production config
+
+_BANDS_CURVE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({r} AS BIGINT) AS rows_per_band, "
+    f"CAST({N_HASHES // r} AS BIGINT) AS n_bands, "
+    "TRUE AS superset_ok, TRUE AS recall_monotone_ok"
+    for r in BANDS_CURVE_R
+) + " ORDER BY rows_per_band DESC"
+
+
+def lsh_bands_curve(
+    d: DataFrame, rs: tuple = BANDS_CURVE_R
+) -> DataFrame:
+    """The precision/recall banding tradeoff every MinHash-LSH
+    deployment tunes (rows-per-band r down -> more bands -> more
+    candidates -> higher recall, more verification work), folded to
+    its structural guarantees — raw candidate counts are corpus-
+    specific, so the driver-checked columns are the invariants:
+
+    - ``superset_ok``: with DYADIC band layouts over one fixed
+      signature, halving r nests the bands — an equal band of 2r rows
+      contains two aligned equal bands of r rows — so each level's
+      candidate set must CONTAIN the previous level's. A violation
+      means the band keys aren't slicing the signature they claim to.
+    - ``recall_monotone_ok``: candidates-vs-exact-truth hits never
+      decrease as r halves (immediate corollary of the superset).
+
+    The curve stops at the production r (BAND_R=2): coarser levels
+    generate FEWER candidates than the production join the repo
+    already runs at scale, so no level introduces a new hot-key
+    blowup (the degenerate r=1 level would — sharing any single
+    minhash is a quadratic fan-in on the hottest value — which is
+    exactly why production doesn't run it and this curve doesn't
+    either).
+
+    Scale shape: ONE signature build (pinned — every level reads it),
+    per-level band-key equi-joins bounded above by the production
+    join, truth from the prefix-filter exact pass (pinned), verdicts
+    are integer anti-join/semi-join counts."""
+    sig = minhash_signature(d).localCheckpoint(eager=False)
+    truth = (
+        jaccard_prefix_pairs(d)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    spark = d.sparkSession
+    rows = []
+    prev_cand = None
+    prev_hits = -1
+    for r in rs:
+        n_bands = N_HASHES // r
+        keys = F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(band),
+                    *[
+                        F.col(f"h{band * r + j}").cast("string")
+                        for j in range(r)
+                    ],
+                )
+                for band in range(n_bands)
+            ]
+        )
+        bands = sig.select("doc_id", F.explode(keys).alias("band_key"))
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), "band_key")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)  # superset check + hits + next
+        )
+        superset_ok = (
+            prev_cand is None
+            or prev_cand.join(cand, ["doc_a", "doc_b"], "left_anti").count()
+            == 0
+        )
+        hits = truth.join(cand, ["doc_a", "doc_b"], "leftsemi").count()
+        rows.append((int(r), int(n_bands), superset_ok, hits >= prev_hits))
+        prev_cand, prev_hits = cand, hits
+    return spark.createDataFrame(
+        rows,
+        "rows_per_band BIGINT, n_bands BIGINT, superset_ok BOOLEAN, "
+        "recall_monotone_ok BOOLEAN",
+    ).orderBy(F.desc("rows_per_band"))
+
+
+@register("lsh_bands_curve", _BANDS_CURVE_SQL)
+def q_lsh_bands_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bands_curve(load_table(spark, sf_dir, "documents"))
