@@ -967,3 +967,125 @@ def top_event_paths(
 @register("top_event_paths", _TOP_PATHS_SQL)
 def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_event_paths(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: peak concurrency (sweep line over session intervals)
+# ---------------------------------------------------------------------------
+_PEAK_SQL = f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM seq
+    ),
+    ivals AS (
+      SELECT MIN(ts) AS s, MAX(ts) + INTERVAL 1 MICROSECOND AS e
+      FROM sess GROUP BY user_id, sess_id
+    ),
+    deltas AS (
+      SELECT t, SUM(d) AS delta FROM (
+        SELECT s AS t, 1 AS d FROM ivals
+        UNION ALL
+        SELECT e AS t, -1 AS d FROM ivals
+      ) GROUP BY t
+    ),
+    cum AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ivals) AS n_sessions,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+           MIN(t) FILTER (WHERE conc = (SELECT MAX(conc) FROM cum))
+             AS peak_ts
+    FROM cum
+"""
+
+
+def peak_concurrency(e: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Maximum number of simultaneously-active user sessions (closed
+    intervals [first event, last event] under a ``gap_minutes``
+    inactivity sessionization) and the first instant the peak is
+    reached — the capacity-planning number every serving fleet is
+    sized by, and the classic interval sweep line GROUP BY can't
+    express (concurrency couples every interval crossing a point).
+
+    Scale shape: sessions are the shared per-user window recipe; the
+    sweep line is +1/-1 deltas AGGREGATED PER DISTINCT TIMESTAMP (the
+    order key becomes unique, and the running state shrinks to distinct
+    boundary instants), then the running sum is the two-phase
+    :func:`~.scale.prefix_sums` — no data-scale single-partition
+    window — and the peak is one scalar aggregate with a broadcast
+    join-back for its first instant."""
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        prefix_sums,
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    brk = F.when(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+        1,
+    ).otherwise(0)
+    sess = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .withColumn("brk", brk)
+        .withColumn(
+            "sess_id",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    ivals = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("s"),
+        (F.timestamp_micros(F.unix_micros(F.max("ts")) + 1)).alias("e"),
+    ).localCheckpoint(eager=False)  # feeds deltas AND the session count
+    n_sessions = ivals.agg(F.count(F.lit(1)).alias("n_sessions"))
+    deltas = (
+        ivals.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+        .unionByName(
+            ivals.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+        )
+        .groupBy("t")
+        .agg(F.sum("d").alias("delta"))
+    )
+    cum = prefix_sums(deltas, "t", {"conc": "delta"}).localCheckpoint(
+        eager=False
+    )  # feeds the max AND the first-instant join-back
+    peak = cum.agg(F.max("conc").alias("peak_concurrent"))
+    first_at_peak = (
+        cum.join(
+            F.broadcast(peak), F.col("conc") == F.col("peak_concurrent")
+        )
+        .agg(F.min("t").alias("peak_ts"))
+    )
+    return (
+        n_sessions.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(first_at_peak))
+        .select(
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.col("peak_concurrent").cast("bigint").alias("peak_concurrent"),
+            "peak_ts",
+        )
+    )
+
+
+@register("peak_concurrency", _PEAK_SQL)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return peak_concurrency(load_table(spark, sf_dir, "events"))

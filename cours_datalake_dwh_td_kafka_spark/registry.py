@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_nprobe_curve",         # r7: recall-vs-nprobe structural curve
     "multimodal_audio_resample",  # r7: 2:1 decimation codec round trip
     "lsh_bands_curve",          # r7: nested-band superset/recall curve
+    "peak_concurrency",         # r7: sweep-line max overlapping sessions
     # -- stalest tier: newest driver stamp is round 3; 41 names — the
     #    window takes the first ~38, the overflow leads the r8 rotation.
     #    (pytest oracle-parity covers ALL oracled queries on current
