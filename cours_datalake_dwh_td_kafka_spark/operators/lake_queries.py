@@ -36,42 +36,43 @@ _LIFECYCLE_SQL = """
            CAST(0 AS BIGINT) AS n_inserted,
            TRUE AS time_travel_ok,
            TRUE AS compact_preserved_rows,
-           'append>delete>compact' AS history_ops
+           'append>compact>delete' AS history_ops
     FROM documents
 """
 
 
 def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
-    """Commit the corpus (v1), copy-on-write delete the English docs
-    (v2), compact (v3), and fold the protocol's guarantees into one
+    """Commit the corpus (v1), compact (v2), copy-on-write delete the
+    English docs (v3), and fold the protocol's guarantees into one
     deterministic row:
 
-    - ``n_deleted``/``n_inserted``: the v1→v2 CDC diff (lake_diff)
+    - ``compact_preserved_rows``: compaction is a physical rewrite —
+      the snapshot's row count is untouched (v2 == v1);
+    - ``n_deleted``/``n_inserted``: the v2→v3 CDC diff (lake_diff)
       must report exactly the predicate's rows as deletes, nothing as
       inserts — the after-the-fact change feed the manifest layout
       makes cheap;
-    - ``time_travel_ok``: v1 still reads the FULL corpus after the
-      delete and the compaction (snapshot isolation);
-    - ``compact_preserved_rows``: compaction is a physical rewrite —
-      the current snapshot's row count is untouched;
+    - ``time_travel_ok``: v1 still reads the FULL corpus after both
+      mutations (snapshot isolation);
     - ``history_ops``: the surviving manifest operations in order.
 
-    The commit input is repartitioned to a fixed width so the
-    compaction step always has files to fold regardless of the
-    caller's parallelism (keeps ``history_ops`` deterministic)."""
+    Compaction runs against v1, whose file count is an EXPLICIT
+    repartition(4) — the delete's rewrite width depends on the scan
+    parallelism of the running cluster, so compacting after it would
+    make ``history_ops`` (compact fires only with >1 small file)
+    nondeterministic on a single-core driver."""
     lake_commit(d.repartition(4), path)  # v1: small-file-shaped commit
-    lake_delete_where(spark, path, "lang = 'en'")  # v2: CoW delete
     n_docs = lake_read(spark, path, 1).count()
-    n_after = lake_read(spark, path, 2).count()
+    lake_compact(spark, path, target_files=1)  # v2
+    compact_ok = lake_read(spark, path, 2).count() == n_docs
+    lake_delete_where(spark, path, "lang = 'en'")  # v3: CoW delete
     changes = {
         r["_change"]: r["n"]
-        for r in lake_diff(spark, path, 1, 2)
+        for r in lake_diff(spark, path, 2, 3)
         .groupBy("_change")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    lake_compact(spark, path, target_files=1)  # v3
-    compact_ok = lake_read(spark, path).count() == n_after
     travel_ok = lake_read(spark, path, 1).count() == n_docs
     ops = ">".join(h["op"] for h in lake_history(path))
     return spark.createDataFrame(
