@@ -106,6 +106,33 @@ def round6_half_away(x: float) -> float:
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
 
+def _reject_corrupt(fmt: str):
+    """Decorator fencing a decoder of UNTRUSTED bytes: structural
+    failures that surface as struct/zlib/index/key errors mid-parse
+    (truncated fields, corrupt deflate streams, out-of-range table
+    lookups) are re-raised as ValueError, the one exception class the
+    pipeline's reject path handles. Internal invariant bugs still
+    escape as their own types under tests because the round-trip
+    property suites call the decoders on payloads the ENCODERS
+    produced — a wrapped error there means the codec itself is wrong
+    and the test fails either way (the values can't match)."""
+    import functools
+    import struct
+    import zlib
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(payload, *a, **k):
+            try:
+                return fn(payload, *a, **k)
+            except (struct.error, zlib.error, IndexError, KeyError) as ex:
+                raise ValueError(f"corrupt {fmt} stream: {ex}") from ex
+
+        return wrapped
+
+    return deco
+
+
 # ---------------------------------------------------------------------------
 # REAL codec: RIFF/WAVE 16-bit PCM, pure numpy + struct. Uncompressed WAV
 # is fully specified by its container (RFC 2361 / the original RIFF spec),
@@ -139,6 +166,7 @@ def encode_wav_pcm16(samples, sample_rate: int, channels: int = 1) -> bytes:
     )
 
 
+@_reject_corrupt("WAV")
 def decode_wav_pcm16(payload: bytes):
     """Parse a RIFF/WAVE payload: walk the chunk list (skipping unknown
     chunks and honoring RIFF's odd-size pad byte), validate PCM/16-bit,
@@ -229,6 +257,7 @@ def encode_bmp24(pixels, flip_rows: bool = True) -> bytes:
     return header + rows.tobytes()
 
 
+@_reject_corrupt("BMP")
 def decode_bmp24(payload: bytes):
     """Parse a 24-bit BI_RGB BMP into an (h, w, 3) uint8 RGB array.
     Honors the pixel-data offset, per-row 4-byte padding, and both row
@@ -1159,6 +1188,7 @@ def encode_png_rgb8(pixels) -> bytes:
     )
 
 
+@_reject_corrupt("PNG")
 def decode_png_rgb8(payload: bytes):
     """Parse an 8-bit truecolor PNG into an (h, w, 3) uint8 RGB array:
     signature + chunk walk with CRC verification, concatenated-IDAT
@@ -1362,6 +1392,7 @@ _GZIP_SQL = """
 """
 
 
+@_reject_corrupt("gzip")
 def decode_gzip_member(payload: bytes) -> tuple[bytes, bool, bool]:
     """Parse one RFC 1952 gzip member by hand: verify the 1f 8b magic
     and deflate method byte, walk the FLG-gated optional fields (FEXTRA
@@ -1505,6 +1536,7 @@ def encode_dct8(gray) -> bytes:
     )
 
 
+@_reject_corrupt("DCT8")
 def decode_dct8(payload: bytes):
     """Inverse of :func:`encode_dct8`: parse the container, dequantize,
     IDCT, un-shift, clip to uint8."""
@@ -2084,6 +2116,7 @@ def jfif_wrap(
     return bytes(out)
 
 
+@_reject_corrupt("JFIF")
 def decode_jfif(payload: bytes):
     """Parse a single-component baseline JFIF stream produced by
     :func:`encode_jfif` back to ((h, w) uint8 image, quantized coeff
@@ -2290,6 +2323,7 @@ def _walk_boxes(data: bytes, start: int, end: int):
         raise ValueError("trailing bytes after last box")
 
 
+@_reject_corrupt("ISO-BMFF")
 def demux_bmff(payload: bytes) -> "list[bytes]":
     """Parse the box tree, locate stbl through the moov hierarchy, and
     slice the samples out of the file by the PARSED stsz/stco tables.

@@ -945,3 +945,59 @@ def test_bmff_and_header_walk_demux_agree(seed):
         walked.append(payload[pos : pos + size])
         pos += size
     assert walked == demux_bmff(mux_bmff(frames)) == frames
+
+
+@given(
+    codec=st.sampled_from(
+        ["wav", "bmp", "png", "dct8", "jfif", "bmff", "gzip"]
+    ),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    truncate=st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_all_decoders_reject_corruption_gracefully(codec, seed, truncate):
+    """EVERY decoder of untrusted bytes must, on a truncated or
+    bit-flipped stream, either decode to SOMETHING (silent corruption
+    is spec-permitted where the format carries no checksum) or raise
+    ValueError — never struct.error / zlib.error / IndexError /
+    KeyError, which are parser crashes on hostile input (the
+    _reject_corrupt boundary, multimodal.py)."""
+    import gzip as _gzip
+
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(8, 7, 3)).astype(np.uint8)
+    samples = ((rng.randint(0, 256, 64) - 128) * 256).astype("<i2")
+    payload, dec = {
+        "wav": lambda: (mm.encode_wav_pcm16(samples, 8000), mm.decode_wav_pcm16),
+        "bmp": lambda: (mm.encode_bmp24(rgb), mm.decode_bmp24),
+        "png": lambda: (mm.encode_png_rgb8(rgb), mm.decode_png_rgb8),
+        "dct8": lambda: (mm.encode_dct8(img), mm.decode_dct8),
+        "jfif": lambda: (
+            mm.encode_jfif(img, restart_interval=int(rng.randint(0, 3))),
+            mm.decode_jfif,
+        ),
+        "bmff": lambda: (
+            mm.mux_bmff([b"frameone", b"frametwo2"]),
+            mm.demux_bmff,
+        ),
+        "gzip": lambda: (
+            _gzip.compress(b"hello world" * 20),
+            mm.decode_gzip_member,
+        ),
+    }[codec]()
+
+    p = bytearray(payload)
+    if truncate:
+        p = p[: rng.randint(1, len(p))]
+    else:
+        for _ in range(rng.randint(1, 5)):
+            p[rng.randint(0, len(p))] ^= 1 << rng.randint(0, 8)
+    try:
+        dec(bytes(p))
+    except ValueError:
+        pass  # graceful rejection IS the contract
