@@ -219,6 +219,21 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> D
     shingles; zero observed at any tested SF, and the oracle — which
     groups by the raw string — stays hash-green, pinning that absence).
     """
+    joined = _shared_shingle_counts(d)
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _shared_shingle_counts(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_a, n_b) from the capped posting
+    lists — the shared candidate/verify front half of every exact
+    set-overlap dedup (Jaccard, containment). See ngram_jaccard_pairs
+    for the full plan rationale."""
     rows = shingle_rows(d, distinct=False).select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
@@ -249,14 +264,7 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> D
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    joined = shared.join(na, "doc_a").join(nb, "doc_b")
-    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return (
-        joined.withColumn("jaccard", F.round(jac, 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_shared", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
+    return shared.join(na, "doc_a").join(nb, "doc_b")
 
 
 _NGRAM_SQL = f"""
@@ -1716,3 +1724,68 @@ def lsh_bands_curve(
 @register("lsh_bands_curve", _BANDS_CURVE_SQL)
 def q_lsh_bands_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bands_curve(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-ref: asymmetric containment dedup (near-subset detection)
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.9
+
+_CONTAINMENT_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             {SHINGLES_SQL.format(t="string_split(" + NORM_SQL.format(c='text') + ", ' ')")} AS sh
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM docs),
+    inv0 AS (SELECT doc_id, n_sh, UNNEST(sh) AS shingle FROM sized),
+    rare AS (
+      SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= {MAX_DF}
+    ),
+    inv AS (SELECT i.* FROM inv0 i JOIN rare r USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b), 6)
+             AS containment
+    FROM shared
+    WHERE CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+def containment_pairs(
+    d: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """Asymmetric near-SUBSET detection: containment = |A ∩ B| /
+    min(|A|, |B|) over shingle sets — the overlap measure that catches
+    a short doc quoted whole inside a long one, which Jaccard
+    structurally misses (a 100-shingle doc inside a 10000-shingle doc
+    has Jaccard ~0.01 but containment 1.0). This is the second measure
+    web-scale dedup runs alongside Jaccard (quote farms, wrapper
+    pages, syndication with added boilerplate).
+
+    Scale shape: identical to ngram_jaccard_pairs — the SAME
+    df-capped posting-list candidate front half
+    (:func:`_shared_shingle_counts`), only the verify expression
+    differs. One shuffle on the shingle hash, pair fan-out bounded by
+    MAX_DF^2/2 per list."""
+    joined = _shared_shingle_counts(d)
+    cont = F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        joined.withColumn("containment", F.round(cont, 6))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("dedup_containment", _CONTAINMENT_SQL)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(load_table(spark, sf_dir, "documents"))

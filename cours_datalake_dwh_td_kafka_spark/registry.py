@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_resample",  # r7: 2:1 decimation codec round trip
     "lsh_bands_curve",          # r7: nested-band superset/recall curve
     "peak_concurrency",         # r7: sweep-line max overlapping sessions
+    "dedup_containment",        # r7: asymmetric near-subset detection
     # -- stalest tier: newest driver stamp is round 3; 41 names — the
     #    window takes the first ~38, the overflow leads the r8 rotation.
     #    (pytest oracle-parity covers ALL oracled queries on current
