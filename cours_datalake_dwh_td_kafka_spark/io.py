@@ -446,3 +446,52 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+# --------------------------------------------------------------------------
+# Raw-file ingestion (built into Spark): text lines and whole binary
+# files — the front door for corpus text dumps and multimodal payloads
+# BEFORE they have a schema. binaryFile is how image/audio/video bytes
+# enter the engine at scale: one row per file, content as a binary
+# column, partitioned by Spark's file bin-packing — no driver reads.
+# --------------------------------------------------------------------------
+
+def read_text(
+    spark: SparkSession,
+    paths: str | list[str],
+    whole: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Text scan: one row per line (default) or per file
+    (``whole=True``), column ``value STRING``. ``line_sep`` overrides
+    the newline splitter for record-separated dumps (e.g. NUL- or
+    form-feed-delimited corpora)."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    # wholetext goes through the typed text() kwarg, not option():
+    # option() stringifies Python True to "True", which the text source
+    # does not parse as a boolean
+    return reader.text(
+        paths if isinstance(paths, str) else list(paths), wholetext=whole
+    )
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Whole-file binary scan via Spark's ``binaryFile`` source: one
+    row per file with (path, modificationTime, length, content BINARY)
+    — the ingestion edge for multimodal payloads (operators/
+    multimodal.py decodes the ``content`` column). ``glob`` filters by
+    pathGlobFilter (e.g. ``*.wav``) INSIDE the listing, so non-matching
+    files are never opened. Spark bin-packs small files into read
+    tasks; at 100 TB cap per-task memory with
+    ``spark.sql.files.maxPartitionBytes`` since each row holds a whole
+    file's bytes."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -321,3 +321,61 @@ def test_orc_roundtrip_pushdown_and_partitioned_layout(spark, tmp_path):
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pplan
     assert pruned.count() == 10
+
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    from cours_datalake_dwh_td_kafka_spark.io import read_text
+
+    p = tmp_path / "t"
+    p.mkdir()
+    (p / "a.txt").write_text("one\ntwo\nthree")
+    (p / "b.txt").write_text("four")
+    lines = {r.value for r in read_text(spark, str(p)).collect()}
+    assert lines == {"one", "two", "three", "four"}
+    wholes = {r.value for r in read_text(spark, str(p), whole=True).collect()}
+    assert wholes == {"one\ntwo\nthree", "four"}
+    # custom record separator: form-feed-delimited dump
+    (p / "c.txt").unlink(missing_ok=True)
+    sep_dir = tmp_path / "sep"
+    sep_dir.mkdir()
+    (sep_dir / "d.txt").write_text("alpha\x0cbeta\x0cgamma")
+    recs = {
+        r.value
+        for r in read_text(spark, str(sep_dir), line_sep="\x0c").collect()
+    }
+    assert recs == {"alpha", "beta", "gamma"}
+
+
+def test_read_binary_files_glob_and_decode(spark, tmp_path):
+    """binaryFile ingestion end-to-end into the codec layer: write real
+    WAV payloads as files, scan them with a glob that excludes the
+    decoy, and decode the content column with the engine's own codec."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.io import read_binary_files
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    p = tmp_path / "media"
+    p.mkdir()
+    want = {}
+    for i in range(3):
+        samples = (np.arange(10, dtype=np.int64) * (i + 1) * 100).astype(
+            "<i2"
+        )
+        payload = encode_wav_pcm16(samples, 8000)
+        (p / f"clip{i}.wav").write_bytes(payload)
+        want[f"clip{i}.wav"] = samples.tolist()
+    (p / "decoy.txt").write_text("not audio")
+
+    df = read_binary_files(spark, str(p), glob="*.wav")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3  # the decoy never enters the scan
+    for r in rows:
+        name = r.path.rsplit("/", 1)[-1]
+        assert r.length == len(bytes(r.content))
+        rate, samples = decode_wav_pcm16(bytes(r.content))
+        assert rate == 8000
+        assert samples.tolist() == want[name]
