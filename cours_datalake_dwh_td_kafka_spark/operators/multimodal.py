@@ -2579,3 +2579,117 @@ def q_multimodal_audio_resample(
     return audio_resample_stats(
         load_table(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection: per-transition SAD over DECODED frames
+# ---------------------------------------------------------------------------
+SCENE_CUT_MEAN_DIFF = 32  # mean abs per-subpixel diff that counts as a cut
+
+SCENE_SCHEMA = (
+    "doc_id BIGINT, n_frames BIGINT, n_transitions BIGINT, "
+    "n_cuts BIGINT, max_sad BIGINT"
+)
+
+_SCENE_CUT_SQL = f"""
+    WITH v AS (
+      SELECT doc_id, text, length(text) // {FRAME_SIZE} AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2 AND length(text) >= {2 * FRAME_SIZE}
+    ),
+    px AS (
+      SELECT doc_id, n_frames, f, i,
+             ord(substr(text, CAST(f * {FRAME_SIZE} + i AS INT), 1)) AS cur,
+             ord(substr(text,
+                 CAST((f - 1) * {FRAME_SIZE} + i AS INT), 1)) AS prev
+      FROM v,
+           unnest(generate_series(1, n_frames - 1)) AS tf(f),
+           unnest(generate_series(1, {FRAME_SIZE})) AS ti(i)
+    ),
+    sad AS (
+      SELECT doc_id, n_frames, f, SUM(ABS(cur - prev)) AS sad
+      FROM px GROUP BY doc_id, n_frames, f
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           COUNT(*) AS n_transitions,
+           CAST(SUM(CASE WHEN sad > {SCENE_CUT_MEAN_DIFF * FRAME_SIZE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(MAX(sad) AS BIGINT) AS max_sad
+    FROM sad
+    GROUP BY doc_id, n_frames
+    ORDER BY doc_id
+"""
+
+
+def scene_cut_stats(videos: DataFrame) -> DataFrame:
+    """Scene-cut detection over a demuxed video: per consecutive frame
+    pair, the sum of absolute per-subpixel differences (SAD — the
+    standard shot-boundary signal); a transition whose MEAN diff
+    exceeds ``SCENE_CUT_MEAN_DIFF`` counts as a cut. Per video: frame
+    count, transition count, cut count, and the sharpest transition —
+    the shot-structure summary a video-curation pipeline keys
+    sampling on (one keyframe per shot beats every-Nth-frame when
+    shots vary in length).
+
+    Scale shape: ONE Arrow-batched pass per partition; the demux walk
+    holds only the PREVIOUS decoded frame per video (O(frame) state,
+    not O(video)), every diff is exact integer arithmetic, and each
+    frame passes through the real BMP decoder — the oracle recomputes
+    the SADs from the source bytes, so a decode or walk bug breaks the
+    hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_frames": [], "n_transitions": [],
+                "n_cuts": [], "max_sad": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                pos = 0
+                prev = None
+                n_frames = n_cuts = n_trans = 0
+                max_sad = -1
+                while pos + 54 <= len(payload):
+                    if payload[pos : pos + 2] != b"BM":
+                        raise ValueError(
+                            f"doc {doc_id}: bad frame magic at {pos}"
+                        )
+                    (size,) = struct.unpack(
+                        "<I", payload[pos + 2 : pos + 6]
+                    )
+                    a = decode_bmp24(payload[pos : pos + size]).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        sad = int(np.abs(a - prev).sum())
+                        n_trans += 1
+                        max_sad = max(max_sad, sad)
+                        if sad > SCENE_CUT_MEAN_DIFF * a.size:
+                            n_cuts += 1
+                    prev = a
+                    n_frames += 1
+                    pos += size
+                if n_trans:
+                    out["doc_id"].append(int(doc_id))
+                    out["n_frames"].append(n_frames)
+                    out["n_transitions"].append(n_trans)
+                    out["n_cuts"].append(n_cuts)
+                    out["max_sad"].append(max_sad)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return videos.select("doc_id", "payload").mapInPandas(run, SCENE_SCHEMA)
+
+
+@register("multimodal_scene_cuts", _SCENE_CUT_SQL)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    return scene_cut_stats(synth_video_bmp(docs)).orderBy("doc_id")
