@@ -1293,3 +1293,73 @@ def tokenizer_fertility(d: DataFrame) -> DataFrame:
 @register("tokenizer_fertility", _FERTILITY_SQL)
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# per-source quality percentile profile (feed-degradation monitoring)
+# ---------------------------------------------------------------------------
+_QUALITY_BY_SOURCE_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             string_split({NORM_SQL.format(c='text')}, ' ') AS toks,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, n_chars,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct,
+             n_punct
+      FROM base
+    ),
+    scored AS (SELECT source, {_QE} AS q FROM feat)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(q, 0.25), 6) AS q25,
+           ROUND(quantile_cont(q, 0.50), 6) AS median,
+           ROUND(quantile_cont(q, 0.75), 6) AS q75
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+def quality_percentiles_by_source(d: DataFrame) -> DataFrame:
+    """Per-feed quartiles of the shared quality score — the operational
+    view of quality_score: a per-doc score table says WHICH docs are
+    bad; this says WHICH FEED is degrading (a source whose median
+    drifts down between crawls changed its content or its extractor
+    broke), the number a curation on-call actually watches.
+
+    Scale shape: ONE pass builds the per-doc scores (the quality_score
+    plan, unsorted), then a per-source exact interpolated percentile
+    aggregate — partial-aggregable, no window. Percentiles interpolate
+    over ROUND-6 scores, identical value sets on both engines, so the
+    quartiles match exactly (the `quantiles` recipe)."""
+    scored = quality_scores(d, extra=("source",), ordered=False)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.percentile("quality_score", F.lit(0.25)), 6
+            ).alias("q25"),
+            F.round(
+                F.percentile("quality_score", F.lit(0.50)), 6
+            ).alias("median"),
+            F.round(
+                F.percentile("quality_score", F.lit(0.75)), 6
+            ).alias("q75"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("quality_percentiles_by_source", _QUALITY_BY_SOURCE_SQL)
+def q_quality_percentiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return quality_percentiles_by_source(
+        load_table(spark, sf_dir, "documents")
+    )
