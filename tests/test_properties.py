@@ -1001,3 +1001,45 @@ def test_all_decoders_reject_corruption_gracefully(codec, seed, truncate):
         dec(bytes(p))
     except ValueError:
         pass  # graceful rejection IS the contract
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pareto_recipe_matches_bruteforce_dominance(spark, pts):
+    """The sort + exclusive-prefix-min skyline recipe (the
+    pareto_frontier plan) must equal the O(n^2) dominance definition —
+    non-dominated distinct points under (x1<=x2, y1<=y2, strict in
+    one) — on arbitrary point sets including duplicates, equal-x ties,
+    and equal-y ties across x."""
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        prefix_min,
+    )
+
+    distinct = sorted(set(pts))
+    want = {
+        (x, y)
+        for x, y in distinct
+        if not any(
+            (a <= x and b <= y and (a < x or b < y)) for a, b in distinct
+        )
+    }
+
+    df = spark.createDataFrame(pts, "x BIGINT, y BIGINT")
+    per_x = df.groupBy("x").agg(F.min("y").alias("y"))
+    ranked = prefix_min(per_x, "x", {"prev_min": "y"}, n_buckets=4)
+    got = {
+        (r.x, r.y)
+        for r in ranked.where(
+            F.col("prev_min").isNull() | (F.col("y") < F.col("prev_min"))
+        ).collect()
+    }
+    assert got == want
