@@ -1363,3 +1363,73 @@ def q_quality_percentiles_by_source(
     return quality_percentiles_by_source(
         load_table(spark, sf_dir, "documents")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source novelty rollup (crawl-freshness by feed)
+# ---------------------------------------------------------------------------
+_SOURCE_NOVELTY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks
+    ),
+    firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM sh JOIN firsts f USING (shingle)
+      GROUP BY sh.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           ROUND(SUM(n_novel) / CAST(SUM(n_shingles) AS DOUBLE), 6)
+             AS novelty
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
+def source_novelty(d: DataFrame) -> DataFrame:
+    """Crawl freshness BY FEED: each source's share of first-occurrence
+    3-grams across its docs — the rollup of :func:`ngram_novelty` an
+    ingestion dashboard actually plots (a feed whose novelty collapses
+    is re-crawling what the corpus already has; per-doc novelty tells
+    you which page, this tells you which FEED to deprioritize).
+
+    Scale shape: the per-doc novelty plan (shingle-keyed first-
+    occurrence attribution, no windows) plus one broadcast doc→source
+    join and a tiny source-keyed rollup of integer counts."""
+    per_doc = ngram_novelty(d).select("doc_id", "n_shingles", "n_novel")
+    src = d.select("doc_id", "source")
+    return (
+        per_doc.join(F.broadcast(src), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum("n_novel") / F.sum("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("source_novelty", _SOURCE_NOVELTY_SQL)
+def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_novelty(load_table(spark, sf_dir, "documents"))

@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_containment",        # r7: asymmetric near-subset detection
     "multimodal_scene_cuts",    # r7: SAD shot-boundary detection
     "quality_percentiles_by_source",  # r7: per-feed quality quartiles
+    "source_novelty",           # r7: crawl freshness by feed
     # -- stalest tier: newest driver stamp is round 3; 41 names — the
     #    window takes the first ~38, the overflow leads the r8 rotation.
     #    (pytest oracle-parity covers ALL oracled queries on current
