@@ -182,7 +182,25 @@ _SK_SQL = """
 _SK_BUCKETS = 16
 
 
-def dense_ids(df: DataFrame, order_col: str, n_buckets: int = _SK_BUCKETS) -> DataFrame:
+def _adaptive_buckets(df: DataFrame, floor: int = _SK_BUCKETS) -> int:
+    """Bucket count for the two-phase prefix kernels, derived from the
+    INPUT's partitioning rather than pinned: a fixed constant caps the
+    within-bucket sort/rank parallelism at that constant regardless of
+    data size (the round-7 audit's last data-independent ceiling). Using
+    the source partition count means a 100 TB scan (hundreds of
+    thousands of input splits) fans the in-bucket work across the whole
+    cluster, while the offset window — n_buckets rows — stays
+    driver-scale even at 10^5 buckets. Floor of ``_SK_BUCKETS`` keeps
+    tiny local inputs from degenerating to 1 bucket (which would be the
+    exact single-reducer shape these kernels exist to kill).
+    Determinism is unaffected: offsets are computed from the pinned
+    (localCheckpoint-ed) assignment whatever the count is."""
+    return max(floor, df.rdd.getNumPartitions())
+
+
+def dense_ids(
+    df: DataFrame, order_col: str, n_buckets: int | None = None
+) -> DataFrame:
     """Gap-free 1..N ids in ``order_col`` order WITHOUT the classic
     single-reducer global window. ROW_NUMBER() OVER (ORDER BY k) — the
     textbook surrogate-key assignment — funnels all N rows through one
@@ -198,9 +216,13 @@ def dense_ids(df: DataFrame, order_col: str, n_buckets: int = _SK_BUCKETS) -> Da
     its bounds nondeterministically: buckets are contiguous in key
     order, so offset + within-bucket rank == global rank wherever the
     bounds happen to fall (``order_col`` must be unique — ties could
-    straddle a bound). Oracle: the plain global ROW_NUMBER."""
+    straddle a bound). ``n_buckets=None`` (the default) scales the
+    bucket count with the input via :func:`_adaptive_buckets`. Oracle:
+    the plain global ROW_NUMBER."""
     import pyspark.sql.window as W
 
+    if n_buckets is None:
+        n_buckets = _adaptive_buckets(df)
     bucketed = (
         df.repartitionByRange(n_buckets, order_col)
         .withColumn("_bucket", F.spark_partition_id())
@@ -239,7 +261,7 @@ def prefix_sums(
     df: DataFrame,
     order_col: str,
     sums: dict[str, str],
-    n_buckets: int = _SK_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Inclusive running sums of integer columns in ``order_col`` order
     WITHOUT the single-reducer global window — the running-sum twin of
@@ -253,10 +275,13 @@ def prefix_sums(
     ``sums`` maps output column name -> source column; sources must be
     integer-typed so bucket-boundary placement can't perturb a float
     accumulation order (``order_col`` must be unique — ties could
-    straddle a range bound). Oracle: the plain global
+    straddle a range bound). ``n_buckets=None`` scales with the input
+    (see :func:`_adaptive_buckets`). Oracle: the plain global
     ``SUM() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``."""
     import pyspark.sql.window as W
 
+    if n_buckets is None:
+        n_buckets = _adaptive_buckets(df)
     bucketed = (
         df.repartitionByRange(n_buckets, order_col)
         .withColumn("_bucket", F.spark_partition_id())
@@ -354,7 +379,7 @@ def prefix_min(
     df: DataFrame,
     order_col: str,
     mins: dict[str, str],
-    n_buckets: int = _SK_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """EXCLUSIVE running minimums in ``order_col`` order without the
     single-reducer global window — the running-min sibling of
@@ -365,10 +390,13 @@ def prefix_min(
     not see itself; the first row's prefix is NULL.
 
     ``order_col`` must be unique (ties could straddle a range bound).
+    ``n_buckets=None`` scales with the input (:func:`_adaptive_buckets`).
     Oracle: ``MIN() OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING
     AND 1 PRECEDING)``."""
     import pyspark.sql.window as W
 
+    if n_buckets is None:
+        n_buckets = _adaptive_buckets(df)
     bucketed = (
         df.repartitionByRange(n_buckets, order_col)
         .withColumn("_bucket", F.spark_partition_id())

@@ -253,3 +253,27 @@ def test_prefix_min_invariant_to_bucket_count(spark):
             ).collect()
         }
         assert got == want, f"n_buckets={buckets}"
+
+
+def test_adaptive_buckets_scale_with_input_partitions(spark):
+    """The default bucket count of the prefix kernels must GROW with the
+    input's partitioning (the round-7 audit flagged a fixed 16-bucket
+    cap as the last data-independent parallelism ceiling): a 256-split
+    scan gets >=256 buckets, while tiny inputs keep the _SK_BUCKETS
+    floor so the kernels never degenerate to one reducer."""
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        _SK_BUCKETS,
+        _adaptive_buckets,
+    )
+
+    c = load_table(spark, SF_ORACLE, "customer").select("c_custkey")
+    wide = c.repartition(256)
+    assert _adaptive_buckets(wide) >= 256
+    narrow = c.coalesce(1)
+    assert _adaptive_buckets(narrow) == _SK_BUCKETS
+    # the default path (n_buckets=None) stays correct on a wide input:
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import dense_ids
+
+    n = c.count()
+    sks = [r.sk for r in dense_ids(wide, "c_custkey").select("sk").collect()]
+    assert sorted(sks) == list(range(1, n + 1))
