@@ -795,8 +795,7 @@ _INTER_EVENT_SQL = """
       FROM events
     ),
     gaps AS (
-      SELECT GREATEST(CAST(FLOOR(
-               epoch_us(ts - prev_ts) / 1000000.0) AS BIGINT), 1)
+      SELECT GREATEST(CAST(epoch_us(ts - prev_ts) // 1000000 AS BIGINT), 1)
                AS gap_s
       FROM seq WHERE prev_ts IS NOT NULL
     )
@@ -821,15 +820,21 @@ def inter_event_time_distribution(e: DataFrame) -> DataFrame:
 
     Scale shape: the LAG window partitions by user (the sessionization
     discipline — never a global sort); gaps truncate to integer seconds
-    via exact integer microsecond arithmetic; the histogram is a
-    ~log2(max gap)-group aggregate with map-side combine. LOG2 only
-    buckets integers (exact below 2^53 — the degree_distribution
-    precedent)."""
+    via exact integer microsecond arithmetic — Spark's ``div`` and
+    DuckDB's ``//`` are both integer division, and the gap is
+    non-negative (LAG within an ORDER BY ts window), so floor-vs-
+    truncate cannot diverge and no double ever enters the expression
+    (round-7 advice: the previous /1e6-then-FLOOR matched across
+    engines but was not the exactness the docstring claimed); the
+    histogram is a ~log2(max gap)-group aggregate with map-side
+    combine. LOG2 only buckets integers (exact below 2^53 — the
+    degree_distribution precedent)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = F.greatest(
-        F.floor(
-            (F.unix_micros("ts") - F.unix_micros("prev_ts")) / 1e6
-        ).cast("bigint"),
+        F.expr(
+            "CAST((unix_micros(ts) - unix_micros(prev_ts)) div 1000000"
+            " AS BIGINT)"
+        ),
         F.lit(1),
     )
     gaps = (

@@ -47,12 +47,25 @@ from cours_datalake_dwh_td_kafka_spark.registry import register
 
 
 def _current_version_dir(path: str) -> str:
-    """Resolve the live version directory via the CURRENT pointer."""
+    """Resolve the live version directory via the CURRENT pointer.
+
+    Resolving also TOUCHES the pointer file: the drop_all vacuum sweep
+    keys its grace window on the newest entry mtime under the tag dir,
+    and serving alone never wrote anything — so an index older than the
+    window could be rmtree'd out from under a concurrent reader that
+    had just opened it (round-7 advice). Refreshing CURRENT's mtime on
+    every resolve makes "recently served" count as "recently alive";
+    best-effort because a read-only index is still servable."""
+    current = os.path.join(path, "CURRENT")
     try:
-        with open(os.path.join(path, "CURRENT")) as f:
+        with open(current) as f:
             name = f.read().strip()
     except FileNotFoundError:
         raise ValueError(f"no IVF index at {path} (missing CURRENT)") from None
+    try:
+        os.utime(current)
+    except OSError:
+        pass
     return os.path.join(path, name)
 
 
@@ -390,16 +403,30 @@ def _user_index_root() -> str:
     name already exists but is owned by someone else (a hostile
     pre-created directory on a shared machine must never be written
     into or rmtree'd)."""
+    import stat as stat_mod
     import tempfile
 
     parent = os.path.join(
         tempfile.gettempdir(), f"spark_graft_idx_u{os.getuid()}"
     )
     os.makedirs(parent, mode=0o700, exist_ok=True)
-    if os.stat(parent).st_uid != os.getuid():
+    # lstat, not stat: stat follows symlinks, so a hostile pre-created
+    # symlink owned by us-after-makedirs (or pointing at a victim dir we
+    # own elsewhere) would pass an os.stat ownership check while
+    # redirecting every index write AND the prefix-matched rmtree sweep
+    # into an attacker-chosen location (round-7 advice). Require a real
+    # directory, owned by us, with no group/other access.
+    st = os.lstat(parent)
+    if (
+        stat_mod.S_ISLNK(st.st_mode)
+        or not stat_mod.S_ISDIR(st.st_mode)
+        or st.st_uid != os.getuid()
+        or (st.st_mode & 0o077) != 0
+    ):
         raise RuntimeError(
-            f"{parent} exists but is not owned by this user — refusing "
-            "to serve an ANN index from a squattable directory"
+            f"{parent} exists but is a symlink, not a 0o700 directory, "
+            "or not owned by this user — refusing to serve an ANN index "
+            "from a squattable directory"
         )
     return parent
 

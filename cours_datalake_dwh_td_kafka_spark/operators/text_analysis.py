@@ -1411,12 +1411,16 @@ def source_novelty(d: DataFrame) -> DataFrame:
     you which page, this tells you which FEED to deprioritize).
 
     Scale shape: the per-doc novelty plan (shingle-keyed first-
-    occurrence attribution, no windows) plus one broadcast doc→source
-    join and a tiny source-keyed rollup of integer counts."""
+    occurrence attribution, no windows) plus one doc_id-keyed shuffled
+    join — the doc→source projection is per-document (data-scale), so
+    it must NOT be broadcast (at 100 TB that hint OOMs the executors;
+    round-7 advice); both sides are already doc-keyed, so the shuffle
+    is one narrow (doc_id, source) exchange — then a tiny source-keyed
+    rollup of integer counts."""
     per_doc = ngram_novelty(d).select("doc_id", "n_shingles", "n_novel")
     src = d.select("doc_id", "source")
     return (
-        per_doc.join(F.broadcast(src), "doc_id")
+        per_doc.join(src, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
