@@ -169,6 +169,7 @@ def _load_all() -> None:
         dedup,
         dwh,
         graph,
+        image_dedup,
         joins,
         joins_advanced,
         knn,
