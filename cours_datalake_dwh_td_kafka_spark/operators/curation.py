@@ -234,6 +234,173 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# FUZZY benchmark contamination (paraphrase-robust decontamination)
+# ---------------------------------------------------------------------------
+#: shingle width for the fuzzy check — short enough that a paraphrase
+#: edit kills only the shingles covering it, not a whole 8-gram window
+FUZZY_NGRAM = 3
+#: a train doc is flagged when it covers this fraction of a benchmark
+#: item's (rare) shingles — containment keyed on the BENCHMARK side
+FUZZY_THRESHOLD = 0.4
+#: shingles in more docs than this carry no leak signal (dedup.MAX_DF
+#: twin; applied identically in the oracle)
+FUZZY_MAX_DF = 50
+#: paraphrase seeding: every PARA_EVERY-th token replaced; offset puts
+#: planted copies in the TRAIN slice (1_000_001 % CONTAM_BENCH_MOD = 1)
+PARA_EVERY = 6
+PARA_OFFSET = 1_000_001
+
+_FUZZY_CONTAM_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {NORM_SQL.format(c='text')} AS text FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+    para AS (
+      SELECT doc_id + {PARA_OFFSET} AS doc_id,
+             array_to_string(list_transform(
+               generate_series(1, len(t)),
+               i -> CASE WHEN (i - 1) % {PARA_EVERY} = 0
+                         THEN 'xq' ELSE t[i] END), ' ') AS text
+      FROM toks WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM base
+      UNION ALL
+      SELECT doc_id, string_split(text, ' ') FROM para
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {FUZZY_NGRAM - 1}, 1)),
+               i -> array_to_string(t[i:i+{FUZZY_NGRAM - 1}], ' ')
+             ))) AS shingle
+      FROM corpus
+    ),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {FUZZY_MAX_DF}
+    ),
+    shr AS (SELECT s.* FROM sh s JOIN rare USING (shingle)),
+    bench AS (
+      SELECT doc_id AS bench_doc, shingle FROM shr
+      WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    bsz AS (
+      SELECT bench_doc, COUNT(*) AS n_bench_sh FROM bench GROUP BY bench_doc
+    ),
+    train AS (
+      SELECT doc_id, shingle FROM shr
+      WHERE doc_id % {CONTAM_BENCH_MOD} != 0
+    ),
+    shared AS (
+      SELECT t.doc_id, b.bench_doc, COUNT(*) AS n_shared
+      FROM train t JOIN bench b USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_id, s.bench_doc, CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(n_shared / CAST(n_bench_sh AS DOUBLE), 6) AS containment
+    FROM shared s JOIN bsz USING (bench_doc)
+    WHERE n_shared / CAST(n_bench_sh AS DOUBLE) >= {FUZZY_THRESHOLD}
+    ORDER BY doc_id, bench_doc
+"""
+
+
+def paraphrase_bench(
+    d: DataFrame,
+    bench_mod: int = CONTAM_BENCH_MOD,
+    every: int = PARA_EVERY,
+    offset: int = PARA_OFFSET,
+) -> DataFrame:
+    """Deterministic paraphrases of the benchmark slice, planted as
+    TRAIN docs (doc_id + offset lands off the bench modulus): every
+    ``every``-th token of the normalized text replaced. With every < 8,
+    each 8-token window contains a changed token, so NO 8-gram survives
+    — the planted leak is invisible to the exact check by construction
+    and is what :func:`fuzzy_contamination` must catch."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    para = F.concat_ws(
+        " ",
+        F.transform(
+            toks,
+            lambda t, i: F.when(i % every == 0, F.lit("xq")).otherwise(t),
+        ),
+    )
+    return d.where(F.col("doc_id") % bench_mod == 0).select(
+        (F.col("doc_id") + offset).alias("doc_id"), para.alias("text")
+    )
+
+
+def fuzzy_contamination(
+    d: DataFrame,
+    n: int = FUZZY_NGRAM,
+    bench_mod: int = CONTAM_BENCH_MOD,
+    threshold: float = FUZZY_THRESHOLD,
+    max_df: int = FUZZY_MAX_DF,
+) -> DataFrame:
+    """Paraphrase-robust decontamination: flag train docs covering
+    >= ``threshold`` of a benchmark item's rare ``n``-gram shingles —
+    containment keyed on the BENCHMARK side, so a reworded leak that
+    breaks every 8-gram (the exact check's blind spot) still scores ~0.5
+    when half its short shingles survive. The attested query plants
+    deterministic paraphrases of the bench slice into the train side
+    (:func:`paraphrase_bench`) so the leak channel is provably exercised
+    on both engines, not just asserted in a unit test.
+
+    Scale shape: one explode-first shingle pass, hashed to longs before
+    the distinct (the contamination_check trick); a df-cap drops
+    no-signal hot shingles (same cap in the oracle — a documented recall
+    tradeoff, not drift); the train-bench equi-join fans out only on
+    shared rare shingles; the benchmark-size join is bench-keyed (small
+    side by construction — real benchmark suites are fixed small sets —
+    but NOT hint-broadcast, since this synthetic slice scales with the
+    corpus)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import shingle_rows
+
+    corpus = d.select("doc_id", "text").unionByName(paraphrase_bench(d))
+    sh = (
+        shingle_rows(corpus, n=n, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle")
+    bench = shr.where(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    bsz = bench.groupBy("bench_doc").agg(
+        F.count(F.lit(1)).alias("n_bench_sh")
+    )
+    train = shr.where(F.col("doc_id") % bench_mod != 0)
+    shared = (
+        train.join(bench, "shingle")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared") / F.col("n_bench_sh").cast("double")
+    return (
+        shared.join(bsz, "bench_doc")
+        .where(cont >= threshold)
+        .select(
+            "doc_id",
+            "bench_doc",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("doc_id", "bench_doc")
+    )
+
+
+@register("contamination_fuzzy", _FUZZY_CONTAM_SQL)
+def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_contamination(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # domain mixing weights
 # ---------------------------------------------------------------------------
 MIX_ALPHA = 0.5

@@ -951,3 +951,47 @@ def test_point_in_polygon_matches_pure_python_raycast(spark):
     }
     assert want, "grid should hit every zone"
     assert got == want
+
+
+def test_fuzzy_contamination_catches_paraphrase_exact_misses(spark):
+    """The round-7 brief's seeded scenario: a benchmark item reworded
+    every 6th token breaks EVERY 8-gram (change spacing < window), so
+    contamination_check is blind to it — while the planted paraphrase
+    keeps ~half its 3-gram shingles and fuzzy_contamination flags the
+    (paraphrase, benchmark) pair above threshold for every bench doc."""
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        CONTAM_BENCH_MOD,
+        PARA_OFFSET,
+        contamination_check,
+        fuzzy_contamination,
+        paraphrase_bench,
+    )
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from tests.conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    bench_ids = [
+        r.doc_id
+        for r in d.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    assert bench_ids
+    corpus = d.select("doc_id", "text").unionByName(paraphrase_bench(d))
+
+    # exact 8-gram check on the seeded corpus: the planted paraphrases
+    # must NOT be among the flagged train docs
+    exact_flagged = {
+        r.doc_id for r in contamination_check(corpus).collect()
+    }
+    planted = {b + PARA_OFFSET for b in bench_ids}
+    assert not (exact_flagged & planted)
+
+    # fuzzy containment: every planted (paraphrase, source bench) pair
+    # is caught (fuzzy_contamination plants the same paraphrases itself)
+    fuzzy_pairs = {
+        (r.doc_id, r.bench_doc)
+        for r in fuzzy_contamination(d).collect()
+    }
+    for b in bench_ids:
+        assert (b + PARA_OFFSET, b) in fuzzy_pairs
