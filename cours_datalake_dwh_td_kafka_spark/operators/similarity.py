@@ -442,6 +442,254 @@ def q_ann_ivf_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ: product quantization, the last rung of the quantization ladder
+# (float32 -> int8 -> PQ codes) and the real 100 TB memory lever
+# --------------------------------------------------------------------------
+PQ_M = 16   # subspaces (64-dim embeddings -> 4-dim subvectors)
+PQ_K = 32   # codewords per subspace (codes fit a byte with room to spare)
+#: exact-rerank depth: the ADC pass shortlists PQ_RERANK * k candidates
+#: per query, then one small join refines them with true cosines. At
+#: this depth the residual loss vs exact-within-probed-cells is ~0
+#: (measured: recall plateaus at rerank >= 8 — what remains is IVF cell
+#: pruning, which nprobe controls, not PQ)
+PQ_RERANK = 8
+
+
+def _fit_pq_books(
+    sample: "list[list[float]]", m: int = PQ_M, k: int = PQ_K, n_iter: int = 10
+):
+    """Per-subspace Lloyd k-means codebooks on the SAME deterministic
+    driver-side sample as the coarse quantizer (md5-ordered ids), so
+    codebook training is O(1) in corpus size — the FAISS IVF-PQ recipe.
+    Plain Euclidean k-means (subvectors of unit vectors are not unit
+    themselves); deterministic init from the first k sample subvectors."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1] // m
+    books = []
+    for mi in range(m):
+        sub = x[:, mi * d : (mi + 1) * d]
+        kk = max(1, min(k, len(sub)))
+        cents = sub[:kk].copy()
+        for _ in range(n_iter):
+            dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            for c in range(kk):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """IVF-PQ ANN search: coarse IVF cells prune the scan, PRODUCT-
+    QUANTIZED codes answer it, exact rerank repairs the shortlist.
+
+    Why PQ at 100 TB: a 64-dim float32 embedding is 256 bytes; its PQ
+    code is ``m`` sub-byte indices (16 bytes here) — a 16x shrink of
+    what sits on disk, crosses the scan, and fills the page cache. The
+    scoring pass reads ONLY (vec_id, cell, codes) — the float column is
+    never touched until the rerank join fetches the shortlist
+    (n_queries * rerank * k rows, broadcast-sized).
+
+    Asymmetric distance computation (ADC): per query, per subspace, a
+    (k)-entry lookup table of dot products against the codebook; a
+    candidate's approximate cosine is the table-gather sum over its m
+    codes, normalized by the reconstruction norm — exact for the
+    reconstruction because subspaces are orthogonal coordinate blocks:
+    ||recon||^2 = sum_m ||codeword_m||^2. The codebooks train on the
+    same O(1) deterministic sample as the coarse quantizer
+    (:func:`_fit_pq_books`); with ``rerank`` large enough this equals
+    exact search within the probed cells (asserted in tests), so the
+    residual quality knobs are nprobe (cells) and rerank (PQ loss),
+    each measured by the registered recall query."""
+    import numpy as np
+    import pandas as pd
+
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sample_rows = (
+        emb_d.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(QUANTIZER_SAMPLE)
+        .select("emb")
+        .collect()
+    )
+    sample = [r.emb for r in sample_rows]
+    centroids = _fit_cells(sample, n_cells)
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
+    books = _fit_pq_books(sample, m, k)
+
+    q_rows = emb_d.where(F.col("vec_id") < n_queries).collect()
+    if not q_rows:
+        return emb_d.sparkSession.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, rn BIGINT"
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray([int(r.vec_id) for r in q_rows])
+    sims_qc = qmat @ cents.T
+    cell_probes: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        order = sorted(range(n_cells), key=lambda i: (-sims_qc[qi, i], i))
+        for c in order[:nprobe]:
+            cell_probes.setdefault(c, []).append(qi)
+
+    d_sub = qmat.shape[1] // m
+    # per-query ADC tables: luts[qi][mi] is the k-vector of dot products
+    # of the query's mi-th subvector against codebook mi. Tiny
+    # (n_queries x m x k doubles) — ships in the closure.
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    books[mi] @ qmat[qi, mi * d_sub : (mi + 1) * d_sub]
+                    for mi in range(m)
+                ]
+            )
+            for qi in range(len(qids))
+        ]
+    )
+    # per-codeword squared norms: reconstruction norm by orthogonal sum
+    norms2 = np.stack([(b**2).sum(axis=1) for b in books])  # (m, k)
+    shortlist_k = rerank * top_k
+
+    # stage 1: ENCODE — what a 100 TB deployment persists (the scorer
+    # below reads only these three narrow columns)
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xu = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            cells_ = (xu @ cents.T).argmax(axis=1).astype("int32")
+            codes = np.empty((len(xu), m), dtype="int32")
+            for mi in range(m):
+                sub = xu[:, mi * d_sub : (mi + 1) * d_sub]
+                dist = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+                codes[:, mi] = dist.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cell": cells_,
+                    "codes": list(codes),
+                }
+            )
+
+    pq = emb_d.mapInPandas(
+        encode, "vec_id BIGINT, cell INT, codes ARRAY<INT>"
+    )
+
+    # stage 2: ADC scan over codes only — table gathers, no floats
+    def adc_score(batches):
+        mi_idx = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cells_ = pdf["cell"].to_numpy()
+            codes = np.vstack(pdf["codes"].to_numpy())
+            rn2 = norms2[mi_idx[None, :], codes].sum(axis=1)
+            rnorm = np.sqrt(np.maximum(rn2, 1e-24))
+            out_q, out_n, out_c = [], [], []
+            for c, probe_qis in cell_probes.items():
+                mask = cells_ == c
+                if not mask.any():
+                    continue
+                cids = ids[mask]
+                ccodes = codes[mask]
+                cnorm = rnorm[mask]
+                for qi in probe_qis:
+                    dots = luts[qi][mi_idx[None, :], ccodes].sum(axis=1)
+                    sims = dots / cnorm
+                    keep = cids != qids[qi]
+                    cand_ids, cand_cos = cids[keep], sims[keep]
+                    if len(cand_ids) > shortlist_k:
+                        idx = np.lexsort((cand_ids, -cand_cos))[:shortlist_k]
+                        cand_ids, cand_cos = cand_ids[idx], cand_cos[idx]
+                    out_q.append(np.full(len(cand_ids), qids[qi]))
+                    out_n.append(cand_ids)
+                    out_c.append(cand_cos)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q).astype("int64"),
+                        "neighbor_id": np.concatenate(out_n).astype("int64"),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    scored = pq.mapInPandas(
+        adc_score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
+    )
+    shortlist = global_topk(scored, shortlist_k).select(
+        "query_id", "neighbor_id"
+    )
+
+    # stage 3: exact rerank — fetch true vectors for the broadcast-sized
+    # shortlist and rescore with real cosines
+    q_pos = {int(q): i for i, q in enumerate(qids)}
+
+    def refine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xu = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            qpos = pdf["query_id"].map(q_pos).to_numpy()
+            sims = gram.round_half_away(
+                np.einsum("ij,ij->i", xu, qmat[qpos])
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cosine": sims,
+                }
+            )
+
+    fetched = emb_d.join(
+        F.broadcast(shortlist),
+        emb_d["vec_id"] == shortlist["neighbor_id"],
+    ).select("query_id", "neighbor_id", "emb")
+    refined = fetched.mapInPandas(
+        refine, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
+    )
+    return global_topk(refined, top_k)
+
+
+@register("ann_ivfpq_topk", _IVF_RECALL_SQL)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search value-oracled via the in-query recall bound (the
+    ann_ivf_topk pattern): PQ codebooks are engine-specific, so the
+    hashed output is each query's (k_truth, recall_ok >= floor) vs the
+    exact brute-force truth. Exactness-at-full-rerank is separately
+    pinned in tests/test_algorithms.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_recall_check(e, ivfpq_topk(e))
+
+
+# --------------------------------------------------------------------------
 # pairwise similarity stats per label cluster (embedding analytics: the
 # aggregate view a curation pipeline uses to pick cluster-level thresholds)
 # --------------------------------------------------------------------------

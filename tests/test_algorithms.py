@@ -995,3 +995,53 @@ def test_fuzzy_contamination_catches_paraphrase_exact_misses(spark):
     }
     for b in bench_ids:
         assert (b + PARA_OFFSET, b) in fuzzy_pairs
+
+
+def test_ivfpq_full_rerank_equals_exact_ivf(spark):
+    """With rerank depth covering every candidate, IVF-PQ's exact-rerank
+    stage must reproduce ivf_topk EXACTLY (same sample, same coarse
+    cells, same probe assignment): the ADC stage then only orders the
+    shortlist, and the refine stage's true cosines decide — so any
+    difference would mean the PQ path drops or mislabels candidates."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+    )
+    from tests.conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    exact = sorted(
+        (r.query_id, r.rn, r.neighbor_id, r.cosine)
+        for r in ivf_topk(e).collect()
+    )
+    pq = sorted(
+        (r.query_id, r.rn, r.neighbor_id, r.cosine)
+        for r in ivfpq_topk(e, rerank=10**6).collect()
+    )
+    assert exact == pq
+    assert exact  # non-degenerate
+
+
+def test_ivfpq_recall_meets_floor_at_production_rerank(spark):
+    """At the production rerank depth the registered recall bound holds
+    per query (the driver-hashed guarantee), and the PQ codes are
+    well-formed: m codes per vector, each within the codebook."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _fit_pq_books,
+        ivf_recall_check,
+        ivfpq_topk,
+    )
+    from tests.conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    checked = ivf_recall_check(e, ivfpq_topk(e)).collect()
+    assert checked and all(r.recall_ok for r in checked)
+    # codebook shape invariants on a small sample
+    sample = [r.embedding for r in e.limit(64).collect()]
+    books = _fit_pq_books(sample)
+    assert len(books) == PQ_M
+    assert all(1 <= len(b) <= PQ_K for b in books)
