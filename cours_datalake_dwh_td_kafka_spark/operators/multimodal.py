@@ -2693,3 +2693,129 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 2
     )
     return scene_cut_stats(synth_video_bmp(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# keyframe extraction on scene cuts: one representative frame per SHOT —
+# the sampling policy scene_cut_stats' docstring motivates ("one keyframe
+# per shot beats every-Nth-frame when shots vary in length"). A keyframe
+# is frame 0 plus the first frame after every detected cut; each is
+# decoded for its pixel stats, so the oracle pins shot segmentation AND
+# the per-keyframe decode from the raw bytes.
+# ---------------------------------------------------------------------------
+KEYFRAME_SCHEMA = (
+    "doc_id BIGINT, shot_id BIGINT, frame_idx BIGINT, px_sum BIGINT, "
+    "px_min BIGINT, px_max BIGINT"
+)
+
+_KEYFRAME_SQL = f"""
+    WITH v AS (
+      SELECT doc_id, text, length(text) // {FRAME_SIZE} AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2 AND length(text) >= {FRAME_SIZE}
+    ),
+    px AS (
+      SELECT doc_id, f, i,
+             ord(substr(text, CAST(f * {FRAME_SIZE} + i AS INT), 1)) AS cur,
+             ord(substr(text,
+                 CAST((f - 1) * {FRAME_SIZE} + i AS INT), 1)) AS prev
+      FROM v,
+           unnest(generate_series(1, n_frames - 1)) AS tf(f),
+           unnest(generate_series(1, {FRAME_SIZE})) AS ti(i)
+    ),
+    sad AS (
+      SELECT doc_id, f, SUM(ABS(cur - prev)) AS sad
+      FROM px GROUP BY doc_id, f
+    ),
+    keyframes AS (
+      SELECT doc_id, 0 AS frame_idx FROM v
+      UNION ALL
+      SELECT doc_id, f FROM sad
+      WHERE sad > {SCENE_CUT_MEAN_DIFF * FRAME_SIZE}
+    ),
+    shots AS (
+      SELECT doc_id, frame_idx,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY frame_idx) - 1 AS shot_id
+      FROM keyframes
+    ),
+    kb AS (
+      SELECT s.doc_id, s.shot_id, s.frame_idx,
+             ord(substr(v.text,
+                 CAST(s.frame_idx * {FRAME_SIZE} + i AS INT), 1)) AS byte
+      FROM shots s JOIN v USING (doc_id),
+           unnest(generate_series(1, {FRAME_SIZE})) AS t(i)
+    )
+    SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(SUM(byte) AS BIGINT) AS px_sum,
+           CAST(MIN(byte) AS BIGINT) AS px_min,
+           CAST(MAX(byte) AS BIGINT) AS px_max
+    FROM kb
+    GROUP BY doc_id, shot_id, frame_idx
+    ORDER BY doc_id, frame_idx
+"""
+
+
+def keyframe_stats(videos: DataFrame) -> DataFrame:
+    """One row per shot: the shot's FIRST frame (frame 0, then the frame
+    after each SAD cut), decoded for pixel stats. Same single-pass demux
+    walk as :func:`scene_cut_stats` — O(1 frame) state per video (only
+    the previous decoded frame is held), emitting as it walks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "shot_id": [], "frame_idx": [],
+                "px_sum": [], "px_min": [], "px_max": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                pos = fi = shot = 0
+                prev = None
+                while pos + 54 <= len(payload):
+                    if payload[pos : pos + 2] != b"BM":
+                        raise ValueError(
+                            f"doc {doc_id}: bad frame magic at {pos}"
+                        )
+                    (size,) = struct.unpack(
+                        "<I", payload[pos + 2 : pos + 6]
+                    )
+                    a = decode_bmp24(payload[pos : pos + size]).astype(
+                        np.int64
+                    )
+                    is_key = prev is None or (
+                        int(np.abs(a - prev).sum())
+                        > SCENE_CUT_MEAN_DIFF * a.size
+                    )
+                    if is_key:
+                        out["doc_id"].append(int(doc_id))
+                        out["shot_id"].append(shot)
+                        out["frame_idx"].append(fi)
+                        out["px_sum"].append(int(a.sum()))
+                        out["px_min"].append(int(a.min()))
+                        out["px_max"].append(int(a.max()))
+                        shot += 1
+                    prev = a
+                    fi += 1
+                    pos += size
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return videos.select("doc_id", "payload").mapInPandas(
+        run, KEYFRAME_SCHEMA
+    )
+
+
+@register("multimodal_keyframes", _KEYFRAME_SQL)
+def q_multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    return keyframe_stats(synth_video_bmp(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )

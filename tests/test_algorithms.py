@@ -1045,3 +1045,35 @@ def test_ivfpq_recall_meets_floor_at_production_rerank(spark):
     books = _fit_pq_books(sample)
     assert len(books) == PQ_M
     assert all(1 <= len(b) <= PQ_K for b in books)
+
+
+def test_keyframes_one_per_shot_on_crafted_video(spark):
+    """A crafted 6-frame video with hard cuts at frames 2 and 4 (three
+    flat shots of values 0 / 200 / 90) yields exactly three keyframes at
+    the first frame of each shot, with per-frame decode stats."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        FRAME_H,
+        FRAME_SIZE,
+        FRAME_W,
+        encode_bmp24,
+        keyframe_stats,
+    )
+
+    vals = [0, 0, 200, 200, 90, 90]
+    frames = [
+        encode_bmp24(np.full((FRAME_H, FRAME_W, 3), v, dtype=np.uint8))
+        for v in vals
+    ]
+    video = b"".join(frames)
+    d = spark.createDataFrame([(7, video)], "doc_id BIGINT, payload BINARY")
+    rows = sorted(
+        (r.shot_id, r.frame_idx, r.px_sum, r.px_min, r.px_max)
+        for r in keyframe_stats(d).collect()
+    )
+    assert rows == [
+        (0, 0, 0, 0, 0),
+        (1, 2, 200 * FRAME_SIZE, 200, 200),
+        (2, 4, 90 * FRAME_SIZE, 90, 90),
+    ]
