@@ -92,10 +92,18 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
     )
 
 
-def _commit_manifest(path: str, version: int, files: list[str], op: str) -> int:
+def _commit_manifest(
+    path: str,
+    version: int,
+    files: list[str],
+    op: str,
+    schema: dict | None = None,
+) -> int:
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     manifest = {"version": version, "op": op, "files": files}
+    if schema is not None:
+        manifest["schema"] = schema
     target = os.path.join(mdir, f"v{version}.json")
     # Two-step publish so readers NEVER see a partial manifest: the body
     # is fully written (and fsynced) to a private temp name first, then
@@ -116,18 +124,54 @@ def _commit_manifest(path: str, version: int, files: list[str], op: str) -> int:
     return version
 
 
+def _schema_dict(df: DataFrame) -> dict:
+    return json.loads(df.schema.json())
+
+
+def _merged_append_schema(prev_schema: dict | None, df: DataFrame) -> dict:
+    """Schema evolution on append (the Delta/Iceberg add-column rule):
+    a column the table already declares must keep its exact type (type
+    changes are rejected — schema-on-write enforcement); columns the
+    incoming frame is missing read back as NULL for its files; NEW
+    columns are appended to the declared schema, and files committed
+    before the column existed read back as NULL for it (read-time
+    merge in :func:`lake_read`)."""
+    if prev_schema is None:
+        return _schema_dict(df)
+    declared = {f["name"]: f for f in prev_schema["fields"]}
+    for f in _schema_dict(df)["fields"]:
+        have = declared.get(f["name"])
+        if have is not None and have["type"] != f["type"]:
+            raise ValueError(
+                f"append changes type of column {f['name']!r}: "
+                f"{have['type']} -> {f['type']} (schema evolution "
+                "supports adding columns, not retyping them)"
+            )
+        if have is None:
+            declared[f["name"]] = f
+    return {"type": "struct", "fields": list(declared.values())}
+
+
 def lake_commit(df: DataFrame, path: str, mode: str = "append") -> int:
     """Commit ``df`` as a new snapshot. ``append`` keeps the previous
     version's files and adds the new ones; ``overwrite`` starts the file
-    list fresh (old files remain on disk for time travel). Returns the
+    list fresh (old files remain on disk for time travel). The manifest
+    records the version's DECLARED schema: appends may add columns
+    (never retype, see :func:`_merged_append_schema`), and every
+    version's reader sees exactly the columns declared when it was
+    committed — time travel works across schema versions. Returns the
     committed version number."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
     prev = current_version(path)
-    files = _write_data_files(df, path)
     if mode == "append" and prev > 0:
-        files = _read_manifest(path, prev)["files"] + files
-    return _commit_manifest(path, prev + 1, files, mode)
+        prev_m = _read_manifest(path, prev)
+        schema = _merged_append_schema(prev_m.get("schema"), df)
+        files = prev_m["files"] + _write_data_files(df, path)
+    else:
+        schema = _schema_dict(df)
+        files = _write_data_files(df, path)
+    return _commit_manifest(path, prev + 1, files, mode, schema)
 
 
 def lake_read(
@@ -143,7 +187,26 @@ def lake_read(
     m = _read_manifest(path, v)
     if not m["files"]:
         raise ValueError(f"version {v} of {path} is empty")
-    return spark.read.parquet(*(os.path.join(path, f) for f in m["files"]))
+    paths = [os.path.join(path, f) for f in m["files"]]
+    if "schema" not in m:  # pre-evolution manifests: plain union read
+        return spark.read.parquet(*paths)
+    # Read-time schema merge + projection to the version's DECLARED
+    # columns: files committed before a column existed contribute NULLs
+    # for it (mergeSchema), and files committed after this version added
+    # more columns are projected back DOWN to what this version declared
+    # — so an old-version reader is never surprised by a new column.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    declared = StructType.fromJson(m["schema"])
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    cols = [
+        F.col(f.name)
+        if f.name in df.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in declared.fields
+    ]
+    return df.select(cols)
 
 
 def lake_delete_where(spark: SparkSession, path: str, predicate: str) -> int:
@@ -155,7 +218,9 @@ def lake_delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     cur = lake_read(spark, path)
     kept = cur.where(f"NOT ({predicate})")
     files = _write_data_files(kept, path)
-    return _commit_manifest(path, current_version(path) + 1, files, "delete")
+    return _commit_manifest(
+        path, current_version(path) + 1, files, "delete", _schema_dict(kept)
+    )
 
 
 def lake_history(path: str) -> list[dict]:
@@ -326,7 +391,8 @@ def lake_compact(
     v = current_version(path)
     if v < 1:
         raise ValueError(f"no committed version at {path}")
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
     small = [
         f
         for f in files
@@ -335,8 +401,28 @@ def lake_compact(
     if len(small) <= target_files:
         return v
     keep = [f for f in files if f not in set(small)]
-    rewritten = spark.read.parquet(
-        *(os.path.join(path, f) for f in small)
-    ).coalesce(target_files)
+    reader = spark.read
+    if "schema" in m:
+        # post-evolution tables mix file schemas: merge, then project to
+        # the declared columns so the rewrite normalizes every compacted
+        # row to the current schema (NULLs for pre-column files)
+        reader = reader.option("mergeSchema", "true")
+    rewritten = reader.parquet(*(os.path.join(path, f) for f in small))
+    if "schema" in m:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromJson(m["schema"])
+        rewritten = rewritten.select(
+            [
+                F.col(f.name)
+                if f.name in rewritten.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in declared.fields
+            ]
+        )
+    rewritten = rewritten.coalesce(target_files)
     new_files = _write_data_files(rewritten, path)
-    return _commit_manifest(path, v + 1, keep + new_files, "compact")
+    return _commit_manifest(
+        path, v + 1, keep + new_files, "compact", m.get("schema")
+    )

@@ -36,7 +36,8 @@ _LIFECYCLE_SQL = """
            CAST(0 AS BIGINT) AS n_inserted,
            TRUE AS time_travel_ok,
            TRUE AS compact_preserved_rows,
-           'append>compact>delete' AS history_ops
+           TRUE AS schema_evolution_ok,
+           'append>compact>delete>append' AS history_ops
     FROM documents
 """
 
@@ -52,8 +53,13 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
       must report exactly the predicate's rows as deletes, nothing as
       inserts — the after-the-fact change feed the manifest layout
       makes cheap;
-    - ``time_travel_ok``: v1 still reads the FULL corpus after both
+    - ``time_travel_ok``: v1 still reads the FULL corpus after all
       mutations (snapshot isolation);
+    - ``schema_evolution_ok``: v4 appends a ``quality`` column (round 8)
+      — the NEW reader sees the column with NULLs for every pre-column
+      row and the appended values for the new ones, while the OLD
+      reader (time travel to v1) still sees exactly the original
+      columns, untouched by the later schema;
     - ``history_ops``: the surviving manifest operations in order.
 
     Compaction runs against v1, whose file count is an EXPLICIT
@@ -62,6 +68,7 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
     make ``history_ops`` (compact fires only with >1 small file)
     nondeterministic on a single-core driver."""
     lake_commit(d.repartition(4), path)  # v1: small-file-shaped commit
+    orig_cols = d.columns
     n_docs = lake_read(spark, path, 1).count()
     lake_compact(spark, path, target_files=1)  # v2
     compact_ok = lake_read(spark, path, 2).count() == n_docs
@@ -73,6 +80,21 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    n3 = lake_read(spark, path, 3).count()
+    # v4: add-column append — a deterministic slice re-lands with a
+    # quality score the original schema never had
+    extra = d.where(F.col("doc_id") % 100 == 0).withColumn(
+        "quality", F.lit(0.5)
+    )
+    n_extra = extra.count()
+    lake_commit(extra, path)  # v4: schema-evolving append
+    v4 = lake_read(spark, path, 4)
+    evolved_ok = (
+        v4.columns == orig_cols + ["quality"]
+        and v4.count() == n3 + n_extra
+        and v4.where(F.col("quality").isNotNull()).count() == n_extra
+        and lake_read(spark, path, 1).columns == orig_cols
+    )
     travel_ok = lake_read(spark, path, 1).count() == n_docs
     ops = ">".join(h["op"] for h in lake_history(path))
     return spark.createDataFrame(
@@ -83,12 +105,13 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
                 int(changes.get("insert", 0)),
                 bool(travel_ok),
                 bool(compact_ok),
+                bool(evolved_ok),
                 ops,
             )
         ],
         "n_docs BIGINT, n_deleted BIGINT, n_inserted BIGINT, "
         "time_travel_ok BOOLEAN, compact_preserved_rows BOOLEAN, "
-        "history_ops STRING",
+        "schema_evolution_ok BOOLEAN, history_ops STRING",
     )
 
 

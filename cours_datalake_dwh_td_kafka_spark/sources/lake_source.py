@@ -56,10 +56,18 @@ class _LakeFilePartition(InputPartition):
 
 
 class LakeDataSourceReader(DataSourceReader):
-    def __init__(self, files: list[str], pushdown: bool = False):
+    def __init__(
+        self,
+        files: list[str],
+        pushdown: bool = False,
+        arrow_schema=None,
+    ):
         self._files = files
         self._pushdown = pushdown
         self._pushed: list[tuple[str, str, object]] = []
+        # declared snapshot schema (schema evolution): files committed
+        # before a column existed are padded with NULLs at read time
+        self._arrow_schema = arrow_schema
 
     def pushFilters(self, filters):
         """With option('pushdown', 'true'): consume EqualTo/GreaterThan
@@ -106,12 +114,29 @@ class LakeDataSourceReader(DataSourceReader):
     def read(self, partition):
         # executor-side: stream Arrow record batches straight off the
         # parquet file — the zero-copy path the API is designed around
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        file_cols = set(pq.read_schema(partition.file_path).names)
+        if self._pushed and any(c not in file_cols for c, _, _ in self._pushed):
+            # a CONSUMED filter referencing a column this (pre-evolution)
+            # file lacks: every row reads NULL there, so =/> is false for
+            # the whole file — emit nothing (Spark will not re-apply
+            # consumed filters, so dropping the filter instead would
+            # silently return unfiltered rows)
+            return
         table = pq.read_table(
             partition.file_path,
             filters=self._pushed or None,
         )
+        if self._arrow_schema is not None:
+            arrays = [
+                table.column(f.name).cast(f.type)
+                if f.name in table.column_names
+                else pa.nulls(len(table), f.type)
+                for f in self._arrow_schema
+            ]
+            table = pa.Table.from_arrays(arrays, schema=self._arrow_schema)
         yield from table.to_batches()
 
 
@@ -130,16 +155,21 @@ class LakeDataSource(DataSource):
         return "graftlake"
 
     def schema(self):
+        # the manifest's DECLARED schema when present (schema evolution:
+        # the snapshot's contract, not whatever one file happens to
+        # carry); first-file arrow schema for pre-evolution manifests
+        m = self._resolve_manifest()
+        if "schema" in m:
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(m["schema"])
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        files = self._resolve_files()
-        return from_arrow_schema(pq.read_schema(files[0]))
+        return from_arrow_schema(pq.read_schema(self._resolve_files()[0]))
 
-    def _resolve_files(self) -> list[str]:
-        import os
-
+    def _resolve_manifest(self) -> dict:
         from cours_datalake_dwh_td_kafka_spark.lake import (
             _read_manifest,
             current_version,
@@ -154,11 +184,26 @@ class LakeDataSource(DataSource):
         m = _read_manifest(path, v)
         if not m["files"]:
             raise ValueError(f"version {v} of {path} is empty")
-        return [os.path.join(path, f) for f in m["files"]]
+        return m
+
+    def _resolve_files(self) -> list[str]:
+        import os
+
+        path = self.options.get("path")
+        return [
+            os.path.join(path, f) for f in self._resolve_manifest()["files"]
+        ]
 
     def reader(self, schema) -> LakeDataSourceReader:
         pushdown = self.options.get("pushdown", "false").lower() == "true"
-        return LakeDataSourceReader(self._resolve_files(), pushdown)
+        arrow_schema = None
+        if "schema" in self._resolve_manifest():
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(schema)
+        return LakeDataSourceReader(
+            self._resolve_files(), pushdown, arrow_schema
+        )
 
 
 def register_lake_source(spark) -> bool:

@@ -452,3 +452,109 @@ def test_graftlake_filter_pushdown(spark, tmp_path):
     assert df.filter("id = 7").count() == 1
     assert df.filter("id = 3 OR id = 96").count() == 2
     assert df.count() == 100
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Add-column append: the new reader sees NULLs for pre-column rows
+    and values for appended ones; time travel to the pre-column version
+    still sees exactly the old columns; compaction normalizes mixed-
+    schema files without changing any row; retyping a column is
+    rejected."""
+    import pytest as _pytest
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_compact,
+        lake_read,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id BIGINT, name STRING"
+    )
+    lake_commit(base.repartition(2), path)  # v1: old schema, 2 files
+    extra = spark.createDataFrame(
+        [(4, "d", 0.9), (5, "e", 0.7)], "id BIGINT, name STRING, q DOUBLE"
+    )
+    lake_commit(extra, path)  # v2: adds column q
+
+    v2 = lake_read(spark, path, 2)
+    assert v2.columns == ["id", "name", "q"]
+    rows = {r.id: (r.name, r.q) for r in v2.collect()}
+    assert rows == {
+        1: ("a", None), 2: ("b", None), 3: ("c", None),
+        4: ("d", 0.9), 5: ("e", 0.7),
+    }
+    # old reader: time travel to v1 shows the old schema, no q column
+    v1 = lake_read(spark, path, 1)
+    assert v1.columns == ["id", "name"]
+    assert {r.id for r in v1.collect()} == {1, 2, 3}
+
+    # an append missing a declared column is fine (reads back NULL)...
+    lake_commit(
+        spark.createDataFrame([(6, 0.1)], "id BIGINT, q DOUBLE"), path
+    )  # v3
+    v3 = {r.id: (r.name, r.q) for r in lake_read(spark, path, 3).collect()}
+    assert v3[6] == (None, 0.1)
+    # ...but retyping one is rejected (schema-on-write enforcement)
+    with _pytest.raises(ValueError, match="retyping"):
+        lake_commit(
+            spark.createDataFrame([("x", "y")], "id STRING, name STRING"),
+            path,
+        )
+
+    # compaction over mixed-schema files preserves every row/value and
+    # keeps the declared schema
+    v_after = lake_compact(spark, path, target_files=1)
+    after = {
+        r.id: (r.name, r.q)
+        for r in lake_read(spark, path, v_after).collect()
+    }
+    assert after == {**rows, 6: (None, 0.1)}
+
+
+def test_graftlake_datasource_reads_evolved_schema(spark, tmp_path):
+    """The graftlake DataSource serves the manifest's DECLARED schema:
+    after an add-column append, pre-column files read back with NULLs,
+    and version-pinned time travel to the pre-column snapshot shows the
+    old schema — through the DataSource, not just lake_read."""
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_commit
+    from cours_datalake_dwh_td_kafka_spark.sources.lake_source import (
+        register_lake_source,
+    )
+
+    if not register_lake_source(spark):
+        import pytest as _pytest
+
+        _pytest.skip("PySpark < 4: no Python DataSource API")
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, name STRING"),
+        path,
+    )
+    lake_commit(
+        spark.createDataFrame([(3, "c", 0.9)], "id BIGINT, name STRING, q DOUBLE"),
+        path,
+    )
+    cur = spark.read.format("graftlake").option("path", path).load()
+    assert cur.columns == ["id", "name", "q"]
+    rows = {r.id: (r.name, r.q) for r in cur.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.9)}
+    old = (
+        spark.read.format("graftlake")
+        .option("path", path)
+        .option("version", "1")
+        .load()
+    )
+    assert old.columns == ["id", "name"]
+    assert {r.id for r in old.collect()} == {1, 2}
+    # consumed pushdown filter on the NEW column: pre-column files
+    # contribute nothing (NULL never passes =/>), new files filter fine
+    pushed = (
+        spark.read.format("graftlake")
+        .option("path", path)
+        .option("pushdown", "true")
+        .load()
+        .where("q > 0.5")
+    )
+    assert [(r.id, r.q) for r in pushed.collect()] == [(3, 0.9)]
