@@ -52,68 +52,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-7 attestation window (driver caps at ~50 rows/round) ----
-    # -- registered in r6 AFTER that round's window filled: never
-    #    driver-attested (local parity green) — lead the window --------
-    "multimodal_mp4_demux",
-    "ngram_novelty",
-    "knn_label_accuracy",
-    "lang_confusion_matrix",
-    "char_entropy",
-    "user_concentration",
-    "event_markov_matrix",
-    # -- code changed this round: must re-attest on current code --------
-    "bm25_search",          # r7: global rank -> limit-first top-k
-    "vocab_coverage",       # r7: full-vocab window -> limit(max sizes)
-    "domain_mix_weights",   # r7: global window -> broadcast scalar
-    "surrogate_keys",       # r7: dense_ids bucket pin (localCheckpoint)
-    "heaps_law_fit",        # r7: prefix_sums bucket pin (localCheckpoint)
-    # -- new this round, never attested ---------------------------------
-    "knn_label_accuracy_ivf",  # r7: kNN label probe on the SERVED index
-    "pmi_collocations",        # r7: top PMI word pairs (phrase mining)
-    "readability_scores",      # r7: Flesch-style reading-ease proxy
-    "tokenizer_fertility",     # r7: tokens/100 chars by language
-    "embedding_prefix_overlap",  # r7: matryoshka truncation agreement
-    "inter_event_time_distribution",  # r7: burstiness log2 histogram
-    "top_event_paths",          # r7: whole-session funnel discovery
-    "lake_lifecycle",           # r7: commit/CoW-delete/CDC/compact row
-    "graph_components",         # r7: hash-min CC vs recursive-CTE truth
-    "pareto_frontier",          # r7: skyline via two-phase prefix_min
-    "ivf_nprobe_curve",         # r7: recall-vs-nprobe structural curve
-    "multimodal_audio_resample",  # r7: 2:1 decimation codec round trip
-    "lsh_bands_curve",          # r7: nested-band superset/recall curve
-    "peak_concurrency",         # r7: sweep-line max overlapping sessions
-    "dedup_containment",        # r7: asymmetric near-subset detection
-    "multimodal_scene_cuts",    # r7: SAD shot-boundary detection
-    "quality_percentiles_by_source",  # r7: per-feed quality quartiles
-    "source_novelty",           # r7: crawl freshness by feed
-    # -- stalest tier: newest driver stamp is round 3; 41 names — the
-    #    window takes the first ~38, the overflow leads the r8 rotation.
-    #    (pytest oracle-parity covers ALL oracled queries on current
-    #    code each round regardless of the cap.) ------------------------
-    "alert_banding",
-    "anomaly_batch",
-    "approx_distinct_count",
-    "approx_quantiles",
-    "balanced_sample_topk",
-    "cluster_similarity_stats",
-    "composite_key_agg",
-    "conditional_agg",
-    "contamination_check",
-    "corr_cov",
-    "cube_agg",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_incremental",
-    "dedup_keep_list",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "describe_profile",
-    "distinct_count",
+    # ---- round-8 attestation window (driver caps at ~50 rows/round) ----
+    # -- r3-vintage stamps in files EDITED in r7 (local parity green on
+    #    current code; the driver row predates the edits) — lead --------
     "doc_pack",
+    "pii_scrub",
+    "pretraining_pipeline",
     "embedding_quantize",
+    "repetition_stats",
+    # -- remaining r3-vintage stamps (files unchanged since; retire the
+    #    whole tier so no oracled stamp predates r4 after this round) ---
+    "distinct_count",
     "explode_array",
     "global_agg",
     "group_minmax",
@@ -123,15 +72,49 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "interval_join_events",
     "join_left_outer",
     "local_supplier_volume",
-    "pii_scrub",
-    "pretraining_pipeline",
     "range_join",
-    "repetition_stats",
     "retention_cohorts",
     "salted_skew_agg",
     "salted_skew_join",
     "shipping_priority",
     "unpivot_customer",
+    # -- code changed in r8: must re-attest on current code -------------
+    "surrogate_keys",       # r8: adaptive prefix-kernel bucket count
+    "heaps_law_fit",        # r8: adaptive prefix-kernel bucket count
+    "pareto_frontier",      # r8: adaptive prefix-kernel bucket count
+    "peak_concurrency",     # r8: adaptive prefix-kernel bucket count
+    "inter_event_time_distribution",  # r8: integer-division gap rewrite
+    "source_novelty",       # r8: dropped the data-scale broadcast hint
+    "lake_lifecycle",       # r8: + schema_evolution_ok verdict column
+    "ann_index_drift",      # r8: serve-path utime + lstat squat check
+    "knn_label_accuracy_ivf",  # r8: same ann_index.py edits
+    # -- new in r8, never attested ---------------------------------------
+    "dedup_image_phash",    # r8: integer-DCT pHash Hamming-banded pairs
+    "contamination_fuzzy",  # r8: paraphrase-robust decontamination
+    "ann_ivfpq_topk",       # r8: product quantization + ADC + rerank
+    "multimodal_keyframes",  # r8: per-shot keyframe extraction
+    # -- rows-only r2 stamps (seeded-RNG/LDA, rows-only by design): the
+    #    stalest rows of all — refresh them too ------------------------
+    "sampling",
+    "topic_model",
+    # -- next-stalest value tier: newest stamp is round 4 (first 14
+    #    alphabetically; the rest lead the r9 rotation; pytest
+    #    oracle-parity covers ALL oracled queries on current code each
+    #    round regardless of the cap) -----------------------------------
+    "ann_topk_cosine",
+    "bigram_top_counts",
+    "curation_pipeline",
+    "customer_order_distribution",
+    "dataset_split",
+    "dedup_edit_distance",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "dedup_simhash_pairs",
+    "dedup_span_runs",
+    "disjunctive_revenue",
+    "doc_chunks",
+    "dq_audit",
+    "ewma_per_user",
 )
 
 
