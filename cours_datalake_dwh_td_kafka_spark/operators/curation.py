@@ -722,6 +722,27 @@ def _dataset_split_sql() -> str:
     """
 
 
+def split_expr() -> Column:
+    """The deterministic 90/5/5 split CASE over a salted content hash of
+    the key — shared by the assignment query and the leakage audit so
+    both always agree on membership."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _HASH32_SPARK,
+    )
+
+    h = (
+        _HASH32_SPARK(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    return (
+        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 @register("dataset_split", _dataset_split_sql())
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """90/5/5 train/val/test assignment by content hash of the key (the
@@ -730,26 +751,122 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-partitioned — the property that keeps held-out data held out
     across dataset versions, which no RNG split gives you. Pure per-row
     projection: no shuffle, no state, evaluated inside the scan stage."""
-    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
-        _HASH32_SPARK,
-    )
-
     d = load_table(spark, sf_dir, "documents")
-    h = (
-        _HASH32_SPARK(
-            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-        )
-        % 100
-    )
-    split = (
-        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(h < SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        d.select("doc_id", "source", split.alias("split"))
+        d.select("doc_id", "source", split_expr().alias("split"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup-aware split leakage audit: do near-duplicate pairs straddle
+# the train/held-out boundary?
+# ---------------------------------------------------------------------------
+def _split_leakage_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _NGRAM_SQL,
+        HASH32_SQL,
+    )
+
+    pairs = _NGRAM_SQL.replace("ORDER BY doc_a, doc_b", "")
+
+    def split_case(col: str) -> str:
+        h = HASH32_SQL.format(c=f"'split:' || CAST({col} AS VARCHAR)")
+        return (
+            f"CASE WHEN ({h}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train' "
+            f"WHEN ({h}) % 100 < {SPLIT_VAL_PCT} THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return f"""
+    WITH pairs AS ({pairs}),
+    tagged AS (
+      SELECT LEAST({split_case('doc_a')}, {split_case('doc_b')})
+               AS split_a,
+             GREATEST({split_case('doc_a')}, {split_case('doc_b')})
+               AS split_b
+      FROM pairs
+    ),
+    combos AS (
+      SELECT a.s AS split_a, b.s AS split_b
+      FROM (VALUES ('test'), ('train'), ('val')) a(s),
+           (VALUES ('test'), ('train'), ('val')) b(s)
+      WHERE a.s <= b.s
+    ),
+    counts AS (
+      SELECT split_a, split_b, COUNT(*) AS n
+      FROM tagged GROUP BY split_a, split_b
+    )
+    SELECT c.split_a, c.split_b,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_near_dup_pairs,
+           c.split_a <> c.split_b AND COALESCE(n, 0) > 0 AS leaks
+    FROM combos c LEFT JOIN counts USING (split_a, split_b)
+    ORDER BY split_a, split_b
+    """
+
+
+def split_leakage_check(d: DataFrame) -> DataFrame:
+    """The audit a hash-range split NEEDS next to it: assignment by
+    doc_id hash is stable, but near-DUPLICATE documents get independent
+    hashes — a training doc whose near-copy sits in test leaks the
+    held-out set anyway (the canonical Lee et al. dedup-before-split
+    finding). Count the near-dup pairs (the Jaccard near-dup relation
+    the dedup family already computes) per unordered split-pair cell:
+    any off-diagonal count is leakage; the fix is assigning splits by
+    near-dup CLUSTER instead of by document.
+
+    Scale shape: the pair generation is the df-capped posting-list join
+    (never all-pairs); the split tag is a scan-stage projection on each
+    pair side; the matrix is a 6-cell aggregate with a literal combo
+    frame left-joined so zero cells stay visible."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    spark = d.sparkSession
+    pairs = ngram_jaccard_pairs(d)
+    sa = d.select(
+        F.col("doc_id").alias("doc_a"), split_expr().alias("sa")
+    )
+    sb = d.select(
+        F.col("doc_id").alias("doc_b"), split_expr().alias("sb")
+    )
+    tagged = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    counts = tagged.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    names = ["test", "train", "val"]
+    combos = spark.createDataFrame(
+        [(a, b) for a in names for b in names if a <= b],
+        "split_a STRING, split_b STRING",
+    )
+    return (
+        combos.join(counts, ["split_a", "split_b"], "left")
+        .select(
+            "split_a",
+            "split_b",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias(
+                "n_near_dup_pairs"
+            ),
+            (
+                (F.col("split_a") != F.col("split_b"))
+                & (F.coalesce("n", F.lit(0)) > 0)
+            ).alias("leaks"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+@register("split_leakage_check", _split_leakage_sql())
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_leakage_check(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -154,3 +154,151 @@ def weighted_sample(
 @register("weighted_sample", _WEIGHTED_SAMPLE_SQL)
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal rank fusion of lexical (BM25) and
+# semantic (embedding cosine) rankings — the standard RAG first stage
+# ---------------------------------------------------------------------------
+RRF_K = 60          # the canonical RRF smoothing constant
+RRF_QUERY_VEC = 0   # vec_id of the query embedding
+RRF_TOP_N = 20
+
+
+def _rrf_sql() -> str:
+    """Oracle assembled from the BM25 oracle's own CTE chain (same
+    constants, same rounding) plus a cosine ranking and the two-term
+    RRF sum — the fusion arithmetic is the identical expression on both
+    engines, so the doubles match bit-for-bit."""
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        _BM25_SQL,
+        BM25_TOP_N,
+    )
+
+    body = _BM25_SQL.strip()
+    assert body.startswith("WITH")
+    ctes = body[len("WITH"):].rsplit("SELECT doc_id, bm25,", 1)[0].rstrip()
+    assert ctes.endswith(")")
+    return f"""
+    WITH {ctes},
+    lex AS (SELECT doc_id, rn FROM ranked WHERE rn <= {BM25_TOP_N}),
+    qv AS (
+      SELECT embedding::DOUBLE[] AS q FROM embeddings
+      WHERE vec_id = {RRF_QUERY_VEC}
+    ),
+    sem_scored AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q), 6)
+               AS cosine
+      FROM embeddings e, qv WHERE e.vec_id <> {RRF_QUERY_VEC}
+    ),
+    sem AS (
+      SELECT doc_id, rn FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rn
+        FROM sem_scored
+      ) WHERE rn <= {RRF_TOP_N}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({RRF_K} + l.rn), 0)
+                   + COALESCE(1.0 / ({RRF_K} + s.rn), 0), 6) AS rrf,
+             l.rn IS NOT NULL AS in_lexical,
+             s.rn IS NOT NULL AS in_semantic
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    )
+    SELECT doc_id, rrf, in_lexical, in_semantic, CAST(rn AS BIGINT) AS rn
+    FROM top WHERE rn <= {RRF_TOP_N}
+    ORDER BY rn
+    """
+
+
+def hybrid_search_rrf(
+    d: DataFrame,
+    e: DataFrame,
+    k: int = RRF_K,
+    top_n: int = RRF_TOP_N,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al.) of the two first-stage
+    retrievers every RAG stack runs side by side: BM25 over the text
+    (lexical recall — exact keywords) and cosine over the embedding
+    column (semantic recall — paraphrases BM25 misses). Each candidate's
+    fused score is sum(1 / (k + rank_i)) over the lists that retrieved
+    it — rank-based, so the two scorers' incomparable score scales never
+    need calibrating, which is exactly why RRF is the default fusion.
+    Coverage: docs whose vec_id exists in the embeddings table can be
+    retrieved semantically (the vector index rarely spans the whole
+    corpus); lexical retrieval spans everything.
+
+    Scale shape: the BM25 side is the existing limit-first plan (posting
+    lists only off the scan, TakeOrderedAndProject top-n); the semantic
+    side is one broadcast-query scan with JVM array-lambda cosines and
+    the same limit-first top-n; fusion joins two top-n lists (constant
+    rows) and the final rank window runs over <= 2*top_n rows."""
+    from pyspark.sql import Window
+
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        vec_dot,
+        vec_norm,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        bm25_search,
+    )
+
+    lex = bm25_search(d).select("doc_id", F.col("rn").alias("rn_lex"))
+    emb = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = (
+        emb.where(F.col("vec_id") == RRF_QUERY_VEC)
+        .select(F.col("emb").alias("q_emb"))
+        .withColumn("q_nrm", vec_norm(F.col("q_emb")))
+    )
+    cs = vec_dot(F.col("q_emb"), F.col("emb")) / (
+        F.col("q_nrm") * vec_norm(F.col("emb"))
+    )
+    sem_scored = (
+        emb.where(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"), F.round(cs, 6).alias("cosine")
+        )
+    )
+    sem_top = sem_scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(
+        top_n
+    )
+    w_sem = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    sem = sem_top.select(
+        "doc_id", F.row_number().over(w_sem).alias("rn_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (k + F.col("rn_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (k + F.col("rn_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("rn_lex").isNotNull().alias("in_lexical"),
+        F.col("rn_sem").isNotNull().alias("in_semantic"),
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(top_n)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "rrf",
+        "in_lexical",
+        "in_semantic",
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).orderBy("rn")
+
+
+@register("hybrid_search_rrf", _rrf_sql())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hybrid_search_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
