@@ -722,20 +722,18 @@ def _dataset_split_sql() -> str:
     """
 
 
-def split_expr() -> Column:
+def split_expr(key: Column | None = None) -> Column:
     """The deterministic 90/5/5 split CASE over a salted content hash of
-    the key — shared by the assignment query and the leakage audit so
-    both always agree on membership."""
+    ``key`` (default: doc_id) — shared by the assignment query, the
+    leakage audit, and the cluster-aware remedy so all agree on
+    membership."""
     from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
         _HASH32_SPARK,
     )
 
-    h = (
-        _HASH32_SPARK(
-            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-        )
-        % 100
-    )
+    if key is None:
+        key = F.col("doc_id")
+    h = _HASH32_SPARK(F.concat(F.lit("split:"), key.cast("string"))) % 100
     return (
         F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
         .when(h < SPLIT_VAL_PCT, F.lit("val"))
@@ -867,6 +865,150 @@ def split_leakage_check(d: DataFrame) -> DataFrame:
 @register("split_leakage_check", _split_leakage_sql())
 def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_check(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# the remedy: cluster-aware split assignment (split by near-dup cluster,
+# so a pair can never straddle a boundary) + the re-run audit proving it
+# ---------------------------------------------------------------------------
+def _split_by_cluster_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _NGRAM_SQL,
+        HASH32_SQL,
+    )
+
+    pairs = _NGRAM_SQL.replace("ORDER BY doc_a, doc_b", "")
+    h = HASH32_SQL.format(c="'split:' || CAST(cluster_rep AS VARCHAR)")
+    split_case = (
+        f"CASE WHEN ({h}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN ({h}) % 100 < {SPLIT_VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+    return f"""
+    WITH RECURSIVE pairs0 AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs0
+      UNION
+      SELECT doc_b, doc_a FROM pairs0
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_rep FROM walk
+      GROUP BY node
+    ),
+    assign AS (SELECT doc_id, {split_case} AS split FROM comp),
+    tagged AS (
+      SELECT LEAST(a.split, b.split) AS split_a,
+             GREATEST(a.split, b.split) AS split_b
+      FROM pairs0 p
+      JOIN assign a ON a.doc_id = p.doc_a
+      JOIN assign b ON b.doc_id = p.doc_b
+    ),
+    combos AS (
+      SELECT a.s AS split_a, b.s AS split_b
+      FROM (VALUES ('test'), ('train'), ('val')) a(s),
+           (VALUES ('test'), ('train'), ('val')) b(s)
+      WHERE a.s <= b.s
+    ),
+    counts AS (
+      SELECT split_a, split_b, COUNT(*) AS n
+      FROM tagged GROUP BY split_a, split_b
+    )
+    SELECT c.split_a, c.split_b,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_near_dup_pairs,
+           c.split_a <> c.split_b AND COALESCE(n, 0) > 0 AS leaks
+    FROM combos c LEFT JOIN counts USING (split_a, split_b)
+    ORDER BY split_a, split_b
+    """
+
+
+def split_by_cluster(d: DataFrame) -> DataFrame:
+    """Near-dup-cluster-aware split assignment — the fix for what
+    :func:`split_leakage_check` measures: connected components of the
+    Jaccard near-dup graph give every document a cluster representative,
+    and the split hashes the REPRESENTATIVE, so every member of a
+    near-dup cluster lands in the same split by construction (isolated
+    docs hash their own id — identical to the per-document split).
+
+    Scale shape: the pair relation is the df-capped posting-list join;
+    components run the bounded-round star-contraction
+    (dedup.connected_components, per-round localCheckpoint); assignment
+    is a scan-stage projection over (doc, rep)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        split_expr(F.col("cluster_rep")).alias("split"),
+    )
+
+
+def split_by_cluster_check(d: DataFrame) -> DataFrame:
+    """The leakage matrix re-run on the cluster-aware assignment: every
+    near-dup pair is within-cluster, every cluster is within-split, so
+    all off-diagonal cells are ZERO — the structural guarantee the
+    driver hash pins (contrast with split_leakage_check's non-zero
+    off-diagonals on the same corpus)."""
+    spark = d.sparkSession
+    assign = split_by_cluster(d)
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(d)
+    sa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    sb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    tagged = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    counts = tagged.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    names = ["test", "train", "val"]
+    combos = spark.createDataFrame(
+        [(a, b) for a in names for b in names if a <= b],
+        "split_a STRING, split_b STRING",
+    )
+    return (
+        combos.join(counts, ["split_a", "split_b"], "left")
+        .select(
+            "split_a",
+            "split_b",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias(
+                "n_near_dup_pairs"
+            ),
+            (
+                (F.col("split_a") != F.col("split_b"))
+                & (F.coalesce("n", F.lit(0)) > 0)
+            ).alias("leaks"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+@register("split_by_cluster_check", _split_by_cluster_sql())
+def q_split_by_cluster_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_by_cluster_check(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_topk",       # r8: product quantization + ADC + rerank
     "multimodal_keyframes",  # r8: per-shot keyframe extraction
     "split_leakage_check",  # r8: near-dup pairs straddling split bounds
+    "split_by_cluster_check",  # r8: the remedy — zero off-diagonals
     "hybrid_search_rrf",    # r8: BM25 + cosine reciprocal rank fusion
     # -- rows-only r2 stamps (seeded-RNG/LDA, rows-only by design): the
     #    stalest rows of all — refresh them too ------------------------
