@@ -625,3 +625,216 @@ def q_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_label_accuracy_ivf(spark, e, path)
     _sweep_stale_tags(path, "knn_idx_")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index: the build/serve split of similarity.ivfpq_topk —
+# what a 100 TB deployment actually stores. The version directory holds
+# the coarse centroids, the PQ codebooks, and the corpus as
+# cell-PARTITIONED (vec_id, codes) rows: 16 sub-byte codes per vector
+# instead of 256 float bytes, so the hot path (probed-cell scan) moves
+# 16x less data; the float column stays in the source table and is
+# touched only by the broadcast-sized exact rerank.
+# ---------------------------------------------------------------------------
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = N_CELLS,
+    m: int | None = None,
+    k: int | None = None,
+) -> int:
+    """Train the coarse quantizer AND the PQ codebooks on one
+    deterministic sample (both O(1) in corpus size), encode every vector
+    to (cell, codes) in one BLAS mapInPandas pass, persist a complete
+    NEW version (codes cell-partitioned, centroids + codebooks as tiny
+    parquet tables), and atomically swap CURRENT — the same
+    rebuild-under-readers protocol as :func:`build_ivf_index`. Returns
+    the cell count actually used."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _fit_pq_books,
+    )
+
+    m = PQ_M if m is None else m
+    k = PQ_K if k is None else k
+    spark = emb.sparkSession
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sample_rows = (
+        emb_d.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(QUANTIZER_SAMPLE)
+        .select("emb")
+        .collect()
+    )
+    sample = [r.emb for r in sample_rows]
+    centroids = _fit_cells(sample, n_cells)
+    n_cells = len(centroids)
+    books = _fit_pq_books(sample, m, k)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d_sub = cents.shape[1] // m
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xu = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            cells_ = (xu @ cents.T).argmax(axis=1).astype("int32")
+            codes = np.empty((len(xu), m), dtype="int32")
+            for mi in range(m):
+                sub = xu[:, mi * d_sub : (mi + 1) * d_sub]
+                dist = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+                codes[:, mi] = dist.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cell": cells_,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = emb_d.mapInPandas(
+        encode, "vec_id BIGINT, cell INT, codes ARRAY<INT>"
+    )
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    vdir = os.path.join(path, version)
+    encoded.write.partitionBy("cell").parquet(f"{vdir}/codes")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.parquet(f"{vdir}/centroids.parquet")
+    spark.createDataFrame(
+        [
+            (mi, ci, [float(v) for v in books[mi][ci]])
+            for mi in range(m)
+            for ci in range(len(books[mi]))
+        ],
+        "sub int, code int, centroid array<double>",
+    ).write.parquet(f"{vdir}/books.parquet")
+    os.makedirs(path, exist_ok=True)
+    _publish_current(path, version)
+    return n_cells
+
+
+def ivfpq_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    emb_for_rerank: DataFrame,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Answer a (query_id, emb) batch against a persisted IVF-PQ index:
+    partition pruning opens only the probed cells' code directories, the
+    ADC scan gathers per-query lookup tables over the 16-byte codes, and
+    the broadcast-sized shortlist reranks with true cosines from
+    ``emb_for_rerank`` (the source float table — the index itself never
+    stores floats). With the same parameters this serves EXACTLY what
+    the in-query :func:`~.similarity.ivfpq_topk` computes (pinned in
+    tests)."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        PQ_RERANK,
+        _adc_score_fn,
+        _pq_probe_tables,
+        exact_rerank,
+    )
+
+    rerank = PQ_RERANK if rerank is None else rerank
+    vdir = _current_version_dir(path)
+    cent_rows = spark.read.parquet(f"{vdir}/centroids.parquet").collect()
+    if not cent_rows:
+        raise ValueError(f"empty IVF-PQ index at {path}")
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cell] = r.centroid
+    n_cells = len(cent_rows)
+    nprobe = min(nprobe, n_cells)
+    book_rows = spark.read.parquet(f"{vdir}/books.parquet").collect()
+    m = max(r.sub for r in book_rows) + 1
+    books = []
+    for mi in range(m):
+        rows = sorted(
+            (r for r in book_rows if r.sub == mi), key=lambda r: r.code
+        )
+        books.append(np.asarray([r.centroid for r in rows]))
+
+    q_rows = queries.collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, rn BIGINT"
+        )
+    qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray([int(r.query_id) for r in q_rows])
+    sims_qc = qmat @ cents.T
+    cell_probes: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        order = sorted(range(n_cells), key=lambda i: (-sims_qc[qi, i], i))
+        for c in order[:nprobe]:
+            cell_probes.setdefault(c, []).append(qi)
+    probed = sorted(cell_probes)
+
+    luts, norms2 = _pq_probe_tables(qmat, books, m)
+    shortlist_k = rerank * top_k
+    codes = spark.read.parquet(f"{vdir}/codes").where(
+        F.col("cell").isin(probed)
+    )
+    scored = codes.mapInPandas(
+        _adc_score_fn(cell_probes, luts, norms2, qids, shortlist_k),
+        "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE",
+    )
+    shortlist = global_topk(scored, shortlist_k).select(
+        "query_id", "neighbor_id"
+    )
+    emb_d = emb_for_rerank.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return exact_rerank(emb_d, shortlist, qmat, qids, top_k)
+
+
+_IVFPQ_INDEX_SQL = f"""
+    WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+    SELECT vec_id AS query_id,
+           CAST(LEAST({TOP_K}, n_vecs - 1) AS BIGINT) AS k_truth,
+           TRUE AS recall_ok
+    FROM embeddings, n
+    WHERE vec_id < {N_QUERIES}
+    ORDER BY query_id
+"""
+
+
+@register("ann_ivfpq_index", _IVFPQ_INDEX_SQL)
+def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ search measured on the SERVING path: build-once persisted
+    codes (cell-partitioned, 16 bytes/vector), partition-pruned ADC
+    probe, exact rerank from the source table — value-oracled via the
+    same per-query recall bound as the in-query twin. served == in-query
+    at equal parameters is pinned in tests."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ivf_recall_check,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = _corpus_tag(e, sf_dir)
+    path = os.path.join(_user_index_root(), f"pq_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "CURRENT")):
+        build_ivfpq_index(e, path)
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).where(F.col("query_id") < N_QUERIES)
+    served = ivfpq_query_index(spark, path, q, e)
+    out = ivf_recall_check(e, served)
+    _sweep_stale_tags(path, "pq_idx_")
+    return out

@@ -518,8 +518,6 @@ def ivfpq_topk(
     import numpy as np
     import pandas as pd
 
-    from cours_datalake_dwh_td_kafka_spark.operators import gram
-
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -552,22 +550,7 @@ def ivfpq_topk(
             cell_probes.setdefault(c, []).append(qi)
 
     d_sub = qmat.shape[1] // m
-    # per-query ADC tables: luts[qi][mi] is the k-vector of dot products
-    # of the query's mi-th subvector against codebook mi. Tiny
-    # (n_queries x m x k doubles) — ships in the closure.
-    luts = np.stack(
-        [
-            np.stack(
-                [
-                    books[mi] @ qmat[qi, mi * d_sub : (mi + 1) * d_sub]
-                    for mi in range(m)
-                ]
-            )
-            for qi in range(len(qids))
-        ]
-    )
-    # per-codeword squared norms: reconstruction norm by orthogonal sum
-    norms2 = np.stack([(b**2).sum(axis=1) for b in books])  # (m, k)
+    luts, norms2 = _pq_probe_tables(qmat, books, m)
     shortlist_k = rerank * top_k
 
     # stage 1: ENCODE — what a 100 TB deployment persists (the scorer
@@ -599,6 +582,50 @@ def ivfpq_topk(
     )
 
     # stage 2: ADC scan over codes only — table gathers, no floats
+    scored = pq.mapInPandas(
+        _adc_score_fn(cell_probes, luts, norms2, qids, shortlist_k),
+        "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE",
+    )
+    shortlist = global_topk(scored, shortlist_k).select(
+        "query_id", "neighbor_id"
+    )
+    # stage 3: exact rerank — fetch true vectors for the broadcast-sized
+    # shortlist and rescore with real cosines
+    return exact_rerank(emb_d, shortlist, qmat, qids, top_k)
+
+
+def _pq_probe_tables(qmat, books, m: int):
+    """Per-query ADC tables (luts[qi][mi] = k-vector of dot products of
+    the query's mi-th subvector against codebook mi — tiny, ships in the
+    closure) and per-codeword squared norms (reconstruction norm by the
+    orthogonal-subspace sum)."""
+    import numpy as np
+
+    d_sub = qmat.shape[1] // m
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    books[mi] @ qmat[qi, mi * d_sub : (mi + 1) * d_sub]
+                    for mi in range(m)
+                ]
+            )
+            for qi in range(len(qmat))
+        ]
+    )
+    norms2 = np.stack([(b**2).sum(axis=1) for b in books])  # (m, k)
+    return luts, norms2
+
+
+def _adc_score_fn(cell_probes, luts, norms2, qids, shortlist_k: int):
+    """mapInPandas closure scoring (vec_id, cell, codes) rows by ADC
+    table gathers — shared by the in-query path and the persisted-index
+    serving path (ann_index.ivfpq_query_index)."""
+    import numpy as np
+    import pandas as pd
+
+    m = norms2.shape[0]
+
     def adc_score(batches):
         mi_idx = np.arange(m)
         for pdf in batches:
@@ -637,15 +664,18 @@ def ivfpq_topk(
                     }
                 )
 
-    scored = pq.mapInPandas(
-        adc_score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
-    )
-    shortlist = global_topk(scored, shortlist_k).select(
-        "query_id", "neighbor_id"
-    )
+    return adc_score
 
-    # stage 3: exact rerank — fetch true vectors for the broadcast-sized
-    # shortlist and rescore with real cosines
+
+def exact_rerank(emb_d, shortlist, qmat, qids, top_k: int):
+    """Rescore a broadcast-sized (query_id, neighbor_id) shortlist with
+    TRUE cosines against the float table and take the final top-k —
+    the refinement stage both PQ paths share."""
+    import numpy as np
+    import pandas as pd
+
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
     q_pos = {int(q): i for i, q in enumerate(qids)}
 
     def refine(batches):

@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_image_phash",    # r8: integer-DCT pHash Hamming-banded pairs
     "contamination_fuzzy",  # r8: paraphrase-robust decontamination
     "ann_ivfpq_topk",       # r8: product quantization + ADC + rerank
+    "ann_ivfpq_index",      # r8: the PERSISTED PQ serving path
     "multimodal_keyframes",  # r8: per-shot keyframe extraction
     "split_leakage_check",  # r8: near-dup pairs straddling split bounds
     "split_by_cluster_check",  # r8: the remedy — zero off-diagonals

@@ -1077,3 +1077,44 @@ def test_keyframes_one_per_shot_on_crafted_video(spark):
         (1, 2, 200 * FRAME_SIZE, 200, 200),
         (2, 4, 90 * FRAME_SIZE, 90, 90),
     ]
+
+
+def test_persisted_ivfpq_index_matches_inquery_and_prunes(spark, tmp_path):
+    """build-once/query-many IVF-PQ: the persisted-code serving path
+    must return the SAME result as the in-query ivfpq_topk at equal
+    parameters (same sample, same codebooks, same probes, same rerank),
+    and the code scan must resolve the probed cells via partition
+    pruning."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        _current_version_dir,
+        build_ivfpq_index,
+        ivfpq_query_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        ivfpq_topk,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    assert build_ivfpq_index(emb, path) >= 1
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    served = ivfpq_query_index(spark, path, queries, emb)
+    inquery = ivfpq_topk(emb)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inquery.collect())
+    )
+
+    codes = spark.read.parquet(
+        f"{_current_version_dir(path)}/codes"
+    ).where(F.col("cell").isin([0, 1]))
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
