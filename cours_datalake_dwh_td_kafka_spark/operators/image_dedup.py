@@ -125,31 +125,13 @@ def image_phash(images: DataFrame) -> DataFrame:
     downsample, scaled mean-centering, integer DCT, 60-bit sign pack.
     One Arrow batch in, one out — the codec and transform never leave
     the executor; only (id, 60-bit hash) rows shuffle afterwards."""
-    t_mat = _PHASH_T
-    grid = PHASH_GRID
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        t = np.asarray(t_mat, dtype=np.int64)
         for pdf in batches:
             ids, hashes = [], []
             for img_id, payload in zip(pdf["img_id"], pdf["payload"]):
-                px = decode_bmp24(bytes(payload))
-                h, w, _ = px.shape
-                gray = px.astype(np.int64).sum(axis=2)
-                r_idx = (np.arange(grid) * h) // grid
-                c_idx = (np.arange(grid) * w) // grid
-                g = gray[r_idx][:, c_idx]
-                x = grid * grid * g - g.sum()
-                c = t @ x @ t.T
-                bits = (c.reshape(-1) > 0).astype(np.int64)
-                ph = 0
-                for idx in range(1, PHASH_BITS + 1):
-                    if bits[idx]:
-                        ph |= 1 << (idx - 1)
                 ids.append(int(img_id))
-                hashes.append(ph)
+                hashes.append(_phash_of(bytes(payload)))
             if ids:
                 yield pd.DataFrame({"img_id": ids, "phash": hashes})
 
@@ -329,6 +311,54 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_banded_pairs(
         hashes, "img_id", "phash", PHASH_BITS, PHASH_HAMMING_MAX
     ).orderBy("id_a", "id_b")
+
+
+def _phash_of(payload: bytes) -> int:
+    """The scalar pHash kernel shared by the batch column op and the
+    streaming passthrough: decode, gray, NN 8x8, scaled mean-centering,
+    integer DCT, 60-bit sign pack."""
+    import numpy as np
+
+    t = np.asarray(_PHASH_T, dtype=np.int64)
+    px = decode_bmp24(payload)
+    h, w, _ = px.shape
+    gray = px.astype(np.int64).sum(axis=2)
+    r_idx = (np.arange(PHASH_GRID) * h) // PHASH_GRID
+    c_idx = (np.arange(PHASH_GRID) * w) // PHASH_GRID
+    g = gray[r_idx][:, c_idx]
+    x = PHASH_GRID * PHASH_GRID * g - g.sum()
+    c = t @ x @ t.T
+    bits = (c.reshape(-1) > 0).astype(np.int64)
+    ph = 0
+    for idx in range(1, PHASH_BITS + 1):
+        if bits[idx]:
+            ph |= 1 << (idx - 1)
+    return ph
+
+
+def with_phash(images: DataFrame) -> DataFrame:
+    """Append a ``phash`` column while PRESERVING the input columns —
+    the streaming-friendly shape (a stream dedup needs event time and
+    payload to survive the hash stage). Stateless mapInPandas; works on
+    batch and streaming frames alike."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    in_cols = list(images.columns)
+    out_schema = StructType(
+        list(images.schema.fields) + [StructField("phash", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["phash"] = [
+                _phash_of(bytes(p)) for p in pdf["payload"]
+            ]
+            yield pdf[in_cols + ["phash"]]
+
+    return images.mapInPandas(run, out_schema)
 
 
 # mapInPandas closures here must ship BY VALUE (including the imported

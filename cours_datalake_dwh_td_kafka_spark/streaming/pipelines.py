@@ -235,6 +235,34 @@ def stream_dedup(
     return df.dropDuplicatesWithinWatermark(list(key_cols))
 
 
+def stream_image_dedup(
+    images: DataFrame,
+    watermark: str = "10 minutes",
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming PERCEPTUAL image dedup: phash every payload (the
+    integer-DCT hash of operators/image_dedup.py, computed in a
+    stateless passthrough mapInPandas) and drop rows whose hash was
+    already seen inside the watermark horizon. Catches what the
+    byte-fingerprint :func:`stream_dedup` structurally cannot: a
+    re-encoded or brightness-shifted copy has different BYTES but the
+    IDENTICAL pHash (exact invariances pinned in
+    tests/test_image_dedup.py). State is one 60-bit hash per distinct
+    image within the watermark — bounded, like every stateful op here.
+    (Hamming-distance near-dups beyond hash equality stay a batch
+    concern: the banded candidate join needs a corpus-wide index, not
+    per-record state.)"""
+    from cours_datalake_dwh_td_kafka_spark.operators.image_dedup import (
+        with_phash,
+    )
+
+    return (
+        with_phash(images)
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["phash"])
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

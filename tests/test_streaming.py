@@ -5,6 +5,7 @@ assertions, checkpoint-restart replay, and watermark/late-data behavior
 
 from __future__ import annotations
 
+import datetime
 import json
 import shutil
 import time
@@ -1281,3 +1282,67 @@ def test_stream_gaps_match_batch_lag(spark, stream_dir):
     # the last original gap (240s->360s) stays 120s
     assert {g for _, g in want} == {60, 120}
     assert got == want and len(got) == 5
+
+
+def test_stream_image_dedup_drops_perceptual_copies(spark, tmp_path):
+    """A re-encoded, brightness-shifted copy has different BYTES (the
+    fingerprint dedup would keep it) but the identical pHash — the
+    perceptual stream dedup keeps the first and drops the copy while
+    distinct images pass through."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        encode_bmp24,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        stream_image_dedup,
+    )
+
+    def img(seed: int, shift: int = 0) -> bytes:
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 200, size=(8, 7, 3)).astype(np.int64)
+        return encode_bmp24(np.minimum(px + shift, 255).astype(np.uint8))
+
+    indir = tmp_path / "imgs"
+    indir.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        # the file stream source lists FILES, not nested write dirs:
+        # write to a scratch dir, then move the single part file in
+        scratch = tmp_path / f"scratch_{name}"
+        spark.createDataFrame(
+            rows, "img_id BIGINT, payload BINARY, event_time TIMESTAMP"
+        ).coalesce(1).write.parquet(str(scratch))
+        part = next(scratch.glob("part-*.parquet"))
+        part.rename(indir / f"{name}.parquet")
+
+    write_batch("b0", [(1, img(7), t0)])
+    # copy of image 7 with +3 brightness (bytes differ, phash equal),
+    # plus a genuinely distinct image
+    write_batch(
+        "b1",
+        [
+            (2, img(7, shift=3), t0 + datetime.timedelta(minutes=1)),
+            (3, img(8), t0 + datetime.timedelta(minutes=1)),
+        ],
+    )
+    src = (
+        spark.readStream.schema(
+            "img_id BIGINT, payload BINARY, event_time TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = stream_image_dedup(src)
+    name = f"sid_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.img_id for r in spark.table(name).collect())
+    assert kept == [1, 3]  # the perceptual copy (img 2) dropped
