@@ -336,11 +336,16 @@ def _phash_of(payload: bytes) -> int:
     return ph
 
 
-def with_phash(images: DataFrame) -> DataFrame:
+def with_phash(images: DataFrame, strict: bool = True) -> DataFrame:
     """Append a ``phash`` column while PRESERVING the input columns —
     the streaming-friendly shape (a stream dedup needs event time and
     payload to survive the hash stage). Stateless mapInPandas; works on
-    batch and streaming frames alike."""
+    batch and streaming frames alike.
+
+    ``strict=False`` maps undecodable payloads to a NULL phash instead
+    of raising — the streaming posture, where one poisoned record must
+    not kill the query (batch callers keep the default fail-fast, the
+    codec fuzz-test discipline)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     in_cols = list(images.columns)
@@ -353,9 +358,18 @@ def with_phash(images: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             pdf = pdf.copy()
-            pdf["phash"] = [
-                _phash_of(bytes(p)) for p in pdf["payload"]
-            ]
+            hashes = []
+            for p in pdf["payload"]:
+                if strict:
+                    hashes.append(_phash_of(bytes(p)))
+                else:
+                    # decode_bmp24 is @_reject_corrupt-fenced: every
+                    # structural failure surfaces as ValueError
+                    try:
+                        hashes.append(_phash_of(bytes(p)))
+                    except ValueError:
+                        hashes.append(None)
+            pdf["phash"] = pd.array(hashes, dtype="Int64")
             yield pdf[in_cols + ["phash"]]
 
     return images.mapInPandas(run, out_schema)

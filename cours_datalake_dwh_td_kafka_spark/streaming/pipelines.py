@@ -249,15 +249,18 @@ def stream_image_dedup(
     IDENTICAL pHash (exact invariances pinned in
     tests/test_image_dedup.py). State is one 60-bit hash per distinct
     image within the watermark — bounded, like every stateful op here.
-    (Hamming-distance near-dups beyond hash equality stay a batch
-    concern: the banded candidate join needs a corpus-wide index, not
-    per-record state.)"""
+    Undecodable payloads hash to NULL and are DROPPED (the DLQ posture:
+    one poisoned record must not kill the stream, and a corrupt blob is
+    not trainable data anyway). (Hamming-distance near-dups beyond hash
+    equality stay a batch concern: the banded candidate join needs a
+    corpus-wide index, not per-record state.)"""
     from cours_datalake_dwh_td_kafka_spark.operators.image_dedup import (
         with_phash,
     )
 
     return (
-        with_phash(images)
+        with_phash(images, strict=False)
+        .where(F.col("phash").isNotNull())
         .withWatermark(event_time_col, watermark)
         .dropDuplicatesWithinWatermark(["phash"])
     )

@@ -1319,12 +1319,14 @@ def test_stream_image_dedup_drops_perceptual_copies(spark, tmp_path):
 
     write_batch("b0", [(1, img(7), t0)])
     # copy of image 7 with +3 brightness (bytes differ, phash equal),
-    # plus a genuinely distinct image
+    # a genuinely distinct image, and a POISONED record (truncated BMP)
+    # that must be dropped without killing the stream
     write_batch(
         "b1",
         [
             (2, img(7, shift=3), t0 + datetime.timedelta(minutes=1)),
             (3, img(8), t0 + datetime.timedelta(minutes=1)),
+            (4, img(9)[:20], t0 + datetime.timedelta(minutes=1)),
         ],
     )
     src = (
