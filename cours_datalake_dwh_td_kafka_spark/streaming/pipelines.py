@@ -266,6 +266,68 @@ def stream_image_dedup(
     )
 
 
+def stream_contamination_alerts(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int | None = None,
+    watermark: str = "10 minutes",
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming benchmark-decontamination gate: as documents arrive,
+    emit an alert row for every doc sharing an ``n``-gram with the
+    STATIC benchmark set — contamination caught at ingestion time, not
+    at the next batch sweep. The stream's shingles are a stateless
+    explode (the batch shingle_rows plan, hashed to longs on the map
+    side); the bench side is the static shingle set, so the inner join
+    is the supported stream-static shape (broadcast per micro-batch
+    when it fits); one doc sharing many shingles collapses to ONE alert
+    via dropDuplicatesWithinWatermark on doc_id — watermark-bounded
+    state, like every stateful op here. The quarantine topology:
+    alerts feed a side sink; the batch layer owns the authoritative
+    anti-join (contamination_check), because a stream cannot anti-join
+    itself retroactively."""
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        CONTAM_NGRAM,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import shingle_rows
+
+    n = CONTAM_NGRAM if n is None else n
+    bench_sh = (
+        shingle_rows(bench, n=n, distinct=False)
+        .select(F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    # shingle_rows keeps only (doc_id, shingle); the stream side needs
+    # event time carried through, so inline the same explode-first plan
+    # with the extra column
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    pos = docs.select("doc_id", event_time_col, toks.alias("toks")).select(
+        "doc_id",
+        event_time_col,
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0)))
+        ).alias("i"),
+    )
+    doc_sh = pos.select(
+        "doc_id",
+        event_time_col,
+        F.xxhash64(
+            F.concat_ws(" ", F.slice("toks", F.col("i") + 1, n))
+        ).alias("shingle"),
+    )
+    hits = doc_sh.join(bench_sh, "shingle").select(
+        "doc_id", event_time_col
+    )
+    return (
+        hits.withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["doc_id"])
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -1348,3 +1348,62 @@ def test_stream_image_dedup_drops_perceptual_copies(spark, tmp_path):
     q.awaitTermination(120)
     kept = sorted(r.img_id for r in spark.table(name).collect())
     assert kept == [1, 3]  # the perceptual copy (img 2) dropped
+
+
+def test_stream_contamination_alerts(spark, tmp_path):
+    """An arriving doc sharing an 8-gram with the static benchmark set
+    raises exactly ONE alert (many shared shingles collapse on doc_id);
+    clean docs raise none."""
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        stream_contamination_alerts,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id BIGINT, text STRING"
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    indir = tmp_path / "docs"
+    indir.mkdir()
+
+    def write_batch(name, rows):
+        scratch = tmp_path / f"scratch_{name}"
+        spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, event_time TIMESTAMP"
+        ).coalesce(1).write.parquet(str(scratch))
+        next(scratch.glob("part-*.parquet")).rename(
+            indir / f"{name}.parquet"
+        )
+
+    # doc 1 quotes 9 consecutive benchmark tokens (two shared 8-grams);
+    # doc 2 shares words but never 8 consecutive ones
+    write_batch(
+        "b0",
+        [
+            (
+                1,
+                "intro alpha beta gamma delta epsilon zeta eta theta iota end",
+                t0,
+            ),
+            (2, "alpha beta gamma delta unrelated zeta eta theta iota", t0),
+        ],
+    )
+    src = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, event_time TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = stream_contamination_alerts(src, bench)
+    name = f"sca_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert [(r.doc_id, r.contaminated) for r in rows] == [(1, True)]
