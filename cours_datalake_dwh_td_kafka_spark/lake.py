@@ -190,23 +190,19 @@ def lake_read(
     paths = [os.path.join(path, f) for f in m["files"]]
     if "schema" not in m:  # pre-evolution manifests: plain union read
         return spark.read.parquet(*paths)
-    # Read-time schema merge + projection to the version's DECLARED
-    # columns: files committed before a column existed contribute NULLs
-    # for it (mergeSchema), and files committed after this version added
-    # more columns are projected back DOWN to what this version declared
-    # — so an old-version reader is never surprised by a new column.
-    from pyspark.sql import functions as F
+    # The version's DECLARED schema drives the read (no mergeSchema —
+    # that option re-reads every file footer, a full metadata pass at
+    # 100 TB; the manifest already KNOWS the schema, which is the whole
+    # point of recording it). Spark's parquet reader fills columns a
+    # file lacks with NULLs and skips columns outside the requested
+    # schema, so pre-column files read back with NULLs and files
+    # written after a later version added more columns project back
+    # DOWN to what this version declared — an old-version reader is
+    # never surprised by a new column.
     from pyspark.sql.types import StructType
 
     declared = StructType.fromJson(m["schema"])
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    cols = [
-        F.col(f.name)
-        if f.name in df.columns
-        else F.lit(None).cast(f.dataType).alias(f.name)
-        for f in declared.fields
-    ]
-    return df.select(cols)
+    return spark.read.schema(declared).parquet(*paths)
 
 
 def lake_delete_where(spark: SparkSession, path: str, predicate: str) -> int:
@@ -403,25 +399,16 @@ def lake_compact(
     keep = [f for f in files if f not in set(small)]
     reader = spark.read
     if "schema" in m:
-        # post-evolution tables mix file schemas: merge, then project to
-        # the declared columns so the rewrite normalizes every compacted
-        # row to the current schema (NULLs for pre-column files)
-        reader = reader.option("mergeSchema", "true")
-    rewritten = reader.parquet(*(os.path.join(path, f) for f in small))
-    if "schema" in m:
-        from pyspark.sql import functions as F
+        # post-evolution tables mix file schemas: reading with the
+        # DECLARED schema normalizes every compacted row to the current
+        # schema (NULLs for pre-column files) with no mergeSchema
+        # footer pass — see lake_read
         from pyspark.sql.types import StructType
 
-        declared = StructType.fromJson(m["schema"])
-        rewritten = rewritten.select(
-            [
-                F.col(f.name)
-                if f.name in rewritten.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in declared.fields
-            ]
-        )
-    rewritten = rewritten.coalesce(target_files)
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    rewritten = reader.parquet(
+        *(os.path.join(path, f) for f in small)
+    ).coalesce(target_files)
     new_files = _write_data_files(rewritten, path)
     return _commit_manifest(
         path, v + 1, keep + new_files, "compact", m.get("schema")
