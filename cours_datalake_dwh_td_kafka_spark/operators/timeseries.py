@@ -88,6 +88,123 @@ def q_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt's linear-trend smoothing (double exponential): the forecasting
+# step above EWMA — level AND trend state, one exact sequential fold.
+# ---------------------------------------------------------------------------
+_HOLT_ALPHA = 0.3
+_HOLT_1MA = 0.7
+_HOLT_BETA = 0.1
+_HOLT_1MB = 0.9
+
+# DuckDB's list_reduce requires accumulator type == element type, so the
+# value list lifts to [level, trend] DOUBLE[2] pairs first; the fold then
+# carries both states. A LIST accumulator, not a STRUCT one: DuckDB
+# evaluates struct-literal fields sequentially over an in-place
+# accumulator (the 'b' expression would read the already-updated 'l' —
+# measured, not documented), while list-literal elements evaluate against
+# the UNCHANGED accumulator, matching Spark's functional fold. The l_new
+# expression is spelled twice (for l and inside b) IDENTICALLY on both
+# engines, so the doubles match bit-exact.
+_HOLT_SQL = f"""
+    WITH folded AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             list_reduce(
+               list_transform(list(value ORDER BY ts, event_id),
+                              x -> [CAST(x AS DOUBLE),
+                                    CAST(0.0 AS DOUBLE)]),
+               (acc, x) -> [
+                 {_HOLT_ALPHA} * x[1]
+                     + {_HOLT_1MA} * (acc[1] + acc[2]),
+                 {_HOLT_BETA} * (({_HOLT_ALPHA} * x[1]
+                     + {_HOLT_1MA} * (acc[1] + acc[2])) - acc[1])
+                     + {_HOLT_1MB} * acc[2]
+               ]
+             ) AS st
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2], 6) AS forecast_1
+    FROM folded
+    ORDER BY user_id
+"""
+
+
+def holt_forecast(
+    e: DataFrame,
+    key: str = "user_id",
+    alpha: float = _HOLT_ALPHA,
+    beta: float = _HOLT_BETA,
+) -> DataFrame:
+    """Holt's double exponential smoothing per key: the one-step
+    forecaster a capacity dashboard runs where EWMA undershoots every
+    trending series (EWMA has no trend state — it lags a ramp forever;
+    Holt carries (level, trend) and extrapolates).
+
+        l_0 = x_0, b_0 = 0
+        l_t = alpha*x_t + (1-alpha)*(l_{{t-1}} + b_{{t-1}})
+        b_t = beta*(l_t - l_{{t-1}}) + (1-beta)*b_{{t-1}}
+        forecast_1 = l_T + b_T
+
+    Same scale shape as :func:`ewma` — a non-associative recurrence is
+    ONE shuffle on the key plus a JVM array fold over the key's ordered
+    history (bounded by events-per-key), never a global window and
+    never Python. Cross-engine exactness: the fold lifts values to
+    (l, b) structs so DuckDB's same-type list_reduce can carry both
+    states; identical literals and op order on both engines, rounded
+    once at output."""
+    a = F.lit(alpha)
+    one_a = F.lit(_HOLT_1MA if alpha == _HOLT_ALPHA else 1.0 - alpha)
+    b = F.lit(beta)
+    one_b = F.lit(_HOLT_1MB if beta == _HOLT_BETA else 1.0 - beta)
+    xs = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", F.col("value")))
+    )
+
+    def step(acc, x):
+        l_new = a * x["value"] + one_a * (acc["l"] + acc["b"])
+        return F.when(
+            acc.isNull(),
+            F.struct(
+                x["value"].alias("l"), F.lit(0.0).alias("b")
+            ),
+        ).otherwise(
+            F.struct(
+                l_new.alias("l"),
+                (b * (l_new - acc["l"]) + one_b * acc["b"]).alias("b"),
+            )
+        )
+
+    fold = F.aggregate(
+        F.col("xs"), F.lit(None).cast("struct<l:double,b:double>"), step
+    )
+    return (
+        e.select(key, "ts", "event_id", "value")
+        .groupBy(key)
+        .agg(xs.alias("xs"))
+        .select(
+            key,
+            F.size("xs").cast("bigint").alias("n_events"),
+            fold.alias("st"),
+        )
+        .select(
+            key,
+            "n_events",
+            F.round(F.col("st.l"), 6).alias("level"),
+            F.round(F.col("st.b"), 6).alias("trend"),
+            F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_1"),
+        )
+        .orderBy(key)
+    )
+
+
+@register("holt_forecast", _HOLT_SQL)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return holt_forecast(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # Daily resample with forward fill over a per-key date spine.
 # ---------------------------------------------------------------------------
 _GAP_FILL_SQL = """

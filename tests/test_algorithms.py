@@ -1118,3 +1118,41 @@ def test_persisted_ivfpq_index_matches_inquery_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters"
     )[1][:120]
+
+
+def test_holt_forecast_matches_python_and_tracks_ramps(spark):
+    """Holt's (level, trend) fold equals a textbook python reference on
+    a crafted series, and on a pure ramp its one-step forecast is
+    strictly closer to the next value than EWMA's (the trend state is
+    the point of the operator)."""
+    import datetime as dt
+
+    from cours_datalake_dwh_td_kafka_spark.operators.timeseries import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        ewma,
+        holt_forecast,
+    )
+
+    vals = [float(10 + 5 * i) for i in range(20)]  # ramp: next = 110
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (7, t0 + dt.timedelta(minutes=i), i, v) for i, v in enumerate(vals)
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    )
+    got = holt_forecast(e).collect()[0]
+
+    l, b = vals[0], 0.0
+    for x in vals[1:]:
+        ln = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (l + b)
+        b = _HOLT_BETA * (ln - l) + (1 - _HOLT_BETA) * b
+        l = ln
+    assert got.level == round(l, 6)
+    assert got.trend == round(b, 6)
+    assert got.forecast_1 == round(l + b, 6)
+
+    nxt = vals[-1] + 5.0
+    ew = ewma(e).collect()[0].ewma_value
+    assert abs(got.forecast_1 - nxt) < abs(ew - nxt)
