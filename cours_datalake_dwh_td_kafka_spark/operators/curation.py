@@ -460,6 +460,101 @@ def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# integer epoch allocation from the mix weights (largest remainder)
+# ---------------------------------------------------------------------------
+#: total allocation units (epoch-permilles) the data recipe divides up
+EPOCH_BUDGET = 1000
+
+_EPOCH_ALLOC_SQL = f"""
+    WITH tok AS (
+      SELECT source, SUM({_N_TOKENS_SQL}) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source,
+             ROUND(POW(n_tokens, {MIX_ALPHA})
+                   / SUM(POW(n_tokens, {MIX_ALPHA})) OVER (), 6)
+               AS mix_weight
+      FROM tok
+    ),
+    per AS (
+      SELECT source, mix_weight,
+             CAST(FLOOR(CAST(mix_weight AS DECIMAL(18,6))
+                        * {EPOCH_BUDGET}) AS BIGINT) AS base,
+             CAST(mix_weight AS DECIMAL(18,6)) * {EPOCH_BUDGET}
+               - FLOOR(CAST(mix_weight AS DECIMAL(18,6))
+                       * {EPOCH_BUDGET}) AS frac
+      FROM w
+    ),
+    tot AS (
+      SELECT GREATEST({EPOCH_BUDGET} - SUM(base), 0) AS deficit FROM per
+    ),
+    ranked AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk
+      FROM per
+    )
+    SELECT p.source, p.mix_weight,
+           CAST(p.base + CASE WHEN r.rk <= t.deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS n_units
+    FROM per p
+    JOIN ranked r USING (source)
+    CROSS JOIN tot t
+    ORDER BY p.source
+"""
+
+
+def epoch_allocation(
+    d: DataFrame, alpha: float = MIX_ALPHA, budget: int = EPOCH_BUDGET
+) -> DataFrame:
+    """The data recipe's last arithmetic step: turn the temperature-
+    scaled mix weights into INTEGER allocation units summing EXACTLY to
+    ``budget`` (sampler configs take integers; naive rounding of the
+    weights over- or under-shoots the budget). Hamilton's largest-
+    remainder method: floor every exact share, then hand the leftover
+    units to the largest fractional remainders (ties by source).
+
+    Cross-engine exactness: shares are computed from the 6-dp-rounded
+    mix weight in DECIMAL — w6 * budget, its floor, and the remainder
+    are all exact decimal arithmetic, so the remainder ranking can
+    never flip on an ulp. Scale shape: weights come from the window-free
+    mix plan; the remainder ranking is limit-first over the DEFICIT
+    (a bounded scalar collect, <= n_sources), never a data-scale
+    window."""
+    w = domain_mix_weights(d, alpha).select("source", "mix_weight")
+    exact = F.col("mix_weight").cast("decimal(18,6)") * budget
+    per = w.select(
+        "source",
+        "mix_weight",
+        F.floor(exact).cast("long").alias("base"),
+        (exact - F.floor(exact)).alias("frac"),
+    ).localCheckpoint(eager=False)
+    got = per.agg(F.sum("base").alias("t")).collect()[0].t
+    deficit = max(0, budget - int(got or 0))
+    winners = (
+        per.orderBy(F.desc("frac"), F.asc("source"))
+        .limit(deficit)
+        .select("source", F.lit(1).alias("_bonus"))
+    )
+    return (
+        per.join(winners, "source", "left")
+        .select(
+            "source",
+            "mix_weight",
+            (F.col("base") + F.coalesce("_bonus", F.lit(0)))
+            .cast("bigint")
+            .alias("n_units"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("epoch_allocation", _EPOCH_ALLOC_SQL)
+def q_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_allocation(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # deterministic balanced sample: per-source top-k by quality
 # ---------------------------------------------------------------------------
 BALANCED_K = 5

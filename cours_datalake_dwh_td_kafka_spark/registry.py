@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "split_by_cluster_check",  # r8: the remedy — zero off-diagonals
     "hybrid_search_rrf",    # r8: BM25 + cosine reciprocal rank fusion
     "holt_forecast",        # r8: Holt level+trend exact fold
+    "epoch_allocation",     # r8: largest-remainder budget apportionment
     # -- rows-only r2 stamps (seeded-RNG/LDA, rows-only by design): the
     #    stalest rows of all — refresh them too ------------------------
     "sampling",

@@ -1156,3 +1156,24 @@ def test_holt_forecast_matches_python_and_tracks_ramps(spark):
     nxt = vals[-1] + 5.0
     ew = ewma(e).collect()[0].ewma_value
     assert abs(got.forecast_1 - nxt) < abs(ew - nxt)
+
+
+def test_epoch_allocation_sums_exactly_to_budget(spark):
+    """Largest-remainder apportionment: integer units sum EXACTLY to the
+    budget (the property naive weight rounding loses), every source gets
+    >= floor(share), and no source gains more than one bonus unit."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        EPOCH_BUDGET,
+        epoch_allocation,
+    )
+    from tests.conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    rows = epoch_allocation(d).collect()
+    assert sum(r.n_units for r in rows) == EPOCH_BUDGET
+    import math
+
+    for r in rows:
+        base = math.floor(round(r.mix_weight, 6) * EPOCH_BUDGET + 1e-9)
+        assert r.n_units in (base, base + 1)
