@@ -345,6 +345,28 @@ def lake_diff(
 
     new = lake_read(spark, path, to_version)
     old = lake_read(spark, path, from_version)
+    # Schema evolution: the versions may declare different columns, and
+    # exceptAll needs identical schemas. Align BOTH sides to the union
+    # of columns (NULL where a version never had the column) — a row
+    # that only gained a not-yet-populated column then compares equal
+    # on both sides and produces NO spurious delete+insert, while rows
+    # whose added column carries a value diff as expected.
+    if new.columns != old.columns:
+        all_fields = {f.name: f for f in old.schema.fields}
+        for f in new.schema.fields:
+            all_fields.setdefault(f.name, f)
+
+        def align(df):
+            return df.select(
+                [
+                    F.col(name)
+                    if name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(name)
+                    for name, f in all_fields.items()
+                ]
+            )
+
+        new, old = align(new), align(old)
     inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
     return inserts.unionByName(deletes)

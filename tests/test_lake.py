@@ -558,3 +558,26 @@ def test_graftlake_datasource_reads_evolved_schema(spark, tmp_path):
         .where("q > 0.5")
     )
     assert [(r.id, r.q) for r in pushed.collect()] == [(3, 0.9)]
+
+
+def test_lake_diff_across_schema_versions(spark, tmp_path):
+    """CDC across an add-column commit: unchanged pre-column rows
+    produce NO spurious changes (they compare equal once both sides
+    align to the union schema with NULLs), and the appended rows report
+    as inserts carrying the new column's value."""
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_commit, lake_diff
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, name STRING"),
+        path,
+    )  # v1
+    lake_commit(
+        spark.createDataFrame([(3, "c", 0.9)], "id BIGINT, name STRING, q DOUBLE"),
+        path,
+    )  # v2: adds q
+    d = {
+        (r.id, r.name, r.q, r._change)
+        for r in lake_diff(spark, path, 1, 2).collect()
+    }
+    assert d == {(3, "c", 0.9, "insert")}
