@@ -1043,3 +1043,64 @@ def test_pareto_recipe_matches_bruteforce_dominance(spark, pts):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# generic Hamming banding == brute force for ANY width/threshold combo
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+    n_bits=st.integers(min_value=8, max_value=60),
+    hamming_max=st.integers(min_value=0, max_value=6),
+)
+def test_hamming_banding_equals_bruteforce_any_width(
+    spark, data, n_bits, hamming_max
+):
+    """The two-level variable-width pigeonhole banding is provably
+    complete for EVERY (bit width, threshold): randomized hash sets plus
+    a crafted at-the-boundary pair must reproduce the all-pairs theta
+    join exactly."""
+    from cours_datalake_dwh_td_kafka_spark.operators.image_dedup import (
+        hamming_banded_pairs,
+    )
+
+    vals = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << n_bits) - 1),
+            min_size=2,
+            max_size=14,
+        )
+    )
+    # plant one pair at exactly the threshold: flip hamming_max
+    # scattered bits of the first value
+    flip_bits = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=n_bits - 1),
+            min_size=hamming_max,
+            max_size=hamming_max,
+            unique=True,
+        )
+    )
+    v = vals[0]
+    for bb in flip_bits:
+        v ^= 1 << bb
+    vals.append(v)
+    rows = [(i, x) for i, x in enumerate(vals)]
+    df = spark.createDataFrame(rows, "img_id BIGINT, phash BIGINT")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_banded_pairs(
+            df, "img_id", "phash", n_bits, hamming_max
+        ).collect()
+    )
+    want = sorted(
+        (i, j, bin(vals[i] ^ vals[j]).count("1"))
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if bin(vals[i] ^ vals[j]).count("1") <= hamming_max
+    )
+    assert got == want
+    assert any(
+        a == 0 and b == len(vals) - 1 for a, b, _ in got
+    )  # the planted boundary pair survives
