@@ -82,6 +82,39 @@ def _publish_current(path: str, version_name: str) -> None:
     os.replace(tmp, os.path.join(path, "CURRENT"))
 
 
+def _vector_roots(path: str, vdir: str) -> list[str]:
+    """Vector-data roots of a version: the version's ``manifest.json``
+    lists roots RELATIVE to the index path (an appended version
+    references its ancestors' vector directories instead of copying
+    them); versions predating the manifest own exactly their local
+    ``vectors/`` directory."""
+    import json
+
+    mpath = os.path.join(vdir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return [
+                os.path.join(path, r) for r in json.load(f)["vector_roots"]
+            ]
+    return [os.path.join(vdir, "vectors")]
+
+
+def _referenced_versions(path: str) -> set[str]:
+    """Version-directory names the LIVE version's manifest chain still
+    references (itself included) — these must survive a vacuum even
+    though CURRENT does not point at them (an appended version reads
+    its ancestors' vector files in place)."""
+    try:
+        vdir = _current_version_dir(path)
+    except ValueError:
+        return set()
+    live = {os.path.basename(vdir)}
+    for root in _vector_roots(path, vdir):
+        rel = os.path.relpath(root, path)
+        live.add(rel.split(os.sep)[0])
+    return live
+
+
 def vacuum_index(
     path: str,
     grace_seconds: float = 24 * 3600,
@@ -123,13 +156,16 @@ def vacuum_index(
             return [os.path.basename(path)]
         return []
 
-    live = os.path.basename(_current_version_dir(path))
+    # every version the live manifest chain references survives, not
+    # just the one CURRENT names — an appended version reads its
+    # ancestors' vector files in place (see _referenced_versions)
+    live = _referenced_versions(path)
     removed = []
     for name in sorted(os.listdir(path)):
         full = os.path.join(path, name)
         if (
             name.startswith("v_")
-            and name != live
+            and name not in live
             and os.path.isdir(full)
             and os.path.getmtime(full) <= cutoff
         ):
@@ -189,9 +225,78 @@ def build_ivf_index(
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     ).write.parquet(f"{vdir}/centroids.parquet")
+    _write_index_manifest(vdir, [f"{version}/vectors"])
     os.makedirs(path, exist_ok=True)
     _publish_current(path, version)
     return n_cells
+
+
+def _write_index_manifest(vdir: str, roots: list[str]) -> None:
+    import json
+
+    with open(os.path.join(vdir, "manifest.json"), "w") as f:
+        json.dump({"vector_roots": roots}, f)
+
+
+def append_ivf_index(emb_new: DataFrame, path: str) -> int:
+    """Incremental index maintenance: fold a NEW vector batch into the
+    served index WITHOUT rebuilding — the streaming-ingest shape (a
+    daily crawl lands; re-encoding the existing 100 TB to admit 0.1 TB
+    is the thing this avoids). The coarse quantizer stays FROZEN (the
+    standard IVF append: assignment uses the live centroids, so probes
+    keep meaning the same cells; quantizer drift is what
+    ann_index_drift monitors and a full rebuild repairs). The new batch
+    is assigned and written as a new version whose manifest references
+    every ancestor vector root IN PLACE plus its own — no data copied,
+    and the CURRENT swap stays atomic under readers. Prior versions
+    keep serving their exact snapshot (their manifests never change);
+    vacuum keeps every version the live chain references. Returns the
+    number of vector roots the new version serves."""
+    import shutil as _shutil
+
+    import numpy as np
+
+    vdir = _current_version_dir(path)
+    spark = emb_new.sparkSession
+    cent_rows = spark.read.parquet(f"{vdir}/centroids.parquet").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cell] = r.centroid
+
+    emb_d = emb_new.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            pdf = pdf.copy()
+            pdf["cell"] = (xn @ cents.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    assigned = emb_d.mapInPandas(
+        assign, "vec_id bigint, emb array<double>, cell int"
+    )
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    new_vdir = os.path.join(path, version)
+    assigned.write.partitionBy("cell").parquet(f"{new_vdir}/vectors")
+    # the quantizer is frozen: the new version carries a copy of the
+    # centroid table so it stays self-describing (tiny — one row/cell)
+    _shutil.copytree(
+        f"{vdir}/centroids.parquet", f"{new_vdir}/centroids.parquet"
+    )
+    old_rel = [
+        os.path.relpath(r, path) for r in _vector_roots(path, vdir)
+    ]
+    roots = old_rel + [f"{version}/vectors"]
+    _write_index_manifest(new_vdir, roots)
+    _publish_current(path, version)
+    return len(roots)
 
 
 def ivf_query_index(
@@ -200,6 +305,7 @@ def ivf_query_index(
     queries: DataFrame,
     nprobe: int = NPROBE,
     top_k: int = TOP_K,
+    version: str | None = None,
 ) -> DataFrame:
     """Answer a (query_id, emb) batch against a persisted index.
 
@@ -207,12 +313,19 @@ def ivf_query_index(
     probed cells per query are a driver-side numpy matmul (the same
     probe-assignment shape as ivf_topk). The vector scan then carries
     ``cell IN (probed)``, which partition pruning resolves to directory
-    selection — the corpus outside the probed cells is never opened.
-    Scoring is one BLAS mapInPandas pass with the (small) query matrix
-    in the closure; the global top-k is the shared tree reduce."""
+    selection — the corpus outside the probed cells is never opened;
+    an appended index unions its manifest's vector roots, pruned per
+    root. Scoring is one BLAS mapInPandas pass with the (small) query
+    matrix in the closure; the global top-k is the shared tree reduce.
+    ``version`` pins a specific version directory (time travel — e.g.
+    the pre-append snapshot); default is the CURRENT pointer."""
     import numpy as np
 
-    vdir = _current_version_dir(path)
+    vdir = (
+        os.path.join(path, version)
+        if version is not None
+        else _current_version_dir(path)
+    )
     cent_rows = spark.read.parquet(f"{vdir}/centroids.parquet").collect()
     if not cent_rows:
         raise ValueError(f"empty IVF index at {path}")
@@ -238,9 +351,12 @@ def ivf_query_index(
             cell_probes.setdefault(c, []).append(qi)
     probed = sorted(cell_probes)
 
-    vecs = spark.read.parquet(f"{vdir}/vectors").where(
-        F.col("cell").isin(probed)
-    )
+    roots = _vector_roots(path, vdir)
+    vecs = spark.read.parquet(roots[0]).where(F.col("cell").isin(probed))
+    for root in roots[1:]:
+        vecs = vecs.union(
+            spark.read.parquet(root).where(F.col("cell").isin(probed))
+        )
 
     def score(batches):
         import pandas as pd
@@ -837,4 +953,100 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     served = ivfpq_query_index(spark, path, q, e)
     out = ivf_recall_check(e, served)
     _sweep_stale_tags(path, "pq_idx_")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# append lifecycle as a driver-attested row: build on the even snapshot,
+# append the odd batch, and fold the protocol's guarantees to booleans
+# ---------------------------------------------------------------------------
+_APPEND_SQL = """
+    SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_appended,
+           TRUE AS appended_searchable,
+           TRUE AS snapshot_unchanged,
+           TRUE AS recall_ok
+    FROM embeddings
+"""
+
+
+def ann_index_append_lifecycle(
+    spark: SparkSession, e: DataFrame, path: str
+) -> DataFrame:
+    """The incremental-maintenance protocol folded to one deterministic
+    row: an index built on the even-id snapshot, with the odd-id batch
+    APPENDED (frozen quantizer, manifest-chained version — no data
+    rewritten):
+
+    - ``appended_searchable``: the post-append CURRENT finds odd
+      neighbors (the new batch is served immediately);
+    - ``snapshot_unchanged``: querying the PRE-append version by name
+      still returns only snapshot members — append never mutates an
+      existing version (time travel, the lake discipline);
+    - ``recall_ok``: post-append recall@k vs brute force over the FULL
+      corpus clears the proportional probe floor (0.8 * nprobe/n_cells,
+      the ann_ivf_topk guarantee) for every query at nprobe=5 — the
+      frozen even-trained quantizer serves the grown corpus within the
+      same class of guarantee the fresh index gives (a frozen quantizer
+      needs a probe or two more than a fresh one; that, measured, is
+      the price of skipping the rebuild)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ivf_recall_check,
+    )
+
+    append_nprobe = 5
+
+    emb_d = e.select("vec_id", "embedding")
+    base = emb_d.where(F.col("vec_id") % 2 == 0)
+    extra = emb_d.where(F.col("vec_id") % 2 == 1)
+    if not os.path.exists(os.path.join(path, "CURRENT")):
+        build_ivf_index(base, path)
+        append_ivf_index(extra, path)
+    vdir = _current_version_dir(path)
+    roots = _vector_roots(path, vdir)
+    old_version = os.path.relpath(roots[0], path).split(os.sep)[0]
+    q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    served_new = ivf_query_index(spark, path, q, nprobe=append_nprobe)
+    served_old = ivf_query_index(
+        spark, path, q, nprobe=append_nprobe, version=old_version
+    )
+    odd_new = served_new.where(F.col("neighbor_id") % 2 == 1).count()
+    odd_old = served_old.where(F.col("neighbor_id") % 2 == 1).count()
+    rc = (
+        ivf_recall_check(
+            e, served_new, floor=0.8 * append_nprobe / N_CELLS
+        )
+        .agg(F.min(F.col("recall_ok").cast("int")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    n_base = base.count()
+    n_extra = extra.count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_base),
+                int(n_extra),
+                odd_new > 0,
+                odd_old == 0,
+                int(rc or 0) == 1,
+            )
+        ],
+        "n_base BIGINT, n_appended BIGINT, appended_searchable BOOLEAN, "
+        "snapshot_unchanged BOOLEAN, recall_ok BOOLEAN",
+    )
+
+
+@register("ann_index_append", _APPEND_SQL)
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = _corpus_tag(e, sf_dir + "#append")
+    path = os.path.join(_user_index_root(), f"app_idx_{tag}")
+    out = ann_index_append_lifecycle(spark, e, path)
+    _sweep_stale_tags(path, "app_idx_")
     return out

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "contamination_fuzzy",  # r8: paraphrase-robust decontamination
     "ann_ivfpq_topk",       # r8: product quantization + ADC + rerank
     "ann_ivfpq_index",      # r8: the PERSISTED PQ serving path
+    "ann_index_append",     # r8: incremental append, no rebuild
     "multimodal_keyframes",  # r8: per-shot keyframe extraction
     "split_leakage_check",  # r8: near-dup pairs straddling split bounds
     "split_by_cluster_check",  # r8: the remedy — zero off-diagonals

@@ -581,3 +581,78 @@ def test_lake_diff_across_schema_versions(spark, tmp_path):
         for r in lake_diff(spark, path, 1, 2).collect()
     }
     assert d == {(3, "c", 0.9, "insert")}
+
+
+def test_ivf_index_append_serves_grown_corpus_and_survives_vacuum(
+    spark, tmp_path
+):
+    """Incremental index maintenance: after append_ivf_index the CURRENT
+    version serves the WHOLE corpus — at FULL probe it equals exact
+    brute force regardless of the frozen quantizer — while the
+    pre-append version still serves exactly the snapshot; vacuum keeps
+    every version the live manifest chain references, and a full
+    rebuild releases the chain."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        _current_version_dir,
+        _vector_roots,
+        append_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+        vacuum_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        ann_topk_bruteforce,
+    )
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    emb_d = e.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb_d.where(F.col("vec_id") % 2 == 0), path)
+    old_version = os.path.basename(_current_version_dir(path))
+    n_roots = append_ivf_index(
+        emb_d.where(F.col("vec_id") % 2 == 1), path
+    )
+    assert n_roots == 2
+
+    q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    # full probe == exact brute force over the grown corpus, quantizer
+    # irrelevant (every cell is scanned)
+    served = sorted(
+        map(
+            tuple,
+            ivf_query_index(spark, path, q, nprobe=N_CELLS).collect(),
+        )
+    )
+    exact = sorted(map(tuple, ann_topk_bruteforce(e).collect()))
+    assert served == exact
+
+    # the pre-append version is untouched: only snapshot members
+    old = ivf_query_index(
+        spark, path, q, nprobe=N_CELLS, version=old_version
+    )
+    assert old.where(F.col("neighbor_id") % 2 == 1).count() == 0
+
+    # vacuum must NOT reclaim the referenced ancestor
+    assert vacuum_index(path, grace_seconds=0) == []
+    assert os.path.isdir(os.path.join(path, old_version))
+
+    # a full rebuild releases the chain: both old versions reclaimable
+    build_ivf_index(emb_d, path)
+    removed = set(vacuum_index(path, grace_seconds=0))
+    assert old_version in removed and len(removed) == 2
+    again = sorted(
+        map(
+            tuple,
+            ivf_query_index(spark, path, q, nprobe=N_CELLS).collect(),
+        )
+    )
+    assert again == exact
