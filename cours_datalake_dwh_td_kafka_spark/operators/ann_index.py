@@ -7,13 +7,18 @@ Index layout (plain parquet, no sidecar formats; versioned like the
 lake layer so a rebuild is ATOMIC for readers):
     <index>/CURRENT                          pointer file -> live version
     <index>/v_<id>/centroids.parquet         (cell, centroid array<double>)
+    <index>/v_<id>/manifest.json             vector roots this version serves
     <index>/v_<id>/vectors/cell=<c>/part-*.parquet  cell-PARTITIONED rows
 
 A rebuild writes a complete NEW version directory and atomically swaps
 the CURRENT pointer (tmp + rename); a reader that resolved the pointer
 keeps reading its immutable version even while a rebuild lands — no
-mixed old-centroids/new-vectors state, no missing-file window. Stale
-versions are reclaimed by :func:`vacuum_index`.
+mixed old-centroids/new-vectors state, no missing-file window. An
+APPEND (:func:`append_ivf_index`) is a version whose manifest
+references its ancestors' vector roots in place plus its own — the
+incremental-ingest path, no data copied. Stale versions are reclaimed
+by :func:`vacuum_index`, which keeps every version the live manifest
+chain references.
 
 The partitionBy("cell") layout is the mechanism, not a convenience: a
 probe reads ``WHERE cell IN (...)`` and Spark's partition pruning turns
