@@ -166,7 +166,20 @@ def lake_commit(df: DataFrame, path: str, mode: str = "append") -> int:
     prev = current_version(path)
     if mode == "append" and prev > 0:
         prev_m = _read_manifest(path, prev)
-        schema = _merged_append_schema(prev_m.get("schema"), df)
+        prev_schema = prev_m.get("schema")
+        if prev_schema is None and prev_m["files"]:
+            # pre-evolution manifest: recover the declared schema from
+            # the existing files (homogeneous by construction before
+            # schemas were recorded) — otherwise an evolving append
+            # would declare only the INCOMING frame's columns, silently
+            # dropping legacy columns on read and skipping the retype
+            # rejection
+            prev_schema = _schema_dict(
+                df.sparkSession.read.parquet(
+                    *(os.path.join(path, f) for f in prev_m["files"])
+                )
+            )
+        schema = _merged_append_schema(prev_schema, df)
         files = prev_m["files"] + _write_data_files(df, path)
     else:
         schema = _schema_dict(df)

@@ -204,20 +204,12 @@ def build_ivf_index(
     n_cells = len(centroids)
     cents = np.asarray(centroids, dtype=np.float64)
 
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
-            xn = x / np.maximum(
-                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
-            )
-            pdf = pdf.copy()
-            pdf["cell"] = (xn @ cents.T).argmax(axis=1).astype("int32")
-            yield pdf
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ivf_assign_fn,
+    )
 
     assigned = emb_d.mapInPandas(
-        assign, "vec_id bigint, emb array<double>, cell int"
+        ivf_assign_fn(cents), "vec_id bigint, emb array<double>, cell int"
     )
     # fresh immutable version dir; the pointer swap below is the ONLY
     # mutation readers can observe, so a half-failed build never poisons
@@ -271,21 +263,12 @@ def append_ivf_index(emb_new: DataFrame, path: str) -> int:
     emb_d = emb_new.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
-            xn = x / np.maximum(
-                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
-            )
-            pdf = pdf.copy()
-            pdf["cell"] = (xn @ cents.T).argmax(axis=1).astype("int32")
-            yield pdf
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ivf_assign_fn,
+    )
 
     assigned = emb_d.mapInPandas(
-        assign, "vec_id bigint, emb array<double>, cell int"
+        ivf_assign_fn(cents), "vec_id bigint, emb array<double>, cell int"
     )
     version = f"v_{uuid.uuid4().hex[:12]}"
     new_vdir = os.path.join(path, version)
@@ -777,6 +760,7 @@ def build_ivfpq_index(
         PQ_K,
         PQ_M,
         _fit_pq_books,
+        pq_encode_fn,
     )
 
     m = PQ_M if m is None else m
@@ -796,34 +780,11 @@ def build_ivfpq_index(
     n_cells = len(centroids)
     books = _fit_pq_books(sample, m, k)
     cents = np.asarray(centroids, dtype=np.float64)
-    d_sub = cents.shape[1] // m
 
-    def encode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
-            xu = x / np.maximum(
-                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
-            )
-            cells_ = (xu @ cents.T).argmax(axis=1).astype("int32")
-            codes = np.empty((len(xu), m), dtype="int32")
-            for mi in range(m):
-                sub = xu[:, mi * d_sub : (mi + 1) * d_sub]
-                dist = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
-                codes[:, mi] = dist.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "cell": cells_,
-                    "codes": list(codes),
-                }
-            )
-
+    # THE shared encoder (similarity.pq_encode_fn): the persisted index
+    # and the in-query twin can never compute different codes
     encoded = emb_d.mapInPandas(
-        encode, "vec_id BIGINT, cell INT, codes ARRAY<INT>"
+        pq_encode_fn(cents, books), "vec_id BIGINT, cell INT, codes ARRAY<INT>"
     )
     version = f"v_{uuid.uuid4().hex[:12]}"
     vdir = os.path.join(path, version)
@@ -1008,6 +969,13 @@ def ann_index_append_lifecycle(
     extra = emb_d.where(F.col("vec_id") % 2 == 1)
     if not os.path.exists(os.path.join(path, "CURRENT")):
         build_ivf_index(base, path)
+    # resume-safe: a run that died between build and append leaves
+    # CURRENT with a 1-root chain — checking CURRENT alone would skip
+    # the append forever and wedge the attested row; the manifest chain
+    # length is the real completion signal
+    if (
+        len(_vector_roots(path, _current_version_dir(path))) < 2
+    ):
         append_ivf_index(extra, path)
     vdir = _current_version_dir(path)
     roots = _vector_roots(path, vdir)

@@ -245,10 +245,14 @@ FUZZY_THRESHOLD = 0.4
 #: shingles in more docs than this carry no leak signal (dedup.MAX_DF
 #: twin; applied identically in the oracle)
 FUZZY_MAX_DF = 50
-#: paraphrase seeding: every PARA_EVERY-th token replaced; offset puts
-#: planted copies in the TRAIN slice (1_000_001 % CONTAM_BENCH_MOD = 1)
+#: paraphrase seeding: every PARA_EVERY-th token replaced. Planted ids
+#: map to the NEGATIVE range (-doc_id - 1): real corpus ids are
+#: non-negative, so the planted keys can never collide with a genuine
+#: document at ANY corpus size (a fixed positive offset would — the
+#: 100 TB corpus has ids past any constant), and -(50k)-1 is never
+#: ≡ 0 mod CONTAM_BENCH_MOD on either engine (both truncate toward
+#: zero), so every plant lands in the TRAIN slice.
 PARA_EVERY = 6
-PARA_OFFSET = 1_000_001
 
 _FUZZY_CONTAM_SQL = f"""
     WITH base AS (
@@ -256,7 +260,7 @@ _FUZZY_CONTAM_SQL = f"""
     ),
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
     para AS (
-      SELECT doc_id + {PARA_OFFSET} AS doc_id,
+      SELECT -doc_id - 1 AS doc_id,
              array_to_string(list_transform(
                generate_series(1, len(t)),
                i -> CASE WHEN (i - 1) % {PARA_EVERY} = 0
@@ -309,14 +313,14 @@ def paraphrase_bench(
     d: DataFrame,
     bench_mod: int = CONTAM_BENCH_MOD,
     every: int = PARA_EVERY,
-    offset: int = PARA_OFFSET,
 ) -> DataFrame:
     """Deterministic paraphrases of the benchmark slice, planted as
-    TRAIN docs (doc_id + offset lands off the bench modulus): every
-    ``every``-th token of the normalized text replaced. With every < 8,
-    each 8-token window contains a changed token, so NO 8-gram survives
-    — the planted leak is invisible to the exact check by construction
-    and is what :func:`fuzzy_contamination` must catch."""
+    TRAIN docs under the collision-proof NEGATIVE key -doc_id - 1
+    (never a real id, never ≡ 0 mod bench_mod): every ``every``-th
+    token of the normalized text replaced. With every < 8, each 8-token
+    window contains a changed token, so NO 8-gram survives — the
+    planted leak is invisible to the exact check by construction and is
+    what :func:`fuzzy_contamination` must catch."""
     toks = F.split(norm_text(F.col("text")), " ")
     para = F.concat_ws(
         " ",
@@ -326,7 +330,7 @@ def paraphrase_bench(
         ),
     )
     return d.where(F.col("doc_id") % bench_mod == 0).select(
-        (F.col("doc_id") + offset).alias("doc_id"), para.alias("text")
+        (-F.col("doc_id") - 1).alias("doc_id"), para.alias("text")
     )
 
 
@@ -916,13 +920,22 @@ def split_leakage_check(d: DataFrame) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    spark = d.sparkSession
     pairs = ngram_jaccard_pairs(d)
-    sa = d.select(
-        F.col("doc_id").alias("doc_a"), split_expr().alias("sa")
+    assign = d.select("doc_id", split_expr().alias("split"))
+    return _leakage_matrix(pairs, assign)
+
+
+def _leakage_matrix(pairs: DataFrame, assign: DataFrame) -> DataFrame:
+    """The shared back half of both split audits: tag each near-dup
+    pair with its sides' splits (unordered via least/greatest), count
+    per cell, and left-join a literal 6-cell combo frame so zero cells
+    stay visible; ``leaks`` flags any off-diagonal count."""
+    spark = pairs.sparkSession
+    sa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
     )
-    sb = d.select(
-        F.col("doc_id").alias("doc_b"), split_expr().alias("sb")
+    sb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
     )
     tagged = (
         pairs.join(sa, "doc_a")
@@ -1055,50 +1068,11 @@ def split_by_cluster_check(d: DataFrame) -> DataFrame:
     all off-diagonal cells are ZERO — the structural guarantee the
     driver hash pins (contrast with split_leakage_check's non-zero
     off-diagonals on the same corpus)."""
-    spark = d.sparkSession
-    assign = split_by_cluster(d)
     from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
 
-    pairs = ngram_jaccard_pairs(d)
-    sa = assign.select(
-        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
-    )
-    sb = assign.select(
-        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
-    )
-    tagged = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            F.least("sa", "sb").alias("split_a"),
-            F.greatest("sa", "sb").alias("split_b"),
-        )
-    )
-    counts = tagged.groupBy("split_a", "split_b").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    names = ["test", "train", "val"]
-    combos = spark.createDataFrame(
-        [(a, b) for a in names for b in names if a <= b],
-        "split_a STRING, split_b STRING",
-    )
-    return (
-        combos.join(counts, ["split_a", "split_b"], "left")
-        .select(
-            "split_a",
-            "split_b",
-            F.coalesce("n", F.lit(0)).cast("bigint").alias(
-                "n_near_dup_pairs"
-            ),
-            (
-                (F.col("split_a") != F.col("split_b"))
-                & (F.coalesce("n", F.lit(0)) > 0)
-            ).alias("leaks"),
-        )
-        .orderBy("split_a", "split_b")
-    )
+    return _leakage_matrix(ngram_jaccard_pairs(d), split_by_cluster(d))
 
 
 @register("split_by_cluster_check", _split_by_cluster_sql())

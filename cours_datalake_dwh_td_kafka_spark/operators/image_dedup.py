@@ -363,11 +363,15 @@ def with_phash(images: DataFrame, strict: bool = True) -> DataFrame:
                 if strict:
                     hashes.append(_phash_of(bytes(p)))
                 else:
-                    # decode_bmp24 is @_reject_corrupt-fenced: every
-                    # structural failure surfaces as ValueError
+                    # decode_bmp24 is @_reject_corrupt-fenced (structural
+                    # failures -> ValueError); a NULL payload would raise
+                    # TypeError at bytes(None) — both are poison, not a
+                    # reason to kill the stream
                     try:
-                        hashes.append(_phash_of(bytes(p)))
-                    except ValueError:
+                        hashes.append(
+                            None if p is None else _phash_of(bytes(p))
+                        )
+                    except (ValueError, TypeError):
                         hashes.append(None)
             pdf["phash"] = pd.array(hashes, dtype="Int64")
             yield pdf[in_cols + ["phash"]]

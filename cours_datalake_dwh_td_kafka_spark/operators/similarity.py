@@ -516,7 +516,6 @@ def ivfpq_topk(
     residual quality knobs are nprobe (cells) and rerank (PQ loss),
     each measured by the registered recall query."""
     import numpy as np
-    import pandas as pd
 
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -549,36 +548,13 @@ def ivfpq_topk(
         for c in order[:nprobe]:
             cell_probes.setdefault(c, []).append(qi)
 
-    d_sub = qmat.shape[1] // m
     luts, norms2 = _pq_probe_tables(qmat, books, m)
     shortlist_k = rerank * top_k
 
     # stage 1: ENCODE — what a 100 TB deployment persists (the scorer
     # below reads only these three narrow columns)
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
-            xu = x / np.maximum(
-                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
-            )
-            cells_ = (xu @ cents.T).argmax(axis=1).astype("int32")
-            codes = np.empty((len(xu), m), dtype="int32")
-            for mi in range(m):
-                sub = xu[:, mi * d_sub : (mi + 1) * d_sub]
-                dist = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
-                codes[:, mi] = dist.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "cell": cells_,
-                    "codes": list(codes),
-                }
-            )
-
     pq = emb_d.mapInPandas(
-        encode, "vec_id BIGINT, cell INT, codes ARRAY<INT>"
+        pq_encode_fn(cents, books), "vec_id BIGINT, cell INT, codes ARRAY<INT>"
     )
 
     # stage 2: ADC scan over codes only — table gathers, no floats
@@ -592,6 +568,65 @@ def ivfpq_topk(
     # stage 3: exact rerank — fetch true vectors for the broadcast-sized
     # shortlist and rescore with real cosines
     return exact_rerank(emb_d, shortlist, qmat, qids, top_k)
+
+
+def pq_encode_fn(cents, books):
+    """mapInPandas closure encoding (vec_id, emb) rows to
+    (vec_id, cell, codes) — THE one PQ encoder, shared by the in-query
+    path and the persisted index build so the two can never silently
+    diverge (tests pin served == in-query)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    d_sub = cents.shape[1] // m
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xu = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            cells_ = (xu @ cents.T).argmax(axis=1).astype("int32")
+            codes = np.empty((len(xu), m), dtype="int32")
+            for mi in range(m):
+                sub = xu[:, mi * d_sub : (mi + 1) * d_sub]
+                dist = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(
+                    -1
+                )
+                codes[:, mi] = dist.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cell": cells_,
+                    "codes": list(codes),
+                }
+            )
+
+    return encode
+
+
+def ivf_assign_fn(cents):
+    """mapInPandas closure assigning (vec_id, emb) rows to their coarse
+    cell — THE one assignment kernel, shared by index build and
+    incremental append."""
+    import numpy as np
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            pdf = pdf.copy()
+            pdf["cell"] = (xn @ cents.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return assign
 
 
 def _pq_probe_tables(qmat, books, m: int):

@@ -117,14 +117,18 @@ class LakeDataSourceReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        file_cols = set(pq.read_schema(partition.file_path).names)
-        if self._pushed and any(c not in file_cols for c, _, _ in self._pushed):
-            # a CONSUMED filter referencing a column this (pre-evolution)
-            # file lacks: every row reads NULL there, so =/> is false for
-            # the whole file — emit nothing (Spark will not re-apply
-            # consumed filters, so dropping the filter instead would
-            # silently return unfiltered rows)
-            return
+        if self._pushed:
+            # footer schema read ONLY on the pushdown path (the plain
+            # scan must not pay a per-file metadata pass)
+            file_cols = set(pq.read_schema(partition.file_path).names)
+            if any(c not in file_cols for c, _, _ in self._pushed):
+                # a CONSUMED filter referencing a column this
+                # (pre-evolution) file lacks: every row reads NULL
+                # there, so =/> is false for the whole file — emit
+                # nothing (Spark will not re-apply consumed filters, so
+                # dropping the filter instead would silently return
+                # unfiltered rows)
+                return
         table = pq.read_table(
             partition.file_path,
             filters=self._pushed or None,

@@ -961,7 +961,6 @@ def test_fuzzy_contamination_catches_paraphrase_exact_misses(spark):
     (paraphrase, benchmark) pair above threshold for every bench doc."""
     from cours_datalake_dwh_td_kafka_spark.operators.curation import (
         CONTAM_BENCH_MOD,
-        PARA_OFFSET,
         contamination_check,
         fuzzy_contamination,
         paraphrase_bench,
@@ -984,7 +983,7 @@ def test_fuzzy_contamination_catches_paraphrase_exact_misses(spark):
     exact_flagged = {
         r.doc_id for r in contamination_check(corpus).collect()
     }
-    planted = {b + PARA_OFFSET for b in bench_ids}
+    planted = {-b - 1 for b in bench_ids}
     assert not (exact_flagged & planted)
 
     # fuzzy containment: every planted (paraphrase, source bench) pair
@@ -994,7 +993,7 @@ def test_fuzzy_contamination_catches_paraphrase_exact_misses(spark):
         for r in fuzzy_contamination(d).collect()
     }
     for b in bench_ids:
-        assert (b + PARA_OFFSET, b) in fuzzy_pairs
+        assert (-b - 1, b) in fuzzy_pairs
 
 
 def test_ivfpq_full_rerank_equals_exact_ivf(spark):

@@ -656,3 +656,38 @@ def test_ivf_index_append_serves_grown_corpus_and_survives_vacuum(
         )
     )
     assert again == exact
+
+
+def test_schema_evolution_recovers_legacy_manifest(spark, tmp_path):
+    """Appending to a PRE-evolution table (manifest without a recorded
+    schema) must recover the declared schema from the existing files:
+    legacy columns survive the evolving append, and retyping is still
+    rejected."""
+    import json
+
+    import pytest as _pytest
+
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_commit, lake_read
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.createDataFrame([(1, "a")], "id BIGINT, name STRING"), path
+    )
+    # simulate a legacy manifest: strip the recorded schema
+    mpath = os.path.join(path, "_manifests", "v1.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["schema"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    lake_commit(
+        spark.createDataFrame([(2, 0.5)], "id BIGINT, q DOUBLE"), path
+    )  # evolving append against the legacy manifest
+    rows = {r.id: (r.name, r.q) for r in lake_read(spark, path, 2).collect()}
+    assert rows == {1: ("a", None), 2: (None, 0.5)}  # 'name' survived
+
+    with _pytest.raises(ValueError, match="retyping"):
+        lake_commit(
+            spark.createDataFrame([("x",)], "id STRING"), path
+        )
