@@ -105,7 +105,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sampling",
     "topic_model",
     # -- next-stalest value tier: newest stamp is round 4 (first 14
-    #    alphabetically; the rest lead the r9 rotation; pytest
+    #    alphabetically; with the r8 additions ahead of them the window
+    #    cap takes roughly the first half — whatever spills joins the
+    #    rest of the r4 tier leading the r9 rotation; pytest
     #    oracle-parity covers ALL oracled queries on current code each
     #    round regardless of the cap) -----------------------------------
     "ann_topk_cosine",
