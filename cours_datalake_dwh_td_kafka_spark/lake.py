@@ -232,6 +232,60 @@ def lake_delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     )
 
 
+def _align_to(df: DataFrame, declared: dict) -> DataFrame:
+    """Project ``df`` to a declared schema dict: declared columns in
+    order, NULL-filled where ``df`` lacks one (the read-time fill
+    lake_read gets from the parquet reader, applied to an in-memory
+    frame)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    decl = StructType.fromJson(declared)
+    return df.select(
+        [
+            F.col(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in decl.fields
+        ]
+    )
+
+
+def lake_merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key: str
+) -> int:
+    """Batch MERGE (upsert) — the Delta ``MERGE INTO`` shape and the
+    one mutation the lake still lacked: rows of ``updates`` REPLACE the
+    current rows sharing their ``key``; unmatched keys INSERT. One
+    atomic commit: the kept rows (current anti-join updates' keys)
+    rewrite copy-on-write alongside the updates' files, and the
+    manifest swaps the file set (op ``merge``) — prior versions stay
+    readable, exactly like delete. Schema evolution composes: updates
+    may ADD columns (never retype — the same
+    :func:`_merged_append_schema` rule as append), and both sides align
+    to the merged declared schema before writing.
+
+    Scale note: like lake_delete_where this rewrites the whole kept
+    set; at 100 TB pair it with partition/bucket pruning so only
+    touched files rewrite (the incremental streaming twin is the
+    merge-upsert sink in streaming/pipelines.py, which scopes each
+    micro-batch's rewrite to the partitions it touches)."""
+    v = current_version(path)
+    if v < 1:
+        raise ValueError(f"no committed version at {path}")
+    m = _read_manifest(path, v)
+    cur = lake_read(spark, path)
+    declared = _merged_append_schema(
+        m.get("schema") or _schema_dict(cur), updates
+    )
+    kept = cur.join(updates.select(key).distinct(), key, "left_anti")
+    files = _write_data_files(_align_to(kept, declared), path)
+    files += _write_data_files(_align_to(updates, declared), path)
+    return _commit_manifest(
+        path, current_version(path) + 1, files, "merge", declared
+    )
+
+
 def lake_history(path: str) -> list[dict]:
     """All SURVIVING snapshots oldest-first: version, operation, file
     count. Walks the manifests that actually exist, so history still

@@ -25,6 +25,7 @@ from cours_datalake_dwh_td_kafka_spark.lake import (
     lake_delete_where,
     lake_diff,
     lake_history,
+    lake_merge_upsert,
     lake_read,
 )
 from cours_datalake_dwh_td_kafka_spark.registry import register
@@ -37,7 +38,8 @@ _LIFECYCLE_SQL = """
            TRUE AS time_travel_ok,
            TRUE AS compact_preserved_rows,
            TRUE AS schema_evolution_ok,
-           'append>compact>delete>append' AS history_ops
+           TRUE AS merge_upsert_ok,
+           'append>compact>delete>append>merge' AS history_ops
     FROM documents
 """
 
@@ -60,6 +62,9 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
       row and the appended values for the new ones, while the OLD
       reader (time travel to v1) still sees exactly the original
       columns, untouched by the later schema;
+    - ``merge_upsert_ok``: v5 batch-MERGEs a corrected slice (round 8)
+      — matched rows replaced, unmatched keys inserted, one atomic
+      commit; the pre-merge snapshot still shows the old values;
     - ``history_ops``: the surviving manifest operations in order.
 
     Compaction runs against v1, whose file count is an EXPLICIT
@@ -95,6 +100,31 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
         and v4.where(F.col("quality").isNotNull()).count() == n_extra
         and lake_read(spark, path, 1).columns == orig_cols
     )
+    # v5: batch MERGE — re-land a deterministic slice with a corrected
+    # quality score; matched rows replace, unmatched keys insert
+    n4 = v4.count()
+    upd = d.where(F.col("doc_id") % 100 == 50).withColumn(
+        "quality", F.lit(0.9)
+    )
+    n_upd = upd.count()
+    n_matched = v4.join(
+        upd.select("doc_id").distinct(), "doc_id", "leftsemi"
+    ).count()
+    lake_merge_upsert(spark, path, upd, "doc_id")  # v5
+    v5 = lake_read(spark, path, 5)
+    merged_slice = v5.where(F.col("doc_id") % 100 == 50)
+    merge_ok = (
+        v5.count() == n4 - n_matched + n_upd
+        and merged_slice.count() == n_upd
+        and merged_slice.where(F.col("quality") != 0.9).count() == 0
+        # pre-merge snapshot untouched: v4's slice still has NULL quality
+        and lake_read(spark, path, 4)
+        .where(
+            (F.col("doc_id") % 100 == 50) & F.col("quality").isNotNull()
+        )
+        .count()
+        == 0
+    )
     travel_ok = lake_read(spark, path, 1).count() == n_docs
     ops = ">".join(h["op"] for h in lake_history(path))
     return spark.createDataFrame(
@@ -106,12 +136,14 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
                 bool(travel_ok),
                 bool(compact_ok),
                 bool(evolved_ok),
+                bool(merge_ok),
                 ops,
             )
         ],
         "n_docs BIGINT, n_deleted BIGINT, n_inserted BIGINT, "
         "time_travel_ok BOOLEAN, compact_preserved_rows BOOLEAN, "
-        "schema_evolution_ok BOOLEAN, history_ops STRING",
+        "schema_evolution_ok BOOLEAN, merge_upsert_ok BOOLEAN, "
+        "history_ops STRING",
     )
 
 

@@ -691,3 +691,47 @@ def test_schema_evolution_recovers_legacy_manifest(spark, tmp_path):
         lake_commit(
             spark.createDataFrame([("x",)], "id STRING"), path
         )
+
+
+def test_lake_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    """Batch MERGE: matched keys replace, unmatched keys insert, one
+    atomic commit; the pre-merge snapshot is untouched; a merge whose
+    updates ADD a column evolves the schema under the append rule."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_history,
+        lake_merge_upsert,
+        lake_read,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id BIGINT, val STRING"
+        ),
+        path,
+    )
+    lake_merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B2"), (9, "Z")], "id BIGINT, val STRING"),
+        "id",
+    )  # v2
+    v2 = {r.id: r.val for r in lake_read(spark, path, 2).collect()}
+    assert v2 == {1: "a", 2: "B2", 3: "c", 9: "Z"}
+    v1 = {r.id: r.val for r in lake_read(spark, path, 1).collect()}
+    assert v1 == {1: "a", 2: "b", 3: "c"}  # snapshot untouched
+    assert [h["op"] for h in lake_history(path)] == ["append", "merge"]
+
+    # schema-evolving merge: updates add a column
+    lake_merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "C3", 0.7)], "id BIGINT, val STRING, q DOUBLE"
+        ),
+        "id",
+    )  # v3
+    v3 = {r.id: (r.val, r.q) for r in lake_read(spark, path, 3).collect()}
+    assert v3 == {
+        1: ("a", None), 2: ("B2", None), 3: ("C3", 0.7), 9: ("Z", None),
+    }
