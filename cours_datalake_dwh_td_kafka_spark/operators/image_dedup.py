@@ -387,3 +387,273 @@ import sys as _sys  # noqa: E402
 from pyspark.cloudpickle import register_pickle_by_value  # noqa: E402
 
 register_pickle_by_value(_sys.modules[__name__])
+
+
+# ---------------------------------------------------------------------------
+# VIDEO near-dup: keyframe pHash sets + containment — the last dedup
+# modality (text, embedding, image, now video). A re-encoded, re-graded,
+# or trimmed copy of a video keeps (a subset of) the same per-shot
+# keyframes, and each keyframe's integer pHash is invariant under the
+# re-encode/brightness transforms (proven for the image case), so the
+# signature SETS overlap even when not one byte of the containers agrees.
+# ---------------------------------------------------------------------------
+VIDEO_CONTAINMENT = 0.8
+#: a single phash shared by more videos than this carries no signal
+#: (the dedup MAX_DF discipline applied to the keyframe inverted index)
+PHASH_MAX_DF = 50
+
+
+def video_keyframe_hashes(videos: DataFrame) -> DataFrame:
+    """(vid_id, payload) -> distinct (vid_id, phash) rows: the same
+    single-pass scene-cut walk as multimodal.keyframe_stats (O(1 frame)
+    state), hashing each keyframe with the integer pHash. One Arrow
+    batch in, narrow hash rows out."""
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        SCENE_CUT_MEAN_DIFF,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for vid_id, payload in zip(pdf["vid_id"], pdf["payload"]):
+                payload = bytes(payload)
+                pos = 0
+                prev = None
+                for _ in range(10**9):
+                    if pos + 54 > len(payload):
+                        break
+                    if payload[pos : pos + 2] != b"BM":
+                        raise ValueError(
+                            f"video {vid_id}: bad frame magic at {pos}"
+                        )
+                    (size,) = struct.unpack(
+                        "<I", payload[pos + 2 : pos + 6]
+                    )
+                    frame = payload[pos : pos + size]
+                    a = decode_bmp24(frame).astype(np.int64)
+                    if prev is None or (
+                        int(np.abs(a - prev).sum())
+                        > SCENE_CUT_MEAN_DIFF * a.size
+                    ):
+                        ids.append(int(vid_id))
+                        hashes.append(_phash_of(frame))
+                    prev = a
+                    pos += size
+            if ids:
+                yield pd.DataFrame({"vid_id": ids, "phash": hashes})
+
+    return (
+        videos.select(
+            F.col("vid_id"), F.col("payload")
+        ).mapInPandas(run, "vid_id BIGINT, phash BIGINT")
+        .distinct()
+    )
+
+
+def video_phash_pairs(
+    sigs: DataFrame,
+    threshold: float = VIDEO_CONTAINMENT,
+    max_df: int = PHASH_MAX_DF,
+) -> DataFrame:
+    """Near-dup video pairs by keyframe-set CONTAINMENT
+    (|A∩B| / min(|A|,|B|) — the trimmed-copy-robust measure, same
+    rationale as dedup_containment): candidates from the phash inverted
+    index (df-capped equi-join, never all-pairs), exact containment on
+    the candidate pairs only."""
+    sizes = sigs.groupBy("vid_id").agg(F.count(F.lit(1)).alias("n_kf"))
+    rare = (
+        sigs.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("phash")
+    )
+    idx = sigs.join(rare, "phash")
+    a = idx.select("phash", F.col("vid_id").alias("vid_a"))
+    b = idx.select("phash", F.col("vid_id").alias("vid_b"))
+    shared = (
+        a.join(b, "phash")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(
+        F.col("vid_id").alias("vid_a"), F.col("n_kf").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("vid_id").alias("vid_b"), F.col("n_kf").alias("n_b")
+    )
+    cont = F.col("n_shared") / F.least("n_a", "n_b").cast("double")
+    return (
+        shared.join(na, "vid_a")
+        .join(nb, "vid_b")
+        .withColumn("containment", F.round(cont, 6))
+        .where(F.col("containment") >= threshold)
+        .select("vid_a", "vid_b", "n_shared", "containment")
+        .orderBy("vid_a", "vid_b")
+    )
+
+
+def _video_phash_corpus(d: DataFrame) -> DataFrame:
+    """Video-modality docs -> (vid_id, payload) with TWO real
+    concatenated-BMP videos per doc: vid_id = doc_id is the original
+    (synth_video_bmp's byte->frame contract), vid_id = -doc_id - 1 is a
+    re-graded re-encode (+1 per source byte -> +1 per channel — the
+    uniform brightness shift pHash is exactly invariant under, and SAD
+    cuts are shift-invariant too, so the copy keeps the SAME keyframe
+    hash set through entirely different container bytes)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        FRAME_H,
+        FRAME_SIZE,
+        FRAME_W,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n_frames = int(b.size) // FRAME_SIZE
+                if n_frames == 0:
+                    continue
+                for vid, px in (
+                    (int(doc_id), b),
+                    (-int(doc_id) - 1, (b.astype(np.int64) + 1)),
+                ):
+                    frames = [
+                        encode_bmp24(
+                            np.asarray(
+                                px[f * FRAME_SIZE : (f + 1) * FRAME_SIZE],
+                                dtype=np.int64,
+                            )
+                            .clip(0, 255)
+                            .astype(np.uint8)
+                            .reshape(FRAME_H, FRAME_W, 3)
+                        )
+                        for f in range(n_frames)
+                    ]
+                    ids.append(vid)
+                    payloads.append(b"".join(frames))
+            if ids:
+                yield pd.DataFrame({"vid_id": ids, "payload": payloads})
+
+    return d.select("doc_id", "text").mapInPandas(
+        run, "vid_id BIGINT, payload BINARY"
+    )
+
+
+def _video_phash_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        FRAME_SIZE,
+        SCENE_CUT_MEAN_DIFF,
+    )
+
+    fs = FRAME_SIZE
+    # source pixel of output cell (dr, dc): NN 4x4 -> 8x8 is dr//2, dc//2
+    p = "((cell // 8) // 2 * 4 + (cell % 8) // 2)"
+
+    def byte(ch: int) -> str:
+        return f"ord(substr(text, CAST({fs} * f + 3 * {p} + {ch} AS INT), 1))"
+
+    return f"""
+    WITH t(u, r, tv) AS (VALUES {_t_values_sql()}),
+    v AS (
+      SELECT doc_id, text, length(text) // {fs} AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2 AND length(text) >= {fs}
+    ),
+    px AS (
+      SELECT doc_id, f, i,
+             ord(substr(text, CAST(f * {fs} + i AS INT), 1)) AS cur,
+             ord(substr(text, CAST((f - 1) * {fs} + i AS INT), 1)) AS prev
+      FROM v,
+           unnest(generate_series(1, n_frames - 1)) AS tf(f),
+           unnest(generate_series(1, {fs})) AS ti(i)
+    ),
+    sad AS (
+      SELECT doc_id, f, SUM(ABS(cur - prev)) AS sad
+      FROM px GROUP BY doc_id, f
+    ),
+    kf AS (
+      SELECT doc_id, 0 AS f FROM v
+      UNION ALL
+      SELECT doc_id, f FROM sad
+      WHERE sad > {SCENE_CUT_MEAN_DIFF * fs}
+    ),
+    cells AS (
+      SELECT doc_id, f, pert,
+             UNNEST(generate_series(0, 63)) AS cell
+      FROM kf, (VALUES (0), (1)) pv(pert)
+    ),
+    gray AS (
+      SELECT c.doc_id, c.f, c.pert,
+             c.cell // 8 AS dr, c.cell % 8 AS dc,
+             {byte(1)} + {byte(2)} + {byte(3)} + c.pert * 3 AS g
+      FROM cells c JOIN v USING (doc_id)
+    ),
+    x AS (
+      SELECT doc_id, f, pert, dr, dc,
+             64 * g - SUM(g) OVER (PARTITION BY doc_id, f, pert) AS x
+      FROM gray
+    ),
+    coeff AS (
+      SELECT x.doc_id, x.f, x.pert, tu.u AS u, tv2.u AS vv,
+             SUM(tu.tv * x.x * tv2.tv) AS c
+      FROM x JOIN t tu ON tu.r = x.dr JOIN t tv2 ON tv2.r = x.dc
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    hashes AS (
+      SELECT doc_id, f, pert,
+             CAST(SUM(CASE WHEN c > 0 AND u * 8 + vv BETWEEN 1 AND 60
+                           THEN (1::BIGINT << (u * 8 + vv - 1))
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM coeff GROUP BY 1, 2, 3
+    ),
+    sigs AS (
+      SELECT DISTINCT
+             CASE WHEN pert = 0 THEN doc_id ELSE -doc_id - 1 END AS vid_id,
+             phash
+      FROM hashes
+    ),
+    sizes AS (SELECT vid_id, COUNT(*) AS n_kf FROM sigs GROUP BY vid_id),
+    rare AS (
+      SELECT phash FROM sigs GROUP BY phash
+      HAVING COUNT(*) <= {PHASH_MAX_DF}
+    ),
+    idx AS (SELECT s.* FROM sigs s JOIN rare USING (phash)),
+    shared AS (
+      SELECT a.vid_id AS vid_a, b.vid_id AS vid_b, COUNT(*) AS n_shared
+      FROM idx a JOIN idx b
+        ON a.phash = b.phash AND a.vid_id < b.vid_id
+      GROUP BY 1, 2
+    )
+    SELECT vid_a, vid_b, CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(n_shared / CAST(LEAST(na.n_kf, nb.n_kf) AS DOUBLE), 6)
+             AS containment
+    FROM shared
+    JOIN sizes na ON na.vid_id = shared.vid_a
+    JOIN sizes nb ON nb.vid_id = shared.vid_b
+    WHERE n_shared / CAST(LEAST(na.n_kf, nb.n_kf) AS DOUBLE)
+          >= {VIDEO_CONTAINMENT}
+    ORDER BY vid_a, vid_b
+"""
+
+
+@register("dedup_video_phash", _video_phash_sql())
+def q_dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs over the synthetic video corpus (each
+    video doc plus its re-graded re-encode under a negative id): demux
+    -> scene-cut keyframes -> integer pHash per keyframe -> containment
+    over keyframe-hash sets via a df-capped inverted-index join. The
+    oracle recomputes keyframe selection AND every hash bit from the
+    raw document bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    )
+    sigs = video_keyframe_hashes(_video_phash_corpus(docs))
+    return video_phash_pairs(sigs)

@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_label_accuracy_ivf",  # r8: same ann_index.py edits
     # -- new in r8, never attested ---------------------------------------
     "dedup_image_phash",    # r8: integer-DCT pHash Hamming-banded pairs
+    "dedup_video_phash",    # r8: keyframe-hash-set video containment
     "contamination_fuzzy",  # r8: paraphrase-robust decontamination
     "ann_ivfpq_topk",       # r8: product quantization + ADC + rerank
     "ann_ivfpq_index",      # r8: the PERSISTED PQ serving path

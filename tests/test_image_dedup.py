@@ -143,3 +143,51 @@ def test_banded_pairs_equal_all_pairs_brute_force(spark):
     assert (0, len(base), PHASH_HAMMING_MAX) in got  # boundary caught
     ids = {(a, b) for a, b, _ in got}
     assert (0, len(base) + 1) not in ids  # one-over excluded
+
+
+def test_video_phash_catches_trimmed_and_regraded_copies(spark):
+    """The motivating cases for keyframe-set containment: a TRIMMED
+    prefix of a video (fewer shots, same keyframes) and a re-graded
+    re-encode (+k per channel, different bytes) both pair with the
+    original at containment 1.0, while an unrelated video does not."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.image_dedup import (
+        video_keyframe_hashes,
+        video_phash_pairs,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        FRAME_H,
+        FRAME_W,
+        encode_bmp24,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def shot(seed, n):
+        base = rng.randint(0, 180, size=(FRAME_H, FRAME_W, 3))
+        return [base.astype(np.uint8)] * n  # flat shot: no intra cuts
+
+    def video(frames, shift=0):
+        return b"".join(
+            encode_bmp24(np.minimum(f.astype(np.int64) + shift, 255
+                                    ).astype(np.uint8))
+            for f in frames
+        )
+
+    s1, s2, s3 = shot(1, 3), shot(2, 2), shot(3, 3)
+    full = video(s1 + s2 + s3)
+    trimmed = video(s1 + s2)          # first two shots only
+    regraded = video(s1 + s2 + s3, shift=25)
+    other = video(shot(9, 4))
+    d = spark.createDataFrame(
+        [(1, full), (2, trimmed), (3, regraded), (4, other)],
+        "vid_id BIGINT, payload BINARY",
+    )
+    pairs = {
+        (r.vid_a, r.vid_b): r.containment
+        for r in video_phash_pairs(video_keyframe_hashes(d)).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0   # trimmed copy caught
+    assert pairs.get((1, 3)) == 1.0   # re-grade caught
+    assert not any(4 in p for p in pairs)  # unrelated video clean
