@@ -496,6 +496,144 @@ def ewma_stateful(
 
 
 # ---------------------------------------------------------------------------
+# Watermark-ordered streaming Holt (level + trend — the forecasting fold)
+# ---------------------------------------------------------------------------
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_folded", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_1", DoubleType()),
+    ]
+)
+
+#: the EWMA buffered-fold state widened to the (level, trend) pair
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_ids", ArrayType(LongType())),
+        StructField("pend_vals", ArrayType(DoubleType())),
+        StructField("next_seq", LongType()),
+        StructField("n", LongType()),
+        StructField("lvl", DoubleType()),
+        StructField("trd", DoubleType()),
+    ]
+)
+
+
+def _holt_fn(alpha: float, one_a: float, beta: float, one_b: float):
+    def _fold(pend, n, lvl, trd, wm_us):
+        """Fold the watermark-certified prefix in (event time, id)
+        order — the EWMA recipe with the two-state Holt recurrence,
+        spelled with the SAME literals and op order as the batch fold
+        (operators/timeseries.holt_forecast) so a watermark-complete
+        replay reproduces the batch doubles bit-for-bit."""
+        ripe = sorted(p for p in pend if p[0] <= wm_us)
+        rest = [p for p in pend if p[0] > wm_us]
+        for _, _, v in ripe:
+            if n == 0:
+                lvl, trd = v, 0.0
+            else:
+                l_new = alpha * v + one_a * (lvl + trd)
+                trd = beta * (l_new - lvl) + one_b * trd
+                lvl = l_new
+            n += 1
+        return rest, n, lvl, trd, len(ripe)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            pend_ts, pend_ids, pend_vals, seq, n, lvl, trd = state.get
+            pend = list(zip(pend_ts, pend_ids, pend_vals))
+        else:
+            pend, seq, n, lvl, trd = [], 0, 0, 0.0, 0.0
+
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            ts_us = (pdf["event_time"].astype("int64") // 1_000).to_numpy()
+            vals = pdf["value"].to_numpy()
+            if "event_id" in pdf.columns:
+                ids = pdf["event_id"].astype("int64").to_numpy()
+            else:
+                ids = range(seq, seq + len(pdf))
+                seq += len(pdf)
+            pend.extend(
+                (int(t), int(i), float(v))
+                for t, i, v in zip(ts_us, ids, vals)
+            )
+
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        pend, n, lvl, trd, n_ripe = _fold(pend, n, lvl, trd, wm_us)
+
+        state.update(
+            (
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+                int(seq),
+                int(n),
+                float(lvl),
+                float(trd),
+            )
+        )
+        if pend:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if n_ripe:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_folded": [n],
+                    "level": [lvl],
+                    "trend": [trd],
+                    "forecast_1": [lvl + trd],
+                }
+            )
+
+    return fn
+
+
+def holt_stateful(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch Holt fold
+    (operators/timeseries.holt_forecast): per-key (level, trend)
+    emitted incrementally in update mode — the live capacity forecaster.
+    Same buffered watermark-ordered fold as :func:`ewma_stateful`
+    (order-sensitive recurrence: only the watermark-certified prefix
+    folds, later arrivals slot into the pending suffix; state is
+    O(events inside the watermark horizon) + the O(1) (n, level,
+    trend)); same literal weights as the batch twin, so a
+    watermark-complete replay reproduces the batch doubles
+    bit-for-bit (pinned in tests, interleaved late rows included)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.timeseries import (
+        _HOLT_1MA,
+        _HOLT_1MB,
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+    )
+
+    cols = ["user_id", "event_time", "value"]
+    if "event_id" in events.columns:
+        cols.append("event_id")
+    src = events.select(*cols)
+    if events.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        _holt_fn(_HOLT_ALPHA, _HOLT_1MA, _HOLT_BETA, _HOLT_1MB),
+        HOLT_OUTPUT_SCHEMA,
+        HOLT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Watermark-ordered streaming CUSUM (drift monitor vs a KNOWN baseline)
 # ---------------------------------------------------------------------------
 CUSUM_OUTPUT_SCHEMA = StructType(

@@ -1407,3 +1407,67 @@ def test_stream_contamination_alerts(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.table(name).collect()
     assert [(r.doc_id, r.contaminated) for r in rows] == [(1, True)]
+
+
+def test_stream_holt_matches_batch_fold(spark, stream_dir):
+    """The watermark-ordered streaming Holt fold, after a flush row
+    pushes the watermark past every real event, must equal the batch
+    struct-fold (operators/timeseries.holt_forecast) bit-for-bit —
+    including interleaved late-but-in-watermark arrivals."""
+    from cours_datalake_dwh_td_kafka_spark.operators.timeseries import (
+        holt_forecast,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.stateful import (
+        holt_stateful,
+    )
+
+    temps1 = [20.0, 24.0, 18.0, 30.0]
+    temps2 = [22.0, 26.0]  # arrive later but sit BETWEEN batch-1 events
+    b1 = []
+    for i, t in enumerate(temps1):
+        r = _rows(0, 1, temp=t)[0]
+        r["timestamp"] = BASE_TS + i * 120
+        b1.append(r)
+    b2 = []
+    for i, t in enumerate(temps2):
+        r = _rows(0, 1, temp=t)[0]
+        r["timestamp"] = BASE_TS + 60 + i * 120
+        b2.append(r)
+    _write_batch(stream_dir, b1, "b0")
+    _write_batch(stream_dir, b2, "b1")
+    flush = _rows(0, 1, city="Nice")
+    flush[0]["timestamp"] = BASE_TS + 86400
+    _write_batch(stream_dir, flush, "b2")
+
+    enriched = enrich_alerts(_read_stream(spark, stream_dir)).select(
+        F.xxhash64("city").alias("user_id"),
+        "event_time",
+        F.col("temperature").alias("value"),
+    )
+    out = holt_stateful(enriched, watermark="10 minutes")
+    name = f"tholt_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="update")
+    got = spark.table(name).collect()
+
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], RAW_SCHEMA
+    )
+    bsrc = enrich_alerts(batch).select(
+        F.xxhash64("city").alias("user_id"),
+        F.col("event_time").alias("ts"),
+        F.monotonically_increasing_id().alias("event_id"),
+        F.col("temperature").alias("value"),
+    )
+    want = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_1)
+        for r in holt_forecast(bsrc).collect()
+    }
+    (paris_key,) = {u for u in want if want[u][0] == 6}
+    final = max(
+        (r for r in got if r.user_id == paris_key), key=lambda r: r.n_folded
+    )
+    assert final.n_folded == 6
+    # batch twin rounds to 6dp at output; the stream emits the raw fold
+    assert round(final.level, 6) == want[paris_key][1]
+    assert round(final.trend, 6) == want[paris_key][2]
+    assert round(final.forecast_1, 6) == want[paris_key][3]
