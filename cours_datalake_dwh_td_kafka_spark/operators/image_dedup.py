@@ -1,8 +1,10 @@
-"""Image near-duplicate detection via a DCT perceptual hash (pHash) —
-the dedup modality the text/embedding families don't cover. The round-7
-brief's motivation: a training-data pipeline dedups re-encoded, resized,
-and brightness-shifted copies of the same image, which byte-level exact
-dedup misses entirely.
+"""Image AND video near-duplicate detection via a DCT perceptual hash
+(pHash) — the dedup modalities the text/embedding families don't cover.
+The round-7 brief's motivation: a training-data pipeline dedups
+re-encoded, resized, and brightness-shifted copies of the same image,
+which byte-level exact dedup misses entirely; videos extend the same
+hash to scene-cut keyframe SETS compared by containment (trimmed and
+re-graded copies, see dedup_video_phash at the bottom of this module).
 
 Pipeline (all deterministic integer arithmetic, so the DuckDB oracle can
 recompute every hash bit from the raw document bytes):
