@@ -265,6 +265,12 @@ def lake_merge_upsert(
     :func:`_merged_append_schema` rule as append), and both sides align
     to the merged declared schema before writing.
 
+    Semantics to know: updates carrying DUPLICATE keys all land (this
+    MERGE replaces-by-key then inserts the update rows verbatim — dedup
+    upstream if one-row-per-key matters), and an update row MISSING an
+    existing column lands with NULL there (full-row replacement, not a
+    partial SET).
+
     Scale note: like lake_delete_where this rewrites the whole kept
     set; at 100 TB pair it with partition/bucket pruning so only
     touched files rewrite (the incremental streaming twin is the
