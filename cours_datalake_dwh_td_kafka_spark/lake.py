@@ -280,16 +280,19 @@ def lake_merge_upsert(
     if v < 1:
         raise ValueError(f"no committed version at {path}")
     m = _read_manifest(path, v)
-    cur = lake_read(spark, path)
+    # read and commit against the CAPTURED version: re-reading
+    # current_version at publish time would let a rival commit landing
+    # mid-merge be silently clobbered (its files dropped from the new
+    # file set) instead of failing this merge's O_EXCL publish — the
+    # single-winner contract lake_compact documents
+    cur = lake_read(spark, path, v)
     declared = _merged_append_schema(
         m.get("schema") or _schema_dict(cur), updates
     )
     kept = cur.join(updates.select(key).distinct(), key, "left_anti")
     files = _write_data_files(_align_to(kept, declared), path)
     files += _write_data_files(_align_to(updates, declared), path)
-    return _commit_manifest(
-        path, current_version(path) + 1, files, "merge", declared
-    )
+    return _commit_manifest(path, v + 1, files, "merge", declared)
 
 
 def lake_history(path: str) -> list[dict]:
@@ -428,18 +431,14 @@ def lake_diff(
         all_fields = {f.name: f for f in old.schema.fields}
         for f in new.schema.fields:
             all_fields.setdefault(f.name, f)
-
-        def align(df):
-            return df.select(
-                [
-                    F.col(name)
-                    if name in df.columns
-                    else F.lit(None).cast(f.dataType).alias(name)
-                    for name, f in all_fields.items()
-                ]
-            )
-
-        new, old = align(new), align(old)
+        union_schema = {
+            "type": "struct",
+            "fields": [
+                json.loads(f.json()) for f in all_fields.values()
+            ],
+        }
+        new = _align_to(new, union_schema)
+        old = _align_to(old, union_schema)
     inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
     return inserts.unionByName(deletes)

@@ -315,16 +315,16 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _phash_of(payload: bytes) -> int:
-    """The scalar pHash kernel shared by the batch column op and the
-    streaming passthrough: decode, gray, NN 8x8, scaled mean-centering,
-    integer DCT, 60-bit sign pack."""
+def _phash_of_pixels(px) -> int:
+    """pHash of an already-DECODED (h, w, 3) int array: gray, NN 8x8,
+    scaled mean-centering, integer DCT, 60-bit sign pack. Split from
+    the payload wrapper so consumers that already hold decoded frames
+    (the video keyframe walk) hash without a second decode."""
     import numpy as np
 
     t = np.asarray(_PHASH_T, dtype=np.int64)
-    px = decode_bmp24(payload)
     h, w, _ = px.shape
-    gray = px.astype(np.int64).sum(axis=2)
+    gray = np.asarray(px, dtype=np.int64).sum(axis=2)
     r_idx = (np.arange(PHASH_GRID) * h) // PHASH_GRID
     c_idx = (np.arange(PHASH_GRID) * w) // PHASH_GRID
     g = gray[r_idx][:, c_idx]
@@ -336,6 +336,12 @@ def _phash_of(payload: bytes) -> int:
         if bits[idx]:
             ph |= 1 << (idx - 1)
     return ph
+
+
+def _phash_of(payload: bytes) -> int:
+    """The scalar pHash kernel shared by the batch column op and the
+    streaming passthrough: decode + :func:`_phash_of_pixels`."""
+    return _phash_of_pixels(decode_bmp24(payload))
 
 
 def with_phash(images: DataFrame, strict: bool = True) -> DataFrame:
@@ -414,37 +420,27 @@ def video_keyframe_hashes(videos: DataFrame) -> DataFrame:
         SCENE_CUT_MEAN_DIFF,
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        iter_bmp_frames,
+    )
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             ids, hashes = [], []
             for vid_id, payload in zip(pdf["vid_id"], pdf["payload"]):
-                payload = bytes(payload)
-                pos = 0
                 prev = None
-                for _ in range(10**9):
-                    if pos + 54 > len(payload):
-                        break
-                    if payload[pos : pos + 2] != b"BM":
-                        raise ValueError(
-                            f"video {vid_id}: bad frame magic at {pos}"
-                        )
-                    (size,) = struct.unpack(
-                        "<I", payload[pos + 2 : pos + 6]
-                    )
-                    frame = payload[pos : pos + size]
-                    a = decode_bmp24(frame).astype(np.int64)
+                for _fi, _frame, a in iter_bmp_frames(
+                    bytes(payload), vid_id
+                ):
                     if prev is None or (
                         int(np.abs(a - prev).sum())
                         > SCENE_CUT_MEAN_DIFF * a.size
                     ):
                         ids.append(int(vid_id))
-                        hashes.append(_phash_of(frame))
+                        hashes.append(_phash_of_pixels(a))
                     prev = a
-                    pos += size
             if ids:
                 yield pd.DataFrame({"vid_id": ids, "phash": hashes})
 

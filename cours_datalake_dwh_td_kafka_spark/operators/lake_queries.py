@@ -94,15 +94,16 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
     n_extra = extra.count()
     lake_commit(extra, path)  # v4: schema-evolving append
     v4 = lake_read(spark, path, 4)
+    n4 = v4.count()
+    v1_after = lake_read(spark, path, 1)
     evolved_ok = (
         v4.columns == orig_cols + ["quality"]
-        and v4.count() == n3 + n_extra
+        and n4 == n3 + n_extra
         and v4.where(F.col("quality").isNotNull()).count() == n_extra
-        and lake_read(spark, path, 1).columns == orig_cols
+        and v1_after.columns == orig_cols
     )
     # v5: batch MERGE — re-land a deterministic slice with a corrected
     # quality score; matched rows replace, unmatched keys insert
-    n4 = v4.count()
     upd = d.where(F.col("doc_id") % 100 == 50).withColumn(
         "quality", F.lit(0.9)
     )
@@ -116,16 +117,18 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
     merge_ok = (
         v5.count() == n4 - n_matched + n_upd
         and merged_slice.count() == n_upd
-        and merged_slice.where(F.col("quality") != 0.9).count() == 0
+        # null-safe: a NULL quality must FAIL the check, not slip past a
+        # NULL-blind != (the attestation would otherwise stay TRUE on a
+        # column-alignment regression landing NULLs)
+        and merged_slice.where(~F.col("quality").eqNullSafe(0.9)).count()
+        == 0
         # pre-merge snapshot untouched: v4's slice still has NULL quality
-        and lake_read(spark, path, 4)
-        .where(
+        and v4.where(
             (F.col("doc_id") % 100 == 50) & F.col("quality").isNotNull()
-        )
-        .count()
+        ).count()
         == 0
     )
-    travel_ok = lake_read(spark, path, 1).count() == n_docs
+    travel_ok = v1_after.count() == n_docs
     ops = ">".join(h["op"] for h in lake_history(path))
     return spark.createDataFrame(
         [

@@ -2640,8 +2640,6 @@ def scene_cut_stats(videos: DataFrame) -> DataFrame:
     hash."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         import numpy as np
 
         for pdf in batches:
@@ -2650,22 +2648,12 @@ def scene_cut_stats(videos: DataFrame) -> DataFrame:
                 "n_cuts": [], "max_sad": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(payload)
-                pos = 0
                 prev = None
                 n_frames = n_cuts = n_trans = 0
                 max_sad = -1
-                while pos + 54 <= len(payload):
-                    if payload[pos : pos + 2] != b"BM":
-                        raise ValueError(
-                            f"doc {doc_id}: bad frame magic at {pos}"
-                        )
-                    (size,) = struct.unpack(
-                        "<I", payload[pos + 2 : pos + 6]
-                    )
-                    a = decode_bmp24(payload[pos : pos + size]).astype(
-                        np.int64
-                    )
+                for _fi, _frame, a in iter_bmp_frames(
+                    bytes(payload), doc_id
+                ):
                     if prev is not None:
                         sad = int(np.abs(a - prev).sum())
                         n_trans += 1
@@ -2674,7 +2662,6 @@ def scene_cut_stats(videos: DataFrame) -> DataFrame:
                             n_cuts += 1
                     prev = a
                     n_frames += 1
-                    pos += size
                 if n_trans:
                     out["doc_id"].append(int(doc_id))
                     out["n_frames"].append(n_frames)
@@ -2757,6 +2744,29 @@ _KEYFRAME_SQL = f"""
 """
 
 
+def iter_bmp_frames(payload: bytes, vid_id):
+    """THE concatenated-BMP container walk, shared by every consumer
+    that decodes all frames (scene cuts, keyframes, video pHash):
+    verify each frame's magic, honor its DECLARED size, decode, yield
+    (frame_idx, frame_bytes, decoded int64 array). One walk definition
+    means the oracle-parity claims of all three consumers rest on one
+    piece of code. (sample_frames keeps its own walk deliberately — it
+    decodes only every n-th frame.)"""
+    import struct
+
+    import numpy as np
+
+    pos = fi = 0
+    while pos + 54 <= len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"video {vid_id}: bad frame magic at {pos}")
+        (size,) = struct.unpack("<I", payload[pos + 2 : pos + 6])
+        frame = payload[pos : pos + size]
+        yield fi, frame, decode_bmp24(frame).astype(np.int64)
+        fi += 1
+        pos += size
+
+
 def keyframe_stats(videos: DataFrame) -> DataFrame:
     """One row per shot: the shot's FIRST frame (frame 0, then the frame
     after each SAD cut), decoded for pixel stats. Same single-pass demux
@@ -2764,8 +2774,6 @@ def keyframe_stats(videos: DataFrame) -> DataFrame:
     the previous decoded frame is held), emitting as it walks."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         import numpy as np
 
         for pdf in batches:
@@ -2774,20 +2782,11 @@ def keyframe_stats(videos: DataFrame) -> DataFrame:
                 "px_sum": [], "px_min": [], "px_max": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(payload)
-                pos = fi = shot = 0
+                shot = 0
                 prev = None
-                while pos + 54 <= len(payload):
-                    if payload[pos : pos + 2] != b"BM":
-                        raise ValueError(
-                            f"doc {doc_id}: bad frame magic at {pos}"
-                        )
-                    (size,) = struct.unpack(
-                        "<I", payload[pos + 2 : pos + 6]
-                    )
-                    a = decode_bmp24(payload[pos : pos + size]).astype(
-                        np.int64
-                    )
+                for fi, _frame, a in iter_bmp_frames(
+                    bytes(payload), doc_id
+                ):
                     is_key = prev is None or (
                         int(np.abs(a - prev).sum())
                         > SCENE_CUT_MEAN_DIFF * a.size
@@ -2801,8 +2800,6 @@ def keyframe_stats(videos: DataFrame) -> DataFrame:
                         out["px_max"].append(int(a.max()))
                         shot += 1
                     prev = a
-                    fi += 1
-                    pos += size
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
