@@ -98,6 +98,70 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# packing efficiency: the padding-waste rollup of doc_pack
+# ---------------------------------------------------------------------------
+_PACK_EFF_SQL = f"""
+    WITH sized AS (
+      SELECT source, {_N_TOKENS_SQL} AS n_tokens FROM documents
+    ),
+    per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM sized GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(CEIL(n_tokens / CAST({PACK_BUDGET} AS DOUBLE)) AS BIGINT)
+             AS n_shards,
+           CAST(CEIL(n_tokens / CAST({PACK_BUDGET} AS DOUBLE))
+                * {PACK_BUDGET} AS BIGINT) AS capacity,
+           ROUND(n_tokens / (CEIL(n_tokens / CAST({PACK_BUDGET} AS DOUBLE))
+                 * CAST({PACK_BUDGET} AS DOUBLE)), 6) AS fill_pct
+    FROM per
+    ORDER BY source
+"""
+
+
+def pack_efficiency(d: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """The number a packing layout is judged by: per source, how much of
+    the allocated shard capacity carries real tokens (the complement is
+    PADDING — wasted compute every training step). Concat-and-chunk
+    wastes only the final partial shard per source (ceil rounding), so
+    fill_pct here is the layout's UPPER BOUND; a per-document
+    best-fit packer must beat the doc-boundary waste this bound
+    ignores, which is why the loader approximation wins in practice.
+
+    Scale shape: one tokenize-and-sum aggregate per source — the shard
+    arithmetic is pure per-row algebra on the per-source totals (the
+    identity n_shards = ceil(tokens/budget) replaces touching the
+    per-shard rows at all)."""
+    toks = F.size(F.split(norm_text(F.col("text")), " ")).cast("long")
+    per = (
+        d.select("source", toks.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").cast("bigint").alias("n_tokens"),
+        )
+    )
+    n_shards = F.ceil(F.col("n_tokens") / F.lit(float(budget)))
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        n_shards.cast("bigint").alias("n_shards"),
+        (n_shards * budget).cast("bigint").alias("capacity"),
+        F.round(
+            F.col("n_tokens") / (n_shards * F.lit(float(budget))), 6
+        ).alias("fill_pct"),
+    ).orderBy("source")
+
+
+@register("pack_efficiency", _PACK_EFF_SQL)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_efficiency(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
 # Patterns deliberately use only portable constructs (char classes +

@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hybrid_search_rrf",    # r8: BM25 + cosine reciprocal rank fusion
     "holt_forecast",        # r8: Holt level+trend exact fold
     "epoch_allocation",     # r8: largest-remainder budget apportionment
+    "pack_efficiency",      # r8: padding-waste rollup of doc_pack
     # -- rows-only r2 stamps (seeded-RNG/LDA, rows-only by design): the
     #    stalest rows of all — refresh them too ------------------------
     "sampling",
