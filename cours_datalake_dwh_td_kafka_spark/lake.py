@@ -169,13 +169,16 @@ def lake_commit(df: DataFrame, path: str, mode: str = "append") -> int:
         prev_schema = prev_m.get("schema")
         if prev_schema is None and prev_m["files"]:
             # pre-evolution manifest: recover the declared schema from
-            # the existing files (homogeneous by construction before
-            # schemas were recorded) — otherwise an evolving append
-            # would declare only the INCOMING frame's columns, silently
+            # the existing files — otherwise an evolving append would
+            # declare only the INCOMING frame's columns, silently
             # dropping legacy columns on read and skipping the retype
-            # rejection
+            # rejection. mergeSchema because pre-evolution appends never
+            # validated schemas, so the legacy file set may be
+            # heterogeneous; the recovered schema must be the union of
+            # every file's columns, not whichever file's footer wins.
+            # One-time migration cost (next commit records the schema).
             prev_schema = _schema_dict(
-                df.sparkSession.read.parquet(
+                df.sparkSession.read.option("mergeSchema", "true").parquet(
                     *(os.path.join(path, f) for f in prev_m["files"])
                 )
             )

@@ -74,17 +74,76 @@ def _current_version_dir(path: str) -> str:
     return os.path.join(path, name)
 
 
-def _publish_current(path: str, version_name: str) -> None:
-    """Atomically point CURRENT at ``version_name`` (tmp + rename —
-    last writer wins, which is the right semantic for an index refresh;
-    readers that already resolved the old pointer keep their immutable
-    snapshot)."""
+class ConcurrentIndexMutation(RuntimeError):
+    """A compare-and-swap publish lost to a rival writer: CURRENT no
+    longer names the chain the new version was built against."""
+
+
+_PUBLISH_LOCK_STALE_S = 60.0
+
+
+def _replace_current(path: str, version_name: str) -> None:
     tmp = os.path.join(path, f"CURRENT.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(version_name)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, "CURRENT"))
+
+
+def _publish_current(
+    path: str, version_name: str, expect_parent: str | None = None
+) -> None:
+    """Atomically point CURRENT at ``version_name``.
+
+    Without ``expect_parent``: plain replace — last writer wins, the
+    right semantic for a full REBUILD (each rebuild is self-contained;
+    whichever lands last is a complete index).
+
+    With ``expect_parent``: single-winner compare-and-swap — publish
+    only while CURRENT still names the version the new one chained from.
+    Appends/compactions extend a SPECIFIC ancestor chain; two appends
+    racing under last-writer-wins would both chain from the same parent
+    and the loser's batch would silently vanish from the served index
+    (then be vacuumed as unreferenced) — silent data loss (round-8
+    advice). The CAS runs under a short O_EXCL lock file so check and
+    swap are one critical section; a lock a crashed publisher left
+    behind is broken after ``_PUBLISH_LOCK_STALE_S``. Losers get
+    :class:`ConcurrentIndexMutation` (append_ivf_index re-chains and
+    retries when the quantizer is unchanged)."""
+    if expect_parent is None:
+        _replace_current(path, version_name)
+        return
+    import time
+
+    lock = os.path.join(path, "CURRENT.lock")
+    try:
+        if time.time() - os.path.getmtime(lock) > _PUBLISH_LOCK_STALE_S:
+            os.unlink(lock)
+    except OSError:
+        pass
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentIndexMutation(
+            f"another publisher holds {lock}; retry after it completes"
+        ) from None
+    os.close(fd)
+    try:
+        try:
+            with open(os.path.join(path, "CURRENT")) as f:
+                cur = f.read().strip()
+        except FileNotFoundError:
+            cur = None
+        if cur != expect_parent:
+            raise ConcurrentIndexMutation(
+                f"CURRENT moved {expect_parent!r} -> {cur!r} while the "
+                "new version was being written; re-chain from the live "
+                "version and retry"
+            )
+        _replace_current(path, version_name)
+    finally:
+        os.unlink(lock)
 
 
 def _vector_roots(path: str, vdir: str) -> list[str]:
@@ -124,9 +183,13 @@ def vacuum_index(
     path: str,
     grace_seconds: float = 24 * 3600,
     drop_all: bool = False,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete version directories the CURRENT pointer no longer
     references (the rebuild residue). Returns removed version names.
+    ``dry_run=True`` returns what WOULD be removed without deleting —
+    the reclaimability audit (e.g. proving a compaction released its
+    ancestor chain while keeping the old versions pinnable).
 
     ``grace_seconds`` is the same retention-window guard the lake's
     vacuum uses: a version directory younger than the window is never
@@ -157,7 +220,8 @@ def vacuum_index(
             default=os.path.getmtime(path),
         )
         if newest <= cutoff:
-            shutil.rmtree(path)
+            if not dry_run:
+                shutil.rmtree(path)
             return [os.path.basename(path)]
         return []
 
@@ -174,7 +238,8 @@ def vacuum_index(
             and os.path.isdir(full)
             and os.path.getmtime(full) <= cutoff
         ):
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             removed.append(name)
     return removed
 
@@ -283,8 +348,149 @@ def append_ivf_index(emb_new: DataFrame, path: str) -> int:
     ]
     roots = old_rel + [f"{version}/vectors"]
     _write_index_manifest(new_vdir, roots)
-    _publish_current(path, version)
-    return len(roots)
+    # single-winner publish: two appends racing under last-writer-wins
+    # would both chain from the same parent and the loser's batch would
+    # silently vanish (round-8 advice). On a lost CAS, re-chaining is
+    # safe exactly when the quantizer is unchanged (a sibling append
+    # copies centroids byte-for-byte; a rebuild retrains them) — then
+    # the manifest is rewritten against the new live chain and the swap
+    # retried; a landed rebuild means our cell assignments are stale, so
+    # fail and let the caller re-append against the new index.
+    parent = os.path.basename(vdir)
+    import time as _time
+
+    for _attempt in range(5):
+        try:
+            _publish_current(path, version, expect_parent=parent)
+            return len(roots)
+        except ConcurrentIndexMutation:
+            _time.sleep(0.05)
+            live_vdir = _current_version_dir(path)
+            if os.path.basename(live_vdir) == version:
+                return len(roots)  # our own swap actually landed
+            if _centroids_fingerprint(live_vdir) != _centroids_fingerprint(
+                new_vdir
+            ):
+                raise ConcurrentIndexMutation(
+                    "a rebuild retrained the quantizer while this append "
+                    "was in flight; its cell assignments are stale — "
+                    "re-run append_ivf_index against the new index"
+                ) from None
+            parent = os.path.basename(live_vdir)
+            roots = [
+                os.path.relpath(r, path)
+                for r in _vector_roots(path, live_vdir)
+            ] + [f"{version}/vectors"]
+            _write_index_manifest(new_vdir, roots)
+    raise ConcurrentIndexMutation(
+        f"append at {path} lost the publish race repeatedly"
+    )
+
+
+def _centroids_fingerprint(vdir: str) -> str:
+    """Content hash of a version's centroid table files. Appends COPY
+    their parent's centroid directory byte-for-byte (frozen quantizer),
+    rebuilds write fresh files — so fingerprint equality is exactly
+    'same quantizer', which is the re-chain-safety condition above."""
+    import hashlib
+
+    h = hashlib.sha256()
+    cdir = os.path.join(vdir, "centroids.parquet")
+    for name in sorted(os.listdir(cdir)):
+        full = os.path.join(cdir, name)
+        if name.startswith((".", "_")) or not os.path.isfile(full):
+            continue
+        h.update(name.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def chain_length(path: str) -> int:
+    """Number of vector roots the live version serves — 1 for a fresh
+    build/compaction, +1 per append since. The compaction trigger's
+    input."""
+    return len(_vector_roots(path, _current_version_dir(path)))
+
+
+def compact_ivf_index(
+    spark: SparkSession, path: str, n_cells: int = N_CELLS
+) -> int:
+    """The maintenance rung :func:`append_ivf_index` needs to stay
+    healthy (round-8 verdict #2): appends chain versions (per-probe
+    directory fan-out grows per append) and FREEZE the coarse quantizer
+    at epoch 0 while the corpus drifts — ``ann_index_drift`` measures
+    the recall decay that causes. Compaction is the index analog of
+    ``lake_compact``: RE-TRAIN the quantizer on the grown corpus (read
+    from the chain itself — no source-table dependency), re-assign
+    every vector, and publish a single-root version. The publish is the
+    single-winner CAS: an append landing mid-compaction wins and the
+    compaction fails loudly (its batch would otherwise vanish) — rerun
+    it. Ancestors stay pinnable by version name until
+    :func:`vacuum_index` sweeps them (post-compaction they are
+    unreferenced, so the sweep reclaims the whole chain). Returns the
+    new chain length (always 1).
+
+    Scale shape: one union scan of the chain roots (each
+    partition-parallel), the same O(1)-driver quantizer sample as
+    :func:`build_ivf_index`, one assignment pass, one partitioned
+    write. Readers never block: they keep their resolved snapshot."""
+    import numpy as np
+
+    vdir = _current_version_dir(path)
+    parent = os.path.basename(vdir)
+    roots = _vector_roots(path, vdir)
+    vecs = spark.read.parquet(roots[0]).select("vec_id", "emb")
+    for r in roots[1:]:
+        vecs = vecs.union(spark.read.parquet(r).select("vec_id", "emb"))
+
+    sample_rows = (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(QUANTIZER_SAMPLE)
+        .select("emb")
+        .collect()
+    )
+    centroids = _fit_cells([r.emb for r in sample_rows], n_cells)
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ivf_assign_fn,
+    )
+
+    assigned = vecs.mapInPandas(
+        ivf_assign_fn(cents), "vec_id bigint, emb array<double>, cell int"
+    )
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    new_vdir = os.path.join(path, version)
+    assigned.write.partitionBy("cell").parquet(f"{new_vdir}/vectors")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.parquet(f"{new_vdir}/centroids.parquet")
+    _write_index_manifest(new_vdir, [f"{version}/vectors"])
+    # CAS, no re-chain fallback: compaction rewrote a SPECIFIC chain;
+    # if CURRENT moved, the compacted version is missing the rival's
+    # batch and must not serve — its dir becomes vacuum residue
+    _publish_current(path, version, expect_parent=parent)
+    return 1
+
+
+COMPACT_MAX_CHAIN = 4
+
+
+def compact_if_needed(
+    spark: SparkSession, path: str, max_chain: int = COMPACT_MAX_CHAIN
+) -> bool:
+    """Chain-length compaction trigger: compact when the live version
+    references more than ``max_chain`` vector roots. The cadence knob a
+    daily-append deployment runs after each append (drift-bound
+    triggering is the other option — wire ``ann_index_drift``'s recall
+    gap into the condition when a truth probe is affordable). Returns
+    whether a compaction ran."""
+    if chain_length(path) <= max_chain:
+        return False
+    compact_ivf_index(spark, path)
+    return True
 
 
 def ivf_query_index(
@@ -1022,4 +1228,139 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_user_index_root(), f"app_idx_{tag}")
     out = ann_index_append_lifecycle(spark, e, path)
     _sweep_stale_tags(path, "app_idx_")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# compaction lifecycle as a driver-attested row: build + append (the
+# chained state), compact, and fold the rung's guarantees to booleans
+# ---------------------------------------------------------------------------
+COMPACT_NPROBE = 5
+
+_COMPACT_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(2 AS BIGINT) AS chain_before,
+           CAST(1 AS BIGINT) AS chain_after,
+           TRUE AS full_probe_exact,
+           TRUE AS recall_not_worse,
+           TRUE AS ancestors_reclaimable
+    FROM embeddings
+"""
+
+
+def ann_index_compact_lifecycle(
+    spark: SparkSession, e: DataFrame, path: str
+) -> DataFrame:
+    """The compaction protocol folded to one deterministic row. State
+    machine (resume-safe at every crash point — the round-8 memory
+    rule: completion signals, never existence checks):
+
+      no marker, no CURRENT        -> build(even) ; append(odd)
+      no marker, chain >= 2        -> (append already done)
+      marker written, CURRENT==pre -> compact (idempotent retry; a
+                                      half-written compact version is
+                                      unreferenced vacuum residue)
+      marker written, CURRENT!=pre -> compaction landed; measure only
+
+    The marker (``COMPACTED.json``, atomic tmp+rename) records the
+    pre-compaction version name BEFORE compacting, so a re-run can
+    always distinguish "chain==1 because compacted" from "chain==1
+    because the append never ran" — and can still pin the pre-compact
+    version for the chained-vs-compacted comparison, because the
+    protocol only ever DRY-RUNS the vacuum (ancestors stay on disk,
+    exactly the audit the row attests).
+
+    Guarantees (all measured on the actual result sets):
+    - ``chain_before``/``chain_after``: 2 -> 1 (the rung's point);
+    - ``full_probe_exact``: the compacted index at full probe equals
+      exact brute force over the whole corpus — nothing was lost or
+      duplicated in the rewrite;
+    - ``recall_not_worse``: at equal nprobe, total recall@k vs truth
+      of the compacted (re-trained quantizer) index >= the chained
+      (epoch-0 frozen quantizer) index — re-training repairs the drift
+      decay ``ann_index_drift`` measures;
+    - ``ancestors_reclaimable``: a dry-run vacuum reports every
+      pre-compaction version as sweepable (the chain is released)."""
+    import json
+
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    emb_d = e.select("vec_id", "embedding")
+    base = emb_d.where(F.col("vec_id") % 2 == 0)
+    extra = emb_d.where(F.col("vec_id") % 2 == 1)
+    marker = os.path.join(path, "COMPACTED.json")
+    if not os.path.exists(marker):
+        if not os.path.exists(os.path.join(path, "CURRENT")):
+            build_ivf_index(base, path)
+        if chain_length(path) < 2:
+            append_ivf_index(extra, path)
+        pre = os.path.basename(_current_version_dir(path))
+        tmp = marker + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"pre": pre}, f)
+        os.replace(tmp, marker)
+    with open(marker) as f:
+        pre = json.load(f)["pre"]
+    if os.path.basename(_current_version_dir(path)) == pre:
+        compact_ivf_index(spark, path)
+
+    chain_before = len(_vector_roots(path, os.path.join(path, pre)))
+    chain_after = chain_length(path)
+    q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    truth = ann_topk_bruteforce(e).select("query_id", "neighbor_id")
+    full = ivf_query_index(spark, path, q, nprobe=N_CELLS).select(
+        "query_id", "neighbor_id"
+    )
+    full_exact = (
+        full.count() == truth.count()
+        and full.exceptAll(truth).count() == 0
+    )
+
+    def recall_hits(df: DataFrame) -> int:
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "leftsemi")
+            .count()
+        )
+
+    chained = ivf_query_index(
+        spark, path, q, nprobe=COMPACT_NPROBE, version=pre
+    )
+    compacted = ivf_query_index(spark, path, q, nprobe=COMPACT_NPROBE)
+    recall_ok = recall_hits(compacted) >= recall_hits(chained)
+
+    ancestors = {
+        os.path.relpath(r, path).split(os.sep)[0]
+        for r in _vector_roots(path, os.path.join(path, pre))
+    } | {pre}
+    reclaimable = set(vacuum_index(path, grace_seconds=0, dry_run=True))
+    return spark.createDataFrame(
+        [
+            (
+                int(e.count()),
+                int(chain_before),
+                int(chain_after),
+                bool(full_exact),
+                bool(recall_ok),
+                ancestors <= reclaimable,
+            )
+        ],
+        "n_vectors BIGINT, chain_before BIGINT, chain_after BIGINT, "
+        "full_probe_exact BOOLEAN, recall_not_worse BOOLEAN, "
+        "ancestors_reclaimable BOOLEAN",
+    )
+
+
+@register("ann_index_compact", _COMPACT_SQL)
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = _corpus_tag(e, sf_dir + "#compact")
+    path = os.path.join(_user_index_root(), f"cmp_idx_{tag}")
+    out = ann_index_compact_lifecycle(spark, e, path)
+    _sweep_stale_tags(path, "cmp_idx_")
     return out

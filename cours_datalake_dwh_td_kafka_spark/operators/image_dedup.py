@@ -162,7 +162,19 @@ def hamming_banded_pairs(
     sub-bands (given band i exact, the other bits carry all the diffs,
     so some sub-band is exact too). Candidates = equi-join on the packed
     (i, band, j, sub) key; exact Hamming verifies; distinct() collapses
-    multi-key collisions. Output == the all-pairs theta join."""
+    multi-key collisions. Output == the all-pairs theta join.
+
+    Precondition: hashes occupy the LOW ``n_bits`` of a nonnegative
+    BIGINT, ``n_bits <= 62``. At 63 bits a set sign bit makes
+    ``shiftright`` sign-extend, so band extraction would return wrong
+    keys and the completeness guarantee silently breaks — rejected up
+    front instead. (62 not 63: the packed (chunk, band, sub) key below
+    must itself stay inside a signed 64-bit BIGINT.)"""
+    if not 1 <= n_bits <= 62:
+        raise ValueError(
+            f"hamming_banded_pairs supports 1..62-bit hashes, got "
+            f"n_bits={n_bits} (sign-extension breaks banding above 62)"
+        )
     n_bands = hamming_max + 1
     band_sizes = _chunk_sizes(n_bits, n_bands)
     max_band = max(band_sizes)

@@ -171,16 +171,12 @@ def _rrf_sql() -> str:
     RRF sum — the fusion arithmetic is the identical expression on both
     engines, so the doubles match bit-for-bit."""
     from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
-        _BM25_SQL,
+        _BM25_CTES,
         BM25_TOP_N,
     )
 
-    body = _BM25_SQL.strip()
-    assert body.startswith("WITH")
-    ctes = body[len("WITH"):].rsplit("SELECT doc_id, bm25,", 1)[0].rstrip()
-    assert ctes.endswith(")")
     return f"""
-    WITH {ctes},
+    WITH {_BM25_CTES},
     lex AS (SELECT doc_id, rn FROM ranked WHERE rn <= {BM25_TOP_N}),
     qv AS (
       SELECT embedding::DOUBLE[] AS q FROM embeddings

@@ -704,8 +704,11 @@ BM25_TOP_N = 20
 
 _BM25_TERM_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-_BM25_SQL = f"""
-    WITH toks AS (
+# The CTE chain is exported as its own constant so composed oracles
+# (rag._rrf_sql) can extend it with `WITH {_BM25_CTES}, ...` instead of
+# string-slicing the finished query — the chain must end at `ranked`
+# (doc_id, bm25, rn) for those consumers.
+_BM25_CTES = f"""toks AS (
       SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
       FROM documents
     ),
@@ -741,7 +744,10 @@ _BM25_SQL = f"""
       SELECT doc_id, ROUND(s, 6) AS bm25,
              ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS rn
       FROM scored
-    )
+    )"""
+
+_BM25_SQL = f"""
+    WITH {_BM25_CTES}
     SELECT doc_id, bm25, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= {BM25_TOP_N}
     ORDER BY rn

@@ -145,6 +145,26 @@ def test_banded_pairs_equal_all_pairs_brute_force(spark):
     assert (0, len(base) + 1) not in ids  # one-over excluded
 
 
+def test_banded_pairs_rejects_sign_bit_widths(spark):
+    """n_bits > 62 would sign-extend through shiftright and silently
+    break completeness — the guard rejects it up front (round-8
+    advice); 62 itself still works end-to-end."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, (1 << 61) | 5), (1, (1 << 61) | 5), (2, 56)],
+        "img_id BIGINT, phash BIGINT",
+    )
+    for bad in (63, 64, 0, -1):
+        with pytest.raises(ValueError, match="1..62-bit"):
+            hamming_banded_pairs(df, "img_id", "phash", bad, 2)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_banded_pairs(df, "img_id", "phash", 62, 2).collect()
+    }
+    assert got == {(0, 1, 0)}  # bit-61 hashes band correctly at width 62
+
+
 def test_video_phash_catches_trimmed_and_regraded_copies(spark):
     """The motivating cases for keyframe-set containment: a TRIMMED
     prefix of a video (fewer shots, same keyframes) and a re-graded

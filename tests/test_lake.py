@@ -658,6 +658,194 @@ def test_ivf_index_append_serves_grown_corpus_and_survives_vacuum(
     assert again == exact
 
 
+def _patch_stale_chain_read(monkeypatch, stale_vdir):
+    """Make the FIRST _current_version_dir call return ``stale_vdir``
+    (simulating an appender that read the chain just before a rival
+    published), then delegate to the real resolver."""
+    import cours_datalake_dwh_td_kafka_spark.operators.ann_index as ai
+
+    real = ai._current_version_dir
+    calls = {"n": 0}
+
+    def fake(path):
+        calls["n"] += 1
+        return stale_vdir if calls["n"] == 1 else real(path)
+
+    monkeypatch.setattr(ai, "_current_version_dir", fake)
+
+
+def test_ivf_append_publish_single_winner_rechains_sibling(
+    spark, tmp_path, monkeypatch
+):
+    """Two appends racing from the same parent must BOTH survive: the
+    CAS publish makes the loser re-chain against the winner's version
+    (safe — sibling appends share the frozen quantizer) instead of
+    silently orphaning its batch under last-writer-wins (round-8
+    advice). Full-probe over the final index == brute force over ALL
+    three slices proves no batch vanished."""
+    import pytest
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        ConcurrentIndexMutation,
+        _current_version_dir,
+        _publish_current,
+        append_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        ann_topk_bruteforce,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings").where(F.col("vec_id") % 4 < 3)
+    emb_d = e.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb_d.where(F.col("vec_id") % 4 == 0), path)
+    v0 = _current_version_dir(path)
+    append_ivf_index(emb_d.where(F.col("vec_id") % 4 == 1), path)
+
+    # a straggler that captured the chain BEFORE that append published
+    _patch_stale_chain_read(monkeypatch, v0)
+    n_roots = append_ivf_index(emb_d.where(F.col("vec_id") % 4 == 2), path)
+    assert n_roots == 3  # re-chained onto the winner, nothing orphaned
+
+    q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    served = sorted(
+        map(tuple, ivf_query_index(spark, path, q, nprobe=N_CELLS).collect())
+    )
+    exact = sorted(map(tuple, ann_topk_bruteforce(e).collect()))
+    assert served == exact
+
+    # the raw CAS itself is single-winner: publishing against a parent
+    # that is no longer CURRENT fails loudly
+    with pytest.raises(ConcurrentIndexMutation, match="CURRENT moved"):
+        _publish_current(
+            path, "v_bogus", expect_parent=os.path.basename(v0)
+        )
+
+
+def test_ivf_append_fails_when_rebuild_lands_mid_flight(
+    spark, tmp_path, monkeypatch
+):
+    """If a REBUILD (retrained quantizer) wins the race, the in-flight
+    append's cell assignments are stale — re-chaining would corrupt the
+    index, so the append must fail loudly instead."""
+    import pytest
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        ConcurrentIndexMutation,
+        _current_version_dir,
+        append_ivf_index,
+        build_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb_d = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb_d.where(F.col("vec_id") % 4 == 0), path)
+    v0 = _current_version_dir(path)
+    build_ivf_index(emb_d.where(F.col("vec_id") % 4 < 2), path)  # rebuild
+
+    _patch_stale_chain_read(monkeypatch, v0)
+    with pytest.raises(ConcurrentIndexMutation, match="rebuild"):
+        append_ivf_index(emb_d.where(F.col("vec_id") % 4 == 2), path)
+
+
+def test_ivf_compact_lifecycle_row_and_vacuum(spark, tmp_path):
+    """The compaction rung end-to-end: the attested row reports chain
+    2 -> 1 with every guarantee true; the lifecycle is resume-safe
+    (a second run re-measures without re-appending or re-compacting);
+    a REAL vacuum then reclaims the ancestor chain and the compacted
+    index still serves brute-force-exact at full probe."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        ann_index_compact_lifecycle,
+        chain_length,
+        ivf_query_index,
+        vacuum_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        ann_topk_bruteforce,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "idx")
+    row = ann_index_compact_lifecycle(spark, e, path).collect()[0]
+    assert (row.chain_before, row.chain_after) == (2, 1)
+    assert row.full_probe_exact and row.recall_not_worse
+    assert row.ancestors_reclaimable
+    assert row.n_vectors == e.count()
+
+    row2 = ann_index_compact_lifecycle(spark, e, path).collect()[0]
+    assert tuple(row2) == tuple(row)  # resume: pure re-measurement
+    assert chain_length(path) == 1
+
+    removed = vacuum_index(path, grace_seconds=0)
+    assert len(removed) == 2  # the build + append ancestors
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).where(F.col("query_id") < N_QUERIES)
+    served = sorted(
+        map(tuple, ivf_query_index(spark, path, q, nprobe=N_CELLS).collect())
+    )
+    exact = sorted(map(tuple, ann_topk_bruteforce(e).collect()))
+    assert served == exact
+
+
+def test_ivf_compact_loses_cas_to_mid_flight_append(
+    spark, tmp_path, monkeypatch
+):
+    """An append landing mid-compaction must WIN: the compaction's CAS
+    publish fails loudly (re-chaining would drop the appended batch
+    from the compacted rewrite), and the trigger wrapper only fires
+    past its chain-length threshold."""
+    import pytest
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        ConcurrentIndexMutation,
+        _current_version_dir,
+        append_ivf_index,
+        build_ivf_index,
+        chain_length,
+        compact_if_needed,
+        compact_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb_d = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb_d.where(F.col("vec_id") % 4 == 0), path)
+    v0 = _current_version_dir(path)
+    append_ivf_index(emb_d.where(F.col("vec_id") % 4 == 1), path)
+
+    # a compaction that captured the chain BEFORE that append published
+    _patch_stale_chain_read(monkeypatch, v0)
+    with pytest.raises(ConcurrentIndexMutation):
+        compact_ivf_index(spark, path)
+    assert chain_length(path) == 2  # the appended batch survived
+
+    assert not compact_if_needed(spark, path, max_chain=4)
+    assert compact_if_needed(spark, path, max_chain=1)
+    assert chain_length(path) == 1
+
+
 def test_schema_evolution_recovers_legacy_manifest(spark, tmp_path):
     """Appending to a PRE-evolution table (manifest without a recorded
     schema) must recover the declared schema from the existing files:
@@ -691,6 +879,45 @@ def test_schema_evolution_recovers_legacy_manifest(spark, tmp_path):
         lake_commit(
             spark.createDataFrame([("x",)], "id STRING"), path
         )
+
+
+def test_legacy_recovery_merges_heterogeneous_file_schemas(spark, tmp_path):
+    """Pre-evolution appends never validated schemas, so a legacy file
+    set can be HETEROGENEOUS — recovery must union every file's columns
+    (mergeSchema), not adopt whichever file's footer wins, or legacy
+    columns still get silently dropped (round-8 advice)."""
+    import json
+
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_commit, lake_read
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.createDataFrame([(1, "a")], "id BIGINT, name STRING"), path
+    )  # v1
+    lake_commit(
+        spark.createDataFrame([(2, 0.5)], "id BIGINT, q DOUBLE"), path
+    )  # v2: heterogeneous append
+    # strip recorded schemas from BOTH manifests -> fully legacy table
+    for v in (1, 2):
+        mpath = os.path.join(path, "_manifests", f"v{v}.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        del m["schema"]
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+
+    lake_commit(
+        spark.createDataFrame([(3, True)], "id BIGINT, flag BOOLEAN"), path
+    )  # v3: evolving append against the heterogeneous legacy set
+    rows = {
+        r.id: (r.name, r.q, r.flag)
+        for r in lake_read(spark, path, 3).collect()
+    }
+    assert rows == {
+        1: ("a", None, None),
+        2: (None, 0.5, None),
+        3: (None, None, True),
+    }  # every legacy column survived the recovery
 
 
 def test_lake_merge_upsert_replaces_and_inserts(spark, tmp_path):
