@@ -199,7 +199,10 @@ def _adaptive_buckets(df: DataFrame, floor: int = _SK_BUCKETS) -> int:
 
 
 def dense_ids(
-    df: DataFrame, order_col: str, n_buckets: int | None = None
+    df: DataFrame,
+    order_col: str | tuple[str, ...],
+    n_buckets: int | None = None,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gap-free 1..N ids in ``order_col`` order WITHOUT the classic
     single-reducer global window. ROW_NUMBER() OVER (ORDER BY k) — the
@@ -207,24 +210,35 @@ def dense_ids(
     task; at 100 TB that task never finishes. This is the two-phase
     shape instead (the DataFrame form of zipWithIndex):
 
-    1. range-repartition on the key -> ordered, contiguous buckets;
-    2. per-bucket row counts -> running offsets (a window over
-       n_buckets rows, driver-scale, broadcast back);
-    3. ROW_NUMBER within each bucket (parallel) + the bucket's offset.
+    1. range-repartition on (partition_cols, key) -> ordered,
+       contiguous buckets;
+    2. per-(bucket, partition) row counts -> running offsets (a window
+       over <= n_buckets + n_groups rows, driver-scale, broadcast back);
+    3. ROW_NUMBER within each (bucket, partition) slice (parallel) +
+       the slice's offset.
 
-    The ids are DETERMINISTIC even though repartitionByRange samples
-    its bounds nondeterministically: buckets are contiguous in key
-    order, so offset + within-bucket rank == global rank wherever the
-    bounds happen to fall (``order_col`` must be unique — ties could
-    straddle a bound). ``n_buckets=None`` (the default) scales the
-    bucket count with the input via :func:`_adaptive_buckets`. Oracle:
-    the plain global ROW_NUMBER."""
+    ``partition_cols`` restart the numbering per key group (the keyed
+    ``ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...)``) — for
+    LOW-cardinality keys this is the scale-correct form: one key
+    group's numbering spreads over many contiguous buckets instead of
+    serializing through one reducer per key (see
+    :func:`prefix_sums`). ``order_col`` may be a tuple for composite
+    sort keys. The ids are DETERMINISTIC even though repartitionByRange
+    samples its bounds nondeterministically: buckets are contiguous in
+    (partition, key) order, so offset + within-bucket rank == the
+    group-global rank wherever the bounds happen to fall (the full
+    order key must be unique within each group — ties could straddle a
+    bound). ``n_buckets=None`` (the default) scales the bucket count
+    with the input via :func:`_adaptive_buckets`. Oracle: the plain
+    ROW_NUMBER."""
     import pyspark.sql.window as W
 
     if n_buckets is None:
         n_buckets = _adaptive_buckets(df)
+    ocols = [order_col] if isinstance(order_col, str) else list(order_col)
+    pcols = list(partition_cols)
     bucketed = (
-        df.repartitionByRange(n_buckets, order_col)
+        df.repartitionByRange(n_buckets, *pcols, *ocols)
         .withColumn("_bucket", F.spark_partition_id())
         # feeds BOTH the offset aggregate and the rank/probe side: pin
         # ONE materialization so RangePartitioner's nondeterministic
@@ -233,25 +247,27 @@ def dense_ids(
         # every downstream offset)
         .localCheckpoint(eager=False)
     )
+    off_w = (
+        W.Window.partitionBy(*pcols).orderBy("_bucket")
+        if pcols
+        else W.Window.orderBy("_bucket")
+    ).rowsBetween(W.Window.unboundedPreceding, -1)
     offsets = (
-        bucketed.groupBy("_bucket")
+        bucketed.groupBy("_bucket", *pcols)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_offset",
-            F.sum("_n").over(
-                W.Window.orderBy("_bucket").rowsBetween(
-                    W.Window.unboundedPreceding, -1
-                )
-            ),
+        .withColumn("_offset", F.sum("_n").over(off_w))
+        .select(
+            "_bucket",
+            *pcols,
+            F.coalesce("_offset", F.lit(0)).alias("_offset"),
         )
-        .select("_bucket", F.coalesce("_offset", F.lit(0)).alias("_offset"))
     )
     rn = F.row_number().over(
-        W.Window.partitionBy("_bucket").orderBy(order_col)
+        W.Window.partitionBy("_bucket", *pcols).orderBy(*ocols)
     )
     return (
         bucketed.withColumn("_rn", rn)
-        .join(F.broadcast(offsets), "_bucket")
+        .join(F.broadcast(offsets), ["_bucket", *pcols])
         .withColumn("sk", (F.col("_offset") + F.col("_rn")).cast("bigint"))
         .drop("_bucket", "_rn", "_offset")
     )
@@ -262,42 +278,63 @@ def prefix_sums(
     order_col: str,
     sums: dict[str, str],
     n_buckets: int | None = None,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Inclusive running sums of integer columns in ``order_col`` order
     WITHOUT the single-reducer global window — the running-sum twin of
     :func:`dense_ids` (same two-phase zipWithIndex shape):
 
-    1. range-repartition on the key -> ordered, contiguous buckets;
-    2. per-bucket totals -> exclusive running offsets (a window over
-       n_buckets rows, driver-scale, broadcast back);
-    3. running sum WITHIN each bucket (parallel) + the bucket's offset.
+    1. range-repartition on (partition_cols, key) -> ordered,
+       contiguous buckets;
+    2. per-(bucket, partition) totals -> exclusive running offsets (a
+       window over <= n_buckets + n_partitions rows, driver-scale,
+       broadcast back);
+    3. running sum WITHIN each (bucket, partition) slice (parallel) +
+       the slice's offset.
+
+    ``partition_cols`` restart the accumulation per key group (the SQL
+    ``PARTITION BY``) — the LOW-CARDINALITY-key case (e.g. ~10 corpus
+    sources) where the plain keyed window would serialize terabytes
+    through n_keys reducer tasks: because the range shuffle keys on
+    (partition_cols, order_col), one key group spans MANY contiguous
+    buckets and its accumulation parallelizes across all of them, while
+    the offset table stays tiny (a bucket adds one row per key group it
+    touches, so <= n_buckets + n_groups - 1 rows total).
 
     ``sums`` maps output column name -> source column; sources must be
     integer-typed so bucket-boundary placement can't perturb a float
-    accumulation order (``order_col`` must be unique — ties could
-    straddle a range bound). ``n_buckets=None`` scales with the input
-    (see :func:`_adaptive_buckets`). Oracle: the plain global
-    ``SUM() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``."""
+    accumulation order (``order_col`` must be unique within each key
+    group — ties could straddle a range bound). ``n_buckets=None``
+    scales with the input (see :func:`_adaptive_buckets`). Oracle: the
+    plain ``SUM() OVER ([PARTITION BY ...] ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``."""
     import pyspark.sql.window as W
 
     if n_buckets is None:
         n_buckets = _adaptive_buckets(df)
+    pcols = list(partition_cols)
     bucketed = (
-        df.repartitionByRange(n_buckets, order_col)
+        df.repartitionByRange(n_buckets, *pcols, order_col)
         .withColumn("_bucket", F.spark_partition_id())
         # same shared-subtree pin as dense_ids: both consumers (offset
         # aggregate, probe join) must read ONE partition assignment —
         # re-running the range shuffle could sample different bounds
         .localCheckpoint(eager=False)
     )
-    off_w = W.Window.orderBy("_bucket").rowsBetween(
-        W.Window.unboundedPreceding, -1
-    )
+    # exclusive running offset over BUCKETS, restarted per key group:
+    # buckets are contiguous in (partition_cols, order_col) order, so
+    # within a key group the bucket id orders its slices globally
+    off_w = (
+        W.Window.partitionBy(*pcols).orderBy("_bucket")
+        if pcols
+        else W.Window.orderBy("_bucket")
+    ).rowsBetween(W.Window.unboundedPreceding, -1)
     offsets = (
-        bucketed.groupBy("_bucket")
+        bucketed.groupBy("_bucket", *pcols)
         .agg(*[F.sum(src).alias(f"_tot_{out}") for out, src in sums.items()])
         .select(
             "_bucket",
+            *pcols,
             *[
                 F.coalesce(
                     F.sum(f"_tot_{out}").over(off_w), F.lit(0)
@@ -307,11 +344,11 @@ def prefix_sums(
         )
     )
     run_w = (
-        W.Window.partitionBy("_bucket")
+        W.Window.partitionBy("_bucket", *pcols)
         .orderBy(order_col)
         .rowsBetween(W.Window.unboundedPreceding, W.Window.currentRow)
     )
-    out = bucketed.join(F.broadcast(offsets), "_bucket")
+    out = bucketed.join(F.broadcast(offsets), ["_bucket", *pcols])
     for name, src in sums.items():
         out = out.withColumn(
             name, F.sum(src).over(run_w) + F.col(f"_off_{name}")

@@ -263,23 +263,47 @@ _EQUI_DEPTH_SQL = f"""
 def equi_depth_histogram(
     e: DataFrame, key: str = "event_type", n_buckets: int = N_DEPTH_BUCKETS
 ) -> DataFrame:
-    """Per-key equi-DEPTH histogram: NTILE splits each key's values into
-    ``n_buckets`` equal-count buckets and reports each bucket's row
-    count and [lo, hi] span — the complement of the fixed-width
+    """Per-key equi-DEPTH histogram: each key's values split into
+    ``n_buckets`` equal-count buckets with each bucket's row count and
+    [lo, hi] span — the complement of the fixed-width
     ``value_histogram`` (equal-width bins, skewed counts) for
     heavy-tailed columns where width-binning puts 99% of rows in bin 0.
 
-    Determinism: the NTILE order includes event_id, so ties at a bucket
+    Determinism: the rank order includes event_id, so ties at a bucket
     boundary land identically on both engines (bucket COUNTS are always
     engine-identical; the tie-break pins lo/hi too).
 
-    Scale shape: one shuffle on the key; NTILE + the rollup share the
-    sort. SQL-standard NTILE gives earlier buckets the remainder row —
-    same rule both engines."""
-    w = Window.partitionBy(key).orderBy("value", "event_id")
+    Scale shape: NOT ``F.ntile`` — a per-event_type NTILE window sorts
+    rows-that-scale through keys-that-don't (the low-cardinality keyed
+    window class the plans gate polices; this was its first catch).
+    Instead the per-key rank comes from the two-phase
+    :func:`~cours_datalake_dwh_td_kafka_spark.operators.scale.dense_ids`
+    kernel (range buckets on (key, value, event_id) — one key's ranking
+    spreads across all its buckets) and the bucket is the SQL-standard
+    NTILE assignment computed ARITHMETICALLY from (rank, n): with
+    q = n // k and r = n % k, the first r buckets carry q+1 rows. The
+    DuckDB oracle stays plain NTILE, so parity pins the formula."""
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import dense_ids
+
+    ranked = dense_ids(
+        e.select(key, "value", "event_id"),
+        ("value", "event_id"),
+        partition_cols=(key,),
+    ).withColumnRenamed("sk", "rn")
+    n_per_key = e.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    q = F.floor(F.col("_n") / n_buckets)
+    r = F.col("_n") % n_buckets
+    big = r * (q + 1)  # rows living in the first r (q+1)-sized buckets
+    bucket = (
+        F.when(
+            F.col("rn") <= big, F.floor((F.col("rn") - 1) / (q + 1)) + 1
+        )
+        .otherwise(r + F.floor((F.col("rn") - big - 1) / q) + 1)
+        .cast("int")
+    )
     return (
-        e.select(key, "value", "event_id")
-        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        ranked.join(F.broadcast(n_per_key), key)
+        .withColumn("bucket", bucket)
         .groupBy(key, "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -156,11 +156,14 @@ def _is_bounding(node) -> bool:
         if "keys=[]" in s:
             return True
         # repo convention (operators/scale.py two-phase prefix sums):
-        # an aggregate grouped ONLY on a `_bucket` column is grouped on
+        # an aggregate grouped on a `_bucket` column (possibly plus the
+        # kernel's low-cardinality partition keys) is grouped on
         # spark_partition_id() after an n_buckets repartitionByRange —
-        # its output cardinality is the constant n_buckets, not data
-        # scale, so the offset window it feeds is bounded.
-        if re.search(r"keys=\[_bucket#\d+L?\]", s):
+        # because buckets are contiguous in (partition_cols, order) a
+        # bucket adds one row per key group it TOUCHES, so the output
+        # is <= n_buckets + n_groups - 1 rows, not data scale, and the
+        # offset window it feeds is bounded.
+        if re.search(r"keys=\[_bucket#\d+L?[,\]]", s):
             return True
     return False
 
@@ -214,6 +217,98 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
             continue
         if not all(_subtree_bounded(c) for c in _jchildren(node)):
             bad.append(node.simpleString(30))
+    return bad
+
+
+# Columns whose cardinality is DATA-INDEPENDENT in this schema (a feed
+# list, a language tag set, a split enum, a zone table, a topic count):
+# a window PARTITIONed only by these keys caps its parallelism at the
+# key count no matter how large the data grows — rows-per-key scale,
+# keys don't. The gate below polices unbounded-frame ordered windows
+# behind them (the round-8 verdict class: doc_pack's per-source packing
+# cumsum was keyed, so the global-window gate never saw it).
+LOW_CARDINALITY_COLS = frozenset(
+    {
+        "source",
+        "lang",
+        "language",
+        "split",
+        "event_type",
+        "zone_id",
+        "label",
+        "topic",
+        "modality",
+        "region",
+    }
+)
+
+
+def _window_partition_key_names(node) -> set[str] | None:
+    """Column names inside the Window node's required ClusteredDistribution
+    (its partition spec). None for a global (AllTuples) window."""
+    req = node.requiredChildDistribution()
+    names: set[str] = set()
+    clustered = False
+    for i in range(req.size()):
+        s = str(req.apply(i))
+        if "ClusteredDistribution" in s:
+            clustered = True
+            names.update(m.group(1) for m in re.finditer(r"(\w+)#\d+", s))
+    return names if clustered else None
+
+
+def _descendant_group_limit_keys(node) -> list[set[str]]:
+    """Partition-key name sets of every WindowGroupLimit beneath ``node``
+    (stopping recursion at further Window nodes — a limit below another
+    window bounds THAT window's input, not this one's)."""
+    out: list[set[str]] = []
+    for c in _jchildren(node):
+        name = c.nodeName()
+        if name == "WindowGroupLimit":
+            out.append(
+                {
+                    m.group(1)
+                    for m in re.finditer(r"(\w+)#\d+", c.simpleString(50))
+                }
+            )
+        if "Window" == name:
+            continue
+        out.extend(_descendant_group_limit_keys(c))
+    return out
+
+
+def low_cardinality_keyed_windows(
+    df: DataFrame, low_card: frozenset[str] = LOW_CARDINALITY_COLS
+) -> list[str]:
+    """The keyed sibling of :func:`unbounded_global_windows` (round-8
+    verdict): return every physical Window whose partition keys are ALL
+    declared low-cardinality columns, whose spec is an ordered
+    unbounded-preceding frame (running accumulation / rank), and whose
+    input is neither constant-bounded nor rescued by an inferred
+    WindowGroupLimit over the same keys. Such a window sorts
+    rows-that-scale through keys-that-don't — at 100 TB, ~n_keys
+    reducer tasks each scanning terabytes. Fix: the two-phase prefix
+    kernel (scale.prefix_sums with partition_cols) for accumulations;
+    rank-then-filter forms are rescued automatically (the group limit
+    caps surviving rows at n_keys * k)."""
+    bad: list[str] = []
+    plan = df._jdf.queryExecution().executedPlan()
+    for node in _jtree(plan):
+        if node.nodeName() != "Window":
+            continue
+        keys = _window_partition_key_names(node)
+        if not keys or not keys <= low_card:
+            continue  # global windows are the other gate's job
+        spec = node.simpleString(100)
+        if "unboundedpreceding" not in spec:
+            continue
+        if all(_subtree_bounded(c) for c in _jchildren(node)):
+            continue
+        if any(
+            keys <= gl for gl in _descendant_group_limit_keys(node)
+        ):
+            continue  # per-key top-k: survivors capped at n_keys * k
+        bad.append(spec)
     return bad
 
 

@@ -303,6 +303,73 @@ def test_global_window_gate_catches_seeded_regression(spark):
     assert not unbounded_global_windows(rescued)
 
 
+@pytest.mark.parametrize("name", _ALL)
+def test_no_low_cardinality_keyed_window_any_query(spark, name):
+    """The keyed sibling of the global-window gate (VERDICT r8 finding
+    #1: doc_pack's per-source packing cumsum was keyed by source, so
+    the AllTuples gate never saw it). NO registered query may contain
+    an unbounded-frame ordered Window partitioned ONLY by declared
+    low-cardinality columns (source/lang/split/event_type/...) unless
+    its input is constant-bounded or a WindowGroupLimit caps the
+    surviving rows — rows-per-key scale with data, keys don't, so such
+    a window serializes terabytes through ~n_keys tasks at 100 TB."""
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+        low_cardinality_keyed_windows,
+    )
+
+    df = registry.queries()[name](spark, SF_ORACLE)
+    bad = low_cardinality_keyed_windows(df)
+    assert not bad, f"{name}: low-cardinality keyed window(s): {bad}"
+
+
+def test_low_card_window_gate_catches_seeded_regression(spark):
+    """The gate must FAIL on the exact pre-fix doc_pack shape (per-
+    source running sum over a full scan), PASS the two-phase prefix-
+    kernel rewrite of the same computation, and PASS a per-key
+    rank-then-filter (WindowGroupLimit caps it at n_keys * k rows)."""
+    from pyspark.sql import Window, functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        prefix_sums,
+    )
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+        low_cardinality_keyed_windows,
+    )
+
+    d = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seeded = d.select(F.sum("n_chars").over(w).alias("cum"))
+    assert low_cardinality_keyed_windows(seeded), (
+        "gate missed the seeded per-source cumsum"
+    )
+
+    fixed = prefix_sums(
+        d, "doc_id", {"cum": "n_chars"}, partition_cols=("source",)
+    )
+    assert not low_cardinality_keyed_windows(fixed)
+
+    topk = (
+        d.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("n_chars"), "doc_id"
+                )
+            ),
+        ).where(F.col("rk") <= 3)
+    )
+    assert not low_cardinality_keyed_windows(topk), (
+        "rank-then-filter is WindowGroupLimit-rescued; must not flag"
+    )
+
+
 def test_rfm_threshold_scores_cross_check_ntile(spark):
     """Threshold quintiles == NTILE quintiles wherever no metric TIE
     straddles a bucket edge (ties are the one place the semantics

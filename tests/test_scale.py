@@ -255,6 +255,99 @@ def test_prefix_min_invariant_to_bucket_count(spark):
         assert got == want, f"n_buckets={buckets}"
 
 
+def test_keyed_prefix_sums_invariant_to_bucket_count(spark):
+    """partition_cols mode (the doc_pack rewrite): prefix_sums keyed by
+    a low-cardinality column must equal the plain keyed running window
+    for ANY bucket count — the per-group offsets cannot depend on where
+    the range bounds fall or how many groups share a bucket."""
+    from pyspark.sql import Window as W
+
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        prefix_sums,
+    )
+
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 4).cast("string").alias("grp"),
+        (F.col("c_custkey") % 7).alias("a"),
+    )
+    w = (
+        W.partitionBy("grp")
+        .orderBy("c_custkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = {
+        (r.c_custkey, r.ca)
+        for r in c.select(
+            "c_custkey", F.sum("a").over(w).alias("ca")
+        ).collect()
+    }
+    for buckets in (1, 3, 16, 100_000):
+        got = {
+            (r.c_custkey, r.ca)
+            for r in prefix_sums(
+                c, "c_custkey", {"ca": "a"}, buckets, partition_cols=("grp",)
+            ).collect()
+        }
+        assert got == want, f"buckets={buckets}"
+
+
+def test_keyed_dense_ids_invariant_to_bucket_count(spark):
+    """partition_cols + composite order mode (the equi-depth rewrite):
+    per-group ROW_NUMBER over a composite key must equal the plain
+    keyed window for ANY bucket count."""
+    from pyspark.sql import Window as W
+
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import dense_ids
+
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 3).cast("string").alias("grp"),
+        (F.col("c_custkey") * 37 % 11).alias("v"),
+    )
+    w = W.partitionBy("grp").orderBy("v", "c_custkey")
+    want = {
+        (r.c_custkey, r.rn)
+        for r in c.select(
+            "c_custkey", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    for buckets in (1, 5, 64):
+        got = {
+            (r.c_custkey, r.sk)
+            for r in dense_ids(
+                c, ("v", "c_custkey"), buckets, partition_cols=("grp",)
+            ).collect()
+        }
+        assert got == want, f"buckets={buckets}"
+
+
+def test_doc_pack_parallelism_grows_with_input_partitions(spark):
+    """The round-8 verdict fix, pinned: doc_pack's per-source packing
+    cumsum must run its doc_id-ordered windows partitioned by the range
+    BUCKET (parallelism = bucket count, which tracks input partitions
+    via _adaptive_buckets), never by bare source (parallelism =
+    n_sources forever). Same plan-shape pin as the heaps_law_fit gate,
+    plus the bucket-count growth itself."""
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        pack_documents,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        _adaptive_buckets,
+    )
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    for line in physical_plan(pack_documents(d)).splitlines():
+        if "Window [" in line and "doc_id" in line and "ASC" in line:
+            assert "_bucket" in line, f"per-source serialized window:\n{line}"
+    # the bucket count the kernel would use grows with input splits
+    sized = d.select("doc_id", "source", "n_chars")
+    assert _adaptive_buckets(sized.repartition(256)) >= 256
+
+
 def test_adaptive_buckets_scale_with_input_partitions(spark):
     """The default bucket count of the prefix kernels must GROW with the
     input's partitioning (the round-7 audit flagged a fixed 16-bucket
