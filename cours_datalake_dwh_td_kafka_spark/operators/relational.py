@@ -146,12 +146,65 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # P14: seeded row sampling (reference: work/Intro_pySpark.ipynb:813).
-# Spark's Bernoulli sampler is engine-specific -> rows-only check (no oracle).
+# Spark's Bernoulli sampler draws an engine-specific random stream, so
+# the MEMBERSHIP can't be value-oracled — but its CONTRACT can (round-8
+# verdict #7, the approx_quantiles pattern): the query emits a
+# guarantees row whose booleans are measured on the actual sample, and
+# the oracle states the population count plus the always-true contract.
 # --------------------------------------------------------------------------
-@register("sampling")
+SAMPLE_FRACTION = 0.1
+
+_SAMPLING_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+           TRUE AS subset_ok,
+           TRUE AS fraction_within_4sigma,
+           TRUE AS no_duplicates,
+           TRUE AS seed_deterministic
+    FROM customer
+"""
+
+
+@register("sampling", _SAMPLING_SQL)
 def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 as a value-hashed guarantees row. The sample itself is drawn
+    (same call as the reference's df.sample(0.1, seed)), and the row
+    attests, measured on the real draw:
+
+    - ``subset_ok``: sample ANTI-JOIN population is empty;
+    - ``fraction_within_4sigma``: |n_sampled - f*N| <= 4*sqrt(N*f*(1-f))
+      — the binomial concentration bound a Bernoulli sampler must obey
+      (4 sigma: false-alarm probability < 1e-4, deterministic in
+      practice for a fixed seed);
+    - ``no_duplicates``: Bernoulli sampling is without replacement;
+    - ``seed_deterministic``: re-drawing with the same seed yields the
+      SAME multiset (exceptAll empty both ways) — the property that
+      makes seeded sampling reproducible at all.
+
+    The deterministic value-checkable twin of the membership itself is
+    ``hash_sample`` below."""
+    import math
+
     c = load_table(spark, sf_dir, "customer")
-    return c.sample(fraction=0.1, seed=42).select("c_custkey", "c_name")
+    keys = c.select("c_custkey")
+    s1 = keys.sample(fraction=SAMPLE_FRACTION, seed=42)
+    s2 = keys.sample(fraction=SAMPLE_FRACTION, seed=42)
+    n_pop = keys.count()
+    n_s = s1.count()
+    bound = 4.0 * math.sqrt(n_pop * SAMPLE_FRACTION * (1 - SAMPLE_FRACTION))
+    return spark.createDataFrame(
+        [
+            (
+                int(n_pop),
+                s1.join(keys, "c_custkey", "left_anti").count() == 0,
+                abs(n_s - SAMPLE_FRACTION * n_pop) <= bound,
+                s1.distinct().count() == n_s,
+                s1.exceptAll(s2).count() == 0
+                and s2.exceptAll(s1).count() == 0,
+            )
+        ],
+        "n_pop BIGINT, subset_ok BOOLEAN, fraction_within_4sigma BOOLEAN, "
+        "no_duplicates BOOLEAN, seed_deterministic BOOLEAN",
+    )
 
 
 # --------------------------------------------------------------------------
