@@ -1,0 +1,307 @@
+"""End-to-end incremental corpus refresh — the operational loop a
+training-data lake actually runs per crawl (round-8 verdict #6), folded
+into ONE driver-attested protocol row (the lake_lifecycle pattern).
+Every rung already exists and is individually attested; this row is the
+integration check that they CHAIN:
+
+  new crawl batch
+    -> exact-dedup against the survivor set (dedup.incremental_new_docs
+       reading the LAKE, not a side table)
+    -> benchmark decontamination gate (curation's 8-gram check: drop
+       both benchmark members and docs leaking benchmark n-grams)
+    -> lake_merge_upsert of the clean docs (one atomic commit;
+       time travel keeps the pre-refresh snapshot)
+    -> append_ivf_index for the new embeddings (frozen quantizer, no
+       rebuild — the incremental serving path)
+    -> re-pack: shard count of the refreshed corpus (the concat-and-
+       chunk identity, so the packing delta is pure arithmetic)
+
+Guarantees measured on the actual artifacts (never assumed):
+- ``no_dup_ok``: the refreshed corpus has globally UNIQUE content
+  fingerprints — no duplicate across runs survives;
+- ``no_leak_ok``: no document in the INSERTED slice is a benchmark
+  member or shares an 8-gram with the benchmark slice;
+- ``merge_atomic_ok``: exactly the clean docs landed, in one commit,
+  and the pre-refresh snapshot still reads unchanged;
+- ``index_serves_union``: the appended index at full probe equals exact
+  brute force over the grown embedding corpus.
+
+The DuckDB oracle recomputes every COUNT from the raw tables (the
+dedup + contamination + packing algebra composed in SQL) and states the
+protocol booleans — so a silently-weakened gate (e.g. a dedup that
+stops dropping, a contamination check that stops matching) breaks the
+value hash, not just a pytest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.lake import (
+    lake_commit,
+    lake_merge_upsert,
+    lake_read,
+)
+from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+    CONTAM_BENCH_MOD,
+    CONTAM_NGRAM,
+    PACK_BUDGET,
+)
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+    INCREMENT_SPLIT,
+    NORM_SQL,
+    incremental_new_docs,
+    norm_text,
+    shingle_rows,
+)
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+
+def _sh_hashes(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, xxhash64(8-gram)) rows — the hash-first shingle
+    pass contamination_check uses (longs through the exchange, never
+    n-gram strings)."""
+    return (
+        shingle_rows(d, n=CONTAM_NGRAM, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+
+
+def corpus_refresh(
+    spark: SparkSession, d: DataFrame, e: DataFrame, workdir: str
+) -> DataFrame:
+    """Run the refresh protocol against scratch lake + index paths under
+    ``workdir`` and fold the guarantees to one row. The corpus split is
+    the dedup_incremental convention: doc_ids below the 80% cut are the
+    prior runs' crawls, the rest is today's batch; embeddings split the
+    same way on vec_id.
+
+    Scale shape: every stage is the already-attested operator — the
+    anti-join shuffles fingerprints only, the contamination join ships
+    hashed longs with the tiny bench side broadcast, MERGE rewrites
+    only matched files, the index append writes only the new batch, and
+    the packing delta is the ceil identity on per-source token sums
+    (no per-row packing pass). Driver collects are bounded scalars."""
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        ann_topk_bruteforce,
+    )
+
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = int(lo) + int((int(hi) - int(lo)) * INCREMENT_SPLIT)
+    prior = d.where(F.col("doc_id") < cut)
+    batch = d.where(F.col("doc_id") >= cut)
+
+    # v1: the survivor set of the prior runs (keep-min-doc_id per
+    # fingerprint — the state every earlier refresh left behind)
+    fp = F.md5(norm_text(F.col("text")))
+    survivors = (
+        prior.withColumn("_fp", fp)
+        .withColumn(
+            "_keep", F.min("doc_id").over(Window.partitionBy("_fp"))
+        )
+        .where(F.col("doc_id") == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+    lake_path = os.path.join(workdir, "corpus")
+    lake_commit(survivors, lake_path)  # v1
+    v1 = lake_read(spark, lake_path, 1)
+    n_kept = v1.count()
+
+    # incremental exact dedup of the batch against the LAKE's survivors
+    fresh_ids = incremental_new_docs(v1, batch).select("doc_id")
+    fresh = batch.join(fresh_ids, "doc_id", "leftsemi")
+    n_batch = batch.count()
+    n_new_unique = fresh.count()
+
+    # decontamination gate: drop benchmark members AND 8-gram leakers
+    bench_sh = (
+        _sh_hashes(d.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0))
+        .select("sh")
+        .distinct()
+    )
+    leakers = (
+        _sh_hashes(fresh).join(bench_sh, "sh").select("doc_id").distinct()
+    )
+    clean = fresh.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0).join(
+        leakers, "doc_id", "left_anti"
+    )
+    n_inserted = clean.count()
+
+    # one atomic MERGE commit; snapshot isolation for the prior state
+    lake_merge_upsert(spark, lake_path, clean, "doc_id")  # v2
+    v2 = lake_read(spark, lake_path, 2)
+    n_after = v2.count()
+    merge_atomic_ok = (
+        n_after == n_kept + n_inserted
+        and lake_read(spark, lake_path, 1).count() == n_kept
+    )
+    v2_fp = v2.select(F.md5(norm_text(F.col("text"))).alias("fp"))
+    no_dup_ok = v2_fp.distinct().count() == n_after
+    inserted = v2.where(F.col("doc_id") >= cut)
+    no_leak_ok = (
+        inserted.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0).count() == 0
+        and _sh_hashes(inserted.select("doc_id", "text"))
+        .join(bench_sh, "sh")
+        .count()
+        == 0
+    )
+
+    # append the batch's embeddings; the index must serve the union
+    elo, ehi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
+    ecut = int(elo) + int((int(ehi) - int(elo)) * INCREMENT_SPLIT)
+    emb_d = e.select("vec_id", "embedding")
+    idx = os.path.join(workdir, "idx")
+    build_ivf_index(emb_d.where(F.col("vec_id") < ecut), idx)
+    append_ivf_index(emb_d.where(F.col("vec_id") >= ecut), idx)
+    q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    full = ivf_query_index(spark, idx, q, nprobe=N_CELLS).select(
+        "query_id", "neighbor_id"
+    )
+    truth = ann_topk_bruteforce(e).select("query_id", "neighbor_id")
+    serves_union = (
+        full.count() == truth.count()
+        and full.exceptAll(truth).count() == 0
+    )
+
+    # re-pack: the refreshed corpus' shard count (ceil identity — the
+    # pack_efficiency algebra, no per-row packing pass needed)
+    toks = F.size(F.split(norm_text(F.col("text")), " ")).cast("long")
+    n_shards = int(
+        v2.select("source", toks.alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("n_tokens"))
+        .agg(
+            F.sum(
+                F.ceil(F.col("n_tokens") / F.lit(float(PACK_BUDGET)))
+            ).alias("s")
+        )
+        .first()
+        .s
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_kept),
+                int(n_batch),
+                int(n_new_unique),
+                int(n_inserted),
+                int(n_after),
+                n_shards,
+                bool(no_dup_ok),
+                bool(no_leak_ok),
+                bool(merge_atomic_ok),
+                bool(serves_union),
+            )
+        ],
+        "n_corpus_kept BIGINT, n_batch BIGINT, n_new_unique BIGINT, "
+        "n_inserted BIGINT, n_total_after BIGINT, n_shards BIGINT, "
+        "no_dup_ok BOOLEAN, no_leak_ok BOOLEAN, merge_atomic_ok BOOLEAN, "
+        "index_serves_union BOOLEAN",
+    )
+
+
+def _refresh_sql() -> str:
+    """Recompute every count from the raw tables: the survivor set, the
+    incremental-dedup survivors of the batch, the decontamination gate,
+    the ceil packing identity."""
+    norm = NORM_SQL.format(c="text")
+    g = CONTAM_NGRAM - 1
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(doc_id) + CAST(FLOOR((MAX(doc_id) - MIN(doc_id))
+               * {INCREMENT_SPLIT}) AS BIGINT) AS cut
+      FROM documents
+    ),
+    normed AS (
+      SELECT doc_id, source, {norm} AS ntext, md5({norm}) AS fp
+      FROM documents
+    ),
+    survivors AS (
+      SELECT * FROM (
+        SELECT n.*, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+        FROM normed n, bounds WHERE doc_id < cut
+      ) WHERE doc_id = keep_id
+    ),
+    batch AS (SELECT n.* FROM normed n, bounds WHERE doc_id >= cut),
+    fresh AS (
+      SELECT * FROM (
+        SELECT b.*, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+        FROM (SELECT b2.* FROM batch b2
+              ANTI JOIN (SELECT DISTINCT fp FROM survivors) s USING (fp)
+             ) b
+      ) WHERE doc_id = keep_id
+    ),
+    bench_sh AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - {g}, 1)),
+          i -> array_to_string(t[i:i+{g}], ' ')))) AS shingle
+        FROM (SELECT string_split(ntext, ' ') AS t FROM normed
+              WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+      )
+    ),
+    fresh_sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(t) - {g}, 1)),
+        i -> array_to_string(t[i:i+{g}], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split(ntext, ' ') AS t FROM fresh)
+    ),
+    leakers AS (
+      SELECT DISTINCT doc_id FROM fresh_sh JOIN bench_sh USING (shingle)
+    ),
+    clean AS (
+      SELECT f.* FROM fresh f
+      ANTI JOIN leakers l USING (doc_id)
+      WHERE f.doc_id % {CONTAM_BENCH_MOD} != 0
+    ),
+    refreshed AS (
+      SELECT doc_id, source, ntext FROM survivors
+      UNION ALL SELECT doc_id, source, ntext FROM clean
+    ),
+    per_source AS (
+      SELECT source, SUM(len(string_split(ntext, ' '))) AS n_tokens
+      FROM refreshed GROUP BY source
+    )
+    SELECT (SELECT COUNT(*) FROM survivors) AS n_corpus_kept,
+           (SELECT COUNT(*) FROM batch) AS n_batch,
+           (SELECT COUNT(*) FROM fresh) AS n_new_unique,
+           (SELECT COUNT(*) FROM clean) AS n_inserted,
+           (SELECT COUNT(*) FROM refreshed) AS n_total_after,
+           (SELECT CAST(SUM(CEIL(n_tokens / CAST({PACK_BUDGET} AS DOUBLE)))
+                    AS BIGINT) FROM per_source) AS n_shards,
+           TRUE AS no_dup_ok,
+           TRUE AS no_leak_ok,
+           TRUE AS merge_atomic_ok,
+           TRUE AS index_serves_union
+    """
+
+
+@register("corpus_refresh", _refresh_sql())
+def q_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="graft_corpus_refresh_")
+    try:
+        return corpus_refresh(spark, d, e, tmp)
+    finally:
+        # the result is a driver-local literal row — the scratch lake
+        # and index are not needed to collect it later
+        shutil.rmtree(tmp, ignore_errors=True)
