@@ -52,71 +52,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-8 attestation window (driver caps at ~50 rows/round) ----
-    # -- r3-vintage stamps in files EDITED in r7 (local parity green on
-    #    current code; the driver row predates the edits) — lead --------
-    "doc_pack",
-    "pii_scrub",
-    "pretraining_pipeline",
-    "embedding_quantize",
-    "repetition_stats",
-    # -- remaining r3-vintage stamps (files unchanged since; retire the
-    #    whole tier so no oracled stamp predates r4 after this round) ---
-    "distinct_count",
-    "explode_array",
-    "global_agg",
-    "group_minmax",
-    "grouping_sets_agg",
-    "hash_sample",
-    "haversine_distance",
-    "interval_join_events",
-    "join_left_outer",
-    "local_supplier_volume",
-    "range_join",
-    "retention_cohorts",
-    "salted_skew_agg",
-    "salted_skew_join",
-    "shipping_priority",
-    "unpivot_customer",
-    # -- code changed in r8: must re-attest on current code -------------
-    "surrogate_keys",       # r8: adaptive prefix-kernel bucket count
-    "heaps_law_fit",        # r8: adaptive prefix-kernel bucket count
-    "pareto_frontier",      # r8: adaptive prefix-kernel bucket count
-    "peak_concurrency",     # r8: adaptive prefix-kernel bucket count
-    "inter_event_time_distribution",  # r8: integer-division gap rewrite
-    "source_novelty",       # r8: dropped the data-scale broadcast hint
-    "lake_lifecycle",       # r8: + schema_evolution_ok verdict column
-    "ann_index_drift",      # r8: serve-path utime + lstat squat check
-    "knn_label_accuracy_ivf",  # r8: same ann_index.py edits
-    # -- new in r8, never attested ---------------------------------------
-    "dedup_image_phash",    # r8: integer-DCT pHash Hamming-banded pairs
-    "dedup_video_phash",    # r8: keyframe-hash-set video containment
-    "contamination_fuzzy",  # r8: paraphrase-robust decontamination
-    "ann_ivfpq_topk",       # r8: product quantization + ADC + rerank
-    "ann_ivfpq_index",      # r8: the PERSISTED PQ serving path
-    "ann_index_append",     # r8: incremental append, no rebuild
-    "multimodal_keyframes",  # r8: per-shot keyframe extraction
-    "split_leakage_check",  # r8: near-dup pairs straddling split bounds
-    "split_by_cluster_check",  # r8: the remedy — zero off-diagonals
-    "hybrid_search_rrf",    # r8: BM25 + cosine reciprocal rank fusion
-    "holt_forecast",        # r8: Holt level+trend exact fold
-    "epoch_allocation",     # r8: largest-remainder budget apportionment
-    "pack_efficiency",      # r8: padding-waste rollup of doc_pack
-    # -- rows-only r2 stamps (seeded-RNG/LDA, rows-only by design): the
-    #    stalest rows of all — refresh them too ------------------------
-    "sampling",
-    "topic_model",
-    # -- next-stalest value tier: newest stamp is round 4 (first 14
-    #    alphabetically; with the r8 additions ahead of them the window
-    #    cap takes roughly the first half — whatever spills joins the
-    #    rest of the r4 tier leading the r9 rotation; pytest
+    # ---- round-9 attestation window (driver caps at ~50 rows/round) ----
+    # -- refactored AFTER its last driver row (r8 hygiene note): lead ---
+    "multimodal_scene_cuts",  # r8 c2c06ec shared frame walk; row is r7
+    # -- new in r9, never attested ---------------------------------------
+    "dedup_audio_fingerprint",  # r9: energy-envelope audio near-dup
+    "ann_index_compact",        # r9: chain-collapse + re-train rung
+    "corpus_refresh",           # r9: the end-to-end refresh protocol
+    # -- code changed in r9: must re-attest on current code -------------
+    "doc_pack",                 # r9: two-phase prefix-kernel packing
+    "pretraining_pipeline",     # r9: same packing rewrite
+    "equi_depth_histogram",     # r9: keyed-NTILE -> dense_ids + formula
+    "sampling",                 # r9: upgraded rows-only -> guarantees row
+    "ann_index_append",         # r9: single-winner CAS publish
+    "lake_lifecycle",           # r9: legacy-recovery mergeSchema
+    "surrogate_keys",           # r9: dense_ids partition_cols support
+    "heaps_law_fit",            # r9: prefix_sums partition_cols support
+    # -- the round-4 tier: every remaining stamp whose latest row is r4
+    #    (after this window no oracled stamp predates r5; the ~2-name
+    #    spill past the 50-row cap leads the r10 rotation; pytest
     #    oracle-parity covers ALL oracled queries on current code each
     #    round regardless of the cap) -----------------------------------
-    "ann_topk_cosine",
-    "bigram_top_counts",
-    "curation_pipeline",
-    "customer_order_distribution",
-    "dataset_split",
     "dedup_edit_distance",
     "dedup_minhash_lsh",
     "dedup_semantic",
@@ -126,6 +82,37 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "dq_audit",
     "ewma_per_user",
+    "forecast_revenue",
+    "funnel_stages",
+    "funnel_stages_windowed",
+    "gap_fill_daily",
+    "hash_stratified_sample",
+    "heavy_hitters_cms",
+    "idle_customer_balance",
+    "key_skew_profile",
+    "large_orders",
+    "multimodal_audio_stats",
+    "multimodal_features",
+    "multimodal_image_stats",
+    "multimodal_png_stats",
+    "multimodal_resize_stats",
+    "nation_market_share",
+    "pagerank_copurchase",
+    "priority_late_shipments",
+    "promo_revenue_share",
+    "quality_score",
+    "returned_item_revenue",
+    "robust_anomaly",
+    "scd2_dimension",
+    "small_quantity_revenue",
+    "top_revenue_parts",
+    "top_supplier",
+    "unigram_logprob",
+    "user_value_trend",
+    "value_histogram",
+    "volume_shipping",
+    "weighted_sample",
+    "zipf_law_fit",
 )
 
 
@@ -157,6 +144,7 @@ def _load_all() -> None:
         aggregates,
         analytics,
         ann_index,
+        audio_dedup,
         bpe,
         corpus_lm,
         curation,
@@ -172,6 +160,7 @@ def _load_all() -> None:
         pca,
         profiling,
         rag,
+        refresh,
         relational,
         scale,
         session_queries,
