@@ -356,53 +356,79 @@ def append_ivf_index(emb_new: DataFrame, path: str) -> int:
     # the manifest is rewritten against the new live chain and the swap
     # retried; a landed rebuild means our cell assignments are stale, so
     # fail and let the caller re-append against the new index.
-    parent = os.path.basename(vdir)
+    _rechain_publish(
+        path,
+        version,
+        new_vdir,
+        os.path.basename(vdir),
+        f"{version}/vectors",
+        ("centroids.parquet",),
+    )
+    return len(_vector_roots(path, new_vdir))
+
+
+def _rechain_publish(
+    path: str,
+    version: str,
+    new_vdir: str,
+    parent: str,
+    own_root: str,
+    fp_dirs: tuple[str, ...],
+) -> None:
+    """The CAS-publish-with-sibling-re-chain loop shared by the IVF and
+    IVF-PQ append paths. Retries the swap against whatever version is
+    live, rewriting the manifest to chain onto it, as long as the
+    quantizer artifacts (``fp_dirs``) are byte-identical (sibling
+    appends copy them; a rebuild retrains them and makes this append's
+    assignments stale — fail loudly)."""
     import time as _time
 
     for _attempt in range(5):
         try:
             _publish_current(path, version, expect_parent=parent)
-            return len(roots)
+            return
         except ConcurrentIndexMutation:
             _time.sleep(0.05)
             live_vdir = _current_version_dir(path)
             if os.path.basename(live_vdir) == version:
-                return len(roots)  # our own swap actually landed
-            if _centroids_fingerprint(live_vdir) != _centroids_fingerprint(
-                new_vdir
-            ):
+                return  # our own swap actually landed
+            if _quantizer_fingerprint(
+                live_vdir, fp_dirs
+            ) != _quantizer_fingerprint(new_vdir, fp_dirs):
                 raise ConcurrentIndexMutation(
                     "a rebuild retrained the quantizer while this append "
-                    "was in flight; its cell assignments are stale — "
-                    "re-run append_ivf_index against the new index"
+                    "was in flight; its assignments are stale — re-run "
+                    "the append against the new index"
                 ) from None
             parent = os.path.basename(live_vdir)
             roots = [
                 os.path.relpath(r, path)
                 for r in _vector_roots(path, live_vdir)
-            ] + [f"{version}/vectors"]
+            ] + [own_root]
             _write_index_manifest(new_vdir, roots)
     raise ConcurrentIndexMutation(
         f"append at {path} lost the publish race repeatedly"
     )
 
 
-def _centroids_fingerprint(vdir: str) -> str:
-    """Content hash of a version's centroid table files. Appends COPY
-    their parent's centroid directory byte-for-byte (frozen quantizer),
-    rebuilds write fresh files — so fingerprint equality is exactly
-    'same quantizer', which is the re-chain-safety condition above."""
+def _quantizer_fingerprint(vdir: str, dirs: tuple[str, ...]) -> str:
+    """Content hash of a version's quantizer artifact files (centroid
+    table; plus PQ codebooks for the PQ layout). Appends COPY their
+    parent's artifacts byte-for-byte (frozen quantizer), rebuilds write
+    fresh files — so fingerprint equality is exactly 'same quantizer',
+    which is the re-chain-safety condition above."""
     import hashlib
 
     h = hashlib.sha256()
-    cdir = os.path.join(vdir, "centroids.parquet")
-    for name in sorted(os.listdir(cdir)):
-        full = os.path.join(cdir, name)
-        if name.startswith((".", "_")) or not os.path.isfile(full):
-            continue
-        h.update(name.encode())
-        with open(full, "rb") as f:
-            h.update(f.read())
+    for d in dirs:
+        cdir = os.path.join(vdir, d)
+        for name in sorted(os.listdir(cdir)):
+            full = os.path.join(cdir, name)
+            if name.startswith((".", "_")) or not os.path.isfile(full):
+                continue
+            h.update(f"{d}/{name}".encode())
+            with open(full, "rb") as f:
+                h.update(f.read())
     return h.hexdigest()
 
 
@@ -483,11 +509,68 @@ def compact_if_needed(
 ) -> bool:
     """Chain-length compaction trigger: compact when the live version
     references more than ``max_chain`` vector roots. The cadence knob a
-    daily-append deployment runs after each append (drift-bound
-    triggering is the other option — wire ``ann_index_drift``'s recall
-    gap into the condition when a truth probe is affordable). Returns
-    whether a compaction ran."""
+    daily-append deployment runs after each append (the free check —
+    :func:`compact_if_drifted` is the measured alternative when a truth
+    probe is affordable). Returns whether a compaction ran."""
     if chain_length(path) <= max_chain:
+        return False
+    compact_ivf_index(spark, path)
+    return True
+
+
+DRIFT_GAP_MAX = 0.1
+
+
+def compact_if_drifted(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    max_gap: float = DRIFT_GAP_MAX,
+    nprobe: int = NPROBE,
+) -> bool:
+    """Drift-bound compaction trigger — the measured sibling of
+    :func:`compact_if_needed`, wiring ``ann_index_drift``'s recall-gap
+    diagnostic into the maintenance decision: answer one bounded probe
+    batch three ways (the SERVED chained index; a FRESH in-query IVF
+    whose quantizer is re-trained on today's corpus — exactly what a
+    compaction would serve, without persisting anything; exact brute
+    force as truth) and compact only when the fresh path's recall
+    exceeds the served path's by more than ``max_gap``. Costs one
+    brute-force probe over ``corpus`` for ``N_QUERIES`` queries — run
+    it on the append cadence, not per query. Returns whether a
+    compaction ran.
+
+    What this repairs is QUANTIZER drift — stale cell boundaries over
+    data the chain already contains (the append contract freezes the
+    quantizer). A gap caused by vectors never appended at all is an
+    ingestion failure compaction cannot fix: the rewrite only re-trains
+    and re-assigns what the chain holds — if the trigger keeps firing
+    after a compaction, look at the feed, not the index."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb_d = corpus.select("vec_id", "embedding")
+    q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    truth = ann_topk_bruteforce(corpus).select("query_id", "neighbor_id")
+    n_truth = truth.count()
+    if n_truth == 0:
+        return False
+
+    def hits(df: DataFrame) -> int:
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "leftsemi")
+            .count()
+        )
+
+    served = hits(ivf_query_index(spark, path, q, nprobe=nprobe))
+    fresh = hits(ivf_topk(corpus, nprobe=nprobe))
+    if (fresh - served) / n_truth <= max_gap:
         return False
     compact_ivf_index(spark, path)
     return True
@@ -1007,9 +1090,93 @@ def build_ivfpq_index(
         ],
         "sub int, code int, centroid array<double>",
     ).write.parquet(f"{vdir}/books.parquet")
+    _write_index_manifest(vdir, [f"{version}/codes"])
     os.makedirs(path, exist_ok=True)
     _publish_current(path, version)
     return n_cells
+
+
+def _code_roots(path: str, vdir: str) -> list[str]:
+    """Code-data roots of a PQ version: same manifest mechanism as
+    :func:`_vector_roots`, with the pre-manifest fallback pointing at
+    the PQ layout's local ``codes`` directory (indexes persisted before
+    the append support carried no manifest)."""
+    import json
+
+    mpath = os.path.join(vdir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return [
+                os.path.join(path, r) for r in json.load(f)["vector_roots"]
+            ]
+    return [os.path.join(vdir, "codes")]
+
+
+def append_ivfpq_index(emb_new: DataFrame, path: str) -> int:
+    """Incremental PQ index maintenance — the PQ twin of
+    :func:`append_ivf_index`: encode a NEW vector batch with the live
+    index's FROZEN coarse quantizer AND frozen codebooks (both copied
+    byte-for-byte into the new version so it stays self-describing, and
+    both the re-chain-safety fingerprint), write the codes as a new
+    version whose manifest references every ancestor code root in
+    place, and CAS-swap CURRENT (single-winner; sibling appends
+    re-chain, a landed rebuild fails the append loudly). Returns the
+    number of code roots the new version serves.
+
+    No separate PQ compaction rung exists ON PURPOSE: codes are lossy,
+    so re-training the quantizer/codebooks on the chain's own contents
+    is impossible — the floats live in the source table, and
+    :func:`build_ivfpq_index` over that table IS the compaction
+    (retrain + single-root rewrite + atomic swap); gate it on
+    :func:`chain_length` exactly like :func:`compact_if_needed`."""
+    import shutil as _shutil
+
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        pq_encode_fn,
+    )
+
+    vdir = _current_version_dir(path)
+    spark = emb_new.sparkSession
+    cent_rows = spark.read.parquet(f"{vdir}/centroids.parquet").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cell] = r.centroid
+    book_rows = spark.read.parquet(f"{vdir}/books.parquet").collect()
+    m = max(r.sub for r in book_rows) + 1
+    books = []
+    for mi in range(m):
+        rows = sorted(
+            (r for r in book_rows if r.sub == mi), key=lambda r: r.code
+        )
+        books.append(np.asarray([r.centroid for r in rows]))
+
+    emb_d = emb_new.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    encoded = emb_d.mapInPandas(
+        pq_encode_fn(cents, books),
+        "vec_id BIGINT, cell INT, codes ARRAY<INT>",
+    )
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    new_vdir = os.path.join(path, version)
+    encoded.write.partitionBy("cell").parquet(f"{new_vdir}/codes")
+    for artifact in ("centroids.parquet", "books.parquet"):
+        _shutil.copytree(
+            os.path.join(vdir, artifact), os.path.join(new_vdir, artifact)
+        )
+    old_rel = [os.path.relpath(r, path) for r in _code_roots(path, vdir)]
+    _write_index_manifest(new_vdir, old_rel + [f"{version}/codes"])
+    _rechain_publish(
+        path,
+        version,
+        new_vdir,
+        os.path.basename(vdir),
+        f"{version}/codes",
+        ("centroids.parquet", "books.parquet"),
+    )
+    return len(_code_roots(path, new_vdir))
 
 
 def ivfpq_query_index(
@@ -1020,6 +1187,7 @@ def ivfpq_query_index(
     nprobe: int = NPROBE,
     top_k: int = TOP_K,
     rerank: int | None = None,
+    version: str | None = None,
 ) -> DataFrame:
     """Answer a (query_id, emb) batch against a persisted IVF-PQ index:
     partition pruning opens only the probed cells' code directories, the
@@ -1028,7 +1196,8 @@ def ivfpq_query_index(
     ``emb_for_rerank`` (the source float table — the index itself never
     stores floats). With the same parameters this serves EXACTLY what
     the in-query :func:`~.similarity.ivfpq_topk` computes (pinned in
-    tests)."""
+    tests). ``version`` pins a specific version directory (time travel
+    — e.g. the pre-append snapshot); default is the CURRENT pointer."""
     import numpy as np
 
     from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
@@ -1039,7 +1208,11 @@ def ivfpq_query_index(
     )
 
     rerank = PQ_RERANK if rerank is None else rerank
-    vdir = _current_version_dir(path)
+    vdir = (
+        os.path.join(path, version)
+        if version is not None
+        else _current_version_dir(path)
+    )
     cent_rows = spark.read.parquet(f"{vdir}/centroids.parquet").collect()
     if not cent_rows:
         raise ValueError(f"empty IVF-PQ index at {path}")
@@ -1075,9 +1248,14 @@ def ivfpq_query_index(
 
     luts, norms2 = _pq_probe_tables(qmat, books, m)
     shortlist_k = rerank * top_k
-    codes = spark.read.parquet(f"{vdir}/codes").where(
-        F.col("cell").isin(probed)
-    )
+    # an appended index unions its manifest's code roots, pruned per
+    # root (the IVF serving shape applied to the PQ layout)
+    roots = _code_roots(path, vdir)
+    codes = spark.read.parquet(roots[0]).where(F.col("cell").isin(probed))
+    for root in roots[1:]:
+        codes = codes.union(
+            spark.read.parquet(root).where(F.col("cell").isin(probed))
+        )
     scored = codes.mapInPandas(
         _adc_score_fn(cell_probes, luts, norms2, qids, shortlist_k),
         "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE",
@@ -1228,6 +1406,114 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_user_index_root(), f"app_idx_{tag}")
     out = ann_index_append_lifecycle(spark, e, path)
     _sweep_stale_tags(path, "app_idx_")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PQ append lifecycle as a driver-attested row: the PQ twin of
+# ann_index_append (frozen quantizer AND codebooks, code-root chaining)
+# ---------------------------------------------------------------------------
+_PQ_APPEND_SQL = """
+    SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_appended,
+           TRUE AS appended_searchable,
+           TRUE AS snapshot_unchanged,
+           TRUE AS recall_ok
+    FROM embeddings
+"""
+
+
+def ann_ivfpq_append_lifecycle(
+    spark: SparkSession, e: DataFrame, path: str
+) -> DataFrame:
+    """:func:`ann_index_append_lifecycle` applied to the PQ layout: an
+    index built on the even-id snapshot with the odd-id batch APPENDED
+    as chained 16-byte codes (frozen coarse quantizer and frozen
+    codebooks — no float rewritten, no code re-trained). Same measured
+    guarantees: the post-append CURRENT finds odd neighbors, the
+    pre-append version still serves only snapshot members, and
+    post-append recall@k vs brute force clears the proportional probe
+    floor at nprobe=5 — through the lossy-code ADC scan PLUS the exact
+    rerank, so the bound also certifies the codes' fidelity on the
+    appended half. The rerank depth is 20 (vs the serving default):
+    ADC distances are approximations, and at small nprobe the lossy
+    shortlist needs extra depth for the exact rerank to recover the
+    floor on the appended half — exactly the knob PQ deployments turn,
+    measured here rather than assumed. Scope note: the per-query floor
+    holds from ~1k-vector snapshots up (the driver and bench scales);
+    on a few-hundred-vector snapshot the even-half-trained quantizer's
+    cell boundaries are themselves sampling noise and individual
+    queries can miss — the regime where one would not deploy IVF at
+    all."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ivf_recall_check,
+    )
+
+    append_nprobe = 5
+    append_rerank = 20
+
+    emb_d = e.select("vec_id", "embedding")
+    base = emb_d.where(F.col("vec_id") % 2 == 0)
+    extra = emb_d.where(F.col("vec_id") % 2 == 1)
+    if not os.path.exists(os.path.join(path, "CURRENT")):
+        build_ivfpq_index(base, path)
+    # resume-safe: the code-root chain length is the completion signal
+    # (the ann_index_append rule — CURRENT alone would wedge the row)
+    if len(_code_roots(path, _current_version_dir(path))) < 2:
+        append_ivfpq_index(extra, path)
+    vdir = _current_version_dir(path)
+    roots = _code_roots(path, vdir)
+    old_version = os.path.relpath(roots[0], path).split(os.sep)[0]
+    q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    served_new = ivfpq_query_index(
+        spark, path, q, e, nprobe=append_nprobe, rerank=append_rerank
+    )
+    served_old = ivfpq_query_index(
+        spark,
+        path,
+        q,
+        e,
+        nprobe=append_nprobe,
+        rerank=append_rerank,
+        version=old_version,
+    )
+    odd_new = served_new.where(F.col("neighbor_id") % 2 == 1).count()
+    odd_old = served_old.where(F.col("neighbor_id") % 2 == 1).count()
+    rc = (
+        ivf_recall_check(
+            e, served_new, floor=0.8 * append_nprobe / N_CELLS
+        )
+        .agg(F.min(F.col("recall_ok").cast("int")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(base.count()),
+                int(extra.count()),
+                odd_new > 0,
+                odd_old == 0,
+                int(rc or 0) == 1,
+            )
+        ],
+        "n_base BIGINT, n_appended BIGINT, appended_searchable BOOLEAN, "
+        "snapshot_unchanged BOOLEAN, recall_ok BOOLEAN",
+    )
+
+
+@register("ann_ivfpq_append", _PQ_APPEND_SQL)
+def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = _corpus_tag(e, sf_dir + "#pqappend")
+    path = os.path.join(_user_index_root(), f"pqa_idx_{tag}")
+    out = ann_ivfpq_append_lifecycle(spark, e, path)
+    _sweep_stale_tags(path, "pqa_idx_")
     return out
 
 

@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in r9, never attested ---------------------------------------
     "dedup_audio_fingerprint",  # r9: energy-envelope audio near-dup
     "ann_index_compact",        # r9: chain-collapse + re-train rung
+    "ann_ivfpq_append",         # r9: incremental PQ append (code chain)
     "corpus_refresh",           # r9: the end-to-end refresh protocol
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing

@@ -266,6 +266,38 @@ def stream_image_dedup(
     )
 
 
+def stream_audio_dedup(
+    clips: DataFrame,
+    watermark: str = "10 minutes",
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming PERCEPTUAL audio dedup — the audio twin of
+    :func:`stream_image_dedup`: fingerprint every WAV payload (the
+    energy-envelope integer hash of operators/audio_dedup.py, computed
+    in a stateless passthrough mapInPandas) and drop rows whose hash
+    was already seen inside the watermark horizon. Catches what the
+    byte-fingerprint :func:`stream_dedup` structurally cannot: a
+    gain-re-mastered copy has different BYTES but the IDENTICAL
+    fingerprint (exact gain invariance pinned in
+    tests/test_audio_dedup.py). State is one 60-bit hash per distinct
+    clip within the watermark — bounded. Undecodable or too-short
+    payloads hash to NULL and are DROPPED (the DLQ posture:
+    one poisoned record must not kill the stream, and a corrupt clip is
+    not trainable data anyway). (Hamming-distance near-dups beyond hash
+    equality stay a batch concern: the banded candidate join needs a
+    corpus-wide index, not per-record state.)"""
+    from cours_datalake_dwh_td_kafka_spark.operators.audio_dedup import (
+        with_audio_fingerprint,
+    )
+
+    return (
+        with_audio_fingerprint(clips, strict=False)
+        .where(F.col("ahash").isNotNull())
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["ahash"])
+    )
+
+
 def stream_contamination_alerts(
     docs: DataFrame,
     bench: DataFrame,

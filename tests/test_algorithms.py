@@ -1119,6 +1119,78 @@ def test_persisted_ivfpq_index_matches_inquery_and_prunes(spark, tmp_path):
     )[1][:120]
 
 
+def test_ivfpq_append_serves_grown_corpus(spark, tmp_path):
+    """Incremental PQ maintenance (the PQ twin of the IVF append): after
+    append_ivfpq_index the CURRENT version serves the WHOLE corpus — at
+    full probe + full-depth rerank it equals exact brute force
+    regardless of the frozen quantizer/codebooks — while the pre-append
+    version still serves exactly the snapshot; vacuum keeps the chain
+    and a rebuild releases it."""
+    import os
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        _current_version_dir,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_query_index,
+        vacuum_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        ann_topk_bruteforce,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+    )
+    from tests.conftest import SF_ORACLE
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb_d = e.select("vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    build_ivfpq_index(emb_d.where(F.col("vec_id") % 2 == 0), path)
+    old_version = os.path.basename(_current_version_dir(path))
+    n_roots = append_ivfpq_index(
+        emb_d.where(F.col("vec_id") % 2 == 1), path
+    )
+    assert n_roots == 2
+
+    q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    n = e.count()
+    served = sorted(
+        map(
+            tuple,
+            ivfpq_query_index(
+                spark, path, q, e, nprobe=N_CELLS, rerank=n
+            ).collect(),
+        )
+    )
+    exact = sorted(map(tuple, ann_topk_bruteforce(e).collect()))
+    assert served == exact
+
+    old = ivfpq_query_index(
+        spark, path, q, e, nprobe=N_CELLS, rerank=n, version=old_version
+    )
+    assert old.where(F.col("neighbor_id") % 2 == 1).count() == 0
+
+    assert vacuum_index(path, grace_seconds=0) == []
+    build_ivfpq_index(emb_d, path)  # the PQ 'compaction' IS a rebuild
+    removed = set(vacuum_index(path, grace_seconds=0))
+    assert old_version in removed and len(removed) == 2
+    again = sorted(
+        map(
+            tuple,
+            ivfpq_query_index(
+                spark, path, q, e, nprobe=N_CELLS, rerank=n
+            ).collect(),
+        )
+    )
+    assert again == exact
+
+
 def test_holt_forecast_matches_python_and_tracks_ramps(spark):
     """Holt's (level, trend) fold equals a textbook python reference on
     a crafted series, and on a pure ramp its one-step forecast is

@@ -806,6 +806,41 @@ def test_ivf_compact_lifecycle_row_and_vacuum(spark, tmp_path):
     assert served == exact
 
 
+def test_compact_if_drifted_fires_only_on_measured_gap(spark, tmp_path):
+    """The drift-bound trigger: a freshly-built index shows ~zero
+    fresh-vs-served recall gap and no compaction runs; a chain whose
+    frozen even-half-trained quantizer serves the appended union
+    (measured gap 0.22 at this scale) fires the trigger, the compaction
+    re-trains on the chain, and the re-check is quiet again."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        _current_version_dir,
+        append_ivf_index,
+        build_ivf_index,
+        compact_if_drifted,
+    )
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    emb_d = e.select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+
+    build_ivf_index(emb_d, path)
+    assert not compact_if_drifted(spark, path, e)  # no drift, no fire
+
+    # quantizer drift: the chain CONTAINS the union, but cells were
+    # trained on the even half only (the append contract)
+    path2 = str(tmp_path / "idx2")
+    build_ivf_index(emb_d.where(F.col("vec_id") % 2 == 0), path2)
+    append_ivf_index(emb_d.where(F.col("vec_id") % 2 == 1), path2)
+    v0 = _current_version_dir(path2)
+    assert compact_if_drifted(spark, path2, e)  # gap measured, compacted
+    assert _current_version_dir(path2) != v0
+    assert not compact_if_drifted(spark, path2, e)  # repaired, quiet
+
+
 def test_ivf_compact_loses_cas_to_mid_flight_append(
     spark, tmp_path, monkeypatch
 ):

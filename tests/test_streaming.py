@@ -1350,6 +1350,71 @@ def test_stream_image_dedup_drops_perceptual_copies(spark, tmp_path):
     assert kept == [1, 3]  # the perceptual copy (img 2) dropped
 
 
+def test_stream_audio_dedup_drops_gain_remasters(spark, tmp_path):
+    """A gain-x2 re-master has different BYTES (the fingerprint dedup
+    would keep it) but the identical energy-envelope hash — the
+    perceptual stream dedup keeps the first and drops the copy while
+    distinct clips pass through, and a truncated WAV is dropped without
+    killing the stream."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        encode_wav_pcm16,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        stream_audio_dedup,
+    )
+
+    def clip(seed: int, gain: int = 1) -> bytes:
+        rng = np.random.RandomState(seed)
+        amps = np.repeat(rng.randint(50, 800, size=8), 64)
+        carrier = np.where((np.arange(512) // 4) % 2 == 0, 1, -1)
+        return encode_wav_pcm16(
+            (amps * carrier * gain).astype("<i2"), 8000
+        )
+
+    indir = tmp_path / "clips"
+    indir.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        scratch = tmp_path / f"scratch_{name}"
+        spark.createDataFrame(
+            rows, "clip_id BIGINT, payload BINARY, event_time TIMESTAMP"
+        ).coalesce(1).write.parquet(str(scratch))
+        part = next(scratch.glob("part-*.parquet"))
+        part.rename(indir / f"{name}.parquet")
+
+    write_batch("b0", [(1, clip(5), t0)])
+    write_batch(
+        "b1",
+        [
+            (2, clip(5, gain=2), t0 + datetime.timedelta(minutes=1)),
+            (3, clip(6), t0 + datetime.timedelta(minutes=1)),
+            (4, clip(7)[:30], t0 + datetime.timedelta(minutes=1)),
+        ],
+    )
+    src = (
+        spark.readStream.schema(
+            "clip_id BIGINT, payload BINARY, event_time TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = stream_audio_dedup(src)
+    name = f"sad_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.clip_id for r in spark.table(name).collect())
+    assert kept == [1, 3]  # the gain re-master (clip 2) dropped
+
+
 def test_stream_contamination_alerts(spark, tmp_path):
     """An arriving doc sharing an 8-gram with the static benchmark set
     raises exactly ONE alert (many shared shingles collapse on doc_id);
