@@ -79,9 +79,6 @@ class ConcurrentIndexMutation(RuntimeError):
     longer names the chain the new version was built against."""
 
 
-_PUBLISH_LOCK_STALE_S = 60.0
-
-
 def _replace_current(path: str, version_name: str) -> None:
     tmp = os.path.join(path, f"CURRENT.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
@@ -106,30 +103,31 @@ def _publish_current(
     racing under last-writer-wins would both chain from the same parent
     and the loser's batch would silently vanish from the served index
     (then be vacuumed as unreferenced) — silent data loss (round-8
-    advice). The CAS runs under a short O_EXCL lock file so check and
-    swap are one critical section; a lock a crashed publisher left
-    behind is broken after ``_PUBLISH_LOCK_STALE_S``. Losers get
+    advice). The CAS runs under an fcntl.flock on a persistent lock
+    file so check and swap are one critical section. flock, not a
+    create/unlink lock: the KERNEL releases the lock when the holder's
+    fd closes (crash included), so there is no staleness heuristic —
+    and therefore no stale-break TOCTOU where two breakers both delete
+    the lock and both enter the critical section, and no risk of one
+    publisher unlinking another's live lock (both were real races in
+    the O_EXCL draft of this function). The lock file itself is
+    created once and never removed. Losers get
     :class:`ConcurrentIndexMutation` (append_ivf_index re-chains and
     retries when the quantizer is unchanged)."""
     if expect_parent is None:
         _replace_current(path, version_name)
         return
-    import time
+    import fcntl
 
-    lock = os.path.join(path, "CURRENT.lock")
+    fd = os.open(os.path.join(path, "CURRENT.lock"), os.O_CREAT | os.O_RDWR)
     try:
-        if time.time() - os.path.getmtime(lock) > _PUBLISH_LOCK_STALE_S:
-            os.unlink(lock)
-    except OSError:
-        pass
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise ConcurrentIndexMutation(
-            f"another publisher holds {lock}; retry after it completes"
-        ) from None
-    os.close(fd)
-    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            raise ConcurrentIndexMutation(
+                f"another publisher holds the lock at {path}; retry "
+                "after it completes"
+            ) from None
         try:
             with open(os.path.join(path, "CURRENT")) as f:
                 cur = f.read().strip()
@@ -143,7 +141,7 @@ def _publish_current(
             )
         _replace_current(path, version_name)
     finally:
-        os.unlink(lock)
+        os.close(fd)  # closing the fd releases the flock
 
 
 def _vector_roots(path: str, vdir: str) -> list[str]:

@@ -78,11 +78,16 @@ AUDIO_GAIN_TWIN = 3
 
 
 def audio_fingerprint_of_samples(a) -> int:
-    """Integer energy-envelope hash of an int64 sample vector (n >= 64):
-    floor-rule time cells -> energies -> scaled mean-centering -> the
-    shared fixed-point DCT -> 60-bit sign pack."""
+    """Integer energy-envelope hash of an int64 sample array (>= 64
+    samples): floor-rule time cells -> energies -> scaled
+    mean-centering -> the shared fixed-point DCT -> 60-bit sign pack.
+    Multi-channel input (the codec's (n, channels) shape) is flattened
+    frame-interleaved — consecutive frames stay consecutive, so time
+    cells keep their meaning and a clip hashes the same whether the
+    caller pre-flattens or not."""
     import numpy as np
 
+    a = np.asarray(a, dtype=np.int64).reshape(-1)
     n = int(a.size)
     cells = (np.arange(n, dtype=np.int64) * AUDIO_CELLS) // n
     # bincount weights are float64; cell energies stay far below 2^53,
@@ -121,7 +126,11 @@ def fingerprint_corpus(d: DataFrame) -> DataFrame:
                 if n < AUDIO_CELLS:
                     continue
                 base = b.astype(np.int64) - 128
-                rate = 8000 * (1 + int(doc_id) % 3)
+                # doc_id % 3 == 1 for every doc in this corpus slice, so
+                # rate variation must key on doc_id // 3 to actually
+                # exercise the fmt-chunk parse on distinct rates (the
+                # hash itself is rate-independent)
+                rate = 8000 * (1 + (int(doc_id) // 3) % 3)
                 for k, gain in ((0, 1), (1, AUDIO_GAIN_TWIN)):
                     samples = (base * gain).astype("<i2")
                     _, dec = decode_wav_pcm16(

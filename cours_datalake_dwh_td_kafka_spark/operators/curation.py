@@ -659,6 +659,98 @@ def balanced_sample_topk(d: DataFrame, k: int = BALANCED_K) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# token-budget selection: the best documents until the budget is spent
+# ---------------------------------------------------------------------------
+TOKEN_BUDGET = 20_000
+
+
+def token_budget_select(
+    d: DataFrame, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Greedy quality-first subset selection under a token budget — the
+    decision every pretraining data build makes ("we can afford N
+    tokens; which documents?"): rank the corpus by quality score (ties
+    by doc_id), take documents until their cumulative token count
+    reaches ``budget`` (the document straddling the boundary is kept —
+    the concat-and-chunk convention, so the selection always affords at
+    least one doc and the cut is deterministic).
+
+    Scale shape: the ranking cumsum is a GLOBAL data-scale ordered
+    window — the exact single-reducer shape the plans gate forbids — so
+    it runs on the two-phase prefix kernel (scale.prefix_sums with a
+    composite (neg_quality, doc_id) order): range buckets spread the
+    sort, the offset table stays n_buckets rows, and the budget filter
+    prunes everything past the boundary. Output rows are BUDGET-bounded
+    (~budget / avg_doc_tokens), independent of corpus size."""
+    from cours_datalake_dwh_td_kafka_spark.operators.scale import (
+        prefix_sums,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        quality_scores,
+    )
+
+    q = quality_scores(d, extra=("source",), ordered=False).select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    # range partitioning wants ascending columns: order by the NEGATED
+    # score (exact for doubles) then doc_id for uniqueness
+    keyed = q.withColumn("_negq", -F.col("quality_score"))
+    cum = prefix_sums(
+        keyed, ("_negq", "doc_id"), {"cum_tokens": "n_tokens"}
+    )
+    return (
+        cum.where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality_score",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("cum_tokens")
+    )
+
+
+def _budget_select_sql() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             string_split({NORM_SQL.format(c='text')}, ' ') AS toks,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, n_chars, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and',
+               'to', 'in', 'is', 'it'))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct, n_punct
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, source, n_tokens, {_QE} AS quality_score
+      FROM feat
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens, quality_score,
+             SUM(n_tokens) OVER (
+               ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+    ORDER BY cum_tokens
+    """
+
+
+@register("token_budget_select", _budget_select_sql())
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_select(load_table(spark, sf_dir, "documents"))
+
+
 _BALANCED_SQL = f"""
     WITH base AS (
       SELECT doc_id, n_chars,

@@ -275,7 +275,7 @@ def dense_ids(
 
 def prefix_sums(
     df: DataFrame,
-    order_col: str,
+    order_col: str | tuple[str, ...],
     sums: dict[str, str],
     n_buckets: int | None = None,
     partition_cols: tuple[str, ...] = (),
@@ -299,22 +299,29 @@ def prefix_sums(
     (partition_cols, order_col), one key group spans MANY contiguous
     buckets and its accumulation parallelizes across all of them, while
     the offset table stays tiny (a bucket adds one row per key group it
-    touches, so <= n_buckets + n_groups - 1 rows total).
+    touches, so <= n_buckets + n_groups - 1 rows total). partition_cols
+    must BE low-cardinality: with a high-cardinality key (user_id) the
+    offset table is data-scale and gets broadcast — and a plain keyed
+    window already parallelizes fine there, so the kernel buys nothing.
+    The plan gate's `_bucket` bounding rule only blesses extra group
+    keys it finds in plans.inspect.LOW_CARDINALITY_COLS.
 
     ``sums`` maps output column name -> source column; sources must be
     integer-typed so bucket-boundary placement can't perturb a float
-    accumulation order (``order_col`` must be unique within each key
-    group — ties could straddle a range bound). ``n_buckets=None``
-    scales with the input (see :func:`_adaptive_buckets`). Oracle: the
-    plain ``SUM() OVER ([PARTITION BY ...] ORDER BY ... ROWS UNBOUNDED
+    accumulation order (``order_col`` — a single name or a composite
+    tuple, all ascending — must be unique within each key group: ties
+    could straddle a range bound). ``n_buckets=None`` scales with the
+    input (see :func:`_adaptive_buckets`). Oracle: the plain
+    ``SUM() OVER ([PARTITION BY ...] ORDER BY ... ROWS UNBOUNDED
     PRECEDING)``."""
     import pyspark.sql.window as W
 
     if n_buckets is None:
         n_buckets = _adaptive_buckets(df)
     pcols = list(partition_cols)
+    ocols = [order_col] if isinstance(order_col, str) else list(order_col)
     bucketed = (
-        df.repartitionByRange(n_buckets, *pcols, order_col)
+        df.repartitionByRange(n_buckets, *pcols, *ocols)
         .withColumn("_bucket", F.spark_partition_id())
         # same shared-subtree pin as dense_ids: both consumers (offset
         # aggregate, probe join) must read ONE partition assignment —
@@ -345,7 +352,7 @@ def prefix_sums(
     )
     run_w = (
         W.Window.partitionBy("_bucket", *pcols)
-        .orderBy(order_col)
+        .orderBy(*ocols)
         .rowsBetween(W.Window.unboundedPreceding, W.Window.currentRow)
     )
     out = bucketed.join(F.broadcast(offsets), ["_bucket", *pcols])

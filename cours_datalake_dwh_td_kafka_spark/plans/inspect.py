@@ -162,9 +162,21 @@ def _is_bounding(node) -> bool:
         # because buckets are contiguous in (partition_cols, order) a
         # bucket adds one row per key group it TOUCHES, so the output
         # is <= n_buckets + n_groups - 1 rows, not data scale, and the
-        # offset window it feeds is bounded.
-        if re.search(r"keys=\[_bucket#\d+L?[,\]]", s):
-            return True
+        # offset window it feeds is bounded. That bound only holds when
+        # the EXTRA keys are declared low-cardinality columns — a
+        # dense_ids(partition_cols=('user_id',)) call must NOT be
+        # blessed (its offsets table is data-scale and gets broadcast),
+        # so every non-_bucket key is checked against
+        # LOW_CARDINALITY_COLS.
+        m = re.search(r"keys=\[([^\]]*)\]", s)
+        if m:
+            names = [
+                k.strip().split("#")[0] for k in m.group(1).split(",")
+            ]
+            if names and names[0] == "_bucket" and all(
+                n in LOW_CARDINALITY_COLS for n in names[1:]
+            ):
+                return True
     return False
 
 

@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_index_compact",        # r9: chain-collapse + re-train rung
     "ann_ivfpq_append",         # r9: incremental PQ append (code chain)
     "corpus_refresh",           # r9: the end-to-end refresh protocol
+    "token_budget_select",      # r9: quality-first budgeted selection
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing
     "pretraining_pipeline",     # r9: same packing rewrite

@@ -74,6 +74,28 @@ def test_resampled_copy_within_threshold_for_structured_clips():
         assert d <= AUDIO_HAMMING_MAX, f"clip {clip}: hamming {d}"
 
 
+def test_stereo_clips_fingerprint_through_the_codec():
+    """decode_wav_pcm16 returns (n, channels) for multi-channel WAV —
+    the fingerprint must flatten frame-interleaved instead of crashing
+    (round-9 review), hash identically whether the caller pre-flattens
+    or not, and keep the exact gain invariance on stereo."""
+    from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(-300, 300, size=(256, 2)).astype(np.int64)
+    payload = encode_wav_pcm16(
+        frames.reshape(-1).astype("<i2"), 8000, channels=2
+    )
+    _, dec = decode_wav_pcm16(payload)
+    assert dec.ndim == 2  # the shape that used to crash np.bincount
+    h = audio_fingerprint_of_samples(dec.astype(np.int64))
+    assert h == audio_fingerprint_of_samples(frames.reshape(-1))
+    assert h == audio_fingerprint_of_samples(frames * 3)  # gain-exact
+
+
 def test_distinct_clips_rarely_collide(spark):
     """Cross-clip near-dup rate stays under 1% while every gain twin is
     caught — the attested query's contract, checked via the banded join

@@ -370,6 +370,51 @@ def test_low_card_window_gate_catches_seeded_regression(spark):
     )
 
 
+def test_bucket_aggregate_bounding_requires_low_card_extra_keys(spark):
+    """The `_bucket` bounding convention must NOT bless an aggregate
+    whose extra group keys are data-scale: groupBy(_bucket, source)
+    feeding a global window passes (sources are declared low-card),
+    groupBy(_bucket, c_custkey) must be flagged — its output is
+    data-scale no matter how it is bucketed."""
+    from pyspark.sql import Window, functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+        unbounded_global_windows,
+    )
+
+    d = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+
+    def offsets(key):
+        return (
+            d.repartitionByRange(8, key, "doc_id")
+            .withColumn("_bucket", F.spark_partition_id())
+            .groupBy("_bucket", key)
+            .agg(F.sum("n_chars").alias("_n"))
+            .select(F.sum("_n").over(w).alias("off"))
+        )
+
+    assert not unbounded_global_windows(offsets("source"))
+    c = load_table(spark, SF_ORACLE, "customer").select(
+        F.col("c_custkey").alias("doc_id"),
+        F.col("c_custkey"),
+        F.col("c_acctbal").alias("n_chars"),
+    )
+    bad = (
+        c.repartitionByRange(8, "c_custkey", "doc_id")
+        .withColumn("_bucket", F.spark_partition_id())
+        .groupBy("_bucket", "c_custkey")
+        .agg(F.sum("n_chars").alias("_n"))
+        .select(F.sum("_n").over(w).alias("off"))
+    )
+    assert unbounded_global_windows(bad), (
+        "high-cardinality extra key must not be blessed as bounded"
+    )
+
+
 def test_rfm_threshold_scores_cross_check_ntile(spark):
     """Threshold quintiles == NTILE quintiles wherever no metric TIE
     straddles a bucket edge (ties are the one place the semantics
