@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_append",         # r9: incremental PQ append (code chain)
     "corpus_refresh",           # r9: the end-to-end refresh protocol
     "token_budget_select",      # r9: quality-first budgeted selection
+    "kmeans_lloyd",             # r9: full-corpus Lloyd clustering
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing
     "pretraining_pipeline",     # r9: same packing rewrite
@@ -148,6 +149,7 @@ def _load_all() -> None:
         ann_index,
         audio_dedup,
         bpe,
+        clustering,
         corpus_lm,
         curation,
         dedup,

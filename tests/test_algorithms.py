@@ -1248,3 +1248,60 @@ def test_epoch_allocation_sums_exactly_to_budget(spark):
     for r in rows:
         base = math.floor(round(r.mix_weight, 6) * EPOCH_BUDGET + 1e-9)
         assert r.n_units in (base, base + 1)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd: Lloyd-iteration invariants the hash parity can't express
+# ---------------------------------------------------------------------------
+def test_kmeans_cost_non_increasing_over_rounds(spark):
+    """Lloyd's alternation can only lower the within-cluster cost: both
+    the E-step (each vector moves to its nearest centroid) and the
+    M-step (the mean minimizes summed squared distance) are exact here
+    up to the 6-dp centroid rounding, so total cost after r+1 rounds
+    must not exceed cost after r rounds beyond that rounding slack."""
+    from cours_datalake_dwh_td_kafka_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    costs = []
+    for rounds in (1, 2, 3):
+        rows = kmeans_lloyd(e, rounds=rounds).collect()
+        costs.append(sum({r.cell: r.cell_cost for r in rows}.values()))
+    # 6-dp centroid rounding perturbs each squared diff by O(1e-6);
+    # bound the slack generously at 1e-3 absolute
+    assert costs[1] <= costs[0] + 1e-3, costs
+    assert costs[2] <= costs[1] + 1e-3, costs
+
+
+def test_kmeans_k1_centroid_is_global_decimal_mean(spark):
+    """With k=1 every round assigns everything to cell 0 and the
+    centroid is exactly the corpus-wide 6-dp decimal mean per
+    dimension — pinning the M-step against an independent spelling."""
+    from cours_datalake_dwh_td_kafka_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    got = {
+        r.pos: r.c for r in kmeans_lloyd(e, k=1, rounds=2).collect()
+    }
+    want_rows = (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("v").cast("double").cast("decimal(28,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+        .collect()
+    )
+    want = {r.pos: r.c for r in want_rows}
+    assert got == want
+    n = e.count()
+    rows = kmeans_lloyd(e, k=1, rounds=2).collect()
+    assert all(r.n_vecs == n for r in rows)
