@@ -241,19 +241,89 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Stratified sampling: per-language fractions via sampleBy (seeded
-# Bernoulli per stratum). Engine-specific RNG -> no value oracle; the
-# driver records a rows-only check and tests assert per-stratum rates.
+# Bernoulli per stratum). The RNG stream is engine-specific, so the
+# MEMBERSHIP has no cross-engine value oracle (hash_stratified_sample
+# below is the deterministic twin); what CAN be value-oracled is the
+# sampler's contract, measured on the real draw — the same fold the
+# round-9 `sampling` upgrade applied to P14.
 # --------------------------------------------------------------------------
 STRATA_FRACTIONS = {"en": 0.5, "fr": 0.2, "de": 0.1}
 
+_STRAT_SQL = f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pop,
+           TRUE AS subset_ok,
+           TRUE AS within_4sigma,
+           TRUE AS no_duplicates,
+           TRUE AS seed_deterministic,
+           TRUE AS unlisted_zero
+    FROM documents
+    WHERE lang IN ({", ".join(repr(k) for k in sorted(STRATA_FRACTIONS))})
+    GROUP BY lang ORDER BY lang
+"""
 
-@register("stratified_sample")
+
+@register("stratified_sample", _STRAT_SQL)
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.sampleBy("lang", STRATA_FRACTIONS, seed=42)
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+    """Per-stratum sampleBy contract as a value-hashed guarantees table
+    (one row per declared stratum), measured on the real seeded draw:
+
+    - ``subset_ok``: the stratum's sample anti-joins to nothing outside
+      the stratum's population;
+    - ``within_4sigma``: |n_sampled - f*N| <= 4*sqrt(N*f*(1-f)) — the
+      binomial concentration bound a per-stratum Bernoulli sampler must
+      obey (false-alarm < 1e-4, deterministic for a fixed seed);
+    - ``no_duplicates``: sampling is without replacement;
+    - ``seed_deterministic``: the same seed re-draws the same multiset;
+    - ``unlisted_zero``: strata absent from STRATA_FRACTIONS contribute
+      ZERO rows (sampleBy's missing-key semantics — the clause that
+      makes the fraction map a whitelist).
+
+    The membership itself stays deterministic-twinned by
+    ``hash_stratified_sample`` below."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    s1 = d.sampleBy("lang", STRATA_FRACTIONS, seed=42)
+    s2 = d.sampleBy("lang", STRATA_FRACTIONS, seed=42)
+    langs = sorted(STRATA_FRACTIONS)
+    pop = {
+        r["lang"]: r["n"]
+        for r in d.where(F.col("lang").isin(langs))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    samp = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    subset_ok = s1.join(d, ["doc_id", "lang"], "left_anti").count() == 0
+    no_dup = s1.count() == s1.select("doc_id").distinct().count()
+    deterministic = (
+        s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    )
+    unlisted_zero = s1.where(~F.col("lang").isin(langs)).count() == 0
+    rows = []
+    for lang in langs:
+        n_pop, n_s = pop.get(lang, 0), samp.get(lang, 0)
+        f = STRATA_FRACTIONS[lang]
+        bound = 4.0 * math.sqrt(n_pop * f * (1 - f))
+        rows.append(
+            (
+                lang,
+                int(n_pop),
+                subset_ok,
+                abs(n_s - f * n_pop) <= bound,
+                no_dup,
+                deterministic,
+                unlisted_zero,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "lang STRING, n_pop BIGINT, subset_ok BOOLEAN, "
+        "within_4sigma BOOLEAN, no_duplicates BOOLEAN, "
+        "seed_deterministic BOOLEAN, unlisted_zero BOOLEAN",
     )
 
 

@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_refresh",           # r9: the end-to-end refresh protocol
     "token_budget_select",      # r9: quality-first budgeted selection
     "kmeans_lloyd",             # r9: full-corpus Lloyd clustering
+    "stratified_sample",        # r9: upgraded rows-only -> guarantees row
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing
     "pretraining_pipeline",     # r9: same packing rewrite

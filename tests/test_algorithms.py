@@ -207,20 +207,34 @@ def test_asof_join_tie_and_carry_semantics(spark, tmp_path):
 
 def test_stratified_sample_rates(spark):
     """sampleBy holds per-stratum rates (±50% relative at small n) and
-    excludes unlisted strata entirely."""
+    excludes unlisted strata entirely; the registered query (now a
+    guarantees table, round 9) reports every contract boolean TRUE with
+    the true per-stratum populations."""
     from cours_datalake_dwh_td_kafka_spark.operators.analytics import (
         STRATA_FRACTIONS,
     )
 
-    qs = registry.queries()
     d = load_table(spark, SF_ORACLE, "documents")
     totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
-    got = qs["stratified_sample"](spark, SF_ORACLE)
-    counts = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s = d.sampleBy("lang", STRATA_FRACTIONS, seed=42)
+    counts = {r.lang: r.n for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert set(counts) <= set(STRATA_FRACTIONS)
     for lang, frac in STRATA_FRACTIONS.items():
         expect = totals[lang] * frac
         assert counts.get(lang, 0) == pytest.approx(expect, rel=0.5)
+
+    qs = registry.queries()
+    rows = qs["stratified_sample"](spark, SF_ORACLE).collect()
+    assert {r.lang for r in rows} == set(STRATA_FRACTIONS)
+    for r in rows:
+        assert r.n_pop == totals[r.lang]
+        assert (
+            r.subset_ok
+            and r.within_4sigma
+            and r.no_duplicates
+            and r.seed_deterministic
+            and r.unlisted_zero
+        )
 
 
 
