@@ -298,6 +298,47 @@ def stream_audio_dedup(
     )
 
 
+def stream_cell_occupancy(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming quantizer-occupancy monitor — the ingestion-time feed
+    of the batch drift diagnostics (`ann_index_drift`,
+    `compact_if_drifted`): as embedding vectors arrive, assign each to
+    its nearest centroid of the STATIC centroid table (the stateless
+    int64-exact kernel :func:`operators.clustering.with_cell_assign`,
+    shared verbatim with batch, so stream == batch assignment by
+    construction) and emit per-(window, cell) arrival counts. A cell
+    whose live occupancy share drifts away from its share at index-build
+    time is the earliest possible re-train signal — it fires while the
+    drifted vectors are still in flight, before any index append or
+    recall probe sees them. State is one count per (window, cell):
+    k-bounded per window, watermark-bounded across windows."""
+    from cours_datalake_dwh_td_kafka_spark.operators.clustering import (
+        with_cell_assign,
+    )
+
+    # watermark AFTER the stateless assignment (the event-time column
+    # passes straight through the kernel, and declaring it downstream
+    # avoids relying on watermark propagation through mapInPandas)
+    assigned = with_cell_assign(vecs, centroids).withWatermark(
+        event_time_col, watermark
+    )
+    return (
+        assigned.groupBy(F.window(event_time_col, window), "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "cell",
+            "n",
+        )
+    )
+
+
 def stream_contamination_alerts(
     docs: DataFrame,
     bench: DataFrame,

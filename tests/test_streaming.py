@@ -1536,3 +1536,62 @@ def test_stream_holt_matches_batch_fold(spark, stream_dir):
     assert round(final.level, 6) == want[paris_key][1]
     assert round(final.trend, 6) == want[paris_key][2]
     assert round(final.forecast_1, 6) == want[paris_key][3]
+
+
+def test_stream_cell_occupancy_matches_batch_counts(spark, tmp_path):
+    """The streaming quantizer-occupancy monitor must report exactly the
+    batch per-cell histogram for the same rows (the assignment kernel is
+    shared verbatim, the windowed count is the only streaming part), and
+    a vector burst that belongs to one cell must land in that cell."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.clustering import (
+        kmeans_lloyd,
+        with_cell_assign,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        stream_cell_occupancy,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, str(SF_SMOKE), "embeddings")
+    cent = kmeans_lloyd(e, rounds=1).select("cell", "pos", "c")
+    cent.localCheckpoint(eager=True)
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    vecs = e.select("vec_id", "embedding").withColumn(
+        "event_time", F.lit(t0).cast("timestamp")
+    )
+    indir = tmp_path / "vecs"
+    indir.mkdir()
+    scratch = tmp_path / "scratch"
+    vecs.coalesce(1).write.parquet(str(scratch))
+    next(scratch.glob("part-*.parquet")).rename(indir / "b0.parquet")
+
+    src = spark.readStream.schema(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, event_time TIMESTAMP"
+    ).parquet(str(indir))
+    out = stream_cell_occupancy(src, cent, window="10 minutes")
+    name = f"occ_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.cell): r.n
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r.cell: r.n
+        for r in with_cell_assign(vecs, cent)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) == e.count()
