@@ -120,22 +120,30 @@ def corpus_refresh(
     n_kept = v1.count()
 
     # incremental exact dedup of the batch against the LAKE's survivors
+    # (localCheckpoint: fresh feeds three consumers — the unique count,
+    # the leak scan, and the clean set — one anti-join, not three)
     fresh_ids = incremental_new_docs(v1, batch).select("doc_id")
-    fresh = batch.join(fresh_ids, "doc_id", "leftsemi")
+    fresh = batch.join(fresh_ids, "doc_id", "leftsemi").localCheckpoint(
+        eager=False
+    )
     n_batch = batch.count()
     n_new_unique = fresh.count()
 
     # decontamination gate: drop benchmark members AND 8-gram leakers
+    # (bench_sh is scanned by the gate AND the post-merge re-check)
     bench_sh = (
         _sh_hashes(d.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0))
         .select("sh")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     leakers = (
         _sh_hashes(fresh).join(bench_sh, "sh").select("doc_id").distinct()
     )
-    clean = fresh.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0).join(
-        leakers, "doc_id", "left_anti"
+    clean = (
+        fresh.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(leakers, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
     )
     n_inserted = clean.count()
 
@@ -169,10 +177,17 @@ def corpus_refresh(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    full = ivf_query_index(spark, idx, q, nprobe=N_CELLS).select(
-        "query_id", "neighbor_id"
+    # both sides feed two actions (count + exceptAll): pin each once
+    full = (
+        ivf_query_index(spark, idx, q, nprobe=N_CELLS)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
-    truth = ann_topk_bruteforce(e).select("query_id", "neighbor_id")
+    truth = (
+        ann_topk_bruteforce(e)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     serves_union = (
         full.count() == truth.count()
         and full.exceptAll(truth).count() == 0
