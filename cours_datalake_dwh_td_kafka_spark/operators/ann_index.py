@@ -1366,7 +1366,10 @@ def ann_index_append_lifecycle(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    served_new = ivf_query_index(spark, path, q, nprobe=append_nprobe)
+    # served_new feeds the odd-count AND the recall check: pin it
+    served_new = ivf_query_index(
+        spark, path, q, nprobe=append_nprobe
+    ).localCheckpoint(eager=False)
     served_old = ivf_query_index(
         spark, path, q, nprobe=append_nprobe, version=old_version
     )
@@ -1468,9 +1471,10 @@ def ann_ivfpq_append_lifecycle(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
+    # served_new feeds the odd-count AND the recall check: pin it
     served_new = ivfpq_query_index(
         spark, path, q, e, nprobe=append_nprobe, rerank=append_rerank
-    )
+    ).localCheckpoint(eager=False)
     served_old = ivfpq_query_index(
         spark,
         path,
@@ -1596,9 +1600,18 @@ def ann_index_compact_lifecycle(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    truth = ann_topk_bruteforce(e).select("query_id", "neighbor_id")
-    full = ivf_query_index(spark, path, q, nprobe=N_CELLS).select(
-        "query_id", "neighbor_id"
+    # truth feeds four actions (two counts, exceptAll, two recall_hits
+    # semi-joins) and full two — pin each so the BLAS brute force and
+    # the full-probe scan run once, not per action
+    truth = (
+        ann_topk_bruteforce(e)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    full = (
+        ivf_query_index(spark, path, q, nprobe=N_CELLS)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     full_exact = (
         full.count() == truth.count()
