@@ -98,12 +98,15 @@ def _commit_manifest(
     files: list[str],
     op: str,
     schema: dict | None = None,
+    stats: dict | None = None,
 ) -> int:
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     manifest = {"version": version, "op": op, "files": files}
     if schema is not None:
         manifest["schema"] = schema
+    if stats is not None:
+        manifest["stats"] = stats
     target = os.path.join(mdir, f"v{version}.json")
     # Two-step publish so readers NEVER see a partial manifest: the body
     # is fully written (and fsynced) to a private temp name first, then
@@ -184,10 +187,16 @@ def lake_commit(df: DataFrame, path: str, mode: str = "append") -> int:
             )
         schema = _merged_append_schema(prev_schema, df)
         files = prev_m["files"] + _write_data_files(df, path)
+        # kept files keep their clustering stats (the new files have
+        # none and are conservatively scanned by pruned reads); without
+        # this carry-forward one append would silently de-index the
+        # whole clustered layout
+        stats = prev_m.get("stats")
     else:
         schema = _schema_dict(df)
         files = _write_data_files(df, path)
-    return _commit_manifest(path, prev + 1, files, mode, schema)
+        stats = None
+    return _commit_manifest(path, prev + 1, files, mode, schema, stats)
 
 
 def lake_read(
@@ -510,3 +519,111 @@ def lake_compact(
     return _commit_manifest(
         path, v + 1, keep + new_files, "compact", m.get("schema")
     )
+
+
+def lake_cluster_by(
+    spark: SparkSession, path: str, col: str, n_files: int = 8
+) -> int:
+    """Data-layout clustering — the OPTIMIZE/Z-ORDER rung of a
+    lakehouse, 1-D form: rewrite the CURRENT snapshot range-partitioned
+    and sorted by ``col`` into ``n_files`` files, record each file's
+    (min, max) of ``col`` in the manifest, and commit as a new version
+    (op ``cluster``). Because a range partitioner sends every distinct
+    key to exactly one partition, the recorded file ranges are PAIRWISE
+    DISJOINT by construction — which is what makes the stats usable for
+    pruning: :func:`lake_read_pruned` opens only files whose range
+    intersects the probe, so a point/range lookup reads O(matching
+    files) instead of every file. Scan cost at 100 TB is dominated by
+    how many files a predicate must open; clustering is the write-side
+    lever that turns the manifest into an index.
+
+    Same commit protocol as every lifecycle op: rows untouched, prior
+    versions still read (time travel), single-winner manifest publish —
+    a rival committer landing first fails THIS rewrite loudly.
+
+    The stats values are stored as plain JSON scalars; ``col`` must be
+    numeric or string (the JSON-total-orderable types)."""
+    v = current_version(path)
+    if v < 1:
+        raise ValueError(f"no committed version at {path}")
+    cur = lake_read(spark, path, v)
+    if col not in cur.columns:
+        raise ValueError(f"cluster column {col!r} not in table")
+    from pyspark.sql import functions as F
+
+    clustered = cur.repartitionByRange(n_files, col).sortWithinPartitions(
+        col
+    )
+    new_files = _write_data_files(clustered, path)
+    # one job: per-file min/max over exactly the files just written
+    stat_rows = (
+        spark.read.parquet(*(os.path.join(path, f) for f in new_files))
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .collect()
+    )
+    by_base = {
+        os.path.basename(r._f.replace("file:", "")): (r.lo, r.hi)
+        for r in stat_rows
+    }
+    stats = {
+        f: {"col": col, "min": by_base[os.path.basename(f)][0],
+            "max": by_base[os.path.basename(f)][1]}
+        for f in new_files
+        if os.path.basename(f) in by_base
+    }
+    m = _read_manifest(path, v)
+    return _commit_manifest(
+        path, v + 1, new_files, "cluster", m.get("schema"), stats
+    )
+
+
+def pruned_files(
+    path: str, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """(files whose recorded [min, max] of ``col`` intersects [lo, hi],
+    total file count) for ``version`` (default current). Files with no
+    recorded stats for ``col`` — pre-cluster versions, or files written
+    by later appends — are conservatively KEPT (a pruner may only skip
+    what the stats PROVE empty; missing stats prove nothing)."""
+    v = current_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    out = []
+    for f in m["files"]:
+        s = stats.get(f)
+        if s is None or s.get("col") != col or s["min"] is None:
+            out.append(f)  # no usable stats: must scan
+        elif not (s["max"] < lo or s["min"] > hi):
+            out.append(f)
+    return out, len(m["files"])
+
+
+def lake_read_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned range read: open only the files
+    :func:`pruned_files` keeps, then apply the row-level predicate
+    (file pruning is a superset filter, never a substitute — exactly
+    parquet's row-group pruning contract one level up). Equal to
+    ``lake_read(...).where(col BETWEEN lo AND hi)`` on any version, by
+    construction; cheaper by the pruned file count on clustered ones."""
+    from pyspark.sql import functions as F
+
+    files, _ = pruned_files(path, col, lo, hi, version)
+    if not files:
+        return lake_read(spark, path, version).where(F.lit(False))
+    v = current_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    reader = spark.read
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    df = reader.parquet(*(os.path.join(path, f) for f in files))
+    return df.where(F.col(col).between(lo, hi))

@@ -163,3 +163,122 @@ def q_lake_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the result is a driver-local literal row — the lake files are
         # not needed to collect it later
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# data-layout clustering: the OPTIMIZE/Z-ORDER rung as an attested row
+# ---------------------------------------------------------------------------
+CLUSTER_FILES = 8
+PRUNE_LO, PRUNE_HI = 10, 30
+
+_CLUSTER_SQL = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_rows,
+           TRUE AS rows_identical,
+           TRUE AS ranges_disjoint,
+           TRUE AS pruning_effective,
+           TRUE AS pruned_equals_full,
+           TRUE AS time_travel_ok
+    FROM orders
+"""
+
+
+def lake_cluster_protocol(
+    spark: SparkSession, o: DataFrame, path: str
+) -> DataFrame:
+    """Commit the orders table hash-distributed (v1: every file spans
+    the whole o_custkey range — the layout a probe must fully scan),
+    then :func:`lake.lake_cluster_by` it on o_custkey (v2) and measure
+    the layout contract:
+
+    - ``rows_identical``: clustering is a physical rewrite — count and
+      exact key checksum unchanged (both independently recomputed by
+      the oracle from the raw table);
+    - ``ranges_disjoint``: the manifest's per-file [min, max] of the
+      cluster key never overlap — the range partitioner sends each key
+      to one file, which is what makes stats pruning sound;
+    - ``pruning_effective``: the range probe opens every file on v1
+      (no stats) but a strict minority on v2 — the manifest became an
+      index;
+    - ``pruned_equals_full``: the stats-pruned read returns EXACTLY the
+      full-scan filter's rows (file pruning is a superset filter, never
+      a substitute — the row count is oracle-recomputed);
+    - ``time_travel_ok``: v1 still reads the pre-cluster layout."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_cluster_by,
+        lake_read_pruned,
+        pruned_files,
+    )
+
+    lake_commit(o.repartition(CLUSTER_FILES), path)  # v1: hash layout
+    v1 = lake_read(spark, path, 1)
+    n_rows = v1.count()
+    key_sum = v1.agg(F.sum("o_orderkey").cast("long").alias("s")).first().s
+    hit_v1, total_v1 = pruned_files(
+        path, "o_custkey", PRUNE_LO, PRUNE_HI, version=1
+    )
+    lake_cluster_by(spark, path, "o_custkey", n_files=CLUSTER_FILES)  # v2
+    v2 = lake_read(spark, path, 2)
+    rows_identical = (
+        v2.count() == n_rows
+        and v2.agg(F.sum("o_orderkey").cast("long").alias("s")).first().s
+        == key_sum
+    )
+    from cours_datalake_dwh_td_kafka_spark.lake import _read_manifest
+
+    stats = _read_manifest(path, 2)["stats"]
+    ranges = sorted(
+        (s["min"], s["max"]) for s in stats.values() if s["min"] is not None
+    )
+    ranges_disjoint = all(
+        ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1)
+    ) and all(lo <= hi for lo, hi in ranges)
+    hit_v2, total_v2 = pruned_files(
+        path, "o_custkey", PRUNE_LO, PRUNE_HI, version=2
+    )
+    pruning_effective = (
+        len(hit_v1) == total_v1  # no stats: v1 must scan everything
+        and len(hit_v2) < len(hit_v1)
+        and len(hit_v2) < total_v2
+    )
+    pruned = lake_read_pruned(spark, path, "o_custkey", PRUNE_LO, PRUNE_HI)
+    n_probe = v2.where(
+        F.col("o_custkey").between(PRUNE_LO, PRUNE_HI)
+    ).count()
+    pruned_equals_full = pruned.count() == n_probe
+    time_travel_ok = lake_read(spark, path, 1).count() == n_rows
+    return spark.createDataFrame(
+        [
+            (
+                int(n_rows),
+                int(key_sum),
+                int(n_probe),
+                bool(rows_identical),
+                bool(ranges_disjoint),
+                bool(pruning_effective),
+                bool(pruned_equals_full),
+                bool(time_travel_ok),
+            )
+        ],
+        "n_rows BIGINT, key_sum BIGINT, n_probe_rows BIGINT, "
+        "rows_identical BOOLEAN, ranges_disjoint BOOLEAN, "
+        "pruning_effective BOOLEAN, pruned_equals_full BOOLEAN, "
+        "time_travel_ok BOOLEAN",
+    )
+
+
+@register("lake_cluster", _CLUSTER_SQL)
+def q_lake_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="graft_lake_cluster_")
+    try:
+        return lake_cluster_protocol(spark, o, os.path.join(tmp, "t"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

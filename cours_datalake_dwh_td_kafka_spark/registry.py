@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_budget_select",      # r9: quality-first budgeted selection
     "kmeans_lloyd",             # r9: full-corpus Lloyd clustering
     "stratified_sample",        # r9: upgraded rows-only -> guarantees row
+    "lake_cluster",             # r9: layout clustering + stats pruning
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing
     "pretraining_pipeline",     # r9: same packing rewrite

@@ -997,3 +997,73 @@ def test_lake_merge_upsert_replaces_and_inserts(spark, tmp_path):
     assert v3 == {
         1: ("a", None), 2: ("B2", None), 3: ("C3", 0.7), 9: ("Z", None),
     }
+
+
+def test_lake_cluster_by_stats_pruning_and_append_conservatism(
+    spark, tmp_path
+):
+    """Clustering records disjoint per-file key ranges; the pruned read
+    equals the full filter on every version (pre-cluster versions scan
+    everything — missing stats prove nothing); an append AFTER
+    clustering adds stats-less files that the pruner must keep; and an
+    empty probe range prunes every clustered file but still returns a
+    readable empty frame."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        lake_cluster_by,
+        lake_read_pruned,
+        pruned_files,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(i, i % 97, f"p{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "k LONG, key LONG, payload STRING")
+    lake_commit(df.repartition(6), path)  # v1: hash layout, no stats
+    hit1, tot1 = pruned_files(path, "key", 10, 20, version=1)
+    assert len(hit1) == tot1  # conservative: no stats -> scan all
+
+    lake_cluster_by(spark, path, "key", n_files=6)  # v2
+    stats = _read_manifest(path, 2)["stats"]
+    ranges = sorted((s["min"], s["max"]) for s in stats.values())
+    assert all(
+        ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1)
+    )
+    hit2, tot2 = pruned_files(path, "key", 10, 20, version=2)
+    assert len(hit2) < tot2
+    want = {
+        tuple(r)
+        for r in lake_read(spark, path, 2)
+        .where(F.col("key").between(10, 20))
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in lake_read_pruned(spark, path, "key", 10, 20, 2).collect()
+    }
+    assert got == want and want
+
+    # append after clustering: the new files have no stats and must be
+    # scanned; the pruned read still equals the full filter
+    extra = spark.createDataFrame(
+        [(1000, 15, "new")], "k LONG, key LONG, payload STRING"
+    )
+    lake_commit(extra, path)  # v3
+    got3 = {
+        tuple(r)
+        for r in lake_read_pruned(spark, path, "key", 10, 20).collect()
+    }
+    assert (1000, 15, "new") in got3 and got3 == want | {(1000, 15, "new")}
+    # the append carried the clustered files' stats forward: the v3
+    # probe scans the stats-less new file plus only the matching
+    # clustered files, not the whole table
+    n_new = len(_read_manifest(path, 3)["files"]) - len(
+        _read_manifest(path, 2)["files"]
+    )
+    hit3, tot3 = pruned_files(path, "key", 10, 20, version=3)
+    assert len(hit3) == len(hit2) + n_new and tot3 == tot2 + n_new
+
+    # a probe outside every range: all clustered files pruned, frame
+    # still readable and empty on v2
+    assert lake_read_pruned(spark, path, "key", 500, 600, 2).count() == 0
