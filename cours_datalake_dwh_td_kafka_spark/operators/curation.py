@@ -1357,3 +1357,152 @@ def quality_filter_funnel(d: DataFrame) -> DataFrame:
 @register("quality_filter_funnel", _FUNNEL_SQL)
 def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter_funnel(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffling: reproducible per-epoch data order, attested by checksum
+# ---------------------------------------------------------------------------
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle(
+    d: DataFrame,
+    epochs: int = SHUFFLE_EPOCHS,
+    shards: int = SHUFFLE_SHARDS,
+) -> DataFrame:
+    """Per-epoch training-data reshuffle as pure content hashing — the
+    "every epoch sees the data in a different but REPRODUCIBLE order"
+    primitive (no RNG, no state file: shard(e, doc) =
+    hash32('ep:<e>:' || doc_id) % shards, so any worker anywhere can
+    recompute any epoch's layout from the doc_id alone, and adding an
+    epoch never perturbs an earlier one).
+
+    Output is bounded at epochs x shards rows, each attesting its
+    shard's exact composition:
+
+    - ``n_docs`` / ``n_tokens``: shard size in documents and tokens;
+    - ``member_checksum``: SUM of a second independent content hash
+      over the shard's members — two shards with different membership
+      collide with probability ~2^-32 per pair, so the driver hash of
+      this column pins the exact document-to-shard map without
+      emitting corpus-scale rows;
+    - ``balanced_ok``: |n_docs - N/shards| within 4 sigma of the
+      binomial spread (hash assignment is uniform, not quota-exact —
+      the honest bound, same as the samplers');
+    - ``reshuffled_ok``: at least one document landed in a DIFFERENT
+      shard than in epoch 0 (degenerate identical epochs would defeat
+      the point; measured, not assumed).
+
+    Scale shape: one explode of the tiny epoch spine against the
+    corpus (epochs x N rows, all map-side), one (epoch, shard) keyed
+    aggregate; no window, no join wider than the broadcast spine."""
+    import math
+
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _HASH32_SPARK,
+    )
+
+    spark = d.sparkSession
+    n = d.count()
+    sigma4 = 4.0 * math.sqrt(n * (1.0 / shards) * (1 - 1.0 / shards))
+    spine = spark.range(epochs).select(F.col("id").alias("epoch"))
+    toks = F.size(F.split(norm_text(F.col("text")), " ")).cast("long")
+    base = d.select(
+        "doc_id",
+        toks.alias("n_toks"),
+        _HASH32_SPARK(F.concat(F.lit("m:"), F.col("doc_id").cast("string")))
+        .alias("mh"),
+    )
+    keyed = base.crossJoin(F.broadcast(spine)).withColumn(
+        "shard",
+        _HASH32_SPARK(
+            F.concat(
+                F.lit("ep:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        % shards,
+    )
+    moved = (
+        keyed.where(F.col("epoch") == 0)
+        .select("doc_id", F.col("shard").alias("shard0"))
+        .join(keyed.where(F.col("epoch") != 0), "doc_id")
+        .where(F.col("shard") != F.col("shard0"))
+        .select("epoch")
+        .distinct()
+    )
+    moved_epochs = {r.epoch for r in moved.collect()}
+    return (
+        keyed.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("mh").alias("member_checksum"),
+        )
+        .select(
+            "epoch",
+            "shard",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("member_checksum").cast("long").alias("member_checksum"),
+            (F.abs(F.col("n_docs") - F.lit(n / shards)) <= F.lit(sigma4))
+            .alias("balanced_ok"),
+            F.when(
+                F.col("epoch") == 0, F.lit(True)
+            ).otherwise(
+                F.col("epoch").isin(list(moved_epochs) or [-1])
+            ).alias("reshuffled_ok"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import HASH32_SQL
+
+    norm = NORM_SQL.format(c="text")
+    mh = HASH32_SQL.format(c="'m:' || CAST(doc_id AS VARCHAR)")
+    sh = HASH32_SQL.format(
+        c="'ep:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH spine AS (
+      SELECT CAST(range AS BIGINT) AS epoch
+      FROM range({SHUFFLE_EPOCHS})
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM documents),
+    keyed AS (
+      SELECT e.epoch, doc_id,
+             len(string_split({norm}, ' ')) AS n_toks,
+             {mh} AS mh,
+             ({sh}) % {SHUFFLE_SHARDS} AS shard
+      FROM documents CROSS JOIN spine e
+    ),
+    moved AS (
+      SELECT DISTINCT k.epoch
+      FROM keyed k
+      JOIN (SELECT doc_id, shard AS shard0 FROM keyed WHERE epoch = 0)
+        USING (doc_id)
+      WHERE k.epoch != 0 AND k.shard != shard0
+    )
+    SELECT epoch, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(mh) AS BIGINT) AS member_checksum,
+           ABS(COUNT(*) - n.n_total / {SHUFFLE_SHARDS})
+             <= 4.0 * sqrt(n.n_total * (1.0 / {SHUFFLE_SHARDS})
+                           * (1 - 1.0 / {SHUFFLE_SHARDS})) AS balanced_ok,
+           (epoch = 0 OR epoch IN (SELECT epoch FROM moved))
+             AS reshuffled_ok
+    FROM keyed CROSS JOIN n
+    GROUP BY epoch, shard, n.n_total
+    ORDER BY epoch, shard
+    """
+
+
+@register("epoch_shuffle", _epoch_shuffle_sql())
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_shuffle(load_table(spark, sf_dir, "documents"))

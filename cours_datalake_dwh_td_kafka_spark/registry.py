@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "kmeans_lloyd",             # r9: full-corpus Lloyd clustering
     "stratified_sample",        # r9: upgraded rows-only -> guarantees row
     "lake_cluster",             # r9: layout clustering + stats pruning
+    "epoch_shuffle",            # r9: reproducible per-epoch reshuffle
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing
     "pretraining_pipeline",     # r9: same packing rewrite
