@@ -522,59 +522,171 @@ def lake_compact(
 
 
 def lake_cluster_by(
-    spark: SparkSession, path: str, col: str, n_files: int = 8
+    spark: SparkSession, path: str, cols, n_files: int = 8,
+    stats_cols=(),
 ) -> int:
     """Data-layout clustering — the OPTIMIZE/Z-ORDER rung of a
-    lakehouse, 1-D form: rewrite the CURRENT snapshot range-partitioned
-    and sorted by ``col`` into ``n_files`` files, record each file's
-    (min, max) of ``col`` in the manifest, and commit as a new version
-    (op ``cluster``). Because a range partitioner sends every distinct
-    key to exactly one partition, the recorded file ranges are PAIRWISE
-    DISJOINT by construction — which is what makes the stats usable for
-    pruning: :func:`lake_read_pruned` opens only files whose range
-    intersects the probe, so a point/range lookup reads O(matching
-    files) instead of every file. Scan cost at 100 TB is dominated by
-    how many files a predicate must open; clustering is the write-side
-    lever that turns the manifest into an index.
+    lakehouse: rewrite the CURRENT snapshot into ``n_files`` files laid
+    out by ``cols`` (a column name or a list), record each file's
+    (min, max) of EVERY cluster column in the manifest, and commit as a
+    new version (op ``cluster``). :func:`lake_read_pruned` then opens
+    only files whose recorded range intersects a probe, so a lookup
+    reads O(matching files) instead of every file — scan cost at
+    100 TB is dominated by how many files a predicate must open, and
+    clustering is the write-side lever that turns the manifest into an
+    index.
+
+    One column: range-partition + sort — file ranges are pairwise
+    DISJOINT (a range partitioner sends each key to one partition), so
+    a selective probe hits ~1 file.
+
+    Two or more columns: Z-ORDER — each column is rank-bucketed into
+    2^Z_BITS quantile cells (exact ``percentile`` boundaries, one
+    aggregate + a literal when-chain), the per-column cell indices are
+    bit-INTERLEAVED into the Morton code, and the rewrite
+    range-partitions on that code. Locality in the Morton code implies
+    locality in EVERY dimension, so each file covers a narrow range of
+    ALL cluster columns at once — the multi-dimensional pruning a
+    lexicographic sort cannot give (its second column spans the full
+    range inside every leading-column run; measured head-to-head in
+    the ``lake_zorder`` attested row).
 
     Same commit protocol as every lifecycle op: rows untouched, prior
     versions still read (time travel), single-winner manifest publish —
     a rival committer landing first fails THIS rewrite loudly.
 
-    The stats values are stored as plain JSON scalars; ``col`` must be
-    numeric or string (the JSON-total-orderable types)."""
+    Stats are stored as plain JSON scalars; cluster columns must be
+    numeric, date, or string (JSON-total-orderable). Date/timestamp
+    mins/maxes are stored as ISO strings and compared as such (ISO
+    order == time order)."""
+    if isinstance(cols, str):
+        cols = [cols]
+    # stats may be recorded for MORE columns than the layout keys (a
+    # 1-D layout with a second column's stats shows honestly that the
+    # stats exist but cannot prune — each file spans that column's full
+    # range; the lake_zorder row measures exactly this)
+    stat_cols = list(cols) + [c for c in stats_cols if c not in cols]
     v = current_version(path)
     if v < 1:
         raise ValueError(f"no committed version at {path}")
     cur = lake_read(spark, path, v)
-    if col not in cur.columns:
-        raise ValueError(f"cluster column {col!r} not in table")
+    for c in cols:
+        if c not in cur.columns:
+            raise ValueError(f"cluster column {c!r} not in table")
     from pyspark.sql import functions as F
 
-    clustered = cur.repartitionByRange(n_files, col).sortWithinPartitions(
-        col
-    )
+    if len(cols) == 1:
+        clustered = cur.repartitionByRange(
+            n_files, cols[0]
+        ).sortWithinPartitions(cols[0])
+    else:
+        z = _morton_code(spark, cur, cols)
+        clustered = (
+            cur.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
     new_files = _write_data_files(clustered, path)
-    # one job: per-file min/max over exactly the files just written
+    # one job: per-file min/max of every cluster column over exactly
+    # the files just written
+    aggs = []
+    for i, c in enumerate(stat_cols):
+        aggs += [F.min(c).alias(f"lo{i}"), F.max(c).alias(f"hi{i}")]
     stat_rows = (
         spark.read.parquet(*(os.path.join(path, f) for f in new_files))
         .groupBy(F.input_file_name().alias("_f"))
-        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .agg(*aggs)
         .collect()
     )
-    by_base = {
-        os.path.basename(r._f.replace("file:", "")): (r.lo, r.hi)
-        for r in stat_rows
-    }
-    stats = {
-        f: {"col": col, "min": by_base[os.path.basename(f)][0],
-            "max": by_base[os.path.basename(f)][1]}
-        for f in new_files
-        if os.path.basename(f) in by_base
-    }
+    by_base = {os.path.basename(r._f.replace("file:", "")): r for r in stat_rows}
+    stats = {}
+    for f in new_files:
+        r = by_base.get(os.path.basename(f))
+        if r is None:
+            continue
+        stats[f] = {
+            "cols": {
+                c: [_stat_scalar(r[f"lo{i}"]), _stat_scalar(r[f"hi{i}"])]
+                for i, c in enumerate(stat_cols)
+            }
+        }
     m = _read_manifest(path, v)
     return _commit_manifest(
         path, v + 1, new_files, "cluster", m.get("schema"), stats
+    )
+
+
+Z_BITS = 4  # 16 quantile cells per dimension
+
+
+def _stat_scalar(v):
+    """JSON-serializable stat value; dates/timestamps as ISO strings
+    (ISO lexicographic order == time order, so pruning comparisons on
+    the strings are sound)."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _morton_code(spark: SparkSession, df: DataFrame, cols):
+    """Column expression for the Morton (Z-order) code of ``cols``:
+    each column maps to its quantile cell in [0, 2^Z_BITS) via exact
+    percentile boundaries (ONE aggregate, collected as 2^Z_BITS - 1
+    literals — bounded by construction), then the cell indices
+    bit-interleave. Cells come from RANKS, not raw values, so skewed
+    or differently-scaled columns get equal weight in the layout.
+    Supported column types: numeric, date, timestamp (time types rank
+    by epoch seconds)."""
+    from pyspark.sql import functions as F
+
+    n_cells = 1 << Z_BITS
+    qs = [i / n_cells for i in range(1, n_cells)]
+
+    def base(c):
+        if _is_numeric(df, c):
+            return F.col(c).cast("double")
+        t = dict(df.dtypes)[c]
+        if t in ("date", "timestamp", "timestamp_ntz"):
+            return F.unix_timestamp(F.col(c).cast("timestamp")).cast(
+                "double"
+            )
+        raise ValueError(
+            f"z-order column {c!r} has unsupported type {t!r} "
+            "(numeric/date/timestamp only)"
+        )
+
+    row = df.select(
+        *[
+            F.percentile(base(c), F.lit(qs)).alias(f"_q{i}")
+            for i, c in enumerate(cols)
+        ]
+    ).first()
+    bounds = {c: list(row[f"_q{i}"]) for i, c in enumerate(cols)}
+
+    def cell(c):
+        e = F.lit(0)
+        for b in bounds[c]:
+            e = e + F.when(base(c) > F.lit(float(b)), 1).otherwise(0)
+        return e.cast("long")
+
+    z = F.lit(0).cast("long")
+    for bit in range(Z_BITS):
+        for i, c in enumerate(cols):
+            z = z + F.shiftleft(
+                F.shiftright(cell(c), bit) % 2, bit * len(cols) + i
+            )
+    return z
+
+
+def _is_numeric(df: DataFrame, c: str) -> bool:
+    t = dict(df.dtypes)[c]
+    return any(
+        t.startswith(p)
+        for p in ("int", "bigint", "smallint", "tinyint", "double",
+                  "float", "decimal")
     )
 
 
@@ -583,18 +695,22 @@ def pruned_files(
 ) -> tuple[list[str], int]:
     """(files whose recorded [min, max] of ``col`` intersects [lo, hi],
     total file count) for ``version`` (default current). Files with no
-    recorded stats for ``col`` — pre-cluster versions, or files written
-    by later appends — are conservatively KEPT (a pruner may only skip
-    what the stats PROVE empty; missing stats prove nothing)."""
+    recorded stats for ``col`` — pre-cluster versions, files written by
+    later appends, columns outside the cluster set — are conservatively
+    KEPT (a pruner may only skip what the stats PROVE empty; missing
+    stats prove nothing). Date/timestamp stats are stored as ISO
+    strings: pass ``lo``/``hi`` as ISO strings (or date/datetime —
+    converted here) for time-typed columns."""
     v = current_version(path) if version is None else version
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
+    lo, hi = _stat_scalar(lo), _stat_scalar(hi)
     out = []
     for f in m["files"]:
-        s = stats.get(f)
-        if s is None or s.get("col") != col or s["min"] is None:
+        rng = (stats.get(f) or {}).get("cols", {}).get(col)
+        if rng is None or rng[0] is None:
             out.append(f)  # no usable stats: must scan
-        elif not (s["max"] < lo or s["min"] > hi):
+        elif not (rng[1] < lo or rng[0] > hi):
             out.append(f)
     return out, len(m["files"])
 

@@ -230,7 +230,9 @@ def lake_cluster_protocol(
 
     stats = _read_manifest(path, 2)["stats"]
     ranges = sorted(
-        (s["min"], s["max"]) for s in stats.values() if s["min"] is not None
+        tuple(s["cols"]["o_custkey"])
+        for s in stats.values()
+        if s["cols"]["o_custkey"][0] is not None
     )
     ranges_disjoint = all(
         ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1)
@@ -280,5 +282,144 @@ def q_lake_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="graft_lake_cluster_")
     try:
         return lake_cluster_protocol(spark, o, os.path.join(tmp, "t"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Z-order: multi-dimensional clustering, measured against the 1-D layout
+# ---------------------------------------------------------------------------
+DATE_LO, DATE_HI = "1995-01-01", "1995-03-31"
+
+_ZORDER_SQL = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_cust,
+           CAST(SUM(CASE WHEN o_orderdate BETWEEN DATE '{DATE_LO}'
+                         AND DATE '{DATE_HI}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_date,
+           TRUE AS cust_pruned_1d,
+           TRUE AS date_unpruned_1d,
+           TRUE AS cust_pruned_z,
+           TRUE AS date_pruned_z,
+           TRUE AS pruned_reads_exact
+    FROM orders
+"""
+
+
+def lake_zorder_protocol(
+    spark: SparkSession, o: DataFrame, path: str
+) -> DataFrame:
+    """The multi-dimensional-clustering head-to-head as one attested
+    row. v1 commits the hash layout; v2 clusters 1-D by o_custkey but
+    records o_orderdate stats TOO; v3 Z-ORDERS by (o_custkey,
+    o_orderdate) — quantile-cell Morton interleave (lake._morton_code).
+    Measured:
+
+    - ``cust_pruned_1d``: the custkey probe prunes on the 1-D layout
+      (the dimension it sorted by);
+    - ``date_unpruned_1d``: the DATE probe opens every v2 file even
+      though date stats exist — each 1-D file spans the full date
+      range; this is the second-dimension blindness of lexicographic
+      layouts, measured rather than asserted;
+    - ``cust_pruned_z`` / ``date_pruned_z``: the Z-ordered layout
+      prunes BOTH probes — locality in the Morton code is locality in
+      every interleaved dimension;
+    - ``pruned_reads_exact``: both pruned reads return exactly the
+      full-scan filter's rows (counts oracle-recomputed);
+    - row count and key checksum oracle-recomputed (the rewrite moved
+      bytes, never rows)."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_cluster_by,
+        lake_read_pruned,
+        pruned_files,
+    )
+
+    lake_commit(o.repartition(CLUSTER_FILES), path)  # v1: hash layout
+    v1 = lake_read(spark, path, 1)
+    n_rows = v1.count()
+    key_sum = v1.agg(F.sum("o_orderkey").cast("long").alias("s")).first().s
+    lake_cluster_by(  # v2: 1-D, with second-column stats recorded
+        spark,
+        path,
+        "o_custkey",
+        n_files=CLUSTER_FILES,
+        stats_cols=("o_orderdate",),
+    )
+    hit_cust_1d, tot_1d = pruned_files(
+        path, "o_custkey", PRUNE_LO, PRUNE_HI, version=2
+    )
+    hit_date_1d, _ = pruned_files(
+        path, "o_orderdate", DATE_LO, DATE_HI, version=2
+    )
+    lake_cluster_by(  # v3: Z-order on both dimensions
+        spark,
+        path,
+        ["o_custkey", "o_orderdate"],
+        n_files=CLUSTER_FILES,
+    )
+    hit_cust_z, tot_z = pruned_files(
+        path, "o_custkey", PRUNE_LO, PRUNE_HI, version=3
+    )
+    hit_date_z, _ = pruned_files(
+        path, "o_orderdate", DATE_LO, DATE_HI, version=3
+    )
+    v3 = lake_read(spark, path, 3)
+    n_probe_cust = v3.where(
+        F.col("o_custkey").between(PRUNE_LO, PRUNE_HI)
+    ).count()
+    n_probe_date = v3.where(
+        F.col("o_orderdate").between(DATE_LO, DATE_HI)
+    ).count()
+    reads_exact = (
+        lake_read_pruned(
+            spark, path, "o_custkey", PRUNE_LO, PRUNE_HI, 3
+        ).count()
+        == n_probe_cust
+        and lake_read_pruned(
+            spark, path, "o_orderdate", DATE_LO, DATE_HI, 3
+        ).count()
+        == n_probe_date
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_rows),
+                int(key_sum),
+                int(n_probe_cust),
+                int(n_probe_date),
+                len(hit_cust_1d) < tot_1d,
+                len(hit_date_1d) == tot_1d,
+                len(hit_cust_z) < tot_z,
+                len(hit_date_z) < tot_z,
+                bool(
+                    reads_exact
+                    and v3.count() == n_rows
+                    and v3.agg(
+                        F.sum("o_orderkey").cast("long").alias("s")
+                    ).first().s
+                    == key_sum
+                ),
+            )
+        ],
+        "n_rows BIGINT, key_sum BIGINT, n_probe_cust BIGINT, "
+        "n_probe_date BIGINT, cust_pruned_1d BOOLEAN, "
+        "date_unpruned_1d BOOLEAN, cust_pruned_z BOOLEAN, "
+        "date_pruned_z BOOLEAN, pruned_reads_exact BOOLEAN",
+    )
+
+
+@register("lake_zorder", _ZORDER_SQL)
+def q_lake_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="graft_lake_zorder_")
+    try:
+        return lake_zorder_protocol(spark, o, os.path.join(tmp, "t"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample",        # r9: upgraded rows-only -> guarantees row
     "lake_cluster",             # r9: layout clustering + stats pruning
     "epoch_shuffle",            # r9: reproducible per-epoch reshuffle
+    "lake_zorder",              # r9: 2-D Morton layout vs 1-D, measured
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing
     "pretraining_pipeline",     # r9: same packing rewrite

@@ -1026,7 +1026,7 @@ def test_lake_cluster_by_stats_pruning_and_append_conservatism(
 
     lake_cluster_by(spark, path, "key", n_files=6)  # v2
     stats = _read_manifest(path, 2)["stats"]
-    ranges = sorted((s["min"], s["max"]) for s in stats.values())
+    ranges = sorted(tuple(s["cols"]["key"]) for s in stats.values())
     assert all(
         ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1)
     )
@@ -1067,3 +1067,38 @@ def test_lake_cluster_by_stats_pruning_and_append_conservatism(
     # a probe outside every range: all clustered files pruned, frame
     # still readable and empty on v2
     assert lake_read_pruned(spark, path, "key", 500, 600, 2).count() == 0
+
+
+def test_lake_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order on a synthetic 2-D uniform grid: both dimensions' range
+    probes open a strict minority of files, pruned reads equal full
+    filters, and an unsupported column type is rejected loudly."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_cluster_by,
+        lake_read_pruned,
+        pruned_files,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(i, i % 64, (i * 37) % 64, f"p{i}") for i in range(2048)]
+    df = spark.createDataFrame(rows, "k LONG, x LONG, y LONG, s STRING")
+    lake_commit(df.repartition(8), path)
+    lake_cluster_by(spark, path, ["x", "y"], n_files=8)
+    for col in ("x", "y"):
+        hit, tot = pruned_files(path, col, 5, 12, version=2)
+        assert len(hit) < tot, f"{col}: {len(hit)}/{tot}"
+        want = {
+            tuple(r)
+            for r in lake_read(spark, path, 2)
+            .where(F.col(col).between(5, 12))
+            .collect()
+        }
+        got = {
+            tuple(r)
+            for r in lake_read_pruned(spark, path, col, 5, 12, 2).collect()
+        }
+        assert got == want and want
+    with pytest.raises(ValueError, match="unsupported type"):
+        lake_cluster_by(spark, path, ["x", "s"], n_files=4)
