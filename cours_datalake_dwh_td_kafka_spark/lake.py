@@ -516,8 +516,18 @@ def lake_compact(
         *(os.path.join(path, f) for f in small)
     ).coalesce(target_files)
     new_files = _write_data_files(rewritten, path)
+    # kept (un-compacted) files keep their clustering stats; the
+    # rewritten small files lose theirs (they merged)
+    kept_stats = {
+        f: s for f, s in (m.get("stats") or {}).items() if f in set(keep)
+    }
     return _commit_manifest(
-        path, v + 1, keep + new_files, "compact", m.get("schema")
+        path,
+        v + 1,
+        keep + new_files,
+        "compact",
+        m.get("schema"),
+        kept_stats or None,
     )
 
 
@@ -743,3 +753,56 @@ def lake_read_pruned(
         reader = reader.schema(StructType.fromJson(m["schema"]))
     df = reader.parquet(*(os.path.join(path, f) for f in files))
     return df.where(F.col(col).between(lo, hi))
+
+
+def lake_maintenance_plan(
+    path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    min_small_files: int = 4,
+    max_unclustered_fraction: float = 0.25,
+    keep_versions: int = 3,
+) -> dict:
+    """Dry-run maintenance advisor — the decision half of the lifecycle
+    ops, separated so an operator (or a scheduler) can READ what is due
+    without mutating anything (the `compact_if_needed` /
+    `compact_if_drifted` pattern from the ANN index, applied to the
+    lake):
+
+    - ``compact_due``: at least ``min_small_files`` current files are
+      under ``small_file_bytes`` (streaming commits fragment; scan cost
+      degrades with file count);
+    - ``recluster_due``: the table HAS clustering stats but more than
+      ``max_unclustered_fraction`` of its current files lack them —
+      appends since the last cluster have eroded the layout until most
+      probes degrade toward full scans;
+    - ``vacuum_due``: more than ``keep_versions`` versions survive, so
+      a vacuum would actually reclaim something;
+    - plus the raw counts each verdict was computed from, so the caller
+      can log WHY.
+
+    Pure manifest + os.stat reads; never commits. At DFS scale the
+    file-size walk moves to the FileSystem API (the module's documented
+    porting boundary)."""
+    v = current_version(path)
+    if v < 1:
+        raise ValueError(f"no committed version at {path}")
+    m = _read_manifest(path, v)
+    files = m["files"]
+    sizes = [os.path.getsize(os.path.join(path, f)) for f in files]
+    n_small = sum(1 for s in sizes if s < small_file_bytes)
+    stats = m.get("stats") or {}
+    n_unclustered = sum(1 for f in files if f not in stats)
+    versions = _existing_versions(path)
+    return {
+        "version": v,
+        "n_files": len(files),
+        "n_small_files": n_small,
+        "compact_due": n_small >= min_small_files,
+        "has_clustering": bool(stats),
+        "n_unclustered_files": n_unclustered,
+        "recluster_due": bool(stats)
+        and len(files) > 0
+        and n_unclustered / len(files) > max_unclustered_fraction,
+        "n_versions": len(versions),
+        "vacuum_due": len(versions) > keep_versions,
+    }

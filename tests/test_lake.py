@@ -1102,3 +1102,37 @@ def test_lake_zorder_prunes_both_dimensions(spark, tmp_path):
         assert got == want and want
     with pytest.raises(ValueError, match="unsupported type"):
         lake_cluster_by(spark, path, ["x", "s"], n_files=4)
+
+
+def test_lake_maintenance_plan_verdicts(spark, tmp_path):
+    """The advisor flags exactly the due ops: fragmented commits ->
+    compact_due; appends eroding a clustered layout -> recluster_due;
+    version pileup -> vacuum_due; and a freshly clustered single-commit
+    table is flagged for nothing."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_cluster_by,
+        lake_maintenance_plan,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(i, i % 11, f"p{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "k LONG, key LONG, payload STRING")
+    lake_commit(df.repartition(6), path)  # v1: 6 tiny files
+    p = lake_maintenance_plan(path, keep_versions=3)
+    assert p["compact_due"] and not p["recluster_due"] and not p["vacuum_due"]
+
+    lake_cluster_by(spark, path, "key", n_files=2)  # v2: clustered
+    p = lake_maintenance_plan(path, min_small_files=3, keep_versions=3)
+    assert not p["recluster_due"] and p["has_clustering"]
+
+    # erode the layout: append stats-less files until > 25% unclustered
+    for i in range(3):
+        lake_commit(
+            spark.createDataFrame(
+                [(1000 + i, 5, "new")], "k LONG, key LONG, payload STRING"
+            ).coalesce(1),
+            path,
+        )
+    p = lake_maintenance_plan(path, keep_versions=3)
+    assert p["recluster_due"] and p["n_unclustered_files"] >= 3
+    assert p["vacuum_due"]  # 5 versions survive > keep_versions=3
