@@ -76,10 +76,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "surrogate_keys",           # r9: dense_ids partition_cols support
     "heaps_law_fit",            # r9: prefix_sums partition_cols support
     # -- the round-4 tier: every remaining stamp whose latest row is r4
-    #    (after this window no oracled stamp predates r5; the ~2-name
-    #    spill past the 50-row cap leads the r10 rotation; pytest
-    #    oracle-parity covers ALL oracled queries on current code each
-    #    round regardless of the cap) -----------------------------------
+    #    (the ~9-name spill past the 50-row cap — the alphabetic tail of
+    #    this tier — leads the r10 rotation; pytest oracle-parity covers
+    #    ALL oracled queries on current code each round regardless of
+    #    the cap) --------------------------------------------------------
     "dedup_edit_distance",
     "dedup_minhash_lsh",
     "dedup_semantic",
