@@ -565,10 +565,12 @@ def lake_cluster_by(
     versions still read (time travel), single-winner manifest publish —
     a rival committer landing first fails THIS rewrite loudly.
 
-    Stats are stored as plain JSON scalars; cluster columns must be
-    numeric, date, or string (JSON-total-orderable). Date/timestamp
-    mins/maxes are stored as ISO strings and compared as such (ISO
-    order == time order)."""
+    Stats are stored as plain JSON scalars. A single-column layout
+    accepts numeric, date/timestamp, or string keys; the Z-order path
+    accepts numeric and date/timestamp only (strings have no natural
+    quantile-cell rank here — :func:`_morton_code` rejects them
+    loudly). Date/timestamp mins/maxes are stored as ISO strings and
+    compared as such (ISO order == time order)."""
     if isinstance(cols, str):
         cols = [cols]
     # stats may be recorded for MORE columns than the layout keys (a
@@ -617,7 +619,10 @@ def lake_cluster_by(
             continue
         stats[f] = {
             "cols": {
-                c: [_stat_scalar(r[f"lo{i}"]), _stat_scalar(r[f"hi{i}"])]
+                c: [
+                    _stat_scalar(r[f"lo{i}"], round_up=False),
+                    _stat_scalar(r[f"hi{i}"], round_up=True),
+                ]
                 for i, c in enumerate(stat_cols)
             }
         }
@@ -630,14 +635,27 @@ def lake_cluster_by(
 Z_BITS = 4  # 16 quantile cells per dimension
 
 
-def _stat_scalar(v):
+def _stat_scalar(v, round_up: bool | None = None):
     """JSON-serializable stat value; dates/timestamps as ISO strings
     (ISO lexicographic order == time order, so pruning comparisons on
-    the strings are sound)."""
+    the strings are sound). DECIMALs convert to float — json.dump
+    cannot serialize Decimal — and when the decimal is not exactly
+    float-representable the value is WIDENED one ulp in the direction
+    ``round_up`` says (down for a file min, up for a file max, and the
+    same outward widening for probe bounds): pruning stays sound —
+    stored ranges only ever grow, so a pruner can over-scan but never
+    wrongly skip a file."""
     import datetime
+    import decimal
+    import math
 
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if round_up is not None and decimal.Decimal(f) != v:
+            f = math.nextafter(f, math.inf if round_up else -math.inf)
+        return f
     return v
 
 
@@ -674,7 +692,15 @@ def _morton_code(spark: SparkSession, df: DataFrame, cols):
             for i, c in enumerate(cols)
         ]
     ).first()
-    bounds = {c: list(row[f"_q{i}"]) for i, c in enumerate(cols)}
+    bounds = {}
+    for i, c in enumerate(cols):
+        b = row[f"_q{i}"]
+        if b is None:
+            raise ValueError(
+                f"z-order column {c!r} is entirely NULL in the current "
+                "snapshot (no quantile boundaries exist)"
+            )
+        bounds[c] = list(b)
 
     def cell(c):
         e = F.lit(0)
@@ -714,7 +740,7 @@ def pruned_files(
     v = current_version(path) if version is None else version
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
-    lo, hi = _stat_scalar(lo), _stat_scalar(hi)
+    lo, hi = _stat_scalar(lo, round_up=False), _stat_scalar(hi, round_up=True)
     out = []
     for f in m["files"]:
         rng = (stats.get(f) or {}).get("cols", {}).get(col)
@@ -741,10 +767,14 @@ def lake_read_pruned(
     construction; cheaper by the pruned file count on clustered ones."""
     from pyspark.sql import functions as F
 
-    files, _ = pruned_files(path, col, lo, hi, version)
-    if not files:
-        return lake_read(spark, path, version).where(F.lit(False))
+    # resolve the version ONCE: re-resolving after pruned_files would
+    # let a rival commit land in between and mix version N's file list
+    # with version N+1's declared schema — the single-manifest snapshot
+    # invariant lake_read guarantees
     v = current_version(path) if version is None else version
+    files, _ = pruned_files(path, col, lo, hi, v)
+    if not files:
+        return lake_read(spark, path, v).where(F.lit(False))
     m = _read_manifest(path, v)
     reader = spark.read
     if "schema" in m:

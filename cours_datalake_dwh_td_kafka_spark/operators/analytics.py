@@ -306,6 +306,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for lang in langs:
         n_pop, n_s = pop.get(lang, 0), samp.get(lang, 0)
+        if n_pop == 0:
+            # mirror the oracle's GROUP BY: a declared stratum with no
+            # population produces no row on either engine
+            continue
         f = STRATA_FRACTIONS[lang]
         bound = 4.0 * math.sqrt(n_pop * f * (1 - f))
         rows.append(

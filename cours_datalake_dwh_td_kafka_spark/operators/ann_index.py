@@ -113,14 +113,28 @@ def _publish_current(
     the O_EXCL draft of this function). The lock file itself is
     created once and never removed. Losers get
     :class:`ConcurrentIndexMutation` (append_ivf_index re-chains and
-    retries when the quantizer is unchanged)."""
-    if expect_parent is None:
-        _replace_current(path, version_name)
-        return
+    retries when the quantizer is unchanged).
+
+    A REBUILD (``expect_parent=None``) takes the same lock before its
+    unconditional swap: a lock-free rebuild could land INSIDE an
+    appender's check-then-swap window and be silently overwritten by
+    the appender's chained version — the exact silent-loss class the
+    CAS exists to prevent, from the other direction. Under the shared
+    lock the interleave cannot happen: the rebuild lands either before
+    the appender's critical section (the CAS then fails loudly on the
+    moved CURRENT) or after it (the rebuild wins by its own
+    replace-everything semantics)."""
     import fcntl
 
     fd = os.open(os.path.join(path, "CURRENT.lock"), os.O_CREAT | os.O_RDWR)
     try:
+        if expect_parent is None:
+            # rebuilds have no parent expectation, so waiting out a
+            # rival's microseconds-long critical section is always
+            # safe — block instead of failing
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            _replace_current(path, version_name)
+            return
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:

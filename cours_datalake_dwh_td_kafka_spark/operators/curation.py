@@ -1414,23 +1414,28 @@ def epoch_shuffle(
         _HASH32_SPARK(F.concat(F.lit("m:"), F.col("doc_id").cast("string")))
         .alias("mh"),
     )
-    keyed = base.crossJoin(F.broadcast(spine)).withColumn(
-        "shard",
-        _HASH32_SPARK(
-            F.concat(
-                F.lit("ep:"),
-                F.col("epoch").cast("string"),
-                F.lit(":"),
-                F.col("doc_id").cast("string"),
+    def shard_expr(epoch_col):
+        return (
+            _HASH32_SPARK(
+                F.concat(
+                    F.lit("ep:"),
+                    epoch_col.cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
             )
+            % shards
         )
-        % shards,
+
+    keyed = base.crossJoin(F.broadcast(spine)).withColumn(
+        "shard", shard_expr(F.col("epoch"))
     )
+    # shard(0, doc) is a pure function of doc_id — recompute it per row
+    # instead of self-joining the epochs x N table against its epoch-0
+    # slice (an avoidable data-scale shuffle)
     moved = (
-        keyed.where(F.col("epoch") == 0)
-        .select("doc_id", F.col("shard").alias("shard0"))
-        .join(keyed.where(F.col("epoch") != 0), "doc_id")
-        .where(F.col("shard") != F.col("shard0"))
+        keyed.where(F.col("epoch") != 0)
+        .where(F.col("shard") != shard_expr(F.lit(0)))
         .select("epoch")
         .distinct()
     )

@@ -1136,3 +1136,74 @@ def test_lake_maintenance_plan_verdicts(spark, tmp_path):
     p = lake_maintenance_plan(path, keep_versions=3)
     assert p["recluster_due"] and p["n_unclustered_files"] >= 3
     assert p["vacuum_due"]  # 5 versions survive > keep_versions=3
+
+
+def test_lake_cluster_by_decimal_column(spark, tmp_path):
+    """DECIMAL cluster keys must survive the JSON manifest (stats
+    convert to floats, widened one ulp outward where inexact) and the
+    pruned read must still equal the full filter."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_cluster_by,
+        lake_read_pruned,
+        pruned_files,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(i, Decimal(i) / 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k LONG, price DECIMAL(12,2)")
+    lake_commit(df.repartition(4), path)
+    lake_cluster_by(spark, path, "price", n_files=4)  # crashed pre-fix
+    hit, tot = pruned_files(
+        path, "price", Decimal("1.00"), Decimal("2.00"), version=2
+    )
+    assert len(hit) < tot
+    got = lake_read_pruned(
+        spark, path, "price", Decimal("1.00"), Decimal("2.00"), 2
+    ).count()
+    want = (
+        lake_read(spark, path, 2)
+        .where(F.col("price").between(Decimal("1.00"), Decimal("2.00")))
+        .count()
+    )
+    assert got == want and want == 101
+
+
+def test_rebuild_publish_waits_for_cas_critical_section(tmp_path):
+    """A rebuild's unconditional swap takes the same flock as the CAS
+    publishers: while an appender holds the lock, the rebuild BLOCKS
+    (its swap cannot interleave inside a check-then-swap window and be
+    silently overwritten), then lands once the lock is released."""
+    import fcntl
+    import threading
+    import time
+
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        _publish_current,
+    )
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    with open(os.path.join(path, "CURRENT"), "w") as f:
+        f.write("v_parent")
+    holder = os.open(os.path.join(path, "CURRENT.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    done = threading.Event()
+
+    def rebuild():
+        _publish_current(path, "v_rebuild")  # expect_parent=None
+        done.set()
+
+    t = threading.Thread(target=rebuild, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    assert not done.is_set(), "rebuild must block while the lock is held"
+    with open(os.path.join(path, "CURRENT")) as f:
+        assert f.read().strip() == "v_parent"
+    os.close(holder)  # releases the flock
+    assert done.wait(10), "rebuild must land after the lock releases"
+    with open(os.path.join(path, "CURRENT")) as f:
+        assert f.read().strip() == "v_rebuild"

@@ -1557,8 +1557,11 @@ def test_stream_cell_occupancy_matches_batch_counts(spark, tmp_path):
     from tests.conftest import SF_SMOKE
 
     e = load_table(spark, str(SF_SMOKE), "embeddings")
-    cent = kmeans_lloyd(e, rounds=1).select("cell", "pos", "c")
-    cent.localCheckpoint(eager=True)
+    cent = (
+        kmeans_lloyd(e, rounds=1)
+        .select("cell", "pos", "c")
+        .localCheckpoint(eager=True)
+    )
 
     t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
     vecs = e.select("vec_id", "embedding").withColumn(
