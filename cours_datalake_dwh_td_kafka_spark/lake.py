@@ -99,6 +99,7 @@ def _commit_manifest(
     op: str,
     schema: dict | None = None,
     stats: dict | None = None,
+    bloom: dict | None = None,
 ) -> int:
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
@@ -107,6 +108,8 @@ def _commit_manifest(
         manifest["schema"] = schema
     if stats is not None:
         manifest["stats"] = stats
+    if bloom is not None:
+        manifest["bloom"] = bloom
     target = os.path.join(mdir, f"v{version}.json")
     # Two-step publish so readers NEVER see a partial manifest: the body
     # is fully written (and fsynced) to a private temp name first, then
@@ -187,16 +190,19 @@ def lake_commit(df: DataFrame, path: str, mode: str = "append") -> int:
             )
         schema = _merged_append_schema(prev_schema, df)
         files = prev_m["files"] + _write_data_files(df, path)
-        # kept files keep their clustering stats (the new files have
-        # none and are conservatively scanned by pruned reads); without
-        # this carry-forward one append would silently de-index the
-        # whole clustered layout
+        # kept files keep their clustering stats and Bloom bitmaps
+        # (the new files have none and are conservatively scanned by
+        # pruned reads); without this carry-forward one append would
+        # silently de-index the whole layout
         stats = prev_m.get("stats")
+        bloom = prev_m.get("bloom")
     else:
         schema = _schema_dict(df)
         files = _write_data_files(df, path)
-        stats = None
-    return _commit_manifest(path, prev + 1, files, mode, schema, stats)
+        stats = bloom = None
+    return _commit_manifest(
+        path, prev + 1, files, mode, schema, stats, bloom
+    )
 
 
 def lake_read(
@@ -518,8 +524,13 @@ def lake_compact(
     new_files = _write_data_files(rewritten, path)
     # kept (un-compacted) files keep their clustering stats; the
     # rewritten small files lose theirs (they merged)
+    kept = set(keep)
     kept_stats = {
-        f: s for f, s in (m.get("stats") or {}).items() if f in set(keep)
+        f: s for f, s in (m.get("stats") or {}).items() if f in kept
+    }
+    kept_bloom = {
+        c: {**b, "files": {f: e for f, e in b["files"].items() if f in kept}}
+        for c, b in (m.get("bloom") or {}).items()
     }
     return _commit_manifest(
         path,
@@ -528,6 +539,7 @@ def lake_compact(
         "compact",
         m.get("schema"),
         kept_stats or None,
+        kept_bloom or None,
     )
 
 
@@ -836,3 +848,180 @@ def lake_maintenance_plan(
         "n_versions": len(versions),
         "vacuum_due": len(versions) > keep_versions,
     }
+
+
+BLOOM_M_BITS = 16384
+BLOOM_K = 2
+
+
+def lake_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> int:
+    """Per-file Bloom filter index over ``col`` — the EQUALITY-probe
+    complement of the clustering min/max stats (a point lookup on a
+    column the layout is NOT sorted by gets nothing from ranges; a
+    Bloom filter skips every file that provably lacks the value, the
+    Delta/Iceberg bloom-index shape at the manifest layer instead of
+    the parquet page layer).
+
+    Build: one pass computes each row's ``k`` salted-hash bit
+    positions (md5-derived, engine-portable), one per-file aggregate
+    collects the DISTINCT positions set — bounded by ``m_bits``, never
+    by row count — and the driver packs each file's bitmap (m_bits/8
+    bytes, base64 in the manifest; 2 KiB per file at the default).
+    Commits a new version (op ``bloom``) with the same file set, stats
+    carried forward. NULLs are not indexed (an equality probe is never
+    NULL = NULL).
+
+    Guarantee: NO FALSE NEGATIVES — a file containing the value always
+    has all k bits set, so :func:`pruned_files_eq` may over-scan
+    (expected FPR ~ (n_distinct/m_bits)^k per file) but never wrongly
+    skips. Files without a bloom for ``col`` are conservatively kept."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    v = current_version(path)
+    if v < 1:
+        raise ValueError(f"no committed version at {path}")
+    m = _read_manifest(path, v)
+    cur = lake_read(spark, path, v)
+    if col not in cur.columns:
+        raise ValueError(f"bloom column {col!r} not in table")
+    pos_rows = (
+        cur.where(F.col(col).isNotNull())
+        .select(
+            F.input_file_name().alias("_f"),
+            F.array(
+                *[_bloom_pos(F.col(col), i, m_bits) for i in range(k)]
+            ).alias("_ps"),
+        )
+        .select("_f", F.explode("_ps").alias("_p"))
+        .groupBy("_f")
+        .agg(F.collect_set("_p").alias("_pos"))
+        .collect()
+    )
+    by_base = {
+        os.path.basename(r._f.replace("file:", "")): r._pos for r in pos_rows
+    }
+    blooms = {}
+    for f in m["files"]:
+        pos = by_base.get(os.path.basename(f))
+        if pos is None:
+            continue
+        bits = bytearray(m_bits // 8)
+        for p in pos:
+            bits[p // 8] |= 1 << (p % 8)
+        blooms[f] = base64.b64encode(bytes(bits)).decode("ascii")
+    bloom_section = dict(m.get("bloom") or {})
+    bloom_section[col] = {"m_bits": m_bits, "k": k, "files": blooms}
+    return _commit_manifest(
+        path,
+        v + 1,
+        m["files"],
+        "bloom",
+        m.get("schema"),
+        m.get("stats"),
+        bloom_section,
+    )
+
+
+def _bloom_pos(c, salt: int, m_bits: int):
+    """Engine-portable Bloom bit position: the hash32 recipe (md5 hex
+    prefix) over 'b<salt>:' || value, mod m_bits."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{salt}:"), c.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def pruned_files_eq(
+    path: str, col: str, value, version: int | None = None
+) -> tuple[list[str], int]:
+    """(files whose Bloom filter for ``col`` might contain ``value``,
+    total file count). Files without a bloom for ``col`` are
+    conservatively kept; no false negatives by construction."""
+    import base64
+    import hashlib
+
+    v = current_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    b = (m.get("bloom") or {}).get(col)
+    if b is None:
+        return list(m["files"]), len(m["files"])
+    m_bits, k = b["m_bits"], b["k"]
+    sval = _probe_string(value)
+    positions = [
+        int(hashlib.md5(f"b{i}:{sval}".encode()).hexdigest()[:8], 16)
+        % m_bits
+        for i in range(k)
+    ]
+    out = []
+    for f in m["files"]:
+        enc = b["files"].get(f)
+        if enc is None:
+            out.append(f)  # no bloom: must scan
+            continue
+        bits = base64.b64decode(enc)
+        if all(bits[p // 8] & (1 << (p % 8)) for p in positions):
+            out.append(f)
+    return out, len(m["files"])
+
+
+def _probe_string(value) -> str:
+    """The string Spark's CAST(value AS STRING) produces for the
+    supported probe types, so the driver-side md5 matches the
+    build-side F.md5 bit for bit (longs print without a sign-suffix,
+    floats are not supported probes — equality on floats is a smell)."""
+    import datetime
+    import decimal
+
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, str)):
+        return str(value)
+    if isinstance(value, decimal.Decimal):
+        return str(value)
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return value.isoformat(sep=" ") if isinstance(
+            value, datetime.datetime
+        ) else value.isoformat()
+    raise ValueError(
+        f"unsupported bloom probe type {type(value).__name__} "
+        "(int/str/bool/decimal/date/datetime)"
+    )
+
+
+def lake_read_point(
+    spark: SparkSession, path: str, col: str, value, version: int | None = None
+) -> DataFrame:
+    """Bloom-pruned point lookup: open only the files whose Bloom
+    filter might contain ``value``, then apply the row predicate.
+    Equal to ``lake_read(...).where(col = value)`` by the
+    no-false-negative guarantee; cheaper by the skipped files."""
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    files, _ = pruned_files_eq(path, col, value, v)
+    if not files:
+        return lake_read(spark, path, v).where(F.lit(False))
+    m = _read_manifest(path, v)
+    reader = spark.read
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    df = reader.parquet(*(os.path.join(path, f) for f in files))
+    return df.where(F.col(col) == F.lit(value))

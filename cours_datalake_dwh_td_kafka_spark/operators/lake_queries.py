@@ -423,3 +423,90 @@ def q_lake_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake_zorder_protocol(spark, o, os.path.join(tmp, "t"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom point-lookup index as an attested row
+# ---------------------------------------------------------------------------
+BLOOM_PROBES = (1, 1024, 32000)
+BLOOM_ABSENT = 10**15
+
+_BLOOM_SQL = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IN
+                         ({", ".join(str(p) for p in BLOOM_PROBES)})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS probe_hits,
+           CAST(0 AS BIGINT) AS absent_hits,
+           TRUE AS bloom_pruned,
+           TRUE AS lookups_exact
+    FROM orders
+"""
+
+
+def lake_bloom_protocol(
+    spark: SparkSession, o: DataFrame, path: str
+) -> DataFrame:
+    """The Bloom point-lookup index measured end-to-end: commit the
+    orders table hash-scattered (v1), bloom-index o_orderkey (v2), and
+    attest:
+
+    - ``probe_hits``: total rows returned by bloom-pruned point lookups
+      of the probe keys — oracle-recomputed from the raw table, so a
+      false NEGATIVE (a wrongly skipped file) breaks the value hash;
+    - ``absent_hits``: a key absent from the corpus returns zero rows;
+    - ``bloom_pruned``: at least one probe skipped at least one file
+      (the index does something) — and on a hash-scattered unique key
+      every present-probe opens strictly fewer files than the total;
+    - ``lookups_exact``: each pruned lookup's count equals the full
+      scan filter's count, key by key."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_bloom_index,
+        lake_read_point,
+        pruned_files_eq,
+    )
+
+    lake_commit(o.repartition(CLUSTER_FILES), path)  # v1
+    lake_bloom_index(spark, path, "o_orderkey")  # v2
+    n_rows = lake_read(spark, path).count()
+    probe_hits = 0
+    skipped = 0
+    exact = True
+    full = lake_read(spark, path)
+    for key in BLOOM_PROBES:
+        files, tot = pruned_files_eq(path, "o_orderkey", key)
+        skipped += tot - len(files)
+        got = lake_read_point(spark, path, "o_orderkey", key).count()
+        want = full.where(F.col("o_orderkey") == key).count()
+        exact = exact and got == want
+        probe_hits += got
+    absent_hits = lake_read_point(
+        spark, path, "o_orderkey", BLOOM_ABSENT
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_rows),
+                int(probe_hits),
+                int(absent_hits),
+                skipped > 0,
+                bool(exact),
+            )
+        ],
+        "n_rows BIGINT, probe_hits BIGINT, absent_hits BIGINT, "
+        "bloom_pruned BOOLEAN, lookups_exact BOOLEAN",
+    )
+
+
+@register("lake_bloom", _BLOOM_SQL)
+def q_lake_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="graft_lake_bloom_")
+    try:
+        return lake_bloom_protocol(spark, o, os.path.join(tmp, "t"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lake_cluster",             # r9: layout clustering + stats pruning
     "epoch_shuffle",            # r9: reproducible per-epoch reshuffle
     "lake_zorder",              # r9: 2-D Morton layout vs 1-D, measured
+    "lake_bloom",               # r9: bloom point-lookup file skipping
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing
     "pretraining_pipeline",     # r9: same packing rewrite

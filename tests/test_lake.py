@@ -1207,3 +1207,75 @@ def test_rebuild_publish_waits_for_cas_critical_section(tmp_path):
     assert done.wait(10), "rebuild must land after the lock releases"
     with open(os.path.join(path, "CURRENT")) as f:
         assert f.read().strip() == "v_rebuild"
+
+
+def test_lake_bloom_index_point_lookup(spark, tmp_path):
+    """The Bloom index never false-negatives (every present key's
+    lookup equals the full filter, checked for many keys), skips a
+    strict majority of files for point probes on a hash-scattered
+    column, conservatively scans files appended after the index, and
+    composes with clustering stats in one manifest."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_bloom_index,
+        lake_cluster_by,
+        lake_read_point,
+        pruned_files_eq,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(i, i % 97, f"u{(i * 13) % 50}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k LONG, key LONG, user STRING")
+    lake_commit(df.repartition(8), path)  # v1: 8 files, k scattered
+    lake_cluster_by(spark, path, "key", n_files=8)  # v2: range stats
+    lake_bloom_index(spark, path, "k")  # v3: bloom on the NON-sort col
+
+    pruned_hits = 0
+    for probe in (0, 123, 999, 1500, 1999):
+        files, tot = pruned_files_eq(path, "k", probe)
+        got = {
+            tuple(r) for r in lake_read_point(spark, path, "k", probe).collect()
+        }
+        want = {
+            tuple(r)
+            for r in lake_read(spark, path)
+            .where(F.col("k") == probe)
+            .collect()
+        }
+        assert got == want and len(want) == 1  # no false negative
+        pruned_hits += tot - len(files)
+    assert pruned_hits > 0, "bloom should skip files for some probe"
+
+    # absent key: usually zero files; the read is correct either way
+    assert lake_read_point(spark, path, "k", 10**9).count() == 0
+
+    # stats carried forward: the v2 range pruning still works on v3
+    from cours_datalake_dwh_td_kafka_spark.lake import pruned_files
+
+    hit, tot = pruned_files(path, "key", 10, 20, version=3)
+    assert len(hit) < tot
+
+    # string-column bloom: correct lookups even when every file holds
+    # every user (no pruning possible — the honest dense-column case)
+    lake_bloom_index(spark, path, "user")  # v4
+    got_u = lake_read_point(spark, path, "user", "u7").count()
+    assert got_u == lake_read(spark, path).where(F.col("user") == "u7").count()
+
+    # append conservatism + carry-forward, on the SPARSE k column: the
+    # new bloom-less file is scanned, old blooms still prune
+    from cours_datalake_dwh_td_kafka_spark.lake import _read_manifest
+
+    probe = 123
+    files_k4, tot4 = pruned_files_eq(path, "k", probe, version=4)
+    assert len(files_k4) < tot4  # k-bloom prunes pre-append
+    lake_commit(
+        spark.createDataFrame([(10**6, 5, "u7")], "k LONG, key LONG, user STRING"),
+        path,
+    )  # v5: bloom-less file
+    got5 = lake_read_point(spark, path, "user", "u7").count()
+    assert got5 == got_u + 1  # new file conservatively scanned
+    files_k5, tot5 = pruned_files_eq(path, "k", probe)
+    n_new = tot5 - tot4
+    assert len(files_k5) == len(files_k4) + n_new and len(files_k5) < tot5
+    assert lake_read_point(spark, path, "k", probe).count() == 1
