@@ -508,7 +508,8 @@ def lake_compact(
     ]
     if len(small) <= target_files:
         return v
-    keep = [f for f in files if f not in set(small)]
+    small_set = set(small)
+    keep = [f for f in files if f not in small_set]
     reader = spark.read
     if "schema" in m:
         # post-evolution tables mix file schemas: reading with the
@@ -763,6 +764,21 @@ def pruned_files(
     return out, len(m["files"])
 
 
+def _read_file_subset(
+    spark: SparkSession, path: str, m: dict, files: list[str]
+) -> DataFrame:
+    """Read exactly ``files`` of one already-resolved manifest ``m``
+    under its declared schema — the shared tail of every pruned read,
+    kept in ONE place so the resolve-the-version-once snapshot rule
+    cannot drift between copies."""
+    reader = spark.read
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    return reader.parquet(*(os.path.join(path, f) for f in files))
+
+
 def lake_read_pruned(
     spark: SparkSession,
     path: str,
@@ -788,13 +804,9 @@ def lake_read_pruned(
     if not files:
         return lake_read(spark, path, v).where(F.lit(False))
     m = _read_manifest(path, v)
-    reader = spark.read
-    if "schema" in m:
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(m["schema"]))
-    df = reader.parquet(*(os.path.join(path, f) for f in files))
-    return df.where(F.col(col).between(lo, hi))
+    return _read_file_subset(spark, path, m, files).where(
+        F.col(col).between(lo, hi)
+    )
 
 
 def lake_maintenance_plan(
@@ -885,6 +897,8 @@ def lake_bloom_index(
 
     from pyspark.sql import functions as F
 
+    if m_bits % 8 != 0 or m_bits < 8:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
     v = current_version(path)
     if v < 1:
         raise ValueError(f"no committed version at {path}")
@@ -892,12 +906,13 @@ def lake_bloom_index(
     cur = lake_read(spark, path, v)
     if col not in cur.columns:
         raise ValueError(f"bloom column {col!r} not in table")
+    canon = _bloom_canonical(F.col(col), dict(cur.dtypes)[col])
     pos_rows = (
         cur.where(F.col(col).isNotNull())
         .select(
             F.input_file_name().alias("_f"),
             F.array(
-                *[_bloom_pos(F.col(col), i, m_bits) for i in range(k)]
+                *[_bloom_pos(canon, i, m_bits) for i in range(k)]
             ).alias("_ps"),
         )
         .select("_f", F.explode("_ps").alias("_p"))
@@ -930,15 +945,34 @@ def lake_bloom_index(
     )
 
 
-def _bloom_pos(c, salt: int, m_bits: int):
+def _bloom_canonical(c, dtype: str):
+    """CANONICAL string rendering of a column for bloom hashing — the
+    build side of the no-false-negative contract. Decimal and timestamp
+    casts are scale/precision-dependent (DECIMAL(12,2) renders 1.5 as
+    "1.50"; a timestamp may or may not carry trailing fractional
+    zeros), so both trim trailing fractional zeros then a trailing dot;
+    :func:`_probe_string` applies the IDENTICAL normalization
+    driver-side, so the two md5 inputs agree for any probe scale.
+    Extra cross-value collisions this could introduce only add false
+    POSITIVES (more files scanned), never false negatives."""
+    from pyspark.sql import functions as F
+
+    s = c.cast("string")
+    if dtype.startswith("decimal") or dtype.startswith("timestamp"):
+        s = F.regexp_replace(s, r"(\.\d*?)0+$", "$1")
+        s = F.regexp_replace(s, r"\.$", "")
+    return s
+
+
+def _bloom_pos(canon, salt: int, m_bits: int):
     """Engine-portable Bloom bit position: the hash32 recipe (md5 hex
-    prefix) over 'b<salt>:' || value, mod m_bits."""
+    prefix) over 'b<salt>:' || canonical-string, mod m_bits."""
     from pyspark.sql import functions as F
 
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(f"b{salt}:"), c.cast("string"))), 1, 8
+                F.md5(F.concat(F.lit(f"b{salt}:"), canon)), 1, 8
             ),
             16,
             10,
@@ -981,23 +1015,36 @@ def pruned_files_eq(
 
 
 def _probe_string(value) -> str:
-    """The string Spark's CAST(value AS STRING) produces for the
-    supported probe types, so the driver-side md5 matches the
-    build-side F.md5 bit for bit (longs print without a sign-suffix,
-    floats are not supported probes — equality on floats is a smell)."""
+    """The CANONICAL string of a probe value — must equal
+    :func:`_bloom_canonical`'s rendering of any column value that
+    compares equal to the probe, whatever the column's declared scale:
+    decimals render at full plain precision then trim trailing
+    fractional zeros (so Decimal('1.5'), Decimal('1.50'), and an int 5
+    probing a DECIMAL(12,2) column all meet the build side's trimmed
+    "1.5"/"5"); datetimes render space-separated then trim the same
+    way (Spark's cast already trims, isoformat does not). Floats are
+    rejected — float equality probes are a smell."""
     import datetime
     import decimal
 
+    def trim(s: str) -> str:
+        import re
+
+        s = re.sub(r"(\.\d*?)0+$", r"\1", s)
+        return re.sub(r"\.$", "", s)
+
     if isinstance(value, bool):
         return "true" if value else "false"
-    if isinstance(value, (int, str)):
+    if isinstance(value, int):
         return str(value)
+    if isinstance(value, str):
+        return value
     if isinstance(value, decimal.Decimal):
-        return str(value)
-    if isinstance(value, (datetime.date, datetime.datetime)):
-        return value.isoformat(sep=" ") if isinstance(
-            value, datetime.datetime
-        ) else value.isoformat()
+        return trim(format(value, "f"))
+    if isinstance(value, datetime.datetime):
+        return trim(value.isoformat(sep=" "))
+    if isinstance(value, datetime.date):
+        return value.isoformat()
     raise ValueError(
         f"unsupported bloom probe type {type(value).__name__} "
         "(int/str/bool/decimal/date/datetime)"
@@ -1018,10 +1065,6 @@ def lake_read_point(
     if not files:
         return lake_read(spark, path, v).where(F.lit(False))
     m = _read_manifest(path, v)
-    reader = spark.read
-    if "schema" in m:
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(m["schema"]))
-    df = reader.parquet(*(os.path.join(path, f) for f in files))
-    return df.where(F.col(col) == F.lit(value))
+    return _read_file_subset(spark, path, m, files).where(
+        F.col(col) == F.lit(value)
+    )

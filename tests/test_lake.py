@@ -1279,3 +1279,50 @@ def test_lake_bloom_index_point_lookup(spark, tmp_path):
     n_new = tot5 - tot4
     assert len(files_k5) == len(files_k4) + n_new and len(files_k5) < tot5
     assert lake_read_point(spark, path, "k", probe).count() == 1
+
+
+def test_lake_bloom_canonicalization_no_false_negatives(spark, tmp_path):
+    """Probe-vs-column scale mismatches must never false-negative:
+    DECIMAL(12,2) probed at scale 1 (and by a plain int), and a
+    timestamp with trailing fractional zeros, all return their rows
+    through the bloom-pruned path; a non-multiple-of-8 m_bits is
+    rejected up front."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_bloom_index,
+        lake_read_point,
+    )
+
+    path = str(tmp_path / "t")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (
+            i,
+            Decimal(i) / 2,  # .0 / .5 values at scale 2
+            t0 + datetime.timedelta(milliseconds=500 * i),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "k LONG, price DECIMAL(12,2), ts TIMESTAMP"
+    )
+    lake_commit(df.repartition(6), path)
+    lake_bloom_index(spark, path, "price")
+    lake_bloom_index(spark, path, "ts")
+
+    # Decimal("1.5") == column's 1.50; int probe 5 == column's 5.00
+    assert lake_read_point(spark, path, "price", Decimal("1.5")).count() == 1
+    assert lake_read_point(spark, path, "price", Decimal("1.50")).count() == 1
+    assert lake_read_point(spark, path, "price", 5).count() == 1
+    # timestamp at .5 s: isoformat renders .500000, Spark renders .5
+    probe_ts = t0 + datetime.timedelta(milliseconds=500)
+    assert lake_read_point(spark, path, "ts", probe_ts).count() == 1
+    # fractionless timestamp
+    assert lake_read_point(spark, path, "ts", t0).count() == 1
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        lake_bloom_index(spark, path, "k", m_bits=1001)
