@@ -34,8 +34,10 @@ M-step row and can win no assignment in later rounds.
 Scale shape per round (n vectors, d dims, k cells):
 
 - M-step: one shuffle join of the O(n) assignment vector onto the
-  (n x d) exploded table keyed by vec_id, one (cell, pos) aggregate
-  whose map-side partials absorb the d-fold blowup — output k x d rows.
+  PACKED vector table (n rows of d-float arrays — d x fewer shuffle
+  rows than joining the exploded form for the same bytes), a map-side
+  posexplode after the join, one (cell, pos) aggregate whose map-side
+  partials absorb the d-fold blowup — output k x d rows.
 - E-step: the k x d centroid table BROADCASTS onto the exploded table
   keyed by pos (no shuffle), the (vec_id, cell) aggregate carries
   n x k rows after map-side combine, and the per-vector argmin is a
@@ -114,15 +116,25 @@ def kmeans_lloyd(
     the row with n_vecs = 0 — that is the cell-death signal a refresh
     loop keys re-seeding on)."""
     emb = e.select("vec_id", "embedding")
-    # reused 2x per round: materialize the explode once
+    # read by every round's E-step: materialize the explode once
     flat = _flat(emb).localCheckpoint(eager=True)
     assign = emb.select("vec_id", (F.col("vec_id") % k).alias("cell"))
     cent = None
     scored = None
     for _ in range(rounds):
-        # M-step: exact decimal sum, ONE double division, round, re-grid
+        # M-step: exact decimal sum, ONE double division, round, re-grid.
+        # The assignment joins the PACKED vector table (n rows of
+        # d-float arrays) and the explode happens map-side after the
+        # join — same bytes through the exchange as the exploded join
+        # but d x fewer shuffle rows (and d x fewer join-key hashes).
         cent = (
-            flat.join(assign, "vec_id")
+            emb.join(assign, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .select(
+                "cell",
+                F.col("pos").cast("long").alias("pos"),
+                F.col("v").cast("double").cast("decimal(28,6)").alias("vq"),
+            )
             .groupBy("cell", "pos")
             .agg(
                 F.round(
