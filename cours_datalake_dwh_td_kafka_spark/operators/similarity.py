@@ -1523,3 +1523,135 @@ def ivf_nprobe_curve(e: DataFrame, probes: tuple = NPROBE_CURVE) -> DataFrame:
 @register("ivf_nprobe_curve", _NPROBE_CURVE_SQL)
 def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_nprobe_curve(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining: the contrastive-training data miner
+# ---------------------------------------------------------------------------
+HARDNEG_K = 5
+
+_HARDNEG_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label,
+             embedding::DOUBLE[] AS q_emb
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+             ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]),
+                   6) AS cosine
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.query_id AND e.label <> q.q_label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label, cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {HARDNEG_K}
+    ORDER BY query_id, rn
+"""
+
+
+def hard_negative_mining(
+    e: DataFrame, top_k: int = HARDNEG_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Hard-negative mining — for each probe vector, the most-similar
+    vectors carrying a DIFFERENT label: the pairs a contrastive /
+    embedding-finetune loop trains against, because easy (dissimilar)
+    negatives teach nothing and same-label neighbors are positives.
+    Mined corpus-wide, this is the dataset-construction step behind
+    dense retrievers (in-batch negatives are a weak proxy; mined hard
+    negatives are the strong one).
+
+    Scale shape: the :func:`ann_topk_bruteforce` kernel with the label
+    mask pushed INSIDE the scan — one BLAS matmul per partition scores
+    all queries, same-label candidates are masked before the
+    partition-local top-k, so only (partitions x queries x k) rows ever
+    leave the scan and the global reduce is the two-stage tree. At
+    index scale the same mask composes with the IVF probe path (filter
+    the probed cells' candidates by label before rerank)."""
+    import numpy as np
+    import pandas as pd
+
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
+    emb_d = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    q_rows = emb_d.where(F.col("vec_id") < n_queries).collect()
+    if not q_rows:
+        return e.sparkSession.createDataFrame(
+            [],
+            "query_id BIGINT, neighbor_id BIGINT, neg_label INT, "
+            "cosine DOUBLE, rn BIGINT",
+        )
+    qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
+    qnrm = np.linalg.norm(qmat, axis=1)
+    qids = np.asarray([int(r.vec_id) for r in q_rows])
+    qlabels = np.asarray([int(r.label) for r in q_rows])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            sims = gram.round_half_away((x @ qmat.T) / np.outer(xn, qnrm))
+            out = []
+            for j in range(len(qids)):
+                keep = (ids != qids[j]) & (labels != qlabels[j])
+                cand_ids, cand_lab, cand_cos = (
+                    ids[keep],
+                    labels[keep],
+                    sims[keep, j],
+                )
+                if len(cand_ids) > top_k:
+                    idx = np.lexsort((cand_ids, -cand_cos))[:top_k]
+                    cand_ids, cand_lab, cand_cos = (
+                        cand_ids[idx],
+                        cand_lab[idx],
+                        cand_cos[idx],
+                    )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                len(cand_ids), qids[j], dtype="int64"
+                            ),
+                            "neighbor_id": cand_ids.astype("int64"),
+                            "neg_label": cand_lab.astype("int32"),
+                            "cosine": cand_cos,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = emb_d.mapInPandas(
+        score,
+        "query_id BIGINT, neighbor_id BIGINT, neg_label INT, cosine DOUBLE",
+    )
+    ranked = global_topk(
+        scored.select("query_id", "neighbor_id", "cosine"), top_k
+    )
+    lab = emb_d.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+    )
+    return (
+        ranked.join(lab, "neighbor_id")
+        .select("query_id", "neighbor_id", "neg_label", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@register("hard_negative_mining", _HARDNEG_SQL)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negative_mining(load_table(spark, sf_dir, "embeddings"))

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "epoch_shuffle",            # r9: reproducible per-epoch reshuffle
     "lake_zorder",              # r9: 2-D Morton layout vs 1-D, measured
     "lake_bloom",               # r9: bloom point-lookup file skipping
+    "hard_negative_mining",     # r9: contrastive-negative miner
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing
     "pretraining_pipeline",     # r9: same packing rewrite
