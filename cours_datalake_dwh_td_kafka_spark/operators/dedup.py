@@ -343,14 +343,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(load_table(spark, sf_dir, "documents"))
 
 
-def lsh_candidates(d: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs sharing at least one minhash band
-    key — the shared front half of every LSH-verified dedup variant
-    (Jaccard verify, edit-distance verify). One explode over an inline
-    band-key array — NOT a 4-way union of selects on the signature:
-    union branches each re-evaluate the whole signature subtree (4x the
-    shuffles; measured via plans.inspect)."""
-    sig = minhash_signature(d)
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows of a minhash signature frame — one
+    explode over an inline band-key array (see lsh_candidates for why
+    not a union of per-band selects)."""
     keys = F.array(
         *[
             F.concat_ws(
@@ -364,7 +360,17 @@ def lsh_candidates(d: DataFrame) -> DataFrame:
             for band in range(N_HASHES // BAND_R)
         ]
     )
-    all_bands = sig.select("doc_id", F.explode(keys).alias("band_key"))
+    return sig.select("doc_id", F.explode(keys).alias("band_key"))
+
+
+def lsh_candidates(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing at least one minhash band
+    key — the shared front half of every LSH-verified dedup variant
+    (Jaccard verify, edit-distance verify). One explode over an inline
+    band-key array — NOT a 4-way union of selects on the signature:
+    union branches each re-evaluate the whole signature subtree (4x the
+    shuffles; measured via plans.inspect)."""
+    all_bands = _band_rows(minhash_signature(d))
     return (
         all_bands.alias("a")
         .join(all_bands.alias("b"), "band_key")
@@ -1789,3 +1795,121 @@ def containment_pairs(
 @register("dedup_containment", _CONTAINMENT_SQL)
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup: the crawl increment against the kept corpus by
+# banded MinHash — the cross-run twin of dedup_incremental, which only
+# catches byte-identical re-crawls; a re-crawled page with a new
+# timestamp footer or ad block near-duplicates a survivor without
+# sharing its fingerprint, and unbounded re-crawl near-dups are exactly
+# the upweighting bug dedup-before-training exists to stop.
+# ---------------------------------------------------------------------------
+def incremental_near_dups(
+    corpus: DataFrame,
+    increment: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(inc_doc, corpus_doc, jaccard) pairs where an increment document
+    near-duplicates an already-kept corpus document: MinHash band keys
+    on both sides, a CROSS-BOUNDARY band equi-join (never increment x
+    increment or corpus x corpus — those are the other operators'
+    jobs), exact shingle-Jaccard verify.
+
+    Scale shape: the corpus side ships only (doc_id, band_key) rows —
+    the signature table is 8 ints per kept document regardless of text
+    size, and in a real deployment it is PERSISTED once per run and
+    appended like the lake tables (recompute here because the
+    registered query must be self-contained). The band join is the
+    standard banded equi-join; the verify joins shingle sets for
+    candidate pairs only."""
+    bc = _band_rows(minhash_signature(corpus)).select(
+        F.col("doc_id").alias("corpus_doc"), "band_key"
+    )
+    bi = _band_rows(minhash_signature(increment)).select(
+        F.col("doc_id").alias("inc_doc"), "band_key"
+    )
+    cand = bi.join(bc, "band_key").select("inc_doc", "corpus_doc").distinct()
+    da = _doc_shingles(increment).select(
+        F.col("doc_id").alias("inc_doc"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    db = _doc_shingles(corpus).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        cand.join(da, "inc_doc")
+        .join(db, "corpus_doc")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("inc_doc", "corpus_doc", "jaccard")
+        .orderBy("inc_doc", "corpus_doc")
+    )
+
+
+def _incremental_lsh_sql() -> str:
+    sig = _minhash_sig_sql().replace("ORDER BY doc_id", "")
+    sh_expr = SHINGLES_SQL.format(
+        t="string_split(" + NORM_SQL.format(c="text") + ", ' ')"
+    )
+    band_keys = []
+    for band in range(N_HASHES // BAND_R):
+        parts = " || '_' || ".join(
+            f"CAST(h{band * BAND_R + j} AS VARCHAR)" for j in range(BAND_R)
+        )
+        band_keys.append(
+            f"SELECT doc_id, '{band}_' || {parts} AS band_key FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_keys)
+    return f"""
+    WITH sig AS ({sig}),
+    bounds AS (
+      SELECT MIN(doc_id) + CAST(FLOOR((MAX(doc_id) - MIN(doc_id))
+                                      * {INCREMENT_SPLIT}) AS BIGINT) AS cut
+      FROM documents
+    ),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS inc_doc, c.doc_id AS corpus_doc
+      FROM bands i JOIN bands c ON i.band_key = c.band_key
+      CROSS JOIN bounds
+      WHERE i.doc_id >= cut AND c.doc_id < cut
+    ),
+    docs AS (SELECT doc_id, {sh_expr} AS sh FROM documents),
+    verified AS (
+      SELECT cd.inc_doc, cd.corpus_doc,
+             len(list_intersect(x.sh, y.sh)) AS n_shared,
+             len(x.sh) AS n_a, len(y.sh) AS n_b
+      FROM cand cd
+      JOIN docs x ON x.doc_id = cd.inc_doc
+      JOIN docs y ON y.doc_id = cd.corpus_doc
+    )
+    SELECT inc_doc, corpus_doc,
+           ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6)
+             AS jaccard
+    FROM verified
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY inc_doc, corpus_doc
+    """
+
+
+@register("dedup_incremental_lsh", _incremental_lsh_sql())
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + int((hi - lo) * INCREMENT_SPLIT)
+    return incremental_near_dups(
+        d.where(F.col("doc_id") < cut), d.where(F.col("doc_id") >= cut)
+    )
