@@ -19,6 +19,10 @@ integration check that they CHAIN:
 Guarantees measured on the actual artifacts (never assumed):
 - ``no_dup_ok``: the refreshed corpus has globally UNIQUE content
   fingerprints — no duplicate across runs survives;
+- ``no_near_dup_ok`` (round 9): no inserted document NEAR-duplicates a
+  kept survivor (cross-boundary banded-MinHash + exact Jaccard — the
+  dedup_incremental_lsh gate wired into the loop), measured on the
+  post-merge snapshot;
 - ``no_leak_ok``: no document in the INSERTED slice is a benchmark
   member or shares an 8-gram with the benchmark slice;
 - ``merge_atomic_ok``: exactly the clean docs landed, in one commit,
@@ -52,8 +56,17 @@ from cours_datalake_dwh_td_kafka_spark.operators.curation import (
     PACK_BUDGET,
 )
 from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+    BAND_R,
+    HASH32_SQL,
     INCREMENT_SPLIT,
+    JACCARD_THRESHOLD,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    N_HASHES,
     NORM_SQL,
+    SHINGLES_SQL,
+    incremental_near_dups,
     incremental_new_docs,
     norm_text,
     shingle_rows,
@@ -140,9 +153,18 @@ def corpus_refresh(
     leakers = (
         _sh_hashes(fresh).join(bench_sh, "sh").select("doc_id").distinct()
     )
+    # cross-run NEAR-dup gate (round 9): drop increment docs that
+    # near-duplicate a kept survivor — the re-crawled page with a new
+    # footer, which the exact fingerprint anti-join structurally keeps
+    near = (
+        incremental_near_dups(v1, fresh)
+        .select(F.col("inc_doc").alias("doc_id"))
+        .distinct()
+    )
     clean = (
         fresh.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
         .join(leakers, "doc_id", "left_anti")
+        .join(near, "doc_id", "left_anti")
         .localCheckpoint(eager=False)
     )
     n_inserted = clean.count()
@@ -158,6 +180,12 @@ def corpus_refresh(
     v2_fp = v2.select(F.md5(norm_text(F.col("text"))).alias("fp"))
     no_dup_ok = v2_fp.distinct().count() == n_after
     inserted = v2.where(F.col("doc_id") >= cut)
+    no_near_dup_ok = (
+        incremental_near_dups(
+            v2.where(F.col("doc_id") < cut), inserted
+        ).count()
+        == 0
+    )
     no_leak_ok = (
         inserted.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0).count() == 0
         and _sh_hashes(inserted.select("doc_id", "text"))
@@ -218,6 +246,7 @@ def corpus_refresh(
                 int(n_after),
                 n_shards,
                 bool(no_dup_ok),
+                bool(no_near_dup_ok),
                 bool(no_leak_ok),
                 bool(merge_atomic_ok),
                 bool(serves_union),
@@ -225,8 +254,8 @@ def corpus_refresh(
         ],
         "n_corpus_kept BIGINT, n_batch BIGINT, n_new_unique BIGINT, "
         "n_inserted BIGINT, n_total_after BIGINT, n_shards BIGINT, "
-        "no_dup_ok BOOLEAN, no_leak_ok BOOLEAN, merge_atomic_ok BOOLEAN, "
-        "index_serves_union BOOLEAN",
+        "no_dup_ok BOOLEAN, no_near_dup_ok BOOLEAN, no_leak_ok BOOLEAN, "
+        "merge_atomic_ok BOOLEAN, index_serves_union BOOLEAN",
     )
 
 
@@ -279,9 +308,39 @@ def _refresh_sql() -> str:
     leakers AS (
       SELECT DISTINCT doc_id FROM fresh_sh JOIN bench_sh USING (shingle)
     ),
+    dsh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(string_split(ntext, ' ')) - 2, 1)), i -> array_to_string(string_split(ntext, ' ')[i:i+2], ' '))) AS sh3 FROM normed),
+    sig AS (
+      SELECT doc_id, MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000003 + 17) % 2147483647) AS h0,
+             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000033 + 91) % 2147483647) AS h1,
+             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000037 + 733) % 2147483647) AS h2,
+             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000039 + 2017) % 2147483647) AS h3,
+             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000081 + 4099) % 2147483647) AS h4,
+             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000099 + 8191) % 2147483647) AS h5,
+             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000117 + 12289) % 2147483647) AS h6,
+             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000121 + 65537) % 2147483647) AS h7
+      FROM (SELECT doc_id, UNNEST(sh3) AS shingle FROM dsh)
+      GROUP BY doc_id
+    ),
+    bands AS (SELECT doc_id, '0_' || CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, '1_' || CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, '2_' || CAST(h4 AS VARCHAR) || '_' || CAST(h5 AS VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, '3_' || CAST(h6 AS VARCHAR) || '_' || CAST(h7 AS VARCHAR) AS band_key FROM sig),
+    near AS (
+      SELECT DISTINCT cd.inc_doc AS doc_id
+      FROM (
+        SELECT DISTINCT i.doc_id AS inc_doc, c.doc_id AS corpus_doc
+        FROM bands i JOIN bands c ON i.band_key = c.band_key
+        WHERE i.doc_id IN (SELECT doc_id FROM fresh)
+          AND c.doc_id IN (SELECT doc_id FROM survivors)
+      ) cd
+      JOIN dsh x ON x.doc_id = cd.inc_doc
+      JOIN dsh y ON y.doc_id = cd.corpus_doc
+      WHERE ROUND(CAST(len(list_intersect(x.sh3, y.sh3)) AS DOUBLE)
+              / (len(x.sh3) + len(y.sh3)
+                 - len(list_intersect(x.sh3, y.sh3))), 6)
+            >= 0.8
+    ),
     clean AS (
       SELECT f.* FROM fresh f
       ANTI JOIN leakers l USING (doc_id)
+      ANTI JOIN near nr USING (doc_id)
       WHERE f.doc_id % {CONTAM_BENCH_MOD} != 0
     ),
     refreshed AS (
@@ -300,6 +359,7 @@ def _refresh_sql() -> str:
            (SELECT CAST(SUM(CEIL(n_tokens / CAST({PACK_BUDGET} AS DOUBLE)))
                     AS BIGINT) FROM per_source) AS n_shards,
            TRUE AS no_dup_ok,
+           TRUE AS no_near_dup_ok,
            TRUE AS no_leak_ok,
            TRUE AS merge_atomic_ok,
            TRUE AS index_serves_union
