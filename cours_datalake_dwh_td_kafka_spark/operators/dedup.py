@@ -1805,6 +1805,23 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sharing its fingerprint, and unbounded re-crawl near-dups are exactly
 # the upweighting bug dedup-before-training exists to stop.
 # ---------------------------------------------------------------------------
+def _signature_of_shingles(dsh: DataFrame) -> DataFrame:
+    """minhash_signature computed from a (doc_id, sh) distinct-shingle
+    frame instead of raw text — value-identical (MIN is duplicate-
+    insensitive), for callers that already hold the shingle arrays."""
+    x = _HASH32_SPARK(F.col("shingle")) % MINHASH_P
+    exploded = dsh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).withColumn("x", x)
+    aggs = [
+        F.min(
+            (F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+        ).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
 def incremental_near_dups(
     corpus: DataFrame,
     increment: DataFrame,
@@ -1823,19 +1840,36 @@ def incremental_near_dups(
     registered query must be self-contained). The band join is the
     standard banded equi-join; the verify joins shingle sets for
     candidate pairs only."""
-    bc = _band_rows(minhash_signature(corpus)).select(
+    # shingle each side ONCE: the signature derives from the same
+    # distinct-shingle arrays the verify intersects (MIN over the
+    # distinct set == MIN over the multiset, so values are identical to
+    # minhash_signature's) — halves the text-normalization passes
+    shc = _doc_shingles(corpus).localCheckpoint(eager=False)
+    shi = _doc_shingles(increment).localCheckpoint(eager=False)
+    return near_dups_from_shingles(shc, shi, threshold)
+
+
+def near_dups_from_shingles(
+    shc: DataFrame, shi: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """:func:`incremental_near_dups` on PRE-SHINGLED sides — (doc_id,
+    sh, n_sh) frames as :func:`_doc_shingles` builds them. Callers that
+    run the gate several times over overlapping doc sets (corpus_refresh
+    gates pre-merge and re-checks post-merge) shingle the union once and
+    filter by doc_id instead of re-normalizing the text per call."""
+    bc = _band_rows(_signature_of_shingles(shc)).select(
         F.col("doc_id").alias("corpus_doc"), "band_key"
     )
-    bi = _band_rows(minhash_signature(increment)).select(
+    bi = _band_rows(_signature_of_shingles(shi)).select(
         F.col("doc_id").alias("inc_doc"), "band_key"
     )
     cand = bi.join(bc, "band_key").select("inc_doc", "corpus_doc").distinct()
-    da = _doc_shingles(increment).select(
+    da = shi.select(
         F.col("doc_id").alias("inc_doc"),
         F.col("sh").alias("sh_a"),
         F.col("n_sh").alias("n_a"),
     )
-    db = _doc_shingles(corpus).select(
+    db = shc.select(
         F.col("doc_id").alias("corpus_doc"),
         F.col("sh").alias("sh_b"),
         F.col("n_sh").alias("n_b"),

@@ -56,18 +56,11 @@ from cours_datalake_dwh_td_kafka_spark.operators.curation import (
     PACK_BUDGET,
 )
 from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
-    BAND_R,
-    HASH32_SQL,
     INCREMENT_SPLIT,
-    JACCARD_THRESHOLD,
-    MINHASH_A,
-    MINHASH_B,
-    MINHASH_P,
-    N_HASHES,
     NORM_SQL,
-    SHINGLES_SQL,
-    incremental_near_dups,
+    _doc_shingles,
     incremental_new_docs,
+    near_dups_from_shingles,
     norm_text,
     shingle_rows,
 )
@@ -155,9 +148,17 @@ def corpus_refresh(
     )
     # cross-run NEAR-dup gate (round 9): drop increment docs that
     # near-duplicate a kept survivor — the re-crawled page with a new
-    # footer, which the exact fingerprint anti-join structurally keeps
+    # footer, which the exact fingerprint anti-join structurally keeps.
+    # Shingle the WHOLE corpus once (pinned); the gate and the
+    # post-merge re-check both filter this one table by doc_id instead
+    # of re-normalizing text per call (4 passes -> 1).
+    dsh_all = _doc_shingles(d).localCheckpoint(eager=False)
+
+    def sh_of(ids):
+        return dsh_all.join(ids.select("doc_id"), "doc_id", "leftsemi")
+
     near = (
-        incremental_near_dups(v1, fresh)
+        near_dups_from_shingles(sh_of(v1), sh_of(fresh))
         .select(F.col("inc_doc").alias("doc_id"))
         .distinct()
     )
@@ -181,8 +182,8 @@ def corpus_refresh(
     no_dup_ok = v2_fp.distinct().count() == n_after
     inserted = v2.where(F.col("doc_id") >= cut)
     no_near_dup_ok = (
-        incremental_near_dups(
-            v2.where(F.col("doc_id") < cut), inserted
+        near_dups_from_shingles(
+            sh_of(v2.where(F.col("doc_id") < cut)), sh_of(inserted)
         ).count()
         == 0
     )
