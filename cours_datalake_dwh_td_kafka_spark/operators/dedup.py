@@ -1947,3 +1947,45 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dups(
         d.where(F.col("doc_id") < cut), d.where(F.col("doc_id") >= cut)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-ROW shingle/minhash expressions — stateless column forms of the
+# explode-first batch kernels, for STREAMING consumers (a stream cannot
+# explode-regroup per doc without a stateful aggregate; a whole doc
+# arrives as one row, so its shingle set and signature are pure
+# projections). Values are identical to the batch forms: same
+# normalization, same slice windows, and MIN over the distinct array ==
+# MIN over the exploded multiset. Interpreted-HOF cost per row is the
+# price of statelessness — batch callers should keep using shingle_rows
+# (measured faster there, see _doc_shingles).
+# ---------------------------------------------------------------------------
+def shingle_array(textcol: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of one row's text, as an array —
+    the per-row twin of :func:`shingle_rows`."""
+    toks = F.split(norm_text(textcol), " ")
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+    )
+
+
+def minhash_cols(sh: Column) -> list[Column]:
+    """h0..h7 minhash columns from a shingle-array column — the per-row
+    twin of :func:`minhash_signature`."""
+    def x(s):
+        return (
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            % MINHASH_P
+        )
+
+    return [
+        F.array_min(
+            F.transform(
+                sh, lambda s: (x(s) * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+            )
+        ).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]

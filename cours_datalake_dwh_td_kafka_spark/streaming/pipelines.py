@@ -339,6 +339,92 @@ def stream_cell_occupancy(
     )
 
 
+def stream_near_dup_alerts(
+    docs: DataFrame,
+    corpus: DataFrame,
+    watermark: str = "10 minutes",
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Ingestion-time NEAR-dup alerts against the kept corpus — the
+    streaming twin of ``dedup_incremental_lsh``: as documents arrive,
+    emit one alert per doc that near-duplicates (banded MinHash
+    candidates + exact Jaccard) a document in the STATIC survivor set.
+    Catches the re-crawled page with a new footer while it is still in
+    flight; the batch gate inside ``corpus_refresh`` stays the
+    authoritative sweep.
+
+    A stream cannot explode-regroup per doc without a stateful
+    aggregate, so the stream side uses the PER-ROW column forms
+    (``dedup.shingle_array`` / ``dedup.minhash_cols`` — value-identical
+    to the batch kernels, pinned in tests): shingle set, signature, and
+    band keys are stateless projections, the band match and the
+    Jaccard verify are the supported stream-static inner joins, and one
+    doc matching several survivors collapses to ONE alert via
+    dropDuplicatesWithinWatermark on doc_id — watermark-bounded state,
+    like every stateful op here."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        BAND_R,
+        JACCARD_THRESHOLD,
+        N_HASHES,
+        _band_rows,
+        _doc_shingles,
+        _signature_of_shingles,
+        minhash_cols,
+        shingle_array,
+    )
+
+    shc = _doc_shingles(corpus).localCheckpoint(eager=True)
+    static_bands = (
+        _band_rows(_signature_of_shingles(shc))
+        .select(F.col("doc_id").alias("corpus_doc"), "band_key")
+        .localCheckpoint(eager=True)
+    )
+    static_sh = shc.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    ).localCheckpoint(eager=True)
+
+    sh = docs.withColumn("sh", shingle_array(F.col("text")))
+    sig = sh.select(
+        "doc_id", event_time_col, "sh", *minhash_cols(F.col("sh"))
+    )
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(band),
+                *[
+                    F.col(f"h{band * BAND_R + j}").cast("string")
+                    for j in range(BAND_R)
+                ],
+            )
+            for band in range(N_HASHES // BAND_R)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", event_time_col, "sh", F.explode(keys).alias("band_key")
+    )
+    verified = (
+        banded.join(static_bands, "band_key")
+        .join(static_sh, "corpus_doc")
+        .withColumn("n_shared", F.size(F.array_intersect("sh", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.size("sh") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id", event_time_col, "corpus_doc", "jaccard")
+    )
+    return verified.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark(["doc_id"])
+
+
 def stream_contamination_alerts(
     docs: DataFrame,
     bench: DataFrame,

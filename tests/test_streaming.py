@@ -1598,3 +1598,57 @@ def test_stream_cell_occupancy_matches_batch_counts(spark, tmp_path):
         .collect()
     }
     assert got == want and sum(got.values()) == e.count()
+
+
+def test_stream_near_dup_alerts_match_batch_gate(spark, tmp_path):
+    """The streaming near-dup alert set must equal the batch
+    incremental near-dup gate's flagged-doc set on the same rows, emit
+    exactly one alert per flagged doc, and pass clean docs silently."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        INCREMENT_SPLIT,
+        incremental_near_dups,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        stream_near_dup_alerts,
+    )
+    from tests.conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + int((hi - lo) * INCREMENT_SPLIT)
+    corpus = d.where(F.col("doc_id") < cut)
+    inc = d.where(F.col("doc_id") >= cut)
+
+    want = {
+        r.inc_doc
+        for r in incremental_near_dups(corpus, inc).collect()
+    }
+    assert want, "testdata should contain cross-boundary near-dups"
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    scratch = tmp_path / "scratch"
+    inc.select("doc_id", "text").withColumn(
+        "event_time", F.lit(t0).cast("timestamp")
+    ).coalesce(1).write.parquet(str(scratch))
+    next(scratch.glob("part-*.parquet")).rename(indir / "b0.parquet")
+
+    src = spark.readStream.schema(
+        "doc_id BIGINT, text STRING, event_time TIMESTAMP"
+    ).parquet(str(indir))
+    out = stream_near_dup_alerts(src, corpus)
+    name = f"snd_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table(name).collect()
+    got = {r.doc_id for r in rows}
+    assert got == want
+    assert len(rows) == len(got)  # one alert per flagged doc
