@@ -316,16 +316,48 @@ def minhash_signature(d: DataFrame) -> DataFrame:
     return exploded.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
+def minhash_sig_cols_sql() -> str:
+    """The h0..h7 MIN expressions over a ``shingle`` column — the SQL
+    twin of the per-hash algebra, in ONE place so every oracle that
+    embeds a signature (the LSH variants, corpus_refresh) tracks a
+    parameter change together instead of silently computing the old
+    gate."""
+    x = HASH32_SQL.format(c="shingle") + f" % {MINHASH_P}"
+    # same algebra as Spark: min over shingles of ((x * a + b) % p)
+    return ",\n           ".join(
+        f"MIN((({x}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+
+
+def bands_union_sql() -> str:
+    """The band-key UNION ALL over a ``sig`` CTE — the SQL twin of
+    :func:`band_key_array`."""
+    selects = []
+    for band in range(N_HASHES // BAND_R):
+        parts = " || '_' || ".join(
+            f"CAST(h{band * BAND_R + j} AS VARCHAR)" for j in range(BAND_R)
+        )
+        selects.append(
+            f"SELECT doc_id, '{band}_' || {parts} AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def jaccard_verified_sql(n_shared: str, n_a: str, n_b: str) -> str:
+    """The threshold predicate on the ROUNDED Jaccard — exactly the
+    condition the Spark verifies apply (round to 6 dp, then compare)."""
+    return (
+        f"ROUND(CAST({n_shared} AS DOUBLE) / ({n_a} + {n_b} - {n_shared}),"
+        f" 6) >= {JACCARD_THRESHOLD}"
+    )
+
+
 def _minhash_sig_sql() -> str:
     sh_expr = SHINGLES_SQL.format(
         t="string_split(" + NORM_SQL.format(c="text") + ", ' ')"
     )
-    x = HASH32_SQL.format(c="shingle") + f" % {MINHASH_P}"
-    # same algebra as Spark: min over shingles of ((x * a + b) % p)
-    cols = ",\n           ".join(
-        f"MIN((({x}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
-        for i in range(N_HASHES)
-    )
+    cols = minhash_sig_cols_sql()
     return f"""
     WITH docs AS (
       SELECT doc_id, {sh_expr} AS sh FROM documents
@@ -343,11 +375,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(load_table(spark, sf_dir, "documents"))
 
 
-def _band_rows(sig: DataFrame) -> DataFrame:
-    """(doc_id, band_key) rows of a minhash signature frame — one
-    explode over an inline band-key array (see lsh_candidates for why
-    not a union of per-band selects)."""
-    keys = F.array(
+def band_key_array() -> Column:
+    """Array-of-band-keys expression over h0..h{N_HASHES-1} columns —
+    THE band-key format; every producer (batch `_band_rows`, the
+    streaming per-row path) must build keys through this one expression
+    or the band equi-join silently matches nothing."""
+    return F.array(
         *[
             F.concat_ws(
                 "_",
@@ -360,7 +393,13 @@ def _band_rows(sig: DataFrame) -> DataFrame:
             for band in range(N_HASHES // BAND_R)
         ]
     )
-    return sig.select("doc_id", F.explode(keys).alias("band_key"))
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows of a minhash signature frame — one
+    explode over an inline band-key array (see lsh_candidates for why
+    not a union of per-band selects)."""
+    return sig.select("doc_id", F.explode(band_key_array()).alias("band_key"))
 
 
 def lsh_candidates(d: DataFrame) -> DataFrame:
@@ -418,18 +457,9 @@ def _lsh_cand_ctes() -> str:
     """The shared sig/bands/cand CTE prefix of every LSH-candidate
     oracle (the SQL twin of :func:`lsh_candidates`)."""
     sig = _minhash_sig_sql().replace("ORDER BY doc_id", "")
-    band_keys = []
-    for band in range(N_HASHES // BAND_R):
-        parts = " || '_' || ".join(
-            f"CAST(h{band * BAND_R + j} AS VARCHAR)" for j in range(BAND_R)
-        )
-        band_keys.append(
-            f"SELECT doc_id, '{band}_' || {parts} AS band_key FROM sig"
-        )
-    bands_sql = " UNION ALL ".join(band_keys)
     return f"""
     WITH sig AS ({sig}),
-    bands AS ({bands_sql}),
+    bands AS ({bands_union_sql()}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -458,7 +488,8 @@ def _minhash_lsh_sql() -> str:
     SELECT doc_a, doc_b,
            ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
     FROM verified
-    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
+    WHERE ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6)
+          >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
     """
 
@@ -1897,15 +1928,7 @@ def _incremental_lsh_sql() -> str:
     sh_expr = SHINGLES_SQL.format(
         t="string_split(" + NORM_SQL.format(c="text") + ", ' ')"
     )
-    band_keys = []
-    for band in range(N_HASHES // BAND_R):
-        parts = " || '_' || ".join(
-            f"CAST(h{band * BAND_R + j} AS VARCHAR)" for j in range(BAND_R)
-        )
-        band_keys.append(
-            f"SELECT doc_id, '{band}_' || {parts} AS band_key FROM sig"
-        )
-    bands_sql = " UNION ALL ".join(band_keys)
+    bands_sql = bands_union_sql()
     return f"""
     WITH sig AS ({sig}),
     bounds AS (
@@ -1933,7 +1956,7 @@ def _incremental_lsh_sql() -> str:
            ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6)
              AS jaccard
     FROM verified
-    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared)
+    WHERE ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6)
           >= {JACCARD_THRESHOLD}
     ORDER BY inc_doc, corpus_doc
     """
@@ -1962,29 +1985,23 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def shingle_array(textcol: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of one row's text, as an array —
-    the per-row twin of :func:`shingle_rows`."""
-    toks = F.split(norm_text(textcol), " ")
-    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-        )
-    )
+    the per-row twin of :func:`shingle_rows`, delegating to the one
+    shingle-window expression so the two forms cannot drift."""
+    return shingles(norm_text(textcol), n)
 
 
 def minhash_cols(sh: Column) -> list[Column]:
     """h0..h7 minhash columns from a shingle-array column — the per-row
-    twin of :func:`minhash_signature`."""
-    def x(s):
-        return (
-            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-            % MINHASH_P
-        )
-
+    twin of :func:`minhash_signature`. The md5 hash runs ONCE per
+    shingle into an intermediate long array (interpreted HOFs get no
+    common-subexpression elimination across columns, so inlining the
+    hash into each h_i would pay it 8x), then each h_i is a cheap
+    affine array_min over the shared xs."""
+    xs = F.transform(sh, lambda t: _HASH32_SPARK(t) % MINHASH_P)
     return [
         F.array_min(
             F.transform(
-                sh, lambda s: (x(s) * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+                xs, lambda x: (x * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
             )
         ).alias(f"h{i}")
         for i in range(N_HASHES)

@@ -58,8 +58,12 @@ from cours_datalake_dwh_td_kafka_spark.operators.curation import (
 from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
     INCREMENT_SPLIT,
     NORM_SQL,
+    SHINGLES_SQL,
     _doc_shingles,
+    bands_union_sql,
     incremental_new_docs,
+    jaccard_verified_sql,
+    minhash_sig_cols_sql,
     near_dups_from_shingles,
     norm_text,
     shingle_rows,
@@ -266,6 +270,12 @@ def _refresh_sql() -> str:
     the ceil packing identity."""
     norm = NORM_SQL.format(c="text")
     g = CONTAM_NGRAM - 1
+    sh3 = SHINGLES_SQL.format(t="string_split(ntext, ' ')")
+    sig_cols = minhash_sig_cols_sql()
+    bands = bands_union_sql()
+    jpred = jaccard_verified_sql(
+        "len(list_intersect(x.sh3, y.sh3))", "len(x.sh3)", "len(y.sh3)"
+    )
     return f"""
     WITH bounds AS (
       SELECT MIN(doc_id) + CAST(FLOOR((MAX(doc_id) - MIN(doc_id))
@@ -309,20 +319,13 @@ def _refresh_sql() -> str:
     leakers AS (
       SELECT DISTINCT doc_id FROM fresh_sh JOIN bench_sh USING (shingle)
     ),
-    dsh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(string_split(ntext, ' ')) - 2, 1)), i -> array_to_string(string_split(ntext, ' ')[i:i+2], ' '))) AS sh3 FROM normed),
+    dsh AS (SELECT doc_id, {sh3} AS sh3 FROM normed),
     sig AS (
-      SELECT doc_id, MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000003 + 17) % 2147483647) AS h0,
-             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000033 + 91) % 2147483647) AS h1,
-             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000037 + 733) % 2147483647) AS h2,
-             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000039 + 2017) % 2147483647) AS h3,
-             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000081 + 4099) % 2147483647) AS h4,
-             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000099 + 8191) % 2147483647) AS h5,
-             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000117 + 12289) % 2147483647) AS h6,
-             MIN(((CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT)::BIGINT % 2147483647) * 1000121 + 65537) % 2147483647) AS h7
+      SELECT doc_id, {sig_cols}
       FROM (SELECT doc_id, UNNEST(sh3) AS shingle FROM dsh)
       GROUP BY doc_id
     ),
-    bands AS (SELECT doc_id, '0_' || CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, '1_' || CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, '2_' || CAST(h4 AS VARCHAR) || '_' || CAST(h5 AS VARCHAR) AS band_key FROM sig UNION ALL SELECT doc_id, '3_' || CAST(h6 AS VARCHAR) || '_' || CAST(h7 AS VARCHAR) AS band_key FROM sig),
+    bands AS ({bands}),
     near AS (
       SELECT DISTINCT cd.inc_doc AS doc_id
       FROM (
@@ -333,10 +336,7 @@ def _refresh_sql() -> str:
       ) cd
       JOIN dsh x ON x.doc_id = cd.inc_doc
       JOIN dsh y ON y.doc_id = cd.corpus_doc
-      WHERE ROUND(CAST(len(list_intersect(x.sh3, y.sh3)) AS DOUBLE)
-              / (len(x.sh3) + len(y.sh3)
-                 - len(list_intersect(x.sh3, y.sh3))), 6)
-            >= 0.8
+      WHERE {jpred}
     ),
     clean AS (
       SELECT f.* FROM fresh f

@@ -1606,19 +1606,14 @@ def hard_negative_mining(
             sims = gram.round_half_away((x @ qmat.T) / np.outer(xn, qnrm))
             out = []
             for j in range(len(qids)):
+                # the label MASK must precede the top-k (that is the
+                # operator); the label VALUE is re-attached after the
+                # global reduce instead of riding the shuffle
                 keep = (ids != qids[j]) & (labels != qlabels[j])
-                cand_ids, cand_lab, cand_cos = (
-                    ids[keep],
-                    labels[keep],
-                    sims[keep, j],
-                )
+                cand_ids, cand_cos = ids[keep], sims[keep, j]
                 if len(cand_ids) > top_k:
                     idx = np.lexsort((cand_ids, -cand_cos))[:top_k]
-                    cand_ids, cand_lab, cand_cos = (
-                        cand_ids[idx],
-                        cand_lab[idx],
-                        cand_cos[idx],
-                    )
+                    cand_ids, cand_cos = cand_ids[idx], cand_cos[idx]
                 out.append(
                     pd.DataFrame(
                         {
@@ -1626,7 +1621,6 @@ def hard_negative_mining(
                                 len(cand_ids), qids[j], dtype="int64"
                             ),
                             "neighbor_id": cand_ids.astype("int64"),
-                            "neg_label": cand_lab.astype("int32"),
                             "cosine": cand_cos,
                         }
                     )
@@ -1635,12 +1629,9 @@ def hard_negative_mining(
                 yield pd.concat(out, ignore_index=True)
 
     scored = emb_d.mapInPandas(
-        score,
-        "query_id BIGINT, neighbor_id BIGINT, neg_label INT, cosine DOUBLE",
+        score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
     )
-    ranked = global_topk(
-        scored.select("query_id", "neighbor_id", "cosine"), top_k
-    )
+    ranked = global_topk(scored, top_k)
     lab = emb_d.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neg_label"),

@@ -363,12 +363,11 @@ def stream_near_dup_alerts(
     dropDuplicatesWithinWatermark on doc_id — watermark-bounded state,
     like every stateful op here."""
     from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
-        BAND_R,
         JACCARD_THRESHOLD,
-        N_HASHES,
         _band_rows,
         _doc_shingles,
         _signature_of_shingles,
+        band_key_array,
         minhash_cols,
         shingle_array,
     )
@@ -389,21 +388,11 @@ def stream_near_dup_alerts(
     sig = sh.select(
         "doc_id", event_time_col, "sh", *minhash_cols(F.col("sh"))
     )
-    keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(band),
-                *[
-                    F.col(f"h{band * BAND_R + j}").cast("string")
-                    for j in range(BAND_R)
-                ],
-            )
-            for band in range(N_HASHES // BAND_R)
-        ]
-    )
     banded = sig.select(
-        "doc_id", event_time_col, "sh", F.explode(keys).alias("band_key")
+        "doc_id",
+        event_time_col,
+        "sh",
+        F.explode(band_key_array()).alias("band_key"),
     )
     verified = (
         banded.join(static_bands, "band_key")
