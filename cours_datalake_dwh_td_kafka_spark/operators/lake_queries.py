@@ -510,3 +510,98 @@ def q_lake_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake_bloom_protocol(spark, o, os.path.join(tmp, "t"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# the maintenance advisor driven through a degrade-and-repair cycle
+# ---------------------------------------------------------------------------
+_MAINT_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS fragmented_flagged,
+           TRUE AS eroded_flagged,
+           TRUE AS pileup_flagged,
+           TRUE AS repairs_preserve_rows,
+           TRUE AS clear_after_maintenance
+    FROM documents
+"""
+
+
+def lake_maintenance_protocol(
+    spark: SparkSession, d: DataFrame, path: str
+) -> DataFrame:
+    """Degrade the table three ways, check the advisor flags each —
+    and ONLY each — due op, run the repairs it prescribed, and check
+    the verdicts clear:
+
+    1. fragmented commit (6 small files)      -> compact_due;
+    2. cluster, then two stats-less appends   -> recluster_due;
+    3. the version pileup from 1-2            -> vacuum_due;
+    4. compact + re-cluster + vacuum          -> nothing due, rows
+       untouched throughout (oracle-recomputed count)."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_cluster_by,
+        lake_compact,
+        lake_maintenance_plan,
+        lake_vacuum,
+    )
+
+    base = d.select("doc_id", "source", "n_chars")
+    lake_commit(base.repartition(6), path)  # v1: fragmented
+    p1 = lake_maintenance_plan(path)
+    fragmented = (
+        p1["compact_due"] and not p1["recluster_due"] and not p1["vacuum_due"]
+    )
+    lake_cluster_by(spark, path, "doc_id", n_files=2)  # v2
+    extra = base.where(F.col("doc_id") % 100 < 2)
+    lake_commit(extra.coalesce(1), path)  # v3: stats-less append
+    lake_commit(
+        base.where((F.col("doc_id") % 100 >= 2) & (F.col("doc_id") % 100 < 4))
+        .coalesce(1),
+        path,
+    )  # v4
+    n_expected = base.count() + extra.count() + base.where(
+        (F.col("doc_id") % 100 >= 2) & (F.col("doc_id") % 100 < 4)
+    ).count()
+    p2 = lake_maintenance_plan(path, keep_versions=3)
+    eroded = p2["recluster_due"]
+    pileup = p2["vacuum_due"]  # 4 surviving versions > keep_versions=3
+    # run the prescribed repairs
+    lake_compact(spark, path, target_files=1)  # v5
+    lake_cluster_by(spark, path, "doc_id", n_files=2)  # v6
+    lake_vacuum(path, keep_versions=1, orphan_grace_seconds=0)
+    n_after = lake_read(spark, path).count()
+    p3 = lake_maintenance_plan(path, keep_versions=3)
+    clear = (
+        not p3["compact_due"]
+        and not p3["recluster_due"]
+        and not p3["vacuum_due"]
+        and p3["n_unclustered_files"] == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(d.count()),
+                bool(fragmented),
+                bool(eroded),
+                bool(pileup),
+                n_after == n_expected,
+                bool(clear),
+            )
+        ],
+        "n_rows BIGINT, fragmented_flagged BOOLEAN, eroded_flagged BOOLEAN, "
+        "pileup_flagged BOOLEAN, repairs_preserve_rows BOOLEAN, "
+        "clear_after_maintenance BOOLEAN",
+    )
+
+
+@register("lake_maintenance", _MAINT_SQL)
+def q_lake_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_lake_maint_")
+    try:
+        return lake_maintenance_protocol(spark, d, os.path.join(tmp, "t"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lake_bloom",               # r9: bloom point-lookup file skipping
     "hard_negative_mining",     # r9: contrastive-negative miner
     "dedup_incremental_lsh",    # r9: cross-run NEAR-dup gate
+    "lake_maintenance",         # r9: advisor degrade-and-repair cycle
     # -- code changed in r9: must re-attest on current code -------------
     "doc_pack",                 # r9: two-phase prefix-kernel packing
     "pretraining_pipeline",     # r9: same packing rewrite
