@@ -1652,3 +1652,82 @@ def test_stream_near_dup_alerts_match_batch_gate(spark, tmp_path):
     got = {r.doc_id for r in rows}
     assert got == want
     assert len(rows) == len(got)  # one alert per flagged doc
+
+
+def test_stream_near_dup_alerts_restart_keeps_dedup_state(spark, tmp_path):
+    """Kill-and-resume for the near-dup alert stream: after a restart
+    from the checkpoint, a REPLAYED flagged doc fires no second alert
+    (the watermark-dedup state survived), while a newly flagged doc in
+    the same post-restart batch alerts exactly once."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        INCREMENT_SPLIT,
+        incremental_near_dups,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        stream_near_dup_alerts,
+    )
+    from tests.conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + int((hi - lo) * INCREMENT_SPLIT)
+    corpus = d.where(F.col("doc_id") < cut)
+    inc = d.where(F.col("doc_id") >= cut)
+    flagged = sorted(
+        {r.inc_doc for r in incremental_near_dups(corpus, inc).collect()}
+    )
+    assert len(flagged) >= 2, "need two flagged docs for the replay test"
+    first, second = flagged[0], flagged[1]
+    texts = {
+        r.doc_id: r.text
+        for r in inc.where(F.col("doc_id").isin([first, second])).collect()
+    }
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def write_batch(name, rows):
+        scratch = tmp_path / f"scratch_{name}"
+        spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, event_time TIMESTAMP"
+        ).coalesce(1).write.parquet(str(scratch))
+        next(scratch.glob("part-*.parquet")).rename(indir / f"{name}.parquet")
+
+    def start():
+        src = spark.readStream.schema(
+            "doc_id BIGINT, text STRING, event_time TIMESTAMP"
+        ).parquet(str(indir))
+        return (
+            stream_near_dup_alerts(src, corpus)
+            .writeStream.format("json")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    write_batch("b0", [(first, texts[first], t0)])
+    q = start()
+    q.awaitTermination(120)
+    out1 = spark.read.json(outdir)
+    assert out1.count() == 1 and out1.first().doc_id == first
+
+    # restart: replay the SAME doc (same id+text, inside the watermark)
+    # plus a new flagged doc
+    write_batch(
+        "b1",
+        [
+            (first, texts[first], t0 + datetime.timedelta(minutes=1)),
+            (second, texts[second], t0 + datetime.timedelta(minutes=1)),
+        ],
+    )
+    q = start()
+    q.awaitTermination(120)
+    rows = spark.read.json(outdir).collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == sorted([first, second]), f"got {ids}"
