@@ -662,7 +662,14 @@ def _stat_scalar(v, round_up: bool | None = None):
     import decimal
     import math
 
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if isinstance(v, datetime.datetime):
+        # space separator, matching Spark's own string rendering of a
+        # timestamp — a probe built from `str(df.first().ts)` then
+        # compares against stats in the SAME rendering. 'T'-separated
+        # probes (datetime.isoformat()) still prune correctly via the
+        # dual-rendering keep in pruned_files (ADVICE r9).
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         f = float(v)
@@ -739,6 +746,20 @@ def _is_numeric(df: DataFrame, c: str) -> bool:
     )
 
 
+def _ts_space(s):
+    """Canonical space-separated rendering of an ISO-ish timestamp
+    string; non-timestamp values pass through unchanged. Timestamp stats
+    written before round 10 used datetime.isoformat()'s 'T' separator
+    while Spark (and therefore most probes) renders with a space — the
+    two renderings compare lexicographically DIFFERENTLY ('T' > any
+    digit), which wrongly skipped files (ADVICE r9, medium)."""
+    import re
+
+    if isinstance(s, str) and re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:", s):
+        return s[:10] + " " + s[11:]
+    return s
+
+
 def pruned_files(
     path: str, col: str, lo, hi, version: int | None = None
 ) -> tuple[list[str], int]:
@@ -749,17 +770,24 @@ def pruned_files(
     KEPT (a pruner may only skip what the stats PROVE empty; missing
     stats prove nothing). Date/timestamp stats are stored as ISO
     strings: pass ``lo``/``hi`` as ISO strings (or date/datetime —
-    converted here) for time-typed columns."""
+    converted here) for time-typed columns. Timestamp strings may use
+    either the 'T' or the space separator: a file is kept if its range
+    intersects the probe under EITHER rendering (both sides normalized
+    to the space form for the second check), so mixed renderings can
+    only over-scan, never wrongly skip."""
     v = current_version(path) if version is None else version
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
     lo, hi = _stat_scalar(lo, round_up=False), _stat_scalar(hi, round_up=True)
+    nlo, nhi = _ts_space(lo), _ts_space(hi)
     out = []
     for f in m["files"]:
         rng = (stats.get(f) or {}).get("cols", {}).get(col)
         if rng is None or rng[0] is None:
             out.append(f)  # no usable stats: must scan
-        elif not (rng[1] < lo or rng[0] > hi):
+        elif not (rng[1] < lo or rng[0] > hi) or not (
+            _ts_space(rng[1]) < nlo or _ts_space(rng[0]) > nhi
+        ):
             out.append(f)
     return out, len(m["files"])
 
@@ -906,7 +934,17 @@ def lake_bloom_index(
     cur = lake_read(spark, path, v)
     if col not in cur.columns:
         raise ValueError(f"bloom column {col!r} not in table")
-    canon = _bloom_canonical(F.col(col), dict(cur.dtypes)[col])
+    dtype = dict(cur.dtypes)[col]
+    if dtype in ("float", "double"):
+        # mirror _morton_code's loud type rejection: float equality
+        # probes are a smell, _probe_string rejects them anyway, and a
+        # float bloom would only ever raise at probe time (ADVICE r9)
+        raise ValueError(
+            f"bloom column {col!r} has type {dtype!r}: equality probes "
+            "over float/double are not supported (index an int/string/"
+            "decimal/date/timestamp column instead)"
+        )
+    canon = _bloom_canonical(F.col(col), dtype)
     pos_rows = (
         cur.where(F.col(col).isNotNull())
         .select(

@@ -135,13 +135,30 @@ def _publish_current(
             fcntl.flock(fd, fcntl.LOCK_EX)
             _replace_current(path, version_name)
             return
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
-            raise ConcurrentIndexMutation(
-                f"another publisher holds the lock at {path}; retry "
-                "after it completes"
-            ) from None
+        # BOUNDED WAIT, not fail-on-busy: a rival merely HOLDING the
+        # lock (slow fsync, networked FS) is not a lost CAS — CURRENT
+        # may not have moved at all, and treating busy as moved made
+        # appends fail spuriously after the re-chain retries (ADVICE
+        # r9). Only an actually-moved CURRENT, checked below under the
+        # lock, raises the re-chain signal. The wait is bounded so a
+        # live-but-hung holder (kernel releases on crash, so only a
+        # hung PROCESS can hold indefinitely) surfaces as a loud
+        # timeout instead of a silent stall.
+        import time as _t
+
+        deadline = _t.monotonic() + 10.0
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if _t.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"publisher lock at {path} held for >10s; a "
+                        "rival publisher appears hung — not a lost "
+                        "CAS, do not re-chain"
+                    ) from None
+                _t.sleep(0.02)
         try:
             with open(os.path.join(path, "CURRENT")) as f:
                 cur = f.read().strip()

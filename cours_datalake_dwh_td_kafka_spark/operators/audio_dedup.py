@@ -89,12 +89,24 @@ def audio_fingerprint_of_samples(a) -> int:
 
     a = np.asarray(a, dtype=np.int64).reshape(-1)
     n = int(a.size)
-    cells = (np.arange(n, dtype=np.int64) * AUDIO_CELLS) // n
-    # bincount weights are float64; cell energies stay far below 2^53,
-    # so the cast back to int64 is exact
-    e = np.bincount(
-        cells, weights=(a * a).astype(np.float64), minlength=AUDIO_CELLS
-    ).astype(np.int64)
+    if n < AUDIO_CELLS:
+        raise ValueError(
+            f"audio fingerprint needs >= {AUDIO_CELLS} samples, got {n}"
+        )
+    if n >= 1 << 39:
+        # per-cell energy <= (n / 64) * 32768^2 must stay inside int64:
+        # n < 2^39 (~17 days of 16-bit 48 kHz stereo per ROW) keeps the
+        # integer accumulation exact instead of silently wrapping
+        raise ValueError(f"clip too long for exact int64 energies: {n}")
+    # cells = i * 64 // n is NONDECREASING, so cell j covers the index
+    # range [ceil(j*n/64), ceil((j+1)*n/64)) and reduceat over those
+    # boundaries accumulates the energies in int64 EXACTLY (float64
+    # bincount weights round past 2^53 — ADVICE r9); n >= 64 makes the
+    # boundaries strictly increasing, so no reduceat empty-segment quirk
+    starts = (
+        np.arange(AUDIO_CELLS, dtype=np.int64) * n + AUDIO_CELLS - 1
+    ) // AUDIO_CELLS
+    e = np.add.reduceat(a * a, starts)
     g = e.reshape(PHASH_GRID, PHASH_GRID)
     x = AUDIO_CELLS * g - g.sum()
     t = np.asarray(_PHASH_T, dtype=np.int64)

@@ -22,7 +22,15 @@ Guarantees measured on the actual artifacts (never assumed):
 - ``no_near_dup_ok`` (round 9): no inserted document NEAR-duplicates a
   kept survivor (cross-boundary banded-MinHash + exact Jaccard — the
   dedup_incremental_lsh gate wired into the loop), measured on the
-  post-merge snapshot;
+  post-merge snapshot. Round 10: the gate reads a PERSISTED
+  (doc_id, band_key) lake table maintained incrementally per MERGE
+  (the ann_index_append build/serve split applied to dedup), and the
+  verify shingles only band-candidate corpus docs — per-increment
+  corpus-side cost is O(increment + candidates), never a full-corpus
+  re-shingle;
+- ``bands_table_ok`` (round 10): the incrementally-appended band table
+  exactly equals a from-scratch recompute over the post-merge
+  snapshot — the maintenance protocol drifts from truth by zero rows;
 - ``no_leak_ok``: no document in the INSERTED slice is a benchmark
   member or shares an 8-gram with the benchmark slice;
 - ``merge_atomic_ok``: exactly the clean docs landed, in one commit,
@@ -59,12 +67,12 @@ from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
     INCREMENT_SPLIT,
     NORM_SQL,
     SHINGLES_SQL,
-    _doc_shingles,
     bands_union_sql,
     incremental_new_docs,
+    incremental_near_dups,
     jaccard_verified_sql,
+    minhash_band_rows,
     minhash_sig_cols_sql,
-    near_dups_from_shingles,
     norm_text,
     shingle_rows,
 )
@@ -128,6 +136,15 @@ def corpus_refresh(
     lake_commit(survivors, lake_path)  # v1
     v1 = lake_read(spark, lake_path, 1)
     n_kept = v1.count()
+    # the PERSISTED dedup-gate table (round 10, closing the r9 weak #1):
+    # (doc_id, band_key) rows for every kept doc — 4 rows/doc whatever
+    # the text size — committed alongside the corpus and appended per
+    # MERGE below, exactly as ann_index_append maintains the vector
+    # index. Every subsequent gate pass reads THIS table instead of
+    # re-shingling the survivor corpus, so a crawl increment costs
+    # O(increment + candidates), not O(corpus).
+    bands_path = os.path.join(workdir, "dedup_bands")
+    lake_commit(minhash_band_rows(v1), bands_path)  # bands v1
 
     # incremental exact dedup of the batch against the LAKE's survivors
     # (localCheckpoint: fresh feeds three consumers — the unique count,
@@ -153,16 +170,13 @@ def corpus_refresh(
     # cross-run NEAR-dup gate (round 9): drop increment docs that
     # near-duplicate a kept survivor — the re-crawled page with a new
     # footer, which the exact fingerprint anti-join structurally keeps.
-    # Shingle the WHOLE corpus once (pinned); the gate and the
-    # post-merge re-check both filter this one table by doc_id instead
-    # of re-normalizing text per call (4 passes -> 1).
-    dsh_all = _doc_shingles(d).localCheckpoint(eager=False)
-
-    def sh_of(ids):
-        return dsh_all.join(ids.select("doc_id"), "doc_id", "leftsemi")
-
+    # Round 10: the corpus side comes from the PERSISTED band table
+    # (never re-shingled), and the exact-Jaccard verify shingles only
+    # the band-candidate corpus docs.
     near = (
-        near_dups_from_shingles(sh_of(v1), sh_of(fresh))
+        incremental_near_dups(
+            v1, fresh, corpus_bands=lake_read(spark, bands_path, 1)
+        )
         .select(F.col("inc_doc").alias("doc_id"))
         .distinct()
     )
@@ -185,11 +199,27 @@ def corpus_refresh(
     v2_fp = v2.select(F.md5(norm_text(F.col("text"))).alias("fp"))
     no_dup_ok = v2_fp.distinct().count() == n_after
     inserted = v2.where(F.col("doc_id") >= cut)
+    # maintain the band table THROUGH the merge: append the inserted
+    # docs' band rows (O(increment)) so the next refresh — and the
+    # post-merge re-check right here — reads the table, never the text
+    lake_commit(minhash_band_rows(clean), bands_path, mode="append")
+    bands_v2 = lake_read(spark, bands_path, 2).localCheckpoint(eager=False)
     no_near_dup_ok = (
-        near_dups_from_shingles(
-            sh_of(v2.where(F.col("doc_id") < cut)), sh_of(inserted)
+        incremental_near_dups(
+            v2.where(F.col("doc_id") < cut),
+            inserted,
+            corpus_bands=bands_v2.where(F.col("doc_id") < cut),
         ).count()
         == 0
+    )
+    # the incremental maintenance must be EXACT: the persisted table
+    # after the append equals a from-scratch recompute over the live
+    # snapshot (count + one-sided multiset difference == multiset
+    # equality)
+    recomputed_bands = minhash_band_rows(v2)
+    bands_table_ok = (
+        bands_v2.count() == recomputed_bands.count()
+        and bands_v2.exceptAll(recomputed_bands).count() == 0
     )
     no_leak_ok = (
         inserted.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0).count() == 0
@@ -255,12 +285,14 @@ def corpus_refresh(
                 bool(no_leak_ok),
                 bool(merge_atomic_ok),
                 bool(serves_union),
+                bool(bands_table_ok),
             )
         ],
         "n_corpus_kept BIGINT, n_batch BIGINT, n_new_unique BIGINT, "
         "n_inserted BIGINT, n_total_after BIGINT, n_shards BIGINT, "
         "no_dup_ok BOOLEAN, no_near_dup_ok BOOLEAN, no_leak_ok BOOLEAN, "
-        "merge_atomic_ok BOOLEAN, index_serves_union BOOLEAN",
+        "merge_atomic_ok BOOLEAN, index_serves_union BOOLEAN, "
+        "bands_table_ok BOOLEAN",
     )
 
 
@@ -363,7 +395,8 @@ def _refresh_sql() -> str:
            TRUE AS no_near_dup_ok,
            TRUE AS no_leak_ok,
            TRUE AS merge_atomic_ok,
-           TRUE AS index_serves_union
+           TRUE AS index_serves_union,
+           TRUE AS bands_table_ok
     """
 
 

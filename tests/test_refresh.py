@@ -15,8 +15,9 @@ def test_refresh_row_on_corpus(spark, tmp_path):
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     row = corpus_refresh(spark, d, e, str(tmp_path)).collect()[0]
-    assert row.no_dup_ok and row.no_leak_ok
+    assert row.no_dup_ok and row.no_near_dup_ok and row.no_leak_ok
     assert row.merge_atomic_ok and row.index_serves_union
+    assert row.bands_table_ok
     assert row.n_inserted <= row.n_new_unique <= row.n_batch
     assert row.n_total_after == row.n_corpus_kept + row.n_inserted
     assert row.n_shards >= 1
@@ -62,5 +63,6 @@ def test_refresh_gates_bite(spark, tmp_path):
     assert row.n_new_unique == 4       # 16 deduped away
     assert row.n_inserted == 3         # 17 decontaminated away
     assert row.n_total_after == row.n_corpus_kept + 3
-    assert row.no_dup_ok and row.no_leak_ok
+    assert row.no_dup_ok and row.no_near_dup_ok and row.no_leak_ok
     assert row.merge_atomic_ok and row.index_serves_union
+    assert row.bands_table_ok
