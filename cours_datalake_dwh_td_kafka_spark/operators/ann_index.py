@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
 from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+    HARDNEG_K,
     IVF_RECALL_FLOOR,
     N_CELLS,
     N_QUERIES,
@@ -274,19 +275,31 @@ def vacuum_index(
 
 
 def build_ivf_index(
-    emb: DataFrame, path: str, n_cells: int = N_CELLS
+    emb: DataFrame, path: str, n_cells: int = N_CELLS,
+    meta_cols: tuple = (),
 ) -> int:
     """Train the coarse quantizer (deterministic sample, O(1) in corpus
     size), assign every vector to its nearest cell (one BLAS
     mapInPandas pass, no shuffle), and persist a complete NEW index
     version, then atomically swap the CURRENT pointer — rebuild-in-place
     is safe under concurrent readers. Returns the cell count actually
-    used (clamped on tiny corpora)."""
+    used (clamped on tiny corpora).
+
+    ``meta_cols`` stores extra metadata columns alongside each vector
+    row (the filtered-ANN shape: a label/language/license column the
+    serving path can mask on INSIDE the probed cells, e.g.
+    :func:`hard_negative_query_index` — joining metadata back per query
+    would shuffle the candidate set every probe)."""
     import numpy as np
 
     spark = emb.sparkSession
     emb_d = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        *meta_cols,
+    )
+    meta_schema = "".join(
+        f", {c} {t}" for c, t in emb_d.dtypes if c in meta_cols
     )
     sample_rows = (
         emb_d.orderBy(F.md5(F.col("vec_id").cast("string")))
@@ -303,7 +316,8 @@ def build_ivf_index(
     )
 
     assigned = emb_d.mapInPandas(
-        ivf_assign_fn(cents), "vec_id bigint, emb array<double>, cell int"
+        ivf_assign_fn(cents),
+        f"vec_id bigint, emb array<double>{meta_schema}, cell int",
     )
     # fresh immutable version dir; the pointer swap below is the ONLY
     # mutation readers can observe, so a half-failed build never poisons
@@ -612,6 +626,7 @@ def ivf_query_index(
     nprobe: int = NPROBE,
     top_k: int = TOP_K,
     version: str | None = None,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Answer a (query_id, emb) batch against a persisted index.
 
@@ -624,7 +639,16 @@ def ivf_query_index(
     root. Scoring is one BLAS mapInPandas pass with the (small) query
     matrix in the closure; the global top-k is the shared tree reduce.
     ``version`` pins a specific version directory (time travel — e.g.
-    the pre-append snapshot); default is the CURRENT pointer."""
+    the pre-append snapshot); default is the CURRENT pointer.
+
+    ``exclude_label_col`` (round 10 — filtered ANN): name of a metadata
+    column the index stores per vector (``build_ivf_index(...,
+    meta_cols=...)``); ``queries`` must then carry a ``label`` column,
+    and candidates sharing the query's label are masked out INSIDE the
+    probed-cell scan, BEFORE the per-partition top-k — the served form
+    of hard-negative mining, where post-hoc filtering of an unfiltered
+    top-k would starve queries whose near neighbors are mostly
+    same-label."""
     import numpy as np
 
     vdir = (
@@ -649,6 +673,11 @@ def ivf_query_index(
     qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     qids = np.asarray([int(r.query_id) for r in q_rows])
+    qlabels = (
+        np.asarray([int(r.label) for r in q_rows])
+        if exclude_label_col is not None
+        else None
+    )
     sims_qc = qmat @ cents.T
     cell_probes: dict[int, list[int]] = {}
     for qi in range(len(qids)):
@@ -681,8 +710,15 @@ def ivf_query_index(
                 )
                 sims = qmat[probes] @ xn.T
                 ids = grp["vec_id"].to_numpy()
+                labels = (
+                    grp[exclude_label_col].to_numpy()
+                    if qlabels is not None
+                    else None
+                )
                 for row, qi in enumerate(probes):
                     mask = ids != qids[qi]
+                    if qlabels is not None:
+                        mask &= labels != qlabels[qi]
                     if not mask.any():
                         continue
                     out.append(
@@ -1046,6 +1082,128 @@ def q_knn_label_accuracy_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_user_index_root(), f"knn_idx_{tag}")
     out = knn_label_accuracy_ivf(spark, e, path)
     _sweep_stale_tags(path, "knn_idx_")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-served hard-negative mining (round 10, verdict #3): the exact miner
+# collects the probe set and ships qmat in a closure — right for a bounded
+# probe batch, impossible when the probe set is every training example.
+# The served form probes the PERSISTED index with the label mask applied
+# to the probed cells' candidates BEFORE the top-k (filtered ANN), so
+# corpus-wide mining is a loop of bounded probe batches against one
+# built-once index.
+# ---------------------------------------------------------------------------
+#: the mask removes the query's own (usually nearest) label cluster from
+#: the candidate pool, so negatives live farther out in cosine space than
+#: plain neighbors do — probe deeper than the unmasked default to keep
+#: the same recall floor (measured: nprobe=NPROBE leaves label-crossing
+#: queries below floor at sf0.001; doubling it clears the floor at every
+#: tested SF while still pruning 2 of 8 cells)
+HARDNEG_NPROBE = 2 * NPROBE
+
+
+def hard_negative_mining_ivf(
+    spark: SparkSession,
+    e: DataFrame,
+    index_path: str,
+    top_k: int = HARDNEG_K,
+    n_queries: int = N_QUERIES,
+    floor: float = IVF_RECALL_FLOOR,
+) -> DataFrame:
+    """Hard negatives mined on the SERVING path, measured against the
+    exact miner: per query, (k_truth, recall_ok) — the ivf_recall_check
+    guarantee shape, with truth = :func:`hard_negative_mining` (exact
+    BLAS scan, label mask inside the scan). The index stores ``label``
+    as a metadata column (``meta_cols`` — the filtered-ANN layout), so
+    the mask runs inside the probed-cell mapInPandas pass and never
+    joins labels onto candidates at query time.
+
+    Scale shape: build-once labeled index + partition-pruned probes;
+    truth and served sides are both n_queries x k rows into the hit
+    join; all collects are the bounded query batch + centroids."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    if not os.path.exists(os.path.join(index_path, "CURRENT")):
+        build_ivf_index(
+            e.select("vec_id", "embedding", "label"),
+            index_path,
+            meta_cols=("label",),
+        )
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+    served = ivf_query_index(
+        spark,
+        index_path,
+        q,
+        nprobe=HARDNEG_NPROBE,
+        top_k=top_k,
+        exclude_label_col="label",
+    ).select("query_id", "neighbor_id")
+    truth = (
+        hard_negative_mining(e, top_k, n_queries)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # feeds k_truth AND the hit join
+    )
+    k_truth = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_truth")
+    )
+    hits = (
+        served.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        k_truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_truth",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k_truth")
+                >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_HARDNEG_IVF_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label,
+             embedding::DOUBLE[] AS q_emb
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]),
+                   6) AS cosine
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.query_id AND e.label <> q.q_label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_truth, TRUE AS recall_ok
+    FROM ranked WHERE rn <= {HARDNEG_K}
+    GROUP BY query_id
+    ORDER BY query_id
+"""
+
+
+@register("hard_negative_mining_ivf", _HARDNEG_IVF_SQL)
+def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = _corpus_tag(e, sf_dir)
+    path = os.path.join(_user_index_root(), f"hneg_idx_{tag}")
+    out = hard_negative_mining_ivf(spark, e, path)
+    _sweep_stale_tags(path, "hneg_idx_")
     return out
 
 

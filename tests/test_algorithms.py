@@ -1347,3 +1347,44 @@ def test_with_cell_assign_matches_decimal_estep(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hard_negative_ivf_masks_inside_probe(spark, tmp_path):
+    """The served hard-negative miner (round 10): the label mask runs
+    INSIDE the probed-cell scan — no served neighbor ever shares the
+    query's label or IS the query — and full-probe serving equals the
+    exact miner's neighbor sets exactly (same mask, same tie order)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+        hard_negative_mining,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "hneg")
+    build_ivf_index(
+        e.select("vec_id", "embedding", "label"), idx, meta_cols=("label",)
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+    served = ivf_query_index(
+        spark, idx, q, nprobe=N_CELLS, top_k=5, exclude_label_col="label"
+    )
+    qlab = {r.vec_id: r.label for r in e.where("vec_id < 10").collect()}
+    nlab = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    got = served.collect()
+    assert got, "served miner returned nothing"
+    for r in got:
+        assert r.neighbor_id != r.query_id
+        assert nlab[r.neighbor_id] != qlab[r.query_id], r
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in hard_negative_mining(e).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in got} == exact
