@@ -234,8 +234,11 @@ def corpus_refresh(
     ecut = int(elo) + int((int(ehi) - int(elo)) * INCREMENT_SPLIT)
     emb_d = e.select("vec_id", "embedding")
     idx = os.path.join(workdir, "idx")
-    build_ivf_index(emb_d.where(F.col("vec_id") < ecut), idx)
-    append_ivf_index(emb_d.where(F.col("vec_id") >= ecut), idx)
+    # each index version records the corpus-lake version it pairs with
+    # (round 10): a reader joining served neighbors to lake rows reads
+    # the RECORDED snapshot — index_lake_consistency attests the pairing
+    build_ivf_index(emb_d.where(F.col("vec_id") < ecut), idx, lake_version=1)
+    append_ivf_index(emb_d.where(F.col("vec_id") >= ecut), idx, lake_version=2)
     q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),

@@ -1388,3 +1388,68 @@ def test_hard_negative_ivf_masks_inside_probe(spark, tmp_path):
         for r in hard_negative_mining(e).collect()
     }
     assert {(r.query_id, r.neighbor_id) for r in got} == exact
+
+
+def test_index_lake_pairing_survives_interleaved_mutations(spark, tmp_path):
+    """Round-10 snapshot-consistency contract: a reader that resolved
+    the index version BEFORE a MERGE+append interleave still serves
+    exactly the lake snapshot its manifest records (time travel on both
+    sides); the live index records the post-MERGE version; compaction
+    and unpinned appends carry the recorded pairing forward."""
+    import os
+
+    from cours_datalake_dwh_td_kafka_spark import lake
+    from cours_datalake_dwh_td_kafka_spark.operators import ann_index as ai
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    lake_path, idx = str(tmp_path / "lake"), str(tmp_path / "idx")
+    base, batch = e.where("vec_id < 400"), e.where("vec_id >= 400")
+    lake.lake_commit(base, lake_path)  # v1
+    ai.build_ivf_index(
+        lake.lake_read(spark, lake_path, 1), idx, lake_version=1
+    )
+    # a reader resolves its snapshot BEFORE the mutations land
+    pinned = os.path.basename(ai._current_version_dir(idx))
+
+    lake.lake_merge_upsert(spark, lake_path, batch, "vec_id")  # v2
+    ai.append_ivf_index(batch, idx, lake_version=2)
+
+    assert ai.index_lake_version(idx, pinned) == 1
+    ids_pinned = {
+        r.vec_id for r in ai.served_vec_ids(spark, idx, pinned).collect()
+    }
+    ids_lake1 = {
+        r.vec_id
+        for r in lake.lake_read(spark, lake_path, 1)
+        .select("vec_id")
+        .collect()
+    }
+    assert ids_pinned == ids_lake1
+
+    assert ai.index_lake_version(idx) == 2
+    ids_live = {r.vec_id for r in ai.served_vec_ids(spark, idx).collect()}
+    ids_lake2 = {
+        r.vec_id
+        for r in lake.lake_read(spark, lake_path, 2)
+        .select("vec_id")
+        .collect()
+    }
+    assert ids_live == ids_lake2
+
+    # compaction rewrites the same rows: the pairing carries forward
+    ai.compact_ivf_index(spark, idx)
+    assert ai.index_lake_version(idx) == 2
+    assert {
+        r.vec_id for r in ai.served_vec_ids(spark, idx).collect()
+    } == ids_lake2
+
+    # an append with no explicit pin carries the parent's recorded
+    # version (out-of-protocol rows don't advance the lake pairing)
+    dim = len(e.select("embedding").first()[0])
+    extra = spark.createDataFrame(
+        [(10_000, [0.5] * dim)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    ai.append_ivf_index(extra, idx)
+    assert ai.index_lake_version(idx) == 2
