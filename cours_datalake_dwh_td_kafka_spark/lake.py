@@ -843,6 +843,7 @@ def lake_maintenance_plan(
     min_small_files: int = 4,
     max_unclustered_fraction: float = 0.25,
     keep_versions: int = 3,
+    max_unindexed_fraction: float = 0.25,
 ) -> dict:
     """Dry-run maintenance advisor — the decision half of the lifecycle
     ops, separated so an operator (or a scheduler) can READ what is due
@@ -859,6 +860,12 @@ def lake_maintenance_plan(
       probes degrade toward full scans;
     - ``vacuum_due``: more than ``keep_versions`` versions survive, so
       a vacuum would actually reclaim something;
+    - ``reindex_due`` (round 10, verdict #5): the table HAS a Bloom
+      index but more than ``max_unindexed_fraction`` of its current
+      files lack a bitmap for some indexed column — appends carry
+      bitmaps forward only for KEPT files, and a legacy/recovered
+      table may have none, so point lookups silently degrade toward
+      full scans until :func:`lake_bloom_index` re-runs;
     - plus the raw counts each verdict was computed from, so the caller
       can log WHY.
 
@@ -874,6 +881,12 @@ def lake_maintenance_plan(
     n_small = sum(1 for s in sizes if s < small_file_bytes)
     stats = m.get("stats") or {}
     n_unclustered = sum(1 for f in files if f not in stats)
+    bloom = m.get("bloom") or {}
+    n_unindexed = sum(
+        1
+        for f in files
+        if bloom and any(f not in b["files"] for b in bloom.values())
+    )
     versions = _existing_versions(path)
     return {
         "version": v,
@@ -887,6 +900,11 @@ def lake_maintenance_plan(
         and n_unclustered / len(files) > max_unclustered_fraction,
         "n_versions": len(versions),
         "vacuum_due": len(versions) > keep_versions,
+        "has_bloom": bool(bloom),
+        "n_unindexed_files": n_unindexed,
+        "reindex_due": bool(bloom)
+        and len(files) > 0
+        and n_unindexed / len(files) > max_unindexed_fraction,
     }
 
 
@@ -963,9 +981,13 @@ def lake_bloom_index(
     }
     blooms = {}
     for f in m["files"]:
-        pos = by_base.get(os.path.basename(f))
-        if pos is None:
-            continue
+        # a file absent from the aggregate has NO non-null values of
+        # ``col`` (zero rows, or all-NULL): its bitmap is the bloom of
+        # the empty set — all zeros, every probe skips it. Sound (an
+        # equality probe never matches NULL) and necessary: leaving it
+        # bitmap-less would make the advisor's reindex_due verdict
+        # unclearable on tables with empty part files.
+        pos = by_base.get(os.path.basename(f)) or []
         bits = bytearray(m_bits // 8)
         for p in pos:
             bits[p // 8] |= 1 << (p % 8)

@@ -520,8 +520,10 @@ _MAINT_SQL = """
            TRUE AS fragmented_flagged,
            TRUE AS eroded_flagged,
            TRUE AS pileup_flagged,
+           TRUE AS bloom_eroded_flagged,
            TRUE AS repairs_preserve_rows,
-           TRUE AS clear_after_maintenance
+           TRUE AS clear_after_maintenance,
+           TRUE AS bloom_prunes_after_repair
     FROM documents
 """
 
@@ -529,45 +531,63 @@ _MAINT_SQL = """
 def lake_maintenance_protocol(
     spark: SparkSession, d: DataFrame, path: str
 ) -> DataFrame:
-    """Degrade the table three ways, check the advisor flags each —
+    """Degrade the table four ways, check the advisor flags each —
     and ONLY each — due op, run the repairs it prescribed, and check
     the verdicts clear:
 
     1. fragmented commit (6 small files)      -> compact_due;
-    2. cluster, then two stats-less appends   -> recluster_due;
+    2. cluster + bloom-index, then two
+       stats-less appends                     -> recluster_due AND
+                                                 reindex_due (the
+       appended files carry neither range stats nor bitmaps — round
+       10: a degraded bloom index was previously invisible to the
+       advisor, so point lookups quietly decayed to full scans);
     3. the version pileup from 1-2            -> vacuum_due;
-    4. compact + re-cluster + vacuum          -> nothing due, rows
-       untouched throughout (oracle-recomputed count)."""
+    4. compact + re-cluster + re-index +
+       vacuum                                 -> nothing due, rows
+       untouched throughout (oracle-recomputed count), and a
+       point probe on the REBUILT bloom actually skips files."""
     from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_bloom_index,
         lake_cluster_by,
         lake_compact,
         lake_maintenance_plan,
         lake_vacuum,
+        pruned_files_eq,
     )
 
     base = d.select("doc_id", "source", "n_chars")
     lake_commit(base.repartition(6), path)  # v1: fragmented
     p1 = lake_maintenance_plan(path)
     fragmented = (
-        p1["compact_due"] and not p1["recluster_due"] and not p1["vacuum_due"]
+        p1["compact_due"]
+        and not p1["recluster_due"]
+        and not p1["vacuum_due"]
+        and not p1["reindex_due"]  # no bloom yet -> never due
     )
     lake_cluster_by(spark, path, "doc_id", n_files=2)  # v2
+    lake_bloom_index(spark, path, "doc_id")  # v3: fully indexed
     extra = base.where(F.col("doc_id") % 100 < 2)
-    lake_commit(extra.coalesce(1), path)  # v3: stats-less append
+    lake_commit(extra.coalesce(1), path)  # v4: stats+bitmap-less append
     lake_commit(
         base.where((F.col("doc_id") % 100 >= 2) & (F.col("doc_id") % 100 < 4))
         .coalesce(1),
         path,
-    )  # v4
+    )  # v5
     n_expected = base.count() + extra.count() + base.where(
         (F.col("doc_id") % 100 >= 2) & (F.col("doc_id") % 100 < 4)
     ).count()
     p2 = lake_maintenance_plan(path, keep_versions=3)
     eroded = p2["recluster_due"]
-    pileup = p2["vacuum_due"]  # 4 surviving versions > keep_versions=3
-    # run the prescribed repairs
-    lake_compact(spark, path, target_files=1)  # v5
-    lake_cluster_by(spark, path, "doc_id", n_files=2)  # v6
+    bloom_eroded = (
+        p2["reindex_due"] and p2["n_unindexed_files"] == 2  # the appends
+    )
+    pileup = p2["vacuum_due"]  # 5 surviving versions > keep_versions=3
+    # run the prescribed repairs (recluster drops the bloom section —
+    # its files are rewritten — so the re-index runs after it)
+    lake_compact(spark, path, target_files=1)  # v6
+    lake_cluster_by(spark, path, "doc_id", n_files=2)  # v7
+    lake_bloom_index(spark, path, "doc_id")  # v8
     lake_vacuum(path, keep_versions=1, orphan_grace_seconds=0)
     n_after = lake_read(spark, path).count()
     p3 = lake_maintenance_plan(path, keep_versions=3)
@@ -575,8 +595,14 @@ def lake_maintenance_protocol(
         not p3["compact_due"]
         and not p3["recluster_due"]
         and not p3["vacuum_due"]
+        and not p3["reindex_due"]
         and p3["n_unclustered_files"] == 0
+        and p3["n_unindexed_files"] == 0
     )
+    # the rebuilt index bites: an absent key skips every file (up to
+    # bloom false positives — deterministic for fixed data, and zero
+    # at every tested SF)
+    kept, total = pruned_files_eq(path, "doc_id", -1)
     return spark.createDataFrame(
         [
             (
@@ -584,13 +610,16 @@ def lake_maintenance_protocol(
                 bool(fragmented),
                 bool(eroded),
                 bool(pileup),
+                bool(bloom_eroded),
                 n_after == n_expected,
                 bool(clear),
+                len(kept) < total,
             )
         ],
         "n_rows BIGINT, fragmented_flagged BOOLEAN, eroded_flagged BOOLEAN, "
-        "pileup_flagged BOOLEAN, repairs_preserve_rows BOOLEAN, "
-        "clear_after_maintenance BOOLEAN",
+        "pileup_flagged BOOLEAN, bloom_eroded_flagged BOOLEAN, "
+        "repairs_preserve_rows BOOLEAN, clear_after_maintenance BOOLEAN, "
+        "bloom_prunes_after_repair BOOLEAN",
     )
 
 

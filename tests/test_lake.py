@@ -1326,3 +1326,77 @@ def test_lake_bloom_canonicalization_no_false_negatives(spark, tmp_path):
 
     with pytest.raises(ValueError, match="multiple of 8"):
         lake_bloom_index(spark, path, "k", m_bits=1001)
+
+
+def test_maintenance_plan_reindex_verdict(spark, tmp_path):
+    """reindex_due (round 10): never due without a bloom index; due when
+    appends leave enough files without bitmaps; cleared by a re-index;
+    timestamp-stat probes prune correctly in BOTH ISO renderings
+    (the r9 timestamp-separator fix)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_bloom_index,
+        lake_cluster_by,
+        lake_commit,
+        lake_maintenance_plan,
+        pruned_files,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(hours=F.col("id"))
+        ).alias("ts"),
+    )
+    lake_commit(df.repartition(2), path)  # v1
+    p = lake_maintenance_plan(path)
+    assert not p["has_bloom"] and not p["reindex_due"]
+    lake_bloom_index(spark, path, "k")  # v2
+    assert not lake_maintenance_plan(path)["reindex_due"]
+    lake_commit(
+        spark.range(400, 420).select(
+            F.col("id").alias("k"),
+            F.lit("2024-03-01 00:00:00").cast("timestamp").alias("ts"),
+        ),
+        path,
+    )  # v3: bitmap-less append
+    p = lake_maintenance_plan(path)
+    assert p["reindex_due"] and p["n_unindexed_files"] >= 1
+    lake_bloom_index(spark, path, "k")  # v4: repair
+    p = lake_maintenance_plan(path)
+    assert not p["reindex_due"] and p["n_unindexed_files"] == 0
+
+    # float bloom columns are rejected up front (r9 advice)
+    path2 = str(tmp_path / "f")
+    lake_commit(df.select(F.col("k").cast("double").alias("x")), path2)
+    with pytest.raises(ValueError, match="float/double"):
+        lake_bloom_index(spark, path2, "x")
+
+    # timestamp stats prune identically for 'T'- and space-separated
+    # probes, and never wrongly skip (r9 advice, medium)
+    lake_cluster_by(spark, path, "ts", n_files=4)
+    n_all = sum(
+        1 for _ in lake_read(spark, path).where(
+            F.col("ts").between("2024-01-05 00:00:00", "2024-01-06 00:00:00")
+        ).collect()
+    )
+    for lo, hi in (
+        ("2024-01-05 00:00:00", "2024-01-06 00:00:00"),
+        ("2024-01-05T00:00:00", "2024-01-06T00:00:00"),
+        (
+            datetime.datetime(2024, 1, 5),
+            datetime.datetime(2024, 1, 6),
+        ),
+    ):
+        files, total = pruned_files(path, "ts", lo, hi)
+        assert files, (lo, hi)
+        assert len(files) < total  # the stats actually prune
+        from cours_datalake_dwh_td_kafka_spark.lake import lake_read_pruned
+
+        got = lake_read_pruned(spark, path, "ts", lo, hi).count()
+        assert got == n_all == 25, (lo, got, n_all)
