@@ -100,9 +100,23 @@ def _commit_manifest(
     schema: dict | None = None,
     stats: dict | None = None,
     bloom: dict | None = None,
+    stream_batch_id: int | None = None,
 ) -> int:
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
+    if stream_batch_id is None:
+        # AUTO-CARRY the streaming high-water mark (round 10): the
+        # newest surviving manifest's stream_batch_id rides along on
+        # every commit (merge, compact, cluster, vacuum survivor...),
+        # so a restarted stream can always read "which batches are
+        # already in" from ONE manifest — O(1), vacuum-safe, and no
+        # lifecycle op can silently reset it (which would make a
+        # replayed batch commit twice).
+        prev = _existing_versions(path)
+        if prev:
+            stream_batch_id = _read_manifest(path, prev[-1]).get(
+                "stream_batch_id"
+            )
     manifest = {"version": version, "op": op, "files": files}
     if schema is not None:
         manifest["schema"] = schema
@@ -110,6 +124,8 @@ def _commit_manifest(
         manifest["stats"] = stats
     if bloom is not None:
         manifest["bloom"] = bloom
+    if stream_batch_id is not None:
+        manifest["stream_batch_id"] = int(stream_batch_id)
     target = os.path.join(mdir, f"v{version}.json")
     # Two-step publish so readers NEVER see a partial manifest: the body
     # is fully written (and fsynced) to a private temp name first, then
@@ -158,7 +174,12 @@ def _merged_append_schema(prev_schema: dict | None, df: DataFrame) -> dict:
     return {"type": "struct", "fields": list(declared.values())}
 
 
-def lake_commit(df: DataFrame, path: str, mode: str = "append") -> int:
+def lake_commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stream_batch_id: int | None = None,
+) -> int:
     """Commit ``df`` as a new snapshot. ``append`` keeps the previous
     version's files and adds the new ones; ``overwrite`` starts the file
     list fresh (old files remain on disk for time travel). The manifest
@@ -201,8 +222,21 @@ def lake_commit(df: DataFrame, path: str, mode: str = "append") -> int:
         files = _write_data_files(df, path)
         stats = bloom = None
     return _commit_manifest(
-        path, prev + 1, files, mode, schema, stats, bloom
+        path, prev + 1, files, mode, schema, stats, bloom, stream_batch_id
     )
+
+
+def last_stream_batch_id(path: str) -> int:
+    """High-water mark of streaming batch ids committed to the table
+    (-1 for none / no table). One manifest read: every commit carries
+    the mark forward (see :func:`_commit_manifest`), so the newest
+    surviving manifest always knows it — the idempotence check a
+    restarted stream's replayed batch needs."""
+    v = current_version(path)
+    if v < 1:
+        return -1
+    b = _read_manifest(path, v).get("stream_batch_id")
+    return -1 if b is None else int(b)
 
 
 def lake_read(

@@ -35,11 +35,14 @@ _LIFECYCLE_SQL = """
            CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
              AS n_deleted,
            CAST(0 AS BIGINT) AS n_inserted,
+           CAST(SUM(CASE WHEN doc_id % 100 = 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_streamed,
            TRUE AS time_travel_ok,
            TRUE AS compact_preserved_rows,
            TRUE AS schema_evolution_ok,
            TRUE AS merge_upsert_ok,
-           'append>compact>delete>append>merge' AS history_ops
+           TRUE AS streamed_append_ok,
+           'append>compact>delete>append>merge>append' AS history_ops
     FROM documents
 """
 
@@ -65,6 +68,13 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
     - ``merge_upsert_ok``: v5 batch-MERGEs a corrected slice (round 8)
       — matched rows replaced, unmatched keys inserted, one atomic
       commit; the pre-merge snapshot still shows the old values;
+    - ``streamed_append_ok`` (round 10): v6 lands through the
+      STREAMING lake-commit sink (foreachBatch ->
+      ``commit_stream_to_lake``) — streamed rows are first-class lake
+      citizens: the CDC diff v5→v6 reports exactly them as inserts,
+      the manifest records the micro-batch id (the exactly-once replay
+      guard, kill-tested in tests/test_streaming.py), and time travel
+      to v1 is still intact afterwards;
     - ``history_ops``: the surviving manifest operations in order.
 
     Compaction runs against v1, whose file count is an EXPLICIT
@@ -128,6 +138,36 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
         ).count()
         == 0
     )
+    # v6: STREAMED append through the versioned-commit sink (round 10)
+    from cours_datalake_dwh_td_kafka_spark.lake import last_stream_batch_id
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        commit_stream_to_lake,
+    )
+
+    workdir = os.path.dirname(path)
+    indir = os.path.join(workdir, "stream_in")
+    streamed = d.where(F.col("doc_id") % 100 == 25)
+    n_streamed = streamed.count()
+    streamed.coalesce(1).write.json(indir)
+    src = spark.readStream.schema(streamed.schema).json(indir)
+    q = commit_stream_to_lake(
+        src, path, os.path.join(workdir, "stream_ckpt")
+    ).start()
+    q.awaitTermination(120)
+    v6 = lake_read(spark, path, 6)
+    stream_changes = {
+        r["_change"]: r["n"]
+        for r in lake_diff(spark, path, 5, 6)
+        .groupBy("_change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    streamed_ok = (
+        v6.count() == v5.count() + n_streamed
+        and stream_changes.get("insert", 0) == n_streamed
+        and stream_changes.get("delete", 0) == 0
+        and last_stream_batch_id(path) == 0  # the replay guard's marker
+    )
     travel_ok = v1_after.count() == n_docs
     ops = ">".join(h["op"] for h in lake_history(path))
     return spark.createDataFrame(
@@ -136,16 +176,19 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
                 int(n_docs),
                 int(changes.get("delete", 0)),
                 int(changes.get("insert", 0)),
+                int(n_streamed),
                 bool(travel_ok),
                 bool(compact_ok),
                 bool(evolved_ok),
                 bool(merge_ok),
+                bool(streamed_ok),
                 ops,
             )
         ],
         "n_docs BIGINT, n_deleted BIGINT, n_inserted BIGINT, "
-        "time_travel_ok BOOLEAN, compact_preserved_rows BOOLEAN, "
-        "schema_evolution_ok BOOLEAN, merge_upsert_ok BOOLEAN, "
+        "n_streamed BIGINT, time_travel_ok BOOLEAN, "
+        "compact_preserved_rows BOOLEAN, schema_evolution_ok BOOLEAN, "
+        "merge_upsert_ok BOOLEAN, streamed_append_ok BOOLEAN, "
         "history_ops STRING",
     )
 

@@ -541,6 +541,52 @@ def write_stream_to_lake(
     )
 
 
+def commit_stream_to_lake(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """Streaming ingestion into the VERSIONED manifest lake (round 10,
+    verdict #6): per micro-batch, one atomic ``lake_commit`` append —
+    so streamed rows are first-class lake citizens (time travel, CDC
+    diff, stats/bloom pruning, the maintenance advisor), unlike the
+    plain partitioned file sink (:func:`write_stream_to_lake`), whose
+    files live outside the manifest protocol and are invisible to all
+    of them.
+
+    EXACTLY-ONCE COMMITS: each commit records its micro-batch id in
+    the manifest, every later commit carries the high-water mark
+    forward, and a replayed batch (kill between the lake commit and the
+    checkpoint ack) is detected by ``batch_id <= last_stream_batch_id``
+    and skipped — no duplicate version, no duplicate rows (pinned by
+    the kill-and-resume test). Batch ids are per-checkpoint monotone,
+    so the guard assumes ONE stream writer per table (the manifest's
+    O_EXCL publish turns a rival stream into a loud failure, not
+    corruption); interleaved BATCH commits are fine — they carry the
+    mark without advancing it.
+
+    Scale shape: a commit writes only the batch's files plus one
+    manifest — O(batch), never O(lake); compaction of the resulting
+    small files is the advisor's compact_due rung."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        last_stream_batch_id,
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if batch_id <= last_stream_batch_id(path):
+            return  # replayed after a kill: already committed
+        lake_commit(batch_df, path, stream_batch_id=batch_id)
+
+    return (
+        df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def merge_stream_to_lake(
     df: DataFrame,
     path: str,

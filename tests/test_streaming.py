@@ -1731,3 +1731,76 @@ def test_stream_near_dup_alerts_restart_keeps_dedup_state(spark, tmp_path):
     rows = spark.read.json(outdir).collect()
     ids = sorted(r.doc_id for r in rows)
     assert ids == sorted([first, second]), f"got {ids}"
+
+
+def test_commit_stream_to_lake_exactly_once_commits(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 streaming lake ingestion: each micro-batch lands as ONE
+    atomic versioned commit (time travel + CDC see streamed rows), and
+    a batch replayed after a kill between the lake commit and the
+    checkpoint ack is detected via the manifest's recorded batch id and
+    skipped — no duplicate version, no duplicate rows."""
+    import cours_datalake_dwh_td_kafka_spark.lake as lakemod
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        current_version,
+        lake_diff,
+        lake_maintenance_plan,
+        lake_read,
+        last_stream_batch_id,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        commit_stream_to_lake,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "station LONG, reading DOUBLE"
+
+    def run():
+        s = spark.readStream.schema(schema).json(str(indir))
+        q = commit_stream_to_lake(s, lake, ckpt).start()
+        q.awaitTermination(120)
+
+    # arm a genuine kill INSIDE the window: the lake commit lands, then
+    # the sink dies before Spark can ack the batch to the checkpoint
+    orig_commit = lakemod.lake_commit
+    state = {"crash": True}
+
+    def crashing(df, path, mode="append", stream_batch_id=None):
+        v = orig_commit(df, path, mode, stream_batch_id=stream_batch_id)
+        if state["crash"]:
+            state["crash"] = False
+            raise RuntimeError("simulated kill after commit, before ack")
+        return v
+
+    monkeypatch.setattr(lakemod, "lake_commit", crashing)
+    _write_batch(
+        str(indir),
+        [{"station": 1, "reading": 10.0}, {"station": 2, "reading": 20.0}],
+        "b0",
+    )
+    with pytest.raises(Exception, match="simulated kill"):
+        run()
+    # the commit survived the kill; the checkpoint never acked batch 0
+    assert current_version(lake) == 1
+    assert last_stream_batch_id(lake) == 0
+
+    # resume: Spark replays batch 0 with the SAME id — the guard skips
+    run()
+    assert current_version(lake) == 1, "replayed batch committed twice"
+    assert lake_read(spark, lake).count() == 2
+
+    _write_batch(str(indir), [{"station": 3, "reading": 30.0}], "b1")
+    run()
+    assert current_version(lake) == 2
+    assert last_stream_batch_id(lake) == 1
+    assert lake_read(spark, lake).count() == 3
+    # streamed rows are first-class lake citizens: time travel and CDC
+    assert lake_read(spark, lake, 1).count() == 2
+    diff = lake_diff(spark, lake, 1, 2).collect()
+    assert [(r.station, r._change) for r in diff] == [(3, "insert")]
+    # and the advisor sees the per-batch small files piling up
+    assert lake_maintenance_plan(lake)["n_files"] >= 2
