@@ -52,65 +52,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-9 attestation window (driver caps at ~50 rows/round) ----
-    # -- refactored AFTER its last driver row (r8 hygiene note): lead ---
-    "multimodal_scene_cuts",  # r8 c2c06ec shared frame walk; row is r7
-    # -- new in r9, never attested ---------------------------------------
-    "dedup_audio_fingerprint",  # r9: energy-envelope audio near-dup
-    "ann_index_compact",        # r9: chain-collapse + re-train rung
-    "ann_ivfpq_append",         # r9: incremental PQ append (code chain)
-    "corpus_refresh",           # r9: the end-to-end refresh protocol
-    "token_budget_select",      # r9: quality-first budgeted selection
-    "kmeans_lloyd",             # r9: full-corpus Lloyd clustering
-    "stratified_sample",        # r9: upgraded rows-only -> guarantees row
-    "lake_cluster",             # r9: layout clustering + stats pruning
-    "epoch_shuffle",            # r9: reproducible per-epoch reshuffle
-    "lake_zorder",              # r9: 2-D Morton layout vs 1-D, measured
-    "lake_bloom",               # r9: bloom point-lookup file skipping
-    "hard_negative_mining",     # r9: contrastive-negative miner
-    "dedup_incremental_lsh",    # r9: cross-run NEAR-dup gate
-    "lake_maintenance",         # r9: advisor degrade-and-repair cycle
-    # -- code changed in r9: must re-attest on current code -------------
-    "doc_pack",                 # r9: two-phase prefix-kernel packing
-    "pretraining_pipeline",     # r9: same packing rewrite
-    "equi_depth_histogram",     # r9: keyed-NTILE -> dense_ids + formula
-    "sampling",                 # r9: upgraded rows-only -> guarantees row
-    "ann_index_append",         # r9: single-winner CAS publish
-    "lake_lifecycle",           # r9: legacy-recovery mergeSchema
-    "surrogate_keys",           # r9: dense_ids partition_cols support
-    "heaps_law_fit",            # r9: prefix_sums partition_cols support
-    # -- the round-4 tier: every remaining stamp whose latest row is r4
-    #    (the ~9-name spill past the 50-row cap — the alphabetic tail of
-    #    this tier — leads the r10 rotation; pytest oracle-parity covers
-    #    ALL oracled queries on current code each round regardless of
-    #    the cap) --------------------------------------------------------
-    "dedup_edit_distance",
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "dedup_simhash_pairs",
-    "dedup_span_runs",
-    "disjunctive_revenue",
-    "doc_chunks",
-    "dq_audit",
-    "ewma_per_user",
-    "forecast_revenue",
-    "funnel_stages",
-    "funnel_stages_windowed",
-    "gap_fill_daily",
-    "hash_stratified_sample",
-    "heavy_hitters_cms",
-    "idle_customer_balance",
-    "key_skew_profile",
-    "large_orders",
-    "multimodal_audio_stats",
-    "multimodal_features",
-    "multimodal_image_stats",
-    "multimodal_png_stats",
-    "multimodal_resize_stats",
-    "nation_market_share",
-    "pagerank_copurchase",
-    "priority_late_shipments",
-    "promo_revenue_share",
+    # ---- round-10 attestation window (driver caps at ~50 rows/round) ---
+    # -- the 13 r4-vintage stamps that spilled past r9's 50-row cap
+    #    (VERDICT r9 item 2: after this rotation no stamp predates r5;
+    #    pytest oracle-parity covers ALL oracled queries on current code
+    #    each round regardless of the cap) -------------------------------
     "quality_score",
     "returned_item_revenue",
     "robust_anomaly",
@@ -124,6 +70,24 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "volume_shipping",
     "weighted_sample",
     "zipf_law_fit",
+    # -- new in r10, never attested --------------------------------------
+    "hard_negative_mining_ivf",  # r10: IVF-served miner, in-index mask
+    "index_lake_consistency",    # r10: recorded lake/index pairing
+    # -- code changed in r10: must re-attest on current code -------------
+    "dedup_incremental_lsh",   # r10: candidate-pruned verify
+    "corpus_refresh",          # r10: persisted band table + bands_table_ok
+    "dedup_audio_fingerprint",  # r10: exact int64 energy accumulation
+    "lake_lifecycle",          # r10: streamed-append leg (new columns)
+    "lake_maintenance",        # r10: bloom degrade-and-repair leg
+    "lake_bloom",              # r10: zero-bitmap for row-less files
+    "lake_cluster",            # r10: timestamp stat rendering + dual keep
+    "lake_zorder",             # r10: same pruned_files change
+    "knn_label_accuracy_ivf",  # r10: ivf_query_index mask plumbing
+    "ann_index_drift",         # r10: same serving-path plumbing
+    "ann_index_append",        # r10: lake_version threading + CAS wait
+    "ann_index_compact",       # r10: same publish/manifest plumbing
+    "ann_ivfpq_append",        # r10: same publish plumbing
+    "hard_negative_mining",    # r10: anchor for the served twin's floor
 )
 
 
