@@ -21,6 +21,10 @@ Invariants:
   new files and the manifest swaps the file set — at scale, pair with
   partition/bucket pruning so only touched files rewrite (the
   merge-upsert sink in streaming/pipelines.py is the incremental twin).
+  Round 10 adds the MERGE-ON-READ alternative (:func:`lake_delete_keys`,
+  the Iceberg-v2 equality-delete shape): a delete writes only its key
+  file, readers anti-join at scan time, and the rewrite rungs (cluster,
+  merge, CoW delete, compact) fold the debt.
 
 Local-FS paths only (os/json manifest handling); the data files
 themselves go through Spark writers, so pointing the manifest layer at
@@ -101,6 +105,7 @@ def _commit_manifest(
     stats: dict | None = None,
     bloom: dict | None = None,
     stream_batch_id: int | None = None,
+    deletes: list | None = None,
 ) -> int:
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
@@ -124,6 +129,8 @@ def _commit_manifest(
         manifest["stats"] = stats
     if bloom is not None:
         manifest["bloom"] = bloom
+    if deletes:
+        manifest["deletes"] = deletes
     if stream_batch_id is not None:
         manifest["stream_batch_id"] = int(stream_batch_id)
     target = os.path.join(mdir, f"v{version}.json")
@@ -217,12 +224,21 @@ def lake_commit(
         # silently de-index the whole layout
         stats = prev_m.get("stats")
         bloom = prev_m.get("bloom")
+        deletes = prev_m.get("deletes")
     else:
         schema = _schema_dict(df)
         files = _write_data_files(df, path)
-        stats = bloom = None
+        stats = bloom = deletes = None
     return _commit_manifest(
-        path, prev + 1, files, mode, schema, stats, bloom, stream_batch_id
+        path,
+        prev + 1,
+        files,
+        mode,
+        schema,
+        stats,
+        bloom,
+        stream_batch_id,
+        deletes,
     )
 
 
@@ -252,6 +268,9 @@ def lake_read(
     m = _read_manifest(path, v)
     if not m["files"]:
         raise ValueError(f"version {v} of {path} is empty")
+    if m.get("deletes"):
+        # merge-on-read: anti-join the pending delete keys at scan time
+        return _apply_deletes(spark, path, m, m["files"])
     paths = [os.path.join(path, f) for f in m["files"]]
     if "schema" not in m:  # pre-evolution manifests: plain union read
         return spark.read.parquet(*paths)
@@ -275,13 +294,106 @@ def lake_delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     matching ``predicate`` (a SQL boolean expression) and commit the
     rewritten file set as a new version. Prior versions still contain
     the rows — retention/GC is a separate explicit step
-    (:func:`lake_vacuum`), exactly so that time travel works."""
+    (:func:`lake_vacuum`), exactly so that time travel works. Rewriting
+    the snapshot folds any pending merge-on-read deletes
+    (:func:`lake_delete_keys`), so the new manifest carries none."""
     cur = lake_read(spark, path)
     kept = cur.where(f"NOT ({predicate})")
     files = _write_data_files(kept, path)
     return _commit_manifest(
         path, current_version(path) + 1, files, "delete", _schema_dict(kept)
     )
+
+
+def lake_delete_keys(
+    spark: SparkSession, path: str, key_col: str, predicate: str
+) -> int:
+    """MERGE-ON-READ delete (round 10, beyond-brief — the Iceberg-v2
+    equality-delete shape): instead of rewriting the kept data
+    (:func:`lake_delete_where` — O(table), the thing you cannot afford
+    for a 0.01% GDPR erasure on a 100 TB table), write ONLY the deleted
+    ``key_col`` values as a small delete file and commit a manifest
+    whose DATA file list is untouched. Readers anti-join the delete
+    keys at scan time; the write cost is O(deleted rows).
+
+    SCOPING: the delete entry records exactly the data files it applies
+    to (the files present when it committed), so a LATER append that
+    re-inserts a deleted key is NOT retro-deleted — its file is outside
+    every earlier delete's scope (Iceberg's sequence-number rule,
+    expressed as an explicit file list).
+
+    FOLDING: any operation that rewrites the snapshot through
+    :func:`lake_read` (cluster, merge, CoW delete — and
+    :func:`lake_compact`, which falls back to a full fold when deletes
+    are pending) applies the anti-joins and commits WITHOUT the delete
+    entries — merge-on-read is a deferral, and the maintenance rungs
+    are where the debt is paid.
+
+    All read paths respect pending deletes — plain, time-travel,
+    stats-pruned and bloom-pruned reads share :func:`_apply_deletes`.
+    Returns the new version; rows matching ``predicate`` define the
+    deleted keys (every row sharing a deleted key is deleted — that is
+    equality-delete semantics; use a unique key for row-level intent).
+    """
+    v = current_version(path)
+    if v < 1:
+        raise ValueError(f"no committed version at {path}")
+    m = _read_manifest(path, v)
+    cur = lake_read(spark, path, v)
+    if key_col not in cur.columns:
+        raise ValueError(f"delete key column {key_col!r} not in table")
+    keys = cur.where(predicate).select(key_col).distinct()
+    dfiles = _write_data_files(keys, path)
+    entry = {"key": key_col, "files": dfiles, "over": list(m["files"])}
+    return _commit_manifest(
+        path,
+        v + 1,
+        list(m["files"]),
+        "delete_keys",
+        m.get("schema"),
+        m.get("stats"),
+        m.get("bloom"),
+        deletes=(m.get("deletes") or []) + [entry],
+    )
+
+
+def _apply_deletes(
+    spark: SparkSession, path: str, m: dict, files: list[str]
+) -> DataFrame:
+    """Read exactly ``files`` of manifest ``m`` with every applicable
+    merge-on-read delete anti-joined out. Files are grouped by WHICH
+    delete entries cover them (an entry covers only the data files
+    present when it committed — the re-insert scoping rule), each group
+    anti-joins the union of its entries' key files, and the groups
+    union back. Between folds the number of distinct groups is the
+    number of delete commits + 1 — small by construction."""
+    deletes = m.get("deletes") or []
+    applicable = [
+        d for d in deletes if any(f in d["over"] for f in files)
+    ]
+    if not applicable:
+        return _read_file_subset(spark, path, m, files)
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        sig = tuple(
+            i for i, d in enumerate(applicable) if f in d["over"]
+        )
+        groups.setdefault(sig, []).append(f)
+    out = None
+    for sig, grp_files in sorted(groups.items()):
+        df = _read_file_subset(spark, path, m, grp_files)
+        for i in sig:
+            d = applicable[i]
+            keys = spark.read.parquet(
+                *(os.path.join(path, kf) for kf in d["files"])
+            ).select(F.col(d["key"]))
+            # no broadcast hint: AQE broadcasts a small key set by
+            # itself, and a large one (bulk erasure) must shuffle
+            df = df.join(keys, d["key"], "left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def _align_to(df: DataFrame, declared: dict) -> DataFrame:
@@ -395,13 +507,20 @@ def lake_vacuum(
     if not existing:
         return []
     keep = set(existing[-keep_versions:])
+
+    def _all_files(man: dict) -> set[str]:
+        out = set(man["files"])
+        for d in man.get("deletes") or []:
+            out.update(d["files"])  # delete-key files are data too
+        return out
+
     kept_files = set()
     for v in keep:
-        kept_files.update(_read_manifest(path, v)["files"])
+        kept_files.update(_all_files(_read_manifest(path, v)))
     doomed_manifests = [v for v in existing if v not in keep]
     doomed_files: set[str] = set()
     for v in doomed_manifests:
-        doomed_files.update(_read_manifest(path, v)["files"])
+        doomed_files.update(_all_files(_read_manifest(path, v)))
     doomed_files -= kept_files
     deleted = []
     for rel in sorted(doomed_files):
@@ -534,6 +653,19 @@ def lake_compact(
     if v < 1:
         raise ValueError(f"no committed version at {path}")
     m = _read_manifest(path, v)
+    if m.get("deletes"):
+        # pending merge-on-read deletes: the raw small-file rewrite
+        # below would resurrect deleted rows, so compact by folding the
+        # WHOLE snapshot (lake_read applies the anti-joins) — this is
+        # also where the deferred delete debt is paid
+        folded = lake_read(spark, path, v).coalesce(target_files)
+        return _commit_manifest(
+            path,
+            v + 1,
+            _write_data_files(folded, path),
+            "compact",
+            m.get("schema"),
+        )
     files = m["files"]
     small = [
         f
@@ -866,7 +998,7 @@ def lake_read_pruned(
     if not files:
         return lake_read(spark, path, v).where(F.lit(False))
     m = _read_manifest(path, v)
-    return _read_file_subset(spark, path, m, files).where(
+    return _apply_deletes(spark, path, m, files).where(
         F.col(col).between(lo, hi)
     )
 
@@ -1036,6 +1168,7 @@ def lake_bloom_index(
         m.get("schema"),
         m.get("stats"),
         bloom_section,
+        deletes=m.get("deletes"),
     )
 
 
@@ -1159,6 +1292,6 @@ def lake_read_point(
     if not files:
         return lake_read(spark, path, v).where(F.lit(False))
     m = _read_manifest(path, v)
-    return _read_file_subset(spark, path, m, files).where(
+    return _apply_deletes(spark, path, m, files).where(
         F.col(col) == F.lit(value)
     )

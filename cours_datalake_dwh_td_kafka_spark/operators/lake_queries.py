@@ -556,6 +556,127 @@ def q_lake_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# merge-on-read equality deletes: the O(deleted) delete a 100 TB table
+# needs (Iceberg-v2 shape), attested end to end
+# ---------------------------------------------------------------------------
+_MOR_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deleted,
+           CAST(0 AS BIGINT) AS data_files_rewritten,
+           TRUE AS read_equals_cow,
+           TRUE AS time_travel_ok,
+           TRUE AS pruned_reads_respect_deletes,
+           TRUE AS reinsert_survives,
+           TRUE AS fold_clears_deletes
+    FROM documents
+"""
+
+
+def lake_merge_on_read_protocol(
+    spark: SparkSession, d: DataFrame, path: str
+) -> DataFrame:
+    """Drive :func:`lake_delete_keys` through its whole contract:
+
+    - the delete commit rewrites ZERO data files (``data_files_
+      rewritten`` — measured from the manifests, the entire point:
+      O(deleted) write cost instead of lake_delete_where's O(table));
+    - ``read_equals_cow``: the merge-on-read result equals what a
+      copy-on-write delete of the same predicate would produce, row
+      set for row set;
+    - ``time_travel_ok``: the pre-delete snapshot still reads every row;
+    - ``pruned_reads_respect_deletes``: the bloom point-lookup path
+      anti-joins the pending deletes too — a deleted key returns zero
+      rows even when its file is opened (resurrection through a pruned
+      read was the easy bug to write);
+    - ``reinsert_survives``: a later append re-inserting a deleted key
+      is NOT retro-deleted (delete entries scope to the files present
+      when they committed — the sequence-number rule);
+    - ``fold_clears_deletes``: a compaction folds the debt — rows
+      unchanged, manifest carries no delete entries afterwards."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        current_version,
+        lake_bloom_index,
+        lake_compact,
+        lake_delete_keys,
+        lake_read_point,
+    )
+
+    base = d.select("doc_id", "source", "n_chars")
+    lake_commit(base.repartition(4), path)  # v1
+    n_rows = base.count()
+    lake_bloom_index(spark, path, "doc_id")  # v2: point-lookup index
+    lake_delete_keys(spark, path, "doc_id", "doc_id % 10 = 3")  # v3
+    m2, m3 = _read_manifest(path, 2), _read_manifest(path, 3)
+    files_rewritten = len(set(m3["files"]) - set(m2["files"]))
+    n_deleted = base.where("doc_id % 10 = 3").count()
+    v3 = lake_read(spark, path, 3)
+    cow_equiv = base.where("NOT (doc_id % 10 = 3)")
+    read_equals_cow = (
+        v3.count() == n_rows - n_deleted
+        and v3.exceptAll(cow_equiv).count() == 0
+    )
+    travel_ok = lake_read(spark, path, 2).count() == n_rows
+    # a deleted key through the BLOOM-pruned point path: zero rows
+    some_deleted = base.where("doc_id % 10 = 3").agg(
+        F.min("doc_id")
+    ).first()[0]
+    pruned_ok = (
+        lake_read_point(spark, path, "doc_id", int(some_deleted)).count()
+        == 0
+    )
+    # re-insert one deleted key: later files are outside the delete's
+    # scope, so the row survives
+    reinserted = base.where(F.col("doc_id") == int(some_deleted))
+    lake_commit(reinserted, path)  # v4
+    reinsert_ok = (
+        lake_read(spark, path, 4)
+        .where(F.col("doc_id") == int(some_deleted))
+        .count()
+        == 1
+    )
+    # fold: compaction pays the deferred debt and clears the entries
+    lake_compact(spark, path, target_files=2)  # v5
+    m5 = _read_manifest(path, current_version(path))
+    fold_ok = (
+        not m5.get("deletes")
+        and lake_read(spark, path).count() == n_rows - n_deleted + 1
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_rows),
+                int(n_deleted),
+                int(files_rewritten),
+                bool(read_equals_cow),
+                bool(travel_ok),
+                bool(pruned_ok),
+                bool(reinsert_ok),
+                bool(fold_ok),
+            )
+        ],
+        "n_rows BIGINT, n_deleted BIGINT, data_files_rewritten BIGINT, "
+        "read_equals_cow BOOLEAN, time_travel_ok BOOLEAN, "
+        "pruned_reads_respect_deletes BOOLEAN, reinsert_survives BOOLEAN, "
+        "fold_clears_deletes BOOLEAN",
+    )
+
+
+@register("lake_merge_on_read", _MOR_SQL)
+def q_lake_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_lake_mor_")
+    try:
+        return lake_merge_on_read_protocol(spark, d, os.path.join(tmp, "t"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # the maintenance advisor driven through a degrade-and-repair cycle
 # ---------------------------------------------------------------------------
 _MAINT_SQL = """

@@ -1400,3 +1400,44 @@ def test_maintenance_plan_reindex_verdict(spark, tmp_path):
 
         got = lake_read_pruned(spark, path, "ts", lo, hi).count()
         assert got == n_all == 25, (lo, got, n_all)
+
+
+def test_merge_on_read_delete_corners(spark, tmp_path):
+    """lake_delete_keys corners beyond the attested row: stacked delete
+    commits compose; CDC diff reports the merge-on-read delete as row
+    deletes; vacuum keeps the delete-key files of surviving versions
+    (a vacuumed table must not resurrect rows); stats-pruned range
+    reads respect pending deletes."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_cluster_by,
+        lake_commit,
+        lake_delete_keys,
+        lake_diff,
+        lake_read,
+        lake_read_pruned,
+        lake_vacuum,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    lake_commit(df.repartition(2), path)  # v1
+    lake_delete_keys(spark, path, "k", "k < 10")  # v2
+    lake_delete_keys(spark, path, "k", "k >= 90")  # v3: stacked
+    assert lake_read(spark, path).count() == 80
+    assert lake_read(spark, path, 2).count() == 90
+    d = lake_diff(spark, path, 1, 3)
+    assert d.where("_change = 'insert'").count() == 0
+    assert d.where("_change = 'delete'").count() == 20
+
+    # stats-pruned range read over a delete-covered file
+    lake_cluster_by(spark, path, "k", n_files=2)  # v4: folds deletes
+    lake_delete_keys(spark, path, "k", "k = 40")  # v5
+    got = lake_read_pruned(spark, path, "k", 35, 45)
+    assert {r.k for r in got.collect()} == set(range(35, 46)) - {40}
+
+    # vacuum to the newest version only: delete files must survive
+    lake_vacuum(path, keep_versions=1, orphan_grace_seconds=0)
+    assert lake_read(spark, path).count() == 79
+    assert lake_read(spark, path).where("k = 40").count() == 0
