@@ -1422,6 +1422,7 @@ def build_ivfpq_index(
     n_cells: int = N_CELLS,
     m: int | None = None,
     k: int | None = None,
+    lake_version: int | None = None,
 ) -> int:
     """Train the coarse quantizer AND the PQ codebooks on one
     deterministic sample (both O(1) in corpus size), encode every vector
@@ -1477,7 +1478,7 @@ def build_ivfpq_index(
         ],
         "sub int, code int, centroid array<double>",
     ).write.parquet(f"{vdir}/books.parquet")
-    _write_index_manifest(vdir, [f"{version}/codes"])
+    _write_index_manifest(vdir, [f"{version}/codes"], lake_version)
     os.makedirs(path, exist_ok=True)
     _publish_current(path, version)
     return n_cells
@@ -1499,7 +1500,9 @@ def _code_roots(path: str, vdir: str) -> list[str]:
     return [os.path.join(vdir, "codes")]
 
 
-def append_ivfpq_index(emb_new: DataFrame, path: str) -> int:
+def append_ivfpq_index(
+    emb_new: DataFrame, path: str, lake_version: int | None = None
+) -> int:
     """Incremental PQ index maintenance — the PQ twin of
     :func:`append_ivf_index`: encode a NEW vector batch with the live
     index's FROZEN coarse quantizer AND frozen codebooks (both copied
@@ -1554,7 +1557,13 @@ def append_ivfpq_index(emb_new: DataFrame, path: str) -> int:
             os.path.join(vdir, artifact), os.path.join(new_vdir, artifact)
         )
     old_rel = [os.path.relpath(r, path) for r in _code_roots(path, vdir)]
-    _write_index_manifest(new_vdir, old_rel + [f"{version}/codes"])
+    if lake_version is None:
+        # same carry rule as append_ivf_index: out-of-protocol rows
+        # don't advance (or drop) the recorded lake pairing
+        lake_version = index_lake_version(path, os.path.basename(vdir))
+    _write_index_manifest(
+        new_vdir, old_rel + [f"{version}/codes"], lake_version
+    )
     _rechain_publish(
         path,
         version,
@@ -1562,6 +1571,7 @@ def append_ivfpq_index(emb_new: DataFrame, path: str) -> int:
         os.path.basename(vdir),
         f"{version}/codes",
         ("centroids.parquet", "books.parquet"),
+        lake_version,
     )
     return len(_code_roots(path, new_vdir))
 
