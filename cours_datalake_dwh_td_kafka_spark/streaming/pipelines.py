@@ -344,6 +344,8 @@ def stream_near_dup_alerts(
     corpus: DataFrame,
     watermark: str = "10 minutes",
     event_time_col: str = "event_time",
+    corpus_bands: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Ingestion-time NEAR-dup alerts against the kept corpus — the
     streaming twin of ``dedup_incremental_lsh``: as documents arrive,
@@ -361,7 +363,16 @@ def stream_near_dup_alerts(
     Jaccard verify are the supported stream-static inner joins, and one
     doc matching several survivors collapses to ONE alert via
     dropDuplicatesWithinWatermark on doc_id — watermark-bounded state,
-    like every stateful op here."""
+    like every stateful op here.
+
+    ``corpus_bands`` / ``corpus_shingles`` (round 10): the PERSISTED
+    gate artifacts — (doc_id, band_key) rows and (doc_id, sh, n_sh)
+    shingle arrays, exactly what ``corpus_refresh`` maintains per MERGE
+    — so a stream start against a 100 TB survivor set reads two tables
+    instead of re-normalizing and re-shingling the whole corpus text.
+    When omitted (self-contained tests), both recompute from
+    ``corpus``; the value parity of the two forms is pinned in
+    tests/test_streaming.py."""
     from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         _band_rows,
@@ -372,12 +383,18 @@ def stream_near_dup_alerts(
         shingle_array,
     )
 
-    shc = _doc_shingles(corpus).localCheckpoint(eager=True)
-    static_bands = (
-        _band_rows(_signature_of_shingles(shc))
-        .select(F.col("doc_id").alias("corpus_doc"), "band_key")
-        .localCheckpoint(eager=True)
+    shc = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else _doc_shingles(corpus).localCheckpoint(eager=True)
     )
+    static_bands = (
+        corpus_bands
+        if corpus_bands is not None
+        else _band_rows(_signature_of_shingles(shc)).localCheckpoint(
+            eager=True
+        )
+    ).select(F.col("doc_id").alias("corpus_doc"), "band_key")
     static_sh = shc.select(
         F.col("doc_id").alias("corpus_doc"),
         F.col("sh").alias("sh_b"),

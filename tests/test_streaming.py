@@ -1804,3 +1804,66 @@ def test_commit_stream_to_lake_exactly_once_commits(
     assert [(r.station, r._change) for r in diff] == [(3, "insert")]
     # and the advisor sees the per-batch small files piling up
     assert lake_maintenance_plan(lake)["n_files"] >= 2
+
+
+def test_stream_near_dup_alerts_with_persisted_artifacts(spark, tmp_path):
+    """Round-10: the stream started from the PERSISTED gate artifacts
+    (band table + shingle table, as corpus_refresh maintains them) must
+    emit exactly the same alert set as the recompute-from-text form —
+    the 100 TB stream start never touches the corpus text."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        INCREMENT_SPLIT,
+        _doc_shingles,
+        incremental_near_dups,
+        minhash_band_rows,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        stream_near_dup_alerts,
+    )
+    from tests.conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + int((hi - lo) * INCREMENT_SPLIT)
+    corpus = d.where(F.col("doc_id") < cut)
+    inc = d.where(F.col("doc_id") >= cut)
+    want = {r.inc_doc for r in incremental_near_dups(corpus, inc).collect()}
+    assert want
+
+    # "persist" the artifacts as parquet tables, then stream from THEM
+    bands_path = str(tmp_path / "bands")
+    sh_path = str(tmp_path / "shingles")
+    minhash_band_rows(corpus).write.parquet(bands_path)
+    _doc_shingles(corpus).write.parquet(sh_path)
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    scratch = tmp_path / "scratch"
+    inc.select("doc_id", "text").withColumn(
+        "event_time", F.lit(t0).cast("timestamp")
+    ).coalesce(1).write.parquet(str(scratch))
+    next(scratch.glob("part-*.parquet")).rename(indir / "b0.parquet")
+
+    src = spark.readStream.schema(
+        "doc_id BIGINT, text STRING, event_time TIMESTAMP"
+    ).parquet(str(indir))
+    out = stream_near_dup_alerts(
+        src,
+        corpus.limit(0),  # the text side is never consulted
+        corpus_bands=spark.read.parquet(bands_path),
+        corpus_shingles=spark.read.parquet(sh_path),
+    )
+    name = f"sndp_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table(name).collect()
+    assert {r.doc_id for r in rows} == want
+    assert len(rows) == len(want)
