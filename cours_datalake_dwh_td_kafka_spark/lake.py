@@ -1010,6 +1010,7 @@ def lake_maintenance_plan(
     max_unclustered_fraction: float = 0.25,
     keep_versions: int = 3,
     max_unindexed_fraction: float = 0.25,
+    max_delete_entries: int = 3,
 ) -> dict:
     """Dry-run maintenance advisor — the decision half of the lifecycle
     ops, separated so an operator (or a scheduler) can READ what is due
@@ -1032,6 +1033,10 @@ def lake_maintenance_plan(
       bitmaps forward only for KEPT files, and a legacy/recovered
       table may have none, so point lookups silently degrade toward
       full scans until :func:`lake_bloom_index` re-runs;
+    - ``fold_due`` (round 10): more than ``max_delete_entries``
+      merge-on-read delete commits are pending — every read pays one
+      anti-join per applicable entry, so the deferred debt compounds
+      until a rewrite rung (compact/cluster/merge) folds it;
     - plus the raw counts each verdict was computed from, so the caller
       can log WHY.
 
@@ -1071,6 +1076,8 @@ def lake_maintenance_plan(
         "reindex_due": bool(bloom)
         and len(files) > 0
         and n_unindexed / len(files) > max_unindexed_fraction,
+        "n_delete_entries": len(m.get("deletes") or []),
+        "fold_due": len(m.get("deletes") or []) > max_delete_entries,
     }
 
 

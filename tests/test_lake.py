@@ -1441,3 +1441,33 @@ def test_merge_on_read_delete_corners(spark, tmp_path):
     lake_vacuum(path, keep_versions=1, orphan_grace_seconds=0)
     assert lake_read(spark, path).count() == 79
     assert lake_read(spark, path).where("k = 40").count() == 0
+
+
+def test_maintenance_plan_fold_verdict(spark, tmp_path):
+    """fold_due: pending merge-on-read delete entries past the knob
+    flag a fold; a rewrite rung clears both the entries and the flag."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_compact,
+        lake_delete_keys,
+        lake_maintenance_plan,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.range(0, 50).select(F.col("id").alias("k")).repartition(2),
+        path,
+    )
+    assert lake_maintenance_plan(path)["n_delete_entries"] == 0
+    for i in range(4):
+        lake_delete_keys(spark, path, "k", f"k = {i}")
+    p = lake_maintenance_plan(path)
+    assert p["n_delete_entries"] == 4 and p["fold_due"]
+    lake_compact(spark, path, target_files=1)  # the fold
+    p = lake_maintenance_plan(path)
+    assert p["n_delete_entries"] == 0 and not p["fold_due"]
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_read
+
+    assert lake_read(spark, path).count() == 46
