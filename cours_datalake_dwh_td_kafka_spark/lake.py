@@ -368,18 +368,16 @@ def _apply_deletes(
     union back. Between folds the number of distinct groups is the
     number of delete commits + 1 — small by construction."""
     deletes = m.get("deletes") or []
-    applicable = [
-        d for d in deletes if any(f in d["over"] for f in files)
-    ]
+    fset = set(files)
+    applicable = [d for d in deletes if fset & set(d["over"])]
     if not applicable:
         return _read_file_subset(spark, path, m, files)
     from pyspark.sql import functions as F
 
+    overs = [set(d["over"]) for d in applicable]
     groups: dict[tuple, list[str]] = {}
     for f in files:
-        sig = tuple(
-            i for i, d in enumerate(applicable) if f in d["over"]
-        )
+        sig = tuple(i for i, ov in enumerate(overs) if f in ov)
         groups.setdefault(sig, []).append(f)
     out = None
     for sig, grp_files in sorted(groups.items()):
