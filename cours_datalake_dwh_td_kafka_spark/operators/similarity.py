@@ -1570,9 +1570,13 @@ def hard_negative_mining(
     mask pushed INSIDE the scan — one BLAS matmul per partition scores
     all queries, same-label candidates are masked before the
     partition-local top-k, so only (partitions x queries x k) rows ever
-    leave the scan and the global reduce is the two-stage tree. At
-    index scale the same mask composes with the IVF probe path (filter
-    the probed cells' candidates by label before rerank)."""
+    leave the scan and the global reduce is the two-stage tree. This
+    exact form collects the probe batch to the driver — right for a
+    bounded probe set, impossible corpus-wide; the SERVED form is
+    ``ann_index.hard_negative_mining_ivf`` (round 10): the label rides
+    in the persisted index as a metadata column and the mask runs
+    inside the probed-cell scan, measured against this miner per query
+    by an in-query recall bound."""
     import numpy as np
     import pandas as pd
 
