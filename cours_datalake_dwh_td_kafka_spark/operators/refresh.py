@@ -216,7 +216,8 @@ def corpus_refresh(
     # after the append equals a from-scratch recompute over the live
     # snapshot (count + one-sided multiset difference == multiset
     # equality)
-    recomputed_bands = minhash_band_rows(v2)
+    # pinned: the recompute feeds two actions (count + exceptAll)
+    recomputed_bands = minhash_band_rows(v2).localCheckpoint(eager=False)
     bands_table_ok = (
         bands_v2.count() == recomputed_bands.count()
         and bands_v2.exceptAll(recomputed_bands).count() == 0
