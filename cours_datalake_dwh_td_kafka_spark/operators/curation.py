@@ -22,7 +22,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
-from cours_datalake_dwh_td_kafka_spark.operators.dedup import NORM_SQL, norm_text
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+    HASH32_SQL,
+    NORM_SQL,
+    norm_text,
+)
 from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
     QUALITY_EXPR_SQL as _QE,
 )
@@ -1511,3 +1515,130 @@ def _epoch_shuffle_sql() -> str:
 @register("epoch_shuffle", _epoch_shuffle_sql())
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# importance-weighted data selection (round 10, beyond-ref): the DSIR
+# recipe (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling", arXiv:2302.03169) — score every raw document
+# by how much more likely its hashed n-gram features are under a
+# TARGET-domain sample than under the raw pool, keep the top-weighted.
+# This is the standard public method for "give me web data that looks
+# like my high-quality target" at pretraining scale.
+# ---------------------------------------------------------------------------
+IW_BUCKETS = 4096   # hashed-feature space (DSIR's hashed bigrams)
+IW_TOP_K = 100
+IW_TARGET_MOD = 10  # doc_id % 10 == 0 is the target-domain sample
+
+_IW_HASH = HASH32_SQL.format(c="shingle")
+
+_IW_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ({_IW_HASH}) % {IW_BUCKETS} AS f
+      FROM (
+        SELECT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 1, 1)))
+                       AS i
+              FROM toks)
+      )
+    ),
+    fc AS (
+      SELECT f,
+             SUM(CASE WHEN doc_id % {IW_TARGET_MOD} = 0 THEN 1 ELSE 0 END)
+               AS ct,
+             SUM(CASE WHEN doc_id % {IW_TARGET_MOD} = 0 THEN 0 ELSE 1 END)
+               AS cr
+      FROM bg GROUP BY f
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM fc),
+    lrt AS (
+      SELECT f,
+             CAST(ROUND(
+               ln((ct + 1) / CAST(tt + {IW_BUCKETS} AS DOUBLE))
+               - ln((cr + 1) / CAST(tr + {IW_BUCKETS} AS DOUBLE)), 8)
+             AS DECIMAL(20,8)) AS lr
+      FROM fc CROSS JOIN tot
+    )
+    SELECT doc_id, ROUND(CAST(SUM(lr) AS DOUBLE), 6) AS weight
+    FROM bg JOIN lrt USING (f)
+    WHERE doc_id % {IW_TARGET_MOD} != 0
+    GROUP BY doc_id
+    ORDER BY weight DESC, doc_id
+    LIMIT {IW_TOP_K}
+"""
+
+
+def importance_weight_select(
+    d: DataFrame,
+    top_k: int = IW_TOP_K,
+    n_buckets: int = IW_BUCKETS,
+    target_mod: int = IW_TARGET_MOD,
+) -> DataFrame:
+    """Top-``top_k`` raw documents by DSIR importance weight toward the
+    target-domain sample: weight(doc) = sum over the doc's hashed
+    bigram occurrences of ln(p_target(f) / p_raw(f)), with add-one
+    smoothing over ``n_buckets`` hashed features on both estimates.
+
+    Engine-parity discipline: each feature's log-likelihood ratio is
+    rounded to 8 dp and cast to DECIMAL(20,8) BEFORE the per-document
+    sum (the unigram_logprob dec_sum rule — partial-agg order can't
+    shift the rounded value, and the 8-dp rounding absorbs the <=1-ulp
+    ln() divergence between engines); the final weight rounds the exact
+    decimal sum once.
+
+    Scale shape: ONE tokenize+explode pass over the corpus; feature
+    counts shuffle 8-byte hashed longs (never n-gram strings); the
+    log-ratio table is <= n_buckets rows — BROADCAST into the scoring
+    join, so scoring is map-side + one doc-keyed aggregate; the top-k
+    is a limit-first TakeOrdered, never a global sort. The target flag
+    derives from doc_id arithmetic here (self-contained query); a real
+    deployment passes any target predicate or a separate target table —
+    the algebra is unchanged."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _HASH32_SPARK,
+        shingle_rows,
+    )
+
+    rows = (
+        shingle_rows(d, n=2, distinct=False)
+        .select(
+            "doc_id",
+            (_HASH32_SPARK(F.col("shingle")) % n_buckets).alias("f"),
+        )
+        # feeds the count table AND the scoring join: tokenize once
+        .localCheckpoint(eager=False)
+    )
+    is_t = F.col("doc_id") % target_mod == 0
+    fc = rows.groupBy("f").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
+    )
+    tot = fc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lr = F.round(
+        F.log(
+            (F.col("ct") + 1) / (F.col("tt") + n_buckets).cast("double")
+        )
+        - F.log(
+            (F.col("cr") + 1) / (F.col("tr") + n_buckets).cast("double")
+        ),
+        8,
+    ).cast("decimal(20,8)")
+    feat_lr = fc.crossJoin(F.broadcast(tot)).select("f", lr.alias("lr"))
+    return (
+        rows.where(~is_t)
+        .join(F.broadcast(feat_lr), "f")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lr").cast("double"), 6).alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+@register("importance_weight_select", _IW_SQL)
+def q_importance_weight_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return importance_weight_select(load_table(spark, sf_dir, "documents"))

@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hard_negative_mining_ivf",  # r10: IVF-served miner, in-index mask
     "index_lake_consistency",    # r10: recorded lake/index pairing
     "lake_merge_on_read",        # r10: O(deleted) equality deletes
+    "importance_weight_select",  # r10: DSIR-style target-domain selection
     # -- code changed in r10: must re-attest on current code -------------
     "dedup_incremental_lsh",   # r10: candidate-pruned verify
     "corpus_refresh",          # r10: persisted band table + bands_table_ok
