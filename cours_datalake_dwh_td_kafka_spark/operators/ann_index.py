@@ -733,6 +733,12 @@ def ivf_query_index(
         vecs = vecs.union(
             spark.read.parquet(root).where(F.col("cell").isin(probed))
         )
+    if exclude_label_col is not None and exclude_label_col not in vecs.columns:
+        raise ValueError(
+            f"index at {path} stores no {exclude_label_col!r} metadata "
+            "column — build it with build_ivf_index(..., meta_cols=("
+            f"{exclude_label_col!r},)) to serve label-filtered queries"
+        )
 
     def score(batches):
         import pandas as pd
