@@ -90,6 +90,27 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_index_compact",       # r10: same publish/manifest plumbing
     "ann_ivfpq_append",        # r10: same publish plumbing
     "hard_negative_mining",    # r10: anchor for the served twin's floor
+    # -- spare window capacity: refresh the oldest remaining stamps
+    #    (r5 vintage per VERDICT r9's tables) so the rotation keeps
+    #    rolling forward; harmless if the cap cuts the tail ------------
+    "sql_entry",
+    "json_extract",
+    "scalar_functions",
+    "semi_join",
+    "quantiles",
+    "top_k_frequency",
+    "yearly_avg",
+    "validity_audit",
+    "station_zone_assignment",
+    "topic_model_validity",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "minhash_signatures",
+    "sessionization",
+    "dedup_keep_best",
+    "doc_chunks",
+    "hash_stratified_sample",
+    "heavy_hitters_cms",
 )
 
 
