@@ -193,6 +193,21 @@ def _vector_roots(path: str, vdir: str) -> list[str]:
     return [os.path.join(vdir, "vectors")]
 
 
+def _tombstone_roots(path: str, vdir: str) -> list[str]:
+    """Tombstone roots of a version (absolute paths); empty for
+    versions with no pending vector deletions."""
+    import json
+
+    mpath = os.path.join(vdir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return [
+                os.path.join(path, r)
+                for r in json.load(f).get("tombstone_roots", [])
+            ]
+    return []
+
+
 def _referenced_versions(path: str) -> set[str]:
     """Version-directory names the LIVE version's manifest chain still
     references (itself included) — these must survive a vacuum even
@@ -203,7 +218,7 @@ def _referenced_versions(path: str) -> set[str]:
     except ValueError:
         return set()
     live = {os.path.basename(vdir)}
-    for root in _vector_roots(path, vdir):
+    for root in _vector_roots(path, vdir) + _tombstone_roots(path, vdir):
         rel = os.path.relpath(root, path)
         live.add(rel.split(os.sep)[0])
     return live
@@ -337,11 +352,20 @@ def build_ivf_index(
 
 
 def _write_index_manifest(
-    vdir: str, roots: list[str], lake_version: int | None = None
+    vdir: str,
+    roots: list[str],
+    lake_version: int | None = None,
+    tombstone_roots: list[str] | None = None,
 ) -> None:
     import json
 
     m: dict = {"vector_roots": roots}
+    if tombstone_roots:
+        # merge-on-read vector deletion (round 10): vec_ids listed by
+        # any tombstone root are anti-joined out of every probe on this
+        # version; compaction drops the rows physically and clears the
+        # list. The lake_delete_keys design applied to the index.
+        m["tombstone_roots"] = tombstone_roots
     if lake_version is not None:
         # snapshot-consistency pin (round 10, verdict #4): the LAKE
         # version whose rows this index version was built/appended
@@ -425,7 +449,10 @@ def append_ivf_index(
         # from outside the lake protocol, so the recorded snapshot is
         # unchanged (and stays None for never-pinned indexes)
         lake_version = index_lake_version(path, os.path.basename(vdir))
-    _write_index_manifest(new_vdir, roots, lake_version)
+    tomb = [
+        os.path.relpath(r, path) for r in _tombstone_roots(path, vdir)
+    ]
+    _write_index_manifest(new_vdir, roots, lake_version, tomb)
     # single-winner publish: two appends racing under last-writer-wins
     # would both chain from the same parent and the loser's batch would
     # silently vanish (round-8 advice). On a lost CAS, re-chaining is
@@ -446,21 +473,75 @@ def append_ivf_index(
     return len(_vector_roots(path, new_vdir))
 
 
+def delete_from_ivf_index(
+    vec_ids: DataFrame, path: str, lake_version: int | None = None
+) -> int:
+    """MERGE-ON-READ vector deletion — the index half of an erasure
+    request (the lake half is ``lake_delete_keys``): write the deleted
+    vec_ids as a TOMBSTONE root in a new chained version (O(deleted)
+    write — never a rewrite of the 100 TB vector set), and every probe
+    of this and later versions anti-joins them out before scoring.
+    Ancestor versions still serve their exact snapshot (time travel —
+    an erasure's physical removal deadline is vacuum's job, serving
+    correctness is this function's). Appends CARRY the tombstone roots
+    (a later batch cannot resurrect deleted vectors) and
+    :func:`compact_ivf_index` folds them: tombstoned rows are dropped
+    physically and the compacted manifest carries none. Same
+    single-winner CAS publish as an append; the quantizer is untouched
+    (copied), so a lost race against a sibling append safely
+    re-chains. Returns the number of pending tombstone roots."""
+    import shutil as _shutil
+
+    vdir = _current_version_dir(path)
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    new_vdir = os.path.join(path, version)
+    vec_ids.select("vec_id").distinct().write.parquet(
+        f"{new_vdir}/tombstones"
+    )
+    _shutil.copytree(
+        f"{vdir}/centroids.parquet", f"{new_vdir}/centroids.parquet"
+    )
+    roots = [os.path.relpath(r, path) for r in _vector_roots(path, vdir)]
+    own_tomb = f"{version}/tombstones"
+    tomb = [
+        os.path.relpath(r, path) for r in _tombstone_roots(path, vdir)
+    ] + [own_tomb]
+    if lake_version is None:
+        lake_version = index_lake_version(path, os.path.basename(vdir))
+    _write_index_manifest(new_vdir, roots, lake_version, tomb)
+    _rechain_publish(
+        path,
+        version,
+        new_vdir,
+        os.path.basename(vdir),
+        # a tombstone version adds NO vector root of its own: on a
+        # re-chain the roots are exactly the live chain's
+        None,
+        ("centroids.parquet",),
+        lake_version,
+        own_tomb,
+    )
+    return len(_tombstone_roots(path, os.path.join(path, version)))
+
+
 def _rechain_publish(
     path: str,
     version: str,
     new_vdir: str,
     parent: str,
-    own_root: str,
+    own_root: str | None,
     fp_dirs: tuple[str, ...],
     lake_version: int | None = None,
+    own_tombstone_root: str | None = None,
 ) -> None:
     """The CAS-publish-with-sibling-re-chain loop shared by the IVF and
-    IVF-PQ append paths. Retries the swap against whatever version is
-    live, rewriting the manifest to chain onto it, as long as the
-    quantizer artifacts (``fp_dirs``) are byte-identical (sibling
-    appends copy them; a rebuild retrains them and makes this append's
-    assignments stale — fail loudly)."""
+    IVF-PQ append paths (and, since round 10, tombstone deletions,
+    which contribute ``own_tombstone_root`` but no ``own_root``).
+    Retries the swap against whatever version is live, rewriting the
+    manifest to chain onto it, as long as the quantizer artifacts
+    (``fp_dirs``) are byte-identical (sibling appends copy them; a
+    rebuild retrains them and makes this append's assignments stale —
+    fail loudly)."""
     import time as _time
 
     for _attempt in range(5):
@@ -484,8 +565,16 @@ def _rechain_publish(
             roots = [
                 os.path.relpath(r, path)
                 for r in _vector_roots(path, live_vdir)
-            ] + [own_root]
-            _write_index_manifest(new_vdir, roots, lake_version)
+            ] + ([own_root] if own_root is not None else [])
+            tomb = [
+                os.path.relpath(r, path)
+                for r in _tombstone_roots(path, live_vdir)
+            ]
+            if own_tombstone_root is not None:
+                tomb.append(own_tombstone_root)
+            _write_index_manifest(
+                new_vdir, roots, lake_version, tomb or None
+            )
     raise ConcurrentIndexMutation(
         f"append at {path} lost the publish race repeatedly"
     )
@@ -549,6 +638,12 @@ def compact_ivf_index(
     vecs = spark.read.parquet(roots[0]).select("vec_id", "emb")
     for r in roots[1:]:
         vecs = vecs.union(spark.read.parquet(r).select("vec_id", "emb"))
+    tstones = _tombstone_roots(path, vdir)
+    if tstones:
+        # the fold: tombstoned vectors are dropped PHYSICALLY here and
+        # the compacted manifest carries no tombstone roots
+        tomb = spark.read.parquet(*tstones).select("vec_id").distinct()
+        vecs = vecs.join(tomb, "vec_id", "left_anti")
 
     sample_rows = (
         vecs.orderBy(F.md5(F.col("vec_id").cast("string")))
@@ -733,6 +828,12 @@ def ivf_query_index(
         vecs = vecs.union(
             spark.read.parquet(root).where(F.col("cell").isin(probed))
         )
+    tstones = _tombstone_roots(path, vdir)
+    if tstones:
+        tomb = spark.read.parquet(*tstones).select("vec_id").distinct()
+        # no broadcast hint: AQE broadcasts a small tombstone set by
+        # itself; a bulk erasure must shuffle
+        vecs = vecs.join(tomb, "vec_id", "left_anti")
     if exclude_label_col is not None and exclude_label_col not in vecs.columns:
         raise ValueError(
             f"index at {path} stores no {exclude_label_col!r} metadata "
@@ -810,6 +911,10 @@ def served_vec_ids(
     df = spark.read.parquet(roots[0]).select("vec_id")
     for r in roots[1:]:
         df = df.union(spark.read.parquet(r).select("vec_id"))
+    tstones = _tombstone_roots(path, vdir)
+    if tstones:
+        tomb = spark.read.parquet(*tstones).select("vec_id").distinct()
+        df = df.join(tomb, "vec_id", "left_anti")
     return df
 
 
@@ -2066,3 +2171,139 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ann_index_compact_lifecycle(spark, e, path)
     _sweep_stale_tags(path, "cmp_idx_")
     return out
+
+
+# ---------------------------------------------------------------------------
+# vector deletion lifecycle (round 10, beyond-brief): the erasure loop —
+# tombstone -> serve-without -> snapshot isolation -> compaction fold
+# ---------------------------------------------------------------------------
+_DELETE_SQL = f"""
+    WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    d AS (
+      SELECT COUNT(*) AS n_deleted FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND vec_id % 10 = 5
+    )
+    SELECT CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           CAST(d.n_deleted AS BIGINT) AS n_deleted,
+           TRUE AS served_excludes_deleted,
+           TRUE AS full_probe_exact_after_delete,
+           TRUE AS snapshot_still_serves,
+           TRUE AS compact_drops_rows,
+           TRUE AS post_compact_exact
+    FROM n CROSS JOIN d
+"""
+
+
+def ann_index_delete_lifecycle(
+    spark: SparkSession, e: DataFrame, path: str
+) -> DataFrame:
+    """Drive :func:`delete_from_ivf_index` through its whole contract:
+
+    - the tombstone version serves the corpus MINUS the deleted ids —
+      no deleted vector appears in any result, and full-probe answers
+      equal exact brute force over the REMAINING corpus (the delete is
+      invisible except for the erased rows);
+    - the pre-delete version still serves the original corpus by name
+      (snapshot isolation — erasure SERVING takes effect at publish,
+      physical removal is vacuum's explicit, audited step);
+    - compaction folds the tombstones: the compacted chain's raw row
+      count drops by exactly the deleted set, no tombstone roots
+      remain, and full-probe answers still equal the remaining-corpus
+      truth."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    emb = e.select("vec_id", "embedding")
+    build_ivf_index(emb, path)
+    pinned = os.path.basename(_current_version_dir(path))
+    del_pred = (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 10 == 5)
+    deleted = emb.where(del_pred).select("vec_id")
+    n_vecs, n_deleted = emb.count(), deleted.count()
+    delete_from_ivf_index(deleted, path)
+
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    served = (
+        ivf_query_index(spark, path, q, nprobe=N_CELLS)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    truth_rem = (
+        ann_topk_bruteforce(e.where(~del_pred))
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    excludes = (
+        served.join(
+            deleted.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id",
+            "leftsemi",
+        ).count()
+        == 0
+    )
+    exact_after = (
+        served.count() == truth_rem.count()
+        and served.exceptAll(truth_rem).count() == 0
+    )
+    snap = (
+        ivf_query_index(spark, path, q, nprobe=N_CELLS, version=pinned)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    truth_all = (
+        ann_topk_bruteforce(e)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    snapshot_ok = (
+        snap.count() == truth_all.count()
+        and snap.exceptAll(truth_all).count() == 0
+    )
+    compact_ivf_index(spark, path)
+    cur = _current_version_dir(path)
+    raw = spark.read.parquet(*_vector_roots(path, cur)).count()
+    compact_drops = (
+        raw == n_vecs - n_deleted and not _tombstone_roots(path, cur)
+    )
+    post = (
+        ivf_query_index(spark, path, q, nprobe=N_CELLS)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    post_exact = (
+        post.count() == truth_rem.count()
+        and post.exceptAll(truth_rem).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_vecs),
+                int(n_deleted),
+                bool(excludes),
+                bool(exact_after),
+                bool(snapshot_ok),
+                bool(compact_drops),
+                bool(post_exact),
+            )
+        ],
+        "n_vecs BIGINT, n_deleted BIGINT, served_excludes_deleted BOOLEAN, "
+        "full_probe_exact_after_delete BOOLEAN, snapshot_still_serves "
+        "BOOLEAN, compact_drops_rows BOOLEAN, post_compact_exact BOOLEAN",
+    )
+
+
+@register("ann_index_delete", _DELETE_SQL)
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="graft_ann_delete_")
+    try:
+        return ann_index_delete_lifecycle(spark, e, os.path.join(tmp, "idx"))
+    finally:
+        # the result is a driver-local literal row
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1453,3 +1453,45 @@ def test_index_lake_pairing_survives_interleaved_mutations(spark, tmp_path):
     )
     ai.append_ivf_index(extra, idx)
     assert ai.index_lake_version(idx) == 2
+
+
+def test_index_delete_survives_append_and_rechain(spark, tmp_path):
+    """Tombstone carry (round 10): vectors deleted from the served index
+    stay excluded after a LATER append (the append's manifest carries
+    the tombstone roots — a new batch must not resurrect erased ids),
+    and the appended batch itself serves."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.operators import ann_index as ai
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "idx")
+    base = e.where("vec_id < 400")
+    ai.build_ivf_index(base, idx)
+    ai.delete_from_ivf_index(
+        base.where("vec_id % 10 = 5").select("vec_id"), idx
+    )
+    ai.append_ivf_index(e.where("vec_id >= 400"), idx)
+    served = {
+        r.vec_id for r in ai.served_vec_ids(spark, idx).collect()
+    }
+    want = {
+        r.vec_id
+        for r in e.where(
+            "(vec_id < 400 AND vec_id % 10 <> 5) OR vec_id >= 400"
+        ).collect()
+    }
+    assert served == want
+    # and the query path agrees: no deleted id is ever a neighbor
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+    )
+
+    got = ai.ivf_query_index(spark, idx, q, nprobe=N_CELLS).collect()
+    assert got and all(r.neighbor_id in want for r in got)
