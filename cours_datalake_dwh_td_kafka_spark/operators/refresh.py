@@ -418,3 +418,204 @@ def q_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the result is a driver-local literal row — the scratch lake
         # and index are not needed to collect it later
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# the erasure protocol (round 10): corpus_refresh's removal twin — the
+# right-to-be-forgotten loop a training-data lake actually runs. Every
+# rung is the already-attested operator; this row is the integration
+# check that they CHAIN across BOTH stores:
+#
+#   erasure request (a doc_id set)
+#     -> lake_delete_keys     (merge-on-read: O(deleted) write, no
+#                              data-file rewrite)
+#     -> delete_from_ivf_index (tombstones: O(deleted) write, no
+#                              vector rewrite)
+#     -> serving checks        (no erased doc readable, by scan OR by
+#                              bloom point lookup; no erased vector in
+#                              any probe; full-probe answers == exact
+#                              truth over the remaining corpus)
+#     -> audit trail           (pre-erasure snapshots still readable by
+#                              explicit version — erasure of SERVING is
+#                              immediate, physical removal is the next
+#                              rung, never an implicit side effect)
+#     -> fold + vacuum         (compaction folds both stores' debt;
+#                              vacuum removes the old versions; raw
+#                              file scans prove the rows are GONE)
+# ---------------------------------------------------------------------------
+ERASE_MOD = 25
+ERASE_REMAINDER = 7
+
+
+def erasure_protocol(
+    spark: SparkSession, d: DataFrame, e: DataFrame, workdir: str
+) -> DataFrame:
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        current_version,
+        lake_compact,
+        lake_delete_keys,
+        lake_read_point,
+        lake_vacuum,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        _current_version_dir,
+        _tombstone_roots,
+        _vector_roots,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_query_index,
+        vacuum_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        ann_topk_bruteforce,
+    )
+
+    erased = F.col("doc_id") % ERASE_MOD == ERASE_REMAINDER
+    lake_path = os.path.join(workdir, "docs")
+    idx = os.path.join(workdir, "idx")
+    lake_commit(d, lake_path)  # v1
+    n_docs = d.count()
+    n_erased = d.where(erased).count()
+    emb = e.select("vec_id", "embedding")
+    build_ivf_index(emb, idx, lake_version=1)
+    import os as _os
+
+    pinned_idx = _os.path.basename(_current_version_dir(idx))
+
+    # the request lands: O(deleted) writes on BOTH stores
+    lake_delete_keys(
+        spark, lake_path, "doc_id",
+        f"doc_id % {ERASE_MOD} = {ERASE_REMAINDER}",
+    )  # v2
+    vec_erased = (F.col("vec_id") % ERASE_MOD == ERASE_REMAINDER) & (
+        F.col("vec_id") >= N_QUERIES
+    )
+    n_vecs_erased = emb.where(vec_erased).count()
+    delete_from_ivf_index(emb.where(vec_erased).select("vec_id"), idx)
+
+    # serving checks
+    live = lake_read(spark, lake_path)
+    lake_without = (
+        live.where(erased).count() == 0
+        and live.count() == n_docs - n_erased
+    )
+    probe_doc = int(
+        d.where(erased).agg(F.min("doc_id")).first()[0]
+    )
+    point_empty = (
+        lake_read_point(spark, lake_path, "doc_id", probe_doc).count() == 0
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    served = (
+        ivf_query_index(spark, idx, q, nprobe=N_CELLS)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    truth_rem = (
+        ann_topk_bruteforce(e.where(~vec_erased))
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    index_without = (
+        served.count() == truth_rem.count()
+        and served.exceptAll(truth_rem).count() == 0
+    )
+
+    # audit trail: pre-erasure snapshots readable BY EXPLICIT version
+    snapshots_isolated = (
+        lake_read(spark, lake_path, 1).where(erased).count() == n_erased
+        and ivf_query_index(
+            spark, idx, q, nprobe=N_CELLS, version=pinned_idx
+        )
+        .join(
+            emb.where(vec_erased).select(
+                F.col("vec_id").alias("neighbor_id")
+            ),
+            "neighbor_id",
+            "leftsemi",
+        )
+        .count()
+        > 0  # the old snapshot still serves erased vectors — by design
+    )
+
+    # fold + vacuum: the rows are physically GONE from both stores
+    lake_compact(spark, lake_path, target_files=1)  # folds the deletes
+    lake_vacuum(lake_path, keep_versions=1, orphan_grace_seconds=0)
+    m = _read_manifest(lake_path, current_version(lake_path))
+    raw_docs = spark.read.parquet(
+        *(os.path.join(lake_path, f) for f in m["files"])
+    )
+    compact_ivf_index(spark, idx)
+    vacuum_index(idx, grace_seconds=0)
+    cur = _current_version_dir(idx)
+    raw_vecs = spark.read.parquet(*_vector_roots(idx, cur))
+    physical = (
+        raw_docs.where(erased).count() == 0
+        and not m.get("deletes")
+        and raw_vecs.where(
+            (F.col("vec_id") % ERASE_MOD == ERASE_REMAINDER)
+            & (F.col("vec_id") >= N_QUERIES)
+        ).count()
+        == 0
+        and not _tombstone_roots(idx, cur)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                int(n_erased),
+                int(n_vecs_erased),
+                bool(lake_without),
+                bool(point_empty),
+                bool(index_without),
+                bool(snapshots_isolated),
+                bool(physical),
+            )
+        ],
+        "n_docs BIGINT, n_erased_docs BIGINT, n_erased_vecs BIGINT, "
+        "lake_serves_without BOOLEAN, point_lookup_empty BOOLEAN, "
+        "index_serves_without BOOLEAN, snapshots_isolated BOOLEAN, "
+        "physically_removed_after_fold BOOLEAN",
+    )
+
+
+def _erasure_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_QUERIES,
+    )
+
+    return f"""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM documents
+            WHERE doc_id % {ERASE_MOD} = {ERASE_REMAINDER})
+             AS n_erased_docs,
+           (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id % {ERASE_MOD} = {ERASE_REMAINDER}
+              AND vec_id >= {N_QUERIES}) AS n_erased_vecs,
+           TRUE AS lake_serves_without,
+           TRUE AS point_lookup_empty,
+           TRUE AS index_serves_without,
+           TRUE AS snapshots_isolated,
+           TRUE AS physically_removed_after_fold
+    """
+
+
+@register("erasure_protocol", _erasure_sql())
+def q_erasure_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="graft_erasure_")
+    try:
+        return erasure_protocol(spark, d, e, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lake_merge_on_read",        # r10: O(deleted) equality deletes
     "importance_weight_select",  # r10: DSIR-style target-domain selection
     "ann_index_delete",          # r10: tombstone erasure lifecycle
+    "erasure_protocol",          # r10: end-to-end right-to-be-forgotten
     # -- code changed in r10: must re-attest on current code -------------
     "dedup_incremental_lsh",   # r10: candidate-pruned verify
     "corpus_refresh",          # r10: persisted band table + bands_table_ok
