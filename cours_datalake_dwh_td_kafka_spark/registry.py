@@ -110,9 +110,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_signatures",
     "sessionization",
     "dedup_keep_best",
-    "doc_chunks",
-    "hash_stratified_sample",
-    "heavy_hitters_cms",
 )
 
 
