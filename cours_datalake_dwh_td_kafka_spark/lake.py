@@ -106,6 +106,7 @@ def _commit_manifest(
     bloom: dict | None = None,
     stream_batch_id: int | None = None,
     deletes: list | None = None,
+    stream_id: str | None = None,
 ) -> int:
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
@@ -119,9 +120,9 @@ def _commit_manifest(
         # replayed batch commit twice).
         prev = _existing_versions(path)
         if prev:
-            stream_batch_id = _read_manifest(path, prev[-1]).get(
-                "stream_batch_id"
-            )
+            prev_m = _read_manifest(path, prev[-1])
+            stream_batch_id = prev_m.get("stream_batch_id")
+            stream_id = prev_m.get("stream_id")
     manifest = {"version": version, "op": op, "files": files}
     if schema is not None:
         manifest["schema"] = schema
@@ -133,6 +134,8 @@ def _commit_manifest(
         manifest["deletes"] = deletes
     if stream_batch_id is not None:
         manifest["stream_batch_id"] = int(stream_batch_id)
+        if stream_id is not None:
+            manifest["stream_id"] = str(stream_id)
     target = os.path.join(mdir, f"v{version}.json")
     # Two-step publish so readers NEVER see a partial manifest: the body
     # is fully written (and fsynced) to a private temp name first, then
@@ -186,6 +189,7 @@ def lake_commit(
     path: str,
     mode: str = "append",
     stream_batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot. ``append`` keeps the previous
     version's files and adds the new ones; ``overwrite`` starts the file
@@ -239,20 +243,32 @@ def lake_commit(
         bloom,
         stream_batch_id,
         deletes,
+        stream_id,
     )
 
 
-def last_stream_batch_id(path: str) -> int:
+def last_stream_batch_id(path: str, stream_id: str | None = None) -> int:
     """High-water mark of streaming batch ids committed to the table
     (-1 for none / no table). One manifest read: every commit carries
     the mark forward (see :func:`_commit_manifest`), so the newest
     surviving manifest always knows it — the idempotence check a
-    restarted stream's replayed batch needs."""
+    restarted stream's replayed batch needs.
+
+    ``stream_id`` scopes the mark to ONE logical stream (the Delta
+    txn-appId rule, round-10 review): a recorded mark from a DIFFERENT
+    stream identity returns -1, so a rebuilt checkpoint — whose batch
+    ids restart from 0 under a fresh query id — commits its genuinely
+    new batches instead of silently skipping ids 0..mark."""
     v = current_version(path)
     if v < 1:
         return -1
-    b = _read_manifest(path, v).get("stream_batch_id")
-    return -1 if b is None else int(b)
+    m = _read_manifest(path, v)
+    b = m.get("stream_batch_id")
+    if b is None:
+        return -1
+    if stream_id is not None and m.get("stream_id") not in (None, stream_id):
+        return -1
+    return int(b)
 
 
 def lake_read(
@@ -343,6 +359,12 @@ def lake_delete_keys(
     if key_col not in cur.columns:
         raise ValueError(f"delete key column {key_col!r} not in table")
     keys = cur.where(predicate).select(key_col).distinct()
+    if not keys.take(1):
+        # no-op erasure (keys already gone, or never present): commit
+        # nothing — an entry covering every file would tax every read
+        # with a pointless anti-join until the next fold (round-10
+        # review), and replayed requests would pile entries unboundedly
+        return v
     dfiles = _write_data_files(keys, path)
     entry = {"key": key_col, "files": dfiles, "over": list(m["files"])}
     return _commit_manifest(

@@ -395,6 +395,20 @@ def index_lake_version(path: str, version: str | None = None) -> int | None:
         return json.load(f).get("lake_version")
 
 
+def _index_meta_cols(spark: SparkSession, path: str, vdir: str) -> list[str]:
+    """Metadata columns (``meta_cols``) the version's vector rows carry
+    beyond the core (vec_id, emb, cell) — read from one root's schema,
+    so maintenance rungs can PRESERVE them (round-10 review: append and
+    compact used to silently strip the label column a filtered-ANN
+    index depends on)."""
+    root = _vector_roots(path, vdir)[0]
+    return [
+        c
+        for c in spark.read.parquet(root).columns
+        if c not in ("vec_id", "emb", "cell")
+    ]
+
+
 def append_ivf_index(
     emb_new: DataFrame, path: str, lake_version: int | None = None
 ) -> int:
@@ -422,15 +436,29 @@ def append_ivf_index(
     for r in cent_rows:
         cents[r.cell] = r.centroid
 
+    meta = _index_meta_cols(spark, path, vdir)
+    missing = [c for c in meta if c not in emb_new.columns]
+    if missing:
+        raise ValueError(
+            f"index at {path} stores metadata columns {meta} but the "
+            f"appended batch lacks {missing} — an append must carry the "
+            "filtered-ANN metadata or later label-filtered probes break"
+        )
     emb_d = emb_new.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        *meta,
+    )
+    meta_schema = "".join(
+        f", {c} {t}" for c, t in emb_d.dtypes if c in meta
     )
     from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
         ivf_assign_fn,
     )
 
     assigned = emb_d.mapInPandas(
-        ivf_assign_fn(cents), "vec_id bigint, emb array<double>, cell int"
+        ivf_assign_fn(cents),
+        f"vec_id bigint, emb array<double>{meta_schema}, cell int",
     )
     version = f"v_{uuid.uuid4().hex[:12]}"
     new_vdir = os.path.join(path, version)
@@ -635,9 +663,11 @@ def compact_ivf_index(
     vdir = _current_version_dir(path)
     parent = os.path.basename(vdir)
     roots = _vector_roots(path, vdir)
-    vecs = spark.read.parquet(roots[0]).select("vec_id", "emb")
+    meta = _index_meta_cols(spark, path, vdir)
+    keep_cols = ["vec_id", "emb", *meta]
+    vecs = spark.read.parquet(roots[0]).select(*keep_cols)
     for r in roots[1:]:
-        vecs = vecs.union(spark.read.parquet(r).select("vec_id", "emb"))
+        vecs = vecs.union(spark.read.parquet(r).select(*keep_cols))
     tstones = _tombstone_roots(path, vdir)
     if tstones:
         # the fold: tombstoned vectors are dropped PHYSICALLY here and
@@ -658,8 +688,12 @@ def compact_ivf_index(
         ivf_assign_fn,
     )
 
+    meta_schema = "".join(
+        f", {c} {t}" for c, t in vecs.dtypes if c in meta
+    )
     assigned = vecs.mapInPandas(
-        ivf_assign_fn(cents), "vec_id bigint, emb array<double>, cell int"
+        ivf_assign_fn(cents),
+        f"vec_id bigint, emb array<double>{meta_schema}, cell int",
     )
     version = f"v_{uuid.uuid4().hex[:12]}"
     new_vdir = os.path.join(path, version)
@@ -810,7 +844,12 @@ def ivf_query_index(
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     qids = np.asarray([int(r.query_id) for r in q_rows])
     qlabels = (
-        np.asarray([int(r.label) for r in q_rows])
+        # labels compare in their OWN dtype (round-10 review): int(...)
+        # coercion crashed on string labels and, worse, silently
+        # disabled the mask for digit-string labels (int 3 != '3' is
+        # always True); queries carry the label under the column name
+        # 'label' whatever the index-side metadata column is called
+        np.asarray([r.label for r in q_rows])
         if exclude_label_col is not None
         else None
     )

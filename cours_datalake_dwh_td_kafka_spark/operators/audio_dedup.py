@@ -93,10 +93,11 @@ def audio_fingerprint_of_samples(a) -> int:
         raise ValueError(
             f"audio fingerprint needs >= {AUDIO_CELLS} samples, got {n}"
         )
-    if n >= 1 << 39:
-        # per-cell energy <= (n / 64) * 32768^2 must stay inside int64:
-        # n < 2^39 (~17 days of 16-bit 48 kHz stereo per ROW) keeps the
-        # integer accumulation exact instead of silently wrapping
+    if n >= 1 << 38:
+        # reduceat's per-cell int64 accumulation needs
+        # ceil(n/64) * 32768^2 < 2^63, i.e. n < ~2^38.6 for full-scale
+        # PCM-16; 2^38 (~9 days of 16-bit 48 kHz stereo per ROW) keeps
+        # a safety margin instead of silently wrapping
         raise ValueError(f"clip too long for exact int64 energies: {n}")
     # cells = i * 64 // n is NONDECREASING, so cell j covers the index
     # range [ceil(j*n/64), ceil((j+1)*n/64)) and reduceat over those
@@ -107,14 +108,33 @@ def audio_fingerprint_of_samples(a) -> int:
         np.arange(AUDIO_CELLS, dtype=np.int64) * n + AUDIO_CELLS - 1
     ) // AUDIO_CELLS
     e = np.add.reduceat(a * a, starts)
-    g = e.reshape(PHASH_GRID, PHASH_GRID)
-    x = AUDIO_CELLS * g - g.sum()
-    t = np.asarray(_PHASH_T, dtype=np.int64)
-    c = t @ x @ t.T
-    bits = (c.reshape(-1) > 0).astype(np.int64)
+    # centering + DCT in EXACT python ints (round-10 review): the int64
+    # worst case past this point is adversarial-input-dependent (|x| can
+    # reach 63 * total_energy and the DCT multiplies by up to 91*91*64),
+    # so a guard would have to reject clips the hash could often still
+    # handle. The envelope is only 64 values — 8x8x8 exact-int matmuls
+    # per clip cost microseconds and make the "deterministic integer
+    # hash" claim unconditional for any guard-passing input. (The DuckDB
+    # oracle's BIGINT algebra ERRORS on overflow rather than wrapping,
+    # so parity on in-range corpora is unchanged.)
+    g = [int(v) for v in e]
+    total = sum(g)
+    x = [
+        [AUDIO_CELLS * g[r * PHASH_GRID + col] - total
+         for col in range(PHASH_GRID)]
+        for r in range(PHASH_GRID)
+    ]
+    t = [[int(v) for v in row] for row in _PHASH_T]
+    tx = [
+        [sum(t[i][j] * x[j][k] for j in range(PHASH_GRID))
+         for k in range(PHASH_GRID)]
+        for i in range(PHASH_GRID)
+    ]
     h = 0
     for idx in range(1, PHASH_BITS + 1):
-        if bits[idx]:
+        i, k = divmod(idx, PHASH_GRID)
+        c = sum(tx[i][j] * t[k][j] for j in range(PHASH_GRID))
+        if c > 0:
             h |= 1 << (idx - 1)
     return h
 

@@ -571,31 +571,46 @@ def commit_stream_to_lake(
     files live outside the manifest protocol and are invisible to all
     of them.
 
-    EXACTLY-ONCE COMMITS: each commit records its micro-batch id in
-    the manifest, every later commit carries the high-water mark
-    forward, and a replayed batch (kill between the lake commit and the
-    checkpoint ack) is detected by ``batch_id <= last_stream_batch_id``
-    and skipped — no duplicate version, no duplicate rows (pinned by
-    the kill-and-resume test). Batch ids are per-checkpoint monotone,
-    so the guard assumes ONE stream writer per table (the manifest's
-    O_EXCL publish turns a rival stream into a loud failure, not
-    corruption); interleaved BATCH commits are fine — they carry the
-    mark without advancing it.
+    EXACTLY-ONCE COMMITS: each commit records (query id, micro-batch
+    id) in the manifest — the Delta txn-(appId, version) rule — every
+    later commit carries the mark forward, and a replayed batch (kill
+    between the lake commit and the checkpoint ack) is detected by
+    ``batch_id <= last_stream_batch_id(path, query_id)`` and skipped —
+    no duplicate version, no duplicate rows (pinned by the
+    kill-and-resume test). The query id comes from the CHECKPOINT's
+    metadata file, so it survives normal restarts but changes when the
+    checkpoint is rebuilt — whose batch ids restart from 0 and must
+    COMMIT, not be skipped against a dead stream's high-water mark
+    (round-10 review: the bare-id guard silently dropped data there).
+    Batch ids are per-checkpoint monotone, so the guard assumes ONE
+    stream writer per table (the manifest's O_EXCL publish turns a
+    rival stream into a loud failure, not corruption); interleaved
+    BATCH commits are fine — they carry the mark without advancing it.
 
     Scale shape: a commit writes only the batch's files plus one
     manifest — O(batch), never O(lake); compaction of the resulting
     small files is the advisor's compact_due rung."""
+    import json
+    import os
+
     from cours_datalake_dwh_td_kafka_spark.lake import (
         lake_commit,
         last_stream_batch_id,
     )
 
+    def _query_id() -> str:
+        # Spark writes checkpoint/metadata (one JSON with the query's
+        # persistent UUID) at query start, before any batch runs
+        with open(os.path.join(checkpoint, "metadata")) as f:
+            return json.load(f)["id"]
+
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        if batch_id <= last_stream_batch_id(path):
+        qid = _query_id()
+        if batch_id <= last_stream_batch_id(path, qid):
             return  # replayed after a kill: already committed
-        lake_commit(batch_df, path, stream_batch_id=batch_id)
+        lake_commit(batch_df, path, stream_batch_id=batch_id, stream_id=qid)
 
     return (
         df.writeStream.foreachBatch(commit)

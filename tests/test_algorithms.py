@@ -1495,3 +1495,47 @@ def test_index_delete_survives_append_and_rechain(spark, tmp_path):
 
     got = ai.ivf_query_index(spark, idx, q, nprobe=N_CELLS).collect()
     assert got and all(r.neighbor_id in want for r in got)
+
+
+def test_label_filtered_serving_string_labels(spark, tmp_path):
+    """Round-10 review fix: the in-index label mask must work for
+    STRING-typed labels (language codes, licenses) — digit strings
+    previously type-mismatched the comparison and silently disabled the
+    mask."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.operators import ann_index as ai
+
+    e = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("label").cast("string").alias("label"),
+        )
+    )
+    idx = str(tmp_path / "idx")
+    ai.build_ivf_index(e, idx, meta_cols=("label",))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+    got = ai.ivf_query_index(
+        spark, idx, q, nprobe=8, top_k=5, exclude_label_col="label"
+    ).collect()
+    assert got
+    qlab = {r.vec_id: r.label for r in e.where("vec_id < 5").collect()}
+    nlab = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    for r in got:
+        assert nlab[r.neighbor_id] != qlab[r.query_id], r
+
+    # and an index without the metadata column is rejected loudly
+    import pytest as _pytest
+
+    bare = str(tmp_path / "bare")
+    ai.build_ivf_index(e.select("vec_id", "embedding"), bare)
+    with _pytest.raises(ValueError, match="stores no 'label'"):
+        ai.ivf_query_index(
+            spark, bare, q, nprobe=8, exclude_label_col="label"
+        )

@@ -1471,3 +1471,27 @@ def test_maintenance_plan_fold_verdict(spark, tmp_path):
     from cours_datalake_dwh_td_kafka_spark.lake import lake_read
 
     assert lake_read(spark, path).count() == 46
+
+
+def test_delete_keys_noop_commits_nothing(spark, tmp_path):
+    """A merge-on-read erasure matching zero rows (replayed request,
+    absent keys) must not commit a version or a delete entry."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        current_version,
+        lake_commit,
+        lake_delete_keys,
+        lake_maintenance_plan,
+        lake_read,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(spark.range(0, 20).select(F.col("id").alias("k")), path)
+    assert lake_delete_keys(spark, path, "k", "k = 5") == 2
+    # replay of the same erasure: the key is already gone
+    assert lake_delete_keys(spark, path, "k", "k = 5") == 2
+    assert lake_delete_keys(spark, path, "k", "k = 9999") == 2
+    assert current_version(path) == 2
+    assert lake_maintenance_plan(path)["n_delete_entries"] == 1
+    assert lake_read(spark, path).count() == 19

@@ -1769,8 +1769,8 @@ def test_commit_stream_to_lake_exactly_once_commits(
     orig_commit = lakemod.lake_commit
     state = {"crash": True}
 
-    def crashing(df, path, mode="append", stream_batch_id=None):
-        v = orig_commit(df, path, mode, stream_batch_id=stream_batch_id)
+    def crashing(df, path, mode="append", **kw):
+        v = orig_commit(df, path, mode, **kw)
         if state["crash"]:
             state["crash"] = False
             raise RuntimeError("simulated kill after commit, before ack")
@@ -1798,6 +1798,18 @@ def test_commit_stream_to_lake_exactly_once_commits(
     assert current_version(lake) == 2
     assert last_stream_batch_id(lake) == 1
     assert lake_read(spark, lake).count() == 3
+
+    # REBUILT checkpoint (round-10 review): batch ids restart from 0
+    # under a fresh query id — the guard must scope to the query id and
+    # COMMIT the new stream's batches instead of silently skipping ids
+    # 0..mark against the dead stream's high-water mark
+    import shutil
+
+    shutil.rmtree(ckpt)
+    _write_batch(str(indir), [{"station": 4, "reading": 40.0}], "b2")
+    run()  # fresh query: reprocesses ALL input as its batch 0
+    assert current_version(lake) == 3, "rebuilt checkpoint was skipped"
+    assert lake_read(spark, lake).count() == 3 + 4  # reprocess semantics
     # streamed rows are first-class lake citizens: time travel and CDC
     assert lake_read(spark, lake, 1).count() == 2
     diff = lake_diff(spark, lake, 1, 2).collect()
