@@ -108,17 +108,30 @@ def audio_fingerprint_of_samples(a) -> int:
         np.arange(AUDIO_CELLS, dtype=np.int64) * n + AUDIO_CELLS - 1
     ) // AUDIO_CELLS
     e = np.add.reduceat(a * a, starts)
-    # centering + DCT in EXACT python ints (round-10 review): the int64
-    # worst case past this point is adversarial-input-dependent (|x| can
-    # reach 63 * total_energy and the DCT multiplies by up to 91*91*64),
-    # so a guard would have to reject clips the hash could often still
-    # handle. The envelope is only 64 values — 8x8x8 exact-int matmuls
-    # per clip cost microseconds and make the "deterministic integer
-    # hash" claim unconditional for any guard-passing input. (The DuckDB
-    # oracle's BIGINT algebra ERRORS on overflow rather than wrapping,
-    # so parity on in-range corpora is unchanged.)
+    # centering + DCT must be EXACT for any input (round-10 review: the
+    # int64 worst case past this point is input-dependent — |x| can
+    # reach 63 * total_energy and the DCT multiplies by up to
+    # 64 * 91^2). Hybrid: when the PROVEN bound
+    # |C| <= 64*91^2 * 63 * total_energy fits int64, the vectorized
+    # numpy path is exact and fast (every realistic clip, including the
+    # whole registered corpus); past the bound, fall back to python-int
+    # matmuls over the 64-value envelope — microseconds per clip,
+    # unconditional exactness. (The DuckDB oracle's BIGINT algebra
+    # ERRORS on overflow rather than wrapping, so parity on in-range
+    # corpora is unchanged either way.)
+    total = int(e.sum(dtype=object))
+    if total * (AUDIO_CELLS * 91 * 91 * 63) < 1 << 63:
+        g = e.reshape(PHASH_GRID, PHASH_GRID)
+        x = AUDIO_CELLS * g - g.sum()
+        t = np.asarray(_PHASH_T, dtype=np.int64)
+        c = t @ x @ t.T
+        bits = c.reshape(-1) > 0
+        h = 0
+        for idx in range(1, PHASH_BITS + 1):
+            if bits[idx]:
+                h |= 1 << (idx - 1)
+        return h
     g = [int(v) for v in e]
-    total = sum(g)
     x = [
         [AUDIO_CELLS * g[r * PHASH_GRID + col] - total
          for col in range(PHASH_GRID)]
