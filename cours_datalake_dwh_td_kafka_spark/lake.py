@@ -479,6 +479,34 @@ def lake_merge_upsert(
     return _commit_manifest(path, v + 1, files, "merge", declared)
 
 
+def lake_restore(spark: SparkSession, path: str, version: int) -> int:
+    """Roll the table back to ``version`` AS A NEW COMMIT (the Delta
+    RESTORE shape) — the rescue rung after a bad merge/refresh: the new
+    manifest lists exactly the target version's files, schema, stats,
+    bloom and pending delete entries, so the table reads as it did at
+    ``version`` while the botched versions stay readable for forensics
+    (nothing is rewritten or removed — restore is metadata-only and
+    O(1) in data size; vacuum reclaims the bad versions' files later
+    under the normal retention rules). The streaming high-water mark
+    auto-carries from the NEWEST manifest, not the restore target, so a
+    restore never tricks the exactly-once sink into re-committing
+    batches that landed after the target version. Returns the new
+    version number."""
+    m = _read_manifest(path, version)
+    if not m["files"]:
+        raise ValueError(f"version {version} of {path} is empty")
+    return _commit_manifest(
+        path,
+        current_version(path) + 1,
+        list(m["files"]),
+        "restore",
+        m.get("schema"),
+        m.get("stats"),
+        m.get("bloom"),
+        deletes=m.get("deletes"),
+    )
+
+
 def lake_history(path: str) -> list[dict]:
     """All SURVIVING snapshots oldest-first: version, operation, file
     count. Walks the manifests that actually exist, so history still

@@ -798,3 +798,107 @@ def q_lake_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake_maintenance_protocol(spark, d, os.path.join(tmp, "t"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# restore: rollback-as-a-new-commit (the rescue rung after a bad merge)
+# ---------------------------------------------------------------------------
+_RESTORE_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_by_bad_op,
+           TRUE AS restore_equals_target,
+           TRUE AS bad_version_still_readable,
+           TRUE AS diff_reverses_bad_op,
+           TRUE AS metadata_only,
+           'append>delete>restore' AS history_ops
+    FROM documents
+"""
+
+
+def lake_restore_protocol(
+    spark: SparkSession, d: DataFrame, path: str
+) -> DataFrame:
+    """A botched operation (v2 copy-on-write deletes the English docs)
+    rolled back by :func:`lake_restore` (v3), with the contract
+    measured on the artifacts:
+
+    - ``restore_equals_target``: v3 reads exactly v1, row set for row
+      set;
+    - ``bad_version_still_readable``: v2 remains open for forensics —
+      restore adds a version, it never erases history;
+    - ``diff_reverses_bad_op``: the v2→v3 CDC feed is exactly the bad
+      op's v1→v2 feed with insert/delete flipped;
+    - ``metadata_only``: the restore commit added ZERO data files (its
+      file list is v1's, byte for byte) — O(1) in table size."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        lake_delete_where,
+        lake_diff,
+        lake_history,
+        lake_restore,
+    )
+
+    base = d.select("doc_id", "source", "lang", "n_chars")
+    lake_commit(base, path)  # v1
+    n_docs = base.count()
+    lake_delete_where(spark, path, "lang = 'en'")  # v2: the bad op
+    n_dropped = base.where("lang = 'en'").count()
+    lake_restore(spark, path, 1)  # v3
+    v1r, v3 = lake_read(spark, path, 1), lake_read(spark, path, 3)
+    restored_ok = (
+        v3.count() == n_docs and v3.exceptAll(v1r).count() == 0
+    )
+    bad_readable = lake_read(spark, path, 2).count() == n_docs - n_dropped
+    fwd = {
+        r["_change"]: r["n"]
+        for r in lake_diff(spark, path, 1, 2)
+        .groupBy("_change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    back = {
+        r["_change"]: r["n"]
+        for r in lake_diff(spark, path, 2, 3)
+        .groupBy("_change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    reverses = (
+        fwd.get("delete", 0) == back.get("insert", 0) == n_dropped
+        and fwd.get("insert", 0) == back.get("delete", 0) == 0
+    )
+    metadata_only = _read_manifest(path, 3)["files"] == _read_manifest(
+        path, 1
+    )["files"]
+    ops = ">".join(h["op"] for h in lake_history(path))
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                int(n_dropped),
+                bool(restored_ok),
+                bool(bad_readable),
+                bool(reverses),
+                bool(metadata_only),
+                ops,
+            )
+        ],
+        "n_docs BIGINT, n_dropped_by_bad_op BIGINT, "
+        "restore_equals_target BOOLEAN, bad_version_still_readable "
+        "BOOLEAN, diff_reverses_bad_op BOOLEAN, metadata_only BOOLEAN, "
+        "history_ops STRING",
+    )
+
+
+@register("lake_restore", _RESTORE_SQL)
+def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_lake_restore_")
+    try:
+        return lake_restore_protocol(spark, d, os.path.join(tmp, "t"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

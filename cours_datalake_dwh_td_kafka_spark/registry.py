@@ -77,6 +77,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "importance_weight_select",  # r10: DSIR-style target-domain selection
     "ann_index_delete",          # r10: tombstone erasure lifecycle
     "erasure_protocol",          # r10: end-to-end right-to-be-forgotten
+    "lake_restore",              # r10: rollback-as-new-commit rescue rung
     # -- code changed in r10: must re-attest on current code -------------
     "dedup_incremental_lsh",   # r10: candidate-pruned verify
     "corpus_refresh",          # r10: persisted band table + bands_table_ok
@@ -109,7 +110,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_fingerprint",
     "minhash_signatures",
     "sessionization",
-    "dedup_keep_best",
 )
 
 

@@ -1495,3 +1495,37 @@ def test_delete_keys_noop_commits_nothing(spark, tmp_path):
     assert current_version(path) == 2
     assert lake_maintenance_plan(path)["n_delete_entries"] == 1
     assert lake_read(spark, path).count() == 19
+
+
+def test_restore_carries_deletes_and_stream_mark(spark, tmp_path):
+    """lake_restore corners: restoring a version with PENDING
+    merge-on-read deletes restores its delete entries too (the target's
+    read semantics, not its raw files), and the streaming high-water
+    mark carries from the NEWEST manifest — a restore never rewinds the
+    exactly-once guard."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_delete_keys,
+        lake_read,
+        lake_restore,
+        last_stream_batch_id,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.range(0, 30).select(F.col("id").alias("k")),
+        path,
+        stream_batch_id=7,
+        stream_id="q1",
+    )  # v1
+    lake_delete_keys(spark, path, "k", "k < 5")  # v2: 25 rows read
+    lake_commit(
+        spark.range(100, 105).select(F.col("id").alias("k")), path
+    )  # v3: 30 rows read
+    lake_restore(spark, path, 2)  # v4: back to the 25-row view
+    assert lake_read(spark, path).count() == 25
+    assert lake_read(spark, path).where("k < 5").count() == 0
+    # the stream mark survived the restore (newest-manifest carry)
+    assert last_stream_batch_id(path, "q1") == 7
