@@ -201,6 +201,17 @@ def lake_commit(
     committed version number."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
+    if stream_batch_id is not None and stream_id is None:
+        # an UNSCOPED mark is a data-loss trap: last_stream_batch_id
+        # scopes lookups by stream identity, so a mark recorded without
+        # one is unreachable by any scoped guard — and before the r11
+        # scoping fix it matched EVERY stream, silently skipping a
+        # rebuilt checkpoint's batches 0..mark (ADVICE r10)
+        raise ValueError(
+            "lake_commit(stream_batch_id=...) requires stream_id: the "
+            "exactly-once replay guard is scoped per logical stream "
+            "(the Delta txn-appId rule)"
+        )
     prev = current_version(path)
     if mode == "append" and prev > 0:
         prev_m = _read_manifest(path, prev)
@@ -256,9 +267,11 @@ def last_stream_batch_id(path: str, stream_id: str | None = None) -> int:
 
     ``stream_id`` scopes the mark to ONE logical stream (the Delta
     txn-appId rule, round-10 review): a recorded mark from a DIFFERENT
-    stream identity returns -1, so a rebuilt checkpoint — whose batch
-    ids restart from 0 under a fresh query id — commits its genuinely
-    new batches instead of silently skipping ids 0..mark."""
+    stream identity — including an UNSCOPED mark with no recorded
+    stream_id (ADVICE r10: treating it as a wildcard would let a
+    rebuilt checkpoint, whose batch ids restart from 0 under a fresh
+    query id, silently skip its batches 0..mark) — returns -1, so the
+    new stream commits its genuinely new batches."""
     v = current_version(path)
     if v < 1:
         return -1
@@ -266,7 +279,7 @@ def last_stream_batch_id(path: str, stream_id: str | None = None) -> int:
     b = m.get("stream_batch_id")
     if b is None:
         return -1
-    if stream_id is not None and m.get("stream_id") not in (None, stream_id):
+    if stream_id is not None and m.get("stream_id") != stream_id:
         return -1
     return int(b)
 
@@ -1159,7 +1172,15 @@ def lake_bloom_index(
     Guarantee: NO FALSE NEGATIVES — a file containing the value always
     has all k bits set, so :func:`pruned_files_eq` may over-scan
     (expected FPR ~ (n_distinct/m_bits)^k per file) but never wrongly
-    skips. Files without a bloom for ``col`` are conservatively kept."""
+    skips. Files without a bloom for ``col`` are conservatively kept.
+
+    The build scans the RAW data files (never the delete-applied view):
+    ``input_file_name()`` is only reliable directly at the scan — after
+    :func:`_apply_deletes`' anti-join executes as a shuffle it returns
+    '', which would attribute every row to no file and bitmap every
+    file all-zero (a FALSE-NEGATIVE index; ADVICE r10). Merge-on-read
+    deleted keys landing in a bitmap only add false positives, and
+    point reads anti-join the delete keys after pruning anyway."""
     import base64
 
     from pyspark.sql import functions as F
@@ -1170,7 +1191,7 @@ def lake_bloom_index(
     if v < 1:
         raise ValueError(f"no committed version at {path}")
     m = _read_manifest(path, v)
-    cur = lake_read(spark, path, v)
+    cur = _read_file_subset(spark, path, m, m["files"])
     if col not in cur.columns:
         raise ValueError(f"bloom column {col!r} not in table")
     dtype = dict(cur.dtypes)[col]

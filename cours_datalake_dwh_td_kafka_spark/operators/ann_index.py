@@ -821,6 +821,13 @@ def ivf_query_index(
     same-label."""
     import numpy as np
 
+    if exclude_label_col is not None and "label" not in queries.columns:
+        # fail the contract loudly (ADVICE r10): without this, the
+        # first r.label read below dies with a bare AttributeError
+        raise ValueError(
+            "exclude_label_col requires the query frame to carry a "
+            f"'label' column; got columns {queries.columns}"
+        )
     vdir = (
         os.path.join(path, version)
         if version is not None

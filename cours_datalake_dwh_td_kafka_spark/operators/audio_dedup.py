@@ -78,36 +78,48 @@ AUDIO_GAIN_TWIN = 3
 
 
 def audio_fingerprint_of_samples(a) -> int:
-    """Integer energy-envelope hash of an int64 sample array (>= 64
-    samples): floor-rule time cells -> energies -> scaled
-    mean-centering -> the shared fixed-point DCT -> 60-bit sign pack.
-    Multi-channel input (the codec's (n, channels) shape) is flattened
-    frame-interleaved — consecutive frames stay consecutive, so time
-    cells keep their meaning and a clip hashes the same whether the
-    caller pre-flattens or not."""
+    """Integer energy-envelope hash of an int64 sample array: floor-rule
+    time cells -> energies -> scaled mean-centering -> the shared
+    fixed-point DCT -> 60-bit sign pack. Multi-channel input (the
+    codec's (n, channels) shape) is flattened frame-interleaved —
+    consecutive frames stay consecutive, so time cells keep their
+    meaning and a clip hashes the same whether the caller pre-flattens
+    or not. Clips shorter than 64 samples hash too (empty trailing
+    cells carry zero energy, the original bincount contract — ADVICE
+    r10: the reduceat rewrite must not turn previously-valid inputs
+    into crashes); only an EMPTY array is rejected (no signal, no
+    envelope)."""
     import numpy as np
 
     a = np.asarray(a, dtype=np.int64).reshape(-1)
     n = int(a.size)
+    if n == 0:
+        raise ValueError("audio fingerprint needs at least one sample")
     if n < AUDIO_CELLS:
-        raise ValueError(
-            f"audio fingerprint needs >= {AUDIO_CELLS} samples, got {n}"
-        )
-    if n >= 1 << 38:
+        # reduceat needs strictly increasing starts, which only n >= 64
+        # guarantees; here the exact python-int accumulation is
+        # microseconds and keeps the accept-everything contract —
+        # sample i lands in cell i*64//n, cells past the data stay zero
+        e = np.zeros(AUDIO_CELLS, dtype=np.int64)
+        for i in range(n):
+            e[i * AUDIO_CELLS // n] += int(a[i]) * int(a[i])
+    elif n >= 1 << 38:
         # reduceat's per-cell int64 accumulation needs
         # ceil(n/64) * 32768^2 < 2^63, i.e. n < ~2^38.6 for full-scale
         # PCM-16; 2^38 (~9 days of 16-bit 48 kHz stereo per ROW) keeps
         # a safety margin instead of silently wrapping
         raise ValueError(f"clip too long for exact int64 energies: {n}")
-    # cells = i * 64 // n is NONDECREASING, so cell j covers the index
-    # range [ceil(j*n/64), ceil((j+1)*n/64)) and reduceat over those
-    # boundaries accumulates the energies in int64 EXACTLY (float64
-    # bincount weights round past 2^53 — ADVICE r9); n >= 64 makes the
-    # boundaries strictly increasing, so no reduceat empty-segment quirk
-    starts = (
-        np.arange(AUDIO_CELLS, dtype=np.int64) * n + AUDIO_CELLS - 1
-    ) // AUDIO_CELLS
-    e = np.add.reduceat(a * a, starts)
+    else:
+        # cells = i * 64 // n is NONDECREASING, so cell j covers the
+        # index range [ceil(j*n/64), ceil((j+1)*n/64)) and reduceat over
+        # those boundaries accumulates the energies in int64 EXACTLY
+        # (float64 bincount weights round past 2^53 — ADVICE r9);
+        # n >= 64 makes the boundaries strictly increasing, so no
+        # reduceat empty-segment quirk
+        starts = (
+            np.arange(AUDIO_CELLS, dtype=np.int64) * n + AUDIO_CELLS - 1
+        ) // AUDIO_CELLS
+        e = np.add.reduceat(a * a, starts)
     # centering + DCT must be EXACT for any input (round-10 review: the
     # int64 worst case past this point is input-dependent — |x| can
     # reach 63 * total_energy and the DCT multiplies by up to
@@ -278,12 +290,14 @@ def with_audio_fingerprint(
     payload to survive the hash stage), mirroring
     :func:`image_dedup.with_phash`. Stateless mapInPandas; works on
     batch and streaming frames alike. ``payload`` must be WAV PCM-16
-    bytes with >= 64 samples.
+    bytes (any length — short clips fingerprint with zero-energy
+    trailing cells, the accept-everything contract of
+    :func:`audio_fingerprint_of_samples`).
 
-    ``strict=False`` maps undecodable or too-short payloads to a NULL
-    ahash instead of raising — the streaming posture, where one
-    poisoned record must not kill the query (batch callers keep the
-    default fail-fast, the codec fuzz-test discipline)."""
+    ``strict=False`` maps undecodable payloads to a NULL ahash instead
+    of raising — the streaming posture, where one poisoned record must
+    not kill the query (batch callers keep the default fail-fast, the
+    codec fuzz-test discipline)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     import numpy as np
@@ -295,12 +309,7 @@ def with_audio_fingerprint(
 
     def hash_payload(p: bytes) -> int:
         _, dec = decode_wav_pcm16(bytes(p))
-        a = dec.astype(np.int64)
-        if a.size < AUDIO_CELLS:
-            raise ValueError(
-                f"clip too short to fingerprint: {a.size} samples"
-            )
-        return audio_fingerprint_of_samples(a)
+        return audio_fingerprint_of_samples(dec.astype(np.int64))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

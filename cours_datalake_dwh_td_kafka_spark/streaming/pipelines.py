@@ -558,6 +558,32 @@ def write_stream_to_lake(
     )
 
 
+def checkpoint_query_id(checkpoint: str) -> str:
+    """The streaming query's persistent UUID, read from the
+    checkpoint's ``metadata`` file — Spark writes it (one JSON) at
+    query start, before any batch runs, and it survives restarts but
+    changes when the checkpoint is rebuilt. A missing file fails with
+    the exactly-once protocol named, not a bare FileNotFoundError
+    (ADVICE r10): committing without the id could replay or skip
+    batches."""
+    import json
+    import os
+
+    meta = os.path.join(checkpoint, "metadata")
+    try:
+        with open(meta) as f:
+            return json.load(f)["id"]
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"exactly-once replay guard needs {meta}: the lake commit "
+            "is scoped by the streaming query's persistent id, which "
+            "Spark records in the checkpoint's metadata file at query "
+            "start — a missing file means the checkpoint was never "
+            "materialized or was deleted mid-run, and committing "
+            "without it could replay or skip batches"
+        ) from None
+
+
 def commit_stream_to_lake(
     df: DataFrame,
     path: str,
@@ -590,19 +616,19 @@ def commit_stream_to_lake(
     Scale shape: a commit writes only the batch's files plus one
     manifest — O(batch), never O(lake); compaction of the resulting
     small files is the advisor's compact_due rung."""
-    import json
-    import os
-
     from cours_datalake_dwh_td_kafka_spark.lake import (
         lake_commit,
         last_stream_batch_id,
     )
 
+    qid_cache: list[str] = []
+
     def _query_id() -> str:
-        # Spark writes checkpoint/metadata (one JSON with the query's
-        # persistent UUID) at query start, before any batch runs
-        with open(os.path.join(checkpoint, "metadata")) as f:
-            return json.load(f)["id"]
+        # the id is immutable for the checkpoint's lifetime, so cache
+        # it after the first read instead of re-opening per micro-batch
+        if not qid_cache:
+            qid_cache.append(checkpoint_query_id(checkpoint))
+        return qid_cache[0]
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):

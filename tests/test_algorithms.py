@@ -1539,3 +1539,11 @@ def test_label_filtered_serving_string_labels(spark, tmp_path):
         ai.ivf_query_index(
             spark, bare, q, nprobe=8, exclude_label_col="label"
         )
+
+    # a QUERY frame missing the 'label' column is rejected with the
+    # contract named, not a bare AttributeError (ADVICE r10)
+    with _pytest.raises(ValueError, match="'label' column"):
+        ai.ivf_query_index(
+            spark, idx, q.drop("label"), nprobe=8,
+            exclude_label_col="label",
+        )

@@ -118,3 +118,30 @@ def test_distinct_clips_rarely_collide(spark):
     )
     n_cross_pairs = n_docs * (n_docs - 1) * 2
     assert cross / max(n_cross_pairs, 1) < 0.01
+
+
+def test_short_clips_fingerprint_not_crash(spark):
+    """ADVICE r11: clips shorter than 64 samples must hash, not crash
+    (the pre-reduceat bincount contract: empty trailing cells carry
+    zero energy). Pins determinism, gain equivariance, a bit-level
+    cross-path agreement between the short python-int path and the
+    reduceat path on an identical energy envelope, and the empty-input
+    rejection."""
+    import pytest
+
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 7, 33, 63, 64, 200):
+        a = rng.integers(-127, 128, size=n).astype(np.int64)
+        h = audio_fingerprint_of_samples(a)
+        assert h == audio_fingerprint_of_samples(a.copy())
+        assert h == audio_fingerprint_of_samples(a * 3)
+    # cross-path pin: a 1-sample clip puts ALL its energy in cell 0 —
+    # exactly like a 64-sample clip whose only nonzero sample is index
+    # 0 with the same magnitude (cell 0 energy v^2, rest zero), so the
+    # python-int short path and the reduceat path must agree bit-level
+    one = audio_fingerprint_of_samples(np.array([100], dtype=np.int64))
+    full = np.zeros(64, dtype=np.int64)
+    full[0] = 100
+    assert one == audio_fingerprint_of_samples(full)
+    with pytest.raises(ValueError, match="at least one sample"):
+        audio_fingerprint_of_samples(np.array([], dtype=np.int64))

@@ -1529,3 +1529,71 @@ def test_restore_carries_deletes_and_stream_mark(spark, tmp_path):
     assert lake_read(spark, path).where("k < 5").count() == 0
     # the stream mark survived the restore (newest-manifest carry)
     assert last_stream_batch_id(path, "q1") == 7
+
+
+def test_bloom_index_under_pending_deletes(spark, tmp_path):
+    """ADVICE r11 (medium): lake_bloom_index must build from the RAW
+    file scan, never the delete-applied view — input_file_name()
+    returns '' once _apply_deletes' anti-join runs as a shuffle, which
+    silently produced all-zero bitmaps (a false-NEGATIVE index: point
+    reads returned zero rows for keys that exist). Pin: build the
+    bloom AFTER a merge-on-read delete and assert point lookups still
+    find every surviving key, while deleted keys stay deleted."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_bloom_index,
+        lake_commit,
+        lake_delete_keys,
+        lake_read_point,
+        pruned_files_eq,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.range(0, 400).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartition(4),
+        path,
+    )  # v1: 4 files
+    lake_delete_keys(spark, path, "k", "k % 2 = 0")  # v2: 200 keys pending
+    lake_bloom_index(spark, path, "k")  # v3: built while deletes pend
+    # every file must keep a real bitmap: a surviving key is found...
+    for probe in (1, 77, 399):
+        assert lake_read_point(spark, path, "k", probe).count() == 1, probe
+    # ...and a deleted key's files still PRUNE-match (false positives
+    # only) but the read anti-joins it out
+    files, total = pruned_files_eq(path, "k", 2)
+    assert files, "deleted keys must stay in bitmaps (no false negatives)"
+    assert lake_read_point(spark, path, "k", 2).count() == 0
+
+
+def test_stream_mark_scoping_rejects_unscoped_wildcard(spark, tmp_path):
+    """ADVICE r11: an unscoped stream mark must not match ANY requested
+    stream_id (rebuilt-checkpoint data-loss trap), and lake_commit now
+    refuses to record one."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _commit_manifest,
+        _write_data_files,
+        lake_commit,
+        last_stream_batch_id,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="requires stream_id"):
+        lake_commit(df, path, stream_batch_id=3)
+    # a legacy unscoped mark (pre-r11 manifest written directly): a
+    # scoped lookup returns -1 so the new stream COMMITS batches 0..3;
+    # the unscoped lookup still reads the raw mark
+    files = _write_data_files(df, path)
+    _commit_manifest(path, 1, files, "append", stream_batch_id=3)
+    assert last_stream_batch_id(path) == 3
+    assert last_stream_batch_id(path, "fresh-query-id") == -1
+    # and a properly scoped mark matches only its own stream
+    lake_commit(df, path, stream_batch_id=9, stream_id="q1")
+    assert last_stream_batch_id(path, "q1") == 9
+    assert last_stream_batch_id(path, "q2") == -1

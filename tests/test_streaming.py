@@ -1879,3 +1879,17 @@ def test_stream_near_dup_alerts_with_persisted_artifacts(spark, tmp_path):
     rows = spark.table(name).collect()
     assert {r.doc_id for r in rows} == want
     assert len(rows) == len(want)
+
+
+def test_checkpoint_query_id_missing_metadata_names_protocol(tmp_path):
+    """ADVICE r11: the exactly-once replay guard must fail with the
+    protocol named when the checkpoint's metadata file is absent —
+    not a bare FileNotFoundError."""
+    import pytest
+
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        checkpoint_query_id,
+    )
+
+    with pytest.raises(RuntimeError, match="exactly-once replay guard"):
+        checkpoint_query_id(str(tmp_path / "never-materialized"))
