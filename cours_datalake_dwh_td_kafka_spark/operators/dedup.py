@@ -1250,12 +1250,36 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCREMENT_SPLIT = 0.8
 
 
+def fingerprint_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, fp) rows straight from raw documents — THE persistable
+    exact-dedup artifact (r10 verdict #1: the fingerprint is already
+    computed at insert time; store it so later refreshes join persisted
+    keys instead of re-hashing survivor text). One ~48-byte row per
+    kept document regardless of text size, maintained incrementally by
+    ``corpus_refresh`` exactly like the MinHash band table (build once
+    with the survivor commit, append the inserted docs' rows per
+    MERGE)."""
+    return d.select(
+        "doc_id", F.md5(norm_text(F.col("text"))).alias("fp")
+    )
+
+
 def incremental_new_docs(
-    corpus: DataFrame, increment: DataFrame
+    corpus: DataFrame | None,
+    increment: DataFrame,
+    corpus_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Increment rows that are genuinely new: left-anti join on the md5
     fingerprint against the corpus, then first-per-fingerprint within
     the increment itself.
+
+    ``corpus_fps`` (r11): a PERSISTED (doc_id, fp) table (see
+    :func:`fingerprint_rows`). When supplied it is AUTHORITATIVE — the
+    corpus frame is never touched (``corpus`` may be None), so a
+    refresh that maintains the table pays O(increment) text hashing
+    plus a key join against ~48-byte rows, never a survivor-corpus
+    re-hash. Without it, the corpus side is fingerprinted from text
+    (the self-contained form).
 
     Scale notes: the anti-join shuffles on the 128-bit fingerprint —
     content-addressed, uniform, and the corpus side carries ONLY its
@@ -1263,7 +1287,14 @@ def incremental_new_docs(
     out of the exchange). The within-increment dedup reuses the same
     fingerprint clustering for its window."""
     fp = F.md5(norm_text(F.col("text")))
-    corpus_fps = corpus.select(fp.alias("fp")).distinct()
+    if corpus_fps is not None:
+        corpus_fps = corpus_fps.select("fp").distinct()
+    else:
+        if corpus is None:
+            raise ValueError(
+                "incremental_new_docs needs corpus or corpus_fps"
+            )
+        corpus_fps = corpus.select(fp.alias("fp")).distinct()
     inc = increment.select(
         "doc_id", "source", "lang", "n_chars", fp.alias("fp")
     )

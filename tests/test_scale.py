@@ -15,7 +15,7 @@ from cours_datalake_dwh_td_kafka_spark.operators.scale import (
     write_bucketed,
 )
 from cours_datalake_dwh_td_kafka_spark.plans.inspect import plan_facts
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_salted_agg_equals_plain(spark):
@@ -447,3 +447,82 @@ def test_minhash_band_rows_match_signature_path(spark):
     b = dedup._band_rows(dedup.minhash_signature(corpus))
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
+
+
+def test_incremental_exact_dedup_reads_persisted_fps_not_text(spark):
+    """r11 (verdict #1): with a persisted (doc_id, fp) table supplied,
+    incremental_new_docs never touches the corpus — corpus=None is
+    legal, structurally proving zero survivor-text reads — and the
+    table is AUTHORITATIVE (a doc absent from it cannot dedup the
+    increment)."""
+    import pytest
+
+    from cours_datalake_dwh_td_kafka_spark.operators import dedup
+
+    rows = [
+        (i, "s", "en", 20, " ".join(f"c{i}w{j}" for j in range(12)))
+        for i in range(10)
+    ]
+    schema = "doc_id BIGINT, source STRING, lang STRING, n_chars INT, text STRING"
+    corpus = spark.createDataFrame(rows, schema)
+    inc = spark.createDataFrame(
+        [(100, "s", "en", 20, rows[5][4]),      # exact dup of doc 5
+         (101, "s", "en", 20, "totally new words here")],
+        schema,
+    )
+    fps = dedup.fingerprint_rows(corpus).localCheckpoint()
+    got = dedup.incremental_new_docs(None, inc, corpus_fps=fps).collect()
+    assert [r.doc_id for r in got] == [101]
+    # authoritative: drop doc 5's fp row and the dup sails through
+    got2 = dedup.incremental_new_docs(
+        None, inc, corpus_fps=fps.where("doc_id <> 5")
+    ).collect()
+    assert [r.doc_id for r in got2] == [100, 101]
+    with pytest.raises(ValueError, match="corpus or corpus_fps"):
+        dedup.incremental_new_docs(None, inc)
+
+
+def test_corpus_refresh_attest_false_text_work_is_increment_bounded(
+    spark, monkeypatch, tmp_path
+):
+    """r11 (verdict #1): the deployable refresh call (attest=False)
+    must hash corpus TEXT only at the v1 bootstrap — every later
+    fingerprint_rows / minhash_band_rows call covers the increment
+    only, and the attestation recomputes never run. Pinned by spying
+    on both text-hashing entry points (the shingle-spy pattern of
+    test_incremental_gate_corpus_side_candidate_bounded)."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators import refresh
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+
+    calls: list[tuple[str, int]] = []
+    orig_fp, orig_bands = refresh.fingerprint_rows, refresh.minhash_band_rows
+
+    def spy_fp(df):
+        calls.append(("fp", df.select("doc_id").distinct().count()))
+        return orig_fp(df)
+
+    def spy_bands(df):
+        calls.append(("bands", df.select("doc_id").distinct().count()))
+        return orig_bands(df)
+
+    monkeypatch.setattr(refresh, "fingerprint_rows", spy_fp)
+    monkeypatch.setattr(refresh, "minhash_band_rows", spy_bands)
+    row = refresh.corpus_refresh(
+        spark, d, e, str(tmp_path / "w"), attest=False
+    ).collect()[0]
+    assert row.no_dup_ok and row.bands_table_ok and row.fps_table_ok
+    n_kept, n_inserted = row.n_corpus_kept, row.n_inserted
+    # exactly 4 calls: bootstrap (bands+fp over the survivor set), then
+    # ONE increment-sized call per table for the MERGE maintenance —
+    # no v2-sized recompute anywhere
+    assert sorted(calls) == sorted(
+        [
+            ("bands", n_kept),
+            ("fp", n_kept),
+            ("bands", n_inserted),
+            ("fp", n_inserted),
+        ]
+    ), calls
