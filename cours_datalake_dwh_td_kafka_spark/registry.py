@@ -167,6 +167,7 @@ def _load_all() -> None:
         spatial,
         substring_dedup,
         text_analysis,
+        text_index,
         timeseries,
         tpch_shapes,
         tpch_shapes2,

@@ -1,0 +1,70 @@
+"""Build/serve split for text retrieval (r11): the persisted posting
+lists must serve BM25 and phrase queries equal to the in-query
+operators, prune term reads by file after clustering, and take
+O(increment) appends."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators import text_index as ti
+from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+    bm25_search,
+    phrase_search,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def _multiset_eq(a, b) -> bool:
+    return a.count() == b.count() and a.exceptAll(b).count() == 0
+
+
+def test_served_bm25_and_phrase_equal_direct(spark, tmp_path):
+    d = _docs(spark)
+    idx = str(tmp_path / "ti")
+    ti.build_text_index(spark, d, idx)
+    assert _multiset_eq(ti.bm25_query_index(spark, idx), bm25_search(d))
+    assert _multiset_eq(
+        ti.phrase_query_index(spark, idx), phrase_search(d)
+    )
+    # a term with no postings serves an empty result, not an error
+    assert (
+        ti.bm25_query_index(spark, idx, terms=("zzznotaterm",)).count()
+        == 0
+    )
+
+
+def test_append_maintains_served_union(spark, tmp_path):
+    """The O(increment) append must make the served set equal the
+    direct operators over the UNION — including phrase matches whose
+    occurrences live in the appended slice."""
+    d = _docs(spark)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = int(lo) + (int(hi) - int(lo)) // 2
+    idx = str(tmp_path / "ti")
+    ti.build_text_index(spark, d.where(F.col("doc_id") < cut), idx)
+    ti.append_text_index(spark, d.where(F.col("doc_id") >= cut), idx)
+    assert _multiset_eq(ti.bm25_query_index(spark, idx), bm25_search(d))
+    assert _multiset_eq(
+        ti.phrase_query_index(spark, idx), phrase_search(d)
+    )
+
+
+def test_clustered_postings_prune_term_reads(spark, tmp_path):
+    """After the build's lake_cluster_by(term), a single term's pruned
+    read must open strictly fewer files than the table holds — the
+    manifest IS the term dictionary."""
+    from cours_datalake_dwh_td_kafka_spark.lake import pruned_files
+
+    d = _docs(spark)
+    idx = str(tmp_path / "ti")
+    ti.build_text_index(spark, d, idx, n_files=8)
+    path = ti._postings_path(idx)
+    kept, total = pruned_files(path, "term", "scan", "scan")
+    assert total == 8
+    assert 1 <= len(kept) < total, (len(kept), total)
