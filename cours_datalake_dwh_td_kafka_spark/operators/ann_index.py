@@ -1565,6 +1565,267 @@ def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-wide SELF-PROBE hard-negative mining (round 11, verdict #3):
+# the contrastive-training shape is probe set == EVERY vector — the
+# served path above still driver-collects a bounded probe batch and
+# ships the query matrix in a closure, impossible when the probe set is
+# the corpus. Here nothing query-sized ever touches the driver: probe
+# assignment is a distributed pass over the index's own vectors (the
+# stream_cell_occupancy shared-kernel idea — centroids k x d in the
+# closure, assignment entirely executor-side), and scoring is a
+# cell-local COGROUP: probes grouped by (probed cell, query block) meet
+# that cell's resident vectors, one BLAS matmul per group, label mask
+# before the per-group top-k, global_topk tree reduce. Driver collects:
+# the k x d centroid table and bounded protocol scalars — never a
+# query matrix.
+# ---------------------------------------------------------------------------
+#: queries per scoring block — bounds each cogroup's probe matrix
+#: (block x d floats) whatever the corpus size; residents are
+#: replicated once per block (the distributed blocked-GEMM tradeoff:
+#: ceil(n/block) extra resident copies through the shuffle buys
+#: executor-memory-bounded kernels)
+HARDNEG_QBLOCK = 4096
+
+
+def hard_negative_mining_corpus(
+    spark: SparkSession,
+    index_path: str,
+    nprobe: int | None = None,
+    top_k: int = HARDNEG_K,
+    label_col: str = "label",
+    q_block: int = HARDNEG_QBLOCK,
+    version: str | None = None,
+) -> DataFrame:
+    """Mine hard negatives for EVERY vector in a labeled IVF index —
+    (query_id, neighbor_id, cosine, rn) of the top-k most-similar
+    DIFFERENT-label vectors per corpus vector.
+
+    ``nprobe=None`` probes every cell: each (query, resident) pair is
+    then scored exactly once (residents are cell-partitioned; probes
+    reach each cell once), so the full-probe result EQUALS the exact
+    all-pairs miner by construction — the attestable form. A bounded
+    ``nprobe`` is the production form: per-vector probed cells are
+    computed executor-side with the same (-sim, cell) tie rule as
+    :func:`ivf_query_index`, and only the probed cells' residents are
+    scored.
+
+    The scoring kernel is the exact miner's
+    (:func:`similarity.hard_negative_mining`): identical float
+    operation order and half-away round-6, so full-probe output is
+    bit-identical to brute force. Self and same-label candidates are
+    masked BEFORE the top-k."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
+    vdir = (
+        os.path.join(index_path, version)
+        if version is not None
+        else _current_version_dir(index_path)
+    )
+    cent_rows = spark.read.parquet(f"{vdir}/centroids.parquet").collect()
+    if not cent_rows:
+        raise ValueError(f"empty IVF index at {index_path}")
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cell] = r.centroid
+    n_cells = len(cent_rows)
+    nprobe = n_cells if nprobe is None else min(nprobe, n_cells)
+
+    roots = _vector_roots(index_path, vdir)
+    vecs = spark.read.parquet(roots[0])
+    for root in roots[1:]:
+        vecs = vecs.union(spark.read.parquet(root))
+    tstones = _tombstone_roots(index_path, vdir)
+    if tstones:
+        tomb = spark.read.parquet(*tstones).select("vec_id").distinct()
+        vecs = vecs.join(tomb, "vec_id", "left_anti")
+    if label_col not in vecs.columns:
+        raise ValueError(
+            f"index at {index_path} stores no {label_col!r} metadata "
+            "column — build it with build_ivf_index(..., meta_cols=("
+            f"{label_col!r},)) for corpus-wide hard-negative mining"
+        )
+    vecs = vecs.select(
+        "vec_id", "emb", F.col(label_col).alias("label"), "cell"
+    ).localCheckpoint(eager=False)  # feeds the count, probes, residents
+    n_vecs = vecs.count()
+    n_blocks = max(1, -(-n_vecs // q_block))
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            qn = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+            )
+            sims = qn @ cents.T
+            # stable argsort of -sims == the (-sim, cell) tie rule
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            for p in range(nprobe):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": ids,
+                            "q_label": pdf["label"].to_numpy(),
+                            "q_emb": pdf["emb"].to_numpy(),
+                            "probe_cell": order[:, p].astype("int32"),
+                            "q_block": (ids % n_blocks).astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    label_t = dict(vecs.dtypes)["label"]
+    probes = vecs.mapInPandas(
+        assign,
+        f"query_id bigint, q_label {label_t}, q_emb array<double>, "
+        "probe_cell int, q_block int",
+    )
+    residents = vecs.withColumn(
+        "q_block",
+        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])),
+    )
+
+    def score(probes_pdf, res_pdf):
+        import pandas as pd
+
+        if not len(probes_pdf) or not len(res_pdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64",
+                 "cosine": "float64"}
+            )
+        qmat = np.vstack(probes_pdf["q_emb"].to_numpy()).astype(np.float64)
+        qnrm = np.linalg.norm(qmat, axis=1)
+        qids = probes_pdf["query_id"].to_numpy()
+        qlabels = probes_pdf["q_label"].to_numpy()
+        ids = res_pdf["vec_id"].to_numpy()
+        labels = res_pdf["label"].to_numpy()
+        x = np.vstack(res_pdf["emb"].to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        # IDENTICAL float ops + rounding to the exact miner's kernel —
+        # full-probe output must be bit-equal to brute force
+        sims = gram.round_half_away((x @ qmat.T) / np.outer(xn, qnrm))
+        out = []
+        for j in range(len(qids)):
+            keep = (ids != qids[j]) & (labels != qlabels[j])
+            cand_ids, cand_cos = ids[keep], sims[keep, j]
+            if len(cand_ids) > top_k:
+                idx = np.lexsort((cand_ids, -cand_cos))[:top_k]
+                cand_ids, cand_cos = cand_ids[idx], cand_cos[idx]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(
+                            len(cand_ids), qids[j], dtype="int64"
+                        ),
+                        "neighbor_id": cand_ids.astype("int64"),
+                        "cosine": cand_cos,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    scored = (
+        probes.groupBy("probe_cell", "q_block")
+        .cogroup(residents.groupBy("cell", "q_block"))
+        .applyInPandas(
+            score, "query_id bigint, neighbor_id bigint, cosine double"
+        )
+    )
+    return global_topk(scored, top_k)
+
+
+_HARDNEG_CORPUS_SQL = f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6)
+               AS cosine
+      FROM embeddings q JOIN embeddings e
+        ON e.vec_id <> q.vec_id AND e.label <> q.label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn,
+           TRUE AS probe_recall_ok
+    FROM ranked WHERE rn <= {HARDNEG_K}
+    ORDER BY query_id, rn
+"""
+
+
+@register("hard_negative_mining_corpus", _HARDNEG_CORPUS_SQL)
+def q_hard_negative_mining_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-probe self-mining over the whole corpus (n_queries ==
+    corpus size), value-hashed against the DuckDB all-pairs truth, plus
+    a reduced-probe leg: the production nprobe's per-query recall
+    against the full-probe truth must clear IVF_RECALL_FLOOR for EVERY
+    query — the measured statement that bounded probing is safe for
+    this corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = _corpus_tag(e, sf_dir)
+    path = os.path.join(_user_index_root(), f"hnegc_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "CURRENT")):
+        build_ivf_index(
+            e.select("vec_id", "embedding", "label"),
+            path,
+            meta_cols=("label",),
+        )
+    full = hard_negative_mining_corpus(spark, path).localCheckpoint(
+        eager=False
+    )  # feeds k_truth, the hit join, and the returned rows
+    reduced = hard_negative_mining_corpus(
+        spark, path, nprobe=HARDNEG_NPROBE
+    ).select("query_id", "neighbor_id")
+    k_truth = full.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k_truth")
+    )
+    hits = (
+        reduced.join(
+            full.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    recall_ok = bool(
+        k_truth.join(hits, "query_id", "left")
+        .agg(
+            F.min(
+                (
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.col("k_truth")
+                    >= F.lit(IVF_RECALL_FLOOR)
+                ).cast("int")
+            ).alias("ok")
+        )
+        .first()
+        .ok
+        == 1
+    )
+    _sweep_stale_tags(path, "hnegc_idx_")
+    return full.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "rn",
+        F.lit(recall_ok).alias("probe_recall_ok"),
+    ).orderBy("query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
 # Persisted IVF-PQ index: the build/serve split of similarity.ivfpq_topk —
 # what a 100 TB deployment actually stores. The version directory holds
 # the coarse centroids, the PQ codebooks, and the corpus as

@@ -1547,3 +1547,52 @@ def test_label_filtered_serving_string_labels(spark, tmp_path):
             spark, idx, q.drop("label"), nprobe=8,
             exclude_label_col="label",
         )
+
+
+def test_corpus_self_probe_mining_full_probe_equals_exact(spark, tmp_path):
+    """r11 (verdict #3): corpus-wide self-probe mining at full probe is
+    bit-equal to the exact all-pairs miner with probe set == corpus —
+    n_queries == corpus size, no driver-side query matrix. Bounded
+    nprobe returns a per-query subset shape; tombstoned vectors leave
+    both the probe and candidate sides; a label-less index is rejected
+    loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.operators import ann_index as ai
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = e.count()
+    idx = str(tmp_path / "idx")
+    ai.build_ivf_index(
+        e.select("vec_id", "embedding", "label"), idx, meta_cols=("label",)
+    )
+    full = ai.hard_negative_mining_corpus(spark, idx)
+    exact = hard_negative_mining(e, n_queries=n).select(
+        "query_id", "neighbor_id", "cosine", "rn"
+    )
+    assert full.count() == exact.count()
+    assert full.exceptAll(exact).count() == 0
+    assert full.select("query_id").distinct().count() == n
+
+    reduced = ai.hard_negative_mining_corpus(
+        spark, idx, nprobe=ai.HARDNEG_NPROBE
+    )
+    # bounded probing can only shrink/keep each query's candidate pool
+    assert reduced.count() <= full.count()
+    assert reduced.select("query_id").distinct().count() == n
+
+    # tombstoned vectors are neither queries nor candidates
+    gone = e.where(F.col("vec_id") < 3).select("vec_id")
+    ai.delete_from_ivf_index(gone, idx)
+    after = ai.hard_negative_mining_corpus(spark, idx)
+    assert after.select("query_id").distinct().count() == n - 3
+    assert after.where(F.col("neighbor_id") < 3).count() == 0
+
+    bare = str(tmp_path / "bare")
+    ai.build_ivf_index(e.select("vec_id", "embedding"), bare)
+    with pytest.raises(ValueError, match="stores no 'label'"):
+        ai.hard_negative_mining_corpus(spark, bare)
