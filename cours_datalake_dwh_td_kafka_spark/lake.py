@@ -676,6 +676,149 @@ def lake_diff(
     return inserts.unionByName(deletes)
 
 
+#: maintenance ops that rewrite LAYOUT, never rows — a CDC consumer
+#: skips them without reading any data (compaction folds pending
+#: deletes into the files, but the delete-applied VIEW — what
+#: lake_read serves and what CDC diffs — is unchanged by it)
+ROW_PRESERVING_OPS = frozenset({"compact", "cluster", "bloom"})
+
+
+def lake_changes_since(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    to_version: int | None = None,
+) -> "DataFrame":
+    """Resumable CDC readout (round 11, verdict #4): every row-level
+    change committed AFTER snapshot ``version``, tagged with
+    ``_change`` (insert | delete) and ``_version`` (the commit that
+    introduced it) — the unit a downstream consumer
+    (:func:`lake_consume_changes`) processes exactly once per version.
+    ``version=0`` replays history from the first commit (v1's rows are
+    its inserts).
+
+    Scale shape, per version step:
+    - row-preserving maintenance (compact / cluster / bloom) is skipped
+      from the manifest op alone — zero data reads;
+    - a pure APPEND (file set grew, delete entries unchanged) reads
+      ONLY the added files — O(changed data), the hot path a streaming
+      ingest + CDC-driven index maintenance loop lives on;
+    - a merge-on-read DELETE (file set unchanged, new delete entries)
+      reads only the entries' covered files semi-joined to the delete
+      keys — O(covered files), never a snapshot diff;
+    - everything else (overwrite, merge rewrites, restore) pays the
+      honest two-sided snapshot diff (:func:`lake_diff`).
+
+    Steps with different declared schemas union by name (a column a
+    version never had reads NULL), so one consumer survives schema
+    evolution."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(path) if to_version is None else to_version
+    if cur < 1:
+        raise ValueError(f"no committed version at {path}")
+    steps = []
+    for v in range(max(version, 0) + 1, cur + 1):
+        m = _read_manifest(path, v)
+        op = m.get("op")
+        if op in ROW_PRESERVING_OPS:
+            continue
+        if v == 1:
+            steps.append(
+                (v, lake_read(spark, path, 1).withColumn(
+                    "_change", F.lit("insert")))
+            )
+            continue
+        prev_m = _read_manifest(path, v - 1)
+        prev_files = set(prev_m["files"])
+        added = [f for f in m["files"] if f not in prev_files]
+        prev_deletes = prev_m.get("deletes") or []
+        new_deletes = [
+            d for d in (m.get("deletes") or []) if d not in prev_deletes
+        ]
+        if (
+            op == "append"
+            and prev_files <= set(m["files"])
+            and not new_deletes
+        ):
+            # delete entries never cover files added after they
+            # committed, so the added files' raw rows ARE the inserts
+            step = _read_file_subset(spark, path, m, added).withColumn(
+                "_change", F.lit("insert")
+            )
+        elif (
+            op == "delete_keys"
+            and set(m["files"]) == prev_files
+            and new_deletes
+            and prev_deletes == (m.get("deletes") or [])[: len(prev_deletes)]
+        ):
+            # the deleted rows are exactly the v-1-visible rows of each
+            # new entry's covered files that match its keys
+            step = None
+            for d in new_deletes:
+                keys = spark.read.parquet(
+                    *(os.path.join(path, kf) for kf in d["files"])
+                ).select(F.col(d["key"]))
+                part = _apply_deletes(
+                    spark, path, prev_m, list(d["over"])
+                ).join(keys, d["key"], "leftsemi")
+                step = part if step is None else step.unionByName(part)
+            step = step.withColumn("_change", F.lit("delete"))
+        else:
+            step = lake_diff(spark, path, v - 1, v)
+        steps.append((v, step))
+    if not steps:
+        return (
+            lake_read(spark, path, cur)
+            .withColumn("_change", F.lit("insert"))
+            .withColumn("_version", F.lit(0).cast("int"))
+            .where(F.lit(False))
+        )
+    out = None
+    for v, step in steps:
+        step = step.withColumn("_version", F.lit(v).cast("int"))
+        out = (
+            step
+            if out is None
+            else out.unionByName(step, allowMissingColumns=True)
+        )
+    return out
+
+
+def lake_consume_changes(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    apply_fn=None,
+    stream_id: str | None = None,
+) -> list[int]:
+    """Exactly-once CDC consumer over a versioned lake (round 11,
+    verdict #4): for each source version not yet consumed, derive
+    output rows from that version's changes (``apply_fn(changes) ->
+    DataFrame``; default: the change rows themselves) and commit them
+    to ``out_path`` WITH the source version recorded as the consumer's
+    stream high-water mark — the derivation and its consumption record
+    are ONE atomic manifest publish, so a kill at any point leaves
+    either nothing for that version or a completed version whose replay
+    the mark skips (the ``commit_stream_to_lake`` guard, driven by lake
+    version history instead of micro-batch ids). Returns the versions
+    consumed by THIS call.
+
+    The consumer's identity defaults to the source path (one logical
+    CDC stream per source table); pass ``stream_id`` to run several
+    independent consumers of one source into different out tables."""
+    sid = stream_id or f"cdc:{os.path.abspath(src_path)}"
+    cur = current_version(src_path)
+    consumed = last_stream_batch_id(out_path, sid)
+    done: list[int] = []
+    for v in range(max(consumed, 0) + 1, cur + 1):
+        changes = lake_changes_since(spark, src_path, v - 1, to_version=v)
+        out = apply_fn(changes) if apply_fn is not None else changes
+        lake_commit(out, out_path, stream_batch_id=v, stream_id=sid)
+        done.append(v)
+    return done
+
+
 def lake_compact(
     spark: SparkSession,
     path: str,
