@@ -334,8 +334,18 @@ def lake_delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     )
 
 
+#: explicit-keys erasures at or under this many keys are collected and
+#: bloom-pruned per key (manifest-only work); larger sets skip the
+#: narrowing — a bulk erasure touches most files anyway
+DELETE_KEYS_PRUNE_CAP = 1024
+
+
 def lake_delete_keys(
-    spark: SparkSession, path: str, key_col: str, predicate: str
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    predicate: str | None = None,
+    keys: DataFrame | None = None,
 ) -> int:
     """MERGE-ON-READ delete (round 10, beyond-brief — the Iceberg-v2
     equality-delete shape): instead of rewriting the kept data
@@ -360,26 +370,72 @@ def lake_delete_keys(
 
     All read paths respect pending deletes — plain, time-travel,
     stats-pruned and bloom-pruned reads share :func:`_apply_deletes`.
-    Returns the new version; rows matching ``predicate`` define the
-    deleted keys (every row sharing a deleted key is deleted — that is
-    equality-delete semantics; use a unique key for row-level intent).
+    Returns the new version.
+
+    TWO input shapes (round 11, verdict #5):
+    - ``predicate``: the discovery form — rows matching it define the
+      deleted keys (every row sharing a deleted key is deleted — that
+      is equality-delete semantics; use a unique key for row-level
+      intent). Pays one table scan to find the keys.
+    - ``keys``: a DataFrame carrying ``key_col`` — the common GDPR
+      shape, where the erasure request ALREADY knows its keys. No
+      table read happens at all: the keys are written as the delete
+      file and, when ``key_col`` has a Bloom index and the key set is
+      small (``DELETE_KEYS_PRUNE_CAP``), the entry's ``over`` scope is
+      narrowed to the files whose bitmaps might hold any key —
+      manifest-only work, so the erasure is O(deleted) end to end
+      INCLUDING the scan, and every later read anti-joins only the
+      covered files. Keys absent from the table are harmless (the
+      anti-join matches nothing); an erasure whose every key is
+      bloom-provably absent commits nothing.
     """
+    if (predicate is None) == (keys is None):
+        raise ValueError(
+            "lake_delete_keys takes exactly one of predicate= or keys="
+        )
     v = current_version(path)
     if v < 1:
         raise ValueError(f"no committed version at {path}")
     m = _read_manifest(path, v)
-    cur = lake_read(spark, path, v)
-    if key_col not in cur.columns:
-        raise ValueError(f"delete key column {key_col!r} not in table")
-    keys = cur.where(predicate).select(key_col).distinct()
-    if not keys.take(1):
-        # no-op erasure (keys already gone, or never present): commit
-        # nothing — an entry covering every file would tax every read
-        # with a pointless anti-join until the next fold (round-10
-        # review), and replayed requests would pile entries unboundedly
-        return v
+    over = list(m["files"])
+    if keys is not None:
+        if key_col not in keys.columns:
+            raise ValueError(
+                f"keys frame lacks the key column {key_col!r}"
+            )
+        keys = keys.select(key_col).distinct()
+        key_rows = keys.limit(DELETE_KEYS_PRUNE_CAP + 1).collect()
+        if not key_rows:
+            return v
+        if (
+            len(key_rows) <= DELETE_KEYS_PRUNE_CAP
+            and (m.get("bloom") or {}).get(key_col) is not None
+        ):
+            covered: set[str] = set()
+            for r in key_rows:
+                fs, _ = pruned_files_eq(path, key_col, r[0], v)
+                covered.update(fs)
+            if not covered:
+                # every key provably absent (no false negatives):
+                # committing an entry would tax reads for nothing
+                return v
+            over = [f for f in over if f in covered]
+    else:
+        cur = lake_read(spark, path, v)
+        if key_col not in cur.columns:
+            raise ValueError(
+                f"delete key column {key_col!r} not in table"
+            )
+        keys = cur.where(predicate).select(key_col).distinct()
+        if not keys.take(1):
+            # no-op erasure (keys already gone, or never present):
+            # commit nothing — an entry covering every file would tax
+            # every read with a pointless anti-join until the next fold
+            # (round-10 review), and replayed requests would pile
+            # entries unboundedly
+            return v
     dfiles = _write_data_files(keys, path)
-    entry = {"key": key_col, "files": dfiles, "over": list(m["files"])}
+    entry = {"key": key_col, "files": dfiles, "over": over}
     return _commit_manifest(
         path,
         v + 1,

@@ -41,7 +41,12 @@ Guarantees measured on the actual artifacts (never assumed):
 - ``merge_atomic_ok``: exactly the clean docs landed, in one commit,
   and the pre-refresh snapshot still reads unchanged;
 - ``index_serves_union``: the appended index at full probe equals exact
-  brute force over the grown embedding corpus.
+  brute force over the grown embedding corpus;
+- ``side_tables_maintained_ok`` (round 11): the maintenance advisor
+  watches the band + fingerprint side tables under a one-file-per-
+  refresh fold policy, its compact verdict fires on the accumulated
+  append debt, and applying the repair (compact + vacuum) preserves
+  both artifacts row-for-row and the gate's answers.
 
 The DuckDB oracle recomputes every COUNT from the raw tables (the
 dedup + contamination + packing algebra composed in SQL) and states the
@@ -296,6 +301,48 @@ def corpus_refresh(
         .count()
         == 0
     )
+    # advisor coverage for the protocol SIDE tables (r11, verdict #6):
+    # the band + fingerprint tables accumulate one small-file append
+    # per refresh — the maintenance advisor must watch them like any
+    # lake table, its compact verdict must FIRE on the accumulated
+    # debt, and applying the repair (compact + vacuum) must preserve
+    # the gate's artifacts row-for-row
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_compact,
+        lake_maintenance_plan,
+        lake_vacuum,
+    )
+
+    side_tables_maintained_ok = True
+    for side in (bands_path, fps_path):
+        # side-table policy: each refresh appends exactly ONE small
+        # file, so the fold threshold is 2 (the data-table default of 4
+        # would let debt ride for four crawls before the advisor speaks)
+        plan = lake_maintenance_plan(side, min_small_files=2)
+        side_tables_maintained_ok &= bool(plan["compact_due"])
+        before = lake_read(spark, side).localCheckpoint(eager=False)
+        n_before = before.count()
+        lake_compact(spark, side, target_files=1)
+        lake_vacuum(side, keep_versions=1, orphan_grace_seconds=0)
+        after = lake_read(spark, side)
+        side_tables_maintained_ok &= (
+            after.count() == n_before
+            and after.exceptAll(before).count() == 0
+            and not lake_maintenance_plan(side, min_small_files=2)[
+                "compact_due"
+            ]
+        )
+    # the repaired band table still answers the gate identically
+    side_tables_maintained_ok &= (
+        incremental_near_dups(
+            v2.where(F.col("doc_id") < cut),
+            inserted,
+            corpus_bands=lake_read(spark, bands_path).where(
+                F.col("doc_id") < cut
+            ),
+        ).count()
+        == 0
+    )
 
     # append the batch's embeddings; the index must serve the union
     elo, ehi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
@@ -358,13 +405,15 @@ def corpus_refresh(
                 bool(serves_union),
                 bool(bands_table_ok),
                 bool(fps_table_ok),
+                bool(side_tables_maintained_ok),
             )
         ],
         "n_corpus_kept BIGINT, n_batch BIGINT, n_new_unique BIGINT, "
         "n_inserted BIGINT, n_total_after BIGINT, n_shards BIGINT, "
         "no_dup_ok BOOLEAN, no_near_dup_ok BOOLEAN, no_leak_ok BOOLEAN, "
         "merge_atomic_ok BOOLEAN, index_serves_union BOOLEAN, "
-        "bands_table_ok BOOLEAN, fps_table_ok BOOLEAN",
+        "bands_table_ok BOOLEAN, fps_table_ok BOOLEAN, "
+        "side_tables_maintained_ok BOOLEAN",
     )
 
 
@@ -469,7 +518,8 @@ def _refresh_sql() -> str:
            TRUE AS merge_atomic_ok,
            TRUE AS index_serves_union,
            TRUE AS bands_table_ok,
-           TRUE AS fps_table_ok
+           TRUE AS fps_table_ok,
+           TRUE AS side_tables_maintained_ok
     """
 
 
@@ -741,10 +791,12 @@ def erasure_protocol(
 
     pinned_idx = _os.path.basename(_current_version_dir(idx))
 
-    # the request lands: O(deleted) writes on BOTH stores
+    # the request lands: O(deleted) writes on BOTH stores. The request
+    # ARRIVES as explicit keys (the GDPR shape, r11 verdict #5) — the
+    # keys-overload writes them without any lake read, end-to-end
+    # O(deleted) including the scan
     lake_delete_keys(
-        spark, lake_path, "doc_id",
-        f"doc_id % {ERASE_MOD} = {ERASE_REMAINDER}",
+        spark, lake_path, "doc_id", keys=d.where(erased).select("doc_id")
     )  # v2
     vec_erased = (F.col("vec_id") % ERASE_MOD == ERASE_REMAINDER) & (
         F.col("vec_id") >= N_QUERIES
@@ -800,15 +852,41 @@ def erasure_protocol(
         > 0  # the old snapshot still serves erased vectors — by design
     )
 
-    # fold + vacuum: the rows are physically GONE from both stores
+    # fold + vacuum: the rows are physically GONE from both stores.
+    # The reclaim is MEASURED (r11 verdict #7): vacuum's returned
+    # orphan list must be non-empty and the store's on-disk bytes must
+    # shrink, on BOTH stores — the physical-erasure claim as audited
+    # numbers, not an assumption. (The raw counts are write-layout-
+    # dependent — parallelism decides file counts — so the DuckDB
+    # oracle cannot recompute them; the row carries the invariant
+    # booleans and the API returns the lists themselves.)
+    def _tree_bytes(root: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+        return total
+
     lake_compact(spark, lake_path, target_files=1)  # folds the deletes
-    lake_vacuum(lake_path, keep_versions=1, orphan_grace_seconds=0)
+    lake_bytes_pre = _tree_bytes(lake_path)
+    lake_orphans = lake_vacuum(
+        lake_path, keep_versions=1, orphan_grace_seconds=0
+    )
+    lake_bytes_post = _tree_bytes(lake_path)
     m = _read_manifest(lake_path, current_version(lake_path))
     raw_docs = spark.read.parquet(
         *(os.path.join(lake_path, f) for f in m["files"])
     )
     compact_ivf_index(spark, idx)
-    vacuum_index(idx, grace_seconds=0)
+    idx_bytes_pre = _tree_bytes(idx)
+    idx_orphans = vacuum_index(idx, grace_seconds=0)
+    idx_bytes_post = _tree_bytes(idx)
+    vacuum_reclaimed_ok = (
+        len(lake_orphans) > 0
+        and lake_bytes_post < lake_bytes_pre
+        and len(idx_orphans) > 0
+        and idx_bytes_post < idx_bytes_pre
+    )
     cur = _current_version_dir(idx)
     raw_vecs = spark.read.parquet(*_vector_roots(idx, cur))
     physical = (
@@ -832,12 +910,14 @@ def erasure_protocol(
                 bool(index_without),
                 bool(snapshots_isolated),
                 bool(physical),
+                bool(vacuum_reclaimed_ok),
             )
         ],
         "n_docs BIGINT, n_erased_docs BIGINT, n_erased_vecs BIGINT, "
         "lake_serves_without BOOLEAN, point_lookup_empty BOOLEAN, "
         "index_serves_without BOOLEAN, snapshots_isolated BOOLEAN, "
-        "physically_removed_after_fold BOOLEAN",
+        "physically_removed_after_fold BOOLEAN, "
+        "vacuum_reclaimed_ok BOOLEAN",
     )
 
 
@@ -858,7 +938,8 @@ def _erasure_sql() -> str:
            TRUE AS point_lookup_empty,
            TRUE AS index_serves_without,
            TRUE AS snapshots_isolated,
-           TRUE AS physically_removed_after_fold
+           TRUE AS physically_removed_after_fold,
+           TRUE AS vacuum_reclaimed_ok
     """
 
 

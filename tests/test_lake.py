@@ -1690,3 +1690,68 @@ def test_lake_consume_changes_exactly_once_kill_resume(spark, tmp_path):
     assert {r._version for r in got.select("_version").collect()} == {
         1, 2, 3,
     }
+
+
+def test_delete_keys_explicit_overload_bloom_narrowed(spark, tmp_path):
+    """r11 (verdict #5): an erasure that already knows its keys must
+    never read the table — the keys frame is written directly, and with
+    a Bloom index on the key column the entry's over-scope narrows to
+    the files that might hold any key (manifest-only work). Pinned by
+    the entry's coverage count; correctness pinned by reads, re-insert
+    scoping, and the provably-absent no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        current_version,
+        lake_bloom_index,
+        lake_cluster_by,
+        lake_commit,
+        lake_delete_keys,
+        lake_read,
+        lake_read_point,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.range(0, 400).select(F.col("id").alias("k")).repartition(8),
+        path,
+    )  # v1
+    lake_cluster_by(spark, path, "k", n_files=8)  # v2: k-disjoint files
+    lake_bloom_index(spark, path, "k")  # v3
+    # the erasure request: three keys from one narrow k-range
+    req = spark.createDataFrame([(7,), (9,), (11,)], "k BIGINT")
+    v = lake_delete_keys(spark, path, "k", keys=req)  # v4
+    assert v == 4
+    m = _read_manifest(path, v)
+    entry = m["deletes"][-1]
+    assert len(entry["over"]) < len(m["files"]), (
+        "bloom must narrow the delete scope below the full file list"
+    )
+    assert lake_read(spark, path).where("k IN (7, 9, 11)").count() == 0
+    assert lake_read(spark, path).count() == 397
+    assert lake_read_point(spark, path, "k", 9).count() == 0
+    assert lake_read_point(spark, path, "k", 8).count() == 1
+    # provably-absent keys commit nothing
+    ghost = spark.createDataFrame([(100001,), (100002,)], "k BIGINT")
+    assert lake_delete_keys(spark, path, "k", keys=ghost) == 4
+    # empty request commits nothing
+    assert (
+        lake_delete_keys(spark, path, "k", keys=req.where("k > 999")) == 4
+    )
+    # re-insert after the erasure is NOT retro-deleted (scoping rule)
+    lake_commit(
+        spark.createDataFrame([(7,)], "k BIGINT"), path, mode="append"
+    )
+    assert lake_read(spark, path).where("k = 7").count() == 1
+    # exactly one of predicate/keys
+    with pytest.raises(ValueError, match="exactly one"):
+        lake_delete_keys(spark, path, "k")
+    with pytest.raises(ValueError, match="exactly one"):
+        lake_delete_keys(spark, path, "k", "k = 1", keys=req)
+    with pytest.raises(ValueError, match="lacks the key column"):
+        lake_delete_keys(
+            spark, path, "k", keys=req.withColumnRenamed("k", "x")
+        )
+    assert current_version(path) == 5
