@@ -42,6 +42,10 @@ Guarantees measured on the actual artifacts (never assumed):
   and the pre-refresh snapshot still reads unchanged;
 - ``index_serves_union``: the appended index at full probe equals exact
   brute force over the grown embedding corpus;
+- ``text_index_serves_ok`` (round 11): the BM25 posting-list index is
+  maintained through the MERGE (build with the survivor commit,
+  O(increment) append) and serves the refreshed corpus identically to
+  the direct in-query operator (compared under ``attest=True``);
 - ``side_tables_maintained_ok`` (round 11): the maintenance advisor
   watches the band + fingerprint side tables under a one-file-per-
   refresh fold policy, its compact verdict fires on the accumulated
@@ -344,6 +348,50 @@ def corpus_refresh(
         == 0
     )
 
+    # maintain the TEXT retrieval index through the merge (r11 verdict
+    # #2's append leg): the posting lists are an artifact exactly like
+    # the vectors — built once with the survivor commit, O(increment)
+    # appended per MERGE. With attest=True the served BM25 answer over
+    # the refreshed corpus is compared against the direct in-query
+    # operator (an O(corpus) re-tokenize, gated like the other
+    # attestation recomputes); attest=False trusts the maintained
+    # artifact, whose exactness the registered row proves.
+    from cours_datalake_dwh_td_kafka_spark.operators.text_index import (
+        append_text_index,
+        bm25_query_index,
+        build_text_index,
+    )
+
+    tidx = os.path.join(workdir, "text_index")
+    build_text_index(spark, v1, tidx)
+    append_text_index(spark, clean, tidx)
+    if attest:
+        from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+            bm25_search,
+        )
+
+        served_bm = bm25_query_index(spark, tidx).localCheckpoint(
+            eager=False
+        )
+        direct_bm = bm25_search(v2).localCheckpoint(eager=False)
+        text_index_serves_ok = (
+            served_bm.count() == direct_bm.count()
+            and served_bm.exceptAll(direct_bm).count() == 0
+        )
+    else:
+        # artifact-shape consistency only: one doclen row per kept doc
+        from cours_datalake_dwh_td_kafka_spark.operators.text_index import (
+            _doclens_path,
+        )
+
+        text_index_serves_ok = (
+            lake_read(spark, _doclens_path(tidx))
+            .select("doc_id")
+            .distinct()
+            .count()
+            == n_after
+        )
+
     # append the batch's embeddings; the index must serve the union
     elo, ehi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
     ecut = int(elo) + int((int(ehi) - int(elo)) * INCREMENT_SPLIT)
@@ -406,6 +454,7 @@ def corpus_refresh(
                 bool(bands_table_ok),
                 bool(fps_table_ok),
                 bool(side_tables_maintained_ok),
+                bool(text_index_serves_ok),
             )
         ],
         "n_corpus_kept BIGINT, n_batch BIGINT, n_new_unique BIGINT, "
@@ -413,7 +462,7 @@ def corpus_refresh(
         "no_dup_ok BOOLEAN, no_near_dup_ok BOOLEAN, no_leak_ok BOOLEAN, "
         "merge_atomic_ok BOOLEAN, index_serves_union BOOLEAN, "
         "bands_table_ok BOOLEAN, fps_table_ok BOOLEAN, "
-        "side_tables_maintained_ok BOOLEAN",
+        "side_tables_maintained_ok BOOLEAN, text_index_serves_ok BOOLEAN",
     )
 
 
@@ -519,7 +568,8 @@ def _refresh_sql() -> str:
            TRUE AS index_serves_union,
            TRUE AS bands_table_ok,
            TRUE AS fps_table_ok,
-           TRUE AS side_tables_maintained_ok
+           TRUE AS side_tables_maintained_ok,
+           TRUE AS text_index_serves_ok
     """
 
 

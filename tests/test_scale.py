@@ -487,42 +487,54 @@ def test_corpus_refresh_attest_false_text_work_is_increment_bounded(
 ):
     """r11 (verdict #1): the deployable refresh call (attest=False)
     must hash corpus TEXT only at the v1 bootstrap — every later
-    fingerprint_rows / minhash_band_rows call covers the increment
-    only, and the attestation recomputes never run. Pinned by spying
-    on both text-hashing entry points (the shingle-spy pattern of
+    fingerprint_rows / minhash_band_rows / postings_rows / doclen_rows
+    call covers the increment only, and the attestation recomputes
+    never run. Pinned by spying on every text-hashing entry point (the
+    shingle-spy pattern of
     test_incremental_gate_corpus_side_candidate_bounded)."""
     from cours_datalake_dwh_td_kafka_spark.io import load_table
-    from cours_datalake_dwh_td_kafka_spark.operators import refresh
+    from cours_datalake_dwh_td_kafka_spark.operators import refresh, text_index
 
     d = load_table(spark, SF_SMOKE, "documents")
     e = load_table(spark, SF_SMOKE, "embeddings")
 
     calls: list[tuple[str, int]] = []
     orig_fp, orig_bands = refresh.fingerprint_rows, refresh.minhash_band_rows
+    orig_post, orig_dl = text_index.postings_rows, text_index.doclen_rows
 
-    def spy_fp(df):
-        calls.append(("fp", df.select("doc_id").distinct().count()))
-        return orig_fp(df)
+    def _spy(name, orig):
+        def run(df):
+            calls.append((name, df.select("doc_id").distinct().count()))
+            return orig(df)
 
-    def spy_bands(df):
-        calls.append(("bands", df.select("doc_id").distinct().count()))
-        return orig_bands(df)
+        return run
 
-    monkeypatch.setattr(refresh, "fingerprint_rows", spy_fp)
-    monkeypatch.setattr(refresh, "minhash_band_rows", spy_bands)
+    monkeypatch.setattr(refresh, "fingerprint_rows", _spy("fp", orig_fp))
+    monkeypatch.setattr(
+        refresh, "minhash_band_rows", _spy("bands", orig_bands)
+    )
+    monkeypatch.setattr(
+        text_index, "postings_rows", _spy("post", orig_post)
+    )
+    monkeypatch.setattr(text_index, "doclen_rows", _spy("dl", orig_dl))
     row = refresh.corpus_refresh(
         spark, d, e, str(tmp_path / "w"), attest=False
     ).collect()[0]
     assert row.no_dup_ok and row.bands_table_ok and row.fps_table_ok
+    assert row.text_index_serves_ok
     n_kept, n_inserted = row.n_corpus_kept, row.n_inserted
-    # exactly 4 calls: bootstrap (bands+fp over the survivor set), then
-    # ONE increment-sized call per table for the MERGE maintenance —
-    # no v2-sized recompute anywhere
+    # exactly 8 calls: the bootstrap (all four artifacts over the
+    # survivor set), then ONE increment-sized call per artifact for the
+    # MERGE maintenance — no v2-sized recompute anywhere
     assert sorted(calls) == sorted(
         [
             ("bands", n_kept),
             ("fp", n_kept),
+            ("post", n_kept),
+            ("dl", n_kept),
             ("bands", n_inserted),
             ("fp", n_inserted),
+            ("post", n_inserted),
+            ("dl", n_inserted),
         ]
     ), calls
