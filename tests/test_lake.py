@@ -1740,6 +1740,14 @@ def test_delete_keys_explicit_overload_bloom_narrowed(spark, tmp_path):
     assert (
         lake_delete_keys(spark, path, "k", keys=req.where("k > 999")) == 4
     )
+    # CDC over the NARROWED entry still reports exactly the deleted
+    # rows (the bloom-kept files provably hold every key occurrence)
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_changes_since
+
+    ch = lake_changes_since(spark, path, 3, to_version=4)
+    assert {(r.k, r._change) for r in ch.collect()} == {
+        (7, "delete"), (9, "delete"), (11, "delete"),
+    }
     # re-insert after the erasure is NOT retro-deleted (scoping rule)
     lake_commit(
         spark.createDataFrame([(7,)], "k BIGINT"), path, mode="append"
