@@ -68,3 +68,34 @@ def test_clustered_postings_prune_term_reads(spark, tmp_path):
     kept, total = pruned_files(path, "term", "scan", "scan")
     assert total == 8
     assert 1 <= len(kept) < total, (len(kept), total)
+
+
+def test_recluster_after_append_restores_pruning(spark, tmp_path):
+    """Appended postings carry no cluster stats (conservatively
+    scanned); re-running lake_cluster_by on the postings table is the
+    reindex rung — pruning returns to O(matching files) and served
+    results are unchanged."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_cluster_by,
+        pruned_files,
+    )
+
+    d = _docs(spark)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = int(lo) + (int(hi) - int(lo)) // 2
+    idx = str(tmp_path / "ti")
+    ti.build_text_index(spark, d.where(F.col("doc_id") < cut), idx, n_files=4)
+    ti.append_text_index(spark, d.where(F.col("doc_id") >= cut), idx)
+    path = ti._postings_path(idx)
+    kept_before, total_before = pruned_files(path, "term", "scan", "scan")
+    before = ti.bm25_query_index(spark, idx).localCheckpoint()
+    lake_cluster_by(spark, path, "term", n_files=4)
+    kept_after, total_after = pruned_files(path, "term", "scan", "scan")
+    # the appended (stats-less) files were conservatively kept before;
+    # after the re-cluster the whole table prunes again
+    assert total_after == 4 and 1 <= len(kept_after) < total_after
+    assert len(kept_after) / total_after < len(kept_before) / total_before
+    after = ti.bm25_query_index(spark, idx)
+    assert _multiset_eq(after, before)
