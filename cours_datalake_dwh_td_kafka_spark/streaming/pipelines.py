@@ -645,6 +645,44 @@ def commit_stream_to_lake(
     )
 
 
+def consume_lake_changes_stream(
+    spark,
+    src_path: str,
+    out_path: str,
+    checkpoint: str,
+    apply_fn=None,
+):
+    """Streaming CDC consumer (round 11, verdict #4): a ``foreachBatch``
+    poller that drains the versioned lake's change feed each
+    micro-batch — the downstream-maintenance daemon shape (index
+    appends, side-table upkeep) driven by version history instead of
+    the producer's variables.
+
+    The versioned lake has no native Structured Streaming source, so
+    the stream is a one-row rate tick whose only job is scheduling;
+    EXACTLY-ONCE comes from :func:`lake.lake_consume_changes`' atomic
+    version marks, NOT the checkpoint — a rebuilt checkpoint, a
+    replayed batch, or two interleaved runs all re-read the consumer
+    table's high-water mark and skip consumed versions (the mark and
+    the derived rows are one manifest publish). ``availableNow`` drains
+    everything committed so far and stops — the catch-up-then-exit
+    daemon; re-invoke per poll interval or swap in a processingTime
+    trigger for a resident one."""
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_consume_changes
+
+    def poll(_batch_df: DataFrame, _batch_id: int) -> None:
+        lake_consume_changes(spark, src_path, out_path, apply_fn=apply_fn)
+
+    tick = spark.readStream.format("rate").option(
+        "rowsPerSecond", 1
+    ).load()
+    return (
+        tick.writeStream.foreachBatch(poll)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def merge_stream_to_lake(
     df: DataFrame,
     path: str,

@@ -1893,3 +1893,42 @@ def test_checkpoint_query_id_missing_metadata_names_protocol(tmp_path):
 
     with pytest.raises(RuntimeError, match="exactly-once replay guard"):
         checkpoint_query_id(str(tmp_path / "never-materialized"))
+
+
+def test_stream_cdc_consumer_exactly_once_across_restarts(spark, tmp_path):
+    """The foreachBatch CDC poller consumes each lake version exactly
+    once ACROSS stream restarts and checkpoint rebuilds — the marks
+    live in the consumer table's manifests, not the checkpoint."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_read,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        consume_lake_changes_stream,
+    )
+
+    src = str(tmp_path / "s")
+    out = str(tmp_path / "o")
+    ckpt = str(tmp_path / "ck")
+    lake_commit(spark.range(0, 5).select(F.col("id").alias("k")), src)
+    lake_commit(spark.range(5, 9).select(F.col("id").alias("k")), src)
+
+    q = consume_lake_changes_stream(spark, src, out, ckpt).start()
+    q.awaitTermination(120)
+    assert lake_read(spark, out).count() == 9
+
+    # more commits land; restart with a REBUILT checkpoint — version
+    # marks, not the checkpoint, carry the exactly-once state
+    lake_commit(spark.range(9, 12).select(F.col("id").alias("k")), src)
+    shutil.rmtree(ckpt)
+    q2 = consume_lake_changes_stream(
+        spark, src, out, str(tmp_path / "ck2")
+    ).start()
+    q2.awaitTermination(120)
+    got = lake_read(spark, out)
+    assert got.count() == 12
+    assert got.select("k").distinct().count() == 12
