@@ -99,3 +99,44 @@ def test_recluster_after_append_restores_pruning(spark, tmp_path):
     assert len(kept_after) / total_after < len(kept_before) / total_before
     after = ti.bm25_query_index(spark, idx)
     assert _multiset_eq(after, before)
+
+
+def test_cdc_drives_text_index_maintenance(spark, tmp_path):
+    """The CDC consumer can maintain the TEXT index exactly as it
+    maintains the vector index: build from v1's insert rows, append
+    from v2's, with served BM25 equal to the direct operator over the
+    live corpus."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_consume_changes,
+    )
+
+    d = _docs(spark)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = int(lo) + (int(hi) - int(lo)) // 2
+    lake = str(tmp_path / "docs")
+    idx = str(tmp_path / "ti")
+    log = str(tmp_path / "log")
+    lake_commit(d.where(F.col("doc_id") < cut), lake)
+    lake_commit(
+        d.where(F.col("doc_id") >= cut), lake, mode="append"
+    )
+
+    built = []
+
+    def apply(ch):
+        ins = ch.where(F.col("_change") == "insert").drop(
+            "_change", "_version"
+        )
+        if ins.take(1):
+            if not built:
+                ti.build_text_index(spark, ins, idx)
+                built.append(True)
+            else:
+                ti.append_text_index(spark, ins, idx)
+        return ch.select("doc_id", "_change", "_version")
+
+    assert lake_consume_changes(spark, lake, log, apply_fn=apply) == [1, 2]
+    assert _multiset_eq(ti.bm25_query_index(spark, idx), bm25_search(d))
