@@ -1104,3 +1104,46 @@ def test_hamming_banding_equals_bruteforce_any_width(
     assert any(
         a == 0 and b == len(vals) - 1 for a, b, _ in got
     )  # the planted boundary pair survives
+
+
+# ---------------------------------------------------------------------------
+# exact-dedup fingerprint persistence (r11): the persisted-fps path is
+# VALUE-IDENTICAL to the self-contained corpus path on random corpora —
+# including whitespace-normalization collisions and cross-set dups
+# ---------------------------------------------------------------------------
+_word = st.text(alphabet="ab \t", min_size=0, max_size=8)
+
+
+@settings(**_SETTINGS)
+@given(
+    corpus_texts=st.lists(_word, min_size=0, max_size=6),
+    inc_texts=st.lists(_word, min_size=1, max_size=6),
+)
+def test_incremental_new_docs_fps_path_matches_corpus_path(
+    spark, corpus_texts, inc_texts
+):
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        fingerprint_rows,
+        incremental_new_docs,
+    )
+
+    schema = (
+        "doc_id BIGINT, source STRING, lang STRING, n_chars INT, "
+        "text STRING"
+    )
+    corpus = spark.createDataFrame(
+        [(i, "s", "en", len(t), t) for i, t in enumerate(corpus_texts)],
+        schema,
+    )
+    inc = spark.createDataFrame(
+        [
+            (100 + i, "s", "en", len(t), t)
+            for i, t in enumerate(inc_texts)
+        ],
+        schema,
+    )
+    via_fps = incremental_new_docs(
+        None, inc, corpus_fps=fingerprint_rows(corpus)
+    ).collect()
+    direct = incremental_new_docs(corpus, inc).collect()
+    assert [r.asDict() for r in via_fps] == [r.asDict() for r in direct]
