@@ -403,6 +403,24 @@ def lake_delete_keys(
             raise ValueError(
                 f"keys frame lacks the key column {key_col!r}"
             )
+        declared = {
+            f["name"]: f["type"] for f in (m.get("schema") or {}).get(
+                "fields", []
+            )
+        }
+        key_t = next(
+            f["type"]
+            for f in json.loads(keys.schema.json())["fields"]
+            if f["name"] == key_col
+        )
+        if declared and declared.get(key_col) not in (None, key_t):
+            # a type-mismatched key frame would anti-join under an
+            # implicit cast — silently deleting nothing (or the wrong
+            # rows) instead of failing the erasure request loudly
+            raise ValueError(
+                f"keys column {key_col!r} is {key_t!r} but the table "
+                f"declares {declared[key_col]!r}"
+            )
         keys = keys.select(key_col).distinct()
         key_rows = keys.limit(DELETE_KEYS_PRUNE_CAP + 1).collect()
         if not key_rows:

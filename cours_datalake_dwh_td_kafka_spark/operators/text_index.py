@@ -125,9 +125,10 @@ def _term_postings(
     files whose recorded [min, max] term range covers it (plus
     stats-less appended files). len(terms) bounded manifest reads; the
     corpus outside the probed terms is never opened on a clustered
-    index."""
+    index. Duplicate query terms read once (isin semantics — a
+    repeated term must not double its tf rows)."""
     out = None
-    for t in terms:
+    for t in dict.fromkeys(terms):
         one = lake_read_pruned(spark, _postings_path(path), "term", t, t)
         out = one if out is None else out.unionByName(one)
     return out

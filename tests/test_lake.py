@@ -1763,3 +1763,22 @@ def test_delete_keys_explicit_overload_bloom_narrowed(spark, tmp_path):
             spark, path, "k", keys=req.withColumnRenamed("k", "x")
         )
     assert current_version(path) == 5
+
+
+def test_delete_keys_rejects_type_mismatched_key_frame(spark, tmp_path):
+    """A keys frame whose key column type differs from the table's
+    declared type must fail loudly — an implicit-cast anti-join would
+    silently delete nothing (or the wrong rows)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_delete_keys,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(spark.range(0, 5).select(F.col("id").alias("k")), path)
+    bad = spark.createDataFrame([("3",)], "k STRING")
+    with pytest.raises(ValueError, match="declares"):
+        lake_delete_keys(spark, path, "k", keys=bad)
