@@ -1825,6 +1825,321 @@ def q_hard_negative_mining_corpus(
     ).orderBy("query_id", "rn")
 
 
+#: queries per PQ-mining block — smaller than the flat miner's
+#: (each block materializes a (block, m, k) LUT tensor in the kernel:
+#: 1024 x 16 x 256 doubles = 32 MB)
+HARDNEG_PQ_QBLOCK = 1024
+#: probes + shortlist depth for PQ MINING (vs the serving defaults):
+#: the label mask discards the near, same-label half of every
+#: shortlist, so ADC error needs headroom. Measured per-query-floor
+#: sweep (sf0.001 / sf0.01 / sf0.1 / tie-dense replicated 10x lake):
+#: (6, 16) and (7, 16) leave misses; (7, 32) clears every real SF but
+#: 31/20k on the 10x lake; (8, 32) is WORSE there (13/20k — widening
+#: the candidate pool without deepening the shortlist pushes true
+#: negatives off it, so nprobe is NOT monotone); (7, 64) clears all
+#: but 1/20k on the replicated lake. Rerank depth IS monotone (exact
+#: rescoring over a superset shortlist), so (7, 64) dominates (7, 32)
+#: everywhere and keeps cell pruning.
+HARDNEG_PQ_NPROBE = 7
+HARDNEG_PQ_RERANK = 64
+
+
+def hard_negative_mining_corpus_pq(
+    spark: SparkSession,
+    index_path: str,
+    emb_for_rerank: DataFrame,
+    nprobe: int = HARDNEG_PQ_NPROBE,
+    top_k: int = HARDNEG_K,
+    rerank: int | None = None,
+    label_col: str = "label",
+    q_block: int = HARDNEG_PQ_QBLOCK,
+    version: str | None = None,
+) -> DataFrame:
+    """Corpus-wide hard-negative mining over the PQ-CODED index — the
+    100 TB production shape of :func:`hard_negative_mining_corpus`:
+    the scoring join moves 16-byte codes instead of 512-byte float
+    vectors (the resident replication per query block shrinks by the
+    same 32x), the label mask runs inside the ADC scan, and the float
+    table is touched only by the per-pair exact rerank.
+
+    Stages, none of which materializes anything query-sized on the
+    driver (collects: centroids k x d, codebooks m x k x d/m):
+    1. probe assignment + query embedding fan-out from the SOURCE float
+       table (the PQ index stores no floats), executor-side;
+    2. cell-local cogroup ADC: each (probed cell, query block) group
+       builds its block's lookup tables from the broadcast codebooks
+       (block x m x k), gathers code dots, masks self + same-label,
+       keeps a per-query shortlist partial;
+    3. tree-reduced global shortlist (rerank * top_k per query);
+    4. DISTRIBUTED exact rerank: the shortlist joins the float table
+       on both sides (query and neighbor) and rescores with the exact
+       miner's float-op order and half-away round-6 — so reranked
+       cosines are bit-identical to the flat miner's for the same
+       pairs; final per-query top-k is the shared tree reduce. (The
+       served-batch path's broadcast ``exact_rerank`` would need the
+       query matrix in a closure — impossible corpus-wide.)"""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
+    rerank = HARDNEG_PQ_RERANK if rerank is None else rerank
+    vdir = (
+        os.path.join(index_path, version)
+        if version is not None
+        else _current_version_dir(index_path)
+    )
+    cent_rows = spark.read.parquet(f"{vdir}/centroids.parquet").collect()
+    if not cent_rows:
+        raise ValueError(f"empty IVF-PQ index at {index_path}")
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cell] = r.centroid
+    n_cells = len(cent_rows)
+    nprobe = min(nprobe, n_cells)
+    book_rows = spark.read.parquet(f"{vdir}/books.parquet").collect()
+    m = max(r.sub for r in book_rows) + 1
+    books = []
+    for mi in range(m):
+        rows = sorted(
+            (r for r in book_rows if r.sub == mi), key=lambda r: r.code
+        )
+        books.append(np.asarray([r.centroid for r in rows]))
+    books_arr = np.stack(books)  # (m, k, d_sub)
+    norms2 = (books_arr**2).sum(axis=2)  # (m, k)
+    d_sub = books_arr.shape[2]
+
+    roots = _code_roots(index_path, vdir)
+    codes = spark.read.parquet(roots[0])
+    for root in roots[1:]:
+        codes = codes.union(spark.read.parquet(root))
+    if label_col not in codes.columns:
+        raise ValueError(
+            f"PQ index at {index_path} stores no {label_col!r} metadata "
+            "column — build it with build_ivfpq_index(..., meta_cols=("
+            f"{label_col!r},)) for corpus-wide hard-negative mining"
+        )
+
+    emb_d = emb_for_rerank.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.col(label_col).alias("label"),
+    ).localCheckpoint(eager=False)  # feeds count, probes, both rerank legs
+    n_vecs = emb_d.count()
+    n_blocks = max(1, -(-n_vecs // q_block))
+    shortlist_k = rerank * top_k
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            qn = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+            )
+            sims = qn @ cents.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            for p in range(nprobe):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": ids,
+                            "q_label": pdf["label"].to_numpy(),
+                            # ADC scores against PRE-NORMALIZED queries
+                            # (the _adc_score_fn convention: lut dots /
+                            # reconstructed norm == cosine estimate)
+                            "q_emb": list(qn),
+                            "probe_cell": order[:, p].astype("int32"),
+                            "q_block": (ids % n_blocks).astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    label_t = dict(emb_d.dtypes)["label"]
+    probes = emb_d.mapInPandas(
+        assign,
+        f"query_id bigint, q_label {label_t}, q_emb array<double>, "
+        "probe_cell int, q_block int",
+    )
+    residents = codes.withColumn(
+        "q_block",
+        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])),
+    )
+
+    def adc(probes_pdf, res_pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64",
+             "cosine": "float64"}
+        )
+        if not len(probes_pdf) or not len(res_pdf):
+            return empty
+        qn = np.vstack(probes_pdf["q_emb"].to_numpy()).astype(np.float64)
+        qids = probes_pdf["query_id"].to_numpy()
+        qlabels = probes_pdf["q_label"].to_numpy()
+        # the block's lookup tables: lut[qi, mi, code] = q_sub . book
+        lut = np.einsum(
+            "qmd,mkd->qmk", qn.reshape(len(qn), m, d_sub), books_arr
+        )
+        rcodes = np.vstack(res_pdf["codes"].to_numpy())
+        ids = res_pdf["vec_id"].to_numpy()
+        labels = res_pdf["label"].to_numpy()
+        mi_idx = np.arange(m)
+        rnorm = np.sqrt(
+            np.maximum(norms2[mi_idx[None, :], rcodes].sum(axis=1), 1e-24)
+        )
+        out = []
+        for j in range(len(qids)):
+            dots = lut[j][mi_idx[None, :], rcodes].sum(axis=1)
+            sims = dots / rnorm
+            keep = (ids != qids[j]) & (labels != qlabels[j])
+            cand_ids, cand_cos = ids[keep], sims[keep]
+            if len(cand_ids) > shortlist_k:
+                idx = np.lexsort((cand_ids, -cand_cos))[:shortlist_k]
+                cand_ids, cand_cos = cand_ids[idx], cand_cos[idx]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(
+                            len(cand_ids), qids[j], dtype="int64"
+                        ),
+                        "neighbor_id": cand_ids.astype("int64"),
+                        "cosine": cand_cos,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    scored = (
+        probes.groupBy("probe_cell", "q_block")
+        .cogroup(residents.groupBy("cell", "q_block"))
+        .applyInPandas(
+            adc, "query_id bigint, neighbor_id bigint, cosine double"
+        )
+    )
+    shortlist = global_topk(scored, shortlist_k).select(
+        "query_id", "neighbor_id"
+    )
+
+    # distributed exact rerank: floats join in by key on both sides
+    paired = (
+        shortlist.join(
+            emb_d.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("emb").alias("n_emb"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            emb_d.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("q_emb"),
+            ),
+            "query_id",
+        )
+    )
+
+    def rescore(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf["q_emb"].to_numpy()).astype(np.float64)
+            x = np.vstack(pdf["n_emb"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            xn = np.linalg.norm(x, axis=1)
+            # IDENTICAL float ops + rounding to the flat miner's kernel
+            cos = gram.round_half_away(
+                (x * q).sum(axis=1) / (xn * qn)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cosine": cos,
+                }
+            )
+
+    reranked = paired.mapInPandas(
+        rescore, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+    return global_topk(reranked, top_k)
+
+
+_HARDNEG_PQ_SQL = f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings e
+        ON e.vec_id <> q.vec_id AND e.label <> q.label
+    ),
+    truth AS (
+      SELECT query_id,
+             CAST(LEAST({HARDNEG_K}, COUNT(*)) AS BIGINT) AS k_truth
+      FROM scored GROUP BY query_id
+    )
+    SELECT query_id, k_truth, TRUE AS recall_ok
+    FROM truth ORDER BY query_id
+"""
+
+
+@register("hard_negative_mining_pq", _HARDNEG_PQ_SQL)
+def q_hard_negative_mining_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-served corpus-wide mining measured against the flat miner's
+    full-probe truth (itself bit-equal to exact all-pairs): per query,
+    (k_truth, recall_ok) with recall_ok = |served ∩ truth| / k_truth
+    >= IVF_RECALL_FLOOR — the measured statement that 16-byte codes +
+    bounded probes + exact rerank are safe for this corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = _corpus_tag(e, sf_dir)
+    flat_path = os.path.join(_user_index_root(), f"hnegc_idx_{tag}")
+    if not os.path.exists(os.path.join(flat_path, "CURRENT")):
+        build_ivf_index(
+            e.select("vec_id", "embedding", "label"),
+            flat_path,
+            meta_cols=("label",),
+        )
+    pq_path = os.path.join(_user_index_root(), f"hnegpq_idx_{tag}")
+    if not os.path.exists(os.path.join(pq_path, "CURRENT")):
+        build_ivfpq_index(e, pq_path, meta_cols=("label",))
+    truth = hard_negative_mining_corpus(spark, flat_path).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    served = hard_negative_mining_corpus_pq(spark, pq_path, e).select(
+        "query_id", "neighbor_id"
+    )
+    k_truth = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_truth")
+    )
+    hits = (
+        served.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = (
+        k_truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_truth",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k_truth")
+                >= F.lit(IVF_RECALL_FLOOR)
+            ).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+    _sweep_stale_tags(flat_path, "hnegc_idx_")
+    _sweep_stale_tags(pq_path, "hnegpq_idx_")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF-PQ index: the build/serve split of similarity.ivfpq_topk —
 # what a 100 TB deployment actually stores. The version directory holds
@@ -1841,6 +2156,7 @@ def build_ivfpq_index(
     m: int | None = None,
     k: int | None = None,
     lake_version: int | None = None,
+    meta_cols: tuple = (),
 ) -> int:
     """Train the coarse quantizer AND the PQ codebooks on one
     deterministic sample (both O(1) in corpus size), encode every vector
@@ -1848,7 +2164,13 @@ def build_ivfpq_index(
     NEW version (codes cell-partitioned, centroids + codebooks as tiny
     parquet tables), and atomically swap CURRENT — the same
     rebuild-under-readers protocol as :func:`build_ivf_index`. Returns
-    the cell count actually used."""
+    the cell count actually used.
+
+    ``meta_cols`` (r11) stores metadata columns alongside each code row
+    — the filtered-ANN layout on the PQ side, so a label mask can run
+    inside the ADC scan (:func:`hard_negative_mining_corpus_pq`);
+    :func:`append_ivfpq_index` preserves them (the round-10
+    maintenance-strips-metadata lesson)."""
     import numpy as np
 
     from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
@@ -1862,7 +2184,12 @@ def build_ivfpq_index(
     k = PQ_K if k is None else k
     spark = emb.sparkSession
     emb_d = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        *meta_cols,
+    )
+    meta_schema = "".join(
+        f", {c} {t}" for c, t in emb_d.dtypes if c in meta_cols
     )
     sample_rows = (
         emb_d.orderBy(F.md5(F.col("vec_id").cast("string")))
@@ -1879,7 +2206,8 @@ def build_ivfpq_index(
     # THE shared encoder (similarity.pq_encode_fn): the persisted index
     # and the in-query twin can never compute different codes
     encoded = emb_d.mapInPandas(
-        pq_encode_fn(cents, books), "vec_id BIGINT, cell INT, codes ARRAY<INT>"
+        pq_encode_fn(cents, books, meta_cols),
+        f"vec_id BIGINT, cell INT, codes ARRAY<INT>{meta_schema}",
     )
     version = f"v_{uuid.uuid4().hex[:12]}"
     vdir = os.path.join(path, version)
@@ -1960,12 +2288,31 @@ def append_ivfpq_index(
         )
         books.append(np.asarray([r.centroid for r in rows]))
 
+    # PRESERVE the live version's metadata columns (round-10 lesson:
+    # maintenance must not strip what filtered serving depends on) —
+    # discovered from one code root's schema, required on the new batch
+    meta = [
+        c
+        for c in spark.read.parquet(_code_roots(path, vdir)[0]).columns
+        if c not in ("vec_id", "cell", "codes")
+    ]
+    missing = [c for c in meta if c not in emb_new.columns]
+    if missing:
+        raise ValueError(
+            f"index at {path} stores metadata columns {meta} but the "
+            f"append batch lacks {missing}"
+        )
     emb_d = emb_new.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        *meta,
+    )
+    meta_schema = "".join(
+        f", {c} {t}" for c, t in emb_d.dtypes if c in meta
     )
     encoded = emb_d.mapInPandas(
-        pq_encode_fn(cents, books),
-        "vec_id BIGINT, cell INT, codes ARRAY<INT>",
+        pq_encode_fn(cents, books, tuple(meta)),
+        f"vec_id BIGINT, cell INT, codes ARRAY<INT>{meta_schema}",
     )
     version = f"v_{uuid.uuid4().hex[:12]}"
     new_vdir = os.path.join(path, version)

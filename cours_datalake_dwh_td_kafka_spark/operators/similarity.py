@@ -570,11 +570,13 @@ def ivfpq_topk(
     return exact_rerank(emb_d, shortlist, qmat, qids, top_k)
 
 
-def pq_encode_fn(cents, books):
+def pq_encode_fn(cents, books, meta_cols=()):
     """mapInPandas closure encoding (vec_id, emb) rows to
     (vec_id, cell, codes) — THE one PQ encoder, shared by the in-query
     path and the persisted index build so the two can never silently
-    diverge (tests pin served == in-query)."""
+    diverge (tests pin served == in-query). ``meta_cols`` ride along
+    unchanged (the filtered-ANN layout on the PQ side, r11 — same
+    rule as :func:`ivf_assign_fn`'s pass-through)."""
     import numpy as np
     import pandas as pd
 
@@ -597,13 +599,14 @@ def pq_encode_fn(cents, books):
                     -1
                 )
                 codes[:, mi] = dist.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "cell": cells_,
-                    "codes": list(codes),
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cell": cells_,
+                "codes": list(codes),
+            }
+            for c in meta_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
     return encode
 

@@ -1596,3 +1596,92 @@ def test_corpus_self_probe_mining_full_probe_equals_exact(spark, tmp_path):
     ai.build_ivf_index(e.select("vec_id", "embedding"), bare)
     with pytest.raises(ValueError, match="stores no 'label'"):
         ai.hard_negative_mining_corpus(spark, bare)
+
+
+def test_pq_corpus_mining_and_meta_preservation(spark, tmp_path):
+    """r11: the PQ-coded corpus-wide miner — per-query recall vs the
+    flat full-probe truth clears the floor at the tuned (nprobe,
+    rerank); metadata columns survive build AND append (the round-10
+    maintenance-strips-metadata lesson applied to the PQ layout); a
+    label-less PQ index is rejected loudly; an append batch missing the
+    stored metadata is rejected loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.operators import ann_index as ai
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = e.count()
+    pq = str(tmp_path / "pq")
+    ai.build_ivfpq_index(e, pq, meta_cols=("label",))
+    flat = str(tmp_path / "flat")
+    ai.build_ivf_index(
+        e.select("vec_id", "embedding", "label"), flat, meta_cols=("label",)
+    )
+    truth = (
+        ai.hard_negative_mining_corpus(spark, flat)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    served = ai.hard_negative_mining_corpus_pq(spark, pq, e).select(
+        "query_id", "neighbor_id"
+    )
+    k = truth.groupBy("query_id").count().withColumnRenamed("count", "k")
+    h = (
+        served.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .count()
+        .withColumnRenamed("count", "h")
+    )
+    bad = (
+        k.join(h, "query_id", "left")
+        .where(
+            F.coalesce(F.col("h"), F.lit(0)) / F.col("k")
+            < ai.IVF_RECALL_FLOOR
+        )
+        .count()
+    )
+    assert bad == 0
+    assert served.select("query_id").distinct().count() == n
+    # neighbors never share the query's label (mask inside the scan)
+    lab = e.select("vec_id", "label")
+    pairs = (
+        served.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("ql"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nl"),
+            ),
+            "neighbor_id",
+        )
+    )
+    assert pairs.where("ql = nl").count() == 0
+
+    # append preserves the metadata column on the PQ codes
+    half = str(tmp_path / "half")
+    ai.build_ivfpq_index(
+        e.where("vec_id % 2 = 0"), half, meta_cols=("label",)
+    )
+    ai.append_ivfpq_index(e.where("vec_id % 2 = 1"), half)
+    vdir = ai._current_version_dir(half)
+    for root in ai._code_roots(half, vdir):
+        assert "label" in spark.read.parquet(root).columns, root
+    # mining over the appended index covers the union
+    got = ai.hard_negative_mining_corpus_pq(spark, half, e)
+    assert got.select("query_id").distinct().count() == n
+
+    # loud contracts
+    bare = str(tmp_path / "bare")
+    ai.build_ivfpq_index(e, bare)
+    with pytest.raises(ValueError, match="stores no 'label'"):
+        ai.hard_negative_mining_corpus_pq(spark, bare, e)
+    with pytest.raises(ValueError, match="lacks"):
+        ai.append_ivfpq_index(
+            e.where("vec_id % 2 = 1").drop("label"), half
+        )
