@@ -1932,3 +1932,115 @@ def test_stream_cdc_consumer_exactly_once_across_restarts(spark, tmp_path):
     got = lake_read(spark, out)
     assert got.count() == 12
     assert got.select("k").distinct().count() == 12
+
+
+def test_ingest_daemon_end_to_end(spark, tmp_path):
+    """Capstone integration (r10+r11): STREAMED ingestion into the
+    versioned lake, with every derived artifact — exact-dedup
+    fingerprints, MinHash bands, the BM25 text index — maintained by
+    the CDC consumer from version history alone. Two ingest waves
+    through one checkpoint; after each, the daemon catches up; at the
+    end every artifact equals a from-scratch recompute and the served
+    BM25 answer equals the direct operator. Exactly-once throughout."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_consume_changes,
+        lake_read,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators import text_index as ti
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        fingerprint_rows,
+        minhash_band_rows,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        bm25_search,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        commit_stream_to_lake,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = int(lo) + (int(hi) - int(lo)) // 2
+    schema = docs.schema
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    fps = str(tmp_path / "fps")
+    bands = str(tmp_path / "bands")
+    tidx = str(tmp_path / "tidx")
+    log = str(tmp_path / "log")
+
+    def drop_wave(name, frame):
+        rows = [r.asDict() for r in frame.collect()]
+        with open(os.path.join(src_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def ingest():
+        stream = (
+            spark.readStream.schema(StructType(schema.fields))
+            .json(src_dir)
+        )
+        q = commit_stream_to_lake(stream, lake, ckpt).start()
+        q.awaitTermination(180)
+
+    built = []
+
+    def daemon_apply(ch):
+        from cours_datalake_dwh_td_kafka_spark.lake import lake_commit
+
+        ins = ch.where(F.col("_change") == "insert").drop(
+            "_change", "_version"
+        )
+        if ins.take(1):
+            ins = ins.localCheckpoint(eager=False)
+            lake_commit(fingerprint_rows(ins), fps, mode="append")
+            lake_commit(minhash_band_rows(ins), bands, mode="append")
+            if not built:
+                ti.build_text_index(spark, ins, tidx)
+                built.append(True)
+            else:
+                ti.append_text_index(spark, ins, tidx)
+        return ch.select("doc_id", "_change", "_version")
+
+    # wave 1: first half streams in, daemon catches up
+    drop_wave("a.json", docs.where(F.col("doc_id") < cut))
+    ingest()
+    v1_consumed = lake_consume_changes(
+        spark, lake, log, apply_fn=daemon_apply
+    )
+    assert v1_consumed  # at least one streamed commit consumed
+
+    # wave 2: the rest arrives; SAME checkpoint resumes; daemon resumes
+    drop_wave("b.json", docs.where(F.col("doc_id") >= cut))
+    ingest()
+    v2_consumed = lake_consume_changes(
+        spark, lake, log, apply_fn=daemon_apply
+    )
+    assert v2_consumed and min(v2_consumed) > max(v1_consumed)
+    assert lake_consume_changes(spark, lake, log, apply_fn=daemon_apply) == []
+
+    # the lake holds exactly the corpus
+    live = lake_read(spark, lake)
+    n = docs.count()
+    assert live.count() == n
+    assert live.select("doc_id").distinct().count() == n
+
+    # every maintained artifact equals a from-scratch recompute
+    def eq(a, b):
+        return a.count() == b.count() and a.exceptAll(b).count() == 0
+
+    assert eq(lake_read(spark, fps), fingerprint_rows(docs))
+    assert eq(lake_read(spark, bands), minhash_band_rows(docs))
+    assert eq(ti.bm25_query_index(spark, tidx), bm25_search(docs))
