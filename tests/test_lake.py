@@ -1782,3 +1782,31 @@ def test_delete_keys_rejects_type_mismatched_key_frame(spark, tmp_path):
     bad = spark.createDataFrame([("3",)], "k STRING")
     with pytest.raises(ValueError, match="declares"):
         lake_delete_keys(spark, path, "k", keys=bad)
+
+
+def test_lake_changes_since_across_restore(spark, tmp_path):
+    """A restore is a genuinely row-changing step for CDC: the rows it
+    brings back surface as inserts at the restore version, so replaying
+    the feed reconstructs the live table."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_changes_since,
+        lake_commit,
+        lake_delete_keys,
+        lake_restore,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(spark.range(0, 6).select(F.col("id").alias("k")), path)
+    lake_delete_keys(spark, path, "k", "k < 2")
+    lake_restore(spark, path, 1)
+    got = sorted(
+        (r._version, r._change, r.k)
+        for r in lake_changes_since(spark, path, 0).collect()
+    )
+    assert got == (
+        [(1, "insert", k) for k in range(6)]
+        + [(2, "delete", 0), (2, "delete", 1)]
+        + [(3, "insert", 0), (3, "insert", 1)]
+    )
