@@ -717,11 +717,22 @@ BM25_TOP_N = 20
 
 _BM25_TERM_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
+
+def bm25_ctes(terms: tuple[str, ...]) -> str:
+    """The BM25 oracle CTE chain for an arbitrary query-term set —
+    ends at ``ranked`` (doc_id, bm25, rn). Exported so the served /
+    pruned retrieval rows (text_index) can oracle THEIR term sets with
+    the exact scoring algebra this module pins, instead of copying the
+    chain."""
+    term_in = ", ".join(f"'{t}'" for t in terms)
+    return _BM25_CTES_TEMPLATE.replace("__TERM_IN__", term_in)
+
+
 # The CTE chain is exported as its own constant so composed oracles
 # (rag._rrf_sql) can extend it with `WITH {_BM25_CTES}, ...` instead of
 # string-slicing the finished query — the chain must end at `ranked`
 # (doc_id, bm25, rn) for those consumers.
-_BM25_CTES = f"""toks AS (
+_BM25_CTES_TEMPLATE = f"""toks AS (
       SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
       FROM documents
     ),
@@ -735,7 +746,7 @@ _BM25_CTES = f"""toks AS (
     tf AS (
       SELECT doc_id, s AS term, COUNT(*) AS tf
       FROM (SELECT doc_id, unnest(t) AS s FROM toks)
-      WHERE s IN ({_BM25_TERM_IN})
+      WHERE s IN (__TERM_IN__)
       GROUP BY doc_id, s
     ),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
@@ -758,6 +769,8 @@ _BM25_CTES = f"""toks AS (
              ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS rn
       FROM scored
     )"""
+
+_BM25_CTES = bm25_ctes(BM25_TERMS)
 
 _BM25_SQL = f"""
     WITH {_BM25_CTES}

@@ -56,6 +56,7 @@ from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
     BM25_TERMS,
     BM25_TOP_N,
     PHRASE_QUERY,
+    bm25_ctes,
     bm25_search,
     phrase_search,
 )
@@ -96,26 +97,74 @@ def _doclens_path(path: str) -> str:
     return os.path.join(path, "doclens")
 
 
+def _tstats_path(path: str) -> str:
+    return os.path.join(path, "term_stats")
+
+
+def term_stats_rows(postings: DataFrame, doclens: DataFrame) -> DataFrame:
+    """(term, df, max_tf, min_dl) for one slice, derived from that
+    slice's ALREADY-COMPUTED posting/doclen frames (zero extra
+    tokenize). These are the MaxScore bound ingredients: the per-term
+    BM25 score is increasing in tf and decreasing in dl, so
+    (max_tf, min_dl) yield a provable per-term score upper bound, and
+    df feeds the exact idf. All three are associative under the
+    append-only maintenance protocol — a query aggregates SUM(df) /
+    MAX(max_tf) / MIN(min_dl) across slices, so appends just add rows
+    and never rewrite (the same carry-forward rule as the posting
+    files themselves)."""
+    return (
+        postings.join(doclens, "doc_id")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+    )
+
+
+def _slice_frames(
+    d: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One tokenize pass per artifact for a slice: postings and doclens
+    are lazily checkpointed so the derived term_stats frame reuses
+    their materialization instead of re-tokenizing (pinned by the
+    corpus_refresh text-work spy test, which counts calls to
+    postings_rows/doclen_rows — term_stats must not add one)."""
+    p = postings_rows(d).localCheckpoint(eager=False)
+    dl = doclen_rows(d).localCheckpoint(eager=False)
+    return p, dl, term_stats_rows(p, dl)
+
+
 def build_text_index(
     spark: SparkSession, d: DataFrame, path: str, n_files: int = 8
 ) -> None:
-    """Tokenize ``d`` ONCE and commit the postings + doclens tables,
-    then cluster the postings by term so a query term's read opens
-    O(matching files). The one-time build is the only full-corpus text
-    pass the retrieval surface ever makes."""
-    lake_commit(postings_rows(d), _postings_path(path))
-    lake_commit(doclen_rows(d), _doclens_path(path))
+    """Tokenize ``d`` ONCE and commit the postings + doclens + term
+    stats tables, then cluster the postings and term stats by term so
+    a query term's read opens O(matching files). The one-time build is
+    the only full-corpus text pass the retrieval surface ever makes."""
+    p, dl, ts = _slice_frames(d)
+    lake_commit(p, _postings_path(path))
+    lake_commit(dl, _doclens_path(path))
+    lake_commit(ts, _tstats_path(path))
     lake_cluster_by(spark, _postings_path(path), "term", n_files=n_files)
+    lake_cluster_by(
+        spark, _tstats_path(path), "term", n_files=max(2, n_files // 2)
+    )
 
 
 def append_text_index(spark: SparkSession, d: DataFrame, path: str) -> None:
-    """O(increment) maintenance per MERGE: append the new docs' posting
-    and length rows. Appended files carry no cluster stats — pruned
-    term reads conservatively scan them until a re-cluster (the
+    """O(increment) maintenance per MERGE: append the new docs' posting,
+    length, and term-stat rows. Appended files carry no cluster stats —
+    pruned term reads conservatively scan them until a re-cluster (the
     advisor's reindex rung), which is correctness-free debt: over-scan
-    only, never a miss."""
-    lake_commit(postings_rows(d), _postings_path(path), mode="append")
-    lake_commit(doclen_rows(d), _doclens_path(path), mode="append")
+    only, never a miss. Term stats stay exact under appends because
+    every doc lands in exactly one slice and df/max_tf/min_dl compose
+    associatively across slices."""
+    p, dl, ts = _slice_frames(d)
+    lake_commit(p, _postings_path(path), mode="append")
+    lake_commit(dl, _doclens_path(path), mode="append")
+    lake_commit(ts, _tstats_path(path), mode="append")
 
 
 def _term_postings(
@@ -134,25 +183,10 @@ def _term_postings(
     return out
 
 
-def bm25_query_index(
-    spark: SparkSession,
-    path: str,
-    terms: tuple[str, ...] = BM25_TERMS,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    top_n: int = BM25_TOP_N,
-) -> DataFrame:
-    """Okapi BM25 served FROM the persisted index — same schema, same
-    round-6 decimal-summed scores, same tie rule as
-    :func:`text_analysis.bm25_search`, with zero text reads: tf/df come
-    from the pruned posting lists, dl from the doclens sidecar, corpus
-    stats from one aggregate over it. The scoring expression is kept
-    textually in step with bm25_search so the two can never drift
-    (bm25_served attests equality every attestation round)."""
-    lens = lake_read(spark, _doclens_path(path)).localCheckpoint(
-        eager=False
-    )
-    stats = lens.agg(
+def _doclen_stats(lens: DataFrame) -> DataFrame:
+    """(n_docs, avg_dl) — one broadcastable scalar row over the doclens
+    sidecar, same decimal/round-6 algebra as bm25_search's stats."""
+    return lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(
             F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
@@ -160,12 +194,22 @@ def bm25_query_index(
             6,
         ).alias("avg_dl"),
     )
-    tf = (
-        _term_postings(spark, path, terms)
-        .select("term", "doc_id", "tf")
-        .localCheckpoint(eager=False)
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def _score_and_rank(
+    tf: DataFrame,
+    lens: DataFrame,
+    df: DataFrame,
+    stats: DataFrame,
+    k1: float,
+    b: float,
+    top_n: int,
+) -> DataFrame:
+    """The shared BM25 scoring tail — identical expression, decimal-sum
+    discipline, round-6 tie rule, and limit-first top-k as
+    :func:`text_analysis.bm25_search`, factored so the exhaustive
+    served path and the MaxScore-pruned path cannot drift from each
+    other (their equality is what ``bm25_maxscore`` attests)."""
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
     )
@@ -193,6 +237,34 @@ def bm25_query_index(
         "bm25",
         F.row_number().over(w).cast("long").alias("rn"),
     ).orderBy("rn")
+
+
+def bm25_query_index(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_n: int = BM25_TOP_N,
+) -> DataFrame:
+    """Okapi BM25 served FROM the persisted index — same schema, same
+    round-6 decimal-summed scores, same tie rule as
+    :func:`text_analysis.bm25_search`, with zero text reads: tf/df come
+    from the pruned posting lists, dl from the doclens sidecar, corpus
+    stats from one aggregate over it. The scoring expression is kept
+    textually in step with bm25_search so the two can never drift
+    (bm25_served attests equality every attestation round)."""
+    lens = lake_read(spark, _doclens_path(path)).localCheckpoint(
+        eager=False
+    )
+    stats = _doclen_stats(lens)
+    tf = (
+        _term_postings(spark, path, terms)
+        .select("term", "doc_id", "tf")
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _score_and_rank(tf, lens, df, stats, k1, b, top_n)
 
 
 def phrase_query_index(
@@ -292,4 +364,221 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the returned frame's lineage is cut (localCheckpoint) before
         # the parity collects, and the served rows are re-selected off
         # that checkpoint — safe to drop the scratch index
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# MaxScore-pruned exact top-k (Turtle & Flood 1995, mapped to lake reads)
+# ---------------------------------------------------------------------------
+MAXSCORE_TERMS = ("dup", "scan", "line")
+MAXSCORE_TOP_N = 10
+# safety margin between the pruning threshold and the per-doc upper
+# bounds: scores are ranked at round-6, so a doc whose TRUE score is
+# below theta by more than 1e-6 cannot round into a tie with the k-th
+# candidate (ties break by doc_id, which an excluded doc must never win)
+_MAXSCORE_EPS = 1e-6
+
+
+def _term_stats(
+    spark: SparkSession, path: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """(term, df, max_tf, min_dl) for the query terms, folded across
+    append slices — pruned per-term reads on the clustered term_stats
+    table, then the associative SUM/MAX/MIN fold. len(terms) bounded
+    manifest reads; never the whole vocabulary."""
+    out = None
+    for t in dict.fromkeys(terms):
+        one = lake_read_pruned(spark, _tstats_path(path), "term", t, t)
+        out = one if out is None else out.unionByName(one)
+    return out.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_dl").alias("min_dl"),
+    )
+
+
+def bm25_maxscore_query(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...] = MAXSCORE_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_n: int = MAXSCORE_TOP_N,
+) -> tuple[DataFrame, dict]:
+    """Exact BM25 top-k with MaxScore document pruning (Turtle & Flood
+    1995; the batch shape of the WAND family) served from the persisted
+    index — provably the SAME answer as the exhaustive scorer, with the
+    fat posting lists of low-impact terms never entering candidate
+    generation:
+
+    1. per-term score upper bounds UB_t from the persisted
+       (df, max_tf, min_dl) sidecar (the BM25 term score is increasing
+       in tf and decreasing in dl, so plugging max_tf / min_dl bounds
+       every posting of t) — |Q| rows collected, never the corpus;
+    2. a seed threshold theta = the k-th best EXACT score among docs
+       containing the rarest query term (a lower bound on the true
+       k-th best, since the seed set is a subset of all scored docs);
+    3. terms sorted by ascending UB; the maximal prefix N with
+       sum(UB) < theta - eps is NON-ESSENTIAL: a doc containing only
+       N-terms scores <= sum_N UB, strictly below theta even after
+       round-6, so it cannot enter the top-k nor win a tie — candidate
+       docs are exactly those containing >= 1 essential term;
+    4. one exact scoring pass over candidates (all query-term postings
+       SEMI-JOINED to the candidate set — df comes from the sidecar,
+       exact under the append-only invariant, so scores match the
+       exhaustive path bit-for-bit).
+
+    100 TB shape: exhaustive BM25 shuffles and aggregates EVERY posting
+    of every query term; MaxScore reduces that to the essential terms'
+    postings plus a candidate-bounded semi-join — a stopword-heavy
+    query with one rare term aggregates the rare term's postings, not
+    the stopword's. The semi-join sits below the shuffle, and with a
+    small candidate set AQE broadcasts it, so the fat lists never
+    repartition by doc_id at full volume. Returns (top-k frame, a
+    measurements dict: n_essential / candidate vs exhaustive posting
+    rows / theta), equality attested by the ``bm25_maxscore`` row."""
+    import math
+
+    lens = lake_read(spark, _doclens_path(path)).localCheckpoint(
+        eager=False
+    )
+    stats = _doclen_stats(lens).localCheckpoint(eager=False)
+    srow = stats.first()
+    n_docs, avg_dl = int(srow["n_docs"]), float(srow["avg_dl"])
+
+    tstats = _term_stats(spark, path, terms)
+    df_frame = tstats.select("term", "df").localCheckpoint(eager=False)
+    trows = {r["term"]: r for r in tstats.collect()}  # |Q| rows
+    missing = [t for t in terms if t not in trows]
+    if missing:
+        raise ValueError(
+            f"query terms absent from the term_stats sidecar: {missing}"
+        )
+
+    def _ub(r) -> float:
+        idf = math.log(
+            (n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1
+        )
+        mt, mdl = float(r["max_tf"]), float(r["min_dl"])
+        return idf * mt * (k1 + 1) / (
+            mt + k1 * (1 - b + b * mdl / avg_dl)
+        )
+
+    ubs = {t: _ub(trows[t]) for t in dict.fromkeys(terms)}
+
+    tf_all = (
+        _term_postings(spark, path, terms)
+        .select("term", "doc_id", "tf")
+        .localCheckpoint(eager=False)
+    )
+
+    # seed: exact scores of the rarest term's docs give the threshold
+    seed_term = min(ubs, key=lambda t: (trows[t]["df"], t))
+    seed_docs = tf_all.where(F.col("term") == seed_term).select("doc_id")
+    seed_top = _score_and_rank(
+        tf_all.join(seed_docs, "doc_id", "left_semi"),
+        lens,
+        df_frame,
+        stats,
+        k1,
+        b,
+        top_n,
+    ).collect()  # <= top_n rows
+    theta = (
+        float(seed_top[-1]["bm25"])
+        if len(seed_top) == top_n
+        else float("-inf")
+    )
+
+    # essential partition: ascending-UB prefix whose bound sum stays
+    # strictly below theta (minus the round-6 tie margin) is prunable
+    nonessential: list[str] = []
+    cum = 0.0
+    for t in sorted(ubs, key=lambda t: (ubs[t], t)):
+        if cum + ubs[t] < theta - _MAXSCORE_EPS:
+            cum += ubs[t]
+            nonessential.append(t)
+        else:
+            break
+    essential = [t for t in dict.fromkeys(terms) if t not in nonessential]
+
+    cand = (
+        tf_all.where(F.col("term").isin(essential))
+        .select("doc_id")
+        .unionByName(seed_docs)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tf_cand = tf_all.join(cand, "doc_id", "left_semi")
+    result = _score_and_rank(
+        tf_cand, lens, df_frame, stats, k1, b, top_n
+    )
+    meas = {
+        "n_query_terms": len(ubs),
+        "n_essential_terms": len(essential),
+        "theta": theta,
+        "candidate_posting_rows": tf_cand.count(),
+        "exhaustive_posting_rows": tf_all.count(),
+    }
+    return result, meas
+
+
+def maxscore_protocol(
+    spark: SparkSession, d: DataFrame, workdir: str
+) -> DataFrame:
+    """The attested MaxScore lifecycle: build the index on the prior
+    slice, APPEND the increment (so the (df, max_tf, min_dl) sidecar's
+    associative fold across slices is itself under test), run the
+    pruned top-k, and prove it row-for-row equal to the exhaustive
+    served scorer over the same index. Returns the pruned top-k with
+    the equality + pruning-fired booleans riding along so the driver's
+    value hash pins the pruned scores themselves."""
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = int(lo) + int((int(hi) - int(lo)) * INCREMENT_SPLIT)
+    idx = os.path.join(workdir, "text_index")
+    build_text_index(spark, d.where(F.col("doc_id") < cut), idx)
+    append_text_index(spark, d.where(F.col("doc_id") >= cut), idx)
+
+    pruned, meas = bm25_maxscore_query(spark, idx)
+    pruned = pruned.localCheckpoint(eager=False)
+    exhaustive = bm25_query_index(
+        spark, idx, terms=MAXSCORE_TERMS, top_n=MAXSCORE_TOP_N
+    ).localCheckpoint(eager=False)
+    eq = (
+        pruned.count() == exhaustive.count()
+        and pruned.exceptAll(exhaustive).count() == 0
+    )
+    fired = (
+        meas["n_essential_terms"] < meas["n_query_terms"]
+        and meas["candidate_posting_rows"]
+        < meas["exhaustive_posting_rows"]
+    )
+    return pruned.select(
+        "doc_id",
+        "bm25",
+        "rn",
+        F.lit(bool(eq)).alias("maxscore_eq_exhaustive"),
+        F.lit(bool(fired)).alias("pruning_fired"),
+    ).orderBy("rn")
+
+
+_BM25_MAXSCORE_SQL = f"""
+    WITH {bm25_ctes(MAXSCORE_TERMS)}
+    SELECT doc_id, bm25, CAST(rn AS BIGINT) AS rn,
+           TRUE AS maxscore_eq_exhaustive, TRUE AS pruning_fired
+    FROM ranked WHERE rn <= {MAXSCORE_TOP_N}
+    ORDER BY rn
+"""
+
+
+@register("bm25_maxscore", _BM25_MAXSCORE_SQL)
+def q_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_maxscore_")
+    try:
+        return maxscore_protocol(spark, d, tmp)
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -140,3 +140,83 @@ def test_cdc_drives_text_index_maintenance(spark, tmp_path):
 
     assert lake_consume_changes(spark, lake, log, apply_fn=apply) == [1, 2]
     assert _multiset_eq(ti.bm25_query_index(spark, idx), bm25_search(d))
+
+def test_maxscore_equals_exhaustive_and_prunes(spark, tmp_path):
+    """MaxScore (Turtle & Flood) over the persisted index: same top-k
+    as the exhaustive served scorer, with the common terms proven
+    NON-essential — candidate generation aggregates only the rare
+    term's postings, not the stopword-shaped lists."""
+    d = _docs(spark)
+    idx = str(tmp_path / "ti")
+    ti.build_text_index(spark, d, idx)
+    pruned, meas = ti.bm25_maxscore_query(spark, idx)
+    exhaustive = ti.bm25_query_index(
+        spark, idx, terms=ti.MAXSCORE_TERMS, top_n=ti.MAXSCORE_TOP_N
+    )
+    assert _multiset_eq(pruned, exhaustive)
+    # with one rare high-idf term and two near-stopwords, both common
+    # terms fall below theta: exactly one essential term, and the
+    # candidate posting volume collapses to the rare term's docs
+    assert meas["n_query_terms"] == 3
+    assert meas["n_essential_terms"] == 1
+    assert (
+        meas["candidate_posting_rows"]
+        < meas["exhaustive_posting_rows"] / 4
+    ), meas
+
+
+def test_maxscore_exact_when_pruning_cannot_fire(spark, tmp_path):
+    """Degenerate thetas must degrade to the exhaustive answer, never a
+    wrong one: (a) top_n larger than the seed term's df leaves theta at
+    -inf (all terms essential); (b) an all-common query whose bounds
+    exceed any threshold prunes nothing."""
+    d = _docs(spark)
+    idx = str(tmp_path / "ti")
+    ti.build_text_index(spark, d, idx)
+    # (a) seed smaller than k
+    big_k = int(
+        d.count()
+    )  # > df('dup'), so the seed set cannot fill the heap
+    pruned, meas = ti.bm25_maxscore_query(spark, idx, top_n=big_k)
+    exhaustive = ti.bm25_query_index(
+        spark, idx, terms=ti.MAXSCORE_TERMS, top_n=big_k
+    )
+    assert _multiset_eq(pruned, exhaustive)
+    assert meas["n_essential_terms"] == meas["n_query_terms"]
+    # (b) all-common query: every UB comparable, theta low
+    terms = ("scan", "line", "merge")
+    pruned2, meas2 = ti.bm25_maxscore_query(spark, idx, terms=terms)
+    exhaustive2 = ti.bm25_query_index(
+        spark, idx, terms=terms, top_n=ti.MAXSCORE_TOP_N
+    )
+    assert _multiset_eq(pruned2, exhaustive2)
+
+
+def test_maxscore_term_stats_fold_across_appends(spark, tmp_path):
+    """The (df, max_tf, min_dl) sidecar folds associatively across
+    append slices: a split build+append serves the same stats — and
+    the same pruned top-k — as a single-shot build."""
+    d = _docs(spark)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = int(lo) + (int(hi) - int(lo)) // 2
+    one = str(tmp_path / "one")
+    two = str(tmp_path / "two")
+    ti.build_text_index(spark, d, one)
+    ti.build_text_index(spark, d.where(F.col("doc_id") < cut), two)
+    ti.append_text_index(spark, d.where(F.col("doc_id") >= cut), two)
+    s1 = ti._term_stats(spark, one, ti.MAXSCORE_TERMS)
+    s2 = ti._term_stats(spark, two, ti.MAXSCORE_TERMS)
+    assert _multiset_eq(s1, s2)
+    p1, _ = ti.bm25_maxscore_query(spark, one)
+    p2, _ = ti.bm25_maxscore_query(spark, two)
+    assert _multiset_eq(p1, p2)
+
+
+def test_maxscore_missing_term_rejected_loudly(spark, tmp_path):
+    import pytest
+
+    d = _docs(spark)
+    idx = str(tmp_path / "ti")
+    ti.build_text_index(spark, d, idx)
+    with pytest.raises(ValueError, match="term_stats"):
+        ti.bm25_maxscore_query(spark, idx, terms=("dup", "zzznope"))
