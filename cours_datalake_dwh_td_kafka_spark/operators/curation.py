@@ -1642,3 +1642,204 @@ def importance_weight_select(
 @register("importance_weight_select", _IW_SQL)
 def q_importance_weight_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weight_select(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# trained model-based filtering (round 11, beyond-ref): the CCNet /
+# GPT-3 pipeline filters web data with a TRAINED linear classifier
+# (fastText over hashed n-gram features — Wenzek et al. 2020,
+# arXiv:1911.00359; Brown et al. 2020 §A). Multinomial Naive Bayes is
+# the closed-form member of that family: training is two grouped counts
+# (no gradient loop), so the whole train+apply lifecycle stays in
+# declarative DataFrame algebra and DuckDB can oracle it exactly.
+# ---------------------------------------------------------------------------
+NB_BUCKETS = 4096  # hashed-feature space (the fastText hashing trick)
+NB_TEST_MOD = 5    # doc_id % 5 == 0 -> held-out 20% test split
+
+_NB_HASH = HASH32_SQL.format(c="shingle")
+
+_NB_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, ({_NB_HASH}) % {NB_BUCKETS} AS f
+      FROM (
+        SELECT doc_id, t[i] AS shingle
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t), 1)))
+                       AS i
+              FROM toks)
+      )
+    ),
+    labels AS (
+      SELECT doc_id, (lang = 'en') AS is_en FROM documents
+    ),
+    fc AS (
+      SELECT f,
+             SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS ce,
+             SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS co
+      FROM occ JOIN labels USING (doc_id)
+      WHERE doc_id % {NB_TEST_MOD} != 0
+      GROUP BY f
+    ),
+    tot AS (SELECT SUM(ce) AS t_en, SUM(co) AS t_ot FROM fc),
+    llrt AS (
+      SELECT f,
+             CAST(ROUND(
+               ln((ce + 1) / CAST(t_en + {NB_BUCKETS} AS DOUBLE))
+               - ln((co + 1) / CAST(t_ot + {NB_BUCKETS} AS DOUBLE)), 8)
+             AS DECIMAL(20,8)) AS llr
+      FROM fc CROSS JOIN tot
+    ),
+    prior AS (
+      SELECT CAST(ROUND(
+               ln(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) + 1.0)
+               - ln(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) + 1.0), 8)
+             AS DECIMAL(20,8)) AS p
+      FROM labels WHERE doc_id % {NB_TEST_MOD} != 0
+    ),
+    unseen AS (
+      SELECT CAST(ROUND(
+               ln(1.0 / CAST(t_en + {NB_BUCKETS} AS DOUBLE))
+               - ln(1.0 / CAST(t_ot + {NB_BUCKETS} AS DOUBLE)), 8)
+             AS DECIMAL(20,8)) AS u
+      FROM tot
+    ),
+    sums AS (
+      SELECT occ.doc_id, SUM(COALESCE(llr, u)) AS s
+      FROM occ LEFT JOIN llrt USING (f) CROSS JOIN unseen
+      WHERE occ.doc_id % {NB_TEST_MOD} = 0
+      GROUP BY occ.doc_id
+    )
+    SELECT labels.doc_id,
+           ROUND(CAST(prior.p + COALESCE(s, 0) AS DOUBLE), 6) AS nb_margin,
+           (prior.p + COALESCE(s, 0)) > 0 AS pred_en,
+           is_en,
+           ((prior.p + COALESCE(s, 0)) > 0) = is_en AS correct
+    FROM labels LEFT JOIN sums ON labels.doc_id = sums.doc_id
+    CROSS JOIN prior
+    WHERE labels.doc_id % {NB_TEST_MOD} = 0
+    ORDER BY labels.doc_id
+"""
+
+
+def nb_language_filter(
+    d: DataFrame, n_buckets: int = NB_BUCKETS, test_mod: int = NB_TEST_MOD
+) -> DataFrame:
+    """Train a multinomial Naive Bayes language classifier on the
+    hash-split train partition and apply it to the held-out test
+    partition — the TRAINED counterpart of the heuristic ``langid``
+    row, and the closed-form stand-in for the fastText filters the
+    CCNet / GPT-3 curation pipelines run at corpus scale.
+
+    Model: P(en | doc) vs P(other | doc) over hashed unigram features
+    with add-one smoothing; the decision statistic is the exact
+    log-likelihood-ratio margin
+    ``prior_llr + sum_f tf_f * llr_f`` (> 0 -> 'en').
+
+    Engine-parity discipline (the importance_weight_select rules):
+    per-feature llr rounds to 8 dp and is summed as DECIMAL(20,8) over
+    OCCURRENCE rows (sum over occurrences == sum of tf * llr, with no
+    decimal-x-bigint precision drift), features absent from the train
+    vocabulary contribute the exact unseen-bucket llr, and the margin
+    rounds once at the end. The > 0 prediction compares exact decimals,
+    so both engines break the boundary identically.
+
+    Scale shape: training is ONE tokenize+explode pass over the train
+    split and a hashed-long count shuffle; the model is <= n_buckets+2
+    rows, BROADCAST into the scoring join; apply is one tokenize pass
+    over the test split, map-side joins, one doc-keyed aggregate. No
+    gradient loop, no Python UDF, no collect — at 100 TB the model
+    table is the only thing smaller than the data, exactly as fastText
+    hashing intends."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _HASH32_SPARK,
+        shingle_rows,
+    )
+
+    is_test = F.col("doc_id") % test_mod == 0
+    labels = d.select(
+        "doc_id", (F.col("lang") == "en").alias("is_en")
+    ).localCheckpoint(eager=False)
+    occ = (
+        shingle_rows(d, n=1, distinct=False)
+        .select(
+            "doc_id",
+            (_HASH32_SPARK(F.col("shingle")) % n_buckets).alias("f"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    fc = (
+        occ.where(~is_test)
+        .join(labels, "doc_id")
+        .groupBy("f")
+        .agg(
+            F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("ce"),
+            F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("co"),
+        )
+    )
+    tot = fc.agg(F.sum("ce").alias("t_en"), F.sum("co").alias("t_ot"))
+    llr = F.round(
+        F.log((F.col("ce") + 1) / (F.col("t_en") + n_buckets).cast("double"))
+        - F.log(
+            (F.col("co") + 1) / (F.col("t_ot") + n_buckets).cast("double")
+        ),
+        8,
+    ).cast("decimal(20,8)")
+    model = (
+        fc.crossJoin(F.broadcast(tot))
+        .select("f", llr.alias("llr"))
+        .localCheckpoint(eager=False)
+    )
+    unseen = F.round(
+        F.log(F.lit(1.0) / (F.col("t_en") + n_buckets).cast("double"))
+        - F.log(F.lit(1.0) / (F.col("t_ot") + n_buckets).cast("double")),
+        8,
+    ).cast("decimal(20,8)")
+    unseen_tbl = tot.select(unseen.alias("u"))
+    prior = (
+        labels.where(~is_test)
+        .agg(
+            F.round(
+                F.log(
+                    F.sum(F.when(F.col("is_en"), 1).otherwise(0)) + F.lit(1.0)
+                )
+                - F.log(
+                    F.sum(F.when(F.col("is_en"), 0).otherwise(1))
+                    + F.lit(1.0)
+                ),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("p")
+        )
+    )
+    sums = (
+        occ.where(is_test)
+        .join(F.broadcast(model), "f", "left")
+        .crossJoin(F.broadcast(unseen_tbl))
+        .select("doc_id", F.coalesce("llr", "u").alias("llr"))
+        .groupBy("doc_id")
+        .agg(F.sum("llr").alias("s"))
+    )
+    margin = F.col("p") + F.coalesce(F.col("s"), F.lit(0).cast("decimal(20,8)"))
+    return (
+        labels.where(is_test)
+        .join(sums, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            F.round(margin.cast("double"), 6).alias("nb_margin"),
+            (margin > 0).alias("pred_en"),
+            "is_en",
+            ((margin > 0) == F.col("is_en")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("nb_language_filter", _NB_SQL)
+def q_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_language_filter(load_table(spark, sf_dir, "documents"))
