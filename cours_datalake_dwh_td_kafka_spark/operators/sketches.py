@@ -179,3 +179,209 @@ def distinct_hll_bound(
 @register("distinct_hll_bound", _HLL_SQL)
 def q_distinct_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_hll_bound(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / AKMV set-operation sketches (round 11, beyond-ref): k-minimum-
+# values distinct-count sketches with union AND intersection estimates
+# (Bar-Yossef et al. 2002; Beyer et al. 2007 "On Synopses for Distinct-
+# Value Estimation Under Multiset Operations" — the theta-sketch
+# family's public ancestor). At 100 TB, "how many customers overlap
+# between these two periods" is answered from two k-row synopses
+# instead of a corpus-wide distinct join; KMV sketches are mergeable
+# (union = k smallest of the combined samples), so each partition /
+# day / source ships k longs and the fold is associative.
+#
+# Everything here is DETERMINISTIC (the md5-derived HASH32 both engines
+# share), so the oracle recomputes the SAME estimates and the driver
+# value-hashes the estimates themselves, not just bound booleans.
+# ---------------------------------------------------------------------------
+KMV_K = 256
+KMV_YEAR_A = 1996
+KMV_YEAR_B = 1997
+#: 2^32 — HASH32 is uniform on [0, 2^32); normalizing by this maps the
+#: k-th minimum to the (k-1)/D order statistic the estimator inverts.
+_KMV_SCALE = 4294967296
+#: relative-error acceptance: RSE of the (k-1)/U_k estimator is
+#: ~1/sqrt(k-2) (~6.3% at k=256); 5x that is a >5-sigma acceptance band.
+KMV_BOUND = 5.0 / (KMV_K ** 0.5)
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest DISTINCT HASH32 values of ``key_col`` — a k-row
+    synopsis of the column's distinct-value set. orderBy+limit plans
+    TakeOrderedAndProject (per-partition heaps of k, one k-row reduce),
+    so building the sketch never sorts or shuffles the full key set."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _HASH32_SPARK,
+    )
+
+    return (
+        df.select(
+            _HASH32_SPARK(F.col(key_col).cast("string")).alias("h")
+        )
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _kmv_estimate(hashes: list[int], k: int) -> float:
+    """(k-1)/U_k when the sketch is full; exact sample size otherwise
+    (a sketch smaller than k IS the whole distinct set)."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    return (k - 1) * _KMV_SCALE / hashes[-1]
+
+
+def kmv_set_ops(
+    spark: SparkSession,
+    orders: DataFrame,
+    k: int = KMV_K,
+    year_a: int = KMV_YEAR_A,
+    year_b: int = KMV_YEAR_B,
+) -> DataFrame:
+    """Distinct-customer cardinalities of two order-year cohorts plus
+    their UNION and INTERSECTION, estimated from two k-row KMV
+    sketches and attested against the exact counts in the same row.
+
+    Union: the k smallest of the combined samples is exactly the KMV
+    sketch of A union B (mergeability). Intersection (AKMV, Beyer et
+    al. 2007 §4): within the union sketch K, every v <= theta_K is a
+    uniform sample of A union B, so the fraction of K present in BOTH
+    per-set samples estimates the Jaccard ratio, and
+    est_inter = |K cap A cap B| / |K| * est_union.
+
+    Scale shape: each sketch is one distinct + TakeOrdered(k) over its
+    cohort — k longs leave each partition, k longs reach the driver
+    (bounded collect, the centroid-collect discipline); the estimates
+    are O(k) python-int arithmetic. The exact counts are computed ONLY
+    for the attestation columns; a deployment reads the three
+    estimates from the synopses alone."""
+    sa = [r.h for r in kmv_sketch(orders.where(
+        F.year("o_orderdate") == year_a), "o_custkey", k).collect()]
+    sb = [r.h for r in kmv_sketch(orders.where(
+        F.year("o_orderdate") == year_b), "o_custkey", k).collect()]
+    union_samples = sorted(set(sa) | set(sb))[:k]
+    in_both = set(sa) & set(sb)
+    rho = sum(1 for h in union_samples if h in in_both)
+    est_a = _kmv_estimate(sa, k)
+    est_b = _kmv_estimate(sb, k)
+    est_union = _kmv_estimate(union_samples, k)
+    est_inter = rho * est_union / len(union_samples) if union_samples else 0.0
+
+    exact = orders.where(
+        F.year("o_orderdate").isin(year_a, year_b)
+    ).agg(
+        F.countDistinct(
+            F.when(F.year("o_orderdate") == year_a, F.col("o_custkey"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.year("o_orderdate") == year_b, F.col("o_custkey"))
+        ).alias("exact_b"),
+        F.countDistinct("o_custkey").alias("exact_union"),
+    ).first()
+    exact_a, exact_b, exact_union = (
+        int(exact.exact_a), int(exact.exact_b), int(exact.exact_union)
+    )
+    exact_inter = exact_a + exact_b - exact_union
+
+    def ok(est: float, true: int, scale: int) -> bool:
+        return abs(est - true) <= KMV_BOUND * max(scale, 1)
+
+    return spark.createDataFrame(
+        [
+            (
+                exact_a,
+                exact_b,
+                exact_union,
+                exact_inter,
+                round(est_a, 6),
+                round(est_b, 6),
+                round(est_union, 6),
+                round(est_inter, 6),
+                ok(est_a, exact_a, exact_a),
+                ok(est_b, exact_b, exact_b),
+                ok(est_union, exact_union, exact_union),
+                # intersection error is bounded relative to the UNION
+                # (the estimator scales rho by est_union)
+                ok(est_inter, exact_inter, exact_union),
+            )
+        ],
+        "exact_a BIGINT, exact_b BIGINT, exact_union BIGINT, "
+        "exact_inter BIGINT, est_a DOUBLE, est_b DOUBLE, "
+        "est_union DOUBLE, est_inter DOUBLE, a_ok BOOLEAN, "
+        "b_ok BOOLEAN, union_ok BOOLEAN, inter_ok BOOLEAN",
+    )
+
+
+_KMV_HASH = "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT"
+
+_KMV_SQL = f"""
+    WITH sa AS (
+      SELECT DISTINCT {_KMV_HASH} AS h
+      FROM orders WHERE year(o_orderdate) = {KMV_YEAR_A}
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    sb AS (
+      SELECT DISTINCT {_KMV_HASH} AS h
+      FROM orders WHERE year(o_orderdate) = {KMV_YEAR_B}
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    su AS (
+      SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    est AS (
+      SELECT
+        CASE WHEN (SELECT COUNT(*) FROM sa) < {KMV_K}
+             THEN CAST((SELECT COUNT(*) FROM sa) AS DOUBLE)
+             ELSE ({KMV_K} - 1) * {_KMV_SCALE}.0 / (SELECT MAX(h) FROM sa)
+        END AS est_a,
+        CASE WHEN (SELECT COUNT(*) FROM sb) < {KMV_K}
+             THEN CAST((SELECT COUNT(*) FROM sb) AS DOUBLE)
+             ELSE ({KMV_K} - 1) * {_KMV_SCALE}.0 / (SELECT MAX(h) FROM sb)
+        END AS est_b,
+        CASE WHEN (SELECT COUNT(*) FROM su) < {KMV_K}
+             THEN CAST((SELECT COUNT(*) FROM su) AS DOUBLE)
+             ELSE ({KMV_K} - 1) * {_KMV_SCALE}.0 / (SELECT MAX(h) FROM su)
+        END AS est_union,
+        (SELECT COUNT(*) FROM su WHERE h IN (SELECT h FROM sa)
+                                   AND h IN (SELECT h FROM sb))
+          AS rho,
+        (SELECT COUNT(*) FROM su) AS n_su
+    ),
+    ex AS (
+      SELECT
+        COUNT(DISTINCT CASE WHEN year(o_orderdate) = {KMV_YEAR_A}
+                            THEN o_custkey END) AS exact_a,
+        COUNT(DISTINCT CASE WHEN year(o_orderdate) = {KMV_YEAR_B}
+                            THEN o_custkey END) AS exact_b,
+        COUNT(DISTINCT o_custkey) AS exact_union
+      FROM orders
+      WHERE year(o_orderdate) IN ({KMV_YEAR_A}, {KMV_YEAR_B})
+    )
+    SELECT
+      CAST(exact_a AS BIGINT) AS exact_a,
+      CAST(exact_b AS BIGINT) AS exact_b,
+      CAST(exact_union AS BIGINT) AS exact_union,
+      CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_inter,
+      ROUND(est_a, 6) AS est_a,
+      ROUND(est_b, 6) AS est_b,
+      ROUND(est_union, 6) AS est_union,
+      ROUND(CASE WHEN n_su > 0 THEN rho * est_union / n_su
+                 ELSE 0.0 END, 6) AS est_inter,
+      ABS(est_a - exact_a) <= {KMV_BOUND} * GREATEST(exact_a, 1) AS a_ok,
+      ABS(est_b - exact_b) <= {KMV_BOUND} * GREATEST(exact_b, 1) AS b_ok,
+      ABS(est_union - exact_union)
+        <= {KMV_BOUND} * GREATEST(exact_union, 1) AS union_ok,
+      ABS(CASE WHEN n_su > 0 THEN rho * est_union / n_su ELSE 0.0 END
+          - (exact_a + exact_b - exact_union))
+        <= {KMV_BOUND} * GREATEST(exact_union, 1) AS inter_ok
+    FROM est CROSS JOIN ex
+"""
+
+
+@register("kmv_set_ops", _KMV_SQL)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_set_ops(spark, load_table(spark, sf_dir, "orders"))
