@@ -1653,3 +1653,310 @@ def hard_negative_mining(
 @register("hard_negative_mining", _HARDNEG_SQL)
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# OPQ: Optimized Product Quantization (round 11, beyond-ref) — learn an
+# orthonormal rotation R that redistributes variance across the PQ
+# subspaces before coding (Ge et al., CVPR 2013, "Optimized Product
+# Quantization for Approximate Nearest Neighbor Search"; the OPQ_NP
+# alternation). Rotation costs ONE d x d matmul folded into the encode
+# pass and nothing at all at rest — the codes stay m small ints — so at
+# 100 TB it is free accuracy: same storage, same ADC scan, lower
+# quantization error.
+# ---------------------------------------------------------------------------
+OPQ_ITERS = 8
+OPQ_QUERIES = 32
+OPQ_TOP_K = 10
+#: ADC-only (no rerank) recall floor for the OPQ codes at OPQ_TOP_K —
+#: measured (deterministic per SF): 0.61 / 0.61 / 0.40 at sf0.001 /
+#: 0.01 / 0.1 (vs plain PQ 0.56 / 0.54 / 0.41 — OPQ wins at the small
+#: SFs and ties at 0.1, where 16-byte codes saturate against a 20k
+#: corpus and rerank is the production repair). Floor 0.3 with margin.
+OPQ_RECALL_FLOOR = 0.3
+OPQ_RECALL_TIE_TOL = 0.05
+
+
+def _lloyd_warm(sub, cents, n_iter: int = 4):
+    """Warm-started Lloyd steps (assignment + mean updates, empty
+    clusters keep their centroid) — each step is non-increasing in the
+    quantization objective, which the OPQ monotonicity guarantee
+    needs (a cold re-init per outer iteration could jump up)."""
+    import numpy as np
+
+    cents = np.asarray(cents, dtype=np.float64).copy()
+    for _ in range(n_iter):
+        dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = dist.argmin(1)
+        for c in range(len(cents)):
+            members = sub[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _pq_reconstruct(x, books):
+    """Encode-then-decode under per-subspace codebooks."""
+    import numpy as np
+
+    m = len(books)
+    d_sub = x.shape[1] // m
+    xhat = np.empty_like(x)
+    for mi in range(m):
+        sub = x[:, mi * d_sub : (mi + 1) * d_sub]
+        dist = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+        xhat[:, mi * d_sub : (mi + 1) * d_sub] = books[mi][dist.argmin(1)]
+    return xhat
+
+
+def fit_opq(
+    sample: "list[list[float]]",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = OPQ_ITERS,
+):
+    """OPQ_NP alternation on the deterministic driver-side sample:
+    start from R = I with the PLAIN PQ codebooks (so iteration zero's
+    objective equals plain PQ's sample MSE exactly), then repeat
+    { rotate, warm-Lloyd the codebooks, reconstruct, update R by the
+    orthogonal Procrustes solution R = U V^T of SVD(X^T X_hat) }.
+    Every sub-step is non-increasing in ||X R - X_hat||^2, so
+    ``mse_opq <= mse_pq`` on the training sample holds BY CONSTRUCTION
+    — the guarantee the attested row states. Returns
+    (R, books, mse_pq, mse_opq); all O(sample * d) driver work on a
+    QUANTIZER_SAMPLE-row sample, O(1) in corpus size."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    d_sub = d // m
+    R = np.eye(d)
+    books = [np.asarray(b, dtype=np.float64).copy()
+             for b in _fit_pq_books(sample, m, k)]
+    mse_pq = float(((x - _pq_reconstruct(x, books)) ** 2).sum() / len(x))
+    for _ in range(n_iter):
+        xr = x @ R
+        for mi in range(m):
+            books[mi] = _lloyd_warm(
+                xr[:, mi * d_sub : (mi + 1) * d_sub], books[mi]
+            )
+        xhat = _pq_reconstruct(xr, books)
+        u, _, vt = np.linalg.svd(x.T @ xhat)
+        R = u @ vt
+    xr = x @ R
+    mse_opq = float(((xr - _pq_reconstruct(xr, books)) ** 2).sum() / len(x))
+    return R, books, mse_pq, mse_opq
+
+
+def _corpus_sse_fn(books_pq, R, books_opq):
+    """mapInPandas closure: per-batch partial sums of reconstruction
+    SSE under plain PQ and under OPQ (residuals measured in the rotated
+    frame, which equals the original frame by orthogonal invariance).
+    Only (n, sse_pq, sse_opq) triples leave each partition. The
+    reconstruct is NESTED so the closure ships self-contained (plain
+    driver sessions' python workers don't have this repo importable —
+    the round-3 gram-kernel lesson)."""
+    import numpy as np
+    import pandas as pd
+
+    def recon(x, books):
+        m = len(books)
+        d_sub = x.shape[1] // m
+        xhat = np.empty_like(x)
+        for mi in range(m):
+            sub = x[:, mi * d_sub : (mi + 1) * d_sub]
+            dist = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+            xhat[:, mi * d_sub : (mi + 1) * d_sub] = books[mi][
+                dist.argmin(1)
+            ]
+        return xhat
+
+    def fold(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sse_pq = float(((x - recon(x, books_pq)) ** 2).sum())
+            xr = x @ R
+            sse_opq = float(((xr - recon(xr, books_opq)) ** 2).sum())
+            yield pd.DataFrame(
+                {"n": [len(x)], "sse_pq": [sse_pq], "sse_opq": [sse_opq]}
+            )
+
+    return fold
+
+
+def _adc_flat_topk(emb_d, books, qmat_rot, qids, top_k: int, R=None):
+    """ADC-only flat top-k (no IVF pruning, NO exact rerank — the raw
+    codebook quality signal): encode each partition's vectors (rotated
+    when ``R`` is given), score by LUT gathers against the rotated
+    queries, keep a partition-local top-k, tree-reduce. Same two-stage
+    reduce as every ANN row."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    luts, norms2 = _pq_probe_tables(qmat_rot, books, m)
+
+    def score(batches):
+        mi_idx = np.arange(m)
+        d_sub = qmat_rot.shape[1] // m
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            x = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            if R is not None:
+                x = x @ R
+            codes = np.empty((len(x), m), dtype="int64")
+            for mi in range(m):
+                sub = x[:, mi * d_sub : (mi + 1) * d_sub]
+                dist = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+                codes[:, mi] = dist.argmin(1)
+            rn2 = norms2[mi_idx[None, :], codes].sum(axis=1)
+            rnorm = np.sqrt(np.maximum(rn2, 1e-24))
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qids)):
+                dots = luts[qi][mi_idx[None, :], codes].sum(axis=1)
+                sims = dots / rnorm
+                keep = ids != qids[qi]
+                cand_ids, cand_cos = ids[keep], sims[keep]
+                if len(cand_ids) > top_k:
+                    idx = np.lexsort((cand_ids, -cand_cos))[:top_k]
+                    cand_ids, cand_cos = cand_ids[idx], cand_cos[idx]
+                out_q.append(np.full(len(cand_ids), qids[qi]))
+                out_n.append(cand_ids)
+                out_c.append(cand_cos)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q).astype("int64"),
+                    "neighbor_id": np.concatenate(out_n).astype("int64"),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = emb_d.mapInPandas(
+        score, "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
+    )
+    return global_topk(scored, top_k)
+
+
+def opq_quality(
+    e: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_queries: int = OPQ_QUERIES,
+    top_k: int = OPQ_TOP_K,
+) -> DataFrame:
+    """Head-to-head quality protocol for OPQ vs plain PQ at identical
+    (m, k) code budget: fit both on the shared deterministic sample,
+    then over the CORPUS measure (a) reconstruction MSE both ways in
+    one fold pass, and (b) ADC-only recall@k against the exact
+    brute-force truth for a bounded query batch. One output row of
+    guarantees + counts:
+
+    - ``rotation_orthonormal_ok``: ||R R^T - I||_max < 1e-8 (Procrustes
+      returns U V^T, orthonormal by construction);
+    - ``opq_sample_mse_improved``: sample MSE(OPQ) <= sample MSE(PQ) —
+      guaranteed by the monotone alternation (see :func:`fit_opq`);
+    - ``opq_corpus_mse_improved``: the rotation generalizes — corpus
+      MSE(OPQ) <= corpus MSE(PQ);
+    - ``opq_recall_ok``: ADC-only recall@k of OPQ codes >= the floor
+      AND >= plain PQ's recall - tie tolerance.
+
+    Driver-side state: R (d x d), 2m codebooks (k x d/m), the query
+    batch, and per-query recall counts — k x d artifacts only, the
+    centroid-collect discipline."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators import gram
+
+    emb_d = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sample_rows = (
+        emb_d.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(QUANTIZER_SAMPLE)
+        .select("emb")
+        .collect()
+    )
+    sample = [r.emb for r in sample_rows]
+    books_pq = _fit_pq_books(sample, m, k)
+    R, books_opq, mse_pq_s, mse_opq_s = fit_opq(sample, m, k)
+    orth_ok = bool(
+        np.abs(R @ R.T - np.eye(R.shape[0])).max() < 1e-8
+    )
+
+    sse = (
+        emb_d.mapInPandas(
+            _corpus_sse_fn(books_pq, R, books_opq),
+            "n BIGINT, sse_pq DOUBLE, sse_opq DOUBLE",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sse_pq").alias("sp"),
+            F.sum("sse_opq").alias("so"),
+        )
+        .first()
+    )
+    n_vectors = int(sse["n"])
+    corpus_improved = bool(float(sse["so"]) <= float(sse["sp"]))
+
+    q_rows = emb_d.where(F.col("vec_id") < n_queries).collect()
+    qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray([int(r.vec_id) for r in q_rows])
+
+    truth = ann_topk_bruteforce(
+        e, top_k=top_k, n_queries=n_queries
+    ).select("query_id", "neighbor_id")
+    n_truth = truth.count()
+
+    def _recall(adc) -> float:
+        hits = adc.select("query_id", "neighbor_id").join(
+            truth, ["query_id", "neighbor_id"]
+        )
+        return hits.count() / max(n_truth, 1)
+
+    rec_pq = _recall(_adc_flat_topk(emb_d, books_pq, qmat, qids, top_k))
+    rec_opq = _recall(
+        _adc_flat_topk(emb_d, books_opq, qmat @ R, qids, top_k, R=R)
+    )
+    recall_ok = bool(
+        rec_opq >= OPQ_RECALL_FLOOR
+        and rec_opq >= rec_pq - OPQ_RECALL_TIE_TOL
+    )
+    return e.sparkSession.createDataFrame(
+        [
+            (
+                n_vectors,
+                int(len(qids)),
+                orth_ok,
+                bool(mse_opq_s <= mse_pq_s + 1e-12),
+                corpus_improved,
+                recall_ok,
+            )
+        ],
+        "n_vectors BIGINT, n_queries BIGINT, "
+        "rotation_orthonormal_ok BOOLEAN, opq_sample_mse_improved BOOLEAN, "
+        "opq_corpus_mse_improved BOOLEAN, opq_recall_ok BOOLEAN",
+    )
+
+
+_OPQ_SQL = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST({OPQ_QUERIES} AS BIGINT) AS n_queries,
+           TRUE AS rotation_orthonormal_ok,
+           TRUE AS opq_sample_mse_improved,
+           TRUE AS opq_corpus_mse_improved,
+           TRUE AS opq_recall_ok
+    FROM embeddings
+"""
+
+
+@register("ann_opq_quality", _OPQ_SQL)
+def q_ann_opq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return opq_quality(load_table(spark, sf_dir, "embeddings"))
