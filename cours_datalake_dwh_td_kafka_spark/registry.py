@@ -52,64 +52,78 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-10 attestation window (driver caps at ~50 rows/round) ---
-    # -- the 13 r4-vintage stamps that spilled past r9's 50-row cap
-    #    (VERDICT r9 item 2: after this rotation no stamp predates r5;
-    #    pytest oracle-parity covers ALL oracled queries on current code
-    #    each round regardless of the cap) -------------------------------
-    "quality_score",
-    "returned_item_revenue",
-    "robust_anomaly",
-    "scd2_dimension",
-    "small_quantity_revenue",
-    "top_revenue_parts",
-    "top_supplier",
-    "unigram_logprob",
-    "user_value_trend",
-    "value_histogram",
-    "volume_shipping",
-    "weighted_sample",
-    "zipf_law_fit",
-    # -- new in r10, never attested --------------------------------------
-    "hard_negative_mining_ivf",  # r10: IVF-served miner, in-index mask
-    "index_lake_consistency",    # r10: recorded lake/index pairing
-    "lake_merge_on_read",        # r10: O(deleted) equality deletes
-    "importance_weight_select",  # r10: DSIR-style target-domain selection
-    "ann_index_delete",          # r10: tombstone erasure lifecycle
-    "erasure_protocol",          # r10: end-to-end right-to-be-forgotten
-    "lake_restore",              # r10: rollback-as-new-commit rescue rung
-    # -- code changed in r10: must re-attest on current code -------------
-    "dedup_incremental_lsh",   # r10: candidate-pruned verify
-    "corpus_refresh",          # r10: persisted band table + bands_table_ok
-    "dedup_audio_fingerprint",  # r10: exact int64 energy accumulation
-    "lake_lifecycle",          # r10: streamed-append leg (new columns)
-    "lake_maintenance",        # r10: bloom degrade-and-repair leg
-    "lake_bloom",              # r10: zero-bitmap for row-less files
-    "lake_cluster",            # r10: timestamp stat rendering + dual keep
-    "lake_zorder",             # r10: same pruned_files change
-    "knn_label_accuracy_ivf",  # r10: ivf_query_index mask plumbing
-    "ann_index_drift",         # r10: same serving-path plumbing
-    "ann_index_append",        # r10: lake_version threading + CAS wait
-    "ann_index_compact",       # r10: same publish/manifest plumbing
-    "ann_ivfpq_append",        # r10: same publish plumbing
-    "hard_negative_mining",    # r10: anchor for the served twin's floor
+    # ---- round-11 attestation window (driver caps at ~50 rows/round) ---
+    # -- new in r11, never attested --------------------------------------
+    "bm25_served",                  # r11: build/serve split for retrieval
+    "bm25_maxscore",                # r11: MaxScore-pruned exact top-k
+    "hard_negative_mining_corpus",  # r11: corpus-wide self-probe miner
+    "hard_negative_mining_pq",      # r11: PQ-coded production miner
+    "cdc_index_maintenance",        # r11: CDC-derived index lifecycle
+    "nb_language_filter",           # r11: trained NB quality filter
+    "kmv_set_ops",                  # r11: KMV/AKMV set-operation sketches
+    "ann_opq_quality",              # r11: OPQ rotation vs plain PQ
+    # -- code changed in r11: must re-attest on current code -------------
+    "corpus_refresh",          # r11: attest flag + fp/posting side tables
+    "erasure_protocol",        # r11: explicit-keys path + vacuum reclaim
+    "lake_merge_on_read",      # r11: explicit delete keys
+    "lake_lifecycle",          # r11: CDC consumer + restore semantics
+    "lake_restore",            # r11: CDC-across-restore pinning
+    "lake_maintenance",        # r11: side-table advisor coverage
+    "lake_bloom",              # r11: raw-scan bitmap build (review fix)
+    "lake_cluster",            # r11: lake.py shared-path changes
+    "lake_zorder",             # r11: same
+    "dedup_incremental_lsh",   # r11: persisted-fingerprint path
+    "dedup_audio_fingerprint",  # r11: short-clip contract fix
+    "hard_negative_mining_ivf",  # r11: ann_index.py label plumbing
+    "index_lake_consistency",  # r11: same module
+    "knn_label_accuracy_ivf",  # r11: ivf_query_index label validation
+    "ann_index_drift",         # r11: same serving path
+    "ann_index_append",        # r11: same publish plumbing
+    "ann_ivfpq_index",         # r11: meta_cols on the PQ encoder
+    "ann_ivfpq_topk",          # r11: pq_encode_fn signature change
+    "ann_ivfpq_append",        # r11: same
+    "ann_index_compact",       # r11: same
+    "ann_index_delete",        # r11: same
+    "hard_negative_mining",    # r11: exact-miner anchor for the twins
+    "importance_weight_select",  # r10-new, keep warm with curation.py edits
     # -- spare window capacity: refresh the oldest remaining stamps
-    #    (r5 vintage per VERDICT r9's tables) so the rotation keeps
-    #    rolling forward; harmless if the cap cuts the tail ------------
-    "sql_entry",
-    "json_extract",
-    "scalar_functions",
-    "semi_join",
-    "quantiles",
-    "top_k_frequency",
-    "yearly_avg",
-    "validity_audit",
-    "station_zone_assignment",
-    "topic_model_validity",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "minhash_signatures",
-    "sessionization",
+    #    (r5 vintage per the attestation-history scan) so the rotation
+    #    keeps rolling; harmless if the cap cuts the tail ---------------
+    "ann_ivf_topk",
+    "ann_ivf_topk_int8",
+    "anti_join",
+    "bigram_logprob",
+    "bpe_segment_stats",
+    "bpe_train_merges",
+    "centroid_separation",
+    "cusum_changepoint",
+    "dedup_eval_lsh",
+    "dedup_jaccard_prefix",
+    "dedup_keep_best",
+    "distinct_hll_bound",
+    "dow_seasonality",
+    "embedding_centroids",
+    "embedding_outliers",
+    "join_revenue_per_nation",
+    "lang_mismatch_rate",
+    "market_basket_lift",
+    "multimodal_dct_stats",
+    "multimodal_frame_sample",
+    "multimodal_frame_stats",
+    "multimodal_gzip_stats",
+    "multimodal_meta",
+    "multimodal_resize",
+    "phrase_search",
+    "pivot_event_counts",
+    "pricing_summary",
+    "rolling_median",
+    "rollup_agg",
+    "source_overlap_matrix",
+    "tfidf_top_terms",
+    "time_to_convert",
+    "triangle_count",
+    "window_suite",
+    "winsorized_mean",
 )
 
 

@@ -1685,3 +1685,82 @@ def test_pq_corpus_mining_and_meta_preservation(spark, tmp_path):
         ai.append_ivfpq_index(
             e.where("vec_id % 2 = 1").drop("label"), half
         )
+
+
+def test_nb_language_filter_learns_signal_and_respects_split(spark):
+    """The trained NB filter (r11): held-out predictions must (a) cover
+    exactly the doc_id % NB_TEST_MOD == 0 split, (b) beat the majority
+    baseline on the synthetic lang signal, and (c) report `correct`
+    consistent with pred vs actual."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        NB_TEST_MOD,
+        nb_language_filter,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    got = nb_language_filter(d).collect()
+    test_ids = {
+        r.doc_id
+        for r in d.where(f"doc_id % {NB_TEST_MOD} = 0")
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in got} == test_ids
+    for r in got:
+        assert r.correct == (r.pred_en == r.is_en)
+        assert r.pred_en == (r.nb_margin > 0)
+    acc = sum(r.correct for r in got) / len(got)
+    n_en = sum(r.is_en for r in got)
+    majority = max(n_en, len(got) - n_en) / len(got)
+    # weak synthetic signal, but a trained model must not be WORSE than
+    # always guessing the majority class
+    assert acc >= majority - 1e-9, (acc, majority)
+
+
+def test_kmv_sketch_mergeable_across_partitions(spark):
+    """KMV mergeability — the property that makes the synopsis shippable
+    per partition/day/source: the k smallest of two partial sketches
+    equals the sketch of the union, so a distributed fold is exact."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.sketches import (
+        KMV_K,
+        kmv_sketch,
+    )
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    whole = [r.h for r in kmv_sketch(o, "o_custkey").collect()]
+    p1 = [r.h for r in kmv_sketch(o.where("o_orderkey % 2 = 0"), "o_custkey").collect()]
+    p2 = [r.h for r in kmv_sketch(o.where("o_orderkey % 2 = 1"), "o_custkey").collect()]
+    merged = sorted(set(p1) | set(p2))[:KMV_K]
+    assert merged == whole
+
+
+def test_opq_monotone_improvement_and_orthonormal():
+    """fit_opq's alternation must never end above plain PQ's sample MSE
+    (R = I / PQ-books start; every sub-step non-increasing), and the
+    Procrustes rotation must be orthonormal — on arbitrary data, not
+    just the test corpus."""
+    import numpy as np
+
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        _fit_pq_books,
+        _pq_reconstruct,
+        fit_opq,
+    )
+
+    rng = np.random.RandomState(7)
+    # anisotropic data: correlated dims, where rotation genuinely helps
+    base = rng.randn(300, 8) @ rng.randn(8, 64)
+    sample = [list(v) for v in base]
+    R, books, mse_pq, mse_opq = fit_opq(sample, m=8, k=16, n_iter=5)
+    assert mse_opq <= mse_pq + 1e-12, (mse_pq, mse_opq)
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-8
+    # cross-check mse_pq against an independent computation
+    x = np.asarray(sample, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    direct = float(
+        ((x - _pq_reconstruct(x, _fit_pq_books(sample, 8, 16))) ** 2).sum()
+        / len(x)
+    )
+    assert abs(direct - mse_pq) < 1e-9
