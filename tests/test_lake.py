@@ -1810,3 +1810,60 @@ def test_lake_changes_since_across_restore(spark, tmp_path):
         + [(2, "delete", 0), (2, "delete", 1)]
         + [(3, "insert", 0), (3, "insert", 1)]
     )
+
+
+def test_incremental_mv_group_folds_to_zero_and_disappears(spark, tmp_path):
+    """IVM edge: deleting EVERY row of one group drives its count to
+    zero — the served view must drop the group (not show a zero/negative
+    row), and a fold must physically remove the dead delta rows while
+    preserving the view."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_consume_changes,
+        lake_delete_keys,
+        lake_read,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.lake_queries import (
+        mv_delta_rows,
+        mv_fold,
+        mv_serve,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_commit
+
+    lake_commit(d, src)
+    lake_consume_changes(spark, src, mv, apply_fn=mv_delta_rows)
+    victim = "src3"
+    keys = d.where(F.col("source") == victim).select("doc_id")
+    lake_delete_keys(spark, src, "doc_id", keys=keys)
+    lake_consume_changes(spark, src, mv, apply_fn=mv_delta_rows)
+
+    served = mv_serve(spark, mv)
+    assert served.where(F.col("source") == victim).count() == 0
+    # view equals recompute over the live snapshot
+    direct = (
+        lake_read(spark, src)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    assert served.count() == direct.count()
+    assert served.exceptAll(direct).count() == 0
+
+    before = served.localCheckpoint()
+    mv_fold(spark, mv)
+    # the dead group's paired +/- delta rows cancelled and are GONE
+    folded_log = lake_read(spark, mv)
+    assert folded_log.where(F.col("source") == victim).count() == 0
+    after = mv_serve(spark, mv)
+    assert after.count() == before.count()
+    assert after.exceptAll(before).count() == 0
