@@ -887,3 +887,89 @@ def gap_stateful(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct-count sketch (round 11): the stateful twin of
+# operators/sketches.kmv_sketch. KMV merge is ORDER-INSENSITIVE (the k
+# smallest of a union does not care about arrival order), so unlike the
+# EWMA/Holt folds no watermark buffering is needed: state per key is
+# exactly the k smallest hashes seen — k longs, bounded for the life of
+# the stream — and after any prefix the emitted estimate equals the
+# batch sketch of that prefix bit-for-bit (mergeability, pytest-pinned).
+# ---------------------------------------------------------------------------
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("n_sample", LongType()),
+        StructField("distinct_est", DoubleType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_KMV_SCALE_STREAM = 4294967296  # 2^32, matches operators/sketches
+
+
+def _kmv_fn(k: int):
+    def fn(
+        key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev, n_seen = state.get
+            hs = set(prev)
+        else:
+            hs, n_seen = set(), 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            hs.update(int(x) for x in pdf["h"])
+        top = sorted(hs)[:k]
+        state.update((list(top), int(n_seen)))
+        est = (
+            float(len(top))
+            if len(top) < k
+            else (k - 1) * _KMV_SCALE_STREAM / top[-1]
+        )
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])],
+                "n_seen": [int(n_seen)],
+                "n_sample": [len(top)],
+                "distinct_est": [est],
+            }
+        )
+
+    return fn
+
+
+def kmv_stateful(events: DataFrame, k: int | None = None) -> DataFrame:
+    """Per-key streaming distinct-count estimate from a bounded KMV
+    state. ``events`` carries (key LONG, h LONG) where ``h`` is the
+    shared HASH32 of the counted value (hash in the select feeding
+    this, exactly as the batch sketch does) — state and estimator are
+    the batch functions' twins, so stream == batch on any
+    watermark-free replay. Update mode; NoTimeout (the sketch never
+    expires — it summarizes the whole history by design)."""
+    if k is None:
+        from cours_datalake_dwh_td_kafka_spark.operators.sketches import (
+            KMV_K,
+        )
+
+        k = KMV_K
+    return events.select("key", "h").groupBy("key").applyInPandasWithState(
+        _kmv_fn(k),
+        KMV_OUTPUT_SCHEMA,
+        KMV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -2044,3 +2044,89 @@ def test_ingest_daemon_end_to_end(spark, tmp_path):
     assert eq(lake_read(spark, fps), fingerprint_rows(docs))
     assert eq(lake_read(spark, bands), minhash_band_rows(docs))
     assert eq(ti.bm25_query_index(spark, tidx), bm25_search(docs))
+
+
+def test_stream_kmv_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV distinct-count == batch sketch bit-for-bit: two
+    file-stream batches of (key, custkey) rows fold into a k-hash state
+    per key; after the stream drains, each key's estimate equals the
+    batch kmv_sketch + _kmv_estimate over that key's full value set —
+    mergeability makes arrival order and batch boundaries invisible."""
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StructField as _Sf,
+        StructType as _St,
+    )
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        _HASH32_SPARK,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.sketches import (
+        KMV_K,
+        _kmv_estimate,
+        kmv_sketch,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.stateful import (
+        kmv_stateful,
+    )
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        (F.year("o_orderdate") % 2).cast("long").alias("key"),
+        "o_custkey",
+        "o_orderkey",
+    )
+    rows = o.collect()
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    half = len(rows) // 2
+    for name, chunk in (("a", rows[:half]), ("b", rows[half:])):
+        with open(os.path.join(src, f"{name}.json"), "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r.asDict()) + "\n")
+
+    schema = _St(
+        [
+            _Sf("key", LongType()),
+            _Sf("o_custkey", LongType()),
+            _Sf("o_orderkey", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(
+            "key",
+            _HASH32_SPARK(F.col("o_custkey").cast("string")).alias("h"),
+        )
+    )
+    out = kmv_stateful(stream)
+    name = f"tkmv_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.table(name).collect()
+    for key in (0, 1):
+        final = max(
+            (r for r in got if r.key == key), key=lambda r: r.n_seen
+        )
+        batch = [
+            r.h
+            for r in kmv_sketch(
+                o.where(F.col("key") == key), "o_custkey"
+            ).collect()
+        ]
+        assert final.n_sample == len(batch)
+        assert final.distinct_est == _kmv_estimate(batch, KMV_K)
