@@ -2157,6 +2157,7 @@ def build_ivfpq_index(
     k: int | None = None,
     lake_version: int | None = None,
     meta_cols: tuple = (),
+    opq: bool = False,
 ) -> int:
     """Train the coarse quantizer AND the PQ codebooks on one
     deterministic sample (both O(1) in corpus size), encode every vector
@@ -2170,13 +2171,23 @@ def build_ivfpq_index(
     — the filtered-ANN layout on the PQ side, so a label mask can run
     inside the ADC scan (:func:`hard_negative_mining_corpus_pq`);
     :func:`append_ivfpq_index` preserves them (the round-10
-    maintenance-strips-metadata lesson)."""
+    maintenance-strips-metadata lesson).
+
+    ``opq=True`` (r11) trains an OPQ rotation (Ge et al. 2013,
+    :func:`similarity.fit_opq`) on the same sample and builds the WHOLE
+    index — coarse cells, codebooks, codes — in the rotated frame; the
+    d x d rotation persists as ``rotation.parquet`` next to the
+    codebooks, appends copy it frozen (it joins the re-chain
+    fingerprint: an append encoded under a different rotation would be
+    silently wrong), and the serving path rotates queries before the
+    probe. Same storage, same ADC scan, lower quantization error."""
     import numpy as np
 
     from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
         PQ_K,
         PQ_M,
         _fit_pq_books,
+        fit_opq,
         pq_encode_fn,
     )
 
@@ -2198,15 +2209,23 @@ def build_ivfpq_index(
         .collect()
     )
     sample = [r.emb for r in sample_rows]
-    centroids = _fit_cells(sample, n_cells)
+    rotation = None
+    if opq:
+        rotation, books, _, _ = fit_opq(sample, m, k)
+        xs = np.asarray(sample, dtype=np.float64)
+        xs /= np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+        cell_sample = [list(v) for v in xs @ rotation]
+    else:
+        books = _fit_pq_books(sample, m, k)
+        cell_sample = sample
+    centroids = _fit_cells(cell_sample, n_cells)
     n_cells = len(centroids)
-    books = _fit_pq_books(sample, m, k)
     cents = np.asarray(centroids, dtype=np.float64)
 
     # THE shared encoder (similarity.pq_encode_fn): the persisted index
     # and the in-query twin can never compute different codes
     encoded = emb_d.mapInPandas(
-        pq_encode_fn(cents, books, meta_cols),
+        pq_encode_fn(cents, books, meta_cols, rotation=rotation),
         f"vec_id BIGINT, cell INT, codes ARRAY<INT>{meta_schema}",
     )
     version = f"v_{uuid.uuid4().hex[:12]}"
@@ -2224,10 +2243,44 @@ def build_ivfpq_index(
         ],
         "sub int, code int, centroid array<double>",
     ).write.parquet(f"{vdir}/books.parquet")
+    if rotation is not None:
+        spark.createDataFrame(
+            [(i, [float(v) for v in rotation[i]]) for i in range(len(rotation))],
+            "i int, row array<double>",
+        ).write.parquet(f"{vdir}/rotation.parquet")
     _write_index_manifest(vdir, [f"{version}/codes"], lake_version)
     os.makedirs(path, exist_ok=True)
     _publish_current(path, version)
     return n_cells
+
+
+def _load_rotation(spark: SparkSession, vdir: str):
+    """The version's OPQ rotation as a d x d numpy matrix, or None for
+    a plain-PQ index (no rotation artifact persisted)."""
+    import numpy as np
+
+    rdir = os.path.join(vdir, "rotation.parquet")
+    if not os.path.exists(rdir):
+        return None
+    rows = spark.read.parquet(rdir).collect()
+    d = len(rows)
+    R = np.zeros((d, d))
+    for r in rows:
+        R[r.i] = r.row
+    return R
+
+
+def _pq_artifact_dirs(vdir: str) -> tuple[str, ...]:
+    """The quantizer artifacts a PQ version is defined by — appends
+    copy them byte-for-byte and the re-chain fingerprint covers them.
+    The OPQ rotation, when present, is as assignment-defining as the
+    codebooks: an append encoded under a different rotation would be
+    silently wrong, so it MUST participate in the frozen-quantizer
+    fingerprint."""
+    base = ("centroids.parquet", "books.parquet")
+    if os.path.exists(os.path.join(vdir, "rotation.parquet")):
+        return base + ("rotation.parquet",)
+    return base
 
 
 def _code_roots(path: str, vdir: str) -> list[str]:
@@ -2310,14 +2363,18 @@ def append_ivfpq_index(
     meta_schema = "".join(
         f", {c} {t}" for c, t in emb_d.dtypes if c in meta
     )
+    # an OPQ index's appends encode under the SAME frozen rotation —
+    # it is copied with the codebooks and fingerprinted with them
+    rotation = _load_rotation(spark, vdir)
+    artifacts = _pq_artifact_dirs(vdir)
     encoded = emb_d.mapInPandas(
-        pq_encode_fn(cents, books, tuple(meta)),
+        pq_encode_fn(cents, books, tuple(meta), rotation=rotation),
         f"vec_id BIGINT, cell INT, codes ARRAY<INT>{meta_schema}",
     )
     version = f"v_{uuid.uuid4().hex[:12]}"
     new_vdir = os.path.join(path, version)
     encoded.write.partitionBy("cell").parquet(f"{new_vdir}/codes")
-    for artifact in ("centroids.parquet", "books.parquet"):
+    for artifact in artifacts:
         _shutil.copytree(
             os.path.join(vdir, artifact), os.path.join(new_vdir, artifact)
         )
@@ -2335,7 +2392,7 @@ def append_ivfpq_index(
         new_vdir,
         os.path.basename(vdir),
         f"{version}/codes",
-        ("centroids.parquet", "books.parquet"),
+        artifacts,
         lake_version,
     )
     return len(_code_roots(path, new_vdir))
@@ -2399,8 +2456,14 @@ def ivfpq_query_index(
         )
     qmat = np.vstack([np.asarray(r.emb, dtype=np.float64) for r in q_rows])
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # OPQ: queries probe and ADC-score in the index's rotated frame;
+    # the exact rerank below stays in the ORIGINAL frame (rotation
+    # preserves cosine, and the floats come from the source table),
+    # so it gets the unrotated qmat
+    rotation = _load_rotation(spark, vdir)
+    qmat_probe = qmat if rotation is None else qmat @ rotation
     qids = np.asarray([int(r.query_id) for r in q_rows])
-    sims_qc = qmat @ cents.T
+    sims_qc = qmat_probe @ cents.T
     cell_probes: dict[int, list[int]] = {}
     for qi in range(len(qids)):
         order = sorted(range(n_cells), key=lambda i: (-sims_qc[qi, i], i))
@@ -2408,7 +2471,7 @@ def ivfpq_query_index(
             cell_probes.setdefault(c, []).append(qi)
     probed = sorted(cell_probes)
 
-    luts, norms2 = _pq_probe_tables(qmat, books, m)
+    luts, norms2 = _pq_probe_tables(qmat_probe, books, m)
     shortlist_k = rerank * top_k
     # an appended index unions its manifest's code roots, pruned per
     # root (the IVF serving shape applied to the PQ layout)
@@ -2465,6 +2528,45 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     served = ivfpq_query_index(spark, path, q, e)
     out = ivf_recall_check(e, served)
     _sweep_stale_tags(path, "pq_idx_")
+    return out
+
+
+_OPQ_INDEX_SQL = f"""
+    WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+    SELECT vec_id AS query_id,
+           CAST(LEAST({TOP_K}, n_vecs - 1) AS BIGINT) AS k_truth,
+           TRUE AS recall_ok
+    FROM embeddings, n
+    WHERE vec_id < {N_QUERIES}
+    ORDER BY query_id
+"""
+
+
+@register("ann_opq_index", _OPQ_INDEX_SQL)
+def q_ann_opq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ-rotated PQ index on the SERVING path: the rotation
+    persists as a version artifact (frozen across appends — it joins
+    the re-chain fingerprint), queries probe and ADC-score in the
+    rotated frame, the exact rerank stays in the original frame, and
+    the per-query recall bound is the SAME floor the plain PQ row
+    clears — OPQ buys reconstruction accuracy at zero storage or scan
+    cost (one d x d matmul at encode/probe time)."""
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        ivf_recall_check,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = _corpus_tag(e, sf_dir)
+    path = os.path.join(_user_index_root(), f"opq_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "CURRENT")):
+        build_ivfpq_index(e, path, opq=True)
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).where(F.col("query_id") < N_QUERIES)
+    served = ivfpq_query_index(spark, path, q, e)
+    out = ivf_recall_check(e, served)
+    _sweep_stale_tags(path, "opq_idx_")
     return out
 
 

@@ -570,13 +570,16 @@ def ivfpq_topk(
     return exact_rerank(emb_d, shortlist, qmat, qids, top_k)
 
 
-def pq_encode_fn(cents, books, meta_cols=()):
+def pq_encode_fn(cents, books, meta_cols=(), rotation=None):
     """mapInPandas closure encoding (vec_id, emb) rows to
     (vec_id, cell, codes) — THE one PQ encoder, shared by the in-query
     path and the persisted index build so the two can never silently
     diverge (tests pin served == in-query). ``meta_cols`` ride along
     unchanged (the filtered-ANN layout on the PQ side, r11 — same
-    rule as :func:`ivf_assign_fn`'s pass-through)."""
+    rule as :func:`ivf_assign_fn`'s pass-through). ``rotation`` (r11,
+    OPQ): an orthonormal d x d matrix applied AFTER normalization —
+    centroids and codebooks trained in the rotated frame pair with it;
+    one matmul per batch, the whole cost of OPQ at encode time."""
     import numpy as np
     import pandas as pd
 
@@ -591,6 +594,8 @@ def pq_encode_fn(cents, books, meta_cols=()):
             xu = x / np.maximum(
                 np.linalg.norm(x, axis=1, keepdims=True), 1e-12
             )
+            if rotation is not None:
+                xu = xu @ rotation
             cells_ = (xu @ cents.T).argmax(axis=1).astype("int32")
             codes = np.empty((len(xu), m), dtype="int32")
             for mi in range(m):

@@ -1764,3 +1764,50 @@ def test_opq_monotone_improvement_and_orthonormal():
         / len(x)
     )
     assert abs(direct - mse_pq) < 1e-9
+
+
+def test_opq_index_lifecycle_append_preserves_rotation(spark, tmp_path):
+    """The persisted OPQ index: build on the even half, append the odd
+    half — the frozen rotation must ride along byte-for-byte (it joins
+    the quantizer fingerprint), the served set must cover the union,
+    and serving must equal a fresh query against the same artifacts."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators import ann_index as ai
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "opq")
+    ai.build_ivfpq_index(e.where("vec_id % 2 = 0"), idx, opq=True)
+    v0 = ai._current_version_dir(idx)
+    R0 = ai._load_rotation(spark, v0)
+    assert R0 is not None and R0.shape[0] == R0.shape[1]
+    ai.append_ivfpq_index(e.where("vec_id % 2 = 1"), idx)
+    v1 = ai._current_version_dir(idx)
+    assert v1 != v0
+    R1 = ai._load_rotation(spark, v1)
+    assert (R0 == R1).all()
+    # fingerprint covers the rotation artifact
+    assert ai._quantizer_fingerprint(
+        v0, ai._pq_artifact_dirs(v0)
+    ) == ai._quantizer_fingerprint(v1, ai._pq_artifact_dirs(v1))
+    assert "rotation.parquet" in ai._pq_artifact_dirs(v1)
+
+    # the appended index serves the union: every vector findable as its
+    # own nearest neighbor's query — cheap proxy: query a batch drawn
+    # from BOTH halves and demand non-empty results for each
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).where("query_id < 8")
+    served = ai.ivfpq_query_index(spark, idx, q, e)
+    assert served.select("query_id").distinct().count() == 8
+
+    # a plain index stays rotation-free (no artifact, no probe rotate)
+    plain = str(tmp_path / "plain")
+    ai.build_ivfpq_index(e, plain)
+    assert ai._load_rotation(spark, ai._current_version_dir(plain)) is None
+    assert ai._pq_artifact_dirs(ai._current_version_dir(plain)) == (
+        "centroids.parquet",
+        "books.parquet",
+    )
