@@ -1588,3 +1588,108 @@ def lake_read_point(
     return _apply_deletes(spark, path, m, files).where(
         F.col(col) == F.lit(value)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-table transaction log (round 11, beyond-ref): atomic multi-table
+# snapshot pointers — the catalog-commit shape (Project Nessie / lakeFS:
+# a single versioned pointer names the consistent version of EVERY
+# table) expressed with the same file primitives as the per-table
+# manifests. A protocol that maintains N derived tables (corpus + its
+# fingerprint/band/posting side tables, a table + its rollup MV) commits
+# each table individually, then publishes ONE txn entry mapping table ->
+# version; a reader resolving the newest entry time-travels every table
+# at its recorded version and can NEVER observe table A's new commit
+# paired with a B that hadn't landed — no matter where a writer crashed
+# or how the reads interleave with an in-flight protocol.
+# ---------------------------------------------------------------------------
+
+
+def _txn_dir(root: str) -> str:
+    return os.path.join(root, "_txns")
+
+
+def _txn_versions(root: str) -> list[int]:
+    tdir = _txn_dir(root)
+    if not os.path.isdir(tdir):
+        return []
+    out = []
+    for name in os.listdir(tdir):
+        if name.startswith("t") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def lake_txn_publish(root: str, tables: dict[str, tuple[str, int]]) -> int:
+    """Atomically publish one cross-table snapshot: ``tables`` maps a
+    logical name to (table path, committed version). Same two-step
+    O_EXCL + fsync + link publish as the per-table manifests — a rival
+    transaction landing the same txn number fails THIS publish loudly
+    (single winner), and readers never see a partial entry. Returns the
+    txn number. Each table's version must actually exist at publish
+    time (a pointer to a vacuumed or never-committed version would turn
+    every future read into a late failure — reject it now)."""
+    for name, (path, version) in tables.items():
+        try:
+            _read_manifest(path, version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"txn table {name!r}: version {version} does not exist "
+                f"at {path}"
+            ) from None
+    tdir = _txn_dir(root)
+    os.makedirs(tdir, exist_ok=True)
+    n = (_txn_versions(root) or [0])[-1] + 1
+    entry = {
+        "txn": n,
+        "tables": {
+            name: {"path": os.path.abspath(path), "version": version}
+            for name, (path, version) in tables.items()
+        },
+    }
+    target = os.path.join(tdir, f"t{n}.json")
+    tmp = os.path.join(tdir, f"t{n}.json.tmp.{uuid.uuid4().hex}")
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        # link(2) fails with FileExistsError if a rival published t{n}
+        # first — the same raw single-winner contract as the per-table
+        # manifest publish (callers retry with a fresh number or fail)
+        os.link(tmp, target)
+    finally:
+        os.unlink(tmp)
+    return n
+
+
+def lake_txn_snapshot(root: str, txn: int | None = None) -> dict:
+    """Resolve a transaction entry (newest by default) to its
+    {name: {path, version}} mapping — the consistent cross-table
+    cut a reader should pin every table read to. Raises if no
+    transaction has ever been published."""
+    versions = _txn_versions(root)
+    if not versions:
+        raise ValueError(f"no published transactions at {root}")
+    n = versions[-1] if txn is None else txn
+    with open(os.path.join(_txn_dir(root), f"t{n}.json")) as f:
+        return json.load(f)["tables"]
+
+
+def lake_txn_read(
+    spark: SparkSession, root: str, name: str, txn: int | None = None
+) -> DataFrame:
+    """Read one table AT the version the transaction records — the
+    reader-side half of cross-table consistency. Two tables read
+    through the SAME txn number are mutually consistent by
+    construction, regardless of writer progress."""
+    t = lake_txn_snapshot(root, txn)
+    if name not in t:
+        raise ValueError(
+            f"txn at {root} records no table {name!r}; has {sorted(t)}"
+        )
+    return lake_read(spark, t[name]["path"], t[name]["version"])

@@ -1088,3 +1088,155 @@ def q_lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-table transaction consistency (round 11, beyond-ref): the
+# catalog-commit protocol over (base table, derived rollup) — no reader
+# resolving through the txn log can ever observe the base at a version
+# paired with a rollup that hadn't landed, no matter where the writer
+# is mid-protocol.
+# ---------------------------------------------------------------------------
+
+
+def _rollup_of(docs: DataFrame) -> DataFrame:
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def lake_txn_consistency_protocol(
+    spark: SparkSession, d: DataFrame, workdir: str
+) -> DataFrame:
+    """Three ingest waves into a base table, each followed by an
+    OVERWRITE of its per-source rollup and ONE txn publish pairing the
+    two versions. Between every wave's base commit and its txn publish
+    — the window where the raw tables are mutually INCONSISTENT — a
+    txn reader is exercised and must still see the previous consistent
+    pair (rollup(base@recorded) == rollup_table@recorded, multiset
+    equality). After the final publish the reader sees the full corpus.
+    Booleans: ``all_reads_consistent_ok`` (every read, mid-window and
+    post-publish, satisfied the invariant), ``stale_window_ok`` (the
+    mid-window reads did NOT leak the in-flight base commit — version
+    pinning, not just invariant luck), ``single_winner_ok`` (a rival
+    publishing the same txn number loses loudly)."""
+    import os
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        current_version,
+        lake_txn_publish,
+        lake_txn_read,
+        lake_txn_snapshot,
+    )
+
+    base = d.select("doc_id", "source", "lang", "n_chars")
+    root = os.path.join(workdir, "txn_root")
+    docs_p = os.path.join(workdir, "docs")
+    roll_p = os.path.join(workdir, "rollup")
+    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(hi) - int(lo) + 1
+    cuts = [
+        int(lo) + span // 3,
+        int(lo) + 2 * span // 3,
+        int(hi) + 1,
+    ]
+
+    def txn_pair_consistent() -> bool:
+        snap_docs = lake_txn_read(spark, root, "docs")
+        snap_roll = lake_txn_read(spark, root, "rollup")
+        want = _rollup_of(snap_docs)
+        return (
+            snap_roll.count() == want.count()
+            and snap_roll.exceptAll(want).count() == 0
+        )
+
+    all_ok = True
+    stale_ok = True
+    prev_cut = int(lo)
+    for i, cut in enumerate(cuts):
+        wave = base.where(
+            (F.col("doc_id") >= prev_cut) & (F.col("doc_id") < cut)
+        )
+        prev_cut = cut
+        dv = lake_commit(wave, docs_p, mode="append" if i else "overwrite")
+        if i > 0:
+            # the inconsistency window: docs advanced, rollup + txn not
+            # yet — a txn reader must still see the OLD pair, and must
+            # NOT see the in-flight base version
+            all_ok &= txn_pair_consistent()
+            stale_ok &= (
+                lake_txn_snapshot(root)["docs"]["version"] == dv - 1
+            )
+        rv = lake_commit(
+            _rollup_of(lake_read(spark, docs_p, dv)),
+            roll_p,
+            mode="overwrite" if current_version(roll_p) else "append",
+        )
+        lake_txn_publish(root, {"docs": (docs_p, dv), "rollup": (roll_p, rv)})
+        all_ok &= txn_pair_consistent()
+
+    # single-winner: a rival re-publishing the just-taken txn number
+    # must fail loudly (the O_EXCL/link contract)
+    import json as _json
+
+    taken = max(
+        int(n[1:-5])
+        for n in os.listdir(os.path.join(root, "_txns"))
+        if n.endswith(".json")
+    )
+    single_winner = False
+    try:
+        # replay the same number by hand-creating the entry the way a
+        # lagging rival would
+        tdir = os.path.join(root, "_txns")
+        tmp = os.path.join(tdir, "rival.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"txn": taken, "tables": {}}, f)
+        try:
+            os.link(tmp, os.path.join(tdir, f"t{taken}.json"))
+        except FileExistsError:
+            single_winner = True
+        finally:
+            os.unlink(tmp)
+    except OSError:
+        single_winner = False
+
+    return (
+        lake_txn_read(spark, root, "rollup")
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            F.lit(bool(all_ok)).alias("all_reads_consistent_ok"),
+            F.lit(bool(stale_ok)).alias("stale_window_ok"),
+            F.lit(bool(single_winner)).alias("single_winner_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+_TXN_SQL = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS all_reads_consistent_ok,
+           TRUE AS stale_window_ok,
+           TRUE AS single_winner_ok
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("lake_txn_consistency", _TXN_SQL)
+def q_lake_txn_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_txn_")
+    try:
+        return lake_txn_consistency_protocol(spark, d, tmp).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

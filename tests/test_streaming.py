@@ -2130,3 +2130,81 @@ def test_stream_kmv_matches_batch_sketch(spark, tmp_path):
         ]
         assert final.n_sample == len(batch)
         assert final.distinct_est == _kmv_estimate(batch, KMV_K)
+
+
+def test_streamed_mv_maintenance_via_cdc_daemon(spark, tmp_path):
+    """The MV delta derivation rides the streaming CDC daemon: streamed
+    ingest commits versions into the source lake, the foreachBatch
+    poller folds each version's deltas into the MV, and the served view
+    equals a from-scratch recompute — including after a restart with a
+    FRESH checkpoint (exactly-once lives in the lake marks, not the
+    checkpoint)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType as _St
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_read
+    from cours_datalake_dwh_td_kafka_spark.operators.lake_queries import (
+        mv_delta_rows,
+        mv_serve,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        commit_stream_to_lake,
+        consume_lake_changes_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = int(lo) + (int(hi) - int(lo)) // 2
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    lake = str(tmp_path / "lake")
+    mv = str(tmp_path / "mv")
+
+    def drop(name, frame):
+        with open(os.path.join(src_dir, name), "w") as f:
+            for r in frame.collect():
+                f.write(_json.dumps(r.asDict()) + "\n")
+
+    def ingest(ck):
+        stream = spark.readStream.schema(_St(docs.schema.fields)).json(
+            src_dir
+        )
+        q = commit_stream_to_lake(stream, lake, str(tmp_path / ck)).start()
+        q.awaitTermination(180)
+
+    def daemon(ck):
+        q = consume_lake_changes_stream(
+            spark, lake, mv, str(tmp_path / ck), apply_fn=mv_delta_rows
+        ).start()
+        q.awaitTermination(180)
+
+    drop("a.json", docs.where(F.col("doc_id") < cut))
+    ingest("ick1")
+    daemon("dck1")
+    drop("b.json", docs.where(F.col("doc_id") >= cut))
+    ingest("ick1")
+    daemon("dck2")  # FRESH daemon checkpoint: marks carry the state
+
+    served = mv_serve(spark, mv)
+    direct = (
+        lake_read(spark, lake)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    assert served.count() == direct.count()
+    assert served.exceptAll(direct).count() == 0
+    # a third drain with nothing new adds no MV versions
+    from cours_datalake_dwh_td_kafka_spark.lake import current_version
+
+    v_before = current_version(mv)
+    daemon("dck3")
+    assert current_version(mv) == v_before
