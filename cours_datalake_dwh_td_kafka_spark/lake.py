@@ -1693,3 +1693,94 @@ def lake_txn_read(
             f"txn at {root} records no table {name!r}; has {sorted(t)}"
         )
     return lake_read(spark, t[name]["path"], t[name]["version"])
+
+
+# ---------------------------------------------------------------------------
+# commit-time expectations (round 11, beyond-ref): declarative quality
+# constraints enforced at the write boundary — the Delta Live Tables
+# expectation shape (and Delta's table CONSTRAINTs): schema-on-write
+# already rejects type drift; expectations reject VALUE drift, with a
+# dead-letter route so a mostly-good batch doesn't stall ingestion.
+# ---------------------------------------------------------------------------
+
+
+class ExpectationViolation(ValueError):
+    """A commit batch violated a fail-mode expectation."""
+
+
+def lake_commit_expect(
+    df: DataFrame,
+    path: str,
+    expectations: dict[str, str],
+    mode: str = "append",
+    on_violation: str = "fail",
+    quarantine_path: str | None = None,
+) -> dict:
+    """Commit ``df`` under declarative row expectations — each a SQL
+    boolean predicate (NULL counts as a violation, matching CHECK-
+    constraint semantics where only TRUE passes):
+
+    - ``on_violation='fail'``: ANY violating row aborts the whole
+      commit (the CONSTRAINT contract — nothing lands);
+    - ``'drop'``: violating rows are silently dropped, clean rows
+      commit (the DLT expect_or_drop contract);
+    - ``'quarantine'``: violating rows commit to ``quarantine_path``
+      WITH a ``_failed_expectation`` column naming the first violated
+      check, clean rows commit to ``path`` — the dead-letter route
+      that keeps bad data auditable instead of gone.
+
+    One validation pass computes every check's violation count (a
+    single aggregate over the batch — no per-check scans); the routing
+    split reuses the same predicate. Returns {'version', 'n_clean',
+    'violations': {check: count}, 'quarantine_version'}. At 100 TB the
+    batch is the unit of enforcement: expectations cost one scan of
+    the INCREMENT, never the table."""
+    from pyspark.sql import functions as F
+
+    if on_violation not in ("fail", "drop", "quarantine"):
+        raise ValueError(f"unknown on_violation: {on_violation}")
+    if on_violation == "quarantine" and quarantine_path is None:
+        raise ValueError("quarantine mode needs quarantine_path")
+    if not expectations:
+        raise ValueError("no expectations given — use lake_commit")
+    checks = {
+        name: F.expr(cond).eqNullSafe(F.lit(True))
+        for name, cond in expectations.items()
+    }
+    counts = df.agg(
+        *[
+            F.sum(F.when(~ok, 1).otherwise(0)).cast("long").alias(name)
+            for name, ok in checks.items()
+        ]
+    ).first()
+    violations = {name: int(counts[name] or 0) for name in checks}
+    n_bad = sum(violations.values())
+
+    if n_bad and on_violation == "fail":
+        raise ExpectationViolation(
+            f"commit to {path} rejected: " + ", ".join(
+                f"{name}={n}" for name, n in violations.items() if n
+            )
+        )
+    all_ok = None
+    for ok in checks.values():
+        all_ok = ok if all_ok is None else (all_ok & ok)
+    clean = df.where(all_ok)
+    out = {"violations": violations, "quarantine_version": None}
+    out["n_clean"] = clean.count()
+    out["version"] = lake_commit(clean, path, mode=mode)
+    if on_violation == "quarantine" and n_bad:
+        first_failed = None
+        for name, ok in checks.items():
+            hit = F.when(~ok, F.lit(name))
+            first_failed = (
+                hit if first_failed is None
+                else F.coalesce(first_failed, hit)
+            )
+        bad = df.where(~all_ok).withColumn(
+            "_failed_expectation", first_failed
+        )
+        out["quarantine_version"] = lake_commit(
+            bad, quarantine_path, mode="append"
+        )
+    return out

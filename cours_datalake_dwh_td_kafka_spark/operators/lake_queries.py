@@ -1240,3 +1240,155 @@ def q_lake_txn_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake_txn_consistency_protocol(spark, d, tmp).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# commit-time expectations as an attested row: the quality gate at the
+# write boundary, with the dead-letter route auditable in-row.
+# ---------------------------------------------------------------------------
+
+#: the registered row's expectation set over the documents table — the
+#: oracle recomputes each check's violation count directly, so the
+#: row's counts are value-hashed, not just boolean-attested
+_EXPECTATIONS = {
+    "nonempty_text": "length(text) > 0",
+    "chars_match": "n_chars = length(text)",
+    # deliberately excludes 'zh' so the dead-letter route FIRES on the
+    # real corpus (a quarantine leg that never quarantines proves
+    # nothing) — the count is value-hashed against the oracle
+    "known_lang": "lang IN ('en','es','de','fr')",
+    "has_source": "source IS NOT NULL",
+}
+
+
+def lake_expectations_protocol(
+    spark: SparkSession, d: DataFrame, workdir: str
+) -> DataFrame:
+    """Drive all three violation modes over the same batch:
+
+    - QUARANTINE: the full corpus commits under the expectation set;
+      clean rows land in the table, violators land in the dead-letter
+      table tagged with the first failed check;
+    - FAIL: a batch with a poisoned row must abort atomically (nothing
+      lands — version count unchanged);
+    - DROP: the same poisoned batch commits only its clean rows.
+
+    Output: one row per expectation with its violation count (oracle
+    recomputes each count from the raw table), plus the protocol
+    booleans: conservation (clean + quarantined == input), fail-mode
+    atomicity, drop-mode kept-count, quarantine tag correctness."""
+    import os
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        ExpectationViolation,
+        current_version,
+        lake_commit_expect,
+        lake_read,
+    )
+
+    base = d.select("doc_id", "source", "lang", "n_chars", "text")
+    t = os.path.join(workdir, "docs")
+    q = os.path.join(workdir, "dead_letter")
+    res = lake_commit_expect(
+        base,
+        t,
+        _EXPECTATIONS,
+        on_violation="quarantine",
+        quarantine_path=q,
+    )
+    n_in = base.count()
+    n_quar = (
+        lake_read(spark, q).count() if res["quarantine_version"] else 0
+    )
+    conservation_ok = res["n_clean"] + n_quar == n_in
+    # every quarantined row really fails the check it is tagged with
+    tag_ok = True
+    if n_quar:
+        quar = lake_read(spark, q)
+        for name, cond in _EXPECTATIONS.items():
+            mistagged = quar.where(
+                (F.col("_failed_expectation") == name)
+                & F.expr(cond).eqNullSafe(F.lit(True))
+            ).count()
+            tag_ok &= mistagged == 0
+
+    # fail mode: one poisoned row aborts the WHOLE batch
+    poisoned = base.limit(5).withColumn("text", F.lit(""))
+    v_before = current_version(t)
+    try:
+        lake_commit_expect(poisoned, t, _EXPECTATIONS, on_violation="fail")
+        fail_atomic_ok = False
+    except ExpectationViolation:
+        fail_atomic_ok = current_version(t) == v_before
+
+    # drop mode: the clean remainder commits
+    mixed = base.limit(5).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("")).otherwise(
+            F.col("text")
+        ),
+    ).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    res2 = lake_commit_expect(
+        mixed, t, _EXPECTATIONS, mode="append", on_violation="drop"
+    )
+    want_clean = mixed
+    for cond in _EXPECTATIONS.values():
+        want_clean = want_clean.where(
+            F.expr(cond).eqNullSafe(F.lit(True))
+        )
+    drop_ok = res2["n_clean"] == want_clean.count()
+
+    rows = [
+        (
+            name,
+            res["violations"][name],
+            bool(conservation_ok),
+            bool(tag_ok),
+            bool(fail_atomic_ok),
+            bool(drop_ok),
+        )
+        for name in sorted(_EXPECTATIONS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "expectation STRING, n_violations BIGINT, conservation_ok BOOLEAN,"
+        " quarantine_tags_ok BOOLEAN, fail_atomic_ok BOOLEAN,"
+        " drop_keeps_clean_ok BOOLEAN",
+    ).orderBy("expectation")
+
+
+def _expectations_sql() -> str:
+    cases = {
+        name: f"SUM(CASE WHEN NOT COALESCE({cond}, FALSE) THEN 1 ELSE 0 END)"
+        for name, cond in _EXPECTATIONS.items()
+    }
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS expectation, CAST({expr} AS BIGINT)"
+        f" AS n_violations FROM documents"
+        for name, expr in sorted(cases.items())
+    )
+    return f"""
+    SELECT expectation, n_violations,
+           TRUE AS conservation_ok, TRUE AS quarantine_tags_ok,
+           TRUE AS fail_atomic_ok, TRUE AS drop_keeps_clean_ok
+    FROM ({selects})
+    ORDER BY expectation
+    """
+
+
+@register("lake_expectations", _expectations_sql())
+def q_lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="graft_expect_")
+    try:
+        return lake_expectations_protocol(spark, d, tmp).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

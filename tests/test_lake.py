@@ -1929,3 +1929,52 @@ def test_txn_log_single_winner_and_version_pinning(spark, tmp_path):
         lake_txn_publish(root, {"t": (t, 99)})
     with pytest.raises(ValueError, match="records no table"):
         lake_txn_read(spark, root, "nope")
+
+
+def test_commit_expectations_modes(spark, tmp_path):
+    """lake_commit_expect: NULL predicates count as violations (CHECK
+    semantics), fail mode is atomic, quarantine conserves rows and tags
+    each with the FIRST failed check in declaration order."""
+    import pytest
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        ExpectationViolation,
+        current_version,
+        lake_commit_expect,
+        lake_read,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 10),
+            (2, None, 10),     # null_name violation (NULL -> violation)
+            (3, "bad", -1),    # positive violation
+            (4, None, -2),     # violates BOTH -> tagged with the first
+        ],
+        "id BIGINT, name STRING, v BIGINT",
+    )
+    checks = {"named": "name IS NOT NULL", "positive": "v > 0"}
+    t, q = str(tmp_path / "t"), str(tmp_path / "q")
+
+    with pytest.raises(ExpectationViolation, match="named=2"):
+        lake_commit_expect(df, t, checks, on_violation="fail")
+    assert current_version(t) == 0  # atomic: nothing landed
+
+    res = lake_commit_expect(
+        df, t, checks, on_violation="quarantine", quarantine_path=q
+    )
+    assert res["n_clean"] == 1 and res["violations"] == {
+        "named": 2,
+        "positive": 2,
+    }
+    quar = {
+        r.id: r._failed_expectation
+        for r in lake_read(spark, q).collect()
+    }
+    assert quar == {2: "named", 3: "positive", 4: "named"}
+    assert lake_read(spark, t).count() == 1
+
+    res2 = lake_commit_expect(
+        df, str(tmp_path / "t2"), checks, on_violation="drop"
+    )
+    assert res2["n_clean"] == 1
