@@ -1392,3 +1392,200 @@ def q_lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake_expectations_protocol(spark, d, tmp).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# continuous-aggregate cascade (round 11, beyond-ref): hierarchical
+# rollups where EACH LEVEL consumes the level below's change feed — the
+# TimescaleDB continuous-aggregate shape on the delta-log MV: base
+# events -> hourly rollup -> daily rollup, every hop O(changed rows).
+# The daily level never reads the base table at all; because the MV log
+# is itself a versioned lake table, its CDC feed IS the next level's
+# input, and a FOLD of the hourly log (snapshot rewrite) flows through
+# as paired delete/insert deltas that cancel exactly.
+# ---------------------------------------------------------------------------
+
+
+def _fine_delta_rows(changes: DataFrame) -> DataFrame:
+    """Base-events CDC -> hourly (d_n, d_v) deltas; values fold as
+    DECIMAL(28,6) so delta arithmetic (and the fold-cancellation
+    argument) is exact, never an ulp war."""
+    sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        changes.where(F.col("_change").isin("insert", "delete"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum(sign).cast("long").alias("d_n"),
+            F.sum(
+                sign * F.col("value").cast("decimal(28,6)")
+            ).cast("decimal(28,6)").alias("d_v"),
+        )
+    )
+
+
+def _coarse_delta_rows(changes: DataFrame) -> DataFrame:
+    """Hourly-log CDC -> daily deltas: an INSERTED fine delta carries
+    its (d_n, d_v) forward, a DELETED one (a fold rewrote the log)
+    carries the negation — so maintenance of the intermediate level is
+    invisible one level up."""
+    sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        changes.where(F.col("_change").isin("insert", "delete"))
+        .groupBy(F.date_trunc("day", F.col("h")).alias("day"))
+        .agg(
+            F.sum(sign * F.col("d_n")).cast("long").alias("d_n"),
+            F.sum(sign * F.col("d_v")).cast("decimal(28,6)").alias("d_v"),
+        )
+    )
+
+
+def _serve_rollup(spark: SparkSession, path: str, bucket: str) -> DataFrame:
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_read
+
+    return (
+        lake_read(spark, path)
+        .groupBy(bucket)
+        .agg(
+            F.sum("d_n").cast("long").alias("n_events"),
+            F.round(
+                F.sum("d_v").cast("decimal(28,6)").cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .where(F.col("n_events") > 0)
+        .orderBy(bucket)
+    )
+
+
+def rollup_cascade_protocol(
+    spark: SparkSession, ev: DataFrame, workdir: str
+) -> DataFrame:
+    """The attested cascade lifecycle: two ingest waves, a
+    merge-on-read delete of every event_id % 13 == 0, then a FOLD of
+    the hourly log. After every consumed hop BOTH levels equal a
+    from-scratch recompute over the live base snapshot, and the fold's
+    delete/insert churn nets to zero at the daily level. Final rows:
+    the daily rollup (value-hashed), protocol booleans riding along."""
+    import os
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_consume_changes,
+        lake_delete_keys,
+        lake_read,
+    )
+
+    base = ev.select("event_id", "ts", "value")
+    src = os.path.join(workdir, "events")
+    fine = os.path.join(workdir, "hourly")
+    coarse = os.path.join(workdir, "daily")
+    lo, hi = base.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = int(lo) + (int(hi) - int(lo)) // 2
+
+    def consume_chain():
+        lake_consume_changes(spark, src, fine, apply_fn=_fine_delta_rows)
+        lake_consume_changes(
+            spark, fine, coarse, apply_fn=_coarse_delta_rows
+        )
+
+    def levels_eq_recompute() -> bool:
+        live = lake_read(spark, src)
+
+        def want(bucket_fn, bucket):
+            return (
+                live.groupBy(bucket_fn(F.col("ts")).alias(bucket))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(28,6)"))
+                        .cast("decimal(28,6)")
+                        .cast("double"),
+                        6,
+                    ).alias("sum_value"),
+                )
+            )
+
+        fine_got = _serve_rollup(spark, fine, "h")
+        fine_want = want(lambda c: F.date_trunc("hour", c), "h")
+        coarse_got = _serve_rollup(spark, coarse, "day")
+        coarse_want = want(lambda c: F.date_trunc("day", c), "day")
+        return (
+            fine_got.count() == fine_want.count()
+            and fine_got.exceptAll(fine_want).count() == 0
+            and coarse_got.count() == coarse_want.count()
+            and coarse_got.exceptAll(coarse_want).count() == 0
+        )
+
+    all_ok = True
+    lake_commit(base.where(F.col("event_id") < cut), src)
+    consume_chain()
+    all_ok &= levels_eq_recompute()
+
+    lake_commit(base.where(F.col("event_id") >= cut), src, mode="append")
+    consume_chain()
+    all_ok &= levels_eq_recompute()
+
+    erase = base.where(F.col("event_id") % 13 == 0).select("event_id")
+    lake_delete_keys(spark, src, "event_id", keys=erase)
+    consume_chain()
+    all_ok &= levels_eq_recompute()
+
+    # fold the INTERMEDIATE level; the daily level must absorb the
+    # rewrite's delete/insert churn to exactly zero
+    before = _serve_rollup(spark, coarse, "day").localCheckpoint(
+        eager=False
+    )
+    folded = (
+        lake_read(spark, fine)
+        .groupBy("h")
+        .agg(
+            F.sum("d_n").cast("long").alias("d_n"),
+            F.sum("d_v").cast("decimal(28,6)").alias("d_v"),
+        )
+        .where((F.col("d_n") != 0) | (F.col("d_v") != 0))
+    )
+    lake_commit(folded, fine, mode="overwrite")
+    lake_consume_changes(spark, fine, coarse, apply_fn=_coarse_delta_rows)
+    after = _serve_rollup(spark, coarse, "day")
+    fold_invisible = (
+        after.count() == before.count()
+        and after.exceptAll(before).count() == 0
+    )
+    all_ok &= levels_eq_recompute()
+
+    return after.select(
+        "day",
+        "n_events",
+        "sum_value",
+        F.lit(bool(all_ok)).alias("cascade_matches_recompute_ok"),
+        F.lit(bool(fold_invisible)).alias("fold_invisible_upstream_ok"),
+    ).orderBy("day")
+
+
+_CASCADE_SQL = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS sum_value,
+           TRUE AS cascade_matches_recompute_ok,
+           TRUE AS fold_invisible_upstream_ok
+    FROM events
+    WHERE event_id % 13 != 0
+    GROUP BY 1
+    ORDER BY day
+"""
+
+
+@register("rollup_cascade", _CASCADE_SQL)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="graft_cascade_")
+    try:
+        return rollup_cascade_protocol(spark, ev, tmp).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_opq_index",                # r11: OPQ rotation on the serving path
     "lake_txn_consistency",         # r11: cross-table catalog commits
     "lake_expectations",            # r11: commit-time quality gates
+    "rollup_cascade",               # r11: continuous-aggregate hierarchy
     # -- code changed in r11: must re-attest on current code -------------
     "corpus_refresh",          # r11: attest flag + fp/posting side tables
     "erasure_protocol",        # r11: explicit-keys path + vacuum reclaim
