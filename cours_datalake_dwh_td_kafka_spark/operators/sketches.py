@@ -385,3 +385,106 @@ _KMV_SQL = f"""
 @register("kmv_set_ops", _KMV_SQL)
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(spark, load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries two-pass EXACT heavy hitters (round 11, beyond-ref):
+# the deterministic complement of the CMS row. Pass 1 runs the
+# Misra-Gries summary per partition (k counters, one sequential sweep)
+# — the classic completeness guarantee composes across partitions:
+# any item with global frequency > n/k MUST survive in at least one
+# partition's summary (within a partition it can be decremented at
+# most n_p/k times, and summing over partitions the total decrement
+# budget is n/k). Pass 2 exactly recounts ONLY the candidate set
+# (a broadcast semi-join), so the output is exact counts — at 100 TB
+# the second pass reads the column once more but shuffles only
+# candidate rows, never a full groupBy of the key space.
+# ---------------------------------------------------------------------------
+MG_K = 4  # counters per partition -> completeness threshold n/4
+
+
+def mg_candidates(df: DataFrame, key: str, k: int = MG_K) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: every global
+    > n/k heavy hitter is guaranteed present. mapInPandas keeps the
+    counter dict ACROSS a partition's Arrow batches (the generator is
+    one partition's lifetime), so the summary is the true sequential
+    MG of the partition."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key].to_numpy():
+                v = v.item() if hasattr(v, "item") else v
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [c for c, n in counters.items() if n == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        if counters:
+            yield pd.DataFrame({key: list(counters.keys())})
+
+    return df.select(key).mapInPandas(
+        summarize, df.select(key).schema
+    ).distinct()
+
+
+def heavy_hitters_mg(
+    df: DataFrame, key: str, k: int = MG_K
+) -> DataFrame:
+    """EXACT set of items with global frequency > n/k, by the
+    MG-candidates + exact-recount protocol. The output is what the
+    theorem actually promises (every > n/k item survives the summary),
+    so the row is non-vacuous exactly when the column is skewed —
+    registered over documents.lang, whose majority class clears n/4
+    while four counters force real evictions among the rest. The
+    completeness boolean re-audits the guarantee against a full exact
+    count of the attestation corpus: a wrongly evicted heavy hitter
+    would flip it and fail the hash."""
+    from pyspark.sql import functions as F
+
+    cand = mg_candidates(df, key, k).localCheckpoint(eager=False)
+    n = df.count()
+    thresh = n / k
+    counted = (
+        df.join(F.broadcast(cand), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .where(F.col("exact_cnt") > thresh)
+        .localCheckpoint(eager=False)
+    )
+    true_heavy = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") > thresh)
+    )
+    missing = true_heavy.join(counted, key, "left_anti").count()
+    complete = missing == 0
+    return counted.select(
+        key,
+        "exact_cnt",
+        F.lit(bool(complete)).alias("above_threshold_complete_ok"),
+    ).orderBy(F.desc("exact_cnt"), F.asc(key))
+
+
+_MG_SQL = f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           TRUE AS above_threshold_complete_ok
+    FROM documents
+    GROUP BY lang
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) / {MG_K}.0
+    ORDER BY exact_cnt DESC, lang
+"""
+
+
+@register("heavy_hitters_mg", _MG_SQL)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters_mg(
+        load_table(spark, sf_dir, "documents"), "lang"
+    )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lake_txn_consistency",         # r11: cross-table catalog commits
     "lake_expectations",            # r11: commit-time quality gates
     "rollup_cascade",               # r11: continuous-aggregate hierarchy
+    "heavy_hitters_mg",             # r11: MG two-pass exact heavy hitters
     # -- code changed in r11: must re-attest on current code -------------
     "corpus_refresh",          # r11: attest flag + fp/posting side tables
     "erasure_protocol",        # r11: explicit-keys path + vacuum reclaim

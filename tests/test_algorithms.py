@@ -1811,3 +1811,33 @@ def test_opq_index_lifecycle_append_preserves_rotation(spark, tmp_path):
         "centroids.parquet",
         "books.parquet",
     )
+
+
+def test_misra_gries_completeness_under_adversarial_order(spark):
+    """The MG completeness theorem, attacked: a heavy item interleaved
+    with floods of distinct one-off keys (the worst case for counter
+    eviction) must survive the per-partition summaries for EVERY
+    partitioning, and the recount returns its exact global count."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.operators.sketches import (
+        heavy_hitters_mg,
+        mg_candidates,
+    )
+
+    # 400 distinct flood keys + one key holding ~34% of rows, arranged
+    # so the heavy key's runs are split by eviction-triggering floods
+    rows = []
+    hid = 10_000
+    for i in range(400):
+        rows.append((i,))
+        if i % 2 == 0:
+            rows.append((hid,))
+    df = spark.createDataFrame(rows, "k BIGINT")
+    for parts in (1, 3, 8):
+        d = df.repartition(parts)
+        cand = {r.k for r in mg_candidates(d, "k", k=4).collect()}
+        assert hid in cand, (parts, len(cand))
+        got = heavy_hitters_mg(d, "k", k=4).collect()
+        assert [(r.k, r.exact_cnt) for r in got] == [(hid, 200)]
+        assert all(r.above_threshold_complete_ok for r in got)
