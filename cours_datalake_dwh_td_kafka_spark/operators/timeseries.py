@@ -636,3 +636,56 @@ def autocorrelation_acf(
 @register("autocorrelation_acf", _ACF_SQL)
 def q_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation_acf(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (round 11, beyond-ref): the canonical time-series
+# downsample — per bucket, the first/highest/lowest/last value by
+# event time. open/close are order statistics over (ts, event_id), so
+# they are exact argmin/argmax (min_by/max_by — one grouped aggregate,
+# never a window over the raw stream), the shape every market-data /
+# metrics pipeline reduces raw ticks with before charting or modeling.
+# ---------------------------------------------------------------------------
+_OHLC_SQL = """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           ROUND(arg_min(value, printf('%020d-%012d', epoch_us(ts),
+                                       event_id)), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(arg_max(value, printf('%020d-%012d', epoch_us(ts),
+                                       event_id)), 6) AS close
+    FROM events
+    GROUP BY 1
+    ORDER BY bar
+"""
+
+
+def ohlc_bars(e: DataFrame, bucket: str = "hour") -> DataFrame:
+    """Hourly OHLC bars over the event stream. Ties on the timestamp
+    break by event_id (both engines order the same struct
+    lexicographically), so open/close are deterministic even when two
+    ticks share a microsecond. One grouped aggregate: at 100 TB this
+    shuffles one row per (bucket, partition) after partial aggregation,
+    never the raw ticks."""
+    # fixed-width string key: lexicographic == (epoch_us, event_id)
+    # order, and DuckDB's arg_min/arg_max accept it (structs it won't)
+    key = F.format_string(
+        "%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        e.groupBy(F.date_trunc(bucket, F.col("ts")).alias("bar"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+        )
+        .orderBy("bar")
+    )
+
+
+@register("ohlc_bars", _OHLC_SQL)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_bars(load_table(spark, sf_dir, "events"))

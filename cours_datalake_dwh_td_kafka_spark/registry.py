@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lake_expectations",            # r11: commit-time quality gates
     "rollup_cascade",               # r11: continuous-aggregate hierarchy
     "heavy_hitters_mg",             # r11: MG two-pass exact heavy hitters
+    "ohlc_bars",                    # r11: argmin/argmax downsampling
     # -- code changed in r11: must re-attest on current code -------------
     "corpus_refresh",          # r11: attest flag + fp/posting side tables
     "erasure_protocol",        # r11: explicit-keys path + vacuum reclaim
