@@ -392,6 +392,42 @@ def corpus_refresh(
             == n_after
         )
 
+    # ONE atomic catalog commit pairs the merged corpus with every
+    # maintained side artifact (r11 txn log): a reader resolving
+    # through the txn entry can never observe the post-MERGE corpus
+    # with a pre-MERGE band / fingerprint / posting state — the
+    # index_lake_consistency guarantee generalized to all five side
+    # tables, at the cost of one tiny O_EXCL file publish
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        current_version,
+        lake_txn_publish,
+        lake_txn_snapshot,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.text_index import (
+        _doclens_path,
+        _postings_path,
+        _tstats_path,
+    )
+
+    txn_tables = {
+        "corpus": lake_path,
+        "bands": bands_path,
+        "fps": fps_path,
+        "postings": _postings_path(tidx),
+        "doclens": _doclens_path(tidx),
+        "term_stats": _tstats_path(tidx),
+    }
+    txn_root = os.path.join(workdir, "catalog")
+    lake_txn_publish(
+        txn_root,
+        {n: (p, current_version(p)) for n, p in txn_tables.items()},
+    )
+    snap = lake_txn_snapshot(txn_root)
+    txn_published_ok = all(
+        snap[n]["version"] == current_version(p)
+        for n, p in txn_tables.items()
+    )
+
     # append the batch's embeddings; the index must serve the union
     elo, ehi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
     ecut = int(elo) + int((int(ehi) - int(elo)) * INCREMENT_SPLIT)
@@ -455,6 +491,7 @@ def corpus_refresh(
                 bool(fps_table_ok),
                 bool(side_tables_maintained_ok),
                 bool(text_index_serves_ok),
+                bool(txn_published_ok),
             )
         ],
         "n_corpus_kept BIGINT, n_batch BIGINT, n_new_unique BIGINT, "
@@ -462,7 +499,8 @@ def corpus_refresh(
         "no_dup_ok BOOLEAN, no_near_dup_ok BOOLEAN, no_leak_ok BOOLEAN, "
         "merge_atomic_ok BOOLEAN, index_serves_union BOOLEAN, "
         "bands_table_ok BOOLEAN, fps_table_ok BOOLEAN, "
-        "side_tables_maintained_ok BOOLEAN, text_index_serves_ok BOOLEAN",
+        "side_tables_maintained_ok BOOLEAN, text_index_serves_ok BOOLEAN, "
+        "txn_published_ok BOOLEAN",
     )
 
 
@@ -569,7 +607,8 @@ def _refresh_sql() -> str:
            TRUE AS bands_table_ok,
            TRUE AS fps_table_ok,
            TRUE AS side_tables_maintained_ok,
-           TRUE AS text_index_serves_ok
+           TRUE AS text_index_serves_ok,
+           TRUE AS txn_published_ok
     """
 
 
