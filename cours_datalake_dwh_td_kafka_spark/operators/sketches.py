@@ -404,28 +404,36 @@ MG_K = 4  # counters per partition -> completeness threshold n/4
 
 
 def mg_candidates(df: DataFrame, key: str, k: int = MG_K) -> DataFrame:
-    """Per-partition Misra-Gries summaries, unioned: every global
-    > n/k heavy hitter is guaranteed present. mapInPandas keeps the
-    counter dict ACROSS a partition's Arrow batches (the generator is
-    one partition's lifetime), so the summary is the true sequential
-    MG of the partition."""
+    """Per-partition WEIGHTED Misra-Gries summaries (Berinde et al.
+    2010's heavy-hitter summary under weighted updates), unioned: every
+    global > n/k heavy hitter is guaranteed present. Counters persist
+    across a partition's Arrow batches; within a batch the keys are
+    pre-aggregated with vectorized value_counts, so the Python loop
+    runs once per DISTINCT key per batch, never per row — each
+    eviction destroys (k+1) x m total weight, so the summed decrement
+    budget stays <= n/(k+1) < n/k and the classic completeness bound
+    survives the batching."""
     import pandas as pd
 
     def summarize(batches):
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[key].to_numpy():
+            vc = pdf[key].value_counts()
+            for v, w in vc.items():
                 v = v.item() if hasattr(v, "item") else v
+                w = int(w)
                 if v in counters:
-                    counters[v] += 1
+                    counters[v] += w
                 elif len(counters) < k:
-                    counters[v] = 1
+                    counters[v] = w
                 else:
-                    dead = [c for c, n in counters.items() if n == 1]
-                    for c in counters:
-                        counters[c] -= 1
-                    for c in dead:
-                        del counters[c]
+                    m = min(w, min(counters.values()))
+                    for c in list(counters):
+                        counters[c] -= m
+                        if counters[c] <= 0:
+                            del counters[c]
+                    if w - m > 0:
+                        counters[v] = w - m
         if counters:
             yield pd.DataFrame({key: list(counters.keys())})
 
