@@ -1,0 +1,186 @@
+"""Corpus drift monitoring: Population Stability Index between two
+corpus snapshots.
+
+A refreshed training corpus can pass every dedup/quality gate and still
+have MOVED — longer documents, a shifted language mix, a source that
+quietly doubled. PSI is the standard production drift metric for
+exactly this: for each feature, bin both snapshots, compare the binned
+proportions, and sum ``(p_cur - p_ref) * ln(p_cur / p_ref)`` over bins.
+The conventional reading: < 0.1 stable, 0.1-0.25 moderate shift,
+> 0.25 population change requiring investigation.
+
+Determinism discipline (this row is value-hashed cross-engine):
+
+- proportions are Laplace-smoothed ``(cnt + 0.5) / (n + 0.5 * B)`` with
+  ``B`` = bins observed in EITHER snapshot — integer inputs, so both
+  engines derive bit-identical doubles and no bin ever divides by zero
+  or feeds ``ln`` a 0;
+- each bin's PSI term is rounded to 6 BEFORE the feature total, and the
+  total sums the rounded terms as ``DECIMAL`` — exact, associative,
+  immune to float summation order (the importance-weight row's trick);
+- ``ln`` is the only transcendental and both engines' libm agree far
+  beyond the 6 rounded digits.
+
+Scale shape: one scan builds both feature frames (a 2-way union of
+constant-width projections), ONE groupBy on (feature, bin) produces the
+contingency table (bins are bounded: <= 16 length buckets + observed
+langs), and the per-feature totals are a 2-row broadcast join — no
+window, no collect beyond the result itself. At 100 TB this is a single
+partial-aggregated shuffle of ~B rows per executor.
+
+The registered row splits the documents table by doc_id parity as two
+deterministic snapshot stand-ins; a deployment passes two lake versions
+(``lake_read(path, version=...)`` pairs) to :func:`corpus_drift_psi`
+directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+#: length-feature binning: floor(n_chars / LEN_BIN_WIDTH), capped
+LEN_BIN_WIDTH = 64
+LEN_BIN_MAX = 15
+
+#: conventional PSI alert threshold (0.1 = moderate shift)
+PSI_ALERT = 0.1
+
+
+def _feature_rows(d: DataFrame, side: str) -> DataFrame:
+    """(feature, bin, <side>=1) rows for one snapshot: a capped
+    length-bucket feature and the categorical lang feature."""
+    len_bin = F.least(
+        F.floor(F.col("n_chars") / LEN_BIN_WIDTH), F.lit(LEN_BIN_MAX)
+    ).cast("string")
+    lng = d.select(
+        F.lit("lang").alias("feature"), F.col("lang").alias("bin")
+    )
+    ln = d.select(
+        F.lit("len_bucket").alias("feature"), len_bin.alias("bin")
+    )
+    return lng.unionByName(ln).withColumn(side, F.lit(1))
+
+
+def corpus_drift_psi(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """PSI between two snapshots over the lang and length-bucket
+    features. Output: one row per (feature, bin) with both counts, the
+    smoothed proportions, the bin's PSI term, the feature's total PSI
+    and the alert verdict — bounded by the bin space, never by corpus
+    size."""
+    rows = _feature_rows(ref, "is_ref").unionByName(
+        _feature_rows(cur, "is_cur"), allowMissingColumns=True
+    )
+    binned = rows.groupBy("feature", "bin").agg(
+        F.sum(F.coalesce("is_ref", F.lit(0))).cast("long").alias("ref_cnt"),
+        F.sum(F.coalesce("is_cur", F.lit(0))).cast("long").alias("cur_cnt"),
+    )
+    totals = binned.groupBy("feature").agg(
+        F.sum("ref_cnt").alias("n_ref"),
+        F.sum("cur_cnt").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    p_ref = (F.col("ref_cnt") + 0.5) / (
+        F.col("n_ref") + 0.5 * F.col("n_bins")
+    )
+    p_cur = (F.col("cur_cnt") + 0.5) / (
+        F.col("n_cur") + 0.5 * F.col("n_bins")
+    )
+    terms = binned.join(F.broadcast(totals), "feature").withColumn(
+        "psi_term", F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+    )
+    feature_psi = terms.groupBy("feature").agg(
+        F.sum(F.col("psi_term").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("feature_psi")
+    )
+    return (
+        terms.join(F.broadcast(feature_psi), "feature")
+        .select(
+            "feature",
+            "bin",
+            "ref_cnt",
+            "cur_cnt",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            "psi_term",
+            "feature_psi",
+            (F.col("feature_psi") > PSI_ALERT).alias("drift_alert"),
+        )
+        .orderBy("feature", "bin")
+    )
+
+
+_PSI_SQL = f"""
+    WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    rows_ AS (
+      SELECT 'lang' AS feature, lang AS bin, 1 AS is_ref, 0 AS is_cur
+        FROM ref
+      UNION ALL
+      SELECT 'len_bucket',
+             CAST(LEAST(FLOOR(n_chars / {LEN_BIN_WIDTH}), {LEN_BIN_MAX})
+                  AS BIGINT)::VARCHAR, 1, 0
+        FROM ref
+      UNION ALL
+      SELECT 'lang', lang, 0, 1 FROM cur
+      UNION ALL
+      SELECT 'len_bucket',
+             CAST(LEAST(FLOOR(n_chars / {LEN_BIN_WIDTH}), {LEN_BIN_MAX})
+                  AS BIGINT)::VARCHAR, 0, 1
+        FROM cur
+    ),
+    binned AS (
+      SELECT feature, bin,
+             CAST(SUM(is_ref) AS BIGINT) AS ref_cnt,
+             CAST(SUM(is_cur) AS BIGINT) AS cur_cnt
+      FROM rows_ GROUP BY feature, bin
+    ),
+    totals AS (
+      SELECT feature, SUM(ref_cnt) AS n_ref, SUM(cur_cnt) AS n_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM binned GROUP BY feature
+    ),
+    props AS (
+      -- explicit DOUBLE casts: DuckDB's BIGINT + 0.5 is DECIMAL math,
+      -- Spark's long + 0.5d is double math — force the Spark shape
+      SELECT b.feature, b.bin, b.ref_cnt, b.cur_cnt,
+             (CAST(b.ref_cnt AS DOUBLE) + 0.5)
+               / (CAST(t.n_ref AS DOUBLE)
+                  + 0.5 * CAST(t.n_bins AS DOUBLE)) AS p_ref_raw,
+             (CAST(b.cur_cnt AS DOUBLE) + 0.5)
+               / (CAST(t.n_cur AS DOUBLE)
+                  + 0.5 * CAST(t.n_bins AS DOUBLE)) AS p_cur_raw
+      FROM binned b JOIN totals t USING (feature)
+    ),
+    terms AS (
+      SELECT feature, bin, ref_cnt, cur_cnt, p_ref_raw, p_cur_raw,
+             ROUND((p_cur_raw - p_ref_raw) * LN(p_cur_raw / p_ref_raw), 6)
+               AS psi_term
+      FROM props
+    ),
+    fpsi AS (
+      SELECT feature,
+             CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE)
+               AS feature_psi
+      FROM terms GROUP BY feature
+    )
+    SELECT t.feature, t.bin, t.ref_cnt, t.cur_cnt,
+           ROUND(t.p_ref_raw, 6) AS p_ref,
+           ROUND(t.p_cur_raw, 6) AS p_cur,
+           t.psi_term, f.feature_psi,
+           f.feature_psi > {PSI_ALERT} AS drift_alert
+    FROM terms t JOIN fpsi f USING (feature)
+    ORDER BY feature, bin
+"""
+
+
+@register("corpus_drift_psi", _PSI_SQL)
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_drift_psi(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
+    )

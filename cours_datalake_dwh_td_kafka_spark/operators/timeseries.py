@@ -303,6 +303,162 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Linear interpolation over the dense daily spine (TimescaleDB
+# time_bucket_gapfill + interpolate(), the LOCF fill's sibling).
+# ---------------------------------------------------------------------------
+_INTERP_SQL = """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
+                 AS day_value
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    bounds AS (
+        SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily
+        GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.user_id, s.day, d.day_value
+        FROM spine s
+        LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ),
+    f AS (
+        SELECT user_id, day, day_value,
+               last_value(day_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_val,
+               last_value(CASE WHEN day_value IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_day,
+               first_value(day_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_val,
+               first_value(CASE WHEN day_value IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_day
+        FROM j
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_value,
+           ROUND(CASE WHEN day_value IS NOT NULL THEN day_value
+                 ELSE prev_val + (next_val - prev_val) *
+                      (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                       / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+                 END, 6) AS interp_value
+    FROM f
+    ORDER BY user_id, day
+"""
+
+
+def interpolate_linear(e: DataFrame, key: str = "user_id") -> DataFrame:
+    """Dense daily resampling with LINEAR interpolation between observed
+    days — the sibling of :func:`gap_fill_daily`'s forward fill and the
+    batch statement of TimescaleDB's ``interpolate()`` gapfill mode.
+    LOCF answers "what was the level?"; interpolation answers "what was
+    the trend?" — the right fill for rates and meter-style series.
+
+    Every spine day lies between its key's first and last OBSERVED day,
+    so a gap always has both endpoints: prev/next observed (value, day)
+    pairs come from ``last/first(ignorenulls)`` over the two half-open
+    frames, and the fill is the exact two-point line
+    ``prev + (next - prev) * elapsed/gap`` evaluated in the same IEEE
+    order on both engines (int day-diffs cast to double, one divide,
+    one multiply, one add, round 6).
+
+    Scale shape: identical to :func:`gap_fill_daily` — one daily
+    aggregate (decimal-exact, localCheckpoint'd so the spine bounds and
+    the fill join share one scan), a per-key ``sequence()`` spine, and
+    per-key windows whose row counts are bounded by the key's active
+    calendar span, not by event volume; all four fills share one
+    shuffle family on ``user_id`` (data-scale cardinality, never the
+    low-card gate's concern)."""
+    day = F.date_trunc("day", F.col("ts"))
+    daily = (
+        e.select(key, day.alias("day"), "value")
+        .groupBy(key, "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
+            ).alias("day_value")
+        )
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        daily.groupBy(key)
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            key,
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    d = daily.select(
+        F.col(key).alias("d_key"),
+        F.col("day").alias("d_day"),
+        "day_value",
+    )
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    observed_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    prev_val = F.last("day_value", ignorenulls=True).over(w_prev)
+    prev_day = F.last(observed_day, ignorenulls=True).over(w_prev)
+    next_val = F.first("day_value", ignorenulls=True).over(w_next)
+    next_day = F.first(observed_day, ignorenulls=True).over(w_next)
+    frac = F.datediff(F.col("day"), prev_day).cast("double") / F.datediff(
+        next_day, prev_day
+    ).cast("double")
+    interp = F.round(
+        F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
+            prev_val + (next_val - prev_val) * frac
+        ),
+        6,
+    )
+    return (
+        spine.join(
+            d,
+            (F.col(key) == F.col("d_key")) & (F.col("day") == F.col("d_day")),
+            "left",
+        )
+        .select(
+            key,
+            F.col("day"),
+            "day_value",
+        )
+        .select(
+            key,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_value",
+            interp.alias("interp_value"),
+        )
+        .orderBy(key, "day")
+    )
+
+
+@register("interpolate_linear", _INTERP_SQL)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interpolate_linear(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # Day-of-week seasonality profile
 # ---------------------------------------------------------------------------
 _DOW_SQL = """

@@ -69,6 +69,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_cascade",               # r11: continuous-aggregate hierarchy
     "heavy_hitters_mg",             # r11: MG two-pass exact heavy hitters
     "ohlc_bars",                    # r11: argmin/argmax downsampling
+    "ann_binary_hamming",           # r11: sign-quantized Hamming + rerank
+    "interpolate_linear",           # r11: gap-fill linear interpolation
+    "corpus_drift_psi",             # r11: snapshot drift monitoring
+    "ann_matryoshka_recall",        # r11: prefix-dim recall evaluation
     # -- code changed in r11: must re-attest on current code -------------
     "corpus_refresh",          # r11: attest flag + fp/posting side tables
     "erasure_protocol",        # r11: explicit-keys path + vacuum reclaim
@@ -169,12 +173,15 @@ def _load_all() -> None:
         curation,
         dedup,
         dwh,
+        drift,
         graph,
+        hamming,
         image_dedup,
         joins,
         joins_advanced,
         knn,
         lake_queries,
+        matryoshka,
         multimodal,
         pca,
         profiling,

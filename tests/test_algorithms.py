@@ -851,6 +851,7 @@ def test_round4_operators_tolerate_empty_input(spark):
     from cours_datalake_dwh_td_kafka_spark.operators.timeseries import (
         ewma,
         gap_fill_daily,
+        interpolate_linear,
     )
 
     no_docs = spark.createDataFrame(
@@ -868,6 +869,7 @@ def test_round4_operators_tolerate_empty_input(spark):
         ("bpe_train", bpe_train(no_docs, merges=3)),
         ("ewma", ewma(no_events)),
         ("gap_fill_daily", gap_fill_daily(no_events)),
+        ("interpolate_linear", interpolate_linear(no_events)),
         ("robust_anomaly", robust_anomaly(no_events)),
         ("pagerank", pagerank(no_edges, iters=2)),
     ]:
@@ -1841,3 +1843,75 @@ def test_misra_gries_completeness_under_adversarial_order(spark):
         got = heavy_hitters_mg(d, "k", k=4).collect()
         assert [(r.k, r.exact_cnt) for r in got] == [(hid, 200)]
         assert all(r.above_threshold_complete_ok for r in got)
+
+
+def test_interpolate_linear_hand_series(spark):
+    """Pinned two-point semantics on a hand-built gap: observed days
+    pass through untouched, a 3-day gap splits the delta into exact
+    quarters, and the LOCF twin disagrees on exactly the gap days."""
+    from datetime import datetime
+
+    from cours_datalake_dwh_td_kafka_spark.operators.timeseries import (
+        gap_fill_daily,
+        interpolate_linear,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), 1, 10.0),
+        (2, datetime(2024, 1, 5, 9), 1, 30.0),
+        (3, datetime(2024, 1, 1, 9), 2, 7.0),  # single-day key: no gaps
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    got = {
+        (r.user_id, r.day): (r.day_value, r.interp_value)
+        for r in interpolate_linear(e).collect()
+    }
+    assert got[(1, "2024-01-01")] == (10.0, 10.0)
+    assert got[(1, "2024-01-02")] == (None, 15.0)
+    assert got[(1, "2024-01-03")] == (None, 20.0)
+    assert got[(1, "2024-01-04")] == (None, 25.0)
+    assert got[(1, "2024-01-05")] == (30.0, 30.0)
+    assert got[(2, "2024-01-01")] == (7.0, 7.0)
+
+    locf = {
+        (r.user_id, r.day): r.filled_value
+        for r in gap_fill_daily(e).collect()
+    }
+    assert locf[(1, "2024-01-03")] == 10.0  # LOCF holds the level...
+    assert got[(1, "2024-01-03")][1] == 20.0  # ...interpolation the trend
+
+
+def test_corpus_drift_psi_null_and_shift(spark):
+    """PSI semantics pinned: identical snapshots give ~0 PSI and no
+    alert; a lang-mix flip drives the lang feature past the 0.1 alert
+    while each snapshot alone stays internally consistent."""
+    from cours_datalake_dwh_td_kafka_spark.operators.drift import (
+        PSI_ALERT,
+        corpus_drift_psi,
+    )
+
+    def corpus(langs):
+        return spark.createDataFrame(
+            [
+                (i, "x" * (40 + (i % 5) * 10), langs[i % len(langs)], "s0")
+                for i in range(200)
+            ],
+            "doc_id bigint, text string, lang string, source string",
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+
+    a = corpus(["en", "en", "en", "fr"])
+    same = corpus_drift_psi(a, a).collect()
+    assert same, "empty PSI output"
+    assert all(not r.drift_alert for r in same)
+    assert all(abs(r.feature_psi) < 1e-6 for r in same)
+
+    b = corpus(["fr", "fr", "fr", "en"])  # 75/25 -> 25/75 flip
+    shifted = corpus_drift_psi(a, b).collect()
+    lang_rows = [r for r in shifted if r.feature == "lang"]
+    assert lang_rows and all(r.drift_alert for r in lang_rows)
+    assert lang_rows[0].feature_psi > PSI_ALERT
+    # length distribution did not move: its feature stays quiet
+    len_rows = [r for r in shifted if r.feature == "len_bucket"]
+    assert len_rows and all(not r.drift_alert for r in len_rows)

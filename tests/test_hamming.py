@@ -1,0 +1,81 @@
+"""Binary sign-quantization ANN: packing exactness and the filter's
+degenerate-exact envelope."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.hamming import (
+    RERANK_R,
+    WORD_BITS,
+    binary_hamming_topk,
+    embedding_dim,
+    sign_words,
+)
+from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+    TOP_K,
+    ann_topk_bruteforce,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_sign_words_pack_matches_python(spark):
+    """The packed words equal an independent python packing of the same
+    sign bits — bit order, word seams and the strictly-positive
+    predicate all pinned."""
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(16)
+    dim = embedding_dim(e)
+    rows = (
+        e.select("vec_id", "embedding", sign_words(dim).alias("words"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert rows, "smoke embeddings empty"
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    for r in rows:
+        expect = [0] * n_words
+        for j, v in enumerate(r.embedding):
+            if v > 0.0:
+                expect[j // WORD_BITS] |= 1 << (j % WORD_BITS)
+        assert list(r.words) == expect, f"vec {r.vec_id}"
+        # 32-bit packing never reaches the sign bit of the BIGINT word
+        assert all(0 <= w < (1 << WORD_BITS) for w in r.words)
+
+
+def test_full_rerank_recovers_exact_topk(spark):
+    """With rerank_r = corpus size the Hamming filter keeps everything,
+    so the reranked result must be EXACTLY the brute-force cosine
+    top-k (same ids, same rounded cosines, same ranks)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    got = (
+        binary_hamming_topk(e, rerank_r=n)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+        .collect()
+    )
+    want = ann_topk_bruteforce(e).collect()
+    as_tuples = lambda rows: [  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cosine, r.rn) for r in rows
+    ]
+    assert as_tuples(got) == as_tuples(want)
+
+
+def test_hamming_bounded_by_dim(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    dim = embedding_dim(e)
+    stats = binary_hamming_topk(e).agg(
+        F.min("hamming").alias("lo"), F.max("hamming").alias("hi")
+    ).first()
+    assert 0 <= stats.lo <= stats.hi <= dim
+
+
+def test_rerank_narrower_than_topk_rejected(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="rerank_r"):
+        binary_hamming_topk(e, top_k=TOP_K, rerank_r=TOP_K - 1)
+
+
+def test_default_rerank_width_sane():
+    assert RERANK_R >= TOP_K
