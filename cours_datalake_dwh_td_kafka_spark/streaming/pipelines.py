@@ -919,3 +919,95 @@ def rank_topk_snapshot(counts: DataFrame, key: str = "city", k: int = 3) -> Data
         )
         .orderBy("window_start", "rank")
     )
+
+
+def drift_monitor_stream(
+    docs: DataFrame,
+    ref: DataFrame,
+    on_psi,
+    checkpoint: str,
+):
+    """Streaming corpus-drift monitor (round 11): maintain the ARRIVING
+    corpus's feature histograms as a streaming aggregation and evaluate
+    the Population Stability Index against a static REFERENCE snapshot
+    after every micro-batch.
+
+    Scale split, same shape as the trending-top-k sink: the part that
+    scales with data volume — counting (feature, bin) occurrences — runs
+    as a regular streaming ``groupBy().count()`` in update mode, so
+    Spark's state store handles partial aggregation, shuffle, and
+    recovery; the part that needs ALL bins at once — the PSI formula —
+    runs in a ``foreachBatch`` callback over the BOUNDED histogram
+    (len/lang bins are capped by construction in
+    :mod:`~cours_datalake_dwh_td_kafka_spark.operators.drift`, never by
+    corpus size). The callback keeps the merged histogram in process
+    memory (update mode emits only changed bins per trigger) and calls
+    ``on_psi(batch_id, {feature: psi})`` each trigger — the same smoothed
+    decimal-summed formula as the batch row, so a drained stream's final
+    verdict equals ``corpus_drift_psi(ref, streamed_docs)`` bit-for-bit
+    (pytest-pinned).
+
+    ``ref`` is read ONCE at start into a bounded dict (bins, not rows).
+    Returns the StreamingQuery.
+    """
+    import math
+    from decimal import Decimal
+
+    from cours_datalake_dwh_td_kafka_spark.operators.drift import (
+        _feature_rows,
+    )
+
+    ref_counts: dict[tuple[str, str], int] = {
+        (r.feature, r.bin): r.cnt
+        for r in _feature_rows(ref, "is_ref")
+        .groupBy("feature", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    cur_counts: dict[tuple[str, str], int] = {}
+
+    def _psi() -> dict[str, float]:
+        feats = {f for f, _ in ref_counts} | {f for f, _ in cur_counts}
+        out = {}
+        for feat in sorted(feats):
+            bins = sorted(
+                {b for f, b in ref_counts if f == feat}
+                | {b for f, b in cur_counts if f == feat}
+            )
+            n_ref = sum(c for (f, _), c in ref_counts.items() if f == feat)
+            n_cur = sum(c for (f, _), c in cur_counts.items() if f == feat)
+            nb = len(bins)
+            total = Decimal(0)
+            for b in bins:
+                p_ref = (ref_counts.get((feat, b), 0) + 0.5) / (
+                    n_ref + 0.5 * nb
+                )
+                p_cur = (cur_counts.get((feat, b), 0) + 0.5) / (
+                    n_cur + 0.5 * nb
+                )
+                raw = (p_cur - p_ref) * math.log(p_cur / p_ref)
+                # half-AWAY rounding (Spark/DuckDB's tie rule; python's
+                # round() is banker's — gram.round_half_away rationale)
+                term = math.copysign(
+                    math.floor(abs(raw) * 1e6 + 0.5) / 1e6, raw
+                )
+                total += Decimal(f"{term:.6f}")
+            out[feat] = float(total)
+        return out
+
+    def evaluate(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():  # bounded: changed bins only
+            cur_counts[(r.feature, r.bin)] = int(r.cnt)
+        on_psi(batch_id, _psi())
+
+    hist = (
+        _feature_rows(docs, "is_cur")
+        .groupBy("feature", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        hist.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(evaluate)
+        .start()
+    )

@@ -29,6 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -970,6 +971,123 @@ def kmv_stateful(events: DataFrame, k: int | None = None) -> DataFrame:
         _kmv_fn(k),
         KMV_OUTPUT_SCHEMA,
         KMV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters (round 11): the stateful twin of
+# operators/sketches.mg_candidates. Values are SHARDED BY HASH so state
+# distributes across tasks while the classic guarantee survives: a value's
+# entire count lands in exactly one shard, and within shard s the summed
+# decrement budget is n_s/(k+1) < n/k, so any GLOBAL > n/k heavy hitter
+# must still hold a counter in its shard after any prefix — arrival order
+# and micro-batch boundaries can change which LIGHT values ride along,
+# never whether a heavy one survives (pytest pins this under multiple
+# batch splits, plus the Berinde deficit bound on every emitted counter).
+# State per shard: <= k (value, weight) pairs + two longs — bounded for
+# the life of the stream.
+# ---------------------------------------------------------------------------
+MG_STREAM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("v", StringType()),
+        StructField("cnt_lo", LongType()),
+        StructField("err_bound", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+MG_STREAM_STATE_SCHEMA = StructType(
+    [
+        StructField("vs", ArrayType(StringType())),
+        StructField("ws", ArrayType(LongType())),
+        StructField("decr", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _mg_fn(k: int):
+    def fn(
+        key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vs, ws, decr, n_seen = state.get
+            counters = dict(zip(vs, ws))
+        else:
+            counters, decr, n_seen = {}, 0, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            # same vectorized kernel as the batch summary: one weighted
+            # update per DISTINCT value per Arrow batch, never per row
+            for v, w in pdf["v"].value_counts().items():
+                w = int(w)
+                if v in counters:
+                    counters[v] += w
+                elif len(counters) < k:
+                    counters[v] = w
+                else:
+                    m = min(w, min(counters.values()))
+                    for c in list(counters):
+                        counters[c] -= m
+                        if counters[c] <= 0:
+                            del counters[c]
+                    decr += m
+                    if w - m > 0:
+                        counters[v] = w - m
+        items = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update(
+            (
+                [v for v, _ in items],
+                [int(w) for _, w in items],
+                int(decr),
+                int(n_seen),
+            )
+        )
+        if items:
+            yield pd.DataFrame(
+                {
+                    "shard": [int(key[0])] * len(items),
+                    "v": [v for v, _ in items],
+                    "cnt_lo": [int(w) for _, w in items],
+                    "err_bound": [int(decr)] * len(items),
+                    "n_seen": [int(n_seen)] * len(items),
+                }
+            )
+
+    return fn
+
+
+def heavy_hitters_stateful(events: DataFrame, k: int | None = None) -> DataFrame:
+    """Per-shard streaming Misra-Gries summary. ``events`` carries
+    (shard LONG, v STRING) where shard = pmod(xxhash64(v), n_shards)
+    computed in the select feeding this — hashing by VALUE (never
+    round-robin) is what keeps the guarantee: each value's full weight
+    fights for one shard's counters instead of being diluted across
+    all of them.
+
+    Emitted rows per trigger are the shard's live counters with the
+    Berinde deficit bound: ``cnt_lo <= true_count <= cnt_lo +
+    err_bound`` where ``err_bound`` is the shard's total eviction
+    decrement (<= n_shard/(k+1)). Update mode; NoTimeout — like the
+    KMV sketch the summary covers the whole history by design. The
+    exact-recount second pass of the batch twin
+    (operators/sketches.heavy_hitters_mg) remains a batch job over the
+    lake; this operator is the candidate-set feed for it."""
+    if k is None:
+        from cours_datalake_dwh_td_kafka_spark.operators.sketches import (
+            MG_K,
+        )
+
+        k = MG_K
+    return events.select("shard", "v").groupBy("shard").applyInPandasWithState(
+        _mg_fn(k),
+        MG_STREAM_OUTPUT_SCHEMA,
+        MG_STREAM_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )

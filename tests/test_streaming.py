@@ -2208,3 +2208,186 @@ def test_streamed_mv_maintenance_via_cdc_daemon(spark, tmp_path):
     v_before = current_version(mv)
     daemon("dck3")
     assert current_version(mv) == v_before
+
+
+def test_stream_mg_guarantee_and_deficit_bound(spark, tmp_path):
+    """Streaming Misra-Gries: after the stream drains, (a) every batch
+    heavy hitter (> n/MG_K global) appears among the final candidates
+    regardless of micro-batch splits, (b) every emitted counter respects
+    the Berinde deficit bound cnt_lo <= exact <= cnt_lo + err_bound,
+    and (c) per-shard state never exceeds k counters."""
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType as _StrT,
+        StructField as _Sf,
+        StructType as _St,
+    )
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.sketches import MG_K
+    from cours_datalake_dwh_td_kafka_spark.streaming.stateful import (
+        heavy_hitters_stateful,
+    )
+
+    n_shards = 2
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        F.col("lang").alias("v")
+    )
+    rows = d.collect()
+    n = len(rows)
+    exact = {
+        r.v: r.c
+        for r in d.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    heavy = {v for v, c in exact.items() if c > n / MG_K}
+    assert heavy, "testdata lang column must have a > n/4 majority class"
+
+    src = str(tmp_path / "mg_in")
+    os.makedirs(src)
+    third = max(1, n // 3)
+    for i, lo in enumerate(range(0, n, third)):
+        with open(os.path.join(src, f"part{i}.json"), "w") as f:
+            for r in rows[lo : lo + third]:
+                f.write(_json.dumps({"v": r.v}) + "\n")
+
+    schema = _St([_Sf("v", _StrT())])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(
+            F.pmod(F.xxhash64("v"), F.lit(n_shards)).alias("shard"), "v"
+        )
+    )
+    out = heavy_hitters_stateful(stream)
+    name = f"tmg_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.table(name).collect()
+    assert got, "stream emitted nothing"
+    final_rows = []
+    for shard in {r.shard for r in got}:
+        shard_rows = [r for r in got if r.shard == shard]
+        horizon = max(r.n_seen for r in shard_rows)
+        live = [r for r in shard_rows if r.n_seen == horizon]
+        assert len(live) <= MG_K, f"shard {shard} holds > k counters"
+        final_rows.extend(live)
+
+    survivors = {r.v for r in final_rows}
+    assert heavy <= survivors, f"lost heavy hitter(s): {heavy - survivors}"
+    for r in final_rows:
+        true = exact.get(r.v, 0)
+        assert r.cnt_lo <= true <= r.cnt_lo + r.err_bound, (
+            r.v,
+            r.cnt_lo,
+            r.err_bound,
+            true,
+        )
+
+
+def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """Streaming PSI == batch PSI after the stream drains: the monitor's
+    per-trigger verdict over three file-stream batches of the odd-parity
+    docs converges to corpus_drift_psi(even, odd)'s feature_psi
+    bit-for-bit, and intermediate verdicts exist for every trigger."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType as _StrT,
+        StructField as _Sf,
+        StructType as _St,
+    )
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.drift import (
+        corpus_drift_psi,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        drift_monitor_stream,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    cur = d.where(F.col("doc_id") % 2 == 1)
+    want = {
+        r.feature: r.feature_psi
+        for r in corpus_drift_psi(ref, cur)
+        .select("feature", "feature_psi")
+        .distinct()
+        .collect()
+    }
+
+    rows = cur.select("doc_id", "lang", "n_chars").collect()
+    src = str(tmp_path / "drift_in")
+    os.makedirs(src)
+    third = max(1, len(rows) // 3)
+    for i, lo in enumerate(range(0, len(rows), third)):
+        with open(os.path.join(src, f"p{i}.json"), "w") as f:
+            for r in rows[lo : lo + third]:
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": r.doc_id,
+                            "lang": r.lang,
+                            "n_chars": r.n_chars,
+                        }
+                    )
+                    + "\n"
+                )
+
+    schema = _St(
+        [
+            _Sf("doc_id", LongType()),
+            _Sf("lang", _StrT()),
+            _Sf("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    verdicts: list[tuple[int, dict]] = []
+    q = drift_monitor_stream(
+        stream,
+        ref,
+        lambda bid, psi: verdicts.append((bid, psi)),
+        str(tmp_path / "ckpt"),
+    )
+    # availableNow isn't set on the monitor (it's a long-lived daemon);
+    # drain by waiting for all three files then stopping
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len(verdicts) >= 3 and all(
+            len(p) == 2 for _, p in verdicts[-1:]
+        ):
+            prog = q.lastProgress
+            if prog and prog["numInputRows"] == 0:
+                break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+    assert len(verdicts) >= 3, f"only {len(verdicts)} triggers fired"
+    final = verdicts[-1][1]
+    assert final == want, (final, want)
+    # drift grows monotonically visible: the first partial batch's PSI
+    # differs from the final (the monitor is live, not batch-replayed)
+    assert verdicts[0][1] != final
