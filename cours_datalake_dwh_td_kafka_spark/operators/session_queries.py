@@ -1,8 +1,13 @@
-"""Registry entry for the flagship sessionization query (SURVEY.md §2.5)."""
+"""Registry entries for the flagship sessionization query (SURVEY.md
+§2.5) — the one-shot batch form and its INCREMENTALLY-MAINTAINED twin
+riding the versioned lake's CDC feed."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
 from cours_datalake_dwh_td_kafka_spark.operators.sessionization import (
@@ -15,3 +20,129 @@ from cours_datalake_dwh_td_kafka_spark.registry import register
 @register("sessionization", SESSIONIZE_EVENTS_ORACLE)
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_events(load_table(spark, sf_dir, "events"))
+
+
+def maintain_sessions_incremental(
+    spark: SparkSession,
+    events_path: str,
+    sessions_path: str,
+    since_version: int,
+) -> int:
+    """Fold the event lake's changes SINCE ``since_version`` into the
+    sessions table: recompute sessions ONLY for the touched users and
+    swap their rows via a merge-on-read equality delete + append.
+
+    Why per-user recompute is the right incremental unit: sessions are
+    a per-user computation (both windows and the session aggregate key
+    on user_id), and a late event can split, extend, or MERGE that
+    user's existing sessions and renumber every later session_id —
+    delta-patching session rows is equivalent to recomputing the user.
+    So the maintenance cost is O(events of touched users), never
+    O(event lake): at 100 TB the touched-user read rides the event
+    lake's user clustering (lake_cluster on user_id → stats-pruned
+    scan) and the swap writes O(touched sessions) rows — the delete is
+    an equality-delete file, zero data rewrite. Appends committed after
+    the delete entry are outside its scope, so the replacement rows
+    survive (the Iceberg sequence-number rule lake_delete_keys pins).
+
+    Returns the number of touched users (0 = nothing to do, no commit).
+    """
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_changes_since,
+        lake_commit,
+        lake_delete_keys,
+        lake_read,
+    )
+
+    changes = lake_changes_since(spark, events_path, since_version)
+    touched = (
+        changes.where(F.col("_change") == "insert")
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_touched = touched.count()
+    if n_touched == 0:
+        return 0
+    refreshed = sessionize_events(
+        lake_read(spark, events_path).join(
+            F.broadcast(touched), "user_id", "left_semi"
+        )
+    )
+    lake_delete_keys(spark, sessions_path, "user_id", keys=touched)
+    lake_commit(refreshed, sessions_path, mode="append")
+    return n_touched
+
+
+# Oracle: the final sessions table must equal the one-shot batch
+# sessionization of ALL events — the maintenance protocol is invisible
+# in the values — plus the incrementality scalars: how many users the
+# late wave touched (user_id % 4 == 0 cohort with even event_ids) vs
+# the total session-holding population.
+_SESSION_INCR_SQL = SESSIONIZE_EVENTS_ORACLE.replace(
+    "  ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000.0 + 1.0, 6)"
+    " AS duration_min",
+    """  ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000.0 + 1.0, 6) AS duration_min,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+   WHERE user_id % 4 = 0 AND event_id % 2 = 0) AS n_touched_users,
+  TRUE AS incremental_matches_recompute_ok""",
+)
+assert "n_touched_users" in _SESSION_INCR_SQL, (
+    "oracle splice failed: sessionization oracle text changed"
+)
+
+
+@register("session_incremental", _SESSION_INCR_SQL)
+def q_session_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol row: bootstrap the sessions table from an event lake's
+    v1, append a LATE WAVE (the user_id % 4 == 0 cohort's even
+    event_ids — events that land in the MIDDLE of those users' existing
+    history, forcing true session splits/merges/renumbering, not just
+    appends), maintain incrementally from the CDC feed, and return the
+    maintained table — which the oracle value-hashes against the
+    one-shot batch recompute. The in-row guarantee boolean re-checks
+    exceptAll-equality in both directions so a maintenance bug fails
+    loudly even before the hash compare."""
+    import tempfile
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_read,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="graft_session_incr_")
+    ev_path = os.path.join(tmp, "events")
+    sess_path = os.path.join(tmp, "sessions")
+
+    late = (F.col("user_id") % 4 == 0) & (F.col("event_id") % 2 == 0)
+    v1 = lake_commit(e.where(~late), ev_path)
+    lake_commit(
+        sessionize_events(lake_read(spark, ev_path)), sess_path
+    )
+    lake_commit(e.where(late), ev_path, mode="append")
+
+    n_touched = maintain_sessions_incremental(
+        spark, ev_path, sess_path, since_version=v1
+    )
+
+    final = lake_read(spark, sess_path)
+    recompute = sessionize_events(lake_read(spark, ev_path))
+    mismatch = (
+        final.exceptAll(recompute).count()
+        + recompute.exceptAll(final).count()
+    )
+    return (
+        final.select(
+            "user_id",
+            "session_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "avg_value",
+            "duration_min",
+            F.lit(n_touched).cast("long").alias("n_touched_users"),
+            F.lit(mismatch == 0).alias("incremental_matches_recompute_ok"),
+        )
+        .orderBy("user_id", "session_id")
+    )

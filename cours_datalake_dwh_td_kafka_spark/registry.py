@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "interpolate_linear",           # r11: gap-fill linear interpolation
     "corpus_drift_psi",             # r11: snapshot drift monitoring
     "ann_matryoshka_recall",        # r11: prefix-dim recall evaluation
+    "session_incremental",          # r11: CDC-maintained flagship sessions
     # -- code changed in r11: must re-attest on current code -------------
     "corpus_refresh",          # r11: attest flag + fp/posting side tables
     "erasure_protocol",        # r11: explicit-keys path + vacuum reclaim

@@ -1978,3 +1978,92 @@ def test_commit_expectations_modes(spark, tmp_path):
         df, str(tmp_path / "t2"), checks, on_violation="drop"
     )
     assert res2["n_clean"] == 1
+
+
+def test_incremental_sessions_split_and_noop(spark, tmp_path):
+    """A LATE error event lands mid-run and must SPLIT the touched
+    user's session (renumbering included) while the untouched user's
+    bootstrap rows survive unrewritten; an empty wave is a no-op (no
+    commit). The swap is merge-on-read: the delete commit adds no data
+    files."""
+    from datetime import datetime
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        current_version,
+        lake_commit,
+        lake_read,
+        _read_manifest,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.session_queries import (
+        maintain_sessions_incremental,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.sessionization import (
+        sessionize_events,
+    )
+
+    def ev(eid, uid, minute, etype="click", value=1.0):
+        return (eid, uid, datetime(2024, 3, 1, 10, minute), etype, value)
+
+    schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    )
+    wave1 = spark.createDataFrame(
+        [
+            ev(1, 1, 0),
+            ev(2, 1, 10),
+            ev(3, 1, 20),
+            ev(4, 1, 30),
+            ev(5, 2, 0),
+            ev(6, 2, 5),
+        ],
+        schema,
+    )
+    ev_path = str(tmp_path / "events")
+    sess_path = str(tmp_path / "sessions")
+    v1 = lake_commit(wave1, ev_path)
+    lake_commit(sessionize_events(lake_read(spark, ev_path)), sess_path)
+    boot = lake_read(spark, sess_path)
+    assert boot.where("user_id = 1").count() == 1  # one unbroken run
+
+    # late ERROR at minute 15: splits user 1's run into two sessions
+    lake_commit(
+        spark.createDataFrame([ev(7, 1, 15, "error")], schema),
+        ev_path,
+        mode="append",
+    )
+    n_touched = maintain_sessions_incremental(
+        spark, ev_path, sess_path, since_version=v1
+    )
+    assert n_touched == 1
+    final = lake_read(spark, sess_path)
+    recompute = sessionize_events(lake_read(spark, ev_path))
+    assert final.exceptAll(recompute).count() == 0
+    assert recompute.exceptAll(final).count() == 0
+    u1 = final.where("user_id = 1").orderBy("session_id").collect()
+    assert [r.session_id for r in u1] == [1, 2]
+    assert [r.n_events for r in u1] == [2, 2]
+    # untouched user 2's row came through the swap byte-identical
+    assert (
+        final.where("user_id = 2").exceptAll(
+            boot.where("user_id = 2")
+        ).count()
+        == 0
+    )
+    # the swap's delete commit is merge-on-read: same data file list as
+    # the bootstrap version, deletes carried in the manifest
+    v_sess = current_version(sess_path)
+    m_del = _read_manifest(sess_path, v_sess - 1)  # the delete commit
+    m_boot = _read_manifest(sess_path, v_sess - 2)
+    assert m_del["files"] == m_boot["files"]
+    assert m_del.get("deletes")
+
+    # empty wave: nothing touched, no new commit on the sessions table
+    v_ev = current_version(ev_path)
+    assert (
+        maintain_sessions_incremental(
+            spark, ev_path, sess_path, since_version=v_ev
+        )
+        == 0
+    )
+    assert current_version(sess_path) == v_sess
