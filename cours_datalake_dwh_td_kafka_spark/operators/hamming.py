@@ -103,26 +103,17 @@ def embedding_dim(e: DataFrame) -> int:
     return int(row["d"])
 
 
-def binary_hamming_topk(
+def hamming_topk(
     e: DataFrame,
-    top_k: int = TOP_K,
+    top_k: int,
     n_queries: int = N_QUERIES,
-    rerank_r: int = RERANK_R,
     fanin: int = TOPK_FANIN,
 ) -> DataFrame:
-    """Sign-quantize, Hamming-filter to ``rerank_r`` candidates per
-    query, exact-cosine rerank to ``top_k``.
-
-    Output: (query_id, neighbor_id, hamming, cosine, rn) ordered by
-    (query_id, rn) — rn ranks the RERANKED order (cosine desc,
-    neighbor_id asc); hamming is carried through so the filter's work
-    is visible in the attested values.
-    """
-    if rerank_r < top_k:
-        raise ValueError(
-            f"rerank_r ({rerank_r}) must be >= top_k ({top_k}): the "
-            "rerank can only return candidates the filter kept"
-        )
+    """The FILTER stage alone: per-query top-``top_k`` by
+    (hamming asc, neighbor_id asc) over the sign signatures, via the
+    salted two-stage reduce. Output: (query_id, neighbor_id, hamming,
+    rn) — ``rn`` is the Hamming rank (the retrieval-eval row scores
+    exactly this ranking against the exact-cosine truth)."""
     dim = embedding_dim(e)
     words = sign_words(dim)
     corpus = e.select(
@@ -146,17 +137,39 @@ def binary_hamming_topk(
     w_final = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("neighbor_id")
     )
-    cand = (
+    return (
         scored.withColumn(
             "_salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(fanin))
         )
         .withColumn("_rn", F.row_number().over(w_local))
-        .where(F.col("_rn") <= rerank_r)
+        .where(F.col("_rn") <= top_k)
         .drop("_rn", "_salt")
-        .withColumn("_crn", F.row_number().over(w_final))
-        .where(F.col("_crn") <= rerank_r)
-        .drop("_crn")
+        .withColumn("rn", F.row_number().over(w_final).cast("long"))
+        .where(F.col("rn") <= top_k)
     )
+
+
+def binary_hamming_topk(
+    e: DataFrame,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    rerank_r: int = RERANK_R,
+    fanin: int = TOPK_FANIN,
+) -> DataFrame:
+    """Sign-quantize, Hamming-filter to ``rerank_r`` candidates per
+    query, exact-cosine rerank to ``top_k``.
+
+    Output: (query_id, neighbor_id, hamming, cosine, rn) ordered by
+    (query_id, rn) — rn ranks the RERANKED order (cosine desc,
+    neighbor_id asc); hamming is carried through so the filter's work
+    is visible in the attested values.
+    """
+    if rerank_r < top_k:
+        raise ValueError(
+            f"rerank_r ({rerank_r}) must be >= top_k ({top_k}): the "
+            "rerank can only return candidates the filter kept"
+        )
+    cand = hamming_topk(e, rerank_r, n_queries, fanin).drop("rn")
     # rerank: candidates are bounded (n_queries x rerank_r rows) —
     # broadcast them against the float scan, never the reverse
     n_emb = e.select(
@@ -233,3 +246,150 @@ _BINARY_HAMMING_SQL = f"""
 @register("ann_binary_hamming", _BINARY_HAMMING_SQL)
 def q_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_hamming_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: score the Hamming FILTER's raw ranking
+# against the exact-cosine truth with the standard IR metrics. This is
+# the measurement a retrieval stack needs before trusting a cheap first
+# stage: recall@k says how much the rerank CAN recover, MRR/nDCG say how
+# good the filter order is if you serve it unreranked.
+# ---------------------------------------------------------------------------
+
+#: ideal DCG@k for binary relevance: sum of round(1/log2(i+1), 6) for
+#: i = 1..TOP_K, decimal-summed — spelled as a literal so Spark and the
+#: oracle share the exact constant
+IDCG_AT_K = 2.94846
+
+
+def retrieval_eval(
+    e: DataFrame,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Per-query recall@k, MRR and binary-relevance nDCG@k of the
+    Hamming-rank top-k against the exact rounded-cosine top-k.
+
+    Determinism discipline: each matched rank's DCG term is rounded to
+    6 then DECIMAL-summed (float-order-proof), MRR is one exact
+    division rounded 6, recall is hits/k. Truth and system are both
+    reproducible in the DuckDB oracle, so the metrics are value-hashed
+    — not self-asserted."""
+    system = hamming_topk(e, top_k, n_queries).select(
+        "query_id", "neighbor_id", "rn"
+    )
+    truth = _exact_topk_ids(e, top_k, n_queries)
+    matched = system.join(
+        F.broadcast(truth), ["query_id", "neighbor_id"], "left"
+    ).withColumn(
+        "_rel", F.when(F.col("_t").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    dcg_term = F.when(
+        F.col("_rel") == 1,
+        F.round(F.lit(1.0) / F.log2(F.col("rn") + F.lit(1.0)), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        matched.groupBy("query_id")
+        .agg(
+            F.sum("_rel").cast("long").alias("hits"),
+            F.round(
+                F.sum("_rel") / F.lit(float(top_k)), 6
+            ).alias("recall"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    / F.min(F.when(F.col("_rel") == 1, F.col("rn"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.sum(dcg_term.cast("decimal(18,6)")).cast("double")
+                / F.lit(IDCG_AT_K),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _exact_topk_ids(e: DataFrame, top_k: int, n_queries: int) -> DataFrame:
+    """(query_id, neighbor_id, _t=1) rows of the exact rounded-cosine
+    top-k — the truth set, via the same two-stage reduce."""
+    emb = F.col("embedding").cast("array<double>")
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), emb.alias("n_emb"))
+    queries = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), emb.alias("q_emb")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", F.round(cosine_sim(F.col("q_emb"), F.col("n_emb")), 6)
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        global_topk,
+    )
+
+    return global_topk(scored, top_k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_t")
+    )
+
+
+_RETRIEVAL_EVAL_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    sys AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY len(list_filter(range(1, 65),
+                           j -> (q.embedding[j] > 0) <> (e.embedding[j] > 0))),
+                          e.vec_id
+               ) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            q.embedding::DOUBLE[],
+                            e.embedding::DOUBLE[]), 6) DESC,
+                          e.vec_id
+               ) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    matched AS (
+      SELECT s.query_id, s.rn,
+             CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM sys s
+      LEFT JOIN truth t ON t.query_id = s.query_id
+                       AND t.neighbor_id = s.neighbor_id
+    )
+    SELECT query_id,
+           CAST(SUM(rel) AS BIGINT) AS hits,
+           ROUND(SUM(rel) / {TOP_K}.0, 6) AS recall,
+           ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rn END), 0.0), 6)
+             AS mrr,
+           ROUND(CAST(SUM(CAST(CASE WHEN rel = 1
+                      THEN ROUND(1.0 / log2(rn + 1.0), 6) ELSE 0.0 END
+                      AS DECIMAL(18,6))) AS DOUBLE) / {IDCG_AT_K}, 6)
+             AS ndcg
+    FROM matched
+    GROUP BY query_id
+    ORDER BY query_id
+"""
+
+
+@register("retrieval_eval", _RETRIEVAL_EVAL_SQL)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval_eval(load_table(spark, sf_dir, "embeddings"))
