@@ -27,6 +27,8 @@ def maintain_sessions_incremental(
     events_path: str,
     sessions_path: str,
     since_version: int,
+    stream_id: str | None = None,
+    mark_version: int | None = None,
 ) -> int:
     """Fold the event lake's changes SINCE ``since_version`` into the
     sessions table: recompute sessions ONLY for the touched users and
@@ -45,6 +47,16 @@ def maintain_sessions_incremental(
     the delete entry are outside its scope, so the replacement rows
     survive (the Iceberg sequence-number rule lake_delete_keys pins).
 
+    EXACTLY-ONCE daemon form: pass ``stream_id`` + ``mark_version`` and
+    the replacement APPEND commits with the source version as the
+    sessions table's stream high-water mark. The (delete*, append+mark)
+    sequence is idempotent-until-marked: per-user recompute reads only
+    the EVENT lake (never the sessions table), so a kill after the
+    delete but before the append replays safely — the re-run's deletes
+    anti-join already-gone rows and the marked append lands once; a
+    replay AFTER the mark is skipped by the caller's mark check
+    (:func:`maintain_sessions_from_cdc`).
+
     Returns the number of touched users (0 = nothing to do, no commit).
     """
     from cours_datalake_dwh_td_kafka_spark.lake import (
@@ -54,12 +66,21 @@ def maintain_sessions_incremental(
         lake_read,
     )
 
-    changes = lake_changes_since(spark, events_path, since_version)
+    if (stream_id is None) != (mark_version is None):
+        raise ValueError(
+            "stream_id and mark_version come together: the exactly-once "
+            "mark is meaningless without a stream identity (and vice "
+            "versa)"
+        )
+    changes = lake_changes_since(
+        spark, events_path, since_version, to_version=mark_version
+    )
+    # BOTH change directions touch sessions: a late insert can split or
+    # extend a user's runs, and an erased event (merge-on-read delete on
+    # the event lake) can merge or shrink them — either way the per-user
+    # recompute from the event lake's CURRENT state is the fix
     touched = (
-        changes.where(F.col("_change") == "insert")
-        .select("user_id")
-        .distinct()
-        .localCheckpoint(eager=False)
+        changes.select("user_id").distinct().localCheckpoint(eager=False)
     )
     n_touched = touched.count()
     if n_touched == 0:
@@ -69,9 +90,80 @@ def maintain_sessions_incremental(
             F.broadcast(touched), "user_id", "left_semi"
         )
     )
-    lake_delete_keys(spark, sessions_path, "user_id", keys=touched)
-    lake_commit(refreshed, sessions_path, mode="append")
+    from cours_datalake_dwh_td_kafka_spark.lake import current_version
+
+    if current_version(sessions_path) >= 1:
+        lake_delete_keys(spark, sessions_path, "user_id", keys=touched)
+    # else: cold start — the daemon bootstraps the sessions table from
+    # the first consumed version, nothing to swap out yet
+    lake_commit(
+        refreshed,
+        sessions_path,
+        mode="append",
+        stream_batch_id=mark_version,
+        stream_id=stream_id,
+    )
     return n_touched
+
+
+def maintain_sessions_from_cdc(
+    spark: SparkSession, events_path: str, sessions_path: str
+) -> list[int]:
+    """The resident-daemon step: read the sessions table's own
+    high-water mark, fold every unconsumed event-lake version through
+    :func:`maintain_sessions_incremental` (one marked swap per
+    version), and return the versions consumed by THIS call. Replays,
+    rebuilt checkpoints, and rival pollers all re-read the mark, so
+    each version's late wave folds exactly once — the
+    ``lake_consume_changes`` guard driving a MUTATING consumer instead
+    of an append log. Versions with no insert changes advance nothing
+    (no commit to hang a mark on) and are re-walked metadata-only next
+    call."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        current_version,
+        last_stream_batch_id,
+    )
+
+    sid = f"sessions:{os.path.abspath(events_path)}"
+    cur = current_version(events_path)
+    consumed = last_stream_batch_id(sessions_path, sid)
+    done: list[int] = []
+    start = max(consumed, 0)
+    for v in range(start + 1, cur + 1):
+        n = maintain_sessions_incremental(
+            spark,
+            events_path,
+            sessions_path,
+            since_version=v - 1,
+            stream_id=sid,
+            mark_version=v,
+        )
+        if n:
+            done.append(v)
+    return done
+
+
+def sessions_maintenance_stream(
+    spark: SparkSession,
+    events_path: str,
+    sessions_path: str,
+    checkpoint: str,
+):
+    """Streaming daemon wrapper (the ``consume_lake_changes_stream``
+    shape): a rate-tick schedules :func:`maintain_sessions_from_cdc`
+    each micro-batch; exactly-once lives in the lake marks, NOT the
+    checkpoint. ``availableNow`` = catch-up-then-exit; returns the
+    unstarted writeStream so callers pick the trigger."""
+    tick = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+
+    def poll(_batch_df: DataFrame, _batch_id: int) -> None:
+        maintain_sessions_from_cdc(spark, events_path, sessions_path)
+
+    return (
+        tick.writeStream.foreachBatch(poll)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
 
 
 # Oracle: the final sessions table must equal the one-shot batch

@@ -2391,3 +2391,83 @@ def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
     # drift grows monotonically visible: the first partial batch's PSI
     # differs from the final (the monitor is live, not batch-replayed)
     assert verdicts[0][1] != final
+
+
+def test_sessions_maintenance_daemon_end_to_end(spark, tmp_path):
+    """The flagship sessions table maintained by the streaming CDC
+    daemon: cold-start bootstrap from v1, a late insert wave, and an
+    event-lake ERASURE (merge-on-read delete) each fold exactly once —
+    after every drain the table equals a from-scratch recompute, a
+    second drain consumes nothing, and marks (not the checkpoint)
+    carry the exactly-once state."""
+    from datetime import datetime
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_delete_keys,
+        lake_read,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.session_queries import (
+        maintain_sessions_from_cdc,
+        sessions_maintenance_stream,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.sessionization import (
+        sessionize_events,
+    )
+
+    def ev(eid, uid, minute, etype="click", value=1.0):
+        return (eid, uid, datetime(2024, 3, 1, 10, minute), etype, value)
+
+    schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    )
+    ev_path = str(tmp_path / "events")
+    sess_path = str(tmp_path / "sessions")
+
+    lake_commit(
+        spark.createDataFrame(
+            [ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 0), ev(4, 2, 20)], schema
+        ),
+        ev_path,
+    )
+
+    def drain(ck):
+        q = sessions_maintenance_stream(
+            spark, ev_path, sess_path, str(tmp_path / ck)
+        ).start()
+        q.awaitTermination(120)
+
+    def assert_consistent():
+        final = lake_read(spark, sess_path)
+        want = sessionize_events(lake_read(spark, ev_path))
+        assert final.exceptAll(want).count() == 0
+        assert want.exceptAll(final).count() == 0
+
+    drain("ck1")  # cold start: bootstraps the table from v1
+    assert_consistent()
+
+    # late wave: an error mid-run splits user 1's session
+    lake_commit(
+        spark.createDataFrame([ev(5, 1, 5, "error")], schema),
+        ev_path,
+        mode="append",
+    )
+    drain("ck2")  # FRESH checkpoint: marks carry exactly-once, not it
+    assert_consistent()
+    assert lake_read(spark, sess_path).where("user_id = 1").count() == 2
+
+    # erasure on the EVENT lake: user 2's events disappear -> their
+    # sessions must too (delete-direction changes touch users)
+    lake_delete_keys(
+        spark,
+        ev_path,
+        "user_id",
+        keys=spark.createDataFrame([(2,)], "user_id bigint"),
+    )
+    drain("ck3")
+    assert_consistent()
+    assert lake_read(spark, sess_path).where("user_id = 2").count() == 0
+
+    # nothing new: the daemon consumes zero versions
+    assert maintain_sessions_from_cdc(spark, ev_path, sess_path) == []
