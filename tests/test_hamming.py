@@ -79,3 +79,46 @@ def test_rerank_narrower_than_topk_rejected(spark):
 
 def test_default_rerank_width_sane():
     assert RERANK_R >= TOP_K
+
+
+def test_idcg_literal_tracks_top_k():
+    """IDCG_AT_K is spelled as a literal so both engines share the exact
+    constant; this pins it to the recomputation so a TOP_K change can't
+    silently rot the nDCG denominator."""
+    import math
+    from decimal import Decimal
+
+    from cours_datalake_dwh_td_kafka_spark.operators.hamming import (
+        IDCG_AT_K,
+    )
+
+    want = float(
+        sum(
+            Decimal(f"{round(1.0 / math.log2(i + 1), 6):.6f}")
+            for i in range(1, TOP_K + 1)
+        )
+    )
+    assert IDCG_AT_K == want
+
+
+def test_retrieval_eval_metric_envelope(spark):
+    """Sanity envelope on the smoke corpus: metrics in [0,1], hits
+    consistent with recall, and a perfect system (eval the exact truth
+    against itself via rerank_r = corpus) would be redundant — instead
+    pin that ndcg <= recall * IDCG-normalized max (binary nDCG can't
+    exceed 1) and mrr = 0 exactly when hits = 0."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.hamming import (
+        retrieval_eval,
+    )
+
+    rows = retrieval_eval(
+        load_table(spark, SF_SMOKE, "embeddings")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hits <= TOP_K
+        assert abs(r.recall - r.hits / TOP_K) < 1e-9
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.ndcg <= 1.0
+        assert (r.mrr == 0.0) == (r.hits == 0)
