@@ -1843,3 +1843,132 @@ def nb_language_filter(
 @register("nb_language_filter", _NB_SQL)
 def q_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_language_filter(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit with a generalization ladder (round 11, beyond-ref).
+# The privacy complement of the PII scrub: scrubbing removes direct
+# identifiers, but a released corpus can still re-identify through
+# QUASI-identifier combinations (Sweeney 2002) — any (lang, length-
+# bucket) cell with fewer than k members is a linkage risk. The classic
+# remedy is the generalization hierarchy: coarsen the quasi-identifier
+# until every cell reaches k, suppressing what even full coarsening
+# can't save. This operator computes, per finest-level cell, the
+# MINIMAL generalization level that achieves k — the decision table a
+# release pipeline acts on.
+# ---------------------------------------------------------------------------
+K_ANON = 5
+_KA_LB_WIDTH = 64   # level-0 length bucket (matches drift's feature)
+_KA_LB_MAX = 15
+_KA_FANIN = 4       # each level-1 bucket covers 4 level-0 buckets
+
+
+def k_anonymity_audit(d: DataFrame, k: int = K_ANON) -> DataFrame:
+    """Per (lang, len_bucket) cell: its size at each ladder level and
+    the minimal level reaching ``k``:
+
+    - level 0: (lang, floor(n_chars/64) capped 15)
+    - level 1: (lang, floor(n_chars/256) capped 3) — the nested-floor
+      identity floor(floor(x/64)/4) == floor(x/256) (caps aligned:
+      15//4 == 3) means the parent key derives from the CHILD bucket,
+      so the rollup is one grouped sum, never a re-scan;
+    - level 2: (lang) alone;
+    - level 3: suppress (the cell's lang is itself rarer than k).
+
+    Three grouped counts over one scan feed two broadcast-sized joins
+    (cells are bounded by the QI space, never by corpus size) — at
+    100 TB this is one partial-aggregated shuffle plus tiny joins."""
+    lb0 = F.least(
+        F.floor(F.col("n_chars") / _KA_LB_WIDTH), F.lit(_KA_LB_MAX)
+    ).cast("long")
+    base = d.select(F.col("lang"), lb0.alias("len_bucket"))
+    l0 = base.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("group_n")
+    )
+    l1 = (
+        l0.withColumn(
+            "parent_bucket", F.floor(F.col("len_bucket") / _KA_FANIN)
+        )
+        .groupBy("lang", "parent_bucket")
+        .agg(F.sum("group_n").cast("long").alias("parent_n"))
+    )
+    l2 = l0.groupBy("lang").agg(
+        F.sum("group_n").cast("long").alias("lang_n")
+    )
+    joined = (
+        l0.withColumn(
+            "parent_bucket", F.floor(F.col("len_bucket") / _KA_FANIN)
+        )
+        .join(F.broadcast(l1), ["lang", "parent_bucket"])
+        .join(F.broadcast(l2), "lang")
+    )
+    level = (
+        F.when(F.col("group_n") >= k, F.lit(0))
+        .when(F.col("parent_n") >= k, F.lit(1))
+        .when(F.col("lang_n") >= k, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    achieved = (
+        F.when(F.col("group_n") >= k, F.col("group_n"))
+        .when(F.col("parent_n") >= k, F.col("parent_n"))
+        .when(F.col("lang_n") >= k, F.col("lang_n"))
+        .otherwise(F.col("lang_n"))
+    )
+    return (
+        joined.select(
+            "lang",
+            "len_bucket",
+            "group_n",
+            "parent_n",
+            "lang_n",
+            level.cast("long").alias("min_generalization_level"),
+            achieved.cast("long").alias("achieved_group_n"),
+            F.lit(k).cast("long").alias("k"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+_KA_SQL = f"""
+    WITH base AS (
+      SELECT lang,
+             CAST(LEAST(FLOOR(n_chars / {_KA_LB_WIDTH}), {_KA_LB_MAX})
+                  AS BIGINT) AS len_bucket
+      FROM documents
+    ),
+    l0 AS (
+      SELECT lang, len_bucket, CAST(COUNT(*) AS BIGINT) AS group_n
+      FROM base GROUP BY lang, len_bucket
+    ),
+    l1 AS (
+      SELECT lang, CAST(FLOOR(len_bucket / {_KA_FANIN}) AS BIGINT)
+               AS parent_bucket,
+             CAST(SUM(group_n) AS BIGINT) AS parent_n
+      FROM l0 GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT lang, CAST(SUM(group_n) AS BIGINT) AS lang_n
+      FROM l0 GROUP BY lang
+    )
+    SELECT l0.lang, l0.len_bucket, l0.group_n, l1.parent_n, l2.lang_n,
+           CAST(CASE WHEN l0.group_n >= {K_ANON} THEN 0
+                     WHEN l1.parent_n >= {K_ANON} THEN 1
+                     WHEN l2.lang_n >= {K_ANON} THEN 2
+                     ELSE 3 END AS BIGINT) AS min_generalization_level,
+           CAST(CASE WHEN l0.group_n >= {K_ANON} THEN l0.group_n
+                     WHEN l1.parent_n >= {K_ANON} THEN l1.parent_n
+                     WHEN l2.lang_n >= {K_ANON} THEN l2.lang_n
+                     ELSE l2.lang_n END AS BIGINT) AS achieved_group_n,
+           CAST({K_ANON} AS BIGINT) AS k
+    FROM l0
+    JOIN l1 ON l1.lang = l0.lang
+           AND l1.parent_bucket = CAST(FLOOR(l0.len_bucket / {_KA_FANIN})
+                                       AS BIGINT)
+    JOIN l2 ON l2.lang = l0.lang
+    ORDER BY l0.lang, l0.len_bucket
+"""
+
+
+@register("k_anonymity_audit", _KA_SQL)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_anonymity_audit(load_table(spark, sf_dir, "documents"))

@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_matryoshka_recall",        # r11: prefix-dim recall evaluation
     "session_incremental",          # r11: CDC-maintained flagship sessions
     "retrieval_eval",               # r11: recall/MRR/nDCG of the filter
+    "k_anonymity_audit",            # r11: generalization-ladder privacy
     # -- code changed in r11: must re-attest on current code -------------
     "corpus_refresh",          # r11: attest flag + fp/posting side tables
     "erasure_protocol",        # r11: explicit-keys path + vacuum reclaim

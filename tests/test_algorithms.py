@@ -1915,3 +1915,45 @@ def test_corpus_drift_psi_null_and_shift(spark):
     # length distribution did not move: its feature stays quiet
     len_rows = [r for r in shifted if r.feature == "len_bucket"]
     assert len_rows and all(not r.drift_alert for r in len_rows)
+
+
+def test_k_anonymity_ladder_levels(spark):
+    """Every rung exercised on a hand corpus: a big cell passes at
+    level 0, a fragmented lang coarsens to level 1, a lang whose whole
+    population only reaches k pooled needs level 2, and a rare lang is
+    suppressed (level 3) — achieved sizes reported per decision."""
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        k_anonymity_audit,
+    )
+
+    rows = []
+
+    def docs(lang, n_chars, count):
+        for _ in range(count):
+            rows.append((len(rows), "t", lang, "s", n_chars))
+
+    docs("en", 10, 6)       # level 0: one cell of 6 >= 5
+    docs("fr", 10, 2)       # fr fragments across level-0 buckets 0..3
+    docs("fr", 70, 2)       # ...but their level-1 parent pools to 6
+    docs("fr", 130, 2)
+    docs("de", 10, 2)       # de: parents still < 5, lang total 5 -> level 2
+    docs("de", 300, 3)      # bucket 4 (parent 1)
+    docs("zh", 10, 2)       # zh total 2 < 5 -> suppress
+
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = {
+        (r.lang, r.len_bucket): (
+            r.min_generalization_level,
+            r.achieved_group_n,
+        )
+        for r in k_anonymity_audit(d, k=5).collect()
+    }
+    assert got[("en", 0)] == (0, 6)
+    assert got[("fr", 0)] == (1, 6)
+    assert got[("fr", 1)] == (1, 6)
+    assert got[("fr", 2)] == (1, 6)
+    assert got[("de", 0)] == (2, 5)
+    assert got[("de", 4)] == (2, 5)
+    assert got[("zh", 0)] == (3, 2)
