@@ -996,7 +996,14 @@ def drift_monitor_stream(
         return out
 
     def evaluate(batch_df: DataFrame, batch_id: int) -> None:
-        for r in batch_df.collect():  # bounded: changed bins only
+        # COMPLETE mode re-emits every bin each trigger (bounded by the
+        # bin space, never by corpus size), so the in-process histogram
+        # is rebuilt wholesale — a daemon RESTART from an existing
+        # checkpoint is correct by construction (update mode would
+        # re-emit only bins the new data touched, silently dropping
+        # every unchanged bin from the PSI after a restart)
+        cur_counts.clear()
+        for r in batch_df.collect():
             cur_counts[(r.feature, r.bin)] = int(r.cnt)
         on_psi(batch_id, _psi())
 
@@ -1006,7 +1013,7 @@ def drift_monitor_stream(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     return (
-        hist.writeStream.outputMode("update")
+        hist.writeStream.outputMode("complete")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(evaluate)
         .start()

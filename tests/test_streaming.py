@@ -2335,10 +2335,10 @@ def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
     rows = cur.select("doc_id", "lang", "n_chars").collect()
     src = str(tmp_path / "drift_in")
     os.makedirs(src)
-    third = max(1, len(rows) // 3)
-    for i, lo in enumerate(range(0, len(rows), third)):
-        with open(os.path.join(src, f"p{i}.json"), "w") as f:
-            for r in rows[lo : lo + third]:
+
+    def write_file(name, chunk):
+        with open(os.path.join(src, name), "w") as f:
+            for r in chunk:
                 f.write(
                     _json.dumps(
                         {
@@ -2349,6 +2349,22 @@ def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
                     )
                     + "\n"
                 )
+
+    # phase 1: first ~2/3 in three files; the rest arrives AFTER a
+    # daemon restart (the restart-correctness leg below)
+    head, tail = rows[: 2 * len(rows) // 3], rows[2 * len(rows) // 3 :]
+    want_phase1 = {
+        r.feature: r.feature_psi
+        for r in corpus_drift_psi(
+            ref, cur.where(F.col("doc_id").isin([x.doc_id for x in head]))
+        )
+        .select("feature", "feature_psi")
+        .distinct()
+        .collect()
+    }
+    third = max(1, len(head) // 3)
+    for i, lo in enumerate(range(0, len(head), third)):
+        write_file(f"p{i}.json", head[lo : lo + third])
 
     schema = _St(
         [
@@ -2387,10 +2403,31 @@ def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
 
     assert len(verdicts) >= 3, f"only {len(verdicts)} triggers fired"
     final = verdicts[-1][1]
-    assert final == want, (final, want)
+    assert final == want_phase1, (final, want_phase1)
     # drift grows monotonically visible: the first partial batch's PSI
     # differs from the final (the monitor is live, not batch-replayed)
     assert verdicts[0][1] != final
+
+    # RESTART from the SAME checkpoint with the last third arriving
+    # after the restart: complete-mode re-emission rebuilds the
+    # in-process histogram wholesale, so the restarted daemon's verdict
+    # covers the WHOLE stream — update mode would count only post-
+    # restart bins and report a PSI built from a third of the corpus
+    write_file("p_late.json", tail)
+    restarted: list[tuple[int, dict]] = []
+    q2 = drift_monitor_stream(
+        stream,
+        ref,
+        lambda bid, psi: restarted.append((bid, psi)),
+        str(tmp_path / "ckpt"),
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and not restarted:
+        time.sleep(1)
+    q2.stop()
+    q2.awaitTermination(30)
+    assert restarted, "restarted monitor never fired"
+    assert restarted[-1][1] == want, (restarted[-1][1], want)
 
 
 def test_sessions_maintenance_daemon_end_to_end(spark, tmp_path):
