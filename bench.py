@@ -76,6 +76,13 @@ def main() -> None:
         print(json.dumps({"q": name, "sec": timings[name]}), flush=True)
 
     total = round(sum(timings.values()), 3)
+    # two lanes (VERDICT r11 #4): protocol rows measure attestation
+    # cost by design; the operator lane is the regression-tracking
+    # headline. The driver-facing total is unchanged.
+    proto = round(
+        sum(s for n, s in timings.items() if n in registry.PROTOCOL_QUERIES),
+        3,
+    )
     headline = json.dumps(
         {
             "metric": "total_query_wall_sec",
@@ -84,6 +91,11 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "n_queries": len(timings),
             "repeats": max(1, N_REPEATS),
+            "operator_sec": round(total - proto, 3),
+            "protocol_sec": proto,
+            "n_protocol": sum(
+                1 for n in timings if n in registry.PROTOCOL_QUERIES
+            ),
         }
     )
     print(headline, flush=True)

@@ -754,7 +754,7 @@ def lake_diff(
 #: skips them without reading any data (compaction folds pending
 #: deletes into the files, but the delete-applied VIEW — what
 #: lake_read serves and what CDC diffs — is unchanged by it)
-ROW_PRESERVING_OPS = frozenset({"compact", "cluster", "bloom"})
+ROW_PRESERVING_OPS = frozenset({"compact", "cluster", "bloom", "mark"})
 
 
 def lake_changes_since(
@@ -865,6 +865,7 @@ def lake_consume_changes(
     out_path: str,
     apply_fn=None,
     stream_id: str | None = None,
+    fold: bool = False,
 ) -> list[int]:
     """Exactly-once CDC consumer over a versioned lake (round 11,
     verdict #4): for each source version not yet consumed, derive
@@ -878,14 +879,32 @@ def lake_consume_changes(
     version history instead of micro-batch ids). Returns the versions
     consumed by THIS call.
 
+    ``fold=True`` batches a BACKLOG into one commit (round 12, verdict
+    #2): all unconsumed versions' changes union into ONE ``apply_fn``
+    input and ONE commit marked with the HIGHEST folded version — a
+    consumer that fell behind by V versions pays one derivation, not V,
+    and a kill mid-fold replays the whole fold exactly once (all-or-
+    nothing, same single-manifest guarantee). Per-version mode remains
+    the default: it preserves one output commit PER source version —
+    the lineage a downstream per-version consumer of ``out_path``
+    (e.g. version-paired index maintenance) depends on.
+
     The consumer's identity defaults to the source path (one logical
     CDC stream per source table); pass ``stream_id`` to run several
     independent consumers of one source into different out tables."""
     sid = stream_id or f"cdc:{os.path.abspath(src_path)}"
     cur = current_version(src_path)
     consumed = last_stream_batch_id(out_path, sid)
+    start = max(consumed, 0)
+    if fold:
+        if cur <= start:
+            return []
+        changes = lake_changes_since(spark, src_path, start, to_version=cur)
+        out = apply_fn(changes) if apply_fn is not None else changes
+        lake_commit(out, out_path, stream_batch_id=cur, stream_id=sid)
+        return list(range(start + 1, cur + 1))
     done: list[int] = []
-    for v in range(max(consumed, 0) + 1, cur + 1):
+    for v in range(start + 1, cur + 1):
         changes = lake_changes_since(spark, src_path, v - 1, to_version=v)
         out = apply_fn(changes) if apply_fn is not None else changes
         lake_commit(out, out_path, stream_batch_id=v, stream_id=sid)
@@ -1587,6 +1606,142 @@ def lake_read_point(
     m = _read_manifest(path, v)
     return _apply_deletes(spark, path, m, files).where(
         F.col(col) == F.lit(value)
+    )
+
+
+def pruned_files_keys(
+    path: str, col: str, values, version: int | None = None
+) -> tuple[list[str], int]:
+    """(files that might contain ANY of ``values`` for ``col``, total
+    file count) — the file-pruning step of a KEY-SET read (the shape an
+    incremental maintainer needs: "re-read the rows of these touched
+    keys", e.g. a CDC wave's touched users). Two independent pruners
+    compose by INTERSECTION, each sound on its own:
+
+    - range stats (``lake_cluster_by`` layout): keep files whose
+      recorded [min, max] intersects the key set's hull
+      [min(values), max(values)] — on a table clustered by ``col`` the
+      hull of a small wave hits O(wave) files;
+    - Bloom bitmaps (``lake_bloom_index``): keep files whose filter
+      might contain AT LEAST ONE key (union of per-key keeps) — this
+      also prunes files that merely fall INSIDE the hull between two
+      keys, which range stats alone cannot.
+
+    Soundness: a file holding key x is kept by both pruners (its range
+    contains x which lies in the hull; its bloom has no false
+    negatives), so the intersection never wrongly skips. Files with no
+    stats/bloom for ``col`` are conservatively kept by that pruner.
+    Driver cost: one manifest read + |values| * k md5 probes — bounded
+    by the caller (collect a key set only when it's wave-sized).
+    """
+    import base64
+    import hashlib
+
+    vals = [x for x in values if x is not None]
+    v = current_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    if not vals:
+        return [], len(m["files"])
+    keep, total = pruned_files(path, col, min(vals), max(vals), v)
+    keep = set(keep)
+    b = (m.get("bloom") or {}).get(col)
+    if b is not None:
+        m_bits, k = b["m_bits"], b["k"]
+        # decode each kept file's bitmap once, probe every key against it
+        bitmaps = {
+            f: base64.b64decode(enc)
+            for f, enc in b["files"].items()
+            if f in keep
+        }
+        positions = [
+            [
+                int(
+                    hashlib.md5(
+                        f"b{i}:{_probe_string(x)}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % m_bits
+                for i in range(k)
+            ]
+            for x in vals
+        ]
+        bloom_keep = set()
+        for f in keep:
+            bits = bitmaps.get(f)
+            if bits is None:
+                bloom_keep.add(f)  # no bloom for this file: must scan
+                continue
+            if any(
+                all(bits[p // 8] & (1 << (p % 8)) for p in pos)
+                for pos in positions
+            ):
+                bloom_keep.add(f)
+        keep &= bloom_keep
+    return [f for f in m["files"] if f in keep], len(m["files"])
+
+
+def lake_read_keys(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values,
+    version: int | None = None,
+) -> DataFrame:
+    """Key-set pruned read: open only the files
+    :func:`pruned_files_keys` keeps, then apply the row-level IN
+    predicate. Equal to ``lake_read(...).where(col IN values)`` on any
+    version by the pruners' soundness (NULL keys never match, matching
+    SQL IN semantics); cheaper by the skipped files — the read an
+    incremental maintainer uses so a small late wave against a
+    key-clustered 100 TB lake opens O(touched keys' files), not every
+    file."""
+    from pyspark.sql import functions as F
+
+    # resolve the version ONCE (the lake_read_pruned snapshot rule)
+    v = current_version(path) if version is None else version
+    vals = [x for x in values if x is not None]
+    files, _ = pruned_files_keys(path, col, vals, v)
+    if not files:
+        return lake_read(spark, path, v).where(F.lit(False))
+    m = _read_manifest(path, v)
+    return _apply_deletes(spark, path, m, files).where(
+        F.col(col).isin(vals)
+    )
+
+
+def lake_mark_stream(
+    path: str, stream_id: str, mark_version: int
+) -> int | None:
+    """MARK-ONLY commit: advance the table's exactly-once stream
+    high-water mark without changing a row — the commit a CDC consumer
+    lands after draining versions that produced NO derived changes
+    (maintenance-only source commits, waves touching zero keys).
+    Without it the consumer has no commit to hang the mark on and must
+    re-walk those versions' manifests on EVERY poll (VERDICT r11 #3).
+
+    Re-publishes the current manifest (files / schema / stats / bloom /
+    deletes all carried) under op ``mark`` — row-preserving, so CDC
+    readers skip it from the op alone. No-op (returns None) when the
+    table doesn't exist yet or the scoped mark is already >=
+    ``mark_version``; returns the committed version otherwise."""
+    v = current_version(path)
+    if v < 1:
+        return None
+    if last_stream_batch_id(path, stream_id) >= mark_version:
+        return None
+    m = _read_manifest(path, v)
+    return _commit_manifest(
+        path,
+        v + 1,
+        m["files"],
+        "mark",
+        m.get("schema"),
+        m.get("stats"),
+        m.get("bloom"),
+        mark_version,
+        m.get("deletes"),
+        stream_id,
     )
 
 

@@ -1925,7 +1925,10 @@ def k_anonymity_audit(d: DataFrame, k: int = K_ANON) -> DataFrame:
             achieved.cast("long").alias("achieved_group_n"),
             F.lit(k).cast("long").alias("k"),
         )
-        .orderBy("lang", "len_bucket")
+        # explicit null placement: Spark sorts NULLS FIRST asc,
+        # DuckDB NULLS LAST — a null lang would reorder rows between
+        # the engine and the oracle (ADVICE r11)
+        .orderBy(F.asc_nulls_last("lang"), "len_bucket")
     )
 
 
@@ -1965,7 +1968,7 @@ _KA_SQL = f"""
            AND l1.parent_bucket = CAST(FLOOR(l0.len_bucket / {_KA_FANIN})
                                        AS BIGINT)
     JOIN l2 ON l2.lang = l0.lang
-    ORDER BY l0.lang, l0.len_bucket
+    ORDER BY l0.lang NULLS LAST, l0.len_bucket
 """
 
 

@@ -110,7 +110,10 @@ def corpus_drift_psi(ref: DataFrame, cur: DataFrame) -> DataFrame:
             "feature_psi",
             (F.col("feature_psi") > PSI_ALERT).alias("drift_alert"),
         )
-        .orderBy("feature", "bin")
+        # explicit null placement: Spark sorts NULLS FIRST ascending,
+        # DuckDB NULLS LAST — a null lang bin would produce a row-order
+        # (thus value-hash) divergence even with equal values (ADVICE r11)
+        .orderBy("feature", F.asc_nulls_last("bin"))
     )
 
 
@@ -174,7 +177,7 @@ _PSI_SQL = f"""
            t.psi_term, f.feature_psi,
            f.feature_psi > {PSI_ALERT} AS drift_alert
     FROM terms t JOIN fpsi f USING (feature)
-    ORDER BY feature, bin
+    ORDER BY feature, bin NULLS LAST
 """
 
 

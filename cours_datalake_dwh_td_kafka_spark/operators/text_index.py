@@ -47,6 +47,7 @@ from cours_datalake_dwh_td_kafka_spark.lake import (
 )
 from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
     INCREMENT_SPLIT,
+    NORM_SQL,
     norm_text,
 )
 from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
@@ -314,7 +315,24 @@ def text_index_protocol(
     multiset-equal (count + one-sided exceptAll) and the phrase result
     multiset-equal. Returns the SERVED BM25 rows with the parity
     booleans riding along, so the driver's value hash pins the served
-    scores themselves, not just the booleans."""
+    scores themselves, not just the booleans.
+
+    Two scan-shape facts ride along as attested columns (round-12
+    verdict #5/#6, the lake_bloom probe pattern):
+
+    - ``served_files_pruned``: the BM25 term reads opened strictly
+      fewer posting files than the table holds — on the term-clustered
+      layout each query term's range keeps ~1 clustered file (plus the
+      stats-less appended files, conservatively), never the other
+      terms' files;
+    - ``phrase_posting_rows``: the EXACT number of posting rows the
+      phrase chain reads (one row per (term, doc) for the phrase's
+      terms) — oracle-recomputed from raw text, so the served path
+      provably consumes the candidate set and nothing more. The
+      measured serve-only latency lives in tools/measure_serving.py +
+      README (wall time is not hashable)."""
+    from cours_datalake_dwh_td_kafka_spark.lake import pruned_files
+
     lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
     cut = int(lo) + int((int(hi) - int(lo)) * INCREMENT_SPLIT)
     idx = os.path.join(workdir, "text_index")
@@ -333,19 +351,45 @@ def text_index_protocol(
         served_ph.count() == direct_ph.count()
         and served_ph.exceptAll(direct_ph).count() == 0
     )
+    opened: set[str] = set()
+    total = 0
+    for t in dict.fromkeys(BM25_TERMS):
+        fs, total = pruned_files(_postings_path(idx), "term", t, t)
+        opened.update(fs)
+    files_pruned = len(opened) < total
+    phrase_rows = _term_postings(
+        spark, idx, tuple(set(PHRASE_QUERY.split(" ")))
+    ).count()
     return served.select(
         "doc_id",
         "bm25",
         "rn",
         F.lit(bool(bm25_eq)).alias("served_eq_direct"),
         F.lit(bool(phrase_eq)).alias("phrase_eq_direct"),
+        F.lit(bool(files_pruned)).alias("served_files_pruned"),
+        F.lit(int(phrase_rows)).cast("long").alias("phrase_posting_rows"),
     ).orderBy("rn")
+
+
+def _phrase_posting_rows_sql(phrase: str) -> str:
+    """Scalar subquery: how many (term, doc) posting rows the phrase's
+    terms have — DuckDB recomputes it from raw text with the same
+    normalizer, pinning the served chain's candidate volume."""
+    term_in = ", ".join(f"'{t}'" for t in dict.fromkeys(phrase.split(" ")))
+    return f"""(SELECT CAST(COUNT(*) AS BIGINT) FROM (
+        SELECT doc_id, s FROM (
+          SELECT doc_id,
+                 unnest(string_split({NORM_SQL.format(c="text")}, ' ')) AS s
+          FROM documents)
+        WHERE s IN ({term_in}) GROUP BY doc_id, s))"""
 
 
 _BM25_SERVED_SQL = f"""
     WITH {_BM25_CTES}
     SELECT doc_id, bm25, CAST(rn AS BIGINT) AS rn,
-           TRUE AS served_eq_direct, TRUE AS phrase_eq_direct
+           TRUE AS served_eq_direct, TRUE AS phrase_eq_direct,
+           TRUE AS served_files_pruned,
+           {_phrase_posting_rows_sql(PHRASE_QUERY)} AS phrase_posting_rows
     FROM ranked WHERE rn <= {BM25_TOP_N}
     ORDER BY rn
 """

@@ -52,62 +52,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-11 attestation window (driver caps at ~50 rows/round) ---
-    # -- new in r11, never attested --------------------------------------
-    "bm25_served",                  # r11: build/serve split for retrieval
-    "bm25_maxscore",                # r11: MaxScore-pruned exact top-k
-    "hard_negative_mining_corpus",  # r11: corpus-wide self-probe miner
-    "hard_negative_mining_pq",      # r11: PQ-coded production miner
-    "cdc_index_maintenance",        # r11: CDC-derived index lifecycle
-    "nb_language_filter",           # r11: trained NB quality filter
-    "kmv_set_ops",                  # r11: KMV/AKMV set-operation sketches
-    "ann_opq_quality",              # r11: OPQ rotation vs plain PQ
-    "lake_incremental_mv",          # r11: CDC-driven view maintenance
-    "ann_opq_index",                # r11: OPQ rotation on the serving path
-    "lake_txn_consistency",         # r11: cross-table catalog commits
-    "lake_expectations",            # r11: commit-time quality gates
-    "rollup_cascade",               # r11: continuous-aggregate hierarchy
-    "heavy_hitters_mg",             # r11: MG two-pass exact heavy hitters
-    "ohlc_bars",                    # r11: argmin/argmax downsampling
-    "ann_binary_hamming",           # r11: sign-quantized Hamming + rerank
-    "interpolate_linear",           # r11: gap-fill linear interpolation
-    "corpus_drift_psi",             # r11: snapshot drift monitoring
-    "ann_matryoshka_recall",        # r11: prefix-dim recall evaluation
-    "session_incremental",          # r11: CDC-maintained flagship sessions
-    "retrieval_eval",               # r11: recall/MRR/nDCG of the filter
-    "k_anonymity_audit",            # r11: generalization-ladder privacy
-    # -- code changed in r11: must re-attest on current code -------------
-    "corpus_refresh",          # r11: attest flag + fp/posting side tables
-    "erasure_protocol",        # r11: explicit-keys path + vacuum reclaim
-    "lake_merge_on_read",      # r11: explicit delete keys
-    "lake_lifecycle",          # r11: CDC consumer + restore semantics
-    "lake_restore",            # r11: CDC-across-restore pinning
-    "lake_maintenance",        # r11: side-table advisor coverage
-    "lake_bloom",              # r11: raw-scan bitmap build (review fix)
-    "lake_cluster",            # r11: lake.py shared-path changes
-    "lake_zorder",             # r11: same
-    "dedup_incremental_lsh",   # r11: persisted-fingerprint path
-    "dedup_audio_fingerprint",  # r11: short-clip contract fix
-    "hard_negative_mining_ivf",  # r11: ann_index.py label plumbing
-    "index_lake_consistency",  # r11: same module
-    "knn_label_accuracy_ivf",  # r11: ivf_query_index label validation
-    "ann_index_drift",         # r11: same serving path
-    "ann_index_append",        # r11: same publish plumbing
-    "ann_ivfpq_index",         # r11: meta_cols on the PQ encoder
-    "ann_ivfpq_topk",          # r11: pq_encode_fn signature change
-    "ann_ivfpq_append",        # r11: same
-    "ann_index_compact",       # r11: same
-    "ann_index_delete",        # r11: same
-    "hard_negative_mining",    # r11: exact-miner anchor for the twins
-    "importance_weight_select",  # r10-new, keep warm with curation.py edits
-    # -- spare window capacity: refresh the oldest remaining stamps
-    #    (r5 vintage per the attestation-history scan) so the rotation
-    #    keeps rolling; harmless if the cap cuts the tail ---------------
-    "ann_ivf_topk",
-    "ann_ivf_topk_int8",
-    "anti_join",
-    "bigram_logprob",
-    "bpe_segment_stats",
+    # ---- round-12 attestation window (driver caps at ~50 rows/round) ---
+    # -- code changed in r12: must re-attest on current code -------------
+    "session_incremental",   # r12: pruned touched-user read + fold + mark
+    "bm25_served",           # r12: scan-evidence columns (files/rows)
+    "corpus_drift_psi",      # r12: NULLS LAST ordering (ADVICE r11)
+    "k_anonymity_audit",     # r12: NULLS LAST ordering (ADVICE r11)
+    "lake_lifecycle",        # r12: lake_consume_changes fold mode
+    "cdc_index_maintenance",  # r12: same consumer module
+    "lake_incremental_mv",   # r12: same consumer module
+    "lake_restore",          # r12: CDC-across-restore shares changes path
+    "bm25_maxscore",         # r12: text_index.py shared-module re-stamp
+    "rollup_cascade",        # r12: lake shared-path changes
+    "ann_matryoshka_recall",  # r12: weighted positive-case cohort
+    # -- spare window capacity: the r5-vintage stamps (the r11 spare list
+    #    was cut by the 50-row cap before reaching them), then the oldest
+    #    r6 rows; harmless if the cap cuts the tail ----------------------
     "bpe_train_merges",
     "centroid_separation",
     "cusum_changepoint",
@@ -138,7 +98,55 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "triangle_count",
     "window_suite",
     "winsorized_mean",
+    "asof_join",
+    "autocorrelation_acf",
+    "blocking_suppliers",
+    "boolean_disjunction",
+    "corpus_source_stats",
+    "cross_join_small",
+    "degree_distribution",
+    "distinct_rows",
+    "doc_fingerprint",
+    "intersect_customers",
 )
+
+
+# Bench lanes (VERDICT r11 #4): PROTOCOL rows build scratch lake/index
+# state in-row and re-prove lifecycle guarantees against from-scratch
+# recomputes (commit/restore/CDC replays, exceptAll attestations,
+# exhaustive twins) — their wall time measures the ATTESTATION, not the
+# operator, and at ~1/3 of the headline it was starting to mask
+# regressions in the real operator rows. bench.py reports the two lanes
+# as separate subtotals; the driver-facing total is unchanged.
+# tests/test_registry.py pins every listed name to a live registration.
+PROTOCOL_QUERIES: frozenset[str] = frozenset({
+    "ann_index_append",
+    "ann_index_compact",
+    "ann_index_delete",
+    "ann_index_drift",
+    "ann_ivfpq_append",
+    "bm25_maxscore",
+    "bm25_served",
+    "cdc_index_maintenance",
+    "corpus_refresh",
+    "dedup_incremental",
+    "dedup_incremental_lsh",
+    "erasure_protocol",
+    "hard_negative_mining_corpus",
+    "index_lake_consistency",
+    "lake_bloom",
+    "lake_cluster",
+    "lake_expectations",
+    "lake_incremental_mv",
+    "lake_lifecycle",
+    "lake_maintenance",
+    "lake_merge_on_read",
+    "lake_restore",
+    "lake_txn_consistency",
+    "lake_zorder",
+    "rollup_cascade",
+    "session_incremental",
+})
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:

@@ -951,7 +951,7 @@ def drift_monitor_stream(
     Returns the StreamingQuery.
     """
     import math
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     from cours_datalake_dwh_td_kafka_spark.operators.drift import (
         _feature_rows,
@@ -970,9 +970,12 @@ def drift_monitor_stream(
         feats = {f for f, _ in ref_counts} | {f for f, _ in cur_counts}
         out = {}
         for feat in sorted(feats):
+            # null-safe sort: a null lang bin is a real bin (ADVICE r11 —
+            # sorted() over {None, "en"} raises TypeError in Python 3)
             bins = sorted(
                 {b for f, b in ref_counts if f == feat}
-                | {b for f, b in cur_counts if f == feat}
+                | {b for f, b in cur_counts if f == feat},
+                key=lambda b: (b is None, b),
             )
             n_ref = sum(c for (f, _), c in ref_counts.items() if f == feat)
             n_cur = sum(c for (f, _), c in cur_counts.items() if f == feat)
@@ -986,12 +989,15 @@ def drift_monitor_stream(
                     n_cur + 0.5 * nb
                 )
                 raw = (p_cur - p_ref) * math.log(p_cur / p_ref)
-                # half-AWAY rounding (Spark/DuckDB's tie rule; python's
-                # round() is banker's — gram.round_half_away rationale)
-                term = math.copysign(
-                    math.floor(abs(raw) * 1e6 + 0.5) / 1e6, raw
+                # half-AWAY rounding on the double's repr — exactly what
+                # Spark's ROUND does for doubles (BigDecimal.valueOf →
+                # Double.toString → HALF_UP). The previous
+                # floor(abs*1e6+0.5) emulation could flip near-tie bins
+                # because the *1e6 multiply itself injects float error
+                # (ADVICE r11); Decimal(repr(raw)) has no such step.
+                total += Decimal(repr(raw)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
                 )
-                total += Decimal(f"{term:.6f}")
             out[feat] = float(total)
         return out
 

@@ -122,3 +122,35 @@ def test_retrieval_eval_metric_envelope(spark):
         assert 0.0 <= r.mrr <= 1.0
         assert 0.0 <= r.ndcg <= 1.0
         assert (r.mrr == 0.0) == (r.hits == 0)
+
+
+def test_matryoshka_weighted_cohort_front_loads_recall(spark):
+    """The weighted cohort (importance decay = what matryoshka training
+    does to the information profile) must recover far more of the
+    full-width top-k from a 16-dim prefix than the raw synthetic
+    embeddings do — the positive case the row demonstrates next to the
+    honest negative (round-12 verdict #8)."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.matryoshka import (
+        MATRYOSHKA_DIMS,
+        matryoshka_recall,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = matryoshka_recall(load_table(spark, SF_SMOKE, "embeddings"))
+    mean = {
+        (r.cohort, r.trunc_dim): r.m
+        for r in out.groupBy("cohort", "trunc_dim")
+        .agg(F.avg("recall").alias("m"))
+        .collect()
+    }
+    full = max(MATRYOSHKA_DIMS)
+    lowest = min(MATRYOSHKA_DIMS)
+    # full width is its own truth in BOTH cohorts
+    assert mean[("raw", full)] == 1.0 and mean[("weighted", full)] == 1.0
+    # the decay front-loads the signal: prefix recall at least doubles
+    assert mean[("weighted", lowest)] >= 2 * mean[("raw", lowest)]
+    # and within the weighted cohort recall is monotone in prefix width
+    dims = sorted(MATRYOSHKA_DIMS)
+    for lo, hi in zip(dims, dims[1:]):
+        assert mean[("weighted", lo)] <= mean[("weighted", hi)] + 1e-9

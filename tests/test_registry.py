@@ -38,3 +38,13 @@ def test_approx_family_is_oracle_paired():
     osql = registry.oracle_sql()
     assert "approx_quantiles" in osql
     assert "approx_distinct_count" in osql
+
+
+def test_protocol_lane_names_all_registered():
+    """PROTOCOL_QUERIES drives the bench's two-lane split; a stale name
+    would silently misclassify lane subtotals."""
+    qs = registry.queries()
+    stale = [n for n in registry.PROTOCOL_QUERIES if n not in qs]
+    assert stale == [], f"stale PROTOCOL_QUERIES names: {stale}"
+    # the lane is a strict minority: the operator lane stays the headline
+    assert len(registry.PROTOCOL_QUERIES) < len(qs) / 4

@@ -220,3 +220,69 @@ def test_maxscore_missing_term_rejected_loudly(spark, tmp_path):
     ti.build_text_index(spark, d, idx)
     with pytest.raises(ValueError, match="term_stats"):
         ti.bm25_maxscore_query(spark, idx, terms=("dup", "zzznope"))
+
+
+def test_phrase_reads_prune_files_and_columns(spark, tmp_path):
+    """Round-12 verdict #6 pin: the phrase chain's posting reads stay
+    O(matching files) — the phrase terms together open at most one
+    clustered file each — and column pruning reaches the parquet scan:
+    the positions arrays are read, the tf column is NOT (non-query
+    width never leaves the footer)."""
+    import re
+
+    from cours_datalake_dwh_td_kafka_spark.lake import pruned_files
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        PHRASE_QUERY,
+    )
+
+    d = _docs(spark)
+    idx = str(tmp_path / "ti")
+    ti.build_text_index(spark, d, idx, n_files=8)
+
+    opened: set[str] = set()
+    total = 0
+    terms = list(dict.fromkeys(PHRASE_QUERY.split(" ")))
+    for t in terms:
+        fs, total = pruned_files(ti._postings_path(idx), "term", t, t)
+        opened.update(fs)
+    assert total == 8
+    assert len(opened) <= len(terms), (sorted(opened), total)
+
+    ph = ti.phrase_query_index(spark, idx)
+    plan = ph._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas, "no parquet scan in the served phrase plan"
+    assert any("positions" in s for s in schemas)
+    assert all("tf:" not in s for s in schemas), schemas
+
+    # served result still equals the direct operator on this layout
+    assert _multiset_eq(ph, phrase_search(d))
+
+
+def test_served_row_scan_evidence_columns(spark, tmp_path):
+    """The bm25_served protocol row's new attested columns: the term
+    reads pruned files (boolean) and the phrase chain's posting-row
+    count equals a from-raw-text recompute."""
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import norm_text
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        PHRASE_QUERY,
+    )
+
+    d = _docs(spark)
+    out = ti.text_index_protocol(spark, d, str(tmp_path)).collect()
+    assert out and all(r.served_files_pruned for r in out)
+    terms = list(dict.fromkeys(PHRASE_QUERY.split(" ")))
+    want = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("s"),
+        )
+        .where(F.col("s").isin(terms))
+        .select("doc_id", "s")
+        .distinct()
+        .count()
+    )
+    assert all(r.phrase_posting_rows == want for r in out), (
+        out[0].phrase_posting_rows,
+        want,
+    )
