@@ -187,3 +187,155 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_drift_psi(
         d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov drift (round 12, beyond-ref): the ORDERED
+# complement of PSI. PSI treats bins as categories — a distribution that
+# shifts mass one bucket to the right scores the same as one that
+# scatters it anywhere; KS measures the maximal CDF gap, which is
+# exactly sensitive to directional shift. Full-resolution KS needs a
+# global sort of both samples (the one-task anti-pattern the plan gate
+# polices); the production form at 100 TB is KS over the HISTOGRAM —
+# bounded bins, cumulative sums via a broadcast triangular self-join
+# over <= 16 rows, one partial-aggregated shuffle of ~bins rows total.
+# Binned KS is exact for the binned distribution and lower-bounds the
+# unbinned statistic (coarsening can only erase gaps, never create
+# them), so an alert here is always a true alert at full resolution.
+# ---------------------------------------------------------------------------
+
+#: alpha = 0.05 two-sample KS critical coefficient
+KS_COEFF = 1.358
+
+
+def corpus_drift_ks(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Binned two-sample KS over the length-bucket feature. One row per
+    bin with both counts, both CDFs, the per-bin gap, the KS statistic
+    (max gap) and the alpha=0.05 verdict — bounded by the bin space."""
+    len_bin = F.least(
+        F.floor(F.col("n_chars") / LEN_BIN_WIDTH), F.lit(LEN_BIN_MAX)
+    ).cast("long")
+    rows = (
+        ref.select(len_bin.alias("bin"), F.lit(1).alias("is_ref"),
+                   F.lit(0).alias("is_cur"))
+        .unionByName(
+            cur.select(len_bin.alias("bin"), F.lit(0).alias("is_ref"),
+                       F.lit(1).alias("is_cur"))
+        )
+    )
+    binned = rows.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("ref_cnt"),
+        F.sum("is_cur").cast("long").alias("cur_cnt"),
+    )
+    totals = binned.agg(
+        F.sum("ref_cnt").cast("long").alias("n_ref"),
+        F.sum("cur_cnt").cast("long").alias("n_cur"),
+    )
+    rhs = binned.select(
+        F.col("bin").alias("bin2"),
+        F.col("ref_cnt").alias("rc2"),
+        F.col("cur_cnt").alias("cc2"),
+    )
+    cum = (
+        binned.join(F.broadcast(rhs), F.col("bin2") <= F.col("bin"))
+        .groupBy("bin", "ref_cnt", "cur_cnt")
+        .agg(
+            F.sum("rc2").cast("long").alias("cum_ref"),
+            F.sum("cc2").cast("long").alias("cum_cur"),
+        )
+    )
+    gaps = cum.crossJoin(F.broadcast(totals)).withColumn(
+        "d_bin",
+        F.round(
+            F.abs(
+                F.col("cum_ref").cast("double") / F.col("n_ref")
+                - F.col("cum_cur").cast("double") / F.col("n_cur")
+            ),
+            6,
+        ),
+    )
+    ks = gaps.agg(F.max("d_bin").alias("ks_stat"))
+    crit = F.round(
+        F.lit(KS_COEFF)
+        * F.sqrt(
+            (F.col("n_ref") + F.col("n_cur")).cast("double")
+            / (F.col("n_ref") * F.col("n_cur")).cast("double")
+        ),
+        6,
+    )
+    return (
+        gaps.crossJoin(F.broadcast(ks))
+        .select(
+            "bin",
+            "ref_cnt",
+            "cur_cnt",
+            F.round(F.col("cum_ref").cast("double") / F.col("n_ref"), 6)
+            .alias("cdf_ref"),
+            F.round(F.col("cum_cur").cast("double") / F.col("n_cur"), 6)
+            .alias("cdf_cur"),
+            "d_bin",
+            "ks_stat",
+            crit.alias("critical_value"),
+            (F.col("ks_stat") > crit).alias("drift_alert"),
+        )
+        .orderBy("bin")
+    )
+
+
+_KS_SQL = f"""
+    WITH rows_ AS (
+      SELECT CAST(LEAST(FLOOR(n_chars / {LEN_BIN_WIDTH}), {LEN_BIN_MAX})
+                  AS BIGINT) AS bin,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref,
+             CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS is_cur
+      FROM documents
+    ),
+    binned AS (
+      SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS ref_cnt,
+             CAST(SUM(is_cur) AS BIGINT) AS cur_cnt
+      FROM rows_ GROUP BY bin
+    ),
+    totals AS (
+      SELECT CAST(SUM(ref_cnt) AS BIGINT) AS n_ref,
+             CAST(SUM(cur_cnt) AS BIGINT) AS n_cur
+      FROM binned
+    ),
+    cum AS (
+      SELECT b.bin, b.ref_cnt, b.cur_cnt,
+             CAST(SUM(b2.ref_cnt) AS BIGINT) AS cum_ref,
+             CAST(SUM(b2.cur_cnt) AS BIGINT) AS cum_cur
+      FROM binned b JOIN binned b2 ON b2.bin <= b.bin
+      GROUP BY b.bin, b.ref_cnt, b.cur_cnt
+    ),
+    gaps AS (
+      SELECT c.bin, c.ref_cnt, c.cur_cnt, c.cum_ref, c.cum_cur,
+             t.n_ref, t.n_cur,
+             ROUND(ABS(CAST(c.cum_ref AS DOUBLE) / CAST(t.n_ref AS DOUBLE)
+                     - CAST(c.cum_cur AS DOUBLE) / CAST(t.n_cur AS DOUBLE)),
+                   6) AS d_bin
+      FROM cum c CROSS JOIN totals t
+    ),
+    ks AS (SELECT MAX(d_bin) AS ks_stat FROM gaps)
+    SELECT g.bin, g.ref_cnt, g.cur_cnt,
+           ROUND(CAST(g.cum_ref AS DOUBLE) / CAST(g.n_ref AS DOUBLE), 6)
+             AS cdf_ref,
+           ROUND(CAST(g.cum_cur AS DOUBLE) / CAST(g.n_cur AS DOUBLE), 6)
+             AS cdf_cur,
+           g.d_bin, k.ks_stat,
+           ROUND({KS_COEFF} * SQRT(
+             CAST(g.n_ref + g.n_cur AS DOUBLE)
+             / CAST(g.n_ref * g.n_cur AS DOUBLE)), 6) AS critical_value,
+           k.ks_stat > ROUND({KS_COEFF} * SQRT(
+             CAST(g.n_ref + g.n_cur AS DOUBLE)
+             / CAST(g.n_ref * g.n_cur AS DOUBLE)), 6) AS drift_alert
+    FROM gaps g CROSS JOIN ks k
+    ORDER BY bin
+"""
+
+
+@register("corpus_drift_ks", _KS_SQL)
+def q_corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_drift_ks(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
+    )

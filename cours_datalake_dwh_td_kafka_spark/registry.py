@@ -65,6 +65,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_maxscore",         # r12: text_index.py shared-module re-stamp
     "rollup_cascade",        # r12: lake shared-path changes
     "ann_matryoshka_recall",  # r12: weighted positive-case cohort
+    # -- new in r12, never attested --------------------------------------
+    "corpus_drift_ks",        # r12: binned two-sample KS drift
+    "bloom_join_reduction",   # r12: sideways-information-passing join
     # -- spare window capacity: the r5-vintage stamps (the r11 spare list
     #    was cut by the 50-row cap before reaching them), then the oldest
     #    r6 rows; harmless if the cap cuts the tail ----------------------
@@ -125,6 +128,7 @@ PROTOCOL_QUERIES: frozenset[str] = frozenset({
     "ann_index_delete",
     "ann_index_drift",
     "ann_ivfpq_append",
+    "bloom_join_reduction",
     "bm25_maxscore",
     "bm25_served",
     "cdc_index_maintenance",

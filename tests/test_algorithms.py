@@ -1957,3 +1957,75 @@ def test_k_anonymity_ladder_levels(spark):
     assert got[("de", 0)] == (2, 5)
     assert got[("de", 4)] == (2, 5)
     assert got[("zh", 0)] == (3, 2)
+
+
+def test_corpus_drift_ks_shift_direction_and_null(spark):
+    """Binned KS semantics pinned: identical snapshots give KS ~0 / no
+    alert; a one-bucket rightward length shift — which PSI scores the
+    same as ANY rearrangement — drives the ordered CDF gap past the
+    critical value; and the statistic equals a hand-computed max CDF
+    gap on a tiny fixture."""
+    from cours_datalake_dwh_td_kafka_spark.operators.drift import (
+        LEN_BIN_WIDTH,
+        corpus_drift_ks,
+    )
+
+    def corpus(offset):
+        return spark.createDataFrame(
+            [
+                (i, "x", "en", "s0",
+                 (i % 4) * LEN_BIN_WIDTH + offset)
+                for i in range(400)
+            ],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    a = corpus(0)
+    same = corpus_drift_ks(a, a).collect()
+    assert same and all(not r.drift_alert for r in same)
+    assert all(r.ks_stat == 0.0 for r in same)
+    assert all(r.cdf_ref == r.cdf_cur for r in same)
+
+    # shift every doc one bucket right: CDF gap = 1/4 at each interior
+    # bucket boundary
+    b = corpus(LEN_BIN_WIDTH)
+    shifted = corpus_drift_ks(a, b).collect()
+    assert shifted and all(r.drift_alert for r in shifted)
+    assert abs(shifted[0].ks_stat - 0.25) < 1e-9
+    # CDFs end at 1.0 in both snapshots (bin domain is the union)
+    assert shifted[-1].cdf_ref == 1.0 and shifted[-1].cdf_cur == 1.0
+
+
+def test_bloom_join_reduction_superset_and_counts(spark):
+    """The bloom pre-filter keeps a SUPERSET of matching fact rows
+    (never a false negative), reduces the scan when the dim is
+    selective, and the filtered join equals the plain join."""
+    from cours_datalake_dwh_td_kafka_spark.operators.joins_advanced import (
+        bloom_join_reduction,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, i % 100) for i in range(5000)], "row_id bigint, key bigint"
+    )
+    dim = spark.createDataFrame(
+        [(k,) for k in range(0, 100, 20)], "key bigint"
+    )  # 5 of 100 keys
+    kept, meas = bloom_join_reduction(fact, dim, "key")
+    assert meas["fact_rows_total"] == 5000
+    matching = fact.join(dim, "key", "left_semi")
+    n_match = matching.count()
+    assert n_match == 250
+    # superset: every matching row survived the bloom
+    assert (
+        matching.select("row_id", "key")
+        .exceptAll(kept.select("row_id", "key"))
+        .count()
+        == 0
+    )
+    assert kept.join(dim, "key", "left_semi").count() == n_match
+    assert n_match <= meas["fact_rows_after_bloom"] < 5000
+    # join-through equality
+    a = sorted(map(tuple, kept.join(dim, "key").collect()))
+    b = sorted(map(tuple, fact.join(dim, "key").collect()))
+    assert a == b
