@@ -345,3 +345,55 @@ def test_lake_consume_changes_fold_mode(spark, tmp_path):
     )
     assert lake_consume_changes(spark, src, out_fold, fold=True) == [4]
     assert current_version(out_fold) == 2
+
+
+@pytest.mark.parametrize(
+    "cluster,bloom",
+    [(False, False), (True, False), (False, True), (True, True)],
+)
+def test_lake_read_keys_equals_full_scan_in(spark, tmp_path, cluster, bloom):
+    """Soundness sweep: under every index combination — no layout,
+    range stats only, bloom only, both — lake_read_keys(col, keys)
+    must equal lake_read().where(col IN keys), including absent keys,
+    negative keys, duplicate keys, post-index appends, and
+    merge-on-read deletes."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_delete_keys
+
+    path = str(tmp_path / f"t_{cluster}_{bloom}")
+    df = spark.range(-500, 1500).selectExpr("id AS k", "id * 3 AS v")
+    lake_commit(df.repartition(6), path)
+    if cluster:
+        lake_cluster_by(spark, path, "k", n_files=6)
+    if bloom:
+        lake_bloom_index(spark, path, "k")
+    # stats-less append after the index builds
+    lake_commit(
+        spark.createDataFrame([(7777, 1)], "k bigint, v bigint"),
+        path,
+        mode="append",
+    )
+    # merge-on-read delete of a key the probes will ask for
+    lake_delete_keys(
+        spark, path, "k", keys=spark.createDataFrame([(10,)], "k bigint")
+    )
+    key_sets = [
+        [10, 20, 30],            # 10 is deleted -> must not match
+        [-499, 1499, 7777],      # extremes + the appended key
+        [99999, -99999],         # all absent
+        [5, 5, 5],               # duplicates
+        [0],
+    ]
+    for keys in key_sets:
+        got = sorted(
+            tuple(r)
+            for r in lake_read_keys(spark, path, "k", keys).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in lake_read(spark, path)
+            .where(F.col("k").isin(keys))
+            .collect()
+        )
+        assert got == want, (cluster, bloom, keys, got[:5], want[:5])
