@@ -1024,3 +1024,87 @@ def drift_monitor_stream(
         .foreachBatch(evaluate)
         .start()
     )
+
+
+def drift_monitor_stream_ks(
+    docs: DataFrame,
+    ref: DataFrame,
+    on_ks,
+    checkpoint: str,
+):
+    """Streaming binned-KS drift monitor (round 12): the ordered
+    complement of :func:`drift_monitor_stream`, same scale split — the
+    volume-scaling part (counting length-bucket occurrences) runs as a
+    complete-mode streaming aggregation over the BOUNDED bin space, the
+    all-bins part (cumulative CDFs, max gap, the alpha=0.05 verdict)
+    runs in ``foreachBatch`` over <= 16 rows of in-process state. The
+    drained stream's verdict equals the batch
+    ``operators.drift.corpus_drift_ks`` bit-for-bit (pytest-pinned):
+    per-bin gaps round through Decimal(repr(x)) HALF_UP — exactly
+    Spark's double ROUND — before the max.
+
+    ``on_ks(batch_id, ks_stat, critical_value, alert)`` fires per
+    trigger. ``ref`` is read ONCE into a bounded histogram dict."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cours_datalake_dwh_td_kafka_spark.operators.drift import (
+        KS_COEFF,
+        LEN_BIN_MAX,
+        LEN_BIN_WIDTH,
+    )
+
+    def _len_bins(d: DataFrame) -> DataFrame:
+        bin_ = F.least(
+            F.floor(F.col("n_chars") / LEN_BIN_WIDTH), F.lit(LEN_BIN_MAX)
+        ).cast("long")
+        return d.select(bin_.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+
+    ref_counts: dict[int, int] = {
+        r.bin: r.cnt for r in _len_bins(ref).collect()
+    }
+    cur_counts: dict[int, int] = {}
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def _ks() -> tuple[float, float, bool]:
+        bins = sorted(set(ref_counts) | set(cur_counts))
+        n_ref = sum(ref_counts.values())
+        n_cur = sum(cur_counts.values())
+        if not bins or n_ref == 0 or n_cur == 0:
+            return 0.0, float("inf"), False
+        ks = 0.0
+        cum_r = cum_c = 0
+        for b in bins:
+            cum_r += ref_counts.get(b, 0)
+            cum_c += cur_counts.get(b, 0)
+            ks = max(ks, _round6(abs(cum_r / n_ref - cum_c / n_cur)))
+        crit = _round6(
+            KS_COEFF * math.sqrt((n_ref + n_cur) / (n_ref * n_cur))
+        )
+        return ks, crit, ks > crit
+
+    def evaluate(batch_df: DataFrame, batch_id: int) -> None:
+        # complete mode re-emits every bin each trigger (bounded by the
+        # bin space), so a restart rebuilds the histogram wholesale —
+        # the drift_monitor_stream restart rule
+        cur_counts.clear()
+        for r in batch_df.collect():
+            cur_counts[r.bin] = int(r.cnt)
+        ks, crit, alert = _ks()
+        on_ks(batch_id, ks, crit, alert)
+
+    hist = _len_bins(docs)
+    return (
+        hist.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(evaluate)
+        .start()
+    )
