@@ -71,18 +71,25 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = best
         # one short line per query — survives any bounded tail cut
-        print(json.dumps({"q": name, "sec": timings[name]}), flush=True)
+        print(json.dumps({"q": name, "sec": round(best, 3)}), flush=True)
 
-    total = round(sum(timings.values()), 3)
     # two lanes (VERDICT r11 #4): protocol rows measure attestation
     # cost by design; the operator lane is the regression-tracking
-    # headline. The driver-facing total is unchanged.
-    proto = round(
-        sum(s for n, s in timings.items() if n in registry.PROTOCOL_QUERIES),
-        3,
+    # headline. The driver-facing total is unchanged. All three numbers
+    # round ONCE from the raw timings (never a rounded difference of
+    # rounded sums — ADVICE r12: lane subtotals must add up exactly for
+    # anyone diffing them across rounds, so operator_sec comes from its
+    # own raw sum, not total - proto).
+    total = round(sum(timings.values()), 3)
+    proto_raw = sum(
+        s for n, s in timings.items() if n in registry.PROTOCOL_QUERIES
     )
+    oper_raw = sum(
+        s for n, s in timings.items() if n not in registry.PROTOCOL_QUERIES
+    )
+    proto = round(proto_raw, 3)
     headline = json.dumps(
         {
             "metric": "total_query_wall_sec",
@@ -91,7 +98,7 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "n_queries": len(timings),
             "repeats": max(1, N_REPEATS),
-            "operator_sec": round(total - proto, 3),
+            "operator_sec": round(oper_raw, 3),
             "protocol_sec": proto,
             "n_protocol": sum(
                 1 for n in timings if n in registry.PROTOCOL_QUERIES

@@ -1724,24 +1724,43 @@ def lake_mark_stream(
     deletes all carried) under op ``mark`` — row-preserving, so CDC
     readers skip it from the op alone. No-op (returns None) when the
     table doesn't exist yet or the scoped mark is already >=
-    ``mark_version``; returns the committed version otherwise."""
-    v = current_version(path)
-    if v < 1:
-        return None
-    if last_stream_batch_id(path, stream_id) >= mark_version:
-        return None
-    m = _read_manifest(path, v)
-    return _commit_manifest(
-        path,
-        v + 1,
-        m["files"],
-        "mark",
-        m.get("schema"),
-        m.get("stats"),
-        m.get("bloom"),
-        mark_version,
-        m.get("deletes"),
-        stream_id,
+    ``mark_version``; returns the committed version otherwise.
+
+    Race safety (ADVICE r12): the mark check then commit is
+    check-then-act, so a rival poller — or ANY concurrent commit to the
+    table — can land v+1 first and make the single-winner publish raise
+    ``FileExistsError``. That is not a failure of the mark (the table
+    merely moved): re-read the current version and the scoped mark and
+    retry against the NEW tip, returning None if a rival's commit
+    already carries a mark >= ours. Bounded retries; a pathologically
+    hot table surfaces the last ``FileExistsError`` rather than
+    spinning."""
+    for _ in range(8):
+        v = current_version(path)
+        if v < 1:
+            return None
+        if last_stream_batch_id(path, stream_id) >= mark_version:
+            return None
+        m = _read_manifest(path, v)
+        try:
+            return _commit_manifest(
+                path,
+                v + 1,
+                m["files"],
+                "mark",
+                m.get("schema"),
+                m.get("stats"),
+                m.get("bloom"),
+                mark_version,
+                m.get("deletes"),
+                stream_id,
+            )
+        except FileExistsError:
+            continue  # rival landed v+1: re-read tip and mark, retry
+    raise FileExistsError(
+        f"lake_mark_stream: could not land a mark commit at {path} after "
+        "8 attempts (every attempt lost the single-winner race to a "
+        "rival commit)"
     )
 
 

@@ -207,14 +207,41 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: alpha = 0.05 two-sample KS critical coefficient
 KS_COEFF = 1.358
 
+#: sentinel bin for NULL n_chars (ADVICE r12): a NULL bin key survives
+#: the groupBy but vanishes from the triangular CDF join (NULL never
+#: satisfies bin2 <= bin, in Spark OR SQL), so its mass would count in
+#: the totals yet never reach a CDF — the CDFs would silently top out
+#: below 1.0 and null mass could never contribute a gap. Mapping NULL
+#: to LEN_BIN_MAX + 1 makes it a REAL ordered bin, placed after every
+#: capped non-null bin (the NULLS LAST convention the PSI row uses),
+#: and collision-free because non-null bins are capped at LEN_BIN_MAX.
+KS_NULL_BIN = LEN_BIN_MAX + 1
+
+
+def ks_len_bin() -> "F.Column":
+    """The KS length-bucket binning expression, shared with the
+    streaming twin so batch and stream can never disagree on where
+    null mass lands."""
+    return (
+        F.when(F.col("n_chars").isNull(), F.lit(KS_NULL_BIN))
+        .otherwise(
+            F.least(
+                F.floor(F.col("n_chars") / LEN_BIN_WIDTH),
+                F.lit(LEN_BIN_MAX),
+            )
+        )
+        .cast("long")
+    )
+
 
 def corpus_drift_ks(ref: DataFrame, cur: DataFrame) -> DataFrame:
     """Binned two-sample KS over the length-bucket feature. One row per
     bin with both counts, both CDFs, the per-bin gap, the KS statistic
-    (max gap) and the alpha=0.05 verdict — bounded by the bin space."""
-    len_bin = F.least(
-        F.floor(F.col("n_chars") / LEN_BIN_WIDTH), F.lit(LEN_BIN_MAX)
-    ).cast("long")
+    (max gap) and the alpha=0.05 verdict — bounded by the bin space.
+    NULL n_chars rows are binned at :data:`KS_NULL_BIN` (after every
+    real bucket), so their mass reaches the CDFs and both CDFs end at
+    exactly 1.0."""
+    len_bin = ks_len_bin()
     rows = (
         ref.select(len_bin.alias("bin"), F.lit(1).alias("is_ref"),
                    F.lit(0).alias("is_cur"))
@@ -284,8 +311,10 @@ def corpus_drift_ks(ref: DataFrame, cur: DataFrame) -> DataFrame:
 
 _KS_SQL = f"""
     WITH rows_ AS (
-      SELECT CAST(LEAST(FLOOR(n_chars / {LEN_BIN_WIDTH}), {LEN_BIN_MAX})
-                  AS BIGINT) AS bin,
+      SELECT CASE WHEN n_chars IS NULL THEN CAST({KS_NULL_BIN} AS BIGINT)
+                  ELSE CAST(LEAST(FLOOR(n_chars / {LEN_BIN_WIDTH}),
+                                  {LEN_BIN_MAX}) AS BIGINT)
+             END AS bin,
              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref,
              CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS is_cur
       FROM documents

@@ -150,10 +150,17 @@ def maintain_sessions_from_cdc(
     recompute, not V full passes (VERDICT r11 #2); a version span with
     no data changes lands a mark-only commit, so the next poll's walk
     starts past it (VERDICT r11 #3). Returns the versions folded by
-    THIS call. Replays, rebuilt checkpoints, and rival pollers all
-    re-read the mark, so each version's late wave folds exactly once —
-    the ``lake_consume_changes`` guard driving a MUTATING consumer
-    instead of an append log."""
+    THIS call. Replays and rebuilt checkpoints re-read the mark, so a
+    SEQUENTIAL re-poll (kill/restart at any point) folds each version's
+    late wave exactly once — the ``lake_consume_changes`` guard driving
+    a MUTATING consumer instead of an append log. Scope (ADVICE r12):
+    the guard serializes replays, not CONCURRENT pollers — the fold's
+    delete and append land as two commits, so two daemons folding the
+    same span simultaneously can interleave them and duplicate touched
+    users' rows. Run one maintenance daemon per sessions table at a
+    time (the streaming wrapper's foreachBatch already guarantees this
+    within a query); a rival's commit landing mid-fold makes the loser
+    fail loudly on the single-winner publish, never merge silently."""
     from cours_datalake_dwh_td_kafka_spark.lake import (
         current_version,
         last_stream_batch_id,

@@ -324,14 +324,24 @@ def text_index_protocol(
       fewer posting files than the table holds — on the term-clustered
       layout each query term's range keeps ~1 clustered file (plus the
       stats-less appended files, conservatively), never the other
-      terms' files;
+      terms' files. The assertion is GUARDED on the layout making
+      pruning possible at all (>1 file, at least one of them carrying
+      term stats): on a single-file or stats-less layout the reads are
+      correct but nothing is prunable, and attesting FALSE there would
+      fail the value hash for a layout accident, not a serving bug
+      (ADVICE r12) — the guard makes the boolean mean "pruning holds
+      wherever the layout admits it";
     - ``phrase_posting_rows``: the EXACT number of posting rows the
       phrase chain reads (one row per (term, doc) for the phrase's
       terms) — oracle-recomputed from raw text, so the served path
       provably consumes the candidate set and nothing more. The
       measured serve-only latency lives in tools/measure_serving.py +
       README (wall time is not hashable)."""
-    from cours_datalake_dwh_td_kafka_spark.lake import pruned_files
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        current_version,
+        pruned_files,
+    )
 
     lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
     cut = int(lo) + int((int(hi) - int(lo)) * INCREMENT_SPLIT)
@@ -356,7 +366,18 @@ def text_index_protocol(
     for t in dict.fromkeys(BM25_TERMS):
         fs, total = pruned_files(_postings_path(idx), "term", t, t)
         opened.update(fs)
-    files_pruned = len(opened) < total
+    pm = _read_manifest(
+        _postings_path(idx), current_version(_postings_path(idx))
+    )
+    has_term_stats = any(
+        ((pm.get("stats") or {}).get(f) or {}).get("cols", {}).get("term")
+        for f in pm["files"]
+    )
+    # guarded assertion (see docstring): only claim pruning when the
+    # layout actually admits it
+    files_pruned = (
+        len(opened) < total if (total > 1 and has_term_stats) else True
+    )
     phrase_rows = _term_postings(
         spark, idx, tuple(set(PHRASE_QUERY.split(" ")))
     ).count()

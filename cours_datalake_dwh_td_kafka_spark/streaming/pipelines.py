@@ -1050,15 +1050,13 @@ def drift_monitor_stream_ks(
 
     from cours_datalake_dwh_td_kafka_spark.operators.drift import (
         KS_COEFF,
-        LEN_BIN_MAX,
-        LEN_BIN_WIDTH,
+        ks_len_bin,
     )
 
     def _len_bins(d: DataFrame) -> DataFrame:
-        bin_ = F.least(
-            F.floor(F.col("n_chars") / LEN_BIN_WIDTH), F.lit(LEN_BIN_MAX)
-        ).cast("long")
-        return d.select(bin_.alias("bin")).groupBy("bin").agg(
+        # the batch operator's exact binning (null mass -> KS_NULL_BIN,
+        # a real ordered bin) so stream == batch holds on null inputs
+        return d.select(ks_len_bin().alias("bin")).groupBy("bin").agg(
             F.count(F.lit(1)).cast("long").alias("cnt")
         )
 

@@ -1964,19 +1964,23 @@ def test_corpus_drift_ks_shift_direction_and_null(spark):
     alert; a one-bucket rightward length shift — which PSI scores the
     same as ANY rearrangement — drives the ordered CDF gap past the
     critical value; and the statistic equals a hand-computed max CDF
-    gap on a tiny fixture."""
+    gap on a tiny fixture. NULL n_chars mass lands in the KS_NULL_BIN
+    sentinel bin (ADVICE r12): it reaches the CDFs (both end at exactly
+    1.0 WITH null rows present) and an asymmetric null share shows up
+    as a real gap."""
     from cours_datalake_dwh_td_kafka_spark.operators.drift import (
+        KS_NULL_BIN,
         LEN_BIN_WIDTH,
         corpus_drift_ks,
     )
 
-    def corpus(offset):
+    def corpus(offset, nulls=0):
+        rows = [
+            (i, "x", "en", "s0", (i % 4) * LEN_BIN_WIDTH + offset)
+            for i in range(400)
+        ] + [(1000 + j, "x", "en", "s0", None) for j in range(nulls)]
         return spark.createDataFrame(
-            [
-                (i, "x", "en", "s0",
-                 (i % 4) * LEN_BIN_WIDTH + offset)
-                for i in range(400)
-            ],
+            rows,
             "doc_id bigint, text string, lang string, source string, "
             "n_chars bigint",
         )
@@ -1995,6 +1999,20 @@ def test_corpus_drift_ks_shift_direction_and_null(spark):
     assert abs(shifted[0].ks_stat - 0.25) < 1e-9
     # CDFs end at 1.0 in both snapshots (bin domain is the union)
     assert shifted[-1].cdf_ref == 1.0 and shifted[-1].cdf_cur == 1.0
+
+    # null bin: 100 NULL-length docs in cur only. The sentinel bin row
+    # must EXIST, sort last, and carry the null mass into the CDFs —
+    # both end at exactly 1.0; at the last REAL bin cur holds only
+    # 400/500 of its mass, so the null asymmetry IS the max gap (0.2).
+    withnull = corpus_drift_ks(a, corpus(0, nulls=100)).collect()
+    assert [r.bin for r in withnull][-1] == KS_NULL_BIN
+    nb = withnull[-1]
+    assert (nb.ref_cnt, nb.cur_cnt) == (0, 100)
+    assert nb.cdf_ref == 1.0 and nb.cdf_cur == 1.0
+    real = withnull[-2]
+    assert real.cdf_ref == 1.0 and abs(real.cdf_cur - 0.8) < 1e-9
+    assert abs(real.d_bin - 0.2) < 1e-9
+    assert abs(withnull[0].ks_stat - 0.2) < 1e-9
 
 
 def test_bloom_join_reduction_superset_and_counts(spark):
