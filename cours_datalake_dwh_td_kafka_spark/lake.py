@@ -1633,6 +1633,14 @@ def pruned_files_keys(
     stats/bloom for ``col`` are conservatively kept by that pruner.
     Driver cost: one manifest read + |values| * k md5 probes — bounded
     by the caller (collect a key set only when it's wave-sized).
+
+    Un-indexed guard (VERDICT r12): when the manifest records NEITHER
+    range stats NOR a bloom index for ``col``, nothing is prunable —
+    return every file immediately instead of paying the per-key md5
+    probes and per-file loops for a result that keeps everything. The
+    cost cliff a caller pays on an un-indexed layout is then exactly
+    one manifest read, and the all-files answer is the explicit signal
+    that a distributed semi-join beats a key-set read there.
     """
     import base64
     import hashlib
@@ -1642,6 +1650,12 @@ def pruned_files_keys(
     m = _read_manifest(path, v)
     if not vals:
         return [], len(m["files"])
+    stats = m.get("stats") or {}
+    has_stats = any(
+        (stats.get(f) or {}).get("cols", {}).get(col) for f in m["files"]
+    )
+    if not has_stats and (m.get("bloom") or {}).get(col) is None:
+        return list(m["files"]), len(m["files"])
     keep, total = pruned_files(path, col, min(vals), max(vals), v)
     keep = set(keep)
     b = (m.get("bloom") or {}).get(col)
@@ -1681,6 +1695,16 @@ def pruned_files_keys(
     return [f for f in m["files"] if f in keep], len(m["files"])
 
 
+#: above this many keys the row filter switches from an isin literal
+#: to a broadcast left-semi join: Spark compiles isin to an InSet hash
+#: probe, but the literal set still rides INSIDE the plan — serialized
+#: with every task, rendered in every explain/UI string, and re-shipped
+#: on each retry. The bloom_join_reduction builder measured multi-k
+#: literal InSets as a planner/driver bottleneck; a broadcast of the
+#: same keys is one block, shipped once (VERDICT r12 #5).
+KEYS_INSET_MAX = 1024
+
+
 def lake_read_keys(
     spark: SparkSession,
     path: str,
@@ -1695,19 +1719,29 @@ def lake_read_keys(
     SQL IN semantics); cheaper by the skipped files — the read an
     incremental maintainer uses so a small late wave against a
     key-clustered 100 TB lake opens O(touched keys' files), not every
-    file."""
+    file. Row filter: an isin literal up to :data:`KEYS_INSET_MAX`
+    keys, a broadcast left-semi join above it (same multiset result —
+    the dedup below keeps semi-join row counts honest for duplicate
+    keys, which IN also matches at most once per fact row)."""
     from pyspark.sql import functions as F
 
     # resolve the version ONCE (the lake_read_pruned snapshot rule)
     v = current_version(path) if version is None else version
-    vals = [x for x in values if x is not None]
+    # dedup (preserving first-seen order for determinism): IN-list
+    # duplicates are semantically idle but would inflate the literal,
+    # and a semi-join build side never needs them
+    vals = list(dict.fromkeys(x for x in values if x is not None))
     files, _ = pruned_files_keys(path, col, vals, v)
     if not files:
         return lake_read(spark, path, v).where(F.lit(False))
     m = _read_manifest(path, v)
-    return _apply_deletes(spark, path, m, files).where(
-        F.col(col).isin(vals)
+    df = _apply_deletes(spark, path, m, files)
+    if len(vals) <= KEYS_INSET_MAX:
+        return df.where(F.col(col).isin(vals))
+    keys_df = spark.createDataFrame(
+        [(x,) for x in vals], schema=df.select(col).schema
     )
+    return df.join(F.broadcast(keys_df), col, "left_semi")
 
 
 def lake_mark_stream(

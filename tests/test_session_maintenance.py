@@ -397,3 +397,61 @@ def test_lake_read_keys_equals_full_scan_in(spark, tmp_path, cluster, bloom):
             .collect()
         )
         assert got == want, (cluster, bloom, keys, got[:5], want[:5])
+
+
+def test_pruned_files_keys_unindexed_short_circuits(spark, tmp_path):
+    """VERDICT r12 #5: on a layout with NEITHER stats NOR bloom for the
+    column, pruned_files_keys returns every file WITHOUT running the
+    hull/bloom probe machinery — the cost on an un-indexed table is one
+    manifest read, never |files| x |keys| driver-side work."""
+    path = str(tmp_path / "unindexed")
+    lake_commit(spark.range(0, 1000).selectExpr("id AS k").repartition(5), path)
+
+    def boom(*a, **kw):  # the guard must return before hull pruning
+        raise AssertionError("pruned_files must not run on an un-indexed layout")
+
+    orig = lake_mod.pruned_files
+    lake_mod.pruned_files = boom
+    try:
+        files, total = pruned_files_keys(path, "k", list(range(2000)))
+    finally:
+        lake_mod.pruned_files = orig
+    assert total == 5 and len(files) == 5
+    # an indexed layout still prunes (the guard is column-scoped)
+    lake_cluster_by(spark, path, "k", n_files=5)
+    files, total = pruned_files_keys(path, "k", [3])
+    assert len(files) < total
+
+
+def test_lake_read_keys_semi_join_above_inset_cap(spark, tmp_path):
+    """Above KEYS_INSET_MAX the row filter is a broadcast left-semi
+    join (one broadcast block, plan stays one literal wide); at or
+    below it stays an IN literal. Both shapes equal the full-scan IN,
+    duplicates included."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import KEYS_INSET_MAX
+
+    path = str(tmp_path / "big")
+    lake_commit(
+        spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS v"), path
+    )
+    lake_cluster_by(spark, path, "k", n_files=4)
+
+    big = [x * 2 for x in range(KEYS_INSET_MAX + 200)]  # evens only
+    got = lake_read_keys(spark, path, "k", big)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert (
+        sorted(r.k for r in got.collect())
+        == sorted(
+            r.k
+            for r in lake_read(spark, path).where(F.col("k").isin(big)).collect()
+        )
+    )
+
+    small = [1, 2, 3, 2, 1]  # dups dedup into the literal
+    got_small = lake_read_keys(spark, path, "k", small)
+    plan_small = got_small._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan_small
+    assert sorted(r.k for r in got_small.collect()) == [1, 2, 3]
