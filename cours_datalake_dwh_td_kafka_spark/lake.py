@@ -258,6 +258,129 @@ def lake_commit(
     )
 
 
+#: maintenance ops that rewrite LAYOUT, never rows — a CDC consumer
+#: skips them without reading any data (compaction folds pending
+#: deletes into the files, but the delete-applied VIEW — what
+#: lake_read serves and what CDC diffs — is unchanged by it)
+ROW_PRESERVING_OPS = frozenset({"compact", "cluster", "bloom", "mark"})
+
+
+class LakeConflictError(RuntimeError):
+    """A lake transaction lost to a rival commit it cannot commute
+    with — the loud-abort rung of the optimistic concurrency ladder.
+    The table is untouched by the loser; retry the whole transaction
+    (re-derive from the new tip) or surface to the caller."""
+
+
+#: rival ops an OPTIMISTIC APPEND rebase commutes with when the writer
+#: declared a read snapshot: appends add rows the writer never read,
+#: and the ROW_PRESERVING_OPS rewrite layout, never visibility.
+_OCC_APPEND_COMMUTES = frozenset({"append"}) | ROW_PRESERVING_OPS
+
+#: rival ops that change WHICH rows are visible — a read-modify-write
+#: writer racing one of these may have derived its append from rows
+#: that no longer exist; abort and let it re-derive.
+_OCC_ROW_CHANGING = frozenset(
+    {"overwrite", "delete", "delete_keys", "merge", "restore"}
+)
+
+
+def lake_commit_occ(
+    df: DataFrame,
+    path: str,
+    read_version: int | None = None,
+    max_attempts: int = 8,
+) -> int:
+    """OPTIMISTIC multi-writer append (round 13, VERDICT r12 #3 — the
+    Delta/Iceberg OCC rung above the raw single-winner CAS): write the
+    data files ONCE, then try to publish; when a rival lands first,
+    CLASSIFY the conflict instead of failing:
+
+    - commuting rivals (appends; layout maintenance — compact, cluster,
+      bloom, mark) -> REBASE: re-point the manifest at the new tip's
+      file list + this writer's files, re-merge the schema under the
+      evolution rule, carry the tip's stats/bloom/delete entries, and
+      re-CAS at tip+1. Two racing appends therefore BOTH land, each
+      exactly once, in either order.
+    - conflicting rivals -> abort with :class:`LakeConflictError`. A
+      writer that declared ``read_version`` (a read-modify-write
+      transaction: it DERIVED its rows from that snapshot) aborts when
+      any intervening commit is row-changing (overwrite / delete /
+      delete_keys / merge / restore) — the rows it read may be gone,
+      so rebasing would publish a derivation of a vanished state
+      (Delta's ConcurrentDeleteRead rule, coarsened to op scope). A
+      BLIND append (``read_version=None``) commutes with physical
+      rewrites and row deletes too — it read nothing — and aborts only
+      on overwrite/restore, which declare intent to REPLACE table
+      contents (appending pre-replacement rows past that is almost
+      always a pipeline bug; make it loud).
+    - a schema retype conflict surfaces as the evolution rule's
+      ``ValueError`` exactly as on the sequential path.
+
+    Bounded: after ``max_attempts`` lost CAS races the writer aborts
+    with :class:`LakeConflictError` rather than spinning on a
+    pathologically hot table. An aborted attempt's data files are
+    unreferenced by any manifest — invisible to every reader and
+    reclaimed by :func:`lake_vacuum`, the same lifecycle as any
+    uncommitted write. Returns the committed version."""
+    if read_version is not None and read_version > current_version(path):
+        raise ValueError(
+            f"read_version {read_version} is ahead of {path!r}'s current "
+            f"version {current_version(path)}"
+        )
+    entry_tip = current_version(path)
+    check_from = entry_tip if read_version is None else read_version
+    new_files = _write_data_files(df, path)
+    for _ in range(max_attempts):
+        tip = current_version(path)
+        for v in _existing_versions(path):
+            if v <= check_from or v > tip:
+                continue
+            op = _read_manifest(path, v).get("op")
+            if op in _OCC_APPEND_COMMUTES:
+                continue
+            if read_version is None and op in _OCC_ROW_CHANGING and op not in (
+                "overwrite",
+                "restore",
+            ):
+                continue  # blind append: nothing read, deletes commute
+            raise LakeConflictError(
+                f"optimistic append to {path} conflicts with rival "
+                f"commit v{v} (op {op!r}): "
+                + (
+                    "writer read snapshot "
+                    f"v{read_version} and the rival changed row "
+                    "visibility — re-derive from the new tip"
+                    if read_version is not None
+                    else "the rival replaced table contents"
+                )
+            )
+        if tip > 0:
+            tip_m = _read_manifest(path, tip)
+            schema = _merged_append_schema(tip_m.get("schema"), df)
+            files = tip_m["files"] + new_files
+            stats, bloom, deletes = (
+                tip_m.get("stats"),
+                tip_m.get("bloom"),
+                tip_m.get("deletes"),
+            )
+        else:
+            schema = _schema_dict(df)
+            files = new_files
+            stats = bloom = deletes = None
+        try:
+            return _commit_manifest(
+                path, tip + 1, files, "append", schema, stats, bloom,
+                deletes=deletes,
+            )
+        except FileExistsError:
+            continue  # rival landed tip+1 first: re-read, re-classify
+    raise LakeConflictError(
+        f"optimistic append to {path} lost the publish race "
+        f"{max_attempts} times — table too hot, re-run the transaction"
+    )
+
+
 def last_stream_batch_id(path: str, stream_id: str | None = None) -> int:
     """High-water mark of streaming batch ids committed to the table
     (-1 for none / no table). One manifest read: every commit carries
@@ -491,6 +614,7 @@ def _apply_deletes(
     out = None
     for sig, grp_files in sorted(groups.items()):
         df = _read_file_subset(spark, path, m, grp_files)
+        declared_order = df.columns
         for i in sig:
             d = applicable[i]
             keys = spark.read.parquet(
@@ -499,6 +623,13 @@ def _apply_deletes(
             # no broadcast hint: AQE broadcasts a small key set by
             # itself, and a large one (bulk erasure) must shuffle
             df = df.join(keys, d["key"], "left_anti")
+        # a USING-column join hoists the key to the front; re-project
+        # to the declared order so a merge-on-read read keeps the
+        # schema contract every other read path honors (surfaced in
+        # r13 by the postings table, whose delete key is its SECOND
+        # column — positional consumers like exceptAll would silently
+        # compare term against doc_id)
+        df = df.select(*declared_order)
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -748,13 +879,6 @@ def lake_diff(
     inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
     return inserts.unionByName(deletes)
-
-
-#: maintenance ops that rewrite LAYOUT, never rows — a CDC consumer
-#: skips them without reading any data (compaction folds pending
-#: deletes into the files, but the delete-applied VIEW — what
-#: lake_read serves and what CDC diffs — is unchanged by it)
-ROW_PRESERVING_OPS = frozenset({"compact", "cluster", "bloom", "mark"})
 
 
 def lake_changes_since(

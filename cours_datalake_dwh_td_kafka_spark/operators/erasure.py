@@ -1,0 +1,359 @@
+"""End-to-end right-to-be-forgotten (round 13, VERDICT r12 #2): ONE
+attested protocol row proving an erasure request — "forget these users
+and these documents" — propagates through EVERY derived artifact the
+engine maintains, each one ending multiset-equal to a from-scratch
+recompute that never saw the erased rows:
+
+- the EVENT lake (explicit-keys merge-on-read delete, O(deleted)) and
+  its CDC-maintained SESSIONS table (the resident daemon folds the
+  delete wave: touched users' sessions are swapped for their
+  recompute-from-current-state — which, for an erased user, is empty);
+- the DOCUMENT lake and its incremental MATERIALIZED VIEW (the delta
+  consumer subtracts the delete feed's rows);
+- the FINGERPRINT side table (per-doc pure map: key-delete the wave —
+  nothing to recompute, surviving rows are untouched by construction);
+- the TEXT INDEX: postings + doclens key-deleted, the MaxScore
+  (df, max_tf, min_dl) sidecar's affected terms recomputed exactly
+  (text_index.erase_from_text_index) — BM25 and MaxScore serving both
+  re-proven against the reduced corpus / the exhaustive scorer;
+- the ANN index (merge-on-read vector tombstones, served results equal
+  brute-force over the remaining vectors);
+- PHYSICAL reclamation: every store carrying delete debt is compacted
+  (folds the anti-joins into the files) and vacuumed; the surviving
+  raw files are re-scanned to contain ZERO erased keys and no pending
+  delete entries, and the vacuum must actually return orphans.
+
+The reference has no erasure machinery at all (its pipeline is
+append-only CSV/parquet, work/*.py); the composed protocol is the
+GDPR/CCPA deletion shape every production lakehouse documents (Delta
+"vacuum after delete", Iceberg equality-deletes + rewrite).
+
+Scale shape: every leg is O(erased | touched | affected), never
+O(corpus) — the legs are the same incremental maintainers the other
+protocol rows attest individually; this row attests their COMPOSITION.
+The from-scratch comparators exist only to attest equality at test
+scale."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.lake import (
+    _read_manifest,
+    current_version,
+    lake_commit,
+    lake_compact,
+    lake_delete_keys,
+    lake_read,
+    lake_vacuum,
+)
+from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+    NORM_SQL,
+    norm_text,
+)
+from cours_datalake_dwh_td_kafka_spark.registry import register
+
+#: deterministic erasure cohorts (distinct moduli from the other
+#: protocol rows so the fixtures stay independent)
+E2E_USER_MOD, E2E_USER_REM = 17, 3
+E2E_DOC_MOD, E2E_DOC_REM = 13, 5
+
+
+def _fingerprint_rows(d: DataFrame) -> DataFrame:
+    """The doc_fingerprint projection (text_analysis) as a maintainable
+    side table: (doc_id, fp_md5, fp32)."""
+    nt = norm_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(nt).alias("fp_md5"),
+        F.conv(F.substring(F.md5(nt), 1, 8), 16, 10)
+        .cast("long")
+        .alias("fp32"),
+    )
+
+
+def _multiset_eq(a: DataFrame, b: DataFrame) -> bool:
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
+    return (
+        a.count() == b.count()
+        and a.exceptAll(b).count() == 0
+        and b.exceptAll(a).count() == 0
+    )
+
+
+def erasure_e2e_protocol(
+    spark: SparkSession,
+    events: DataFrame,
+    docs: DataFrame,
+    emb: DataFrame,
+    workdir: str,
+) -> DataFrame:
+    from cours_datalake_dwh_td_kafka_spark.operators.ann_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_query_index,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.lake_queries import (
+        mv_delta_rows,
+        mv_serve,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.session_queries import (
+        maintain_sessions_from_cdc,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.sessionization import (
+        sessionize_events,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        ann_topk_bruteforce,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
+        bm25_search,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.text_index import (
+        MAXSCORE_TERMS,
+        MAXSCORE_TOP_N,
+        _doclens_path,
+        _postings_path,
+        _tstats_path,
+        bm25_maxscore_query,
+        bm25_query_index,
+        build_text_index,
+        doclen_rows,
+        erase_from_text_index,
+        postings_rows,
+        term_stats_rows,
+    )
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_consume_changes
+
+    ev_p = os.path.join(workdir, "events")
+    sess_p = os.path.join(workdir, "sessions")
+    doc_p = os.path.join(workdir, "docs")
+    mv_p = os.path.join(workdir, "mv")
+    fp_p = os.path.join(workdir, "fp")
+    idx_p = os.path.join(workdir, "text_index")
+    ann_p = os.path.join(workdir, "ann")
+
+    user_erased = F.col("user_id") % E2E_USER_MOD == E2E_USER_REM
+    doc_erased = F.col("doc_id") % E2E_DOC_MOD == E2E_DOC_REM
+    vec_erased = (F.col("vec_id") % E2E_DOC_MOD == E2E_DOC_REM) & (
+        F.col("vec_id") >= N_QUERIES
+    )
+    docs = docs.select("doc_id", "source", "lang", "n_chars", "text")
+    ev = events.select("event_id", "user_id", "ts", "event_type", "value")
+    embv = emb.select("vec_id", "embedding")
+
+    # ---- build every artifact on the FULL data ------------------------
+    lake_commit(ev, ev_p)
+    maintain_sessions_from_cdc(spark, ev_p, sess_p)  # bootstrap
+    lake_commit(docs, doc_p)
+    lake_consume_changes(spark, doc_p, mv_p, apply_fn=mv_delta_rows)
+    lake_commit(_fingerprint_rows(docs), fp_p)
+    build_text_index(spark, docs, idx_p)
+    build_ivf_index(embv, ann_p, lake_version=1)
+
+    n_users = int(ev.where(user_erased).select("user_id").distinct().count())
+    n_docs = int(docs.where(doc_erased).count())
+    n_vecs = int(embv.where(vec_erased).count())
+
+    # ---- the request lands: O(erased) writes on every store -----------
+    # (index erasure FIRST — it re-tokenizes the wave's raw text, which
+    # the base table still serves at this point)
+    n_affected_terms = erase_from_text_index(
+        spark, docs.where(doc_erased).select("doc_id", "text"), idx_p
+    )
+    lake_delete_keys(
+        spark, ev_p, "user_id",
+        keys=ev.where(user_erased).select("user_id").distinct(),
+    )
+    lake_delete_keys(
+        spark, doc_p, "doc_id", keys=docs.where(doc_erased).select("doc_id")
+    )
+    lake_delete_keys(
+        spark, fp_p, "doc_id", keys=docs.where(doc_erased).select("doc_id")
+    )
+    delete_from_ivf_index(embv.where(vec_erased).select("vec_id"), ann_p)
+    # CDC-maintained artifacts fold the delete feed
+    maintain_sessions_from_cdc(spark, ev_p, sess_p)
+    lake_consume_changes(spark, doc_p, mv_p, apply_fn=mv_delta_rows)
+
+    # ---- each artifact == a recompute that never saw the erased rows --
+    ev_rem = ev.where(~user_erased)
+    docs_rem = docs.where(~doc_erased)
+    sessions_ok = _multiset_eq(
+        lake_read(spark, sess_p), sessionize_events(ev_rem)
+    )
+    mv_want = docs_rem.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    mv_ok = _multiset_eq(mv_serve(spark, mv_p), mv_want)
+    fp_ok = _multiset_eq(lake_read(spark, fp_p), _fingerprint_rows(docs_rem))
+    bm25_ok = _multiset_eq(bm25_query_index(spark, idx_p), bm25_search(docs_rem))
+    pruned, _meas = bm25_maxscore_query(spark, idx_p)
+    maxscore_ok = _multiset_eq(
+        pruned,
+        bm25_query_index(
+            spark, idx_p, terms=MAXSCORE_TERMS, top_n=MAXSCORE_TOP_N
+        ),
+    )
+    tstats_served = (
+        lake_read(spark, _tstats_path(idx_p))
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+    )
+    p_rem = postings_rows(docs_rem).localCheckpoint(eager=False)
+    tstats_ok = _multiset_eq(
+        tstats_served,
+        term_stats_rows(p_rem, doclen_rows(docs_rem)).select(
+            "term", F.col("df").cast("long").alias("df"), "max_tf", "min_dl"
+        ),
+    )
+    q = embv.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    ann_ok = _multiset_eq(
+        ivf_query_index(spark, ann_p, q, nprobe=N_CELLS).select(
+            "query_id", "neighbor_id"
+        ),
+        ann_topk_bruteforce(emb.where(~vec_erased)).select(
+            "query_id", "neighbor_id"
+        ),
+    )
+
+    # ---- physical reclamation on every store carrying delete debt -----
+    erased_key = {
+        ev_p: ("user_id", E2E_USER_MOD, E2E_USER_REM),
+        sess_p: ("user_id", E2E_USER_MOD, E2E_USER_REM),
+        doc_p: ("doc_id", E2E_DOC_MOD, E2E_DOC_REM),
+        fp_p: ("doc_id", E2E_DOC_MOD, E2E_DOC_REM),
+        _postings_path(idx_p): ("doc_id", E2E_DOC_MOD, E2E_DOC_REM),
+        _doclens_path(idx_p): ("doc_id", E2E_DOC_MOD, E2E_DOC_REM),
+    }
+    physical_ok = True
+    n_reclaimed = 0
+    for store, (col, mod, rem) in erased_key.items():
+        # target_files > 1: the fold is a parallel rewrite, not a
+        # single-task coalesce(1) — the postings store is the whole
+        # tokenized corpus and a one-file fold serializes it
+        lake_compact(spark, store, target_files=8)
+        orphans = lake_vacuum(store, keep_versions=1, orphan_grace_seconds=0)
+        n_reclaimed += len(orphans)
+        physical_ok &= len(orphans) > 0
+        m = _read_manifest(store, current_version(store))
+        physical_ok &= not m.get("deletes")
+        raw = spark.read.parquet(
+            *(os.path.join(store, f) for f in m["files"])
+        )
+        physical_ok &= raw.where(F.col(col) % mod == rem).count() == 0
+
+    return spark.createDataFrame(
+        [
+            (
+                n_users,
+                n_docs,
+                n_vecs,
+                int(lake_read(spark, ev_p).count()),
+                int(
+                    lake_read(spark, sess_p)
+                    .select("user_id")
+                    .distinct()
+                    .count()
+                ),
+                int(
+                    mv_serve(spark, mv_p)
+                    .agg(F.sum("sum_chars"))
+                    .first()[0]
+                ),
+                int(lake_read(spark, fp_p).agg(F.sum("fp32")).first()[0]),
+                int(lake_read(spark, _postings_path(idx_p)).count()),
+                bool(n_affected_terms > 0),
+                bool(sessions_ok),
+                bool(mv_ok),
+                bool(fp_ok),
+                bool(bm25_ok),
+                bool(maxscore_ok),
+                bool(tstats_ok),
+                bool(ann_ok),
+                bool(physical_ok and n_reclaimed > 0),
+            )
+        ],
+        "n_erased_users BIGINT, n_erased_docs BIGINT, n_erased_vecs BIGINT, "
+        "n_events_after BIGINT, n_session_users_after BIGINT, "
+        "mv_sum_chars_after BIGINT, fp32_sum_after BIGINT, "
+        "n_postings_after BIGINT, index_terms_recomputed_ok BOOLEAN, "
+        "sessions_match_ok BOOLEAN, mv_match_ok BOOLEAN, "
+        "fingerprints_match_ok BOOLEAN, bm25_serves_without_ok BOOLEAN, "
+        "maxscore_eq_exhaustive_ok BOOLEAN, term_stats_match_ok BOOLEAN, "
+        "ann_serves_without_ok BOOLEAN, physical_reclaim_ok BOOLEAN",
+    )
+
+
+def _e2e_sql() -> str:
+    from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
+        N_QUERIES,
+    )
+
+    norm = NORM_SQL.format(c="text")
+    return f"""
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+       WHERE user_id % {E2E_USER_MOD} = {E2E_USER_REM}) AS n_erased_users,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       WHERE doc_id % {E2E_DOC_MOD} = {E2E_DOC_REM}) AS n_erased_docs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+       WHERE vec_id % {E2E_DOC_MOD} = {E2E_DOC_REM}
+         AND vec_id >= {N_QUERIES}) AS n_erased_vecs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+       WHERE user_id % {E2E_USER_MOD} <> {E2E_USER_REM}) AS n_events_after,
+      (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+       WHERE user_id % {E2E_USER_MOD} <> {E2E_USER_REM})
+        AS n_session_users_after,
+      (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+       WHERE doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM}) AS mv_sum_chars_after,
+      (SELECT CAST(SUM(CAST(('0x' || substr(md5({norm}), 1, 8)) AS UBIGINT)::BIGINT)
+              AS BIGINT) FROM documents
+       WHERE doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM}) AS fp32_sum_after,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         SELECT doc_id, s FROM (
+           SELECT doc_id, unnest(string_split({norm}, ' ')) AS s
+           FROM documents WHERE doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM})
+         GROUP BY doc_id, s)) AS n_postings_after,
+      TRUE AS index_terms_recomputed_ok,
+      TRUE AS sessions_match_ok,
+      TRUE AS mv_match_ok,
+      TRUE AS fingerprints_match_ok,
+      TRUE AS bm25_serves_without_ok,
+      TRUE AS maxscore_eq_exhaustive_ok,
+      TRUE AS term_stats_match_ok,
+      TRUE AS ann_serves_without_ok,
+      TRUE AS physical_reclaim_ok
+    """
+
+
+@register("erasure_e2e", _e2e_sql())
+def q_erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="graft_erasure_e2e_")
+    try:
+        return erasure_e2e_protocol(
+            spark, events, docs, emb, tmp
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

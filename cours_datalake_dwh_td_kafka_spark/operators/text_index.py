@@ -42,6 +42,7 @@ from cours_datalake_dwh_td_kafka_spark.io import load_table
 from cours_datalake_dwh_td_kafka_spark.lake import (
     lake_cluster_by,
     lake_commit,
+    lake_delete_keys,
     lake_read,
     lake_read_pruned,
 )
@@ -166,6 +167,52 @@ def append_text_index(spark: SparkSession, d: DataFrame, path: str) -> None:
     lake_commit(p, _postings_path(path), mode="append")
     lake_commit(dl, _doclens_path(path), mode="append")
     lake_commit(ts, _tstats_path(path), mode="append")
+
+
+def erase_from_text_index(
+    spark: SparkSession, erased: DataFrame, path: str
+) -> int:
+    """O(erased + affected terms) right-to-be-forgotten maintenance for
+    the retrieval index (round 13, VERDICT r12 #2). ``erased`` is the
+    erased docs' (doc_id, text) — the wave arrives WITH its raw rows
+    (the erasure request precedes the base-table delete, so the text is
+    still at hand; re-tokenizing the wave is what keeps affected-term
+    discovery O(erased), no forward index needed):
+
+    - postings + doclens: merge-on-read equality deletes on doc_id —
+      O(keys) writes, every read path anti-joins them (the
+      lake_delete_keys contract);
+    - term_stats: the (df, max_tf, min_dl) sidecar is associative under
+      APPENDS but not deletes — df would overcount and the MaxScore
+      upper bounds, while still VALID (removing docs only lowers true
+      maxima), would drift from the from-scratch build and the exact df
+      the scorer reads would be wrong. So the wave's AFFECTED TERMS
+      (tokenized from the wave itself) are key-deleted and ONE exact
+      row per surviving affected term is appended, recomputed from the
+      remaining postings semi-joined to the affected set — O(affected
+      terms' postings), never a corpus pass.
+
+    Returns the number of affected terms."""
+    ids = erased.select("doc_id")
+    terms = (
+        postings_rows(erased).select("term").distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_terms = terms.count()
+    lake_delete_keys(spark, _postings_path(path), "doc_id", keys=ids)
+    lake_delete_keys(spark, _doclens_path(path), "doc_id", keys=ids)
+    if n_terms == 0:
+        return 0
+    lake_delete_keys(spark, _tstats_path(path), "term", keys=terms)
+    rem_p = lake_read(spark, _postings_path(path)).join(
+        F.broadcast(terms), "term", "left_semi"
+    )
+    rem_dl = lake_read(spark, _doclens_path(path))
+    recomputed = term_stats_rows(rem_p, rem_dl)
+    if recomputed.isEmpty():
+        return n_terms  # every affected term vanished with the wave
+    lake_commit(recomputed, _tstats_path(path), mode="append")
+    return n_terms
 
 
 def _term_postings(

@@ -52,65 +52,61 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-12 attestation window (driver caps at ~50 rows/round) ---
-    # -- code changed in r12: must re-attest on current code -------------
-    "session_incremental",   # r12: pruned touched-user read + fold + mark
-    "bm25_served",           # r12: scan-evidence columns (files/rows)
-    "corpus_drift_psi",      # r12: NULLS LAST ordering (ADVICE r11)
-    "k_anonymity_audit",     # r12: NULLS LAST ordering (ADVICE r11)
-    "lake_lifecycle",        # r12: lake_consume_changes fold mode
-    "cdc_index_maintenance",  # r12: same consumer module
-    "lake_incremental_mv",   # r12: same consumer module
-    "lake_restore",          # r12: CDC-across-restore shares changes path
-    "bm25_maxscore",         # r12: text_index.py shared-module re-stamp
-    "rollup_cascade",        # r12: lake shared-path changes
-    "ann_matryoshka_recall",  # r12: weighted positive-case cohort
-    # -- new in r12, never attested --------------------------------------
-    "corpus_drift_ks",        # r12: binned two-sample KS drift
-    "bloom_join_reduction",   # r12: sideways-information-passing join
-    # -- spare window capacity: the r5-vintage stamps (the r11 spare list
-    #    was cut by the 50-row cap before reaching them), then the oldest
-    #    r6 rows; harmless if the cap cuts the tail ----------------------
-    "bpe_train_merges",
-    "centroid_separation",
-    "cusum_changepoint",
-    "dedup_eval_lsh",
-    "dedup_jaccard_prefix",
-    "dedup_keep_best",
-    "distinct_hll_bound",
-    "dow_seasonality",
-    "embedding_centroids",
-    "embedding_outliers",
-    "join_revenue_per_nation",
-    "lang_mismatch_rate",
-    "market_basket_lift",
-    "multimodal_dct_stats",
-    "multimodal_frame_sample",
-    "multimodal_frame_stats",
-    "multimodal_gzip_stats",
-    "multimodal_meta",
-    "multimodal_resize",
-    "phrase_search",
-    "pivot_event_counts",
-    "pricing_summary",
-    "rolling_median",
-    "rollup_agg",
-    "source_overlap_matrix",
-    "tfidf_top_terms",
-    "time_to_convert",
-    "triangle_count",
-    "window_suite",
-    "winsorized_mean",
-    "asof_join",
-    "autocorrelation_acf",
-    "blocking_suppliers",
-    "boolean_disjunction",
-    "corpus_source_stats",
-    "cross_join_small",
-    "degree_distribution",
+    # ---- round-13 attestation window (driver caps at ~50 rows/round) ---
+    # -- new in r13, never attested --------------------------------------
+    "lake_occ_multiwriter",   # r13: optimistic multi-writer concurrency
+    "quantile_sketch",        # r13: mergeable KLL-style quantile sketch
+    "erasure_e2e",            # r13: right-to-be-forgotten across artifacts
+    # -- code changed in r13: must re-attest on current code -------------
+    "corpus_drift_ks",        # r13: NULL n_chars -> sentinel bin
+    "bm25_served",            # r13: guarded served_files_pruned boolean
+    "session_incremental",    # r13: lake_read_keys semi-join/guard path
+    "lake_lifecycle",         # r13: lake.py shared-module changes (mark
+    "lake_restore",           #      retry, pruned-keys guard, OCC ops,
+    "cdc_index_maintenance",  #      _apply_deletes column-order fix)
+    "lake_incremental_mv",
+    "lake_merge_on_read",     # r13: _apply_deletes is its core read path
+    # -- spare window capacity (VERDICT r12 #1): the 37 r6-vintage
+    #    stamps — six rounds of shared-module refactors sit between
+    #    their code and their last driver check; all fit beside the
+    #    r13 head in one 50-row window --------------------------------
     "distinct_rows",
     "doc_fingerprint",
     "intersect_customers",
+    "join_enrich_counts",
+    "join_full_outer",
+    "knn_join",
+    "knn_join_grid",
+    "label_balance_chi2",
+    "language_id",
+    "min_cost_supplier",
+    "mode_per_group",
+    "monthly_profile",
+    "multimodal_jpeg_stats",
+    "null_handling",
+    "orderby_limit_topk",
+    "pandas_sessionization",
+    "part_supplier_counts",
+    "pca_top_components",
+    "point_in_time_join",
+    "product_type_profit",
+    "promotion_candidate_suppliers",
+    "quality_filter_funnel",
+    "rank_top3",
+    "records",
+    "rfm_segments",
+    "rolling_frame_max",
+    "row_number_first",
+    "running_sum",
+    "self_join_pairs",
+    "session_window_agg",
+    "shipping_delay_buckets",
+    "sliding_window_agg",
+    "source_kl_divergence",
+    "token_count",
+    "tumbling_window_agg",
+    "union_except",
+    "window_lag_delta",
 )
 
 
@@ -137,6 +133,7 @@ PROTOCOL_QUERIES: frozenset[str] = frozenset({
     "dedup_incremental_lsh",
     "erasure_protocol",
     "hard_negative_mining_corpus",
+    "erasure_e2e",
     "index_lake_consistency",
     "lake_bloom",
     "lake_cluster",
@@ -145,6 +142,7 @@ PROTOCOL_QUERIES: frozenset[str] = frozenset({
     "lake_lifecycle",
     "lake_maintenance",
     "lake_merge_on_read",
+    "lake_occ_multiwriter",
     "lake_restore",
     "lake_txn_consistency",
     "lake_zorder",
@@ -189,6 +187,7 @@ def _load_all() -> None:
         dedup,
         dwh,
         drift,
+        erasure,
         graph,
         hamming,
         image_dedup,
@@ -200,6 +199,7 @@ def _load_all() -> None:
         multimodal,
         pca,
         profiling,
+        quantile_sketch,
         rag,
         refresh,
         relational,

@@ -1106,3 +1106,70 @@ def drift_monitor_stream_ks(
         .foreachBatch(evaluate)
         .start()
     )
+
+
+#: streaming sketch union re-compaction threshold (points, not rows)
+QS_COMPRESS_CAP = 8192
+
+
+def quantile_monitor_stream(
+    rows: DataFrame,
+    col: str,
+    on_quantiles,
+    checkpoint: str,
+    ps=None,
+):
+    """Streaming percentiles over an unbounded column (round 13): the
+    quantile member of the stateful-sketch twins (CMS / HLL / MG).
+    Each micro-batch folds DISTRIBUTED into per-partition compactor
+    summaries (operators.quantile_sketch — the exact code the batch
+    row runs), whose bounded (value, weight) rows merge into the
+    monitor's running sketch by union: associative, commutative, and
+    error-free, so the running (n, err) accounting stays EXACT across
+    any batch arrival order. When the union grows past QS_COMPRESS_CAP
+    points it re-compacts through the same compactor, folding the
+    re-compaction cost into the carried err — state stays bounded no
+    matter how long the stream runs, and the rank-error guarantee
+    (|true rank - target| <= err) remains self-reported and checkable
+    at every trigger.
+
+    ``on_quantiles(batch_id, {p: estimate}, n, err)`` fires per
+    trigger. Returns the started StreamingQuery."""
+    from cours_datalake_dwh_td_kafka_spark.operators.quantile_sketch import (
+        QS_PS,
+        quantile_sketch_summary,
+        sketch_compress,
+        sketch_merge,
+        sketch_quantile,
+    )
+
+    probe = tuple(QS_PS if ps is None else ps)
+    state = {"points": [], "n": 0, "err": 0}
+    cap = QS_COMPRESS_CAP
+
+    def evaluate(batch_df: DataFrame, batch_id: int) -> None:
+        rows_ = quantile_sketch_summary(batch_df, col).collect()
+        pts = [(r.value, r.weight) for r in rows_ if r.value is not None]
+        n_b = sum(r.n for r in rows_)
+        err_b = sum(r.err for r in rows_)
+        state["points"], state["n"], state["err"] = sketch_merge(
+            state["points"], state["n"], state["err"], pts, n_b, err_b
+        )
+        if len(state["points"]) > cap:
+            state["points"], state["n"], state["err"] = sketch_compress(
+                state["points"], state["n"], state["err"]
+            )
+        ests = {
+            p: sketch_quantile(state["points"], state["n"], p)
+            for p in probe
+        }
+        on_quantiles(batch_id, ests, state["n"], state["err"])
+
+    return (
+        rows.select(col)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(evaluate)
+        .start()
+    )
+

@@ -2067,3 +2067,32 @@ def test_incremental_sessions_split_and_noop(spark, tmp_path):
         == 0
     )
     assert current_version(sess_path) == v_sess
+
+
+def test_merge_on_read_preserves_declared_column_order(spark, tmp_path):
+    """_apply_deletes must not let the anti-join's USING column hoist
+    the delete key to the front: a table whose key is NOT the leading
+    column reads back in its declared order (r13 regression — surfaced
+    by the postings table, where positional consumers like exceptAll
+    would compare term against doc_id)."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_commit,
+        lake_delete_keys,
+        lake_read,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5), ("c", 3, 3.5)],
+        "name string, k bigint, v double",
+    )
+    lake_commit(df, path)
+    lake_delete_keys(
+        spark, path, "k", keys=spark.createDataFrame([(2,)], "k bigint")
+    )
+    got = lake_read(spark, path)
+    assert got.columns == ["name", "k", "v"]
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("a", 1, 1.5),
+        ("c", 3, 3.5),
+    ]

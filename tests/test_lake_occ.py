@@ -1,0 +1,175 @@
+"""Optimistic multi-writer concurrency for the lake (VERDICT r12 #3):
+two racing appends BOTH land (rebase + re-CAS), a genuine scope
+conflict aborts loudly, retries are bounded, and losers never disturb
+readers."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+import cours_datalake_dwh_td_kafka_spark.lake as lake_mod
+from cours_datalake_dwh_td_kafka_spark.lake import (
+    LakeConflictError,
+    current_version,
+    lake_commit,
+    lake_commit_occ,
+    lake_delete_keys,
+    lake_read,
+)
+
+
+def _frame(spark, lo, hi, tag):
+    return spark.range(lo, hi).selectExpr("id AS k", f"'{tag}' AS src")
+
+
+def _rows(spark, path):
+    return sorted(tuple(r) for r in lake_read(spark, path).collect())
+
+
+def test_occ_rebases_over_rival_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 10, "base"), path)
+    # rival lands AFTER the writer read v1 but before its publish
+    lake_commit(_frame(spark, 10, 20, "rival"), path, mode="append")
+    v = lake_commit_occ(_frame(spark, 20, 30, "mine"), path, read_version=1)
+    assert v == 3 and current_version(path) == 3
+    assert _rows(spark, path) == sorted(
+        [(k, "base") for k in range(10)]
+        + [(k, "rival") for k in range(10, 20)]
+        + [(k, "mine") for k in range(20, 30)]
+    )
+
+
+def test_occ_thread_race_both_appends_land(spark, tmp_path):
+    """The Done criterion: two genuinely concurrent appends both land
+    with rows preserved, regardless of interleaving."""
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 5, "base"), path)
+    barrier = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def writer(lo, hi, tag):
+        try:
+            df = _frame(spark, lo, hi, tag)
+            barrier.wait(timeout=30)
+            lake_commit_occ(df, path)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(100, 110, "w1")),
+        threading.Thread(target=writer, args=(200, 210, "w2")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errs, errs
+    assert current_version(path) == 3  # base + exactly one commit each
+    assert _rows(spark, path) == sorted(
+        [(k, "base") for k in range(5)]
+        + [(k, "w1") for k in range(100, 110)]
+        + [(k, "w2") for k in range(200, 210)]
+    )
+
+
+def test_occ_rmw_aborts_on_row_changing_rival(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 10, "base"), path)
+    before = _rows(spark, path)
+    # rival erases keys the RMW writer may have derived from
+    lake_delete_keys(
+        spark, path, "k", keys=spark.createDataFrame([(3,)], "k bigint")
+    )
+    with pytest.raises(LakeConflictError, match="changed row visibility"):
+        lake_commit_occ(
+            _frame(spark, 20, 25, "derived"), path, read_version=1
+        )
+    # the loser left no trace a reader can see
+    assert current_version(path) == 2
+    assert _rows(spark, path) == [r for r in before if r[0] != 3]
+
+
+def test_occ_blind_append_commutes_with_deletes_and_maintenance(
+    spark, tmp_path
+):
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_compact
+
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 10, "base"), path)
+    lake_delete_keys(
+        spark, path, "k", keys=spark.createDataFrame([(1,)], "k bigint")
+    )
+    lake_compact(spark, path, small_file_bytes=1 << 30)
+    v = lake_commit_occ(_frame(spark, 50, 52, "blind"), path)
+    assert v == current_version(path)
+    got = _rows(spark, path)
+    assert (1, "base") not in got and (50, "blind") in got
+
+
+def test_occ_blind_append_aborts_on_overwrite(spark, tmp_path, monkeypatch):
+    """An overwrite landing WHILE the blind append is in flight (after
+    it read the tip, before its publish) aborts it: appending
+    pre-replacement rows past a contents replacement is made loud."""
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 10, "base"), path)
+
+    orig_write = lake_mod._write_data_files
+    fired = []
+
+    def write_then_rival(df, p):
+        files = orig_write(df, p)
+        if not fired:
+            fired.append(True)
+            lake_commit(
+                _frame(spark, 0, 3, "replaced"), path, mode="overwrite"
+            )
+        return files
+
+    monkeypatch.setattr(lake_mod, "_write_data_files", write_then_rival)
+    with pytest.raises(LakeConflictError, match="replaced table contents"):
+        lake_commit_occ(_frame(spark, 90, 92, "late"), path)
+    # the loser's rows are invisible; the overwrite won
+    assert _rows(spark, path) == [(k, "replaced") for k in range(3)]
+
+
+def test_occ_bounded_attempts(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 3, "base"), path)
+
+    def always_lose(*a, **kw):
+        raise FileExistsError("rival")
+
+    monkeypatch.setattr(lake_mod, "_commit_manifest", always_lose)
+    with pytest.raises(LakeConflictError, match="lost the publish race"):
+        lake_commit_occ(_frame(spark, 5, 6, "x"), path, max_attempts=3)
+
+
+def test_occ_schema_evolution_and_retype(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 3, "base"), path)
+    # adding a column through the OCC path follows the evolution rule
+    v = lake_commit_occ(
+        spark.range(7, 9).selectExpr(
+            "id AS k", "'new' AS src", "id * 2 AS extra"
+        ),
+        path,
+    )
+    got = lake_read(spark, path, v)
+    assert "extra" in got.columns
+    assert got.where("extra IS NULL").count() == 3  # pre-column files
+    with pytest.raises(ValueError, match="retyping"):
+        lake_commit_occ(
+            spark.range(0, 1).selectExpr("CAST(id AS STRING) AS k",
+                                         "'bad' AS src"),
+            path,
+        )
+
+
+def test_occ_read_version_ahead_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 3, "base"), path)
+    with pytest.raises(ValueError, match="ahead"):
+        lake_commit_occ(_frame(spark, 5, 6, "x"), path, read_version=9)

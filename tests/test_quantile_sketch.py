@@ -1,0 +1,184 @@
+"""Mergeable quantile sketch (VERDICT r12 #4): deterministic compactor
+with exact self-reported rank-error accounting, union-only merges, and
+the bounded-state streaming twin."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import time
+
+import pytest
+
+from cours_datalake_dwh_td_kafka_spark.operators.quantile_sketch import (
+    QS_K,
+    QS_PS,
+    quantile_sketch_bound,
+    quantile_sketch_summary,
+    sketch_compress,
+    sketch_merge,
+    sketch_new,
+    sketch_points,
+    sketch_quantile,
+    sketch_update,
+)
+
+
+def _true_rank_window(data: list, v: float) -> tuple[int, int]:
+    """[min rank, max rank] (1-based) of value v in sorted(data)."""
+    s = sorted(data)
+    lo = 1 + sum(1 for x in s if x < v)
+    hi = sum(1 for x in s if x <= v)
+    return lo, max(lo, hi)
+
+
+def _assert_bound(points, n, err, data, ps=QS_PS):
+    assert sum(w for _, w in points) == n == len(data)
+    for p in ps:
+        target = max(1, math.ceil(p * n))
+        v = sketch_quantile(points, n, p)
+        lo, hi = _true_rank_window(data, v)
+        # some rank of v must be within err of the target
+        assert lo - err <= target <= hi + err, (p, v, lo, hi, err, target)
+
+
+@pytest.mark.parametrize("order", ["shuffled", "ascending", "descending"])
+def test_core_error_bound_and_state_bound(order):
+    rng = random.Random(13)
+    data = [rng.gauss(100.0, 25.0) for _ in range(20000)]
+    feed = {
+        "shuffled": data,
+        "ascending": sorted(data),
+        "descending": sorted(data, reverse=True),
+    }[order]
+    st = sketch_new()
+    sketch_update(st, feed)
+    assert all(len(buf) <= QS_K for buf in st["levels"])  # bounded state
+    assert st["err"] > 0  # compactions actually happened at this size
+    # the budget is far below worst-case-useless: err << n
+    assert st["err"] < len(data) * 0.1
+    _assert_bound(sketch_points(st), st["n"], st["err"], data)
+
+
+def test_core_deterministic():
+    data = [math.sin(i) * 50 for i in range(5000)]
+    a, b = sketch_new(), sketch_new()
+    sketch_update(a, data)
+    sketch_update(b, data)
+    assert sketch_points(a) == sketch_points(b)
+    assert (a["n"], a["err"]) == (b["n"], b["err"])
+
+
+def test_merge_union_is_associative_commutative_and_error_free():
+    rng = random.Random(7)
+    chunks = [[rng.uniform(0, 1000) for _ in range(3000)] for _ in range(3)]
+    sks = []
+    for c in chunks:
+        st = sketch_new()
+        sketch_update(st, c)
+        sks.append((sketch_points(st), st["n"], st["err"]))
+
+    def key(s):
+        return (sorted(s[0]), s[1], s[2])
+
+    ab_c = sketch_merge(*sketch_merge(*sks[0], *sks[1]), *sks[2])
+    a_bc = sketch_merge(*sks[0], *sketch_merge(*sks[1], *sks[2]))
+    c_ba = sketch_merge(*sks[2], *sketch_merge(*sks[1], *sks[0]))
+    assert key(ab_c) == key(a_bc) == key(c_ba)
+    # union adds no error: total err == sum of part errs
+    assert ab_c[2] == sum(s[2] for s in sks)
+    alldata = [v for c in chunks for v in c]
+    _assert_bound(*ab_c, alldata)
+
+
+def test_compress_reduces_points_and_keeps_bound_honest():
+    rng = random.Random(99)
+    data = [rng.expovariate(0.01) for _ in range(30000)]
+    parts = [data[i::8] for i in range(8)]
+    pts, n, err = [], 0, 0
+    for part in parts:
+        st = sketch_new()
+        sketch_update(st, part)
+        pts, n, err = sketch_merge(pts, n, err, sketch_points(st), st["n"],
+                                   st["err"])
+    cpts, cn, cerr = sketch_compress(pts, n, err)
+    assert cn == n and len(cpts) < len(pts) and cerr >= err
+    _assert_bound(cpts, cn, cerr, data)
+
+
+def test_spark_summary_and_bound_row(spark):
+    rng = random.Random(5)
+    vals = [(float(rng.lognormvariate(3, 1)),) for _ in range(40000)]
+    df = spark.createDataFrame(vals, "value double").repartition(16)
+    rows = quantile_sketch_bound(df, "value").collect()
+    assert [r.p for r in rows] == sorted(QS_PS)
+    assert all(r.within_rank_err for r in rows)
+    assert all(r.weight_conserved_ok for r in rows)
+    # summary is bounded: <= partitions * (K * levels + sentinel)
+    summ = quantile_sketch_summary(df, "value").collect()
+    assert len(summ) <= 16 * (QS_K * 12 + 1)
+    # NULLs are dropped, not counted
+    with_null = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (3.0,)], "value double"
+    )
+    s2 = quantile_sketch_summary(with_null, "value").collect()
+    assert sum(r.n for r in s2) == 3
+
+
+def test_quantile_monitor_stream_bound_and_exact_accounting(
+    spark, tmp_path, monkeypatch
+):
+    """Drained stream: exact n, self-reported err, and every estimate
+    within the rank-error bound of the full streamed multiset — with a
+    tiny compress cap so the re-compaction path is exercised live."""
+    import cours_datalake_dwh_td_kafka_spark.streaming.pipelines as pl
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    monkeypatch.setattr(pl, "QS_COMPRESS_CAP", 64)
+
+    rng = random.Random(21)
+    data = [rng.gauss(0, 1) * 10 + (i % 7) for i, _ in
+            enumerate(range(6000))]
+    src = str(tmp_path / "qs_in")
+    os.makedirs(src)
+    third = len(data) // 3
+    for i in range(3):
+        with open(os.path.join(src, f"p{i}.json"), "w") as f:
+            for v in data[i * third : (i + 1) * third]:
+                f.write(json.dumps({"value": v}) + "\n")
+
+    schema = StructType([StructField("value", DoubleType())])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    ticks: list[tuple[int, dict, int, int]] = []
+    q = pl.quantile_monitor_stream(
+        stream,
+        "value",
+        lambda bid, ests, n, err: ticks.append((bid, ests, n, err)),
+        str(tmp_path / "qs_ckpt"),
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len(ticks) >= 3:
+            prog = q.lastProgress
+            if prog and prog["numInputRows"] == 0:
+                break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+    assert len(ticks) >= 3, [t[0] for t in ticks]
+    _, ests, n, err = ticks[-1]
+    assert n == len(data)
+    assert err > 0  # the 64-point cap forced live re-compactions
+    for p, v in ests.items():
+        target = max(1, math.ceil(p * n))
+        lo, hi = _true_rank_window(data, v)
+        assert lo - err <= target <= hi + err, (p, v, lo, hi, err)
+    # intermediate ticks carry exact running counts too
+    assert [t[2] for t in ticks][: 3] == [third, 2 * third, 3 * third]

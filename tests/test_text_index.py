@@ -286,3 +286,92 @@ def test_served_row_scan_evidence_columns(spark, tmp_path):
         out[0].phrase_posting_rows,
         want,
     )
+
+
+def test_erase_from_text_index_matches_rebuild(spark, tmp_path):
+    """Right-to-be-forgotten maintenance (r13): after erasing a doc
+    wave — including a doc that is the SOLE holder of a term, so that
+    term vanishes entirely — postings, doclens, the aggregated
+    (df, max_tf, min_dl) sidecar, and the served BM25 all equal a
+    from-scratch build over the remaining corpus."""
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_read
+
+    rows = [
+        (1, "join scan merge join", "en", "s0", 20),
+        (2, "join scan unicorn", "en", "s0", 17),     # sole 'unicorn' doc
+        (3, "merge scan scan join", "en", "s0", 20),
+        (4, "join merge merge", "en", "s0", 15),
+        (5, "scan join merge scan", "en", "s0", 20),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    erased = d.where(F.col("doc_id").isin([2, 4]))
+    remaining = d.where(~F.col("doc_id").isin([2, 4]))
+
+    idx = str(tmp_path / "idx")
+    ti.build_text_index(spark, d, idx, n_files=2)
+    n_terms = ti.erase_from_text_index(
+        spark, erased.select("doc_id", "text"), idx
+    )
+    assert n_terms == 4  # join scan unicorn merge
+
+    rebuilt = str(tmp_path / "rebuilt")
+    ti.build_text_index(spark, remaining, rebuilt, n_files=2)
+
+    for sub in (ti._postings_path, ti._doclens_path):
+        got = lake_read(spark, sub(idx))
+        want = lake_read(spark, sub(rebuilt))
+        assert _multiset_eq(got, want), sub(idx)
+
+    def agg_stats(path):
+        return (
+            lake_read(spark, ti._tstats_path(path))
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("dl" if False else "min_dl").alias("min_dl"),
+            )
+        )
+
+    assert _multiset_eq(agg_stats(idx), agg_stats(rebuilt))
+    # the vanished term left no sidecar row behind
+    assert (
+        lake_read(spark, ti._tstats_path(idx))
+        .where("term = 'unicorn'")
+        .count()
+        == 0
+    )
+    assert _multiset_eq(
+        ti.bm25_query_index(spark, idx), bm25_search(remaining)
+    )
+    pruned, _ = ti.bm25_maxscore_query(
+        spark, idx, terms=("join", "scan", "merge"), top_n=3
+    )
+    assert _multiset_eq(
+        pruned,
+        ti.bm25_query_index(
+            spark, idx, terms=("join", "scan", "merge"), top_n=3
+        ),
+    )
+
+
+def test_erase_entire_affected_term_set(spark, tmp_path):
+    """Erasing every doc (wave == corpus) leaves empty-serving artifacts
+    without crashing the sidecar recompute (the isEmpty guard)."""
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_read
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s0", 10), (2, "beta gamma", "en", "s0", 10)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    idx = str(tmp_path / "idx")
+    ti.build_text_index(spark, d, idx, n_files=2)
+    ti.erase_from_text_index(spark, d.select("doc_id", "text"), idx)
+    assert lake_read(spark, ti._postings_path(idx)).count() == 0
+    assert lake_read(spark, ti._doclens_path(idx)).count() == 0
+    assert lake_read(spark, ti._tstats_path(idx)).count() == 0
