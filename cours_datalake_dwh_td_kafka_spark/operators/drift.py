@@ -368,3 +368,235 @@ def q_corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_drift_ks(
         d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth (adaptive-bin) KS (round 13): the fixed-width length bins
+# above waste resolution where the corpus is sparse and saturate where
+# it is dense — the classic fix is EQUI-DEPTH bins (one per decile of
+# the reference snapshot), which maximizes per-bin KS sensitivity for a
+# fixed bin budget. At 100 TB the decile boundaries come from the
+# mergeable quantile sketch (operators/quantile_sketch — one pass,
+# bounded state, self-reported rank error), never a sort; the ATTESTED
+# row derives them from the exact percentile aggregate so the oracle
+# can recompute the very same bin assignment, and carries an in-row
+# boolean proving the sketch's boundary estimates sit within its
+# self-reported rank-error budget of the exact targets — the evidence
+# that the sketch-driven production path bins faithfully.
+# ---------------------------------------------------------------------------
+
+#: reference-snapshot quantiles that become the adaptive bin edges
+KSA_PS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _ks_from_binned(binned: DataFrame) -> DataFrame:
+    """Shared KS tail: (bin, ref_cnt, cur_cnt) -> CDFs, gaps, statistic,
+    verdict. Bounded by the bin space (broadcast triangular join)."""
+    totals = binned.agg(
+        F.sum("ref_cnt").cast("long").alias("n_ref"),
+        F.sum("cur_cnt").cast("long").alias("n_cur"),
+    )
+    rhs = binned.select(
+        F.col("bin").alias("bin2"),
+        F.col("ref_cnt").alias("rc2"),
+        F.col("cur_cnt").alias("cc2"),
+    )
+    cum = (
+        binned.join(F.broadcast(rhs), F.col("bin2") <= F.col("bin"))
+        .groupBy("bin", "ref_cnt", "cur_cnt")
+        .agg(
+            F.sum("rc2").cast("long").alias("cum_ref"),
+            F.sum("cc2").cast("long").alias("cum_cur"),
+        )
+    )
+    gaps = cum.crossJoin(F.broadcast(totals)).withColumn(
+        "d_bin",
+        F.round(
+            F.abs(
+                F.col("cum_ref").cast("double") / F.col("n_ref")
+                - F.col("cum_cur").cast("double") / F.col("n_cur")
+            ),
+            6,
+        ),
+    )
+    ks = gaps.agg(F.max("d_bin").alias("ks_stat"))
+    crit = F.round(
+        F.lit(KS_COEFF)
+        * F.sqrt(
+            (F.col("n_ref") + F.col("n_cur")).cast("double")
+            / (F.col("n_ref") * F.col("n_cur")).cast("double")
+        ),
+        6,
+    )
+    return (
+        gaps.crossJoin(F.broadcast(ks))
+        .select(
+            "bin",
+            "ref_cnt",
+            "cur_cnt",
+            F.round(F.col("cum_ref").cast("double") / F.col("n_ref"), 6)
+            .alias("cdf_ref"),
+            F.round(F.col("cum_cur").cast("double") / F.col("n_cur"), 6)
+            .alias("cdf_cur"),
+            "d_bin",
+            "ks_stat",
+            crit.alias("critical_value"),
+            (F.col("ks_stat") > crit).alias("drift_alert"),
+        )
+        .orderBy("bin")
+    )
+
+
+def corpus_drift_ks_adaptive(
+    ref: DataFrame, cur: DataFrame
+) -> DataFrame:
+    """Equi-depth binned two-sample KS: bin edges are the REFERENCE
+    snapshot's exact n_chars deciles (rounded once to 6, the shared
+    cross-engine rounding), values bin by counting edges they exceed,
+    NULL lengths land in the sentinel bin after every real one. Output
+    rows as :func:`corpus_drift_ks`, plus ``sketch_bins_within_rank_err``
+    — the mergeable quantile sketch's decile estimates over the same
+    reference sit within its self-reported rank-error budget of the
+    exact targets (the production path's fidelity, attested)."""
+    import math as _math
+
+    from cours_datalake_dwh_td_kafka_spark.operators.quantile_sketch import (
+        quantile_sketch_summary,
+        sketch_quantile,
+    )
+
+    edges_row = ref.agg(
+        F.transform(
+            F.percentile(F.col("n_chars").cast("double"),
+                         F.array(*[F.lit(p) for p in KSA_PS])),
+            lambda x: F.round(x, 6),  # Spark's double ROUND == DuckDB's
+        ).alias("qs")
+    ).first()
+    edges = [float(x) for x in edges_row["qs"]]
+    null_bin = len(KSA_PS) + 1
+
+    def bin_of(c):
+        b = F.lit(0)
+        for e in edges:
+            b = b + F.when(c.cast("double") > F.lit(e), 1).otherwise(0)
+        return (
+            F.when(c.isNull(), F.lit(null_bin)).otherwise(b).cast("long")
+        )
+
+    rows = ref.select(
+        bin_of(F.col("n_chars")).alias("bin"),
+        F.lit(1).alias("is_ref"),
+        F.lit(0).alias("is_cur"),
+    ).unionByName(
+        cur.select(
+            bin_of(F.col("n_chars")).alias("bin"),
+            F.lit(0).alias("is_ref"),
+            F.lit(1).alias("is_cur"),
+        )
+    )
+    binned = rows.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("ref_cnt"),
+        F.sum("is_cur").cast("long").alias("cur_cnt"),
+    )
+    out = _ks_from_binned(binned)
+
+    # sketch fidelity: each decile estimate's value must lie between the
+    # exact percentiles at (target ± (err + 1))/n — the quantile_sketch
+    # row's bracket, applied to the boundaries this monitor would use
+    # at scale
+    srows = quantile_sketch_summary(
+        ref.select(F.col("n_chars").cast("double").alias("v")), "v"
+    ).collect()
+    pts = [(r.value, r.weight) for r in srows if r.value is not None]
+    n = sum(r.n for r in srows)
+    err = sum(r.err for r in srows)
+    lo_ps = [max(0.0, (_math.ceil(p * n) - err - 1) / n) for p in KSA_PS]
+    hi_ps = [min(1.0, (_math.ceil(p * n) + err + 1) / n) for p in KSA_PS]
+    arr = lambda xs: F.array(*[F.lit(float(x)) for x in xs])  # noqa: E731
+    br = ref.agg(
+        F.percentile(F.col("n_chars").cast("double"), arr(lo_ps)).alias("lo"),
+        F.percentile(F.col("n_chars").cast("double"), arr(hi_ps)).alias("hi"),
+    ).first()
+    within = all(
+        float(br["lo"][i])
+        <= sketch_quantile(pts, n, p)
+        <= float(br["hi"][i])
+        for i, p in enumerate(KSA_PS)
+    )
+    return out.withColumn(
+        "sketch_bins_within_rank_err", F.lit(bool(within))
+    )
+
+
+def _ksa_sql() -> str:
+    edge_cols = ", ".join(
+        f"ROUND(quantile_cont(CAST(n_chars AS DOUBLE), {p}), 6) AS e{i}"
+        for i, p in enumerate(KSA_PS)
+    )
+    bin_sum = " + ".join(
+        f"(CASE WHEN CAST(n_chars AS DOUBLE) > b.e{i} THEN 1 ELSE 0 END)"
+        for i in range(len(KSA_PS))
+    )
+    null_bin = len(KSA_PS) + 1
+    return f"""
+    WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    b AS (SELECT {edge_cols} FROM ref),
+    rows_ AS (
+      SELECT CASE WHEN n_chars IS NULL THEN CAST({null_bin} AS BIGINT)
+                  ELSE CAST({bin_sum} AS BIGINT) END AS bin,
+             is_ref, is_cur
+      FROM (SELECT n_chars, 1 AS is_ref, 0 AS is_cur FROM ref
+            UNION ALL
+            SELECT n_chars, 0, 1 FROM cur) CROSS JOIN b
+    ),
+    binned AS (
+      SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS ref_cnt,
+             CAST(SUM(is_cur) AS BIGINT) AS cur_cnt
+      FROM rows_ GROUP BY bin
+    ),
+    totals AS (
+      SELECT CAST(SUM(ref_cnt) AS BIGINT) AS n_ref,
+             CAST(SUM(cur_cnt) AS BIGINT) AS n_cur
+      FROM binned
+    ),
+    cum AS (
+      SELECT bn.bin, bn.ref_cnt, bn.cur_cnt,
+             CAST(SUM(b2.ref_cnt) AS BIGINT) AS cum_ref,
+             CAST(SUM(b2.cur_cnt) AS BIGINT) AS cum_cur
+      FROM binned bn JOIN binned b2 ON b2.bin <= bn.bin
+      GROUP BY bn.bin, bn.ref_cnt, bn.cur_cnt
+    ),
+    gaps AS (
+      SELECT c.bin, c.ref_cnt, c.cur_cnt, c.cum_ref, c.cum_cur,
+             t.n_ref, t.n_cur,
+             ROUND(ABS(CAST(c.cum_ref AS DOUBLE) / CAST(t.n_ref AS DOUBLE)
+                     - CAST(c.cum_cur AS DOUBLE) / CAST(t.n_cur AS DOUBLE)),
+                   6) AS d_bin
+      FROM cum c CROSS JOIN totals t
+    ),
+    ks AS (SELECT MAX(d_bin) AS ks_stat FROM gaps)
+    SELECT g.bin, g.ref_cnt, g.cur_cnt,
+           ROUND(CAST(g.cum_ref AS DOUBLE) / CAST(g.n_ref AS DOUBLE), 6)
+             AS cdf_ref,
+           ROUND(CAST(g.cum_cur AS DOUBLE) / CAST(g.n_cur AS DOUBLE), 6)
+             AS cdf_cur,
+           g.d_bin, k.ks_stat,
+           ROUND({KS_COEFF} * SQRT(
+             CAST(g.n_ref + g.n_cur AS DOUBLE)
+             / CAST(g.n_ref * g.n_cur AS DOUBLE)), 6) AS critical_value,
+           k.ks_stat > ROUND({KS_COEFF} * SQRT(
+             CAST(g.n_ref + g.n_cur AS DOUBLE)
+             / CAST(g.n_ref * g.n_cur AS DOUBLE)), 6) AS drift_alert,
+           TRUE AS sketch_bins_within_rank_err
+    FROM gaps g CROSS JOIN ks k
+    ORDER BY bin
+"""
+
+
+@register("corpus_drift_ks_adaptive", _ksa_sql())
+def q_corpus_drift_ks_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_drift_ks_adaptive(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
+    )

@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lake_occ_multiwriter",   # r13: optimistic multi-writer concurrency
     "quantile_sketch",        # r13: mergeable KLL-style quantile sketch
     "erasure_e2e",            # r13: right-to-be-forgotten across artifacts
+    "corpus_drift_ks_adaptive",  # r13: equi-depth KS + sketch fidelity
     # -- code changed in r13: must re-attest on current code -------------
     "corpus_drift_ks",        # r13: NULL n_chars -> sentinel bin
     "bm25_served",            # r13: guarded served_files_pruned boolean

@@ -2047,3 +2047,45 @@ def test_bloom_join_reduction_superset_and_counts(spark):
     a = sorted(map(tuple, kept.join(dim, "key").collect()))
     b = sorted(map(tuple, fact.join(dim, "key").collect()))
     assert a == b
+
+
+def test_corpus_drift_ks_adaptive_sees_within_bucket_shift(spark):
+    """Equi-depth KS's reason to exist: every value below sits inside
+    ONE fixed-width bucket (n_chars < LEN_BIN_WIDTH), so the
+    fixed-width monitor reports KS = 0 for a strong within-bucket
+    rightward shift; the reference-decile bins resolve it and alert.
+    NULL lengths land in the sentinel bin after the real ones."""
+    from cours_datalake_dwh_td_kafka_spark.operators.drift import (
+        KSA_PS,
+        LEN_BIN_WIDTH,
+        corpus_drift_ks,
+        corpus_drift_ks_adaptive,
+    )
+
+    assert LEN_BIN_WIDTH > 40  # the fixture depends on one-bucket widths
+
+    def corpus(offset, nulls=0):
+        rows = [
+            (i, "x", "en", "s0", (i % 20) + offset) for i in range(1000)
+        ] + [(5000 + j, "x", "en", "s0", None) for j in range(nulls)]
+        return spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    a, b = corpus(0), corpus(10)  # shift by half the value range
+    fixed = corpus_drift_ks(a, b).collect()
+    assert all(r.ks_stat == 0.0 for r in fixed)  # washed out
+
+    adaptive = corpus_drift_ks_adaptive(a, b).collect()
+    assert adaptive[0].ks_stat > 0.4
+    assert all(r.drift_alert for r in adaptive)
+    assert all(r.sketch_bins_within_rank_err for r in adaptive)
+    assert adaptive[-1].cdf_ref == 1.0 and adaptive[-1].cdf_cur == 1.0
+
+    # null mass reaches the sentinel bin and the CDFs still close at 1.0
+    withnull = corpus_drift_ks_adaptive(a, corpus(0, nulls=200)).collect()
+    assert withnull[-1].bin == len(KSA_PS) + 1
+    assert withnull[-1].cdf_ref == 1.0 and withnull[-1].cdf_cur == 1.0
+    assert withnull[-1].cur_cnt == 200 and withnull[-1].ref_cnt == 0
