@@ -252,3 +252,164 @@ _QS_SQL = " UNION ALL ".join(
 @register("quantile_sketch", _QS_SQL)
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch_bound(load_table(spark, sf_dir, "events"), "value")
+
+
+# ---------------------------------------------------------------------------
+# grouped variant: one sketch per key — the per-cohort monitoring shape
+# (latency percentiles per event type, length percentiles per source).
+# Same scale split as the CMS/HLL/MG per-key sketches: the volume-
+# scaling pass is ONE mapInPandas over the (key, value) projection with
+# a dict of compactors (state bounded by keys-per-partition * K *
+# levels), the all-keys fold is a bounded driver merge.
+# ---------------------------------------------------------------------------
+
+#: probed per-group quantiles (fewer than the global row: one output
+#: row per (key, p) keeps the attested frame scalar-shaped and small)
+QS_GROUP_PS = (0.25, 0.5, 0.75, 0.95)
+
+
+def quantile_sketch_summary_by(
+    df: DataFrame, key: str, col: str
+) -> DataFrame:
+    """Per-(partition, key) sketch summaries. Point rows carry
+    (key, value, weight, 0, 0); one sentinel row per (partition, key)
+    carries (key, NULL, 0, err, n)."""
+    import pandas as pd
+
+    key_type = df.schema[key].dataType.simpleString()
+    schema = f"{key} {key_type}, value double, weight long, err long, n long"
+
+    def summarize(batches):
+        states: dict = {}
+        for pdf in batches:
+            sub = pdf[[key, col]].dropna(subset=[col])
+            for k, grp in sub.groupby(key, dropna=False, sort=False):
+                st = states.get(k)
+                if st is None:
+                    st = states[k] = sketch_new()
+                sketch_update(st, grp[col].to_numpy())
+        for k, st in states.items():
+            pts = sketch_points(st)
+            yield pd.DataFrame(
+                {
+                    key: [k] * (len(pts) + 1),
+                    "value": [v for v, _ in pts] + [None],
+                    "weight": [w for _, w in pts] + [0],
+                    "err": [0] * len(pts) + [st["err"]],
+                    "n": [0] * len(pts) + [st["n"]],
+                }
+            )
+
+    return df.select(key, col).mapInPandas(summarize, schema)
+
+
+def quantile_sketch_by_group(
+    df: DataFrame, key: str, col: str, ps=QS_GROUP_PS
+) -> DataFrame:
+    """One row per (key, p): the exact interpolated percentile (the
+    value-hashed ground truth) plus the sketch guarantee booleans —
+    every group's estimate within its OWN sketch's rank-error budget,
+    every group's weights conserved. The union-only merge means a
+    group's error budget is exactly the sum of its partitions'
+    compaction costs, independent of every other group."""
+    rows = quantile_sketch_summary_by(df, key, col).collect()
+    by_key: dict = {}
+    for r in rows:
+        st = by_key.setdefault(r[key], {"pts": [], "n": 0, "err": 0})
+        if r.value is not None:
+            st["pts"].append((r.value, r.weight))
+        else:
+            st["n"] += r.n
+            st["err"] += r.err
+
+    ps_l = list(ps)
+    checks = {}
+    for k, st in by_key.items():
+        n = st["n"]
+        checks[k] = {
+            "n": n,
+            "err": st["err"],
+            "w_ok": sum(w for _, w in st["pts"]) == n and n > 0,
+            "ests": {p: sketch_quantile(st["pts"], n, p) for p in ps_l},
+        }
+
+    arr = lambda xs: F.array(*[F.lit(float(x)) for x in xs])  # noqa: E731
+    vcol = F.col(col).cast("double")
+    # ONE pass verifies every (key, p) estimate: its true rank window
+    # in its group is [1 + #(< est), #(<= est)], and the guarantee is
+    # that window overlapping [target - err, target + err]. Conditional
+    # sums are bounded by keys * |ps| * 2 — keys here are cohorts
+    # (event types, sources), never user-scale.
+    sums = []
+    labels = []
+    for k, c in checks.items():
+        for p in ps_l:
+            v = float(c["ests"][p])
+            kf = F.col(key) == F.lit(k)
+            sums.append(
+                F.sum(F.when(kf & (vcol < v), 1).otherwise(0))
+                .cast("long")
+                .alias(f"lt_{len(labels)}")
+            )
+            sums.append(
+                F.sum(F.when(kf & (vcol <= v), 1).otherwise(0))
+                .cast("long")
+                .alias(f"le_{len(labels)}")
+            )
+            labels.append((k, p))
+    ranks = df.agg(*sums).first()
+    exact = {
+        r[key]: [float(x) for x in r["qe"]]
+        for r in df.groupBy(key)
+        .agg(F.percentile(vcol, arr(ps_l)).alias("qe"))
+        .collect()
+    }
+    final = []
+    for i, (k, p) in enumerate(labels):
+        c = checks[k]
+        lo = 1 + int(ranks[f"lt_{i}"])
+        hi = max(lo, int(ranks[f"le_{i}"]))
+        target = max(1, math.ceil(p * c["n"]))
+        within = lo - c["err"] <= target <= hi + c["err"]
+        final.append(
+            (
+                k,
+                float(p),
+                bool(within),
+                bool(c["w_ok"]),
+                exact[k][ps_l.index(p)],
+            )
+        )
+    res = df.sparkSession.createDataFrame(
+        final,
+        f"{key} string, p double, within_rank_err boolean, "
+        "weight_conserved_ok boolean, exact_raw double",
+    )
+    return res.select(
+        key,
+        "p",
+        F.round(F.col("exact_raw"), 6).alias("exact_q"),
+        "within_rank_err",
+        "weight_conserved_ok",
+    ).orderBy(key, "p")
+
+
+_QSG_SQL = " UNION ALL ".join(
+    f"""
+    SELECT event_type, CAST({p} AS DOUBLE) AS p,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), {p}), 6) AS exact_q,
+           TRUE AS within_rank_err,
+           TRUE AS weight_conserved_ok
+    FROM events GROUP BY event_type
+    """
+    for p in QS_GROUP_PS
+) + " ORDER BY event_type, p"
+
+
+@register("quantile_sketch_by_group", _QSG_SQL)
+def q_quantile_sketch_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return quantile_sketch_by_group(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )

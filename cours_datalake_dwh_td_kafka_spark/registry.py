@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quantile_sketch",        # r13: mergeable KLL-style quantile sketch
     "erasure_e2e",            # r13: right-to-be-forgotten across artifacts
     "corpus_drift_ks_adaptive",  # r13: equi-depth KS + sketch fidelity
+    "quantile_sketch_by_group",  # r13: per-cohort sketch percentiles
     # -- code changed in r13: must re-attest on current code -------------
     "corpus_drift_ks",        # r13: NULL n_chars -> sentinel bin
     "bm25_served",            # r13: guarded served_files_pruned boolean

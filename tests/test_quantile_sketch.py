@@ -16,6 +16,7 @@ from cours_datalake_dwh_td_kafka_spark.operators.quantile_sketch import (
     QS_K,
     QS_PS,
     quantile_sketch_bound,
+    quantile_sketch_by_group,
     quantile_sketch_summary,
     sketch_compress,
     sketch_merge,
@@ -182,3 +183,22 @@ def test_quantile_monitor_stream_bound_and_exact_accounting(
         assert lo - err <= target <= hi + err, (p, v, lo, hi, err)
     # intermediate ticks carry exact running counts too
     assert [t[2] for t in ticks][: 3] == [third, 2 * third, 3 * third]
+
+
+def test_grouped_sketch_independent_budgets(spark):
+    """Per-key sketches: each group's estimate honors its OWN error
+    budget; a tiny group (never compacted, err 0) is EXACT while a big
+    skewed group still bounds. NULL values are dropped per group."""
+    import random as _random
+
+    rng = _random.Random(3)
+    rows = [("big", float(rng.expovariate(0.01))) for _ in range(20000)]
+    rows += [("tiny", float(v)) for v in (1.0, 2.0, 3.0, 4.0)]
+    rows += [("tiny", None)]
+    df = spark.createDataFrame(rows, "k string, value double").repartition(8)
+    out = quantile_sketch_by_group(df, "k", "value").collect()
+    assert {r.k for r in out} == {"big", "tiny"}
+    assert all(r.within_rank_err and r.weight_conserved_ok for r in out)
+    tiny = {r.p: r.exact_q for r in out if r.k == "tiny"}
+    # 4 values, interpolated percentiles — exact, nulls excluded
+    assert tiny[0.5] == 2.5
