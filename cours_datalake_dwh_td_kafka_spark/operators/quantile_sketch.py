@@ -345,7 +345,9 @@ def quantile_sketch_by_group(
     for k, c in checks.items():
         for p in ps_l:
             v = float(c["ests"][p])
-            kf = F.col(key) == F.lit(k)
+            # null-safe: a NULL cohort key is a real group (groupBy
+            # keeps it); == would silently verify against zero rows
+            kf = F.col(key).eqNullSafe(F.lit(k))
             sums.append(
                 F.sum(F.when(kf & (vcol < v), 1).otherwise(0))
                 .cast("long")
