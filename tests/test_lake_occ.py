@@ -173,3 +173,67 @@ def test_occ_read_version_ahead_rejected(spark, tmp_path):
     lake_commit(_frame(spark, 0, 3, "base"), path)
     with pytest.raises(ValueError, match="ahead"):
         lake_commit_occ(_frame(spark, 5, 6, "x"), path, read_version=9)
+
+
+def test_occ_read_keys_narrow_delete_conflicts(spark, tmp_path):
+    """Declared read footprint (Delta's ConcurrentDeleteRead at key
+    scope): a rival equality-delete of DISJOINT keys commutes with the
+    RMW append; an overlapping delete, or one keyed on a different
+    column, aborts."""
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.range(0, 100).selectExpr(
+            "id AS k", "id AS other", "'base' AS src"
+        ),
+        path,
+    )
+    # disjoint delete: writer read keys {1, 2}, rival erased {90}
+    lake_delete_keys(
+        spark, path, "k", keys=spark.createDataFrame([(90,)], "k bigint")
+    )
+    v = lake_commit_occ(
+        spark.createDataFrame([(500, 500, "mine")],
+                              "k bigint, other bigint, src string"),
+        path,
+        read_version=1,
+        read_keys=("k", [1, 2]),
+    )
+    assert v == 3
+    got = {r.k for r in lake_read(spark, path).collect()}
+    assert 90 not in got and 500 in got and 1 in got
+
+    # overlapping delete aborts
+    lake_delete_keys(
+        spark, path, "k", keys=spark.createDataFrame([(2,)], "k bigint")
+    )
+    with pytest.raises(LakeConflictError, match="changed row visibility"):
+        lake_commit_occ(
+            spark.createDataFrame([(501, 501, "x")],
+                                  "k bigint, other bigint, src string"),
+            path,
+            read_version=3,
+            read_keys=("k", [1, 2]),
+        )
+
+    # different key column: unprovable, aborts
+    lake_delete_keys(
+        spark, path, "other",
+        keys=spark.createDataFrame([(77,)], "other bigint"),
+    )
+    with pytest.raises(LakeConflictError):
+        lake_commit_occ(
+            spark.createDataFrame([(502, 502, "y")],
+                                  "k bigint, other bigint, src string"),
+            path,
+            read_version=4,
+            read_keys=("k", [1]),
+        )
+
+    # read_keys without read_version is a contract error
+    with pytest.raises(ValueError, match="read_version"):
+        lake_commit_occ(
+            spark.createDataFrame([(503, 503, "z")],
+                                  "k bigint, other bigint, src string"),
+            path,
+            read_keys=("k", [1]),
+        )
