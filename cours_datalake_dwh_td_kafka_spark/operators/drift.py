@@ -388,6 +388,37 @@ def q_corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: reference-snapshot quantiles that become the adaptive bin edges
 KSA_PS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
 
+#: the adaptive NULL sentinel bin — after every real equi-depth bin
+KSA_NULL_BIN = len(KSA_PS) + 1
+
+
+def ksa_edges(ref: DataFrame) -> list[float]:
+    """The reference snapshot's exact n_chars deciles, rounded ONCE to
+    6 in-engine (Spark's double ROUND == DuckDB's — never round a
+    collected float in Python, whose round() is banker's). A 100 TB
+    deployment substitutes the mergeable quantile sketch's estimates
+    here; the attested row uses the exact aggregate so the oracle can
+    recompute bin assignment, and separately attests the sketch's
+    fidelity."""
+    row = ref.agg(
+        F.transform(
+            F.percentile(F.col("n_chars").cast("double"),
+                         F.array(*[F.lit(p) for p in KSA_PS])),
+            lambda x: F.round(x, 6),
+        ).alias("qs")
+    ).first()
+    return [float(x) for x in row["qs"]]
+
+
+def ksa_bin_expr(edges: list[float], c: "F.Column") -> "F.Column":
+    """Equi-depth bin of ``c``: the count of edges it exceeds; NULL
+    lands in the sentinel bin after every real one. Shared by the
+    batch row and the streaming twin so they cannot drift."""
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(c.cast("double") > F.lit(e), 1).otherwise(0)
+    return F.when(c.isNull(), F.lit(KSA_NULL_BIN)).otherwise(b).cast("long")
+
 
 def _ks_from_binned(binned: DataFrame) -> DataFrame:
     """Shared KS tail: (bin, ref_cnt, cur_cnt) -> CDFs, gaps, statistic,
@@ -465,23 +496,10 @@ def corpus_drift_ks_adaptive(
         sketch_quantile,
     )
 
-    edges_row = ref.agg(
-        F.transform(
-            F.percentile(F.col("n_chars").cast("double"),
-                         F.array(*[F.lit(p) for p in KSA_PS])),
-            lambda x: F.round(x, 6),  # Spark's double ROUND == DuckDB's
-        ).alias("qs")
-    ).first()
-    edges = [float(x) for x in edges_row["qs"]]
-    null_bin = len(KSA_PS) + 1
+    edges = ksa_edges(ref)
 
     def bin_of(c):
-        b = F.lit(0)
-        for e in edges:
-            b = b + F.when(c.cast("double") > F.lit(e), 1).otherwise(0)
-        return (
-            F.when(c.isNull(), F.lit(null_bin)).otherwise(b).cast("long")
-        )
+        return ksa_bin_expr(edges, c)
 
     rows = ref.select(
         bin_of(F.col("n_chars")).alias("bin"),

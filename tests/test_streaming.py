@@ -2584,3 +2584,77 @@ def test_stream_drift_monitor_ks_matches_batch(spark, tmp_path):
     assert alert == wrow.drift_alert
     # the partial-corpus verdicts are well-formed too
     assert all(0.0 <= v[1] <= 1.0 for v in verdicts)
+
+
+def test_stream_drift_monitor_ks_adaptive_matches_batch(spark, tmp_path):
+    """Streaming equi-depth KS == batch corpus_drift_ks_adaptive after
+    the stream drains, bit-for-bit on (ks_stat, critical_value,
+    drift_alert) — shared reference-decile bin edges, shared rounding."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StructField as _Sf,
+        StructType as _St,
+    )
+
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.drift import (
+        corpus_drift_ks_adaptive,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        drift_monitor_stream_ks_adaptive,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    cur = d.where(F.col("doc_id") % 2 == 1)
+    wrow = corpus_drift_ks_adaptive(ref, cur).select(
+        "ks_stat", "critical_value", "drift_alert"
+    ).first()
+
+    rows = cur.select("doc_id", "n_chars").collect()
+    src = str(tmp_path / "ksa_in")
+    os.makedirs(src)
+    third = max(1, len(rows) // 3)
+    for i, lo in enumerate(range(0, len(rows), third)):
+        with open(os.path.join(src, f"p{i}.json"), "w") as f:
+            for r in rows[lo : lo + third]:
+                f.write(
+                    _json.dumps({"doc_id": r.doc_id, "n_chars": r.n_chars})
+                    + "\n"
+                )
+
+    schema = _St([_Sf("doc_id", LongType()), _Sf("n_chars", LongType())])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    verdicts: list[tuple[int, float, float, bool]] = []
+    q = drift_monitor_stream_ks_adaptive(
+        stream,
+        ref,
+        lambda bid, ks, crit, alert: verdicts.append(
+            (bid, ks, crit, alert)
+        ),
+        str(tmp_path / "ksa_ckpt"),
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len(verdicts) >= 3:
+            prog = q.lastProgress
+            if prog and prog["numInputRows"] == 0:
+                break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+    assert len(verdicts) >= 3, verdicts
+    _, ks, crit, alert = verdicts[-1]
+    assert ks == wrow.ks_stat, (ks, wrow.ks_stat)
+    assert crit == wrow.critical_value
+    assert alert == wrow.drift_alert
