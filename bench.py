@@ -77,11 +77,12 @@ def main() -> None:
 
     # two lanes (VERDICT r11 #4): protocol rows measure attestation
     # cost by design; the operator lane is the regression-tracking
-    # headline. The driver-facing total is unchanged. All three numbers
-    # round ONCE from the raw timings (never a rounded difference of
-    # rounded sums — ADVICE r12: lane subtotals must add up exactly for
-    # anyone diffing them across rounds, so operator_sec comes from its
-    # own raw sum, not total - proto).
+    # headline. The driver-facing total is unchanged. Each of the three
+    # numbers rounds ONCE from its own raw sum (ADVICE r12) — so every
+    # reported figure is accurate to +/-0.0005 of its true value, and
+    # the lanes reconcile with the total to within 0.001 of rounding
+    # slack (exact additivity and per-number accuracy cannot both hold
+    # after rounding; accuracy wins).
     total = round(sum(timings.values()), 3)
     proto_raw = sum(
         s for n, s in timings.items() if n in registry.PROTOCOL_QUERIES

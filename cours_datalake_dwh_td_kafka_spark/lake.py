@@ -385,12 +385,21 @@ def lake_commit_occ(
     if read_keys is not None:
         rk_col, raw = read_keys
         rk_vals = [x for x in raw if x is not None]
-    new_files = _write_data_files(df, path)
-    for _ in range(max_attempts):
-        tip = current_version(path)
-        for v in _existing_versions(path):
-            if v <= check_from or v > tip:
-                continue
+
+    def classify(tip: int) -> None:
+        existing = set(_existing_versions(path))
+        for v in range(check_from + 1, tip + 1):
+            if v not in existing:
+                # a vacuumed intervening manifest is UNPROVABLE: the
+                # erased commit may have been row-changing, and
+                # skipping it would let an RMW writer rebase over a
+                # vanished state — same conservative rule as
+                # _occ_delete_disjoint's vacuumed-predecessor case
+                raise LakeConflictError(
+                    f"optimistic append to {path}: intervening commit "
+                    f"v{v} was vacuumed — its op cannot be classified, "
+                    "re-derive from the current tip"
+                )
             op = _read_manifest(path, v).get("op")
             if op in _OCC_APPEND_COMMUTES:
                 continue
@@ -418,9 +427,29 @@ def lake_commit_occ(
                     else "the rival replaced table contents"
                 )
             )
+
+    # classify BEFORE paying the data write: a transaction already
+    # doomed by commits that landed before entry aborts at
+    # manifest-read cost, leaving no orphan files at all
+    classify(entry_tip)
+    new_files = _write_data_files(df, path)
+    for _ in range(max_attempts):
+        tip = current_version(path)
+        classify(tip)
         if tip > 0:
             tip_m = _read_manifest(path, tip)
-            schema = _merged_append_schema(tip_m.get("schema"), df)
+            tip_schema = tip_m.get("schema")
+            if tip_schema is None and tip_m["files"]:
+                # pre-evolution tip: recover the declared schema from
+                # the existing files exactly as lake_commit does —
+                # otherwise the rebase would declare only the incoming
+                # frame's columns (silent legacy-column loss on read)
+                # and skip the retype rejection
+                tip_schema = _schema_dict(
+                    df.sparkSession.read.option("mergeSchema", "true")
+                    .parquet(*(os.path.join(path, f) for f in tip_m["files"]))
+                )
+            schema = _merged_append_schema(tip_schema, df)
             files = tip_m["files"] + new_files
             stats, bloom, deletes = (
                 tip_m.get("stats"),
@@ -1925,10 +1954,16 @@ def lake_read_keys(
     df = _apply_deletes(spark, path, m, files)
     if len(vals) <= KEYS_INSET_MAX:
         return df.where(F.col(col).isin(vals))
-    keys_df = spark.createDataFrame(
-        [(x,) for x in vals], schema=df.select(col).schema
+    # infer the build side's type from the VALUES (then let the join
+    # insert the same coercion casts isin would) — forcing the column's
+    # schema here would make loosely-typed keys (floats against a
+    # bigint column) succeed below the cap and crash above it
+    keys_df = spark.createDataFrame([(x,) for x in vals], ["__graft_key"])
+    return df.join(
+        F.broadcast(keys_df),
+        df[col] == keys_df["__graft_key"],
+        "left_semi",
     )
-    return df.join(F.broadcast(keys_df), col, "left_semi")
 
 
 def lake_mark_stream(

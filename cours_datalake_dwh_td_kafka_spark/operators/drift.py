@@ -407,6 +407,12 @@ def ksa_edges(ref: DataFrame) -> list[float]:
             lambda x: F.round(x, 6),
         ).alias("qs")
     ).first()
+    if row["qs"] is None or any(x is None for x in row["qs"]):
+        raise ValueError(
+            "ksa_edges: the reference snapshot has no non-null n_chars "
+            "rows — equi-depth bin edges are undefined (an empty or "
+            "all-null reference cannot anchor a drift monitor)"
+        )
     return [float(x) for x in row["qs"]]
 
 

@@ -52,6 +52,7 @@ from cours_datalake_dwh_td_kafka_spark.lake import (
     lake_vacuum,
 )
 from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+    HASH32_SQL,
     NORM_SQL,
     norm_text,
 )
@@ -233,6 +234,12 @@ def erasure_e2e_protocol(
     )
 
     # ---- physical reclamation on every store carrying delete debt -----
+    # term_stats is swept too (r13 review): its delete entries are
+    # keyed by TERM, and the delete-key files hold terms tokenized
+    # from the erased documents' text — compaction folds the entries
+    # into the data files and vacuum reclaims the key files. Terms are
+    # shared with surviving docs, so its raw check is "no pending
+    # delete entries", not a key-absence predicate.
     erased_key = {
         ev_p: ("user_id", E2E_USER_MOD, E2E_USER_REM),
         sess_p: ("user_id", E2E_USER_MOD, E2E_USER_REM),
@@ -240,10 +247,11 @@ def erasure_e2e_protocol(
         fp_p: ("doc_id", E2E_DOC_MOD, E2E_DOC_REM),
         _postings_path(idx_p): ("doc_id", E2E_DOC_MOD, E2E_DOC_REM),
         _doclens_path(idx_p): ("doc_id", E2E_DOC_MOD, E2E_DOC_REM),
+        _tstats_path(idx_p): None,
     }
     physical_ok = True
     n_reclaimed = 0
-    for store, (col, mod, rem) in erased_key.items():
+    for store, keyed in erased_key.items():
         # target_files > 1: the fold is a parallel rewrite, not a
         # single-task coalesce(1) — the postings store is the whole
         # tokenized corpus and a one-file fold serializes it
@@ -253,10 +261,12 @@ def erasure_e2e_protocol(
         physical_ok &= len(orphans) > 0
         m = _read_manifest(store, current_version(store))
         physical_ok &= not m.get("deletes")
-        raw = spark.read.parquet(
-            *(os.path.join(store, f) for f in m["files"])
-        )
-        physical_ok &= raw.where(F.col(col) % mod == rem).count() == 0
+        if keyed is not None:
+            col, mod, rem = keyed
+            raw = spark.read.parquet(
+                *(os.path.join(store, f) for f in m["files"])
+            )
+            physical_ok &= raw.where(F.col(col) % mod == rem).count() == 0
 
     return spark.createDataFrame(
         [
@@ -322,7 +332,7 @@ def _e2e_sql() -> str:
         AS n_session_users_after,
       (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
        WHERE doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM}) AS mv_sum_chars_after,
-      (SELECT CAST(SUM(CAST(('0x' || substr(md5({norm}), 1, 8)) AS UBIGINT)::BIGINT)
+      (SELECT CAST(SUM({HASH32_SQL.format(c=norm)})
               AS BIGINT) FROM documents
        WHERE doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM}) AS fp32_sum_after,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM (

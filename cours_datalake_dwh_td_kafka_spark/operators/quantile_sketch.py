@@ -359,9 +359,13 @@ def quantile_sketch_by_group(
                 .alias(f"le_{len(labels)}")
             )
             labels.append((k, p))
-    ranks = df.agg(*sums).first()
+    ranks = df.agg(*sums).first() if sums else None
     exact = {
-        r[key]: [float(x) for x in r["qe"]]
+        r[key]: (
+            [(float(x) if x is not None else None) for x in r["qe"]]
+            if r["qe"] is not None
+            else [None] * len(ps_l)
+        )
         for r in df.groupBy(key)
         .agg(F.percentile(vcol, arr(ps_l)).alias("qe"))
         .collect()
@@ -382,6 +386,14 @@ def quantile_sketch_by_group(
                 exact[k][ps_l.index(p)],
             )
         )
+    # an ALL-NULL-value cohort has no sketch state (the summarizer
+    # drops nulls) but is a real group: emit its rows with NULL
+    # exact_q and vacuously-true guarantees, exactly as the oracle's
+    # GROUP BY does — otherwise the row counts diverge
+    for k in exact:
+        if k not in checks:
+            for p in ps_l:
+                final.append((k, float(p), True, True, None))
     res = df.sparkSession.createDataFrame(
         final,
         f"{key} string, p double, within_rank_err boolean, "
@@ -393,7 +405,9 @@ def quantile_sketch_by_group(
         F.round(F.col("exact_raw"), 6).alias("exact_q"),
         "within_rank_err",
         "weight_conserved_ok",
-    ).orderBy(key, "p")
+        # NULLS LAST on the nullable cohort key: Spark default is
+        # NULLS FIRST, DuckDB's is NULLS LAST (the drift.py convention)
+    ).orderBy(F.asc_nulls_last(key), "p")
 
 
 _QSG_SQL = " UNION ALL ".join(
@@ -405,7 +419,7 @@ _QSG_SQL = " UNION ALL ".join(
     FROM events GROUP BY event_type
     """
     for p in QS_GROUP_PS
-) + " ORDER BY event_type, p"
+) + " ORDER BY event_type NULLS LAST, p"
 
 
 @register("quantile_sketch_by_group", _QSG_SQL)

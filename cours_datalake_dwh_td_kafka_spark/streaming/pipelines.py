@@ -1133,8 +1133,22 @@ def quantile_monitor_stream(
     (|true rank - target| <= err) remains self-reported and checkable
     at every trigger.
 
+    RESTART-CORRECT (r13 review): unlike the histogram monitors, a
+    compacting sketch cannot live in a complete-mode aggregation, and
+    Structured Streaming does NOT replay committed batches after a
+    restart — so the running state is persisted BESIDE the checkpoint
+    after every folded batch (atomic tmp+rename, stamped with the
+    batch id) and reloaded on start. A replayed batch (foreachBatch's
+    at-least-once tail) is detected by its id and re-emitted from the
+    stored state without re-merging — the standard foreachBatch
+    idempotence recipe, applied to sketch state.
+
     ``on_quantiles(batch_id, {p: estimate}, n, err)`` fires per
     trigger. Returns the started StreamingQuery."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
     from cours_datalake_dwh_td_kafka_spark.operators.quantile_sketch import (
         QS_PS,
         quantile_sketch_summary,
@@ -1144,10 +1158,47 @@ def quantile_monitor_stream(
     )
 
     probe = tuple(QS_PS if ps is None else ps)
-    state = {"points": [], "n": 0, "err": 0}
+    state_path = _os.path.join(checkpoint, "graft_sketch_state.json")
+    state = {"points": [], "n": 0, "err": 0, "last_bid": -1}
+    if _os.path.exists(state_path):
+        with open(state_path) as f:
+            saved = _json.load(f)
+        state.update(
+            points=[tuple(p) for p in saved["points"]],
+            n=saved["n"],
+            err=saved["err"],
+            last_bid=saved["last_bid"],
+        )
     cap = QS_COMPRESS_CAP
 
+    def _persist() -> None:
+        _os.makedirs(checkpoint, exist_ok=True)
+        tmp = state_path + f".tmp.{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "points": state["points"],
+                    "n": state["n"],
+                    "err": state["err"],
+                    "last_bid": state["last_bid"],
+                },
+                f,
+            )
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp, state_path)
+
+    def _emit(batch_id: int) -> None:
+        ests = {
+            p: sketch_quantile(state["points"], state["n"], p)
+            for p in probe
+        }
+        on_quantiles(batch_id, ests, state["n"], state["err"])
+
     def evaluate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_bid"]:
+            _emit(batch_id)  # replayed batch: already folded, re-emit
+            return
         rows_ = quantile_sketch_summary(batch_df, col).collect()
         pts = [(r.value, r.weight) for r in rows_ if r.value is not None]
         n_b = sum(r.n for r in rows_)
@@ -1159,11 +1210,9 @@ def quantile_monitor_stream(
             state["points"], state["n"], state["err"] = sketch_compress(
                 state["points"], state["n"], state["err"]
             )
-        ests = {
-            p: sketch_quantile(state["points"], state["n"], p)
-            for p in probe
-        }
-        on_quantiles(batch_id, ests, state["n"], state["err"])
+        state["last_bid"] = batch_id
+        _persist()
+        _emit(batch_id)
 
     return (
         rows.select(col)

@@ -237,3 +237,75 @@ def test_occ_read_keys_narrow_delete_conflicts(spark, tmp_path):
             path,
             read_keys=("k", [1]),
         )
+
+
+def test_occ_vacuumed_intervening_commit_aborts(spark, tmp_path):
+    """A vacuumed intervening manifest is unclassifiable: the erased
+    commit may have been row-changing, so the RMW writer must abort
+    rather than rebase over a vanished state (r13 review)."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_compact,
+        lake_vacuum,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 10, "base"), path)  # v1
+    lake_delete_keys(
+        spark, path, "k", keys=spark.createDataFrame([(3,)], "k bigint")
+    )  # v2 (row-changing)
+    lake_compact(spark, path, target_files=1)  # v3
+    lake_vacuum(path, keep_versions=1, orphan_grace_seconds=0)  # drops v1-v2
+    with pytest.raises(LakeConflictError, match="vacuumed"):
+        lake_commit_occ(_frame(spark, 50, 52, "x"), path, read_version=1)
+
+
+def test_occ_doomed_writer_leaves_no_orphan_files(spark, tmp_path):
+    """Classification runs BEFORE the data write: a transaction doomed
+    by commits that landed before entry aborts at manifest cost and
+    writes nothing (r13 review)."""
+    import os
+
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 10, "base"), path)
+    lake_delete_keys(
+        spark, path, "k", keys=spark.createDataFrame([(3,)], "k bigint")
+    )
+
+    def count_data_files():
+        total = 0
+        for dirpath, _d, files in os.walk(os.path.join(path, "data")):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    before = count_data_files()
+    with pytest.raises(LakeConflictError):
+        lake_commit_occ(_frame(spark, 50, 52, "x"), path, read_version=1)
+    assert count_data_files() == before
+
+
+def test_occ_rebase_recovers_pre_evolution_schema(spark, tmp_path):
+    """Rebasing onto a legacy manifest (no declared schema) recovers
+    the union of the files' columns exactly as lake_commit does — no
+    silent legacy-column loss, retype still rejected (r13 review)."""
+    import json
+    import os
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.createDataFrame([(1, "a", 1.5)], "k bigint, s string, v double"),
+        path,
+    )
+    # strip the declared schema to simulate a pre-evolution manifest
+    mpath = os.path.join(path, "_manifests", "v1.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["schema"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    v = lake_commit_occ(
+        spark.createDataFrame([(2,)], "k bigint"), path
+    )
+    got = lake_read(spark, path, v)
+    assert set(got.columns) == {"k", "s", "v"}  # legacy columns survive
+    assert got.where("s = 'a'").count() == 1

@@ -202,3 +202,91 @@ def test_grouped_sketch_independent_budgets(spark):
     tiny = {r.p: r.exact_q for r in out if r.k == "tiny"}
     # 4 values, interpolated percentiles — exact, nulls excluded
     assert tiny[0.5] == 2.5
+
+
+def test_quantile_monitor_stream_restart_keeps_state(spark, tmp_path):
+    """Restart correctness (r13 review): the running sketch persists
+    beside the checkpoint, so a stopped-and-restarted monitor carries
+    every pre-restart row — n stays exact across the restart and the
+    final estimates bound over the FULL stream."""
+    rng = random.Random(11)
+    data = [rng.uniform(0, 100) for _ in range(3000)]
+    src = str(tmp_path / "qr_in")
+    os.makedirs(src)
+    half = len(data) // 2
+    with open(os.path.join(src, "p0.json"), "w") as f:
+        for v in data[:half]:
+            f.write(json.dumps({"value": v}) + "\n")
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    import cours_datalake_dwh_td_kafka_spark.streaming.pipelines as pl
+
+    schema = StructType([StructField("value", DoubleType())])
+    ckpt = str(tmp_path / "qr_ckpt")
+
+    def start(sink):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        return pl.quantile_monitor_stream(
+            stream,
+            "value",
+            lambda bid, ests, n, err: sink.append((bid, ests, n, err)),
+            ckpt,
+        )
+
+    first: list = []
+    q = start(first)
+    deadline = time.time() + 60
+    while time.time() < deadline and not first:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert first and first[-1][2] == half
+
+    # second half lands while the monitor is DOWN
+    with open(os.path.join(src, "p1.json"), "w") as f:
+        for v in data[half:]:
+            f.write(json.dumps({"value": v}) + "\n")
+
+    second: list = []
+    q = start(second)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if second and second[-1][2] == len(data):
+            prog = q.lastProgress
+            if prog and prog["numInputRows"] == 0:
+                break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    assert second, "restarted monitor emitted nothing"
+    _, ests, n, err = second[-1]
+    assert n == len(data)  # pre-restart mass survived
+    for p, v in ests.items():
+        target = max(1, math.ceil(p * n))
+        lo, hi = _true_rank_window(data, v)
+        assert lo - err <= target <= hi + err, (p, v, lo, hi, err)
+
+
+def test_grouped_sketch_all_null_cohort_and_null_ordering(spark):
+    """An all-NULL-value cohort is a real group: it gets rows with
+    NULL exact_q and vacuous guarantees (matching the oracle's GROUP
+    BY); a NULL cohort KEY sorts last (the NULLS LAST convention)."""
+    rows = (
+        [("a", float(i)) for i in range(50)]
+        + [("allnull", None), ("allnull", None)]
+        + [(None, float(i)) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = quantile_sketch_by_group(df, "k", "value").collect()
+    keys_in_order = [r.k for r in out]
+    assert keys_in_order[-len({r.p for r in out}):] == [None] * 4
+    an = [r for r in out if r.k == "allnull"]
+    assert len(an) == 4
+    assert all(r.exact_q is None for r in an)
+    assert all(r.within_rank_err and r.weight_conserved_ok for r in an)

@@ -455,3 +455,31 @@ def test_lake_read_keys_semi_join_above_inset_cap(spark, tmp_path):
     plan_small = got_small._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" not in plan_small
     assert sorted(r.k for r in got_small.collect()) == [1, 2, 3]
+
+
+def test_lake_read_keys_loose_types_consistent_across_cap(spark, tmp_path):
+    """Float keys against a bigint column behave the SAME on both sides
+    of KEYS_INSET_MAX (r13 review): the semi-join build side infers its
+    type from the values and the join inserts the same coercion casts
+    isin would — behavior must not flip on key-count."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import KEYS_INSET_MAX
+
+    path = str(tmp_path / "loose")
+    lake_commit(spark.range(0, 3000).selectExpr("id AS k"), path)
+
+    small = [float(x) for x in (1, 2, 3)]
+    big = [float(x) for x in range(KEYS_INSET_MAX + 100)]
+    got_small = sorted(
+        r.k for r in lake_read_keys(spark, path, "k", small).collect()
+    )
+    assert got_small == [1, 2, 3]
+    got_big = sorted(
+        r.k for r in lake_read_keys(spark, path, "k", big).collect()
+    )
+    want_big = sorted(
+        r.k
+        for r in lake_read(spark, path).where(F.col("k").isin(big)).collect()
+    )
+    assert got_big == want_big and len(got_big) == KEYS_INSET_MAX + 100
