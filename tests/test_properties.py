@@ -1147,3 +1147,90 @@ def test_incremental_new_docs_fps_path_matches_corpus_path(
     ).collect()
     direct = incremental_new_docs(corpus, inc).collect()
     assert [r.asDict() for r in via_fps] == [r.asDict() for r in direct]
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (round 13): pure-Python core, so these run
+# at full hypothesis budget — no Spark jobs per example
+# ---------------------------------------------------------------------------
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=3000,
+    ),
+    n_parts=st.integers(min_value=1, max_value=7),
+    p=st.floats(min_value=0.001, max_value=0.999),
+)
+def test_sketch_rank_error_bound_property(data, n_parts, p):
+    """For ANY data, partitioning, and probe point: the merged sketch's
+    estimate has a true rank within the self-reported err of the
+    target, and total weight is conserved exactly."""
+    from cours_datalake_dwh_td_kafka_spark.operators.quantile_sketch import (
+        sketch_merge,
+        sketch_new,
+        sketch_points,
+        sketch_quantile,
+        sketch_update,
+    )
+
+    pts, n, err = [], 0, 0
+    for i in range(n_parts):
+        part = data[i::n_parts]
+        if not part:
+            continue
+        stt = sketch_new()
+        sketch_update(stt, part)
+        pts, n, err = sketch_merge(
+            pts, n, err, sketch_points(stt), stt["n"], stt["err"]
+        )
+    assert n == len(data)
+    assert sum(w for _, w in pts) == n
+    v = sketch_quantile(pts, n, p)
+    s = sorted(data)
+    lo = 1 + sum(1 for x in s if x < v)
+    hi = max(lo, sum(1 for x in s if x <= v))
+    target = max(1, math.ceil(p * n))
+    assert lo - err <= target <= hi + err, (p, v, lo, hi, err, target)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=2000,
+    ),
+)
+def test_sketch_compress_keeps_bound_property(data):
+    """Re-compacting a union keeps weight conservation and the
+    (enlarged) error budget honest for every decile."""
+    from cours_datalake_dwh_td_kafka_spark.operators.quantile_sketch import (
+        sketch_compress,
+        sketch_new,
+        sketch_points,
+        sketch_quantile,
+        sketch_update,
+    )
+
+    stt = sketch_new()
+    sketch_update(stt, data)
+    pts, n, err = sketch_compress(
+        sketch_points(stt), stt["n"], stt["err"]
+    )
+    assert sum(w for _, w in pts) == n == len(data)
+    assert err >= stt["err"]
+    s = sorted(data)
+    for p in (0.1, 0.5, 0.9):
+        v = sketch_quantile(pts, n, p)
+        lo = 1 + sum(1 for x in s if x < v)
+        hi = max(lo, sum(1 for x in s if x <= v))
+        target = max(1, math.ceil(p * n))
+        assert lo - err <= target <= hi + err
