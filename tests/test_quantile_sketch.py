@@ -290,3 +290,21 @@ def test_grouped_sketch_all_null_cohort_and_null_ordering(spark):
     assert len(an) == 4
     assert all(r.exact_q is None for r in an)
     assert all(r.within_rank_err and r.weight_conserved_ok for r in an)
+
+
+def test_summary_plan_is_map_side_and_column_pruned(spark):
+    """Scale shape pinned: the sketch summary is ONE map-side pass —
+    the parquet scan reads only the probed column and no Exchange
+    (shuffle) appears anywhere in the plan."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    plan = (
+        quantile_sketch_summary(ev, "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<value:double>" in plan
+    assert "Exchange" not in plan
