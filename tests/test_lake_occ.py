@@ -309,3 +309,38 @@ def test_occ_rebase_recovers_pre_evolution_schema(spark, tmp_path):
     got = lake_read(spark, path, v)
     assert set(got.columns) == {"k", "s", "v"}  # legacy columns survive
     assert got.where("s = 'a'").count() == 1
+
+
+def test_occ_four_way_race_all_land(spark, tmp_path):
+    """Four concurrent blind appends: every writer lands exactly once
+    (4 new versions), all rows preserved — the rebase chain works at
+    depth, not just pairwise."""
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 5, "base"), path)
+    barrier = threading.Barrier(4)
+    errs: list[BaseException] = []
+
+    def writer(i):
+        try:
+            df = _frame(spark, 1000 * i, 1000 * i + 10, f"w{i}")
+            barrier.wait(timeout=60)
+            lake_commit_occ(df, path, max_attempts=16)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(1, 5)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=240)
+    assert not errs, errs
+    assert current_version(path) == 5
+    want = sorted(
+        [(k, "base") for k in range(5)]
+        + [
+            (k, f"w{i}")
+            for i in range(1, 5)
+            for k in range(1000 * i, 1000 * i + 10)
+        ]
+    )
+    assert _rows(spark, path) == want
