@@ -307,19 +307,65 @@ def _occ_delete_disjoint(
         if d["key"] != col:
             return False
         try:
-            hit = (
-                spark.read.parquet(
-                    *(os.path.join(path, kf) for kf in d["files"])
-                )
-                .where(F.col(d["key"]).isin(vals))
-                .limit(1)
-                .count()
+            keyed = spark.read.parquet(
+                *(os.path.join(path, kf) for kf in d["files"])
             )
+            if len(vals) <= KEYS_INSET_MAX:
+                probe = keyed.where(F.col(d["key"]).isin(vals))
+            else:
+                # same literal-size cliff lake_read_keys caps: a huge
+                # declared read footprint would otherwise ride an InSet
+                # literal inside the plan — broadcast the keys once
+                # instead (VERDICT r13)
+                probe = keyed.join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            [(x,) for x in vals], ["__graft_key"]
+                        )
+                    ),
+                    keyed[d["key"]] == F.col("__graft_key"),
+                    "left_semi",
+                )
+            hit = probe.limit(1).count()
         except Exception:
             return False
         if hit:
             return False
     return True
+
+
+def _occ_publish_loop(path: str, op_desc: str, attempt, max_attempts: int = 8):
+    """Bounded optimistic-retry shell shared by every lake writer:
+    ``attempt()`` re-derives against the CURRENT tip (rebase or full
+    re-run — the per-op choice lives in the closure, see each writer)
+    and publishes via the single-winner CAS; a lost race retries with
+    fresh state, and exhaustion aborts loudly with the last collision
+    chained (never a bare ``FileExistsError`` — the raw CAS is an
+    implementation detail below this line)."""
+    last: FileExistsError | None = None
+    for _ in range(max_attempts):
+        try:
+            return attempt()
+        except FileExistsError as e:
+            last = e
+    raise LakeConflictError(
+        f"{op_desc} at {path}: lost the single-winner publish race "
+        f"{max_attempts} times — table too hot, re-run the operation"
+    ) from last
+
+
+def _ops_since(path: str, frm: int, to: int) -> list[str] | None:
+    """Manifest ops of versions (frm, to], oldest first — the rival
+    history a rebase must classify. ``None`` when any intervening
+    manifest was vacuumed (unclassifiable: callers must re-derive from
+    the tip, the same conservative rule as :func:`lake_commit_occ`)."""
+    existing = set(_existing_versions(path))
+    ops = []
+    for v in range(frm + 1, to + 1):
+        if v not in existing:
+            return None
+        ops.append(_read_manifest(path, v).get("op"))
+    return ops
 
 
 def lake_commit_occ(
@@ -328,6 +374,8 @@ def lake_commit_occ(
     read_version: int | None = None,
     read_keys: tuple[str, list] | None = None,
     max_attempts: int = 8,
+    stream_batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> int:
     """OPTIMISTIC multi-writer append (round 13, VERDICT r12 #3 — the
     Delta/Iceberg OCC rung above the raw single-winner CAS): write the
@@ -368,7 +416,27 @@ def lake_commit_occ(
     pathologically hot table. An aborted attempt's data files are
     unreferenced by any manifest — invisible to every reader and
     reclaimed by :func:`lake_vacuum`, the same lifecycle as any
-    uncommitted write. Returns the committed version."""
+    uncommitted write. Returns the committed version.
+
+    ``stream_batch_id``/``stream_id`` (round 14, VERDICT r13 #1) make
+    this the EXACTLY-ONCE STREAMING append: the scoped replay mark is
+    re-checked inside the retry loop against the live tip — so the
+    check and the publish close over the SAME race window — and rides
+    the committed manifest explicitly (a rebase over rival commits
+    carries it, not the auto-carry). A replayed batch (mark already >=
+    ``stream_batch_id``) returns the current version without
+    committing. This is what lets the README's recommended topology —
+    a micro-batch ingest stream PLUS a compaction/advisor daemon on
+    one table — actually run concurrently: the stream's appends
+    rebase over the daemon's row-preserving commits instead of dying
+    on the raw CAS (the single-writer-per-STREAM rule still holds;
+    it is the per-TABLE rule this lifts)."""
+    if stream_batch_id is not None and stream_id is None:
+        raise ValueError(
+            "lake_commit_occ(stream_batch_id=...) requires stream_id: "
+            "the exactly-once replay guard is scoped per logical "
+            "stream (the Delta txn-appId rule)"
+        )
     if read_version is not None and read_version > current_version(path):
         raise ValueError(
             f"read_version {read_version} is ahead of {path!r}'s current "
@@ -431,10 +499,23 @@ def lake_commit_occ(
     # classify BEFORE paying the data write: a transaction already
     # doomed by commits that landed before entry aborts at
     # manifest-read cost, leaving no orphan files at all
+    if (
+        stream_batch_id is not None
+        and stream_batch_id <= last_stream_batch_id(path, stream_id)
+    ):
+        return current_version(path)  # replayed batch: already in
     classify(entry_tip)
     new_files = _write_data_files(df, path)
     for _ in range(max_attempts):
         tip = current_version(path)
+        if (
+            stream_batch_id is not None
+            and stream_batch_id <= last_stream_batch_id(path, stream_id)
+        ):
+            # a replay raced us between entry and publish (rebuilt
+            # topology double-run): the mark says the batch is in —
+            # drop this attempt's files to the vacuum lifecycle
+            return tip
         classify(tip)
         if tip > 0:
             tip_m = _read_manifest(path, tip)
@@ -463,7 +544,9 @@ def lake_commit_occ(
         try:
             return _commit_manifest(
                 path, tip + 1, files, "append", schema, stats, bloom,
+                stream_batch_id=stream_batch_id,
                 deletes=deletes,
+                stream_id=stream_id,
             )
         except FileExistsError:
             continue  # rival landed tip+1 first: re-read, re-classify
@@ -540,13 +623,23 @@ def lake_delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     the rows — retention/GC is a separate explicit step
     (:func:`lake_vacuum`), exactly so that time travel works. Rewriting
     the snapshot folds any pending merge-on-read deletes
-    (:func:`lake_delete_keys`), so the new manifest carries none."""
-    cur = lake_read(spark, path)
-    kept = cur.where(f"NOT ({predicate})")
-    files = _write_data_files(kept, path)
-    return _commit_manifest(
-        path, current_version(path) + 1, files, "delete", _schema_dict(kept)
-    )
+    (:func:`lake_delete_keys`), so the new manifest carries none.
+
+    Race safety (round 14): the predicate is DECLARATIVE — "no rows
+    matching this" — so a lost publish race re-derives the whole
+    rewrite against the NEW tip (serial-order equivalent: rival first,
+    then this delete over the rival's rows too). Each retry pays a
+    fresh rewrite; the loser's files fall to :func:`lake_vacuum`.
+    Bounded attempts, :class:`LakeConflictError` on exhaustion."""
+
+    def attempt() -> int:
+        v = current_version(path)
+        cur = lake_read(spark, path, v)
+        kept = cur.where(f"NOT ({predicate})")
+        files = _write_data_files(kept, path)
+        return _commit_manifest(path, v + 1, files, "delete", _schema_dict(kept))
+
+    return _occ_publish_loop(path, "copy-on-write delete", attempt)
 
 
 #: explicit-keys erasures at or under this many keys are collected and
@@ -603,82 +696,110 @@ def lake_delete_keys(
       covered files. Keys absent from the table are harmless (the
       anti-join matches nothing); an erasure whose every key is
       bloom-provably absent commits nothing.
+
+    Race-safe (round 14): a rival commit landing first re-derives this
+    delete against the new tip and re-CASes — see the loop below;
+    bounded attempts, :class:`LakeConflictError` on exhaustion.
     """
     if (predicate is None) == (keys is None):
         raise ValueError(
             "lake_delete_keys takes exactly one of predicate= or keys="
         )
-    v = current_version(path)
-    if v < 1:
+    if current_version(path) < 1:
         raise ValueError(f"no committed version at {path}")
-    m = _read_manifest(path, v)
-    over = list(m["files"])
-    if keys is not None:
-        if key_col not in keys.columns:
-            raise ValueError(
-                f"keys frame lacks the key column {key_col!r}"
+
+    # Race safety (round 14, VERDICT r13 #1): a key delete is
+    # DECLARATIVE — "no rows with these keys" — so a lost publish race
+    # re-derives its manifest work (the ``over`` scope, the bloom
+    # narrowing, the no-op checks) against the NEW tip and re-CASes:
+    # serial-order equivalent to the rival landing first. The keys=
+    # form writes its key files exactly ONCE (the keys don't depend on
+    # the table) — retries are manifest-only; the predicate form must
+    # re-scan per attempt (the matching rows may have changed).
+    shared: dict = {}
+
+    def keys_files_once(keys_df: DataFrame) -> list[str]:
+        if "dfiles" not in shared:
+            shared["dfiles"] = _write_data_files(keys_df, path)
+        return shared["dfiles"]
+
+    def attempt() -> int:
+        v = current_version(path)
+        m = _read_manifest(path, v)
+        over = list(m["files"])
+        if keys is not None:
+            if key_col not in keys.columns:
+                raise ValueError(
+                    f"keys frame lacks the key column {key_col!r}"
+                )
+            declared = {
+                f["name"]: f["type"] for f in (m.get("schema") or {}).get(
+                    "fields", []
+                )
+            }
+            key_t = next(
+                f["type"]
+                for f in json.loads(keys.schema.json())["fields"]
+                if f["name"] == key_col
             )
-        declared = {
-            f["name"]: f["type"] for f in (m.get("schema") or {}).get(
-                "fields", []
-            )
-        }
-        key_t = next(
-            f["type"]
-            for f in json.loads(keys.schema.json())["fields"]
-            if f["name"] == key_col
-        )
-        if declared and declared.get(key_col) not in (None, key_t):
-            # a type-mismatched key frame would anti-join under an
-            # implicit cast — silently deleting nothing (or the wrong
-            # rows) instead of failing the erasure request loudly
-            raise ValueError(
-                f"keys column {key_col!r} is {key_t!r} but the table "
-                f"declares {declared[key_col]!r}"
-            )
-        keys = keys.select(key_col).distinct()
-        key_rows = keys.limit(DELETE_KEYS_PRUNE_CAP + 1).collect()
-        if not key_rows:
-            return v
-        if (
-            len(key_rows) <= DELETE_KEYS_PRUNE_CAP
-            and (m.get("bloom") or {}).get(key_col) is not None
-        ):
-            covered: set[str] = set()
-            for r in key_rows:
-                fs, _ = pruned_files_eq(path, key_col, r[0], v)
-                covered.update(fs)
-            if not covered:
-                # every key provably absent (no false negatives):
-                # committing an entry would tax reads for nothing
+            if declared and declared.get(key_col) not in (None, key_t):
+                # a type-mismatched key frame would anti-join under an
+                # implicit cast — silently deleting nothing (or the
+                # wrong rows) instead of failing the erasure loudly
+                raise ValueError(
+                    f"keys column {key_col!r} is {key_t!r} but the "
+                    f"table declares {declared[key_col]!r}"
+                )
+            if "key_rows" not in shared:
+                shared["keys_df"] = keys.select(key_col).distinct()
+                shared["key_rows"] = shared["keys_df"].limit(
+                    DELETE_KEYS_PRUNE_CAP + 1
+                ).collect()
+            key_rows = shared["key_rows"]
+            if not key_rows:
                 return v
-            over = [f for f in over if f in covered]
-    else:
-        cur = lake_read(spark, path, v)
-        if key_col not in cur.columns:
-            raise ValueError(
-                f"delete key column {key_col!r} not in table"
-            )
-        keys = cur.where(predicate).select(key_col).distinct()
-        if not keys.take(1):
-            # no-op erasure (keys already gone, or never present):
-            # commit nothing — an entry covering every file would tax
-            # every read with a pointless anti-join until the next fold
-            # (round-10 review), and replayed requests would pile
-            # entries unboundedly
-            return v
-    dfiles = _write_data_files(keys, path)
-    entry = {"key": key_col, "files": dfiles, "over": over}
-    return _commit_manifest(
-        path,
-        v + 1,
-        list(m["files"]),
-        "delete_keys",
-        m.get("schema"),
-        m.get("stats"),
-        m.get("bloom"),
-        deletes=(m.get("deletes") or []) + [entry],
-    )
+            if (
+                len(key_rows) <= DELETE_KEYS_PRUNE_CAP
+                and (m.get("bloom") or {}).get(key_col) is not None
+            ):
+                covered: set[str] = set()
+                for r in key_rows:
+                    fs, _ = pruned_files_eq(path, key_col, r[0], v)
+                    covered.update(fs)
+                if not covered:
+                    # every key provably absent (no false negatives):
+                    # committing an entry would tax reads for nothing
+                    return v
+                over = [f for f in over if f in covered]
+            dfiles = keys_files_once(shared["keys_df"])
+        else:
+            cur = lake_read(spark, path, v)
+            if key_col not in cur.columns:
+                raise ValueError(
+                    f"delete key column {key_col!r} not in table"
+                )
+            kdf = cur.where(predicate).select(key_col).distinct()
+            if not kdf.take(1):
+                # no-op erasure (keys already gone, or never present):
+                # commit nothing — an entry covering every file would
+                # tax every read with a pointless anti-join until the
+                # next fold (round-10 review), and replayed requests
+                # would pile entries unboundedly
+                return v
+            dfiles = _write_data_files(kdf, path)
+        entry = {"key": key_col, "files": dfiles, "over": over}
+        return _commit_manifest(
+            path,
+            v + 1,
+            list(m["files"]),
+            "delete_keys",
+            m.get("schema"),
+            m.get("stats"),
+            m.get("bloom"),
+            deletes=(m.get("deletes") or []) + [entry],
+        )
+
+    return _occ_publish_loop(path, "merge-on-read key delete", attempt)
 
 
 def _apply_deletes(
@@ -769,24 +890,37 @@ def lake_merge_upsert(
     set; at 100 TB pair it with partition/bucket pruning so only
     touched files rewrite (the incremental streaming twin is the
     merge-upsert sink in streaming/pipelines.py, which scopes each
-    micro-batch's rewrite to the partitions it touches)."""
-    v = current_version(path)
-    if v < 1:
+    micro-batch's rewrite to the partitions it touches).
+
+    Race safety (round 14): MERGE is read-modify-write over "the
+    current rows", so a lost publish race must NOT rebase — a rival's
+    rows could match the merge keys and would escape replacement. A
+    retry re-derives the WHOLE merge against the new tip (read + anti-
+    join + rewrite), the serial order a rival-first schedule implies
+    — Delta resolves the same race as ConcurrentAppendException and
+    asks the caller to retry; here the retry is built in. Bounded
+    attempts, :class:`LakeConflictError` on exhaustion."""
+    if current_version(path) < 1:
         raise ValueError(f"no committed version at {path}")
-    m = _read_manifest(path, v)
-    # read and commit against the CAPTURED version: re-reading
-    # current_version at publish time would let a rival commit landing
-    # mid-merge be silently clobbered (its files dropped from the new
-    # file set) instead of failing this merge's O_EXCL publish — the
-    # single-winner contract lake_compact documents
-    cur = lake_read(spark, path, v)
-    declared = _merged_append_schema(
-        m.get("schema") or _schema_dict(cur), updates
-    )
-    kept = cur.join(updates.select(key).distinct(), key, "left_anti")
-    files = _write_data_files(_align_to(kept, declared), path)
-    files += _write_data_files(_align_to(updates, declared), path)
-    return _commit_manifest(path, v + 1, files, "merge", declared)
+
+    def attempt() -> int:
+        v = current_version(path)
+        m = _read_manifest(path, v)
+        # read and commit against the CAPTURED version: re-reading
+        # current_version at publish time would let a rival commit
+        # landing mid-merge be silently clobbered (its files dropped
+        # from the new file set) instead of losing the CAS and
+        # re-deriving here
+        cur = lake_read(spark, path, v)
+        declared = _merged_append_schema(
+            m.get("schema") or _schema_dict(cur), updates
+        )
+        kept = cur.join(updates.select(key).distinct(), key, "left_anti")
+        files = _write_data_files(_align_to(kept, declared), path)
+        files += _write_data_files(_align_to(updates, declared), path)
+        return _commit_manifest(path, v + 1, files, "merge", declared)
+
+    return _occ_publish_loop(path, "merge upsert", attempt)
 
 
 def lake_restore(spark: SparkSession, path: str, version: int) -> int:
@@ -801,20 +935,30 @@ def lake_restore(spark: SparkSession, path: str, version: int) -> int:
     auto-carries from the NEWEST manifest, not the restore target, so a
     restore never tricks the exactly-once sink into re-committing
     batches that landed after the target version. Returns the new
-    version number."""
+    version number.
+
+    Race safety (round 14): restore is declarative last-writer-wins —
+    "make the table read as ``version``" — so a lost publish race
+    simply re-CASes the same metadata at the new tip (a rival commit
+    landing mid-restore stays in history and is rolled past, which is
+    exactly what a rollback means). Manifest-only per attempt."""
     m = _read_manifest(path, version)
     if not m["files"]:
         raise ValueError(f"version {version} of {path} is empty")
-    return _commit_manifest(
-        path,
-        current_version(path) + 1,
-        list(m["files"]),
-        "restore",
-        m.get("schema"),
-        m.get("stats"),
-        m.get("bloom"),
-        deletes=m.get("deletes"),
-    )
+
+    def attempt() -> int:
+        return _commit_manifest(
+            path,
+            current_version(path) + 1,
+            list(m["files"]),
+            "restore",
+            m.get("schema"),
+            m.get("stats"),
+            m.get("bloom"),
+            deletes=m.get("deletes"),
+        )
+
+    return _occ_publish_loop(path, "restore", attempt)
 
 
 def lake_history(path: str) -> list[dict]:
@@ -1112,18 +1256,23 @@ def lake_consume_changes(
     cur = current_version(src_path)
     consumed = last_stream_batch_id(out_path, sid)
     start = max(consumed, 0)
+    # commits go through the OCC append (round 14): a maintenance
+    # daemon compacting/indexing the OUT table no longer kills the
+    # consumer (rebase over row-preserving rivals), and the scoped mark
+    # is re-checked inside the publish loop — a racing duplicate
+    # consumer run commits each version exactly once
     if fold:
         if cur <= start:
             return []
         changes = lake_changes_since(spark, src_path, start, to_version=cur)
         out = apply_fn(changes) if apply_fn is not None else changes
-        lake_commit(out, out_path, stream_batch_id=cur, stream_id=sid)
+        lake_commit_occ(out, out_path, stream_batch_id=cur, stream_id=sid)
         return list(range(start + 1, cur + 1))
     done: list[int] = []
     for v in range(start + 1, cur + 1):
         changes = lake_changes_since(spark, src_path, v - 1, to_version=v)
         out = apply_fn(changes) if apply_fn is not None else changes
-        lake_commit(out, out_path, stream_batch_id=v, stream_id=sid)
+        lake_commit_occ(out, out_path, stream_batch_id=v, stream_id=sid)
         done.append(v)
     return done
 
@@ -1148,10 +1297,17 @@ def lake_compact(
     - old files stay on disk — prior versions still read (time travel);
       they become reclaimable by :func:`lake_vacuum` only when every
       manifest referencing them is dropped;
-    - the manifest publish is the same O_EXCL-raced single-winner
-      commit: a rival committer landing first makes THIS compaction
-      fail fast (FileExistsError) instead of silently dropping the
-      rival's files — rerun on the new current version.
+    - the manifest publish is the single-winner CAS, now wrapped in
+      the OCC classify-rebase (round 14, VERDICT r13 #1): a rival
+      committer landing first never loses its files — when every
+      intervening rival is an append / mark / bloom (file set only
+      grew) and no delete entry changed, the already-written compacted
+      files REBASE onto the new tip (rival files carried, manifest-only
+      retry — this is what lets a compaction daemon run WHILE an
+      ingest stream commits); any other rival (delete, cluster, merge,
+      overwrite, restore — they change rows or rewrote the files this
+      compaction read) re-derives the compaction from the new tip.
+      Bounded attempts, :class:`LakeConflictError` on exhaustion.
 
     Returns the new version, or the CURRENT version unchanged when
     fewer than two files qualify (nothing to compact). At DFS scale the
@@ -1162,65 +1318,130 @@ def lake_compact(
         # either silently no-op via the small-count gate or surface as
         # an opaque coalesce(0) IllegalArgumentException from Spark
         raise ValueError(f"target_files must be >= 1, got {target_files}")
-    v = current_version(path)
-    if v < 1:
+    if current_version(path) < 1:
         raise ValueError(f"no committed version at {path}")
-    m = _read_manifest(path, v)
-    if m.get("deletes"):
-        # pending merge-on-read deletes: the raw small-file rewrite
-        # below would resurrect deleted rows, so compact by folding the
-        # WHOLE snapshot (lake_read applies the anti-joins) — this is
-        # also where the deferred delete debt is paid
-        folded = lake_read(spark, path, v).coalesce(target_files)
+    # cross-attempt cache of the one expensive step (the data rewrite):
+    # read_v/read_files pin the snapshot it was derived from,
+    # small_set=None marks the fold-rewrite (replaced EVERY read file),
+    # deletes_at_read gates the rebase (a rival delete entry would make
+    # the cached rewrite resurrect rows)
+    cache: dict = {}
+
+    def can_rebase(v: int, m: dict) -> bool:
+        if not cache:
+            return False
+        ops = _ops_since(path, cache["read_v"], v)
+        if ops is None or any(
+            op not in ("append", "mark", "bloom") for op in ops
+        ):
+            return False
+        return (m.get("deletes") or []) == cache["deletes_at_read"]
+
+    def attempt() -> int:
+        v = current_version(path)
+        m = _read_manifest(path, v)
+        if can_rebase(v, m):
+            if cache["small_set"] is None:
+                # fold rewrite replaced every read-version file; rival
+                # appends ride along raw (no delete entry covers them
+                # — entries scope to files present when they landed)
+                files = cache["new_files"] + [
+                    f for f in m["files"] if f not in cache["read_files"]
+                ]
+                return _commit_manifest(
+                    path, v + 1, files, "compact", m.get("schema")
+                )
+            keep = [f for f in m["files"] if f not in cache["small_set"]]
+            kept = set(keep)
+            kept_stats = {
+                f: s for f, s in (m.get("stats") or {}).items() if f in kept
+            }
+            kept_bloom = {
+                c: {
+                    **b,
+                    "files": {
+                        f: e for f, e in b["files"].items() if f in kept
+                    },
+                }
+                for c, b in (m.get("bloom") or {}).items()
+            }
+            return _commit_manifest(
+                path,
+                v + 1,
+                keep + cache["new_files"],
+                "compact",
+                m.get("schema"),
+                kept_stats or None,
+                kept_bloom or None,
+            )
+        if m.get("deletes"):
+            # pending merge-on-read deletes: the raw small-file rewrite
+            # below would resurrect deleted rows, so compact by folding
+            # the WHOLE snapshot (lake_read applies the anti-joins) —
+            # this is also where the deferred delete debt is paid
+            folded = lake_read(spark, path, v).coalesce(target_files)
+            new_files = _write_data_files(folded, path)
+            cache.update(
+                read_v=v,
+                read_files=set(m["files"]),
+                small_set=None,
+                new_files=new_files,
+                deletes_at_read=list(m.get("deletes") or []),
+            )
+            return _commit_manifest(
+                path, v + 1, new_files, "compact", m.get("schema")
+            )
+        files = m["files"]
+        small = [
+            f
+            for f in files
+            if os.path.getsize(os.path.join(path, f)) < small_file_bytes
+        ]
+        if len(small) <= target_files:
+            return v
+        small_set = set(small)
+        keep = [f for f in files if f not in small_set]
+        reader = spark.read
+        if "schema" in m:
+            # post-evolution tables mix file schemas: reading with the
+            # DECLARED schema normalizes every compacted row to the
+            # current schema (NULLs for pre-column files) with no
+            # mergeSchema footer pass — see lake_read
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        rewritten = reader.parquet(
+            *(os.path.join(path, f) for f in small)
+        ).coalesce(target_files)
+        new_files = _write_data_files(rewritten, path)
+        cache.update(
+            read_v=v,
+            read_files=set(files),
+            small_set=small_set,
+            new_files=new_files,
+            deletes_at_read=[],
+        )
+        # kept (un-compacted) files keep their clustering stats; the
+        # rewritten small files lose theirs (they merged)
+        kept = set(keep)
+        kept_stats = {
+            f: s for f, s in (m.get("stats") or {}).items() if f in kept
+        }
+        kept_bloom = {
+            c: {**b, "files": {f: e for f, e in b["files"].items() if f in kept}}
+            for c, b in (m.get("bloom") or {}).items()
+        }
         return _commit_manifest(
             path,
             v + 1,
-            _write_data_files(folded, path),
+            keep + new_files,
             "compact",
             m.get("schema"),
+            kept_stats or None,
+            kept_bloom or None,
         )
-    files = m["files"]
-    small = [
-        f
-        for f in files
-        if os.path.getsize(os.path.join(path, f)) < small_file_bytes
-    ]
-    if len(small) <= target_files:
-        return v
-    small_set = set(small)
-    keep = [f for f in files if f not in small_set]
-    reader = spark.read
-    if "schema" in m:
-        # post-evolution tables mix file schemas: reading with the
-        # DECLARED schema normalizes every compacted row to the current
-        # schema (NULLs for pre-column files) with no mergeSchema
-        # footer pass — see lake_read
-        from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(m["schema"]))
-    rewritten = reader.parquet(
-        *(os.path.join(path, f) for f in small)
-    ).coalesce(target_files)
-    new_files = _write_data_files(rewritten, path)
-    # kept (un-compacted) files keep their clustering stats; the
-    # rewritten small files lose theirs (they merged)
-    kept = set(keep)
-    kept_stats = {
-        f: s for f, s in (m.get("stats") or {}).items() if f in kept
-    }
-    kept_bloom = {
-        c: {**b, "files": {f: e for f, e in b["files"].items() if f in kept}}
-        for c, b in (m.get("bloom") or {}).items()
-    }
-    return _commit_manifest(
-        path,
-        v + 1,
-        keep + new_files,
-        "compact",
-        m.get("schema"),
-        kept_stats or None,
-        kept_bloom or None,
-    )
+    return _occ_publish_loop(path, "compaction", attempt)
 
 
 def lake_cluster_by(
@@ -1255,7 +1476,13 @@ def lake_cluster_by(
 
     Same commit protocol as every lifecycle op: rows untouched, prior
     versions still read (time travel), single-winner manifest publish —
-    a rival committer landing first fails THIS rewrite loudly.
+    now OCC classify-rebased (round 14): a rival append / mark / bloom
+    landing first (with delete entries unchanged) carries its files
+    into a manifest-only retry — the rival's files ride along
+    UNCLUSTERED (no stats; conservatively scanned by pruned reads —
+    exactly the layout erosion the advisor's recluster_due rung
+    tracks); any other rival re-derives the clustering from the new
+    tip. Bounded attempts, :class:`LakeConflictError` on exhaustion.
 
     Stats are stored as plain JSON scalars. A single-column layout
     accepts numeric, date/timestamp, or string keys; the Z-order path
@@ -1270,58 +1497,93 @@ def lake_cluster_by(
     # stats exist but cannot prune — each file spans that column's full
     # range; the lake_zorder row measures exactly this)
     stat_cols = list(cols) + [c for c in stats_cols if c not in cols]
-    v = current_version(path)
-    if v < 1:
+    if current_version(path) < 1:
         raise ValueError(f"no committed version at {path}")
-    cur = lake_read(spark, path, v)
-    for c in cols:
-        if c not in cur.columns:
-            raise ValueError(f"cluster column {c!r} not in table")
     from pyspark.sql import functions as F
 
-    if len(cols) == 1:
-        clustered = cur.repartitionByRange(
-            n_files, cols[0]
-        ).sortWithinPartitions(cols[0])
-    else:
-        z = _morton_code(spark, cur, cols)
-        clustered = (
-            cur.withColumn("_z", z)
-            .repartitionByRange(n_files, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z")
+    cache: dict = {}  # read_v/read_files/new_files/stats/deletes_at_read
+
+    def can_rebase(v: int, m: dict) -> bool:
+        if not cache:
+            return False
+        ops = _ops_since(path, cache["read_v"], v)
+        if ops is None or any(
+            op not in ("append", "mark", "bloom") for op in ops
+        ):
+            return False
+        return (m.get("deletes") or []) == cache["deletes_at_read"]
+
+    def attempt() -> int:
+        v = current_version(path)
+        m = _read_manifest(path, v)
+        if can_rebase(v, m):
+            # the clustered rewrite replaced every read-version file
+            # (pending deletes folded — their entries scoped to those
+            # files only); rival-appended files ride along unclustered
+            files = cache["new_files"] + [
+                f for f in m["files"] if f not in cache["read_files"]
+            ]
+            return _commit_manifest(
+                path, v + 1, files, "cluster", m.get("schema"),
+                cache["stats"],
+            )
+        cur = lake_read(spark, path, v)
+        for c in cols:
+            if c not in cur.columns:
+                raise ValueError(f"cluster column {c!r} not in table")
+        if len(cols) == 1:
+            clustered = cur.repartitionByRange(
+                n_files, cols[0]
+            ).sortWithinPartitions(cols[0])
+        else:
+            z = _morton_code(spark, cur, cols)
+            clustered = (
+                cur.withColumn("_z", z)
+                .repartitionByRange(n_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        new_files = _write_data_files(clustered, path)
+        # one job: per-file min/max of every cluster column over
+        # exactly the files just written
+        aggs = []
+        for i, c in enumerate(stat_cols):
+            aggs += [F.min(c).alias(f"lo{i}"), F.max(c).alias(f"hi{i}")]
+        stat_rows = (
+            spark.read.parquet(*(os.path.join(path, f) for f in new_files))
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()
         )
-    new_files = _write_data_files(clustered, path)
-    # one job: per-file min/max of every cluster column over exactly
-    # the files just written
-    aggs = []
-    for i, c in enumerate(stat_cols):
-        aggs += [F.min(c).alias(f"lo{i}"), F.max(c).alias(f"hi{i}")]
-    stat_rows = (
-        spark.read.parquet(*(os.path.join(path, f) for f in new_files))
-        .groupBy(F.input_file_name().alias("_f"))
-        .agg(*aggs)
-        .collect()
-    )
-    by_base = {os.path.basename(r._f.replace("file:", "")): r for r in stat_rows}
-    stats = {}
-    for f in new_files:
-        r = by_base.get(os.path.basename(f))
-        if r is None:
-            continue
-        stats[f] = {
-            "cols": {
-                c: [
-                    _stat_scalar(r[f"lo{i}"], round_up=False),
-                    _stat_scalar(r[f"hi{i}"], round_up=True),
-                ]
-                for i, c in enumerate(stat_cols)
-            }
+        by_base = {
+            os.path.basename(r._f.replace("file:", "")): r for r in stat_rows
         }
-    m = _read_manifest(path, v)
-    return _commit_manifest(
-        path, v + 1, new_files, "cluster", m.get("schema"), stats
-    )
+        stats = {}
+        for f in new_files:
+            r = by_base.get(os.path.basename(f))
+            if r is None:
+                continue
+            stats[f] = {
+                "cols": {
+                    c: [
+                        _stat_scalar(r[f"lo{i}"], round_up=False),
+                        _stat_scalar(r[f"hi{i}"], round_up=True),
+                    ]
+                    for i, c in enumerate(stat_cols)
+                }
+            }
+        cache.update(
+            read_v=v,
+            read_files=set(m["files"]),
+            new_files=new_files,
+            stats=stats,
+            deletes_at_read=list(m.get("deletes") or []),
+        )
+        return _commit_manifest(
+            path, v + 1, new_files, "cluster", m.get("schema"), stats
+        )
+
+    return _occ_publish_loop(path, "clustering rewrite", attempt)
 
 
 Z_BITS = 4  # 16 quantile cells per dimension
@@ -1639,65 +1901,103 @@ def lake_bloom_index(
 
     if m_bits % 8 != 0 or m_bits < 8:
         raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
-    v = current_version(path)
-    if v < 1:
+    if current_version(path) < 1:
         raise ValueError(f"no committed version at {path}")
-    m = _read_manifest(path, v)
-    cur = _read_file_subset(spark, path, m, m["files"])
-    if col not in cur.columns:
-        raise ValueError(f"bloom column {col!r} not in table")
-    dtype = dict(cur.dtypes)[col]
-    if dtype in ("float", "double"):
-        # mirror _morton_code's loud type rejection: float equality
-        # probes are a smell, _probe_string rejects them anyway, and a
-        # float bloom would only ever raise at probe time (ADVICE r9)
-        raise ValueError(
-            f"bloom column {col!r} has type {dtype!r}: equality probes "
-            "over float/double are not supported (index an int/string/"
-            "decimal/date/timestamp column instead)"
+
+    # Race safety (round 14): the expensive step is the bitmap scan;
+    # cache it keyed by the file set it covered. A rival append / mark
+    # / delete_keys / bloom keeps every scanned file in the tip, so the
+    # retry is manifest-only — scanned files keep their bitmaps, files
+    # the rival ADDED get none (conservatively kept by pruned_files_eq,
+    # the same carry-forward erosion appends already cause, cleared by
+    # the advisor's reindex_due rung). A rival that rewrote files
+    # (compact/cluster/delete/merge/overwrite/restore) invalidates the
+    # cache: re-scan at the new tip.
+    cache: dict = {}  # read_v, read_files (set), blooms (file -> b64)
+
+    def attempt() -> int:
+        v = current_version(path)
+        m = _read_manifest(path, v)
+        if cache:
+            ops = _ops_since(path, cache["read_v"], v)
+            if ops is not None and all(
+                op in ("append", "mark", "bloom", "delete_keys")
+                for op in ops
+            ):
+                blooms = {
+                    f: cache["blooms"][f]
+                    for f in m["files"]
+                    if f in cache["blooms"]
+                }
+            else:
+                cache.clear()
+                blooms = None
+        else:
+            blooms = None
+        if blooms is None:
+            cur = _read_file_subset(spark, path, m, m["files"])
+            if col not in cur.columns:
+                raise ValueError(f"bloom column {col!r} not in table")
+            dtype = dict(cur.dtypes)[col]
+            if dtype in ("float", "double"):
+                # mirror _morton_code's loud type rejection: float
+                # equality probes are a smell, _probe_string rejects
+                # them anyway, and a float bloom would only ever raise
+                # at probe time (ADVICE r9)
+                raise ValueError(
+                    f"bloom column {col!r} has type {dtype!r}: equality "
+                    "probes over float/double are not supported (index "
+                    "an int/string/decimal/date/timestamp column instead)"
+                )
+            canon = _bloom_canonical(F.col(col), dtype)
+            pos_rows = (
+                cur.where(F.col(col).isNotNull())
+                .select(
+                    F.input_file_name().alias("_f"),
+                    F.array(
+                        *[_bloom_pos(canon, i, m_bits) for i in range(k)]
+                    ).alias("_ps"),
+                )
+                .select("_f", F.explode("_ps").alias("_p"))
+                .groupBy("_f")
+                .agg(F.collect_set("_p").alias("_pos"))
+                .collect()
+            )
+            by_base = {
+                os.path.basename(r._f.replace("file:", "")): r._pos
+                for r in pos_rows
+            }
+            blooms = {}
+            for f in m["files"]:
+                # a file absent from the aggregate has NO non-null
+                # values of ``col`` (zero rows, or all-NULL): its
+                # bitmap is the bloom of the empty set — all zeros,
+                # every probe skips it. Sound (an equality probe never
+                # matches NULL) and necessary: leaving it bitmap-less
+                # would make the advisor's reindex_due verdict
+                # unclearable on tables with empty part files.
+                pos = by_base.get(os.path.basename(f)) or []
+                bits = bytearray(m_bits // 8)
+                for p in pos:
+                    bits[p // 8] |= 1 << (p % 8)
+                blooms[f] = base64.b64encode(bytes(bits)).decode("ascii")
+            cache.update(
+                read_v=v, read_files=set(m["files"]), blooms=dict(blooms)
+            )
+        bloom_section = dict(m.get("bloom") or {})
+        bloom_section[col] = {"m_bits": m_bits, "k": k, "files": blooms}
+        return _commit_manifest(
+            path,
+            v + 1,
+            m["files"],
+            "bloom",
+            m.get("schema"),
+            m.get("stats"),
+            bloom_section,
+            deletes=m.get("deletes"),
         )
-    canon = _bloom_canonical(F.col(col), dtype)
-    pos_rows = (
-        cur.where(F.col(col).isNotNull())
-        .select(
-            F.input_file_name().alias("_f"),
-            F.array(
-                *[_bloom_pos(canon, i, m_bits) for i in range(k)]
-            ).alias("_ps"),
-        )
-        .select("_f", F.explode("_ps").alias("_p"))
-        .groupBy("_f")
-        .agg(F.collect_set("_p").alias("_pos"))
-        .collect()
-    )
-    by_base = {
-        os.path.basename(r._f.replace("file:", "")): r._pos for r in pos_rows
-    }
-    blooms = {}
-    for f in m["files"]:
-        # a file absent from the aggregate has NO non-null values of
-        # ``col`` (zero rows, or all-NULL): its bitmap is the bloom of
-        # the empty set — all zeros, every probe skips it. Sound (an
-        # equality probe never matches NULL) and necessary: leaving it
-        # bitmap-less would make the advisor's reindex_due verdict
-        # unclearable on tables with empty part files.
-        pos = by_base.get(os.path.basename(f)) or []
-        bits = bytearray(m_bits // 8)
-        for p in pos:
-            bits[p // 8] |= 1 << (p % 8)
-        blooms[f] = base64.b64encode(bytes(bits)).decode("ascii")
-    bloom_section = dict(m.get("bloom") or {})
-    bloom_section[col] = {"m_bits": m_bits, "k": k, "files": blooms}
-    return _commit_manifest(
-        path,
-        v + 1,
-        m["files"],
-        "bloom",
-        m.get("schema"),
-        m.get("stats"),
-        bloom_section,
-        deletes=m.get("deletes"),
-    )
+
+    return _occ_publish_loop(path, "bloom index build", attempt)
 
 
 def _bloom_canonical(c, dtype: str):
@@ -1957,8 +2257,23 @@ def lake_read_keys(
     # infer the build side's type from the VALUES (then let the join
     # insert the same coercion casts isin would) — forcing the column's
     # schema here would make loosely-typed keys (floats against a
-    # bigint column) succeed below the cap and crash above it
-    keys_df = spark.createDataFrame([(x,) for x in vals], ["__graft_key"])
+    # bigint column) succeed below the cap and crash above it. A MIXED
+    # list (ints and floats together), which isin accepts, would also
+    # fail type inference: normalize the numeric mix to float (the
+    # same widening the isin comparison applies), and fall back to the
+    # isin literal for anything createDataFrame still can't infer —
+    # behavior must never flip on key COUNT (ADVICE r13)
+    kinds = {type(x) for x in vals}
+    if kinds == {int, float}:
+        vals_b = [float(x) for x in vals]
+    else:
+        vals_b = vals
+    try:
+        keys_df = spark.createDataFrame(
+            [(x,) for x in vals_b], ["__graft_key"]
+        )
+    except Exception:
+        return df.where(F.col(col).isin(vals))
     return df.join(
         F.broadcast(keys_df),
         df[col] == keys_df["__graft_key"],
@@ -1989,35 +2304,31 @@ def lake_mark_stream(
     merely moved): re-read the current version and the scoped mark and
     retry against the NEW tip, returning None if a rival's commit
     already carries a mark >= ours. Bounded retries; a pathologically
-    hot table surfaces the last ``FileExistsError`` rather than
-    spinning."""
-    for _ in range(8):
+    hot table aborts with :class:`LakeConflictError` CHAINED to the
+    last collision (ADVICE r13: which version/path collided), the same
+    exhaustion contract as every other lake writer."""
+
+    def attempt() -> int | None:
         v = current_version(path)
         if v < 1:
             return None
         if last_stream_batch_id(path, stream_id) >= mark_version:
             return None
         m = _read_manifest(path, v)
-        try:
-            return _commit_manifest(
-                path,
-                v + 1,
-                m["files"],
-                "mark",
-                m.get("schema"),
-                m.get("stats"),
-                m.get("bloom"),
-                mark_version,
-                m.get("deletes"),
-                stream_id,
-            )
-        except FileExistsError:
-            continue  # rival landed v+1: re-read tip and mark, retry
-    raise FileExistsError(
-        f"lake_mark_stream: could not land a mark commit at {path} after "
-        "8 attempts (every attempt lost the single-winner race to a "
-        "rival commit)"
-    )
+        return _commit_manifest(
+            path,
+            v + 1,
+            m["files"],
+            "mark",
+            m.get("schema"),
+            m.get("stats"),
+            m.get("bloom"),
+            mark_version,
+            m.get("deletes"),
+            stream_id,
+        )
+
+    return _occ_publish_loop(path, "stream mark commit", attempt)
 
 
 # ---------------------------------------------------------------------------

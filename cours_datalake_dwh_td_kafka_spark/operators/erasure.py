@@ -63,6 +63,15 @@ from cours_datalake_dwh_td_kafka_spark.registry import register
 E2E_USER_MOD, E2E_USER_REM = 17, 3
 E2E_DOC_MOD, E2E_DOC_REM = 13, 5
 
+#: fixture slice (round 14, VERDICT r13 #5): the attested guarantees
+#: are size-independent — every leg is an equality/emptiness proof,
+#: not a statistic — so the row builds its seven artifacts on a
+#: deterministic third of each table (key % 3 = 0, mirrored in the
+#: oracle SQL) instead of the whole sf slice; the erased cohorts stay
+#: non-trivial (hundreds of keys at sf0.01) and every boolean still
+#: exercises its full code path
+E2E_SLICE_MOD = 3
+
 
 def _fingerprint_rows(d: DataFrame) -> DataFrame:
     """The doc_fingerprint projection (text_analysis) as a maintainable
@@ -78,13 +87,13 @@ def _fingerprint_rows(d: DataFrame) -> DataFrame:
 
 
 def _multiset_eq(a: DataFrame, b: DataFrame) -> bool:
-    a = a.localCheckpoint(eager=False)
-    b = b.localCheckpoint(eager=False)
-    return (
-        a.count() == b.count()
-        and a.exceptAll(b).count() == 0
-        and b.exceptAll(a).count() == 0
+    """One-action multiset equality (round 14, VERDICT r13 #4) — the
+    shared signed-tag comparator; see operators/attest.py."""
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq,
     )
+
+    return multiset_eq(a, b)
 
 
 def erasure_e2e_protocol(
@@ -316,29 +325,38 @@ def _e2e_sql() -> str:
     )
 
     norm = NORM_SQL.format(c="text")
+    sl = E2E_SLICE_MOD
     return f"""
     SELECT
       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
-       WHERE user_id % {E2E_USER_MOD} = {E2E_USER_REM}) AS n_erased_users,
+       WHERE user_id % {sl} = 0
+         AND user_id % {E2E_USER_MOD} = {E2E_USER_REM}) AS n_erased_users,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
-       WHERE doc_id % {E2E_DOC_MOD} = {E2E_DOC_REM}) AS n_erased_docs,
+       WHERE doc_id % {sl} = 0
+         AND doc_id % {E2E_DOC_MOD} = {E2E_DOC_REM}) AS n_erased_docs,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
-       WHERE vec_id % {E2E_DOC_MOD} = {E2E_DOC_REM}
+       WHERE vec_id % {sl} = 0
+         AND vec_id % {E2E_DOC_MOD} = {E2E_DOC_REM}
          AND vec_id >= {N_QUERIES}) AS n_erased_vecs,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
-       WHERE user_id % {E2E_USER_MOD} <> {E2E_USER_REM}) AS n_events_after,
+       WHERE user_id % {sl} = 0
+         AND user_id % {E2E_USER_MOD} <> {E2E_USER_REM}) AS n_events_after,
       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
-       WHERE user_id % {E2E_USER_MOD} <> {E2E_USER_REM})
+       WHERE user_id % {sl} = 0
+         AND user_id % {E2E_USER_MOD} <> {E2E_USER_REM})
         AS n_session_users_after,
       (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
-       WHERE doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM}) AS mv_sum_chars_after,
+       WHERE doc_id % {sl} = 0
+         AND doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM}) AS mv_sum_chars_after,
       (SELECT CAST(SUM({HASH32_SQL.format(c=norm)})
               AS BIGINT) FROM documents
-       WHERE doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM}) AS fp32_sum_after,
+       WHERE doc_id % {sl} = 0
+         AND doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM}) AS fp32_sum_after,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
          SELECT doc_id, s FROM (
            SELECT doc_id, unnest(string_split({norm}, ' ')) AS s
-           FROM documents WHERE doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM})
+           FROM documents WHERE doc_id % {sl} = 0
+             AND doc_id % {E2E_DOC_MOD} <> {E2E_DOC_REM})
          GROUP BY doc_id, s)) AS n_postings_after,
       TRUE AS index_terms_recomputed_ok,
       TRUE AS sessions_match_ok,
@@ -357,9 +375,15 @@ def q_erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    events = load_table(spark, sf_dir, "events")
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % E2E_SLICE_MOD == 0
+    )
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % E2E_SLICE_MOD == 0
+    )
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % E2E_SLICE_MOD == 0
+    )
     tmp = tempfile.mkdtemp(prefix="graft_erasure_e2e_")
     try:
         return erasure_e2e_protocol(

@@ -1015,11 +1015,11 @@ def lake_incremental_mv_protocol(
                 F.sum("n_chars").cast("long").alias("sum_chars"),
             )
         )
-        served = mv_serve(spark, mv)
-        return (
-            served.count() == direct.count()
-            and served.exceptAll(direct).count() == 0
+        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+            multiset_eq,
         )
+
+        return multiset_eq(mv_serve(spark, mv), direct)
 
     all_match = True
     lake_commit(base.where(F.col("doc_id") < cut), src)
@@ -1035,13 +1035,13 @@ def lake_incremental_mv_protocol(
     lake_consume_changes(spark, src, mv, apply_fn=mv_delta_rows)
     all_match &= serve_eq_recompute()
 
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq as _meq,
+    )
+
     before_fold = mv_serve(spark, mv).localCheckpoint(eager=False)
     mv_fold(spark, mv)
-    after_fold = mv_serve(spark, mv)
-    fold_ok = (
-        after_fold.count() == before_fold.count()
-        and after_fold.exceptAll(before_fold).count() == 0
-    )
+    fold_ok = _meq(mv_serve(spark, mv), before_fold)
     # nothing new at the source: the consumer must be a no-op even
     # though the MV table itself advanced a version in the fold
     exactly_once = (
@@ -1145,11 +1145,11 @@ def lake_txn_consistency_protocol(
     def txn_pair_consistent() -> bool:
         snap_docs = lake_txn_read(spark, root, "docs")
         snap_roll = lake_txn_read(spark, root, "rollup")
-        want = _rollup_of(snap_docs)
-        return (
-            snap_roll.count() == want.count()
-            and snap_roll.exceptAll(want).count() == 0
+        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+            multiset_eq,
         )
+
+        return multiset_eq(snap_roll, _rollup_of(snap_docs))
 
     all_ok = True
     stale_ok = True
@@ -1733,5 +1733,151 @@ def q_lake_occ_multiwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="graft_occ_")
     try:
         return lake_occ_protocol(spark, orders, tmp).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# round 14 (VERDICT r13 #1 "Done" criterion): the README's recommended
+# topology — a micro-batch ingest stream PLUS maintenance daemons on ONE
+# table — actually running concurrently. Before round 14 only
+# lake_commit_occ survived a race; the streaming commit, compact, and
+# every other writer died on the raw single-winner CAS, so this exact
+# topology could not run.
+# ---------------------------------------------------------------------------
+
+_CONCURRENT_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS stream_exactly_once_ok,
+           TRUE AS mark_intact_ok,
+           TRUE AS maintenance_landed_ok,
+           TRUE AS no_conflict_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def lake_concurrent_writers_protocol(
+    spark: SparkSession, orders: DataFrame, workdir: str
+) -> DataFrame:
+    """One table, three writers AT ONCE: a checkpointed micro-batch
+    ingest stream (4 batches via ``commit_stream_to_lake`` — the
+    exactly-once OCC append), a compaction daemon (twice, full-rewrite
+    settings), and a rival blind append — the classify-rebase ladder
+    (lake.py:lake_commit_occ / lake_compact) landing every commit
+    exactly once with no writer dying on a lost CAS. Attested in-row:
+
+    - ``stream_exactly_once_ok``: the final snapshot is multiset-equal
+      to base + all four streamed slices + the rival append — nothing
+      lost to a rebase, nothing doubled by a replay;
+    - ``mark_intact_ok``: the stream's scoped high-water mark reads 3
+      (its last batch id) from ONE manifest even though compactions
+      and a rival append committed after mark-bearing commits — the
+      auto-carry survives every rebase;
+    - ``maintenance_landed_ok``: exactly 2 compacts and 6 appends in
+      history (base + 4 micro-batches + rival) — every writer landed
+      exactly once, whatever the interleave;
+    - ``no_conflict_ok``: no thread saw LakeConflictError or a raw
+      FileExistsError.
+
+    The deterministic lost-CAS paths (rebase file-carry, re-derive,
+    bounded abort) are pinned per-writer in tests/test_lake_occ.py;
+    this row proves the composed topology on real engine threads."""
+    import threading
+    import time
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        current_version,
+        lake_commit_occ,
+        last_stream_batch_id,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        checkpoint_query_id,
+        commit_stream_to_lake,
+    )
+
+    cols = ["o_orderkey", "o_orderpriority"]
+    src = orders.select(*cols)
+    path = os.path.join(workdir, "lake")
+    indir = os.path.join(workdir, "in")
+    ckpt = os.path.join(workdir, "ckpt")
+    lake_commit(src.where("o_orderkey % 7 = 0"), path)
+    for i in (1, 2, 3, 4):
+        src.where(f"o_orderkey % 7 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+    extra = src.where("o_orderkey % 7 IN (5, 6)")
+
+    errs: list[BaseException] = []
+
+    def maintenance() -> None:
+        try:
+            # wait for the stream's first batch, then maintain WHILE
+            # the remaining batches commit
+            for _ in range(1500):
+                if current_version(path) >= 2:
+                    break
+                time.sleep(0.02)
+            lake_compact(spark, path, small_file_bytes=1 << 30, target_files=1)
+            lake_commit_occ(extra, path)
+            lake_compact(spark, path, small_file_bytes=1 << 30, target_files=1)
+        except BaseException as e:  # noqa: BLE001 - folded into the row
+            errs.append(e)
+
+    t = threading.Thread(target=maintenance)
+    t.start()
+    stream = (
+        spark.readStream.schema("o_orderkey bigint, o_orderpriority string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    q = commit_stream_to_lake(stream, path, ckpt).start()
+    q.awaitTermination(600)
+    t.join(timeout=600)
+
+    final = lake_read(spark, path)
+    exactly_once = (
+        final.count() == src.count()
+        and final.exceptAll(src).count() == 0
+        and src.exceptAll(final).count() == 0
+    )
+    mark_ok = (
+        last_stream_batch_id(path, checkpoint_query_id(ckpt)) == 3
+    )
+    ops = [h["op"] for h in lake_history(path)]
+    maintenance_ok = ops.count("compact") == 2 and ops.count("append") == 6
+    return (
+        final.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "key_sum",
+            F.lit(bool(exactly_once)).alias("stream_exactly_once_ok"),
+            F.lit(bool(mark_ok)).alias("mark_intact_ok"),
+            F.lit(bool(maintenance_ok)).alias("maintenance_landed_ok"),
+            F.lit(bool(not errs)).alias("no_conflict_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("lake_concurrent_writers", _CONCURRENT_SQL)
+def q_lake_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="graft_concwr_")
+    try:
+        return lake_concurrent_writers_protocol(
+            spark, orders, tmp
+        ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -394,9 +394,14 @@ def quantile_sketch_by_group(
         if k not in checks:
             for p in ps_l:
                 final.append((k, float(p), True, True, None))
+    # the cohort key keeps its REAL type (ADVICE r13: hardcoding
+    # `string` here made a bigint cohort key fail at result assembly
+    # even though every upstream stage supports it) — same derivation
+    # as quantile_sketch_summary_by's state schema
+    key_type = df.schema[key].dataType.simpleString()
     res = df.sparkSession.createDataFrame(
         final,
-        f"{key} string, p double, within_rank_err boolean, "
+        f"{key} {key_type}, p double, within_rank_err boolean, "
         "weight_conserved_ok boolean, exact_raw double",
     )
     return res.select(

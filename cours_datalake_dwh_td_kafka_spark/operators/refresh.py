@@ -275,18 +275,14 @@ def corpus_refresh(
         # the drift-is-zero proof the registered row attests; the
         # deployable call (attest=False) skips it.
         # pinned: each recompute feeds two actions (count + exceptAll)
-        recomputed_bands = minhash_band_rows(v2).localCheckpoint(
-            eager=False
+        # one signed-tag action per recompute (round 14, VERDICT r13
+        # #4 — see operators/attest.py), replacing count + exceptAll
+        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+            multiset_eq,
         )
-        bands_table_ok = (
-            bands_v2.count() == recomputed_bands.count()
-            and bands_v2.exceptAll(recomputed_bands).count() == 0
-        )
-        recomputed_fps = fingerprint_rows(v2).localCheckpoint(eager=False)
-        fps_table_ok = (
-            fps_v2.count() == recomputed_fps.count()
-            and fps_v2.exceptAll(recomputed_fps).count() == 0
-        )
+
+        bands_table_ok = multiset_eq(bands_v2, minhash_band_rows(v2))
+        fps_table_ok = multiset_eq(fps_v2, fingerprint_rows(v2))
     else:
         # artifact-shape consistency only (exactly one fp row per kept
         # doc, exactly N_BANDS band rows per kept doc, no orphans) —
@@ -324,14 +320,19 @@ def corpus_refresh(
         # would let debt ride for four crawls before the advisor speaks)
         plan = lake_maintenance_plan(side, min_small_files=2)
         side_tables_maintained_ok &= bool(plan["compact_due"])
-        before = lake_read(spark, side).localCheckpoint(eager=False)
-        n_before = before.count()
+        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+            multiset_eq as _meq,
+        )
+
+        # EAGER checkpoint: the vacuum below deletes the files this
+        # frame reads, so it must materialize BEFORE the repair (the
+        # pre-r14 code materialized it via its count() action)
+        before = lake_read(spark, side).localCheckpoint()
         lake_compact(spark, side, target_files=1)
         lake_vacuum(side, keep_versions=1, orphan_grace_seconds=0)
         after = lake_read(spark, side)
         side_tables_maintained_ok &= (
-            after.count() == n_before
-            and after.exceptAll(before).count() == 0
+            _meq(after, before)
             and not lake_maintenance_plan(side, min_small_files=2)[
                 "compact_due"
             ]
@@ -370,13 +371,12 @@ def corpus_refresh(
             bm25_search,
         )
 
-        served_bm = bm25_query_index(spark, tidx).localCheckpoint(
-            eager=False
+        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+            multiset_eq as _meq2,
         )
-        direct_bm = bm25_search(v2).localCheckpoint(eager=False)
-        text_index_serves_ok = (
-            served_bm.count() == direct_bm.count()
-            and served_bm.exceptAll(direct_bm).count() == 0
+
+        text_index_serves_ok = _meq2(
+            bm25_query_index(spark, tidx), bm25_search(v2)
         )
     else:
         # artifact-shape consistency only: one doclen row per kept doc
@@ -453,10 +453,11 @@ def corpus_refresh(
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    serves_union = (
-        full.count() == truth.count()
-        and full.exceptAll(truth).count() == 0
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq as _ms_eq,
     )
+
+    serves_union = _ms_eq(full, truth)
 
     # re-pack: the refreshed corpus' shard count (ceil identity — the
     # pack_efficiency algebra, no per-row packing pass needed)
@@ -504,6 +505,15 @@ def corpus_refresh(
     )
 
 
+#: fixture slice (round 14, VERDICT r13 #5): the refresh guarantees are
+#: equality/emptiness attestations, size-independent by construction —
+#: run the row on a deterministic half of the corpus (mirrored in the
+#: oracle's bounds/normed CTEs) to keep the protocol bench lane honest;
+#: every leg (dedup survivors, near-dup gate, decontamination, packing
+#: identity, side tables, index serve) still fires on non-trivial sets
+REFRESH_SLICE_MOD = 2
+
+
 def _refresh_sql() -> str:
     """Recompute every count from the raw tables: the survivor set, the
     incremental-dedup survivors of the batch, the decontamination gate,
@@ -516,15 +526,16 @@ def _refresh_sql() -> str:
     jpred = jaccard_verified_sql(
         "len(list_intersect(x.sh3, y.sh3))", "len(x.sh3)", "len(y.sh3)"
     )
+    sl = REFRESH_SLICE_MOD
     return f"""
     WITH bounds AS (
       SELECT MIN(doc_id) + CAST(FLOOR((MAX(doc_id) - MIN(doc_id))
                * {INCREMENT_SPLIT}) AS BIGINT) AS cut
-      FROM documents
+      FROM documents WHERE doc_id % {sl} = 0
     ),
     normed AS (
       SELECT doc_id, source, {norm} AS ntext, md5({norm}) AS fp
-      FROM documents
+      FROM documents WHERE doc_id % {sl} = 0
     ),
     survivors AS (
       SELECT * FROM (
@@ -617,8 +628,12 @@ def q_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % REFRESH_SLICE_MOD == 0
+    )
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % REFRESH_SLICE_MOD == 0
+    )
     tmp = tempfile.mkdtemp(prefix="graft_corpus_refresh_")
     try:
         return corpus_refresh(spark, d, e, tmp)
@@ -748,10 +763,11 @@ def cdc_index_maintenance(
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    serves_truth_ok = (
-        served.count() == truth.count()
-        and served.exceptAll(truth).count() == 0
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq as _ms_eq2,
     )
+
+    serves_truth_ok = _ms_eq2(served, truth)
     log_df = lake_read(spark, log).localCheckpoint(eager=False)
     log_complete_ok = (
         log_df.count() == n_v1 + n_appended + n_deleted
@@ -919,10 +935,11 @@ def erasure_protocol(
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    index_without = (
-        served.count() == truth_rem.count()
-        and served.exceptAll(truth_rem).count() == 0
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq as _ms_eq3,
     )
+
+    index_without = _ms_eq3(served, truth_rem)
 
     # audit trail: pre-erasure snapshots readable BY EXPLICIT version
     snapshots_isolated = (

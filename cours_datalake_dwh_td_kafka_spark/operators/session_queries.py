@@ -303,12 +303,15 @@ def q_session_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         and maintain_sessions_from_cdc(spark, ev_path, sess_path) == []
     )
 
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq,
+    )
+
     final = lake_read(spark, sess_path)
     recompute = sessionize_events(lake_read(spark, ev_path))
-    mismatch = (
-        final.exceptAll(recompute).count()
-        + recompute.exceptAll(final).count()
-    )
+    # one signed-tag action (round 14, VERDICT r13 #4) instead of two
+    # exceptAll counts; 0/1 keeps the attested column's contract
+    mismatch = 0 if multiset_eq(final, recompute) else 1
     return (
         final.select(
             "user_id",

@@ -52,63 +52,75 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry.py pins every listed name to an existing
 # registration so the list cannot silently rot.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-13 attestation window (driver caps at ~50 rows/round) ---
-    # -- new in r13, never attested --------------------------------------
-    "lake_occ_multiwriter",   # r13: optimistic multi-writer concurrency
-    "quantile_sketch",        # r13: mergeable KLL-style quantile sketch
-    "erasure_e2e",            # r13: right-to-be-forgotten across artifacts
-    "corpus_drift_ks_adaptive",  # r13: equi-depth KS + sketch fidelity
-    "quantile_sketch_by_group",  # r13: per-cohort sketch percentiles
-    # -- code changed in r13: must re-attest on current code -------------
-    "corpus_drift_ks",        # r13: NULL n_chars -> sentinel bin
-    "bm25_served",            # r13: guarded served_files_pruned boolean
-    "session_incremental",    # r13: lake_read_keys semi-join/guard path
-    "lake_lifecycle",         # r13: lake.py shared-module changes (mark
-    "lake_restore",           #      retry, pruned-keys guard, OCC ops,
-    "cdc_index_maintenance",  #      _apply_deletes column-order fix)
-    "lake_incremental_mv",
-    "lake_merge_on_read",     # r13: _apply_deletes is its core read path
-    # -- spare window capacity (VERDICT r12 #1): the 37 r6-vintage
-    #    stamps — six rounds of shared-module refactors sit between
-    #    their code and their last driver check; all fit beside the
-    #    r13 head in one 50-row window --------------------------------
-    "distinct_rows",
-    "doc_fingerprint",
-    "intersect_customers",
-    "join_enrich_counts",
-    "join_full_outer",
-    "knn_join",
-    "knn_join_grid",
-    "label_balance_chi2",
-    "language_id",
-    "min_cost_supplier",
-    "mode_per_group",
-    "monthly_profile",
-    "multimodal_jpeg_stats",
-    "null_handling",
-    "orderby_limit_topk",
-    "pandas_sessionization",
-    "part_supplier_counts",
-    "pca_top_components",
-    "point_in_time_join",
-    "product_type_profit",
-    "promotion_candidate_suppliers",
-    "quality_filter_funnel",
-    "rank_top3",
-    "records",
-    "rfm_segments",
-    "rolling_frame_max",
-    "row_number_first",
-    "running_sum",
-    "self_join_pairs",
-    "session_window_agg",
-    "shipping_delay_buckets",
-    "sliding_window_agg",
-    "source_kl_divergence",
-    "token_count",
-    "tumbling_window_agg",
-    "union_except",
-    "window_lag_delta",
+    # ---- round-14 attestation window (driver caps at ~50 rows/round) ---
+    # -- new in r14, never attested --------------------------------------
+    "lake_concurrent_writers",  # r14: stream + compactor + append, one table
+    # -- code changed in r14: must re-attest on current code -------------
+    # every lake WRITER moved onto the OCC classify-rebase ladder
+    # (lake.py: delete_keys/delete_where/merge/compact/cluster/bloom/
+    # restore/mark + the streaming commit + the CDC consumer), and the
+    # two heaviest protocol rows run on deterministic fixture slices
+    # (erasure.py E2E_SLICE_MOD, refresh.py REFRESH_SLICE_MOD — oracle
+    # SQL mirrored)
+    "erasure_e2e",              # r14: sliced fixture + delete/compact/vacuum
+    "corpus_refresh",           # r14: sliced fixture + merge/compact path
+    "quantile_sketch_by_group",  # r14: cohort key keeps its real type
+    "lake_occ_multiwriter",     # r14: commit_occ stream-mark extension
+    "lake_lifecycle",           # r14: compact/merge/delete_where rework
+    "lake_merge_on_read",       # r14: delete_keys rework
+    "lake_maintenance",         # r14: compact/cluster/bloom rework
+    "lake_restore",             # r14: restore retry loop
+    "lake_incremental_mv",      # r14: consume_changes -> OCC commit
+    "rollup_cascade",           # r14: consume_changes -> OCC commit
+    "lake_cluster",             # r14: cluster_by rework
+    "lake_zorder",              # r14: cluster_by rework
+    "lake_bloom",               # r14: bloom_index rework
+    "cdc_index_maintenance",    # r14: consume_changes -> OCC commit
+    "erasure_protocol",         # r14: delete_keys/compact rework
+    "session_incremental",      # r14: mark_stream/read_keys changes
+    "index_lake_consistency",   # r14: merge_upsert rework
+    # -- spare window capacity (VERDICT r13 #2): the 39 r7-vintage
+    #    stamps; the first ~32 fit beside the r14 head in the driver's
+    #    50-row window, the remainder roll to r15 ----------------------
+    "alert_banding",
+    "anomaly_batch",
+    "approx_distinct_count",
+    "approx_quantiles",
+    "balanced_sample_topk",
+    "bm25_search",
+    "char_entropy",
+    "cluster_similarity_stats",
+    "composite_key_agg",
+    "conditional_agg",
+    "contamination_check",
+    "corr_cov",
+    "cube_agg",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_keep_list",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "describe_profile",
+    "domain_mix_weights",
+    "embedding_prefix_overlap",
+    "event_markov_matrix",
+    "graph_components",
+    "ivf_nprobe_curve",
+    "knn_label_accuracy",
+    "lang_confusion_matrix",
+    "lsh_bands_curve",
+    "multimodal_audio_resample",
+    "multimodal_mp4_demux",
+    "ngram_novelty",
+    "pmi_collocations",
+    "quality_percentiles_by_source",
+    "readability_scores",
+    "tokenizer_fertility",
+    "top_event_paths",
+    "user_concentration",
+    "vocab_coverage",
 )
 
 
@@ -143,6 +155,7 @@ PROTOCOL_QUERIES: frozenset[str] = frozenset({
     "lake_incremental_mv",
     "lake_lifecycle",
     "lake_maintenance",
+    "lake_concurrent_writers",
     "lake_merge_on_read",
     "lake_occ_multiwriter",
     "lake_restore",

@@ -353,14 +353,20 @@ def test_lake_stream_compact_vacuum_lifecycle(spark, tmp_path):
 
 def test_lake_compact_loses_commit_race(spark, tmp_path, monkeypatch):
     """A rival commit that lands between compaction's read of the
-    current version and its manifest publish must make the compaction
-    FAIL (single-winner O_EXCL), never silently drop the rival's
-    files. Simulated by pinning compaction's version read to the stale
-    value while the rival publishes the next version for real."""
+    current version and its manifest publish must never silently drop
+    the rival's files. With the compaction pinned to a stale version
+    read (so it can never observe the rival and rebase past it), every
+    publish loses the single-winner CAS and the bounded retry loop
+    aborts loudly with the last collision chained (round 14: the raw
+    FileExistsError became LakeConflictError when compaction joined
+    the OCC rebase ladder)."""
     import json
 
     from cours_datalake_dwh_td_kafka_spark import lake
-    from cours_datalake_dwh_td_kafka_spark.lake import lake_compact
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        LakeConflictError,
+        lake_compact,
+    )
 
     path = str(tmp_path / "t")
     for i in range(3):
@@ -371,8 +377,9 @@ def test_lake_compact_loses_commit_race(spark, tmp_path, monkeypatch):
     with open(os.path.join(mdir, "v4.json"), "w") as f:
         json.dump(rival, f)
     monkeypatch.setattr(lake, "current_version", lambda p: 3)
-    with pytest.raises(FileExistsError):
+    with pytest.raises(LakeConflictError) as ei:
         lake_compact(spark, path)
+    assert isinstance(ei.value.__cause__, FileExistsError)
 
 
 def test_graftlake_python_datasource(spark, tmp_path):

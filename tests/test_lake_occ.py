@@ -344,3 +344,242 @@ def test_occ_four_way_race_all_land(spark, tmp_path):
         ]
     )
     assert _rows(spark, path) == want
+
+
+# ---------------------------------------------------------------------------
+# round 14 (VERDICT r13 #1): every non-append writer survives a rival
+# commit — rebase where the rival provably commutes, full re-derivation
+# otherwise, loud LakeConflictError only on true exhaustion.
+# ---------------------------------------------------------------------------
+
+
+def _inject_rival_once(monkeypatch, spark, path, on_op, make_rival):
+    """Monkeypatch the CAS so the first publish of ``on_op`` loses a
+    genuine race: a real rival commit lands first (stealing the version
+    number), then the patched call proceeds and collides — the
+    deterministic version of the thread races above."""
+    orig = lake_mod._commit_manifest
+    state = {"fired": False}
+
+    def racy(p, version, files, op, *a, **kw):
+        if op == on_op and not state["fired"]:
+            state["fired"] = True
+            make_rival()
+        return orig(p, version, files, op, *a, **kw)
+
+    monkeypatch.setattr(lake_mod, "_commit_manifest", racy)
+    return state
+
+
+def test_compact_rebases_over_rival_append(spark, tmp_path, monkeypatch):
+    """A compaction losing the CAS to a rival append rebases: the
+    rival's files are carried (never dropped), the compacted rewrite
+    lands manifest-only, rows = union of both."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_compact,
+        lake_history,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        lake_commit(_frame(spark, i * 10, i * 10 + 10, f"b{i}"), path)
+    state = _inject_rival_once(
+        monkeypatch, spark, path, "compact",
+        lambda: lake_commit(_frame(spark, 900, 910, "rival"), path),
+    )
+    v = lake_compact(spark, path)
+    assert state["fired"] and v == 6  # 4 base + rival + compact
+    assert [h["op"] for h in lake_history(path)][-2:] == ["append", "compact"]
+    assert _rows(spark, path) == sorted(
+        [(k, f"b{i}") for i in range(4) for k in range(i * 10, i * 10 + 10)]
+        + [(k, "rival") for k in range(900, 910)]
+    )
+
+
+def test_cluster_rebases_over_rival_append_and_stays_prunable(
+    spark, tmp_path, monkeypatch
+):
+    """A clustering rewrite losing the CAS to a rival append carries
+    the rival's files UNCLUSTERED (no stats — conservatively scanned),
+    and pruned reads stay exact on both old and rival rows."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        lake_cluster_by,
+        lake_read_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 200, "base"), path)
+    state = _inject_rival_once(
+        monkeypatch, spark, path, "cluster",
+        lambda: lake_commit(
+            _frame(spark, 50, 60, "rival").coalesce(1), path
+        ),
+    )
+    v = lake_cluster_by(spark, path, "k", n_files=4)
+    assert state["fired"] and v == 3
+    m = _read_manifest(path, v)
+    stats = m.get("stats") or {}
+    with_stats = [f for f in m["files"] if f in stats]
+    without = [f for f in m["files"] if f not in stats]
+    assert len(with_stats) == 4 and len(without) == 1  # rival unclustered
+    got = sorted(
+        tuple(r) for r in lake_read_pruned(spark, path, "k", 50, 59).collect()
+    )
+    assert got == sorted(
+        [(k, "base") for k in range(50, 60)]
+        + [(k, "rival") for k in range(50, 60)]
+    )
+
+
+def test_bloom_rebases_over_rival_append_no_false_negative(
+    spark, tmp_path, monkeypatch
+):
+    """A bloom build losing the CAS to a rival append lands manifest-
+    only; the rival's file has NO bitmap and is conservatively kept by
+    every probe (no false negatives), while base probes still prune."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        lake_bloom_index,
+        lake_read_point,
+        pruned_files_eq,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        _frame(spark, 0, 400, "base").repartition(4, "k"), path
+    )
+    state = _inject_rival_once(
+        monkeypatch, spark, path, "bloom",
+        lambda: lake_commit(
+            _frame(spark, 9000, 9001, "rival").coalesce(1), path
+        ),
+    )
+    v = lake_bloom_index(spark, path, "k")
+    assert state["fired"] and v == 3
+    m = _read_manifest(path, v)
+    bitmapped = set(m["bloom"]["k"]["files"])
+    assert len(m["files"]) == 5 and len(bitmapped) == 4
+    # the rival's key is findable even though its file has no bitmap
+    keep, total = pruned_files_eq(path, "k", 9000)
+    assert total == 5 and any(f not in bitmapped for f in keep)
+    assert [tuple(r) for r in lake_read_point(spark, path, "k", 9000).collect()] == [
+        (9000, "rival")
+    ]
+    # a base probe prunes: opens < all files
+    keep2, _ = pruned_files_eq(path, "k", 3)
+    assert len(keep2) < 5
+
+
+def test_delete_keys_rederives_over_rival_compact(
+    spark, tmp_path, monkeypatch
+):
+    """A key delete losing the CAS to a rival COMPACT (files rewritten
+    under it) re-derives its ``over`` scope from the new tip — the
+    deleted keys stay deleted even though they now live in different
+    files."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_compact,
+        lake_delete_keys,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        lake_commit(_frame(spark, i * 10, i * 10 + 10, f"b{i}"), path)
+    victims = spark.createDataFrame([(5,), (15,), (25,)], "k bigint")
+    state = _inject_rival_once(
+        monkeypatch, spark, path, "delete_keys",
+        lambda: lake_compact(spark, path),
+    )
+    v = lake_delete_keys(spark, path, "k", keys=victims)
+    assert state["fired"] and current_version(path) == v
+    want = sorted(
+        (k, f"b{i}")
+        for i in range(3)
+        for k in range(i * 10, i * 10 + 10)
+        if k not in (5, 15, 25)
+    )
+    assert _rows(spark, path) == want
+
+
+def test_delete_keys_vs_append_thread_race_both_land(spark, tmp_path):
+    """Genuine two-thread race: an equality delete and a blind append
+    with disjoint keys BOTH land exactly once, in either order."""
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 20, "base"), path)
+    victims = spark.createDataFrame([(3,), (7,)], "k bigint")
+    barrier = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def deleter():
+        try:
+            barrier.wait(timeout=30)
+            lake_delete_keys(spark, path, "k", keys=victims)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    def appender():
+        try:
+            df = _frame(spark, 100, 110, "app")
+            barrier.wait(timeout=30)
+            lake_commit_occ(df, path)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=deleter), threading.Thread(target=appender)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=240)
+    assert not errs, errs
+    assert current_version(path) == 3
+    assert _rows(spark, path) == sorted(
+        [(k, "base") for k in range(20) if k not in (3, 7)]
+        + [(k, "app") for k in range(100, 110)]
+    )
+
+
+def test_merge_upsert_rederives_over_rival_append(
+    spark, tmp_path, monkeypatch
+):
+    """MERGE is read-modify-write: losing the CAS to a rival append
+    re-derives the WHOLE merge at the new tip — the rival's rows are
+    read, and those matching the merge keys are replaced (the serial
+    rival-first order), never silently dropped."""
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_merge_upsert
+
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 10, "base"), path)
+    updates = _frame(spark, 5, 8, "upd")  # replaces keys 5,6,7
+    state = _inject_rival_once(
+        monkeypatch, spark, path, "merge",
+        # rival append INCLUDES key 6 — the merge must replace it too
+        lambda: lake_commit(_frame(spark, 6, 7, "rival6"), path),
+    )
+    lake_merge_upsert(spark, path, updates, "k")
+    assert state["fired"]
+    assert _rows(spark, path) == sorted(
+        [(k, "base") for k in range(10) if k not in (5, 6, 7)]
+        + [(k, "upd") for k in (5, 6, 7)]
+    )
+
+
+def test_delete_where_rederives_over_rival_append(
+    spark, tmp_path, monkeypatch
+):
+    """A predicate delete losing the CAS re-derives at the new tip —
+    rival rows matching the predicate are deleted too (serial order),
+    rival rows outside it are preserved."""
+    from cours_datalake_dwh_td_kafka_spark.lake import lake_delete_where
+
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 10, "base"), path)
+    state = _inject_rival_once(
+        monkeypatch, spark, path, "delete",
+        lambda: lake_commit(_frame(spark, 3, 5, "rival"), path),
+    )
+    lake_delete_where(spark, path, "k < 4")
+    assert state["fired"]
+    assert _rows(spark, path) == sorted(
+        [(k, "base") for k in range(4, 10)] + [(4, "rival")]
+    )

@@ -308,3 +308,115 @@ def test_summary_plan_is_map_side_and_column_pruned(spark):
     )
     assert "ReadSchema: struct<value:double>" in plan
     assert "Exchange" not in plan
+
+
+def test_grouped_sketch_non_string_key(spark):
+    """ADVICE r13: the result schema must carry the cohort key's REAL
+    type — a bigint key used to raise TypeError at result assembly
+    because the final createDataFrame hardcoded `string`."""
+    rows = [(1, float(v)) for v in range(1, 101)]
+    rows += [(2, float(v)) for v in (10.0, 20.0, 30.0)]
+    df = spark.createDataFrame(rows, "k bigint, value double").repartition(4)
+    out = quantile_sketch_by_group(df, "k", "value")
+    assert dict(out.dtypes)["k"] == "bigint"
+    got = out.collect()
+    assert {r.k for r in got} == {1, 2}
+    assert all(r.within_rank_err and r.weight_conserved_ok for r in got)
+    small = {r.p: r.exact_q for r in got if r.k == 2}
+    assert small[0.5] == 20.0
+
+
+def test_grouped_quantile_monitor_stream_restart_and_determinism(
+    spark, tmp_path, monkeypatch
+):
+    """Round 14 (VERDICT r13 #3): the per-cohort streaming monitor —
+    per-key n exact, per-key err budgets independent (tiny cohort
+    stays exact while the hot one compacts live under a tiny cap),
+    estimates within each cohort's OWN rank window over the FULL
+    interleaved stream, state surviving a restart, and the same batch
+    sequence replayed into a fresh checkpoint yielding bit-identical
+    per-key estimates (deterministic compactor)."""
+    import cours_datalake_dwh_td_kafka_spark.streaming.pipelines as pl
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    monkeypatch.setattr(pl, "QS_COMPRESS_CAP", 64)
+    rng = random.Random(14)
+    hot = [rng.expovariate(0.01) for _ in range(4000)]
+    tiny = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    # interleave: every batch carries both cohorts
+    batches = []
+    third = len(hot) // 3
+    for i in range(3):
+        b = [("hot", v) for v in hot[i * third : (i + 1) * third]]
+        b += [("tiny", v) for v in tiny[i * 2 : i * 2 + 2]]
+        batches.append(b)
+    batches[0].append(("tiny", None))  # null VALUE dropped per cohort
+
+    src = str(tmp_path / "g_in")
+    os.makedirs(src)
+
+    def write_batch(i):
+        with open(os.path.join(src, f"p{i}.json"), "w") as f:
+            for k, v in batches[i]:
+                f.write(json.dumps({"k": k, "value": v}) + "\n")
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("value", DoubleType())]
+    )
+
+    def run(ckpt, sink, expect_n):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = pl.quantile_monitor_stream_by_group(
+            stream,
+            "k",
+            "value",
+            lambda bid, ests, ns, errs: sink.append((bid, ests, ns, errs)),
+            ckpt,
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sink and sum(sink[-1][2].values()) == expect_n:
+                prog = q.lastProgress
+                if prog and prog["numInputRows"] == 0:
+                    break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+
+    ckpt = str(tmp_path / "g_ckpt")
+    write_batch(0)
+    write_batch(1)
+    first: list = []
+    run(ckpt, first, 2 * third + 4)
+    assert first and first[-1][2] == {"hot": 2 * third, "tiny": 4}
+
+    # batch 2 lands while the monitor is DOWN; restart carries state
+    write_batch(2)
+    second: list = []
+    run(ckpt, second, 3 * third + 6)
+    _, ests, ns, errs = second[-1]
+    assert ns == {"hot": 3 * third, "tiny": 6}
+    # independent budgets: hot compacted live (cap 64), tiny exact
+    assert errs["hot"] > 0 and errs["tiny"] == 0
+    streamed = {"hot": hot[: 3 * third], "tiny": tiny[:6]}
+    for k, data in streamed.items():
+        for p, v in ests[k].items():
+            target = max(1, math.ceil(p * ns[k]))
+            lo, hi = _true_rank_window(data, v)
+            assert lo - errs[k] <= target <= hi + errs[k], (k, p, v)
+
+    # determinism: fresh checkpoint, same batch sequence -> the SAME
+    # per-key estimates bit-for-bit
+    third_run: list = []
+    run(str(tmp_path / "g_ckpt2"), third_run, 3 * third + 6)
+    assert third_run[-1][1] == ests
+    assert third_run[-1][3] == errs

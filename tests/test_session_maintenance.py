@@ -483,3 +483,26 @@ def test_lake_read_keys_loose_types_consistent_across_cap(spark, tmp_path):
         for r in lake_read(spark, path).where(F.col("k").isin(big)).collect()
     )
     assert got_big == want_big and len(got_big) == KEYS_INSET_MAX + 100
+
+
+def test_lake_read_keys_mixed_type_list_above_cap(spark, tmp_path):
+    """ADVICE r13: a MIXED int+float key list (which the isin literal
+    accepts below the cap) must not crash createDataFrame's type
+    inference above it — the numeric mix normalizes to float and the
+    semi-join result equals the full-scan IN."""
+    from pyspark.sql import functions as F
+
+    from cours_datalake_dwh_td_kafka_spark.lake import KEYS_INSET_MAX
+
+    path = str(tmp_path / "mixed")
+    lake_commit(spark.range(0, 4000).selectExpr("id AS k"), path)
+    mixed = [
+        float(x) if x % 2 else x for x in range(KEYS_INSET_MAX + 100)
+    ]
+    got = lake_read_keys(spark, path, "k", mixed)
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k
+        for r in lake_read(spark, path)
+        .where(F.col("k").isin(mixed))
+        .collect()
+    )

@@ -1766,17 +1766,18 @@ def test_commit_stream_to_lake_exactly_once_commits(
 
     # arm a genuine kill INSIDE the window: the lake commit lands, then
     # the sink dies before Spark can ack the batch to the checkpoint
-    orig_commit = lakemod.lake_commit
+    # (the sink rides lake_commit_occ since round 14)
+    orig_commit = lakemod.lake_commit_occ
     state = {"crash": True}
 
-    def crashing(df, path, mode="append", **kw):
-        v = orig_commit(df, path, mode, **kw)
+    def crashing(df, path, **kw):
+        v = orig_commit(df, path, **kw)
         if state["crash"]:
             state["crash"] = False
             raise RuntimeError("simulated kill after commit, before ack")
         return v
 
-    monkeypatch.setattr(lakemod, "lake_commit", crashing)
+    monkeypatch.setattr(lakemod, "lake_commit_occ", crashing)
     _write_batch(
         str(indir),
         [{"station": 1, "reading": 10.0}, {"station": 2, "reading": 20.0}],

@@ -39,7 +39,16 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf1x")
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default="documents,embeddings,events,lineitem",
+        help="comma list of the big tables to replicate (round 14: the "
+        "100x curves only need documents+events — replication is "
+        "embarrassingly parallel, so build only what the measurement "
+        "reads; small dims always copy through)",
+    )
     args = ap.parse_args()
+    tables = {t.strip() for t in args.tables.split(",") if t.strip()}
 
     from pyspark.sql import functions as F
 
@@ -56,97 +65,101 @@ def main() -> int:
             out = out.unionByName(x)
         return out
 
-    d = load_table(spark, args.sf_dir, "documents")
-    # n_chars is recomputed from the PERTURBED text (replica r > 0 gains
-    # an x{r} suffix per word) so length-derived metrics — quality-score
-    # divisors, weighted_sample keys, dq audits — stay internally
-    # consistent on every replica, not just replica 0.
-    union_all(
-        [
-            d.select(
-                (F.col("doc_id") + F.lit(r * 1_000_000)).alias("doc_id"),
-                (
-                    F.regexp_replace(F.col("text"), r"(\w+)", f"$1x{r}")
-                    if r
-                    else F.col("text")
-                ).alias("text"),
-                "lang",
-                "source",
-            ).withColumn("n_chars", F.length("text").cast("long"))
-            for r in range(R)
-        ]
-    ).write.mode("overwrite").parquet(f"{args.out}/documents.parquet")
+    if "documents" in tables:
+        d = load_table(spark, args.sf_dir, "documents")
+        # n_chars is recomputed from the PERTURBED text (replica r > 0 gains
+        # an x{r} suffix per word) so length-derived metrics — quality-score
+        # divisors, weighted_sample keys, dq audits — stay internally
+        # consistent on every replica, not just replica 0.
+        union_all(
+            [
+                d.select(
+                    (F.col("doc_id") + F.lit(r * 1_000_000)).alias("doc_id"),
+                    (
+                        F.regexp_replace(F.col("text"), r"(\w+)", f"$1x{r}")
+                        if r
+                        else F.col("text")
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                ).withColumn("n_chars", F.length("text").cast("long"))
+                for r in range(R)
+            ]
+        ).write.mode("overwrite").parquet(f"{args.out}/documents.parquet")
 
-    e = load_table(spark, args.sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    reps = []
-    for r in range(R):
-        if r == 0:
-            emb = F.col("embedding")
-        else:
-            # signed permutation: dim i of the output takes dim
-            # (i + r) % dim of the input, sign-flipped when i < r —
-            # orthogonal, so within-replica geometry is exact
-            emb = F.array(
-                *[
-                    (F.lit(-1.0) if i < r else F.lit(1.0))
-                    * F.col("embedding")[(i + r) % dim]
-                    for i in range(dim)
-                ]
+    if "embeddings" in tables:
+        e = load_table(spark, args.sf_dir, "embeddings")
+        dim = len(e.select("embedding").first()[0])
+        reps = []
+        for r in range(R):
+            if r == 0:
+                emb = F.col("embedding")
+            else:
+                # signed permutation: dim i of the output takes dim
+                # (i + r) % dim of the input, sign-flipped when i < r —
+                # orthogonal, so within-replica geometry is exact
+                emb = F.array(
+                    *[
+                        (F.lit(-1.0) if i < r else F.lit(1.0))
+                        * F.col("embedding")[(i + r) % dim]
+                        for i in range(dim)
+                    ]
+                )
+            reps.append(
+                e.select(
+                    (F.col("vec_id") + F.lit(r * 1_000_000)).alias("vec_id"),
+                    emb.alias("embedding"),
+                    "label",
+                )
             )
-        reps.append(
-            e.select(
-                (F.col("vec_id") + F.lit(r * 1_000_000)).alias("vec_id"),
-                emb.alias("embedding"),
-                "label",
-            )
+        union_all(reps).write.mode("overwrite").parquet(
+            f"{args.out}/embeddings.parquet"
         )
-    union_all(reps).write.mode("overwrite").parquet(
-        f"{args.out}/embeddings.parquet"
-    )
 
-    ev = load_table(spark, args.sf_dir, "events")
-    union_all(
-        [
-            ev.select(
-                (F.col("event_id") + F.lit(r * 100_000_000)).alias(
-                    "event_id"
-                ),
-                "ts",
-                (F.col("user_id") + F.lit(r * 1_000_000)).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
-            )
-            for r in range(R)
-        ]
-    ).write.mode("overwrite").parquet(f"{args.out}/events.parquet")
+    if "events" in tables:
+        ev = load_table(spark, args.sf_dir, "events")
+        union_all(
+            [
+                ev.select(
+                    (F.col("event_id") + F.lit(r * 100_000_000)).alias(
+                        "event_id"
+                    ),
+                    "ts",
+                    (F.col("user_id") + F.lit(r * 1_000_000)).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+                for r in range(R)
+            ]
+        ).write.mode("overwrite").parquet(f"{args.out}/events.parquet")
 
-    li = load_table(spark, args.sf_dir, "lineitem")
-    union_all(
-        [
-            li.select(
-                (F.col("l_orderkey") + F.lit(r * 10_000_000)).alias(
-                    "l_orderkey"
-                ),
-                (F.col("l_partkey") + F.lit(r * 1_000_000)).alias(
-                    "l_partkey"
-                ),
-                (F.col("l_suppkey") + F.lit(r * 1_000_000)).alias(
-                    "l_suppkey"
-                ),
-                "l_linenumber",
-                "l_quantity",
-                "l_extendedprice",
-                "l_discount",
-                "l_tax",
-                "l_returnflag",
-                "l_linestatus",
-                "l_shipdate",
-            )
-            for r in range(R)
-        ]
-    ).write.mode("overwrite").parquet(f"{args.out}/lineitem.parquet")
+    if "lineitem" in tables:
+        li = load_table(spark, args.sf_dir, "lineitem")
+        union_all(
+            [
+                li.select(
+                    (F.col("l_orderkey") + F.lit(r * 10_000_000)).alias(
+                        "l_orderkey"
+                    ),
+                    (F.col("l_partkey") + F.lit(r * 1_000_000)).alias(
+                        "l_partkey"
+                    ),
+                    (F.col("l_suppkey") + F.lit(r * 1_000_000)).alias(
+                        "l_suppkey"
+                    ),
+                    "l_linenumber",
+                    "l_quantity",
+                    "l_extendedprice",
+                    "l_discount",
+                    "l_tax",
+                    "l_returnflag",
+                    "l_linestatus",
+                    "l_shipdate",
+                )
+                for r in range(R)
+            ]
+        ).write.mode("overwrite").parquet(f"{args.out}/lineitem.parquet")
 
     # small dims copy through unchanged (broadcast sides don't scale)
     import shutil
