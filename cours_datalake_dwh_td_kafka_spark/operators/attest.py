@@ -1,11 +1,11 @@
-"""Shared attestation comparators for the protocol rows (round 14,
+"""Shared attestation comparator for the protocol rows (round 14,
 VERDICT r13 #4): the protocol lane's wall time is dominated by Spark
 ACTION COUNT, not data — every in-row guarantee that was phrased as
 "two counts plus two exceptAll anti-joins" pays four jobs where one
-suffices. These helpers fold each equality/containment proof into one
+suffices. This helper folds each multiset-equality proof into one
 action so the lane measures the guarantee, not the harness.
 
-Semantics match the exceptAll formulations they replace: groupBy
+Semantics match the exceptAll formulations it replaces: groupBy
 row-equality treats NULL == NULL and NaN == NaN, exactly like
 exceptAll's row comparison. Columns must be groupable (array/struct
 fine, MAP not) — true for every artifact frame the protocol rows
@@ -21,33 +21,22 @@ def multiset_eq(a: DataFrame, b: DataFrame) -> bool:
     """True iff ``a`` and ``b`` are multiset-equal, in ONE action: tag
     a's rows +1 and b's -1, group by the full row — equal iff every
     group's tag-sum is zero. Replaces a.count() == b.count() and two
-    exceptAll counts (3-4 jobs, each with its own shuffle)."""
+    exceptAll counts (3-4 jobs, each with its own shuffle). The tag
+    and sum columns are suffixed past any collision with the compared
+    frames' own columns (r14 review: a data column named ``_t`` would
+    otherwise be silently REPLACED by the tag and dropped from the
+    comparison)."""
     cols = a.columns
-    tagged = a.select(*cols).withColumn("_t", F.lit(1)).unionByName(
-        b.select(*cols).withColumn("_t", F.lit(-1))
+    tag, s = "_t", "_s"
+    while tag in cols or s in cols:
+        tag, s = tag + "_", s + "_"
+    tagged = a.select(*cols).withColumn(tag, F.lit(1)).unionByName(
+        b.select(*cols).withColumn(tag, F.lit(-1))
     )
     return (
         tagged.groupBy(*cols)
-        .agg(F.sum("_t").alias("_s"))
-        .where(F.col("_s") != 0)
-        .limit(1)
-        .count()
-        == 0
-    )
-
-
-def multiset_leq(a: DataFrame, b: DataFrame) -> bool:
-    """True iff ``a`` is a sub-multiset of ``b`` (every row of a occurs
-    in b at least as often), in one action — the containment half of
-    guarantees phrased as a.exceptAll(b).count() == 0 alone."""
-    cols = a.columns
-    tagged = a.select(*cols).withColumn("_t", F.lit(1)).unionByName(
-        b.select(*cols).withColumn("_t", F.lit(-1))
-    )
-    return (
-        tagged.groupBy(*cols)
-        .agg(F.sum("_t").alias("_s"))
-        .where(F.col("_s") > 0)
+        .agg(F.sum(tag).alias(s))
+        .where(F.col(s) != 0)
         .limit(1)
         .count()
         == 0

@@ -56,6 +56,9 @@ from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
     NORM_SQL,
     norm_text,
 )
+from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+    multiset_eq,
+)
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
 #: deterministic erasure cohorts (distinct moduli from the other
@@ -86,14 +89,8 @@ def _fingerprint_rows(d: DataFrame) -> DataFrame:
     )
 
 
-def _multiset_eq(a: DataFrame, b: DataFrame) -> bool:
-    """One-action multiset equality (round 14, VERDICT r13 #4) — the
-    shared signed-tag comparator; see operators/attest.py."""
-    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-        multiset_eq,
-    )
-
-    return multiset_eq(a, b)
+# one-action signed-tag multiset equality (round 14, VERDICT r13 #4)
+_multiset_eq = multiset_eq
 
 
 def erasure_e2e_protocol(

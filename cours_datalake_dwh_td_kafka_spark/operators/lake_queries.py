@@ -28,6 +28,9 @@ from cours_datalake_dwh_td_kafka_spark.lake import (
     lake_merge_upsert,
     lake_read,
 )
+from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+    multiset_eq,
+)
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
 _LIFECYCLE_SQL = """
@@ -1015,10 +1018,6 @@ def lake_incremental_mv_protocol(
                 F.sum("n_chars").cast("long").alias("sum_chars"),
             )
         )
-        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-            multiset_eq,
-        )
-
         return multiset_eq(mv_serve(spark, mv), direct)
 
     all_match = True
@@ -1035,13 +1034,9 @@ def lake_incremental_mv_protocol(
     lake_consume_changes(spark, src, mv, apply_fn=mv_delta_rows)
     all_match &= serve_eq_recompute()
 
-    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-        multiset_eq as _meq,
-    )
-
     before_fold = mv_serve(spark, mv).localCheckpoint(eager=False)
     mv_fold(spark, mv)
-    fold_ok = _meq(mv_serve(spark, mv), before_fold)
+    fold_ok = multiset_eq(mv_serve(spark, mv), before_fold)
     # nothing new at the source: the consumer must be a no-op even
     # though the MV table itself advanced a version in the fold
     exactly_once = (
@@ -1145,10 +1140,6 @@ def lake_txn_consistency_protocol(
     def txn_pair_consistent() -> bool:
         snap_docs = lake_txn_read(spark, root, "docs")
         snap_roll = lake_txn_read(spark, root, "rollup")
-        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-            multiset_eq,
-        )
-
         return multiset_eq(snap_roll, _rollup_of(snap_docs))
 
     all_ok = True
@@ -1839,11 +1830,7 @@ def lake_concurrent_writers_protocol(
     t.join(timeout=600)
 
     final = lake_read(spark, path)
-    exactly_once = (
-        final.count() == src.count()
-        and final.exceptAll(src).count() == 0
-        and src.exceptAll(final).count() == 0
-    )
+    exactly_once = multiset_eq(final, src)
     mark_ok = (
         last_stream_batch_id(path, checkpoint_query_id(ckpt)) == 3
     )

@@ -93,6 +93,9 @@ from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
     norm_text,
     shingle_rows,
 )
+from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+    multiset_eq,
+)
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
 _N_BANDS = N_HASHES // BAND_R  # band rows per kept document
@@ -277,10 +280,6 @@ def corpus_refresh(
         # pinned: each recompute feeds two actions (count + exceptAll)
         # one signed-tag action per recompute (round 14, VERDICT r13
         # #4 — see operators/attest.py), replacing count + exceptAll
-        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-            multiset_eq,
-        )
-
         bands_table_ok = multiset_eq(bands_v2, minhash_band_rows(v2))
         fps_table_ok = multiset_eq(fps_v2, fingerprint_rows(v2))
     else:
@@ -320,10 +319,6 @@ def corpus_refresh(
         # would let debt ride for four crawls before the advisor speaks)
         plan = lake_maintenance_plan(side, min_small_files=2)
         side_tables_maintained_ok &= bool(plan["compact_due"])
-        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-            multiset_eq as _meq,
-        )
-
         # EAGER checkpoint: the vacuum below deletes the files this
         # frame reads, so it must materialize BEFORE the repair (the
         # pre-r14 code materialized it via its count() action)
@@ -332,7 +327,7 @@ def corpus_refresh(
         lake_vacuum(side, keep_versions=1, orphan_grace_seconds=0)
         after = lake_read(spark, side)
         side_tables_maintained_ok &= (
-            _meq(after, before)
+            multiset_eq(after, before)
             and not lake_maintenance_plan(side, min_small_files=2)[
                 "compact_due"
             ]
@@ -371,11 +366,7 @@ def corpus_refresh(
             bm25_search,
         )
 
-        from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-            multiset_eq as _meq2,
-        )
-
-        text_index_serves_ok = _meq2(
+        text_index_serves_ok = multiset_eq(
             bm25_query_index(spark, tidx), bm25_search(v2)
         )
     else:
@@ -453,11 +444,7 @@ def corpus_refresh(
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-        multiset_eq as _ms_eq,
-    )
-
-    serves_union = _ms_eq(full, truth)
+    serves_union = multiset_eq(full, truth)
 
     # re-pack: the refreshed corpus' shard count (ceil identity — the
     # pack_efficiency algebra, no per-row packing pass needed)
@@ -763,11 +750,7 @@ def cdc_index_maintenance(
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-        multiset_eq as _ms_eq2,
-    )
-
-    serves_truth_ok = _ms_eq2(served, truth)
+    serves_truth_ok = multiset_eq(served, truth)
     log_df = lake_read(spark, log).localCheckpoint(eager=False)
     log_complete_ok = (
         log_df.count() == n_v1 + n_appended + n_deleted
@@ -935,11 +918,7 @@ def erasure_protocol(
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-        multiset_eq as _ms_eq3,
-    )
-
-    index_without = _ms_eq3(served, truth_rem)
+    index_without = multiset_eq(served, truth_rem)
 
     # audit trail: pre-erasure snapshots readable BY EXPLICIT version
     snapshots_isolated = (

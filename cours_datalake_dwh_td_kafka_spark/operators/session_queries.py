@@ -14,6 +14,9 @@ from cours_datalake_dwh_td_kafka_spark.operators.sessionization import (
     SESSIONIZE_EVENTS_ORACLE,
     sessionize_events,
 )
+from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+    multiset_eq,
+)
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
 
@@ -301,10 +304,6 @@ def q_session_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold_ok = (
         folded == [v_boot + 1, v_boot + 2]
         and maintain_sessions_from_cdc(spark, ev_path, sess_path) == []
-    )
-
-    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-        multiset_eq,
     )
 
     final = lake_read(spark, sess_path)

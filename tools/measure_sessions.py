@@ -46,7 +46,11 @@ from cours_datalake_dwh_td_kafka_spark.operators.sessionization import (
 from cours_datalake_dwh_td_kafka_spark.session import get_spark
 
 WAVE_USERS = 8  # the "small late wave" cohort size
-N_FILES = 32  # cluster layout of the scratch event lake
+# cluster layout of the scratch event lake; at 10x/100x scale the
+# honest comparison keeps per-file row counts ~constant (a real lake
+# grows its FILE COUNT with data), so the scale runs pass
+# SPARK_GRAFT_SESS_FILES=320/3200 rather than fattening 32 files
+N_FILES = int(os.environ.get("SPARK_GRAFT_SESS_FILES", "32"))
 BACKLOG = 5  # versions behind for the fold A/B
 
 
