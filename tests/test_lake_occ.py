@@ -583,3 +583,35 @@ def test_delete_where_rederives_over_rival_append(
     assert _rows(spark, path) == sorted(
         [(k, "base") for k in range(4, 10)] + [(4, "rival")]
     )
+
+
+def test_occ_read_keys_mixed_type_footprint_above_cap(spark, tmp_path):
+    """r14 review: a mixed int+float declared read footprint above
+    KEYS_INSET_MAX must still PROVE disjointness against a rival
+    delete (normalize-to-float + isin fallback — never a spurious
+    LakeConflictError that flips on key count)."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        KEYS_INSET_MAX,
+        lake_delete_keys,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.range(0, 5000).selectExpr("id AS k", "'b' AS src"), path
+    )
+    # rival erases odd keys OUTSIDE the declared (even) footprint
+    victims = spark.createDataFrame([(4999,), (4997,)], "k bigint")
+    lake_delete_keys(spark, path, "k", keys=victims)
+    footprint = [
+        float(x) if x % 4 == 0 else x
+        for x in range(0, 2 * (KEYS_INSET_MAX + 100), 2)
+    ]
+    v = lake_commit_occ(
+        spark.createDataFrame([(9_000_001, "derived")], "k bigint, src string"),
+        path,
+        read_version=1,
+        read_keys=("k", footprint),
+    )
+    assert v == current_version(path)
+    got = lake_read(spark, path).where("k >= 9000000").collect()
+    assert [(r.k, r.src) for r in got] == [(9_000_001, "derived")]
