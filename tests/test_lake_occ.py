@@ -615,3 +615,59 @@ def test_occ_read_keys_mixed_type_footprint_above_cap(spark, tmp_path):
     assert v == current_version(path)
     got = lake_read(spark, path).where("k >= 9000000").collect()
     assert [(r.k, r.src) for r in got] == [(9_000_001, "derived")]
+
+
+def test_compact_rederives_fold_over_rival_delete_keys(
+    spark, tmp_path, monkeypatch
+):
+    """A compaction losing the CAS to a rival KEY DELETE cannot rebase
+    (its cached rewrite would resurrect the deleted rows): the retry
+    re-derives at the new tip, takes the FOLD branch (deletes pending),
+    and the final snapshot has the keys gone with no delete debt."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        lake_compact,
+        lake_delete_keys,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        lake_commit(_frame(spark, i * 10, i * 10 + 10, f"b{i}"), path)
+    victims = spark.createDataFrame([(5,), (25,)], "k bigint")
+    state = _inject_rival_once(
+        monkeypatch, spark, path, "compact",
+        lambda: lake_delete_keys(spark, path, "k", keys=victims),
+    )
+    v = lake_compact(spark, path, small_file_bytes=1 << 30, target_files=1)
+    assert state["fired"]
+    m = _read_manifest(path, v)
+    assert m["op"] == "compact" and not m.get("deletes")  # debt folded
+    assert _rows(spark, path) == sorted(
+        (k, f"b{i}")
+        for i in range(3)
+        for k in range(i * 10, i * 10 + 10)
+        if k not in (5, 25)
+    )
+
+
+def test_restore_retries_past_rival_append(spark, tmp_path, monkeypatch):
+    """A restore losing the CAS re-CASes at the new tip: rollback is
+    declarative last-writer-wins — the rival's commit stays in history
+    but the table reads as the restore target."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_history,
+        lake_restore,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(_frame(spark, 0, 5, "v1"), path)
+    lake_commit(_frame(spark, 5, 10, "v2"), path)
+    state = _inject_rival_once(
+        monkeypatch, spark, path, "restore",
+        lambda: lake_commit(_frame(spark, 90, 95, "rival").coalesce(1), path),
+    )
+    v = lake_restore(spark, path, 1)
+    assert state["fired"] and v == current_version(path)
+    assert _rows(spark, path) == [(k, "v1") for k in range(5)]
+    ops = [h["op"] for h in lake_history(path)]
+    assert ops[-2:] == ["append", "restore"]  # rival preserved in history
