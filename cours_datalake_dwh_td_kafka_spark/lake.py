@@ -190,6 +190,7 @@ def lake_commit(
     mode: str = "append",
     stream_batch_id: int | None = None,
     stream_id: str | None = None,
+    stats_cols=(),
 ) -> int:
     """Commit ``df`` as a new snapshot. ``append`` keeps the previous
     version's files and adds the new ones; ``overwrite`` starts the file
@@ -198,7 +199,21 @@ def lake_commit(
     (never retype, see :func:`_merged_append_schema`), and every
     version's reader sees exactly the columns declared when it was
     committed — time travel works across schema versions. Returns the
-    committed version number."""
+    committed version number.
+
+    ``stats_cols`` (round 14, STATS-ON-APPEND): record per-file
+    [min, max] of the named columns for the files THIS commit writes
+    (one extra aggregate over the new files only), merged with the
+    carried stats — so appends stop eroding a clustered layout's
+    pruned reads between reclusters. Meant for columns whose appends
+    are naturally NARROW (ingest time, monotone ids, a stream's
+    per-batch key wave): there the appended file's range prunes like a
+    clustered file's. For a column whose appends span the full key
+    range it is still sound (pruning keeps the file — same as no
+    stats) but buys nothing, and because the advisor's
+    ``recluster_due`` counts STAT-LESS files, feeding it wide
+    append-stats silences that verdict — don't pass random-key columns
+    here; recluster them."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
     if stream_batch_id is not None and stream_id is None:
@@ -232,18 +247,29 @@ def lake_commit(
                 )
             )
         schema = _merged_append_schema(prev_schema, df)
-        files = prev_m["files"] + _write_data_files(df, path)
+        new_files = _write_data_files(df, path)
+        files = prev_m["files"] + new_files
         # kept files keep their clustering stats and Bloom bitmaps
-        # (the new files have none and are conservatively scanned by
-        # pruned reads); without this carry-forward one append would
-        # silently de-index the whole layout
+        # (new files are conservatively scanned by pruned reads unless
+        # stats_cols collects their ranges); without this carry-forward
+        # one append would silently de-index the whole layout
         stats = prev_m.get("stats")
+        if stats_cols:
+            stats = {
+                **(stats or {}),
+                **_file_stats(df.sparkSession, path, new_files, stats_cols),
+            }
         bloom = prev_m.get("bloom")
         deletes = prev_m.get("deletes")
     else:
         schema = _schema_dict(df)
         files = _write_data_files(df, path)
-        stats = bloom = deletes = None
+        stats = (
+            _file_stats(df.sparkSession, path, files, stats_cols)
+            if stats_cols
+            else None
+        )
+        bloom = deletes = None
     return _commit_manifest(
         path,
         prev + 1,
@@ -417,6 +443,7 @@ def lake_commit_occ(
     max_attempts: int = 8,
     stream_batch_id: int | None = None,
     stream_id: str | None = None,
+    stats_cols=(),
 ) -> int:
     """OPTIMISTIC multi-writer append (round 13, VERDICT r12 #3 — the
     Delta/Iceberg OCC rung above the raw single-winner CAS): write the
@@ -547,6 +574,14 @@ def lake_commit_occ(
         return current_version(path)  # replayed batch: already in
     classify(entry_tip)
     new_files = _write_data_files(df, path)
+    # stats-on-append (see lake_commit): the new files' ranges are a
+    # property of the files, computed ONCE; each rebase attempt merges
+    # them with whatever stats the live tip carries
+    new_stats = (
+        _file_stats(df.sparkSession, path, new_files, stats_cols)
+        if stats_cols
+        else {}
+    )
     for _ in range(max_attempts):
         tip = current_version(path)
         if (
@@ -578,10 +613,13 @@ def lake_commit_occ(
                 tip_m.get("bloom"),
                 tip_m.get("deletes"),
             )
+            if new_stats:
+                stats = {**(stats or {}), **new_stats}
         else:
             schema = _schema_dict(df)
             files = new_files
-            stats = bloom = deletes = None
+            stats = new_stats or None
+            bloom = deletes = None
         try:
             return _commit_manifest(
                 path, tip + 1, files, "append", schema, stats, bloom,
@@ -1565,34 +1603,7 @@ def lake_cluster_by(
                 .drop("_z")
             )
         new_files = _write_data_files(clustered, path)
-        # one job: per-file min/max of every cluster column over
-        # exactly the files just written
-        aggs = []
-        for i, c in enumerate(stat_cols):
-            aggs += [F.min(c).alias(f"lo{i}"), F.max(c).alias(f"hi{i}")]
-        stat_rows = (
-            spark.read.parquet(*(os.path.join(path, f) for f in new_files))
-            .groupBy(F.input_file_name().alias("_f"))
-            .agg(*aggs)
-            .collect()
-        )
-        by_base = {
-            os.path.basename(r._f.replace("file:", "")): r for r in stat_rows
-        }
-        stats = {}
-        for f in new_files:
-            r = by_base.get(os.path.basename(f))
-            if r is None:
-                continue
-            stats[f] = {
-                "cols": {
-                    c: [
-                        _stat_scalar(r[f"lo{i}"], round_up=False),
-                        _stat_scalar(r[f"hi{i}"], round_up=True),
-                    ]
-                    for i, c in enumerate(stat_cols)
-                }
-            }
+        stats = _file_stats(spark, path, new_files, stat_cols)
         cache.update(
             read_v=v,
             read_files=set(m["files"]),
@@ -1605,6 +1616,47 @@ def lake_cluster_by(
         )
 
     return _occ_publish_loop(path, "clustering rewrite", attempt)
+
+
+def _file_stats(
+    spark: SparkSession, path: str, files: list[str], stat_cols
+) -> dict:
+    """Per-file {file: {"cols": {col: [min, max]}}} over exactly
+    ``files`` — ONE aggregate job keyed by input_file_name(). The
+    manifest-stats builder shared by :func:`lake_cluster_by` (layout
+    rewrite) and stats-on-append (:func:`lake_commit` with
+    ``stats_cols``, round 14). Values go through :func:`_stat_scalar`
+    (outward-widened decimals, ISO time strings) so pruning stays
+    sound."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for i, c in enumerate(stat_cols):
+        aggs += [F.min(c).alias(f"lo{i}"), F.max(c).alias(f"hi{i}")]
+    stat_rows = (
+        spark.read.parquet(*(os.path.join(path, f) for f in files))
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_base = {
+        os.path.basename(r._f.replace("file:", "")): r for r in stat_rows
+    }
+    stats = {}
+    for f in files:
+        r = by_base.get(os.path.basename(f))
+        if r is None:
+            continue
+        stats[f] = {
+            "cols": {
+                c: [
+                    _stat_scalar(r[f"lo{i}"], round_up=False),
+                    _stat_scalar(r[f"hi{i}"], round_up=True),
+                ]
+                for i, c in enumerate(stat_cols)
+            }
+        }
+    return stats
 
 
 Z_BITS = 4  # 16 quantile cells per dimension

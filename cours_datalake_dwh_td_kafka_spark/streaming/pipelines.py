@@ -588,6 +588,7 @@ def commit_stream_to_lake(
     df: DataFrame,
     path: str,
     checkpoint: str,
+    stats_cols=(),
 ):
     """Streaming ingestion into the VERSIONED manifest lake (round 10,
     verdict #6): per micro-batch, one atomic ``lake_commit`` append —
@@ -620,7 +621,16 @@ def commit_stream_to_lake(
 
     Scale shape: a commit writes only the batch's files plus one
     manifest — O(batch), never O(lake); compaction of the resulting
-    small files is the advisor's compact_due rung."""
+    small files is the advisor's compact_due rung.
+
+    ``stats_cols`` (round 14, stats-on-append): per micro-batch, record
+    the batch files' [min, max] of the named columns in the manifest —
+    for an ingest stream whose batches are time- or key-wave-narrow,
+    pruned reads (``lake_read_pruned`` / ``lake_read_keys``) then skip
+    most batch files instead of conservatively scanning every append
+    since the last recluster. One extra aggregate per batch, over the
+    batch's files only. Use for naturally-narrow columns (event time,
+    monotone ids); see ``lake_commit``'s caveat on random keys."""
     from cours_datalake_dwh_td_kafka_spark.lake import (
         lake_commit_occ,
         last_stream_batch_id,
@@ -642,7 +652,8 @@ def commit_stream_to_lake(
         if batch_id <= last_stream_batch_id(path, qid):
             return  # replayed after a kill: already committed
         lake_commit_occ(
-            batch_df, path, stream_batch_id=batch_id, stream_id=qid
+            batch_df, path, stream_batch_id=batch_id, stream_id=qid,
+            stats_cols=stats_cols,
         )
 
     return (

@@ -2103,3 +2103,89 @@ def test_merge_on_read_preserves_declared_column_order(spark, tmp_path):
         ("a", 1, 1.5),
         ("c", 3, 3.5),
     ]
+
+
+def test_stats_on_append_prunes_new_files(spark, tmp_path):
+    """Round 14 stats-on-append: an append that records its files'
+    [min, max] keeps pruned reads sharp — a probe outside the appended
+    range skips the new file, a probe inside opens it, and results
+    always equal the full-scan predicate."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_cluster_by,
+        lake_read_pruned,
+        pruned_files,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(
+        spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v"), path
+    )
+    lake_cluster_by(spark, path, "k", n_files=4)
+    # a narrow late wave, committed WITH stats
+    lake_commit(
+        spark.range(5000, 5100).selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1),
+        path,
+        stats_cols=("k",),
+    )
+    # probe inside the base range: the appended file is provably
+    # outside [100, 150] and must be skipped
+    keep, total = pruned_files(path, "k", 100, 150)
+    assert total == 5 and len(keep) == 1
+    got = sorted(r.k for r in lake_read_pruned(spark, path, "k", 100, 150).collect())
+    assert got == list(range(100, 151))
+    # probe inside the appended range opens the appended file
+    keep2, _ = pruned_files(path, "k", 5050, 5060)
+    assert len(keep2) == 1
+    got2 = sorted(r.k for r in lake_read_pruned(spark, path, "k", 5050, 5060).collect())
+    assert got2 == list(range(5050, 5061))
+    # WITHOUT stats_cols the same append is conservatively scanned
+    lake_commit(
+        spark.range(9000, 9010).selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1),
+        path,
+    )
+    keep3, total3 = pruned_files(path, "k", 100, 150)
+    assert total3 == 6 and len(keep3) == 2  # stat-less file kept
+
+
+def test_stats_on_append_occ_rebase_merges_both_sides(spark, tmp_path):
+    """Two racing stats-carrying OCC appends: both land and the final
+    manifest carries BOTH waves' file ranges (the rebase merges the
+    writer's new stats with whatever the live tip accumulated)."""
+    import threading
+
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        _read_manifest,
+        current_version,
+        lake_commit_occ,
+        pruned_files,
+    )
+
+    path = str(tmp_path / "t")
+    lake_commit(spark.range(0, 100).selectExpr("id AS k"), path)
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def writer(lo, hi):
+        try:
+            df = spark.range(lo, hi).selectExpr("id AS k").coalesce(1)
+            barrier.wait(timeout=30)
+            lake_commit_occ(df, path, stats_cols=("k",))
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(1000, 1100)),
+        threading.Thread(target=writer, args=(2000, 2100)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errs, errs
+    m = _read_manifest(path, current_version(path))
+    assert len(m.get("stats") or {}) == 2  # both waves' files ranged
+    keep, total = pruned_files(path, "k", 1000, 1050)
+    # base files (no stats) conservatively kept; wave-2000 file skipped
+    assert len(keep) == total - 1

@@ -2659,3 +2659,42 @@ def test_stream_drift_monitor_ks_adaptive_matches_batch(spark, tmp_path):
     assert ks == wrow.ks_stat, (ks, wrow.ks_stat)
     assert crit == wrow.critical_value
     assert alert == wrow.drift_alert
+
+
+def test_commit_stream_to_lake_stats_on_append_prunes_batches(
+    spark, tmp_path
+):
+    """Round 14 stats-on-append through the streaming sink: each
+    micro-batch's files carry their [min, max], so a pruned read over
+    a narrow range opens only the matching batch's file — the ingest
+    stream stops eroding pruned reads between reclusters."""
+    from cours_datalake_dwh_td_kafka_spark.lake import (
+        lake_read_pruned,
+        pruned_files,
+    )
+    from cours_datalake_dwh_td_kafka_spark.streaming.pipelines import (
+        commit_stream_to_lake,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    # three disjoint station-id waves, one file per batch
+    for i, lo in enumerate((0, 1000, 2000)):
+        _write_batch(
+            str(indir),
+            [{"station": lo + j, "reading": 1.0} for j in range(50)],
+            f"b{i}",
+        )
+    s = (
+        spark.readStream.schema("station LONG, reading DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = commit_stream_to_lake(s, lake, ckpt, stats_cols=("station",)).start()
+    q.awaitTermination(120)
+    keep, total = pruned_files(lake, "station", 1000, 1049)
+    assert total >= 3 and len(keep) < total  # other batches skipped
+    got = lake_read_pruned(spark, lake, "station", 1000, 1049)
+    assert got.count() == 50
