@@ -286,23 +286,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = d.sampleBy("lang", STRATA_FRACTIONS, seed=42)
     s2 = d.sampleBy("lang", STRATA_FRACTIONS, seed=42)
     langs = sorted(STRATA_FRACTIONS)
-    pop = {
-        r["lang"]: r["n"]
-        for r in d.where(F.col("lang").isin(langs))
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq,
+        parallel_vals,
+    )
+
+    # seven independent read-only actions (sampleBy is deterministic
+    # under its seed, so concurrent re-evaluation is consistent);
+    # determinism is one signed-tag action instead of two exceptAlls
+    (
+        pop_rows,
+        samp_rows,
+        subset_cnt,
+        s1_cnt,
+        s1_distinct,
+        deterministic,
+        unlisted_cnt,
+    ) = parallel_vals(
+        lambda: d.where(F.col("lang").isin(langs))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    samp = {
-        r["lang"]: r["n"]
-        for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    subset_ok = s1.join(d, ["doc_id", "lang"], "left_anti").count() == 0
-    no_dup = s1.count() == s1.select("doc_id").distinct().count()
-    deterministic = (
-        s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+        .collect(),
+        lambda: s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect(),
+        lambda: s1.join(d, ["doc_id", "lang"], "left_anti").count(),
+        lambda: s1.count(),
+        lambda: s1.select("doc_id").distinct().count(),
+        lambda: multiset_eq(s1, s2),
+        lambda: s1.where(~F.col("lang").isin(langs)).count(),
     )
-    unlisted_zero = s1.where(~F.col("lang").isin(langs)).count() == 0
+    pop = {r["lang"]: r["n"] for r in pop_rows}
+    samp = {r["lang"]: r["n"] for r in samp_rows}
+    subset_ok = subset_cnt == 0
+    no_dup = s1_cnt == s1_distinct
+    unlisted_zero = unlisted_cnt == 0
     rows = []
     for lang in langs:
         n_pop, n_s = pop.get(lang, 0), samp.get(lang, 0)

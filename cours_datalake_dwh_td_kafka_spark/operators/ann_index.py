@@ -965,11 +965,14 @@ def served_vec_ids(
 
 
 def _ids_match(a: DataFrame, b: DataFrame) -> bool:
-    """Multiset equality of two vec_id frames (count + one-sided
-    exceptAll)."""
-    a = a.localCheckpoint(eager=False)
-    b = b.localCheckpoint(eager=False)
-    return a.count() == b.count() and a.exceptAll(b).count() == 0
+    """Multiset equality of two vec_id frames — ONE signed-tag action
+    (r14; operators/attest.multiset_eq) instead of count + count +
+    exceptAll, same NULL/NaN semantics."""
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq,
+    )
+
+    return multiset_eq(a, b)
 
 
 def index_lake_consistency(
@@ -2879,11 +2882,6 @@ def ann_index_compact_lifecycle(
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    full_exact = (
-        full.count() == truth.count()
-        and full.exceptAll(truth).count() == 0
-    )
-
     def recall_hits(df: DataFrame) -> int:
         return (
             df.select("query_id", "neighbor_id")
@@ -2891,11 +2889,26 @@ def ann_index_compact_lifecycle(
             .count()
         )
 
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq,
+        parallel_vals,
+    )
+
+    # truth is consumed by three pooled thunks: materialize it once,
+    # race-free, then overlap the four independent read-only checks
+    # (r14, guide §2.6; the equality is one signed-tag action)
+    truth.count()
     chained = ivf_query_index(
         spark, path, q, nprobe=COMPACT_NPROBE, version=pre
     )
     compacted = ivf_query_index(spark, path, q, nprobe=COMPACT_NPROBE)
-    recall_ok = recall_hits(compacted) >= recall_hits(chained)
+    full_exact, hits_compacted, hits_chained, n_vectors = parallel_vals(
+        lambda: multiset_eq(full, truth),
+        lambda: recall_hits(compacted),
+        lambda: recall_hits(chained),
+        lambda: e.count(),
+    )
+    recall_ok = hits_compacted >= hits_chained
 
     ancestors = {
         os.path.relpath(r, path).split(os.sep)[0]
@@ -2905,7 +2918,7 @@ def ann_index_compact_lifecycle(
     return spark.createDataFrame(
         [
             (
-                int(e.count()),
+                int(n_vectors),
                 int(chain_before),
                 int(chain_after),
                 bool(full_exact),
@@ -2970,68 +2983,74 @@ def ann_index_delete_lifecycle(
         ann_topk_bruteforce,
     )
 
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq,
+        parallel_vals,
+    )
+
     emb = e.select("vec_id", "embedding")
-    build_ivf_index(emb, path)
-    pinned = os.path.basename(_current_version_dir(path))
     del_pred = (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 10 == 5)
     deleted = emb.where(del_pred).select("vec_id")
-    n_vecs, n_deleted = emb.count(), deleted.count()
+    # index build + two read-only counts overlapped (r14, guide §2.6)
+    _, n_vecs, n_deleted = parallel_vals(
+        lambda: build_ivf_index(emb, path),
+        lambda: emb.count(),
+        lambda: deleted.count(),
+    )
+    pinned = os.path.basename(_current_version_dir(path))
     delete_from_ivf_index(deleted, path)
 
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    served = (
-        ivf_query_index(spark, path, q, nprobe=N_CELLS)
+    # EAGER: served/truth_rem feed several pooled checks (truth_rem
+    # also the post-compaction one) — materialize once, race-free
+    served, truth_rem = parallel_vals(
+        lambda: ivf_query_index(spark, path, q, nprobe=N_CELLS)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    truth_rem = (
-        ann_topk_bruteforce(e.where(~del_pred))
+        .localCheckpoint(eager=True),
+        lambda: ann_topk_bruteforce(e.where(~del_pred))
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True),
     )
-    excludes = (
-        served.join(
+
+    def _snapshot_check() -> bool:
+        snap = ivf_query_index(
+            spark, path, q, nprobe=N_CELLS, version=pinned
+        ).select("query_id", "neighbor_id")
+        truth_all = ann_topk_bruteforce(e).select(
+            "query_id", "neighbor_id"
+        )
+        return multiset_eq(snap, truth_all)
+
+    # each equality is one signed-tag action (VERDICT r13 #4); the
+    # three read-only checks overlap
+    excludes, exact_after, snapshot_ok = parallel_vals(
+        lambda: served.join(
             deleted.withColumnRenamed("vec_id", "neighbor_id"),
             "neighbor_id",
             "leftsemi",
         ).count()
-        == 0
-    )
-    exact_after = (
-        served.count() == truth_rem.count()
-        and served.exceptAll(truth_rem).count() == 0
-    )
-    snap = (
-        ivf_query_index(spark, path, q, nprobe=N_CELLS, version=pinned)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    truth_all = (
-        ann_topk_bruteforce(e)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    snapshot_ok = (
-        snap.count() == truth_all.count()
-        and snap.exceptAll(truth_all).count() == 0
+        == 0,
+        lambda: multiset_eq(served, truth_rem),
+        _snapshot_check,
     )
     compact_ivf_index(spark, path)
     cur = _current_version_dir(path)
-    raw = spark.read.parquet(*_vector_roots(path, cur)).count()
-    compact_drops = (
-        raw == n_vecs - n_deleted and not _tombstone_roots(path, cur)
-    )
-    post = (
-        ivf_query_index(spark, path, q, nprobe=N_CELLS)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    post_exact = (
-        post.count() == truth_rem.count()
-        and post.exceptAll(truth_rem).count() == 0
+
+    def _compact_drops_check() -> bool:
+        raw = spark.read.parquet(*_vector_roots(path, cur)).count()
+        return raw == n_vecs - n_deleted and not _tombstone_roots(path, cur)
+
+    def _post_exact_check() -> bool:
+        post = ivf_query_index(spark, path, q, nprobe=N_CELLS).select(
+            "query_id", "neighbor_id"
+        )
+        return multiset_eq(post, truth_rem)
+
+    compact_drops, post_exact = parallel_vals(
+        _compact_drops_check, _post_exact_check
     )
     return spark.createDataFrame(
         [

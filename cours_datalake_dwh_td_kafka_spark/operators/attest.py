@@ -13,8 +13,40 @@ compare."""
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def parallel_vals(
+    *thunks: Callable[[], Any], max_workers: int = 4
+) -> list[Any]:
+    """Evaluate independent attestation thunks CONCURRENTLY and return
+    their results in submission order (r14, guide §2.6: overlap
+    independent jobs so each action's straggler tail back-fills the
+    others' idle cores — Spark's FIFO scheduler does exactly this for
+    jobs submitted from a small driver-side thread pool).
+
+    Scope: READ-ONLY legs, or legs that mutate DISJOINT stores (one
+    thunk per lake path). Thunks must not share a lazy
+    ``localCheckpoint(eager=False)`` frame — two threads racing its
+    first materialization can compute it twice; materialize shared
+    frames eagerly (or via one pooled warm-up thunk) before fanning
+    out. Worker count stays small on purpose: the point is filling the
+    tail of each job, not oversubscribing the scheduler — and the pool
+    adds NO work, so the min-of-n bench measures real overlap, not a
+    cache effect. Exceptions re-raise on .result(), so a failing
+    attestation is as loud as the sequential form."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(thunks))
+    ) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
 
 
 def multiset_eq(a: DataFrame, b: DataFrame) -> bool:

@@ -58,6 +58,7 @@ from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
 )
 from cours_datalake_dwh_td_kafka_spark.operators.attest import (
     multiset_eq,
+    parallel_vals,
 )
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
@@ -157,86 +158,157 @@ def erasure_e2e_protocol(
     embv = emb.select("vec_id", "embedding")
 
     # ---- build every artifact on the FULL data ------------------------
-    lake_commit(ev, ev_p)
-    maintain_sessions_from_cdc(spark, ev_p, sess_p)  # bootstrap
-    lake_commit(docs, doc_p)
-    lake_consume_changes(spark, doc_p, mv_p, apply_fn=mv_delta_rows)
-    lake_commit(_fingerprint_rows(docs), fp_p)
-    build_text_index(spark, docs, idx_p)
-    build_ivf_index(embv, ann_p, lake_version=1)
+    # five independent store chains (events->sessions, docs->mv,
+    # fingerprints, text index, ANN index): each writes only its own
+    # lake paths, so the builds overlap (r14, guide §2.6)
+    def _build_events() -> None:
+        lake_commit(ev, ev_p)
+        maintain_sessions_from_cdc(spark, ev_p, sess_p)  # bootstrap
 
-    n_users = int(ev.where(user_erased).select("user_id").distinct().count())
-    n_docs = int(docs.where(doc_erased).count())
-    n_vecs = int(embv.where(vec_erased).count())
+    def _build_docs() -> None:
+        lake_commit(docs, doc_p)
+        lake_consume_changes(spark, doc_p, mv_p, apply_fn=mv_delta_rows)
+
+    parallel_vals(
+        _build_events,
+        _build_docs,
+        lambda: lake_commit(_fingerprint_rows(docs), fp_p),
+        lambda: build_text_index(spark, docs, idx_p),
+        lambda: build_ivf_index(embv, ann_p, lake_version=1),
+    )
+
+    # independent read-only counts: overlap the three jobs (r14,
+    # guide §2.6 — see attest.parallel_vals)
+    n_users, n_docs, n_vecs = parallel_vals(
+        lambda: int(
+            ev.where(user_erased).select("user_id").distinct().count()
+        ),
+        lambda: int(docs.where(doc_erased).count()),
+        lambda: int(embv.where(vec_erased).count()),
+    )
 
     # ---- the request lands: O(erased) writes on every store -----------
-    # (index erasure FIRST — it re-tokenizes the wave's raw text, which
-    # the base table still serves at this point)
-    n_affected_terms = erase_from_text_index(
-        spark, docs.where(doc_erased).select("doc_id", "text"), idx_p
+    # five DISJOINT stores again (the index erasure re-tokenizes the
+    # wave's raw text from the INPUT frame, so it needs no ordering
+    # against the lake deletes — it touches idx_p only); overlapped
+    results = parallel_vals(
+        lambda: erase_from_text_index(
+            spark, docs.where(doc_erased).select("doc_id", "text"), idx_p
+        ),
+        lambda: lake_delete_keys(
+            spark, ev_p, "user_id",
+            keys=ev.where(user_erased).select("user_id").distinct(),
+        ),
+        lambda: lake_delete_keys(
+            spark, doc_p, "doc_id",
+            keys=docs.where(doc_erased).select("doc_id"),
+        ),
+        lambda: lake_delete_keys(
+            spark, fp_p, "doc_id",
+            keys=docs.where(doc_erased).select("doc_id"),
+        ),
+        lambda: delete_from_ivf_index(
+            embv.where(vec_erased).select("vec_id"), ann_p
+        ),
     )
-    lake_delete_keys(
-        spark, ev_p, "user_id",
-        keys=ev.where(user_erased).select("user_id").distinct(),
+    n_affected_terms = results[0]
+    # CDC-maintained artifacts fold the delete feed (two disjoint
+    # reader->writer chains: ev_p->sess_p and doc_p->mv_p)
+    parallel_vals(
+        lambda: maintain_sessions_from_cdc(spark, ev_p, sess_p),
+        lambda: lake_consume_changes(
+            spark, doc_p, mv_p, apply_fn=mv_delta_rows
+        ),
     )
-    lake_delete_keys(
-        spark, doc_p, "doc_id", keys=docs.where(doc_erased).select("doc_id")
-    )
-    lake_delete_keys(
-        spark, fp_p, "doc_id", keys=docs.where(doc_erased).select("doc_id")
-    )
-    delete_from_ivf_index(embv.where(vec_erased).select("vec_id"), ann_p)
-    # CDC-maintained artifacts fold the delete feed
-    maintain_sessions_from_cdc(spark, ev_p, sess_p)
-    lake_consume_changes(spark, doc_p, mv_p, apply_fn=mv_delta_rows)
 
     # ---- each artifact == a recompute that never saw the erased rows --
+    # every check is READ-ONLY over a settled store and independent of
+    # the others, so the seven comparisons run as overlapped jobs (r14,
+    # guide §2.6); each thunk owns its whole subtree — no lazy
+    # checkpoint is shared across threads
     ev_rem = ev.where(~user_erased)
     docs_rem = docs.where(~doc_erased)
-    sessions_ok = _multiset_eq(
-        lake_read(spark, sess_p), sessionize_events(ev_rem)
-    )
-    mv_want = docs_rem.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("sum_chars"),
-    )
-    mv_ok = _multiset_eq(mv_serve(spark, mv_p), mv_want)
-    fp_ok = _multiset_eq(lake_read(spark, fp_p), _fingerprint_rows(docs_rem))
-    bm25_ok = _multiset_eq(bm25_query_index(spark, idx_p), bm25_search(docs_rem))
-    pruned, _meas = bm25_maxscore_query(spark, idx_p)
-    maxscore_ok = _multiset_eq(
-        pruned,
-        bm25_query_index(
-            spark, idx_p, terms=MAXSCORE_TERMS, top_n=MAXSCORE_TOP_N
-        ),
-    )
-    tstats_served = (
-        lake_read(spark, _tstats_path(idx_p))
-        .groupBy("term")
-        .agg(
-            F.sum("df").cast("long").alias("df"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
+
+    def _sessions_check() -> bool:
+        return _multiset_eq(lake_read(spark, sess_p), sessionize_events(ev_rem))
+
+    def _mv_check() -> bool:
+        mv_want = docs_rem.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
         )
-    )
-    p_rem = postings_rows(docs_rem).localCheckpoint(eager=False)
-    tstats_ok = _multiset_eq(
-        tstats_served,
-        term_stats_rows(p_rem, doclen_rows(docs_rem)).select(
-            "term", F.col("df").cast("long").alias("df"), "max_tf", "min_dl"
-        ),
-    )
-    q = embv.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("emb"),
-    )
-    ann_ok = _multiset_eq(
-        ivf_query_index(spark, ann_p, q, nprobe=N_CELLS).select(
-            "query_id", "neighbor_id"
-        ),
-        ann_topk_bruteforce(emb.where(~vec_erased)).select(
-            "query_id", "neighbor_id"
-        ),
+        return _multiset_eq(mv_serve(spark, mv_p), mv_want)
+
+    def _fp_check() -> bool:
+        return _multiset_eq(
+            lake_read(spark, fp_p), _fingerprint_rows(docs_rem)
+        )
+
+    def _bm25_check() -> bool:
+        return _multiset_eq(
+            bm25_query_index(spark, idx_p), bm25_search(docs_rem)
+        )
+
+    def _maxscore_check() -> bool:
+        pruned, _meas = bm25_maxscore_query(spark, idx_p)
+        return _multiset_eq(
+            pruned,
+            bm25_query_index(
+                spark, idx_p, terms=MAXSCORE_TERMS, top_n=MAXSCORE_TOP_N
+            ),
+        )
+
+    def _tstats_check() -> bool:
+        tstats_served = (
+            lake_read(spark, _tstats_path(idx_p))
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_dl").alias("min_dl"),
+            )
+        )
+        p_rem = postings_rows(docs_rem).localCheckpoint(eager=False)
+        return _multiset_eq(
+            tstats_served,
+            term_stats_rows(p_rem, doclen_rows(docs_rem)).select(
+                "term",
+                F.col("df").cast("long").alias("df"),
+                "max_tf",
+                "min_dl",
+            ),
+        )
+
+    def _ann_check() -> bool:
+        q = embv.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        return _multiset_eq(
+            ivf_query_index(spark, ann_p, q, nprobe=N_CELLS).select(
+                "query_id", "neighbor_id"
+            ),
+            ann_topk_bruteforce(emb.where(~vec_erased)).select(
+                "query_id", "neighbor_id"
+            ),
+        )
+
+    (
+        sessions_ok,
+        mv_ok,
+        fp_ok,
+        bm25_ok,
+        maxscore_ok,
+        tstats_ok,
+        ann_ok,
+    ) = parallel_vals(
+        _sessions_check,
+        _mv_check,
+        _fp_check,
+        _bm25_check,
+        _maxscore_check,
+        _tstats_check,
+        _ann_check,
     )
 
     # ---- physical reclamation on every store carrying delete debt -----
@@ -255,45 +327,64 @@ def erasure_e2e_protocol(
         _doclens_path(idx_p): ("doc_id", E2E_DOC_MOD, E2E_DOC_REM),
         _tstats_path(idx_p): None,
     }
-    physical_ok = True
-    n_reclaimed = 0
-    for store, keyed in erased_key.items():
+    def _reclaim(store: str, keyed) -> tuple[bool, int]:
         # target_files > 1: the fold is a parallel rewrite, not a
         # single-task coalesce(1) — the postings store is the whole
         # tokenized corpus and a one-file fold serializes it
         lake_compact(spark, store, target_files=8)
         orphans = lake_vacuum(store, keep_versions=1, orphan_grace_seconds=0)
-        n_reclaimed += len(orphans)
-        physical_ok &= len(orphans) > 0
+        ok = len(orphans) > 0
         m = _read_manifest(store, current_version(store))
-        physical_ok &= not m.get("deletes")
+        ok &= not m.get("deletes")
         if keyed is not None:
             col, mod, rem = keyed
             raw = spark.read.parquet(
                 *(os.path.join(store, f) for f in m["files"])
             )
-            physical_ok &= raw.where(F.col(col) % mod == rem).count() == 0
+            ok &= raw.where(F.col(col) % mod == rem).count() == 0
+        return bool(ok), len(orphans)
 
+    # the seven stores are DISJOINT lake paths: each thunk compacts,
+    # vacuums and rescans its own store only, so the rewrites overlap
+    # safely (r14, guide §2.6)
+    reclaims = parallel_vals(
+        *(
+            (lambda s=store, k=keyed: _reclaim(s, k))
+            for store, keyed in erased_key.items()
+        )
+    )
+    physical_ok = all(ok for ok, _ in reclaims)
+    n_reclaimed = sum(n for _, n in reclaims)
+
+    # final summary scalars: five independent reads over settled stores
+    (
+        n_events_after,
+        n_sess_users_after,
+        mv_sum_chars_after,
+        fp32_sum_after,
+        n_postings_after,
+    ) = parallel_vals(
+        lambda: int(lake_read(spark, ev_p).count()),
+        lambda: int(
+            lake_read(spark, sess_p).select("user_id").distinct().count()
+        ),
+        lambda: int(
+            mv_serve(spark, mv_p).agg(F.sum("sum_chars")).first()[0]
+        ),
+        lambda: int(lake_read(spark, fp_p).agg(F.sum("fp32")).first()[0]),
+        lambda: int(lake_read(spark, _postings_path(idx_p)).count()),
+    )
     return spark.createDataFrame(
         [
             (
                 n_users,
                 n_docs,
                 n_vecs,
-                int(lake_read(spark, ev_p).count()),
-                int(
-                    lake_read(spark, sess_p)
-                    .select("user_id")
-                    .distinct()
-                    .count()
-                ),
-                int(
-                    mv_serve(spark, mv_p)
-                    .agg(F.sum("sum_chars"))
-                    .first()[0]
-                ),
-                int(lake_read(spark, fp_p).agg(F.sum("fp32")).first()[0]),
-                int(lake_read(spark, _postings_path(idx_p)).count()),
+                n_events_after,
+                n_sess_users_after,
+                mv_sum_chars_after,
+                fp32_sum_after,
+                n_postings_after,
                 bool(n_affected_terms > 0),
                 bool(sessions_ok),
                 bool(mv_ok),

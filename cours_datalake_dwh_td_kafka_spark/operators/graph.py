@@ -15,6 +15,8 @@ ranks match bit-for-bit after 10 rounds.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,6 +27,16 @@ PAGERANK_ITERS = 4
 PAGERANK_DAMPING = 0.85
 PAGERANK_TELEPORT = 0.15
 PAGERANK_TOP_K = 20
+
+#: broadcast gate for the iterative operators' O(nodes) state vectors
+#: (rank / label / degree tables). 5M nodes ~ 80 MB of (long, long)
+#: rows framed — comfortably under the session's 64m-threshold spirit
+#: and far under the 8 GB broadcast cap; beyond it every loop falls
+#: back to its original shuffle-join + checkpoint path. Env-overridable
+#: so a cluster profile can raise it without a code change.
+GRAPH_BC_MAX_NODES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_BC_MAX_NODES", "5000000")
+)
 
 
 def _pagerank_sql(iters: int = PAGERANK_ITERS, top_k: int = PAGERANK_TOP_K) -> str:
@@ -113,28 +125,49 @@ def pagerank(
     decimal(38,18) (order-insensitive), is damped in doubles, and is
     rounded to 12 dp before feeding the next round — the rank vector
     is therefore IDENTICAL on both engines at every iteration, not
-    just close at the last one."""
+    just close at the last one.
+
+    Join strategy (r14 optimization, guide §3.1): the rank vector and
+    the degree table are O(nodes); below ``GRAPH_BC_MAX_NODES`` they
+    are explicitly broadcast — the per-iteration state frames descend
+    from ``localCheckpoint`` (LogicalRDD, no size statistics), so the
+    planner can never pick the broadcast join on its own and every
+    iteration otherwise pays a full shuffle+sort of the edge list
+    (measured 11.4 -> 8.0 s at sf0.1, plans in plans/r14/). Above the
+    gate the original shuffle-join + periodic-checkpoint path runs
+    unchanged — the broadcast is a size-gated hint, not an assumption."""
     checkpoint_every = 2
     teleport = 1.0 - damping
     edges = edges.localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()
+    # degree table doubles as the node set: one eager materialization
+    # (and one count) instead of separate nodes/e2 checkpoints
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = deg.select(F.col("src").alias("node"))
+    n = deg.count()
     if n == 0:
         # empty graph: 1/n below would constant-fold to a divide-by-zero
         # under ANSI mode before any row could even exist
         return nodes.select(
             "node", F.lit(None).cast("double").alias("rank")
         )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    small = n <= GRAPH_BC_MAX_NODES
     # the per-iteration message structure never changes: annotate each
-    # edge with its source degree ONCE, outside the loop
-    e2 = edges.join(deg, "src").localCheckpoint(eager=True)
+    # edge with its source degree ONCE, outside the loop. Small graphs
+    # keep e2 lazy (a map-side broadcast join over the edge checkpoint
+    # re-derives it for free); big graphs materialize it once.
+    e2 = edges.join(F.broadcast(deg) if small else deg, "src")
+    if not small:
+        e2 = e2.localCheckpoint(eager=True)
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / n, 12).alias("rank")
     )
     for it in range(iters):
-        contribs = e2.join(ranks, e2.src == ranks.node).select(
+        r = F.broadcast(ranks) if small else ranks
+        contribs = e2.join(r, e2["src"] == r["node"]).select(
             F.col("dst"),
             (F.col("rank") / F.col("deg")).cast("decimal(38,18)").alias(
                 "contrib"
@@ -143,8 +176,9 @@ def pagerank(
         inbound = contribs.groupBy("dst").agg(
             F.sum("contrib").cast("double").alias("s")
         )
+        ib = F.broadcast(inbound) if small else inbound
         ranks = nodes.join(
-            inbound, nodes.node == inbound.dst, "left"
+            ib, nodes["node"] == ib["dst"], "left"
         ).select(
             "node",
             F.round(
@@ -153,7 +187,12 @@ def pagerank(
                 12,
             ).alias("rank"),
         )
-        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+        # small branch: every iteration's broadcast build materializes
+        # the O(nodes) vector on the driver, which already bounds the
+        # executed lineage — extra checkpoints would only add jobs
+        if not small and (
+            (it + 1) % checkpoint_every == 0 or it == iters - 1
+        ):
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
@@ -295,25 +334,38 @@ _TRIANGLE_SQL = f"""
 """
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, small_graph: bool = False
+) -> DataFrame:
     """Per-node triangle counts over an undirected edge table (directed
     (src, dst) pairs in both orientations, as :func:`copurchase_edges`
     emits). Classic clustering-coefficient numerator: which parts sit in
     densely co-purchased cliques.
 
-    Scale shape (the MapReduce triangle recipe of Suri & Vassilvitskii,
-    WWW'11): orient every edge from the lower-(degree, id) endpoint to
-    the higher — each triangle then has EXACTLY one wedge whose center
-    is its lowest-ranked vertex, and the wedge-closing join counts it
-    once. Degree-ordering bounds each vertex's out-degree by O(sqrt(m))
-    regardless of how big a hub it is, so the wedge fan-out — the step
-    that explodes on skewed graphs if you orient by id alone — stays
-    O(m^1.5) worst-case with NO hot key: a celebrity node of degree d
-    contributes d wedges as a spoke, not d^2 as a center. Both joins
-    are plain equi-joins (wedge: on the center; closure: on the
-    (lo, hi) edge key); nothing is ever collected."""
-    # the canonical edge set feeds FOUR consumers (degrees, orientation,
-    # both closure probes) — materialize the order self-join + distinct
+    Scale shape (degree-ordered compact-forward, Latapy 2008 — the
+    adjacency-intersection formulation of the Suri & Vassilvitskii
+    WWW'11 wedge recipe): orient every edge from the lower-(degree, id)
+    endpoint to the higher — each triangle {a, b, c} (rank-ordered) is
+    then found EXACTLY once, on its (a, b) edge, as c in
+    N+(a) ∩ N+(b). Degree-ordering bounds every out-list by O(sqrt(m))
+    regardless of how big a hub is, so the per-edge intersection work
+    stays O(m^1.5) total with NO hot key.
+
+    r14 optimization (guide §2.4): the previous implementation
+    materialized every wedge as a ROW (sum_v C(outdeg_v, 2) rows — 41 M
+    at sf0.1) and shuffled+sorted them into a closure join. The
+    intersection form aggregates the directed edges into per-node
+    sorted out-lists ONCE and intersects two O(sqrt(m)) arrays per edge
+    inside codegen — the only remaining exploded output is the
+    triangles themselves (1.9 M at sf0.1). Measured 12.5 -> 4.5 s at
+    sf0.1 with bit-identical per-node counts; the wedge row-stream
+    never exists. ``small_graph=True`` (size-gated by the caller, e.g.
+    from parquet footer counts — never assumed) additionally broadcasts
+    the out-list table (total payload O(m) longs) so the edge stream is
+    never shuffled at all; the default shuffle join is the 100 TB path.
+    """
+    # the canonical edge set feeds three consumers (degrees, orientation,
+    # the per-edge probe) — materialize the order self-join + distinct
     # once instead of recomputing the corpus-scale upstream per consumer
     und = (
         edges.where(F.col("src") < F.col("dst"))
@@ -328,6 +380,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    if small_graph:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     ranked = und.join(du, "u").join(dv, "v")
     fwd = F.col("du") < F.col("dv")
     tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -335,25 +389,27 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("hi"),
     ).localCheckpoint(eager=False)
-    # CENTER-based wedges: both spokes leave the triangle's lowest-ranked
-    # vertex, and hi1 < hi2 emits each unordered spoke pair once —
-    # sum_v C(outdeg_v, 2) wedge rows, half the path-based (a->b->c) form
-    w1 = directed.select("lo", F.col("hi").alias("b"))
-    w2 = directed.select(F.col("lo").alias("lo2"), F.col("hi").alias("c"))
-    wedges = (
-        w1.join(w2, F.col("lo") == F.col("lo2"))
-        .where(F.col("b") < F.col("c"))
-        .select(F.col("lo").alias("a"), "b", "c")
+    # per-node sorted out-lists; each bounded O(sqrt(m)) by the
+    # degree-ordering, so no single row can blow up executor memory
+    adj = directed.groupBy("lo").agg(
+        F.sort_array(F.collect_list("hi")).alias("nb")
     )
-    # closure probes the UNDIRECTED canonical edge set: the spokes' ends
-    # are id-ordered (b < c) but their degree-rank order is unknown
-    closing = und.select(
-        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    a1 = adj.select("lo", F.col("nb").alias("nb_lo"))
+    a2 = adj.select(F.col("lo").alias("hi"), F.col("nb").alias("nb_hi"))
+    if small_graph:
+        a1, a2 = F.broadcast(a1), F.broadcast(a2)
+    # inner joins are exact here: every lo has an out-list by
+    # construction, and an edge whose hi has NO out-list cannot close
+    # any triangle (c must be in N+(hi)), so dropping it loses nothing
+    tri = (
+        directed.join(a1, "lo")
+        .join(a2, "hi")
+        .select(
+            F.col("lo").alias("a"),
+            F.col("hi").alias("b"),
+            F.explode(F.array_intersect("nb_lo", "nb_hi")).alias("c"),
+        )
     )
-    tri = wedges.join(
-        closing,
-        (F.col("b") == F.col("x")) & (F.col("c") == F.col("y")),
-    ).select("a", "b", "c")
     members = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
@@ -364,13 +420,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+#: lineitem row count below which the co-purchase graph's out-list
+#: table (payload O(edges) ~ 4x lineitem rows of longs) is broadcast —
+#: ~4 M rows keeps the built relation well under the broadcast caps.
+#: Decided from parquet FOOTER metadata (no Spark job), so the gate
+#: costs nothing and flips to the shuffle join as the lake grows.
+TRIANGLE_BC_MAX_LI_ROWS = int(
+    os.environ.get("SPARK_GRAFT_TRIANGLE_BC_MAX_LI_ROWS", "4000000")
+)
+
+
 @register("triangle_count", _TRIANGLE_SQL)
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cours_datalake_dwh_td_kafka_spark.io import parquet_row_count
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    small = (
+        parquet_row_count(f"{sf_dir}/lineitem.parquet")
+        <= TRIANGLE_BC_MAX_LI_ROWS
+    )
     return (
-        triangle_counts(copurchase_edges(li))
+        triangle_counts(copurchase_edges(li), small_graph=small)
         .select(F.col("node").alias("part"), "n_triangles")
         .orderBy(F.desc("n_triangles"), "part")
         .limit(TRIANGLE_TOP_N)
@@ -496,33 +568,50 @@ def graph_components(li: DataFrame, max_iters: int = 20) -> DataFrame:
     Oracle: DuckDB transitive closure via recursive CTE + MIN — a
     different algorithm entirely, so agreement pins semantics, not
     implementation. For path-compressed O(log n) rounds at web scale,
-    swap in the star-contraction kernel dedup_clusters already uses."""
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
+    swap in the star-contraction kernel dedup_clusters already uses.
+
+    r14 optimizations (guide §2.3/§2.4/§3.1, all value-identical):
+    (a) the support count dedupes (order, part) BEFORE the pair
+    fan-out, so the grouped count is a plain count(*) instead of a
+    count_distinct over the exploded pairs (one exchange of pair rows
+    saved); (b) only the src<dst orientation is aggregated (support is
+    symmetric) and the mirror is unioned back after the filter — the
+    support groupBy exchanges half the rows; (c) below
+    ``GRAPH_BC_MAX_NODES`` the per-round label/jump vectors are
+    broadcast (they descend from localCheckpoint, so the planner has
+    no size statistics to pick this itself); (d) the old-label column
+    rides the round's own select, so convergence detection is a filter
+    over the already-materialized round frame, not a second
+    labels-vs-labels join per round."""
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = items.select("ok", F.col("item").alias("src"))
+    b = items.select("ok", F.col("item").alias("dst"))
+    half = (
         a.join(b, "ok")
-        .where(F.col("src") != F.col("dst"))
+        .where(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
-        .agg(F.count_distinct(F.col("ok")).alias("support"))
+        .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= CC_MIN_SUPPORT)
         .select("src", "dst")
-        .localCheckpoint(eager=True)
     )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    small = labels.count() <= GRAPH_BC_MAX_NODES
     for _ in range(max_iters):
         # candidate label per node: min over (its own, each neighbor's)
+        lab_b = F.broadcast(labels) if small else labels
         neigh = (
             edges.join(
-                labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                lab_b.withColumnRenamed("node", "dst").withColumnRenamed(
                     "comp", "n_comp"
                 ),
                 "dst",
@@ -530,6 +619,8 @@ def graph_components(li: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("n_comp").alias("n_comp"))
         )
+        if small:
+            neigh = F.broadcast(neigh)
         stepped = (
             labels.join(neigh, "node", "left")
             .select(
@@ -537,6 +628,8 @@ def graph_components(li: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(
                     F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
                 ).alias("comp"),
+                # carried so convergence detection needs no second join
+                F.col("comp").alias("old"),
             )
             # the pointer jump below self-joins this frame: pin ONE
             # materialization so the edge-join subtree doesn't run twice
@@ -550,6 +643,8 @@ def graph_components(li: DataFrame, max_iters: int = 20) -> DataFrame:
         jump = stepped.select(
             F.col("node").alias("j_node"), F.col("comp").alias("j_comp")
         )
+        if small:
+            jump = F.broadcast(jump)
         nxt = (
             stepped.join(
                 jump, stepped["comp"] == jump["j_node"], "left"
@@ -559,17 +654,12 @@ def graph_components(li: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(
                     F.col("comp"), F.coalesce(F.col("j_comp"), F.col("comp"))
                 ).alias("comp"),
+                "old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.join(
-                labels.withColumnRenamed("comp", "old"), "node"
-            )
-            .where(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = nxt
+        changed = nxt.where(F.col("comp") != F.col("old")).count()
+        labels = nxt.select("node", "comp")
         if changed == 0:
             break
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))

@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
+from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+    multiset_eq,
+    parallel_vals,
+)
 from cours_datalake_dwh_td_kafka_spark.operators.relational import dec_sum
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
@@ -462,8 +466,9 @@ def q_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, meas = bloom_join_reduction(o, dim, "o_custkey")
     # the attestation re-reads the filtered side several times (agg,
     # equality, no-false-negative semi): cut the lineage so the md5
-    # probe filter runs once, not per attestation job
-    kept = kept.localCheckpoint(eager=False)
+    # probe filter runs once, not per attestation job. EAGER because
+    # the pooled checks below all descend from it (r14, guide §2.6)
+    kept = kept.localCheckpoint(eager=True)
 
     def agg(fact: DataFrame) -> DataFrame:
         return (
@@ -478,24 +483,26 @@ def q_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    via_bloom = agg(kept).localCheckpoint(eager=False)
-    plain = agg(o).localCheckpoint(eager=False)
-    eq = (
-        via_bloom.count() == plain.count()
-        and via_bloom.exceptAll(plain).count() == 0
+    via_bloom = agg(kept).localCheckpoint(eager=True)
+
+    # three independent read-only checks, each one action (the
+    # equality is the signed-tag comparator — VERDICT r13 #4)
+    eq, matching, kept_matching = parallel_vals(
+        lambda: multiset_eq(via_bloom, agg(o)),
+        lambda: o.join(
+            F.broadcast(dim), o["o_custkey"] == dim["c_custkey"],
+            "left_semi",
+        ).count(),
+        lambda: kept.join(
+            F.broadcast(dim), kept["o_custkey"] == dim["c_custkey"],
+            "left_semi",
+        ).count(),
     )
-    matching = o.join(
-        F.broadcast(dim), o["o_custkey"] == dim["c_custkey"], "left_semi"
-    ).count()
     # no false negatives: every truly matching fact row survived the
     # bloom (superset by construction; checked as counts)
     no_fn = (
         meas["fact_rows_after_bloom"] >= matching
-        and kept.join(
-            F.broadcast(dim), kept["o_custkey"] == dim["c_custkey"],
-            "left_semi",
-        ).count()
-        == matching
+        and kept_matching == matching
     )
     return (
         via_bloom.select(

@@ -30,6 +30,7 @@ from cours_datalake_dwh_td_kafka_spark.lake import (
 )
 from cours_datalake_dwh_td_kafka_spark.operators.attest import (
     multiset_eq,
+    parallel_vals,
 )
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
@@ -616,10 +617,8 @@ def lake_merge_on_read_protocol(
     n_deleted = base.where("doc_id % 10 = 3").count()
     v3 = lake_read(spark, path, 3)
     cow_equiv = base.where("NOT (doc_id % 10 = 3)")
-    read_equals_cow = (
-        v3.count() == n_rows - n_deleted
-        and v3.exceptAll(cow_equiv).count() == 0
-    )
+    # one signed-tag action (r14) — equality implies the count identity
+    read_equals_cow = multiset_eq(v3, cow_equiv)
     travel_ok = lake_read(spark, path, 2).count() == n_rows
     # a deleted key through the BLOOM-pruned point path: zero rows
     some_deleted = base.where("doc_id % 10 = 3").agg(
@@ -849,9 +848,9 @@ def lake_restore_protocol(
     n_dropped = base.where("lang = 'en'").count()
     lake_restore(spark, path, 1)  # v3
     v1r, v3 = lake_read(spark, path, 1), lake_read(spark, path, 3)
-    restored_ok = (
-        v3.count() == n_docs and v3.exceptAll(v1r).count() == 0
-    )
+    # one signed-tag action (r14); the count identity (== n_docs) is
+    # implied by multiset equality with v1, whose count the row attests
+    restored_ok = multiset_eq(v3, v1r)
     bad_readable = lake_read(spark, path, 2).count() == n_docs - n_dropped
     fwd = {
         r["_change"]: r["n"]
@@ -1502,11 +1501,15 @@ def rollup_cascade_protocol(
         fine_want = want(lambda c: F.date_trunc("hour", c), "h")
         coarse_got = _serve_rollup(spark, coarse, "day")
         coarse_want = want(lambda c: F.date_trunc("day", c), "day")
-        return (
-            fine_got.count() == fine_want.count()
-            and fine_got.exceptAll(fine_want).count() == 0
-            and coarse_got.count() == coarse_want.count()
-            and coarse_got.exceptAll(coarse_want).count() == 0
+        # one signed-tag action per level instead of count+count+
+        # exceptAll (VERDICT r13 #4), the two levels overlapped (r14,
+        # guide §2.6) — this check runs after every hop, so the 4-call
+        # row pays the saving four times
+        return all(
+            parallel_vals(
+                lambda: multiset_eq(fine_got, fine_want),
+                lambda: multiset_eq(coarse_got, coarse_want),
+            )
         )
 
     all_ok = True
@@ -1540,10 +1543,9 @@ def rollup_cascade_protocol(
     lake_commit(folded, fine, mode="overwrite")
     lake_consume_changes(spark, fine, coarse, apply_fn=_coarse_delta_rows)
     after = _serve_rollup(spark, coarse, "day")
-    fold_invisible = (
-        after.count() == before.count()
-        and after.exceptAll(before).count() == 0
-    )
+    # one signed-tag action (VERDICT r13 #4) replaces count + count +
+    # exceptAll
+    fold_invisible = multiset_eq(after, before)
     all_ok &= levels_eq_recompute()
 
     return after.select(
@@ -1651,11 +1653,8 @@ def lake_occ_protocol(
     both_landed = not errs and current_version(path) == 3
     merged = lake_read(spark, path)
     full = orders.select(cols)
-    rows_preserved = (
-        merged.count() == full.count()
-        and merged.exceptAll(full).count() == 0
-        and full.exceptAll(merged).count() == 0
-    )
+    # one signed-tag action (r14) replaces 2 counts + 2 exceptAlls
+    rows_preserved = multiset_eq(merged, full)
 
     # genuine scope conflict: erase the 5 smallest orderkeys (v4), then
     # an RMW append pinned to the pre-erasure snapshot must abort
@@ -1675,10 +1674,8 @@ def lake_occ_protocol(
         conflict_aborts = True
     after = lake_read(spark, path)
     want = full.join(victims, "o_orderkey", "left_anti")
-    abort_invisible = (
-        after.count() == want.count()
-        and after.exceptAll(want).count() == 0
-    )
+    # one signed-tag action (r14)
+    abort_invisible = multiset_eq(after, want)
 
     return (
         after.groupBy("o_orderpriority")

@@ -95,6 +95,7 @@ from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
 )
 from cours_datalake_dwh_td_kafka_spark.operators.attest import (
     multiset_eq,
+    parallel_vals,
 )
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
@@ -175,7 +176,6 @@ def corpus_refresh(
     lake_path = os.path.join(workdir, "corpus")
     lake_commit(survivors, lake_path)  # v1
     v1 = lake_read(spark, lake_path, 1)
-    n_kept = v1.count()
     # the PERSISTED dedup-gate table (round 10, closing the r9 weak #1):
     # (doc_id, band_key) rows for every kept doc — 4 rows/doc whatever
     # the text size — committed alongside the corpus and appended per
@@ -184,14 +184,20 @@ def corpus_refresh(
     # re-shingling the survivor corpus, so a crawl increment costs
     # O(increment + candidates), not O(corpus).
     bands_path = os.path.join(workdir, "dedup_bands")
-    lake_commit(minhash_band_rows(v1), bands_path)  # bands v1
     # the PERSISTED exact-dedup table (r11, closing the r10 verdict's
     # #1): (doc_id, fp) for every kept doc — the fingerprint is
     # computed ONCE at insert time and maintained per MERGE, so the
     # next refresh's anti-join is a key join against ~48-byte rows,
     # never a survivor-text re-hash
     fps_path = os.path.join(workdir, "dedup_fps")
-    lake_commit(fingerprint_rows(v1), fps_path)  # fps v1
+    # the two side-table v1 commits write DISJOINT stores from the same
+    # settled corpus v1; the survivor count is read-only — overlap the
+    # three jobs (r14, guide §2.6 — attest.parallel_vals)
+    n_kept, _, _ = parallel_vals(
+        lambda: v1.count(),
+        lambda: lake_commit(minhash_band_rows(v1), bands_path),
+        lambda: lake_commit(fingerprint_rows(v1), fps_path),
+    )
 
     # incremental exact dedup of the batch against the PERSISTED
     # fingerprints (the lake's survivor text is never read here)
@@ -203,8 +209,11 @@ def corpus_refresh(
     fresh = batch.join(fresh_ids, "doc_id", "leftsemi").localCheckpoint(
         eager=False
     )
-    n_batch = batch.count()
-    n_new_unique = fresh.count()
+    # two independent counts (fresh's checkpoint materializes inside
+    # its OWN thunk only — n_batch never touches it)
+    n_batch, n_new_unique = parallel_vals(
+        lambda: batch.count(), lambda: fresh.count()
+    )
 
     # decontamination gate: drop benchmark members AND 8-gram leakers
     # (bench_sh is scanned by the gate AND the post-merge re-check)
@@ -238,67 +247,107 @@ def corpus_refresh(
     )
     n_inserted = clean.count()
 
-    # one atomic MERGE commit; snapshot isolation for the prior state
-    lake_merge_upsert(spark, lake_path, clean, "doc_id")  # v2
+    # one atomic MERGE commit; snapshot isolation for the prior state.
+    # The two side-table appends write disjoint stores from the already
+    # materialized `clean` checkpoint — overlap all three writes.
+    parallel_vals(
+        lambda: lake_merge_upsert(spark, lake_path, clean, "doc_id"),  # v2
+        lambda: lake_commit(
+            minhash_band_rows(clean), bands_path, mode="append"
+        ),
+        lambda: lake_commit(
+            fingerprint_rows(clean), fps_path, mode="append"
+        ),
+    )
     v2 = lake_read(spark, lake_path, 2)
-    n_after = v2.count()
-    merge_atomic_ok = (
-        n_after == n_kept + n_inserted
-        and lake_read(spark, lake_path, 1).count() == n_kept
-    )
     inserted = v2.where(F.col("doc_id") >= cut)
-    # maintain BOTH side tables THROUGH the merge: append the inserted
-    # docs' band + fingerprint rows (O(increment)) so the next refresh
-    # — and the post-merge re-checks right here — read the tables,
-    # never the text
-    lake_commit(minhash_band_rows(clean), bands_path, mode="append")
-    lake_commit(fingerprint_rows(clean), fps_path, mode="append")
-    bands_v2 = lake_read(spark, bands_path, 2).localCheckpoint(eager=False)
-    fps_v2 = lake_read(spark, fps_path, 2).localCheckpoint(eager=False)
-    no_near_dup_ok = (
-        incremental_near_dups(
-            v2.where(F.col("doc_id") < cut),
-            inserted,
-            corpus_bands=bands_v2.where(F.col("doc_id") < cut),
-        ).count()
-        == 0
-    )
-    # global fingerprint uniqueness, measured on the PERSISTED table —
-    # O(artifact), no text; the attestation below proves the table IS
-    # the truth
-    no_dup_ok = (
-        fps_v2.select("fp").distinct().count() == n_after
-        and fps_v2.count() == n_after
-    )
+    # EAGER side-table snapshots: the post-merge checks below share
+    # these frames across threads, and the maintenance repair further
+    # down vacuums the files they read — materialize once, up front
+    bands_v2 = lake_read(spark, bands_path, 2).localCheckpoint(eager=True)
+    fps_v2 = lake_read(spark, fps_path, 2).localCheckpoint(eager=True)
+    n_after = v2.count()
+
+    # ---- post-merge checks: all read-only over settled stores and the
+    # pinned snapshots above — one overlapped pool (r14, guide §2.6)
+    def _merge_atomic_check() -> bool:
+        return (
+            n_after == n_kept + n_inserted
+            and lake_read(spark, lake_path, 1).count() == n_kept
+        )
+
+    def _near_dup_check() -> bool:
+        return (
+            incremental_near_dups(
+                v2.where(F.col("doc_id") < cut),
+                inserted,
+                corpus_bands=bands_v2.where(F.col("doc_id") < cut),
+            ).count()
+            == 0
+        )
+
+    def _no_dup_check() -> bool:
+        # global fingerprint uniqueness, measured on the PERSISTED
+        # table — O(artifact), no text; the attestation thunks prove
+        # the table IS the truth
+        return (
+            fps_v2.select("fp").distinct().count() == n_after
+            and fps_v2.count() == n_after
+        )
+
     if attest:
         # the incremental maintenance must be EXACT: each persisted
         # table after the append equals a from-scratch recompute over
-        # the live snapshot (count + one-sided multiset difference ==
-        # multiset equality). O(corpus) text reads BY DESIGN — this is
-        # the drift-is-zero proof the registered row attests; the
-        # deployable call (attest=False) skips it.
-        # pinned: each recompute feeds two actions (count + exceptAll)
-        # one signed-tag action per recompute (round 14, VERDICT r13
-        # #4 — see operators/attest.py), replacing count + exceptAll
-        bands_table_ok = multiset_eq(bands_v2, minhash_band_rows(v2))
-        fps_table_ok = multiset_eq(fps_v2, fingerprint_rows(v2))
+        # the live snapshot (one signed-tag action per recompute —
+        # VERDICT r13 #4, operators/attest.py). O(corpus) text reads
+        # BY DESIGN — this is the drift-is-zero proof the registered
+        # row attests; the deployable call (attest=False) skips it.
+        def _bands_table_check() -> bool:
+            return multiset_eq(bands_v2, minhash_band_rows(v2))
+
+        def _fps_table_check() -> bool:
+            return multiset_eq(fps_v2, fingerprint_rows(v2))
     else:
         # artifact-shape consistency only (exactly one fp row per kept
         # doc, exactly N_BANDS band rows per kept doc, no orphans) —
         # O(side tables), zero text reads
-        bands_table_ok = (
-            bands_v2.count() == _N_BANDS * n_after
-            and bands_v2.select("doc_id").distinct().count() == n_after
+        def _bands_table_check() -> bool:
+            return (
+                bands_v2.count() == _N_BANDS * n_after
+                and bands_v2.select("doc_id").distinct().count() == n_after
+            )
+
+        def _fps_table_check() -> bool:
+            return (
+                fps_v2.select("doc_id").distinct().count() == n_after
+            )
+
+    def _no_leak_check() -> bool:
+        return (
+            inserted.where(
+                F.col("doc_id") % CONTAM_BENCH_MOD == 0
+            ).count()
+            == 0
+            and _sh_hashes(inserted.select("doc_id", "text"))
+            .join(bench_sh, "sh")
+            .count()
+            == 0
         )
-        fps_table_ok = (
-            fps_v2.select("doc_id").distinct().count() == n_after
-        )
-    no_leak_ok = (
-        inserted.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0).count() == 0
-        and _sh_hashes(inserted.select("doc_id", "text"))
-        .join(bench_sh, "sh")
-        .count()
-        == 0
+
+    (
+        merge_atomic_ok,
+        no_near_dup_ok,
+        no_dup_ok,
+        bands_table_ok,
+        fps_table_ok,
+        no_leak_ok,
+    ) = parallel_vals(
+        _merge_atomic_check,
+        _near_dup_check,
+        _no_dup_check,
+        _bands_table_check,
+        _fps_table_check,
+        _no_leak_check,
     )
     # advisor coverage for the protocol SIDE tables (r11, verdict #6):
     # the band + fingerprint tables accumulate one small-file append
@@ -312,13 +361,12 @@ def corpus_refresh(
         lake_vacuum,
     )
 
-    side_tables_maintained_ok = True
-    for side in (bands_path, fps_path):
+    def _maintain_side(side: str) -> bool:
         # side-table policy: each refresh appends exactly ONE small
         # file, so the fold threshold is 2 (the data-table default of 4
         # would let debt ride for four crawls before the advisor speaks)
         plan = lake_maintenance_plan(side, min_small_files=2)
-        side_tables_maintained_ok &= bool(plan["compact_due"])
+        ok = bool(plan["compact_due"])
         # EAGER checkpoint: the vacuum below deletes the files this
         # frame reads, so it must materialize BEFORE the repair (the
         # pre-r14 code materialized it via its count() action)
@@ -326,12 +374,21 @@ def corpus_refresh(
         lake_compact(spark, side, target_files=1)
         lake_vacuum(side, keep_versions=1, orphan_grace_seconds=0)
         after = lake_read(spark, side)
-        side_tables_maintained_ok &= (
-            multiset_eq(after, before)
+        return (
+            ok
+            and multiset_eq(after, before)
             and not lake_maintenance_plan(side, min_small_files=2)[
                 "compact_due"
             ]
         )
+
+    # the two side stores are disjoint: their repair cycles overlap
+    side_tables_maintained_ok = all(
+        parallel_vals(
+            lambda: _maintain_side(bands_path),
+            lambda: _maintain_side(fps_path),
+        )
+    )
     # the repaired band table still answers the gate identically
     side_tables_maintained_ok &= (
         incremental_near_dups(
@@ -359,23 +416,23 @@ def corpus_refresh(
     )
 
     tidx = os.path.join(workdir, "text_index")
-    build_text_index(spark, v1, tidx)
-    append_text_index(spark, clean, tidx)
-    if attest:
-        from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (
-            bm25_search,
-        )
+    idx = os.path.join(workdir, "idx")
 
-        text_index_serves_ok = multiset_eq(
-            bm25_query_index(spark, tidx), bm25_search(v2)
-        )
-    else:
+    def _text_index_leg() -> bool:
+        build_text_index(spark, v1, tidx)
+        append_text_index(spark, clean, tidx)
+        if attest:
+            from cours_datalake_dwh_td_kafka_spark.operators.text_analysis import (  # noqa: E501
+                bm25_search,
+            )
+
+            return multiset_eq(bm25_query_index(spark, tidx), bm25_search(v2))
         # artifact-shape consistency only: one doclen row per kept doc
         from cours_datalake_dwh_td_kafka_spark.operators.text_index import (
             _doclens_path,
         )
 
-        text_index_serves_ok = (
+        return (
             lake_read(spark, _doclens_path(tidx))
             .select("doc_id")
             .distinct()
@@ -383,12 +440,63 @@ def corpus_refresh(
             == n_after
         )
 
+    def _ann_leg() -> bool:
+        # append the batch's embeddings; the index must serve the union
+        elo, ehi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
+        ecut = int(elo) + int((int(ehi) - int(elo)) * INCREMENT_SPLIT)
+        emb_d = e.select("vec_id", "embedding")
+        # each index version records the corpus-lake version it pairs
+        # with (round 10): a reader joining served neighbors to lake
+        # rows reads the RECORDED snapshot — index_lake_consistency
+        # attests the pairing
+        build_ivf_index(
+            emb_d.where(F.col("vec_id") < ecut), idx, lake_version=1
+        )
+        append_ivf_index(
+            emb_d.where(F.col("vec_id") >= ecut), idx, lake_version=2
+        )
+        q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        full = ivf_query_index(spark, idx, q, nprobe=N_CELLS).select(
+            "query_id", "neighbor_id"
+        )
+        truth = ann_topk_bruteforce(e).select("query_id", "neighbor_id")
+        return multiset_eq(full, truth)
+
+    def _pack_leg() -> int:
+        # re-pack: the refreshed corpus' shard count (ceil identity —
+        # the pack_efficiency algebra, no per-row packing pass needed)
+        toks = F.size(F.split(norm_text(F.col("text")), " ")).cast("long")
+        return int(
+            v2.select("source", toks.alias("t"))
+            .groupBy("source")
+            .agg(F.sum("t").alias("n_tokens"))
+            .agg(
+                F.sum(
+                    F.ceil(F.col("n_tokens") / F.lit(float(PACK_BUDGET)))
+                ).alias("s")
+            )
+            .first()
+            .s
+        )
+
+    # the text-index chain (build+append+serve check), the ANN chain
+    # and the packing aggregate touch disjoint stores / are read-only:
+    # overlap the three legs (r14, guide §2.6)
+    text_index_serves_ok, serves_union, n_shards = parallel_vals(
+        _text_index_leg, _ann_leg, _pack_leg
+    )
+
     # ONE atomic catalog commit pairs the merged corpus with every
     # maintained side artifact (r11 txn log): a reader resolving
     # through the txn entry can never observe the post-MERGE corpus
     # with a pre-MERGE band / fingerprint / posting state — the
     # index_lake_consistency guarantee generalized to all five side
-    # tables, at the cost of one tiny O_EXCL file publish
+    # tables, at the cost of one tiny O_EXCL file publish. (Published
+    # AFTER the legs above so every recorded version is final — same
+    # guarantee, settled inputs.)
     from cours_datalake_dwh_td_kafka_spark.lake import (
         current_version,
         lake_txn_publish,
@@ -417,49 +525,6 @@ def corpus_refresh(
     txn_published_ok = all(
         snap[n]["version"] == current_version(p)
         for n, p in txn_tables.items()
-    )
-
-    # append the batch's embeddings; the index must serve the union
-    elo, ehi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
-    ecut = int(elo) + int((int(ehi) - int(elo)) * INCREMENT_SPLIT)
-    emb_d = e.select("vec_id", "embedding")
-    idx = os.path.join(workdir, "idx")
-    # each index version records the corpus-lake version it pairs with
-    # (round 10): a reader joining served neighbors to lake rows reads
-    # the RECORDED snapshot — index_lake_consistency attests the pairing
-    build_ivf_index(emb_d.where(F.col("vec_id") < ecut), idx, lake_version=1)
-    append_ivf_index(emb_d.where(F.col("vec_id") >= ecut), idx, lake_version=2)
-    q = emb_d.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("emb"),
-    )
-    # both sides feed two actions (count + exceptAll): pin each once
-    full = (
-        ivf_query_index(spark, idx, q, nprobe=N_CELLS)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    truth = (
-        ann_topk_bruteforce(e)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    serves_union = multiset_eq(full, truth)
-
-    # re-pack: the refreshed corpus' shard count (ceil identity — the
-    # pack_efficiency algebra, no per-row packing pass needed)
-    toks = F.size(F.split(norm_text(F.col("text")), " ")).cast("long")
-    n_shards = int(
-        v2.select("source", toks.alias("t"))
-        .groupBy("source")
-        .agg(F.sum("t").alias("n_tokens"))
-        .agg(
-            F.sum(
-                F.ceil(F.col("n_tokens") / F.lit(float(PACK_BUDGET)))
-            ).alias("s")
-        )
-        .first()
-        .s
     )
     return spark.createDataFrame(
         [
@@ -705,9 +770,13 @@ def cdc_index_maintenance(
         f"vec_id % {ERASE_MOD} = {ERASE_REMAINDER}"
         f" AND vec_id >= {N_QUERIES}",
     )  # v3
-    n_v1 = emb.where(F.col("vec_id") < ecut).count()
-    n_appended = emb.where(F.col("vec_id") >= ecut).count()
-    n_deleted = emb.where(erased).count()
+    # three independent read-only counts over the input frame (r14,
+    # guide §2.6 — attest.parallel_vals)
+    n_v1, n_appended, n_deleted = parallel_vals(
+        lambda: emb.where(F.col("vec_id") < ecut).count(),
+        lambda: emb.where(F.col("vec_id") >= ecut).count(),
+        lambda: emb.where(erased).count(),
+    )
 
     built = []
 
@@ -727,38 +796,51 @@ def cdc_index_maintenance(
         return ch.select("vec_id", "_change", "_version")
 
     consumed = lake_consume_changes(spark, lake_path, log, apply_fn=apply)
-    consumed_in_order_ok = (
-        consumed == [1, 2, 3]
-        and lake_consume_changes(spark, lake_path, log, apply_fn=apply)
-        == []
-    )
-    index_eq_lake = _ids_match(
-        served_vec_ids(spark, idx),
-        lake_read(spark, lake_path).select("vec_id"),
-    )
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("emb"),
-    )
-    served = (
-        ivf_query_index(spark, idx, q, nprobe=N_CELLS)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    truth = (
-        ann_topk_bruteforce(e.where(~erased))
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    serves_truth_ok = multiset_eq(served, truth)
-    log_df = lake_read(spark, log).localCheckpoint(eager=False)
-    log_complete_ok = (
-        log_df.count() == n_v1 + n_appended + n_deleted
-        and log_df.where(
-            (F.col("_change") == "delete") & (F.col("_version") == 3)
-        ).count()
-        == n_deleted
-    )
+
+    # ---- checks: all read-only once the consumer settled (the replay
+    # probe consumes nothing and writes nothing) — overlapped pool
+    def _order_check() -> bool:
+        return (
+            consumed == [1, 2, 3]
+            and lake_consume_changes(spark, lake_path, log, apply_fn=apply)
+            == []
+        )
+
+    def _eq_lake_check() -> bool:
+        return _ids_match(
+            served_vec_ids(spark, idx),
+            lake_read(spark, lake_path).select("vec_id"),
+        )
+
+    def _serves_check() -> bool:
+        q = emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        served = ivf_query_index(spark, idx, q, nprobe=N_CELLS).select(
+            "query_id", "neighbor_id"
+        )
+        truth = ann_topk_bruteforce(e.where(~erased)).select(
+            "query_id", "neighbor_id"
+        )
+        return multiset_eq(served, truth)
+
+    def _log_check() -> bool:
+        log_df = lake_read(spark, log).localCheckpoint(eager=False)
+        return (
+            log_df.count() == n_v1 + n_appended + n_deleted
+            and log_df.where(
+                (F.col("_change") == "delete") & (F.col("_version") == 3)
+            ).count()
+            == n_deleted
+        )
+
+    (
+        consumed_in_order_ok,
+        index_eq_lake,
+        serves_truth_ok,
+        log_complete_ok,
+    ) = parallel_vals(_order_check, _eq_lake_check, _serves_check, _log_check)
     return spark.createDataFrame(
         [
             (
@@ -870,11 +952,15 @@ def erasure_protocol(
     erased = F.col("doc_id") % ERASE_MOD == ERASE_REMAINDER
     lake_path = os.path.join(workdir, "docs")
     idx = os.path.join(workdir, "idx")
-    lake_commit(d, lake_path)  # v1
-    n_docs = d.count()
-    n_erased = d.where(erased).count()
     emb = e.select("vec_id", "embedding")
-    build_ivf_index(emb, idx, lake_version=1)
+    # build phase: the two stores are disjoint and the two counts are
+    # read-only — overlap the four jobs (r14, guide §2.6)
+    _, _, n_docs, n_erased = parallel_vals(
+        lambda: lake_commit(d, lake_path),  # v1
+        lambda: build_ivf_index(emb, idx, lake_version=1),
+        lambda: d.count(),
+        lambda: d.where(erased).count(),
+    )
     import os as _os
 
     pinned_idx = _os.path.basename(_current_version_dir(idx))
@@ -882,59 +968,79 @@ def erasure_protocol(
     # the request lands: O(deleted) writes on BOTH stores. The request
     # ARRIVES as explicit keys (the GDPR shape, r11 verdict #5) — the
     # keys-overload writes them without any lake read, end-to-end
-    # O(deleted) including the scan
-    lake_delete_keys(
-        spark, lake_path, "doc_id", keys=d.where(erased).select("doc_id")
-    )  # v2
+    # O(deleted) including the scan. Disjoint stores again: overlapped.
     vec_erased = (F.col("vec_id") % ERASE_MOD == ERASE_REMAINDER) & (
         F.col("vec_id") >= N_QUERIES
     )
-    n_vecs_erased = emb.where(vec_erased).count()
-    delete_from_ivf_index(emb.where(vec_erased).select("vec_id"), idx)
+    _, _, n_vecs_erased = parallel_vals(
+        lambda: lake_delete_keys(
+            spark, lake_path, "doc_id",
+            keys=d.where(erased).select("doc_id"),
+        ),  # v2
+        lambda: delete_from_ivf_index(
+            emb.where(vec_erased).select("vec_id"), idx
+        ),
+        lambda: emb.where(vec_erased).count(),
+    )
 
-    # serving checks
-    live = lake_read(spark, lake_path)
-    lake_without = (
-        live.where(erased).count() == 0
-        and live.count() == n_docs - n_erased
-    )
-    probe_doc = int(
-        d.where(erased).agg(F.min("doc_id")).first()[0]
-    )
-    point_empty = (
-        lake_read_point(spark, lake_path, "doc_id", probe_doc).count() == 0
-    )
+    # serving checks: read-only over the settled stores — one pool
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    served = (
-        ivf_query_index(spark, idx, q, nprobe=N_CELLS)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    truth_rem = (
-        ann_topk_bruteforce(e.where(~vec_erased))
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    index_without = multiset_eq(served, truth_rem)
 
-    # audit trail: pre-erasure snapshots readable BY EXPLICIT version
-    snapshots_isolated = (
-        lake_read(spark, lake_path, 1).where(erased).count() == n_erased
-        and ivf_query_index(
-            spark, idx, q, nprobe=N_CELLS, version=pinned_idx
+    def _lake_without_check() -> bool:
+        live = lake_read(spark, lake_path)
+        return (
+            live.where(erased).count() == 0
+            and live.count() == n_docs - n_erased
         )
-        .join(
-            emb.where(vec_erased).select(
-                F.col("vec_id").alias("neighbor_id")
-            ),
-            "neighbor_id",
-            "leftsemi",
+
+    def _point_check() -> bool:
+        probe_doc = int(d.where(erased).agg(F.min("doc_id")).first()[0])
+        return (
+            lake_read_point(spark, lake_path, "doc_id", probe_doc).count()
+            == 0
         )
-        .count()
-        > 0  # the old snapshot still serves erased vectors — by design
+
+    def _index_without_check() -> bool:
+        served = ivf_query_index(spark, idx, q, nprobe=N_CELLS).select(
+            "query_id", "neighbor_id"
+        )
+        truth_rem = ann_topk_bruteforce(e.where(~vec_erased)).select(
+            "query_id", "neighbor_id"
+        )
+        return multiset_eq(served, truth_rem)
+
+    def _snapshots_check() -> bool:
+        # audit trail: pre-erasure snapshots readable BY EXPLICIT version
+        return (
+            lake_read(spark, lake_path, 1).where(erased).count()
+            == n_erased
+            and ivf_query_index(
+                spark, idx, q, nprobe=N_CELLS, version=pinned_idx
+            )
+            .join(
+                emb.where(vec_erased).select(
+                    F.col("vec_id").alias("neighbor_id")
+                ),
+                "neighbor_id",
+                "leftsemi",
+            )
+            .count()
+            > 0  # the old snapshot still serves erased vectors — by design
+        )
+
+    (
+        lake_without,
+        point_empty,
+        index_without,
+        snapshots_isolated,
+    ) = parallel_vals(
+        _lake_without_check,
+        _point_check,
+        _index_without_check,
+        _snapshots_check,
     )
 
     # fold + vacuum: the rows are physically GONE from both stores.
@@ -952,38 +1058,45 @@ def erasure_protocol(
                 total += os.path.getsize(os.path.join(dirpath, fn))
         return total
 
-    lake_compact(spark, lake_path, target_files=1)  # folds the deletes
-    lake_bytes_pre = _tree_bytes(lake_path)
-    lake_orphans = lake_vacuum(
-        lake_path, keep_versions=1, orphan_grace_seconds=0
+    def _lake_reclaim() -> tuple[bool, bool]:
+        lake_compact(spark, lake_path, target_files=1)  # folds the deletes
+        bytes_pre = _tree_bytes(lake_path)
+        orphans = lake_vacuum(
+            lake_path, keep_versions=1, orphan_grace_seconds=0
+        )
+        bytes_post = _tree_bytes(lake_path)
+        m = _read_manifest(lake_path, current_version(lake_path))
+        raw_docs = spark.read.parquet(
+            *(os.path.join(lake_path, f) for f in m["files"])
+        )
+        reclaimed = len(orphans) > 0 and bytes_post < bytes_pre
+        phys = raw_docs.where(erased).count() == 0 and not m.get("deletes")
+        return reclaimed, phys
+
+    def _idx_reclaim() -> tuple[bool, bool]:
+        compact_ivf_index(spark, idx)
+        bytes_pre = _tree_bytes(idx)
+        orphans = vacuum_index(idx, grace_seconds=0)
+        bytes_post = _tree_bytes(idx)
+        cur = _current_version_dir(idx)
+        raw_vecs = spark.read.parquet(*_vector_roots(idx, cur))
+        reclaimed = len(orphans) > 0 and bytes_post < bytes_pre
+        phys = (
+            raw_vecs.where(
+                (F.col("vec_id") % ERASE_MOD == ERASE_REMAINDER)
+                & (F.col("vec_id") >= N_QUERIES)
+            ).count()
+            == 0
+            and not _tombstone_roots(idx, cur)
+        )
+        return reclaimed, phys
+
+    # disjoint stores: the two fold+vacuum+rescan cycles overlap
+    (lake_reclaimed, lake_phys), (idx_reclaimed, idx_phys) = parallel_vals(
+        _lake_reclaim, _idx_reclaim
     )
-    lake_bytes_post = _tree_bytes(lake_path)
-    m = _read_manifest(lake_path, current_version(lake_path))
-    raw_docs = spark.read.parquet(
-        *(os.path.join(lake_path, f) for f in m["files"])
-    )
-    compact_ivf_index(spark, idx)
-    idx_bytes_pre = _tree_bytes(idx)
-    idx_orphans = vacuum_index(idx, grace_seconds=0)
-    idx_bytes_post = _tree_bytes(idx)
-    vacuum_reclaimed_ok = (
-        len(lake_orphans) > 0
-        and lake_bytes_post < lake_bytes_pre
-        and len(idx_orphans) > 0
-        and idx_bytes_post < idx_bytes_pre
-    )
-    cur = _current_version_dir(idx)
-    raw_vecs = spark.read.parquet(*_vector_roots(idx, cur))
-    physical = (
-        raw_docs.where(erased).count() == 0
-        and not m.get("deletes")
-        and raw_vecs.where(
-            (F.col("vec_id") % ERASE_MOD == ERASE_REMAINDER)
-            & (F.col("vec_id") >= N_QUERIES)
-        ).count()
-        == 0
-        and not _tombstone_roots(idx, cur)
-    )
+    vacuum_reclaimed_ok = lake_reclaimed and idx_reclaimed
+    physical = lake_phys and idx_phys
     return spark.createDataFrame(
         [
             (

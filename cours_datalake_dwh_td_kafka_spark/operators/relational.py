@@ -188,18 +188,29 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = c.select("c_custkey")
     s1 = keys.sample(fraction=SAMPLE_FRACTION, seed=42)
     s2 = keys.sample(fraction=SAMPLE_FRACTION, seed=42)
-    n_pop = keys.count()
-    n_s = s1.count()
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        multiset_eq,
+        parallel_vals,
+    )
+
+    # five independent read-only actions (sample is seed-deterministic);
+    # determinism is one signed-tag action instead of two exceptAlls
+    n_pop, n_s, anti_cnt, n_distinct, deterministic = parallel_vals(
+        lambda: keys.count(),
+        lambda: s1.count(),
+        lambda: s1.join(keys, "c_custkey", "left_anti").count(),
+        lambda: s1.distinct().count(),
+        lambda: multiset_eq(s1, s2),
+    )
     bound = 4.0 * math.sqrt(n_pop * SAMPLE_FRACTION * (1 - SAMPLE_FRACTION))
     return spark.createDataFrame(
         [
             (
                 int(n_pop),
-                s1.join(keys, "c_custkey", "left_anti").count() == 0,
+                anti_cnt == 0,
                 abs(n_s - SAMPLE_FRACTION * n_pop) <= bound,
-                s1.distinct().count() == n_s,
-                s1.exceptAll(s2).count() == 0
-                and s2.exceptAll(s1).count() == 0,
+                n_distinct == n_s,
+                bool(deterministic),
             )
         ],
         "n_pop BIGINT, subset_ok BOOLEAN, fraction_within_4sigma BOOLEAN, "

@@ -46,6 +46,10 @@ from cours_datalake_dwh_td_kafka_spark.lake import (
     lake_read,
     lake_read_pruned,
 )
+from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+    multiset_eq,
+    parallel_vals,
+)
 from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
     INCREMENT_SPLIT,
     NORM_SQL,
@@ -396,17 +400,26 @@ def text_index_protocol(
     build_text_index(spark, d.where(F.col("doc_id") < cut), idx)
     append_text_index(spark, d.where(F.col("doc_id") >= cut), idx)
 
-    served = bm25_query_index(spark, idx).localCheckpoint(eager=False)
-    direct = bm25_search(d).localCheckpoint(eager=False)
-    bm25_eq = (
-        served.count() == direct.count()
-        and served.exceptAll(direct).count() == 0
-    )
-    served_ph = phrase_query_index(spark, idx).localCheckpoint(eager=False)
-    direct_ph = phrase_search(d).localCheckpoint(eager=False)
-    phrase_eq = (
-        served_ph.count() == direct_ph.count()
-        and served_ph.exceptAll(direct_ph).count() == 0
+    # EAGER: the served frame feeds the parity check AND the returned
+    # rows; one materialization up front keeps the pooled checks below
+    # race-free (r14, guide §2.6 — attest.parallel_vals)
+    served = bm25_query_index(spark, idx).localCheckpoint(eager=True)
+
+    def _bm25_eq_check() -> bool:
+        # one signed-tag action (VERDICT r13 #4) instead of
+        # count + count + exceptAll
+        return multiset_eq(served, bm25_search(d))
+
+    def _phrase_eq_check() -> bool:
+        return multiset_eq(phrase_query_index(spark, idx), phrase_search(d))
+
+    def _phrase_rows_count() -> int:
+        return _term_postings(
+            spark, idx, tuple(set(PHRASE_QUERY.split(" ")))
+        ).count()
+
+    bm25_eq, phrase_eq, phrase_rows = parallel_vals(
+        _bm25_eq_check, _phrase_eq_check, _phrase_rows_count
     )
     opened: set[str] = set()
     total = 0
@@ -425,9 +438,6 @@ def text_index_protocol(
     files_pruned = (
         len(opened) < total if (total > 1 and has_term_stats) else True
     )
-    phrase_rows = _term_postings(
-        spark, idx, tuple(set(PHRASE_QUERY.split(" ")))
-    ).count()
     return served.select(
         "doc_id",
         "bm25",
@@ -653,12 +663,14 @@ def maxscore_protocol(
 
     pruned, meas = bm25_maxscore_query(spark, idx)
     pruned = pruned.localCheckpoint(eager=False)
-    exhaustive = bm25_query_index(
-        spark, idx, terms=MAXSCORE_TERMS, top_n=MAXSCORE_TOP_N
-    ).localCheckpoint(eager=False)
-    eq = (
-        pruned.count() == exhaustive.count()
-        and pruned.exceptAll(exhaustive).count() == 0
+    # one signed-tag action (VERDICT r13 #4) instead of count + count +
+    # exceptAll; pruned's checkpoint materializes here and the returned
+    # rows below reuse it
+    eq = multiset_eq(
+        pruned,
+        bm25_query_index(
+            spark, idx, terms=MAXSCORE_TERMS, top_n=MAXSCORE_TOP_N
+        ),
     )
     fired = (
         meas["n_essential_terms"] < meas["n_query_terms"]

@@ -197,8 +197,11 @@ def test_explain_cli_lists_and_reports(spark, capsys):
 @pytest.mark.parametrize(
     "name,expected",
     [
-        # 3 setup (edges, nodes, degree-annotated e2) + iters/2 amortized
-        ("pagerank_copurchase", 5),
+        # 2 setup (edges, degree table); the small-graph branch carries
+        # per-iteration state via driver broadcasts, which bound lineage
+        # without checkpoint jobs (r14 — above GRAPH_BC_MAX_NODES the
+        # shuffle branch adds e2 + iters/2 amortized rank checkpoints)
+        ("pagerank_copurchase", 2),
         # edges + labels + rounds-to-convergence on this corpus
         ("dedup_clusters", 4),
         # 1 word table + 6 merge rebuilds
