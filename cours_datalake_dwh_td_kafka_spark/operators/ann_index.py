@@ -1016,25 +1016,43 @@ def index_lake_consistency(
     lake_path = os.path.join(workdir, "emb_lake")
     idx = os.path.join(workdir, "idx")
 
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
     lake_commit(emb.where(F.col("vec_id") < cut), lake_path)  # v1
-    n_base = lake_read(spark, lake_path, 1).count()
-    build_ivf_index(lake_read(spark, lake_path, 1), idx, lake_version=1)
+    # the index build (writes idx only) and the base count (read-only
+    # over the settled v1) overlap (r14, guide §2.6)
+    _, n_base = parallel_vals(
+        lambda: build_ivf_index(
+            lake_read(spark, lake_path, 1), idx, lake_version=1
+        ),
+        lambda: lake_read(spark, lake_path, 1).count(),
+    )
 
     lake_merge_upsert(
         spark, lake_path, emb.where(F.col("vec_id") >= cut), "vec_id"
     )  # v2
     rec = index_lake_version(idx)
     lag_before = current_version(lake_path) - rec
-    consistent_at_recorded = _ids_match(
-        served_vec_ids(spark, idx),
-        lake_read(spark, lake_path, rec).select("vec_id"),
-    )
 
-    # the increment is derived from the LAKE's own versions
-    new_rows = lake_read(spark, lake_path, 2).join(
-        lake_read(spark, lake_path, 1).select("vec_id"),
-        "vec_id",
-        "left_anti",
+    def _increment() -> DataFrame:
+        # the increment is derived from the LAKE's own versions; pinned
+        # EAGERLY in its own thunk — it feeds the count and the append
+        return lake_read(spark, lake_path, 2).join(
+            lake_read(spark, lake_path, 1).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+
+    # the recorded-version equality (read-only over idx + lake@rec)
+    # and the increment derivation are independent — overlapped
+    consistent_at_recorded, new_rows = parallel_vals(
+        lambda: _ids_match(
+            served_vec_ids(spark, idx),
+            lake_read(spark, lake_path, rec).select("vec_id"),
+        ),
+        _increment,
     )
     n_batch = new_rows.count()
     append_ivf_index(new_rows, idx, lake_version=2)
@@ -1196,11 +1214,19 @@ def ann_index_drift(
             F.when(F.col("neighbor_id") % 2 != 0, 1).otherwise(0)
         ).alias("odd")
     )
-    sh = recall_hits(served).collect()[0].hits
-    fh = recall_hits(fresh).collect()[0].hits
-    srow = served_stats.collect()[0]
-    f_odd = fresh_odd.collect()[0].odd
-    nq = q.count()
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
+    # five independent read-only verdict actions — one overlapped pool
+    # (r14, guide §2.6); no lazy checkpoint is shared across thunks
+    sh, fh, srow, f_odd, nq = parallel_vals(
+        lambda: recall_hits(served).collect()[0].hits,
+        lambda: recall_hits(fresh).collect()[0].hits,
+        lambda: served_stats.collect()[0],
+        lambda: fresh_odd.collect()[0].odd,
+        lambda: q.count(),
+    )
     return spark.createDataFrame(
         [
             (
@@ -1786,12 +1812,25 @@ def q_hard_negative_mining_corpus(
             path,
             meta_cols=("label",),
         )
-    full = hard_negative_mining_corpus(spark, path).localCheckpoint(
-        eager=False
-    )  # feeds k_truth, the hit join, and the returned rows
-    reduced = hard_negative_mining_corpus(
-        spark, path, nprobe=HARDNEG_NPROBE
-    ).select("query_id", "neighbor_id")
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
+    # the full-probe (attested truth) and reduced-probe (production)
+    # mining legs are independent read-only pipelines over the same
+    # index — overlapped (r14, guide §2.6). Both pinned EAGERLY inside
+    # their own thunks: full feeds k_truth + the hit join + the
+    # returned rows, reduced feeds the hit join.
+    full, reduced = parallel_vals(
+        lambda: hard_negative_mining_corpus(spark, path).localCheckpoint(
+            eager=True
+        ),
+        lambda: hard_negative_mining_corpus(
+            spark, path, nprobe=HARDNEG_NPROBE
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True),
+    )
     k_truth = full.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("k_truth")
     )
@@ -2635,25 +2674,31 @@ def ann_index_append_lifecycle(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
     # served_new feeds the odd-count AND the recall check: pin it
+    # EAGERLY (two pooled thunks read it), then overlap the five
+    # independent read-only verdict actions (r14, guide §2.6)
     served_new = ivf_query_index(
         spark, path, q, nprobe=append_nprobe
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     served_old = ivf_query_index(
         spark, path, q, nprobe=append_nprobe, version=old_version
     )
-    odd_new = served_new.where(F.col("neighbor_id") % 2 == 1).count()
-    odd_old = served_old.where(F.col("neighbor_id") % 2 == 1).count()
-    rc = (
-        ivf_recall_check(
+    odd_new, odd_old, rc, n_base, n_extra = parallel_vals(
+        lambda: served_new.where(F.col("neighbor_id") % 2 == 1).count(),
+        lambda: served_old.where(F.col("neighbor_id") % 2 == 1).count(),
+        lambda: ivf_recall_check(
             e, served_new, floor=0.8 * append_nprobe / N_CELLS
         )
         .agg(F.min(F.col("recall_ok").cast("int")).alias("m"))
         .collect()[0]
-        .m
+        .m,
+        lambda: base.count(),
+        lambda: extra.count(),
     )
-    n_base = base.count()
-    n_extra = extra.count()
     return spark.createDataFrame(
         [
             (
@@ -2740,10 +2785,16 @@ def ann_ivfpq_append_lifecycle(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
     # served_new feeds the odd-count AND the recall check: pin it
+    # EAGERLY (two pooled thunks read it), then overlap the five
+    # independent read-only verdict actions (r14, guide §2.6)
     served_new = ivfpq_query_index(
         spark, path, q, e, nprobe=append_nprobe, rerank=append_rerank
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     served_old = ivfpq_query_index(
         spark,
         path,
@@ -2753,21 +2804,23 @@ def ann_ivfpq_append_lifecycle(
         rerank=append_rerank,
         version=old_version,
     )
-    odd_new = served_new.where(F.col("neighbor_id") % 2 == 1).count()
-    odd_old = served_old.where(F.col("neighbor_id") % 2 == 1).count()
-    rc = (
-        ivf_recall_check(
+    odd_new, odd_old, rc, n_base, n_extra = parallel_vals(
+        lambda: served_new.where(F.col("neighbor_id") % 2 == 1).count(),
+        lambda: served_old.where(F.col("neighbor_id") % 2 == 1).count(),
+        lambda: ivf_recall_check(
             e, served_new, floor=0.8 * append_nprobe / N_CELLS
         )
         .agg(F.min(F.col("recall_ok").cast("int")).alias("m"))
         .collect()[0]
-        .m
+        .m,
+        lambda: base.count(),
+        lambda: extra.count(),
     )
     return spark.createDataFrame(
         [
             (
-                int(base.count()),
-                int(extra.count()),
+                int(n_base),
+                int(n_extra),
                 odd_new > 0,
                 odd_old == 0,
                 int(rc or 0) == 1,

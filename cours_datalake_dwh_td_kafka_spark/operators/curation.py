@@ -1096,7 +1096,7 @@ def split_leakage_check(d: DataFrame) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    pairs = ngram_jaccard_pairs(d)
+    pairs = ngram_jaccard_pairs(d, ordered=False)
     assign = d.select("doc_id", split_expr().alias("split"))
     return _leakage_matrix(pairs, assign)
 
@@ -1210,7 +1210,9 @@ def _split_by_cluster_sql() -> str:
     """
 
 
-def split_by_cluster(d: DataFrame) -> DataFrame:
+def split_by_cluster(
+    d: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup-cluster-aware split assignment — the fix for what
     :func:`split_leakage_check` measures: connected components of the
     Jaccard near-dup graph give every document a cluster representative,
@@ -1218,7 +1220,9 @@ def split_by_cluster(d: DataFrame) -> DataFrame:
     near-dup cluster lands in the same split by construction (isolated
     docs hash their own id — identical to the per-document split).
 
-    Scale shape: the pair relation is the df-capped posting-list join;
+    Scale shape: the pair relation is the df-capped posting-list join
+    (callers that already hold it pass it via ``pairs`` so the
+    corpus-scale shingle pipeline runs once — r14, guide §2.4);
     components run the bounded-round star-contraction
     (dedup.connected_components, per-round localCheckpoint); assignment
     is a scan-stage projection over (doc, rep)."""
@@ -1227,7 +1231,9 @@ def split_by_cluster(d: DataFrame) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    pairs = ngram_jaccard_pairs(d).select(
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(d, ordered=False)
+    pairs = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     nodes = d.select(F.col("doc_id").alias("node"))
@@ -1243,12 +1249,19 @@ def split_by_cluster_check(d: DataFrame) -> DataFrame:
     near-dup pair is within-cluster, every cluster is within-split, so
     all off-diagonal cells are ZERO — the structural guarantee the
     driver hash pins (contrast with split_leakage_check's non-zero
-    off-diagonals on the same corpus)."""
+    off-diagonals on the same corpus).
+
+    r14 (guide §2.4): the pair relation feeds BOTH the component
+    clustering and the matrix — pinned once instead of running the
+    corpus-scale shingle pipeline twice (measured ~2x on this row)."""
     from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
 
-    return _leakage_matrix(ngram_jaccard_pairs(d), split_by_cluster(d))
+    pairs = ngram_jaccard_pairs(d, ordered=False).localCheckpoint(
+        eager=False
+    )
+    return _leakage_matrix(pairs, split_by_cluster(d, pairs=pairs))
 
 
 @register("split_by_cluster_check", _split_by_cluster_sql())

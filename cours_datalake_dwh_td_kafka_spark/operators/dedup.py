@@ -27,6 +27,7 @@ candidate generator caps per-shingle postings via a frequency filter
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -192,8 +193,18 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    ordered: bool = True,
+) -> DataFrame:
     """Candidate pairs from capped posting lists, verified by exact Jaccard.
+
+    ``ordered=False`` skips the output sort — for consumers that pin the
+    pair relation with ``localCheckpoint`` or feed it into iterative
+    kernels (a checkpoint MATERIALIZES the sort; the optimizer's
+    EliminateSorts only saves lazy aggregate/join consumers — r14,
+    guide §2.4).
 
     Plan shape: codegen explode-first shingle rows (``distinct=False`` —
     no (doc, shingle) dedup shuffle; duplicates collapse inside the
@@ -221,12 +232,12 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> D
     """
     joined = _shared_shingle_counts(d)
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return (
+    pairs = (
         joined.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    return pairs.orderBy("doc_a", "doc_b") if ordered else pairs
 
 
 def _shared_shingle_counts(d: DataFrame) -> DataFrame:
@@ -303,17 +314,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
-def minhash_signature(d: DataFrame) -> DataFrame:
+def minhash_signature(d: DataFrame, ordered: bool = True) -> DataFrame:
     """k=8 min-hashes per doc, as columns h0..h7 (no arrays so the oracle
     hash compare stays scalar). Duplicate shingles are harmless under MIN,
-    so the distinct shuffle is skipped."""
+    so the distinct shuffle is skipped.
+
+    ``ordered=False`` skips the output sort — for consumers that pin
+    the signature with ``localCheckpoint`` (a checkpoint MATERIALIZES
+    the sort; the optimizer's EliminateSorts only saves lazy consumers
+    — r14, guide §2.4)."""
     x = _HASH32_SPARK(F.col("shingle")) % MINHASH_P
     exploded = shingle_rows(d, distinct=False).withColumn("x", x)
     aggs = [
         F.min((F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    sig = exploded.groupBy("doc_id").agg(*aggs)
+    return sig.orderBy("doc_id") if ordered else sig
 
 
 def minhash_sig_cols_sql() -> str:
@@ -968,6 +985,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 CC_MAX_ITER = 15
 
+#: broadcast gate for connected_components' per-round O(nodes) label
+#: vector — 5M (node, label) long-pairs is ~80 MB framed, comfortably
+#: inside the broadcast caps; above it every round falls back to the
+#: original shuffle join. Env-overridable for cluster profiles
+#: (the graph.py GRAPH_BC_MAX_NODES rule).
+CC_BC_MAX_NODES = int(
+    os.environ.get("SPARK_GRAFT_CC_BC_MAX_NODES", "5000000")
+)
+
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = CC_MAX_ITER
@@ -1013,13 +1039,26 @@ def connected_components(
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
         eager=True
     )
+    # r14 (guide §3.1, the graph.py pagerank/components recipe): the
+    # per-round label/min vectors are O(nodes). Below the gate they are
+    # hint-broadcast so BOTH round joins are map-side — measured on the
+    # static plan (plans/r14/cc_round_join_*.txt): the step join was a
+    # SortMergeJoin LeftOuter (per-round sort+exchange of the label
+    # vector) and becomes BroadcastHashJoin; the edge join's broadcast
+    # stops depending on the planner's LogicalRDD size estimate. Above
+    # the gate the original shuffle path runs unchanged. Values
+    # identical either way.
+    small = labels.count() <= CC_BC_MAX_NODES
     converged = False
     for _ in range(max_iter):
+        lab_b = F.broadcast(labels) if small else labels
         neigh_min = (
-            sym.join(labels, sym["b"] == labels["node"])
+            sym.join(lab_b, sym["b"] == lab_b["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
+        if small:
+            neigh_min = F.broadcast(neigh_min)
         new_label = F.least(
             F.col("label"), F.coalesce("nlabel", F.col("label"))
         )
@@ -1445,12 +1484,23 @@ def dedup_keep_best(d: DataFrame) -> DataFrame:
         quality_scores,
     )
 
-    pairs = ngram_jaccard_pairs(d).select(
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
+    pairs = ngram_jaccard_pairs(d, ordered=False).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     nodes = d.select(F.col("doc_id").alias("node"))
-    cc = connected_components(nodes, pairs)
-    q = quality_scores(d, ordered=False).select("doc_id", "quality_score")
+    # the component rounds (pair join + label propagation) and the
+    # quality corpus scan are independent pipelines over d — overlap
+    # them (r14, guide §2.6); each thunk owns its whole subtree
+    cc, q = parallel_vals(
+        lambda: connected_components(nodes, pairs),
+        lambda: quality_scores(d, ordered=False)
+        .select("doc_id", "quality_score")
+        .localCheckpoint(eager=True),
+    )
     joined = cc.join(q, cc.node == q.doc_id)
     w = Window.partitionBy("cluster_rep")
     wr = Window.partitionBy("cluster_rep").orderBy(
@@ -1501,7 +1551,9 @@ _PREFIX_JACCARD_SQL = f"""
 
 
 def jaccard_prefix_pairs(
-    d: DataFrame, threshold: float = JACCARD_THRESHOLD
+    d: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    ordered: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard >= threshold pairs via PREFIX FILTERING (the
     SSJoin/PPJoin recipe — Chaudhuri et al. ICDE'06, Bayardo et al.
@@ -1572,13 +1624,13 @@ def jaccard_prefix_pairs(
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
-    return (
+    verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(jac >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
+    return verified.orderBy("doc_a", "doc_b") if ordered else verified
 
 
 @register("dedup_jaccard_prefix", _PREFIX_JACCARD_SQL)
@@ -1623,7 +1675,7 @@ def source_overlap_matrix(
     (exact and complete — the rollup inherits its proof), the source
     lookup is two broadcast-able (doc_id, source) joins, and the final
     aggregate is sources^2-bounded."""
-    pairs = jaccard_prefix_pairs(d, threshold)
+    pairs = jaccard_prefix_pairs(d, threshold, ordered=False)
     src = d.select("doc_id", "source")
     sa = src.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("s_a")
@@ -1736,18 +1788,27 @@ def lsh_bands_curve(
     Scale shape: ONE signature build (pinned — every level reads it),
     per-level band-key equi-joins bounded above by the production
     join, truth from the prefix-filter exact pass (pinned), verdicts
-    are integer anti-join/semi-join counts."""
-    sig = minhash_signature(d).localCheckpoint(eager=False)
-    truth = (
-        jaccard_prefix_pairs(d)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+    are integer anti-join/semi-join counts.
+
+    Execution shape (r14, guide §2.6): every level's candidate set
+    depends ONLY on the pinned signature — the level chain exists in
+    the VERDICTS (superset/monotone vs the previous level), not the
+    candidate computation. So wave 1 materializes the truth pass and
+    every level's candidate set as overlapped jobs (the signature is
+    pinned EAGERLY first — it is the one frame every thunk shares);
+    wave 2 runs all 2·levels-1 verdict counts, each read-only over
+    pinned frames, as one overlapped pool. Identical counts, identical
+    booleans — the sequential form's jobs, re-scheduled."""
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
+    sig = minhash_signature(d, ordered=False).localCheckpoint(
+        eager=True
     )
     spark = d.sparkSession
-    rows = []
-    prev_cand = None
-    prev_hits = -1
-    for r in rs:
+
+    def _cand(r: int) -> DataFrame:
         n_bands = N_HASHES // r
         keys = F.array(
             *[
@@ -1763,7 +1824,7 @@ def lsh_bands_curve(
             ]
         )
         bands = sig.select("doc_id", F.explode(keys).alias("band_key"))
-        cand = (
+        return (
             bands.alias("a")
             .join(bands.alias("b"), "band_key")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1772,16 +1833,40 @@ def lsh_bands_curve(
                 F.col("b.doc_id").alias("doc_b"),
             )
             .distinct()
-            .localCheckpoint(eager=False)  # superset check + hits + next
+            .localCheckpoint(eager=True)
         )
-        superset_ok = (
-            prev_cand is None
-            or prev_cand.join(cand, ["doc_a", "doc_b"], "left_anti").count()
-            == 0
+
+    truth, *cands = parallel_vals(
+        lambda: jaccard_prefix_pairs(d, ordered=False)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True),
+        *[lambda r=r: _cand(r) for r in rs],
+    )
+    checks = parallel_vals(
+        *[
+            lambda i=i: cands[i - 1]
+            .join(cands[i], ["doc_a", "doc_b"], "left_anti")
+            .count()
+            for i in range(1, len(rs))
+        ],
+        *[
+            lambda i=i: truth.join(
+                cands[i], ["doc_a", "doc_b"], "leftsemi"
+            ).count()
+            for i in range(len(rs))
+        ],
+    )
+    missing = [0] + checks[: len(rs) - 1]
+    hits = checks[len(rs) - 1 :]
+    rows = [
+        (
+            int(r),
+            int(N_HASHES // r),
+            missing[i] == 0,
+            hits[i] >= (hits[i - 1] if i else -1),
         )
-        hits = truth.join(cand, ["doc_a", "doc_b"], "leftsemi").count()
-        rows.append((int(r), int(n_bands), superset_ok, hits >= prev_hits))
-        prev_cand, prev_hits = cand, hits
+        for i, r in enumerate(rs)
+    ]
     return spark.createDataFrame(
         rows,
         "rows_per_band BIGINT, n_bands BIGINT, superset_ok BOOLEAN, "

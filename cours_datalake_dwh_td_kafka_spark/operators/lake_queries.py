@@ -261,18 +261,26 @@ def lake_cluster_protocol(
 
     lake_commit(o.repartition(CLUSTER_FILES), path)  # v1: hash layout
     v1 = lake_read(spark, path, 1)
-    n_rows = v1.count()
-    key_sum = v1.agg(F.sum("o_orderkey").cast("long").alias("s")).first().s
+    # two independent read-only actions over the settled v1 (r14,
+    # guide §2.6)
+    n_rows, key_sum = parallel_vals(
+        lambda: v1.count(),
+        lambda: v1.agg(
+            F.sum("o_orderkey").cast("long").alias("s")
+        ).first().s,
+    )
     hit_v1, total_v1 = pruned_files(
         path, "o_custkey", PRUNE_LO, PRUNE_HI, version=1
     )
     lake_cluster_by(spark, path, "o_custkey", n_files=CLUSTER_FILES)  # v2
     v2 = lake_read(spark, path, 2)
-    rows_identical = (
-        v2.count() == n_rows
-        and v2.agg(F.sum("o_orderkey").cast("long").alias("s")).first().s
-        == key_sum
+    n_v2, key_sum_v2 = parallel_vals(
+        lambda: v2.count(),
+        lambda: v2.agg(
+            F.sum("o_orderkey").cast("long").alias("s")
+        ).first().s,
     )
+    rows_identical = n_v2 == n_rows and key_sum_v2 == key_sum
     from cours_datalake_dwh_td_kafka_spark.lake import _read_manifest
 
     stats = _read_manifest(path, 2)["stats"]
@@ -292,12 +300,18 @@ def lake_cluster_protocol(
         and len(hit_v2) < len(hit_v1)
         and len(hit_v2) < total_v2
     )
-    pruned = lake_read_pruned(spark, path, "o_custkey", PRUNE_LO, PRUNE_HI)
-    n_probe = v2.where(
-        F.col("o_custkey").between(PRUNE_LO, PRUNE_HI)
-    ).count()
-    pruned_equals_full = pruned.count() == n_probe
-    time_travel_ok = lake_read(spark, path, 1).count() == n_rows
+    # three independent read-only probes — one overlapped pool
+    n_pruned, n_probe, n_v1_after = parallel_vals(
+        lambda: lake_read_pruned(
+            spark, path, "o_custkey", PRUNE_LO, PRUNE_HI
+        ).count(),
+        lambda: v2.where(
+            F.col("o_custkey").between(PRUNE_LO, PRUNE_HI)
+        ).count(),
+        lambda: lake_read(spark, path, 1).count(),
+    )
+    pruned_equals_full = n_pruned == n_probe
+    time_travel_ok = n_v1_after == n_rows
     return spark.createDataFrame(
         [
             (
@@ -385,8 +399,14 @@ def lake_zorder_protocol(
 
     lake_commit(o.repartition(CLUSTER_FILES), path)  # v1: hash layout
     v1 = lake_read(spark, path, 1)
-    n_rows = v1.count()
-    key_sum = v1.agg(F.sum("o_orderkey").cast("long").alias("s")).first().s
+    # two independent read-only actions over the settled v1 (r14,
+    # guide §2.6)
+    n_rows, key_sum = parallel_vals(
+        lambda: v1.count(),
+        lambda: v1.agg(
+            F.sum("o_orderkey").cast("long").alias("s")
+        ).first().s,
+    )
     lake_cluster_by(  # v2: 1-D, with second-column stats recorded
         spark,
         path,
@@ -413,21 +433,35 @@ def lake_zorder_protocol(
         path, "o_orderdate", DATE_LO, DATE_HI, version=3
     )
     v3 = lake_read(spark, path, 3)
-    n_probe_cust = v3.where(
-        F.col("o_custkey").between(PRUNE_LO, PRUNE_HI)
-    ).count()
-    n_probe_date = v3.where(
-        F.col("o_orderdate").between(DATE_LO, DATE_HI)
-    ).count()
-    reads_exact = (
-        lake_read_pruned(
+    # six independent read-only probes over the settled v3 layout —
+    # one overlapped pool (r14, guide §2.6)
+    (
+        n_probe_cust,
+        n_probe_date,
+        n_pruned_cust,
+        n_pruned_date,
+        n_v3,
+        key_sum_v3,
+    ) = parallel_vals(
+        lambda: v3.where(
+            F.col("o_custkey").between(PRUNE_LO, PRUNE_HI)
+        ).count(),
+        lambda: v3.where(
+            F.col("o_orderdate").between(DATE_LO, DATE_HI)
+        ).count(),
+        lambda: lake_read_pruned(
             spark, path, "o_custkey", PRUNE_LO, PRUNE_HI, 3
-        ).count()
-        == n_probe_cust
-        and lake_read_pruned(
+        ).count(),
+        lambda: lake_read_pruned(
             spark, path, "o_orderdate", DATE_LO, DATE_HI, 3
-        ).count()
-        == n_probe_date
+        ).count(),
+        lambda: v3.count(),
+        lambda: v3.agg(
+            F.sum("o_orderkey").cast("long").alias("s")
+        ).first().s,
+    )
+    reads_exact = (
+        n_pruned_cust == n_probe_cust and n_pruned_date == n_probe_date
     )
     return spark.createDataFrame(
         [
@@ -442,11 +476,8 @@ def lake_zorder_protocol(
                 len(hit_date_z) < tot_z,
                 bool(
                     reads_exact
-                    and v3.count() == n_rows
-                    and v3.agg(
-                        F.sum("o_orderkey").cast("long").alias("s")
-                    ).first().s
-                    == key_sum
+                    and n_v3 == n_rows
+                    and key_sum_v3 == key_sum
                 ),
             )
         ],

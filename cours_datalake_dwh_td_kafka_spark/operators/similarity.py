@@ -1502,27 +1502,39 @@ def ivf_nprobe_curve(e: DataFrame, probes: tuple = NPROBE_CURVE) -> DataFrame:
     integer hit counts through scalar aggregates — no window, no
     driver math beyond the bounded query/centroid collects each pass
     already does."""
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
+    # the curve points depend only on the pinned truth (the chain lives
+    # in the VERDICTS, not the passes): pin the brute-force truth
+    # EAGERLY once, then run every probe level's hit count — each its
+    # own read-only job — as one overlapped pool (r14, guide §2.6).
+    # Identical counts, identical booleans.
     truth = (
         ann_topk_bruteforce(e)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    n_truth = truth.count()
     spark = e.sparkSession
-    rows = []
-    prev_hits = -1
-    for nprobe in probes:
-        got = ivf_topk(e, nprobe=nprobe).select("query_id", "neighbor_id")
-        hits = got.join(truth, ["query_id", "neighbor_id"]).count()
-        full = nprobe >= N_CELLS
-        rows.append(
-            (
-                int(nprobe),
-                hits >= prev_hits,
-                (not full) or hits == n_truth,
-            )
+    n_truth, *hit_counts = parallel_vals(
+        lambda: truth.count(),
+        *[
+            lambda p=p: ivf_topk(e, nprobe=p)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+            for p in probes
+        ],
+    )
+    rows = [
+        (
+            int(nprobe),
+            hit_counts[i] >= (hit_counts[i - 1] if i else -1),
+            (nprobe < N_CELLS) or hit_counts[i] == n_truth,
         )
-        prev_hits = hits
+        for i, nprobe in enumerate(probes)
+    ]
     return spark.createDataFrame(
         rows, "nprobe BIGINT, monotone_ok BOOLEAN, full_probe_exact BOOLEAN"
     ).orderBy("nprobe")

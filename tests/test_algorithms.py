@@ -2089,3 +2089,66 @@ def test_corpus_drift_ks_adaptive_sees_within_bucket_shift(spark):
     assert withnull[-1].bin == len(KSA_PS) + 1
     assert withnull[-1].cdf_ref == 1.0 and withnull[-1].cdf_cur == 1.0
     assert withnull[-1].cur_cnt == 200 and withnull[-1].ref_cnt == 0
+
+
+# ---------------------------------------------------------------------------
+# round-14 optimization pins: unsorted kernel variants and the CC
+# broadcast gate are value-identical to the original forms
+# ---------------------------------------------------------------------------
+def test_unsorted_kernels_match_sorted_as_multisets(spark):
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import multiset_eq
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    for fn in (ngram_jaccard_pairs, minhash_signature, jaccard_prefix_pairs):
+        assert multiset_eq(fn(d), fn(d, ordered=False)), fn.__name__
+
+
+def test_connected_components_broadcast_gate_value_identical(spark, monkeypatch):
+    """Below/above CC_BC_MAX_NODES must be the same labels — the gate
+    only changes join strategy (plans/r14/cc_round_join_*.txt)."""
+    from cours_datalake_dwh_td_kafka_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 20, 21, 22, 23, 99)], "node long"
+    )
+    want = {
+        (r.node, r.cluster_rep)
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    monkeypatch.setattr(dedup, "CC_BC_MAX_NODES", 0)  # force shuffle path
+    got = {
+        (r.node, r.cluster_rep)
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert want == got
+    assert want == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20), (99, 99),
+    }
+
+
+def test_split_by_cluster_accepts_precomputed_pairs(spark):
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import multiset_eq
+    from cours_datalake_dwh_td_kafka_spark.operators.curation import (
+        split_by_cluster,
+    )
+    from cours_datalake_dwh_td_kafka_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    pre = ngram_jaccard_pairs(d, ordered=False).localCheckpoint(eager=False)
+    assert multiset_eq(split_by_cluster(d), split_by_cluster(d, pairs=pre))

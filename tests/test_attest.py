@@ -43,3 +43,50 @@ def test_multiset_eq_survives_tag_named_columns(spark):
     assert multiset_eq(a, b)
     c = spark.createDataFrame([(1, 10), (2, 99)], "_t int, _s int")
     assert not multiset_eq(a, c)
+
+# ---------------------------------------------------------------------------
+# parallel_vals (round 14): driver-side overlap of independent actions —
+# results must be bit-identical to the sequential form, in submission
+# order, with failures as loud as the sequential form.
+# ---------------------------------------------------------------------------
+import pytest
+
+from cours_datalake_dwh_td_kafka_spark.operators.attest import parallel_vals
+
+
+def test_parallel_vals_order_and_values(spark):
+    df = spark.range(100)
+    got = parallel_vals(
+        lambda: df.count(),
+        lambda: df.where("id % 2 = 0").count(),
+        lambda: "tag",
+        lambda: df.agg({"id": "sum"}).first()[0],
+    )
+    assert got == [100, 50, "tag", 4950]
+
+
+def test_parallel_vals_single_thunk_short_circuit(spark):
+    # one thunk must not spin up a pool (and still return a list)
+    assert parallel_vals(lambda: 7) == [7]
+
+
+def test_parallel_vals_exception_propagates(spark):
+    def boom():
+        raise ValueError("attestation failed")
+
+    with pytest.raises(ValueError, match="attestation failed"):
+        parallel_vals(lambda: 1, boom, lambda: 2)
+
+
+def test_parallel_vals_matches_sequential_on_spark_jobs(spark):
+    """The pooled results equal the same thunks run sequentially —
+    overlap may reorder EXECUTION, never values."""
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    thunks = [
+        lambda: df.groupBy("k").count().count(),
+        lambda: df.where("k = 3").count(),
+        lambda: df.selectExpr("sum(id)").first()[0],
+        lambda: df.distinct().count(),
+        lambda: df.where("k in (1, 2)").count(),
+    ]
+    assert parallel_vals(*thunks) == [t() for t in thunks]
