@@ -294,13 +294,21 @@ def q_session_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(late & (F.col("event_id") % 4 == 2)), ev_path, mode="append"
     )
 
-    n_touched = (
-        lake_changes_since(spark, ev_path, v_boot)
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
+    # the touched-user count is read-only over the event lake; the
+    # daemon fold reads the event lake and writes ONLY the sessions
+    # store — independent, overlapped (r14, guide §2.6). The replay
+    # probe stays AFTER the fold (it checks the fold's mark).
+    n_touched, folded = parallel_vals(
+        lambda: lake_changes_since(spark, ev_path, v_boot)
         .select("user_id")
         .distinct()
-        .count()
+        .count(),
+        lambda: maintain_sessions_from_cdc(spark, ev_path, sess_path),
     )
-    folded = maintain_sessions_from_cdc(spark, ev_path, sess_path)
     fold_ok = (
         folded == [v_boot + 1, v_boot + 2]
         and maintain_sessions_from_cdc(spark, ev_path, sess_path) == []

@@ -10,7 +10,8 @@ two versioned-lake tables under one root:
   (term, doc) pair; positions ride along as a compact array so ONE
   artifact serves both the bag-of-words scorer (tf = size) and the
   adjacency operator (explode positions for the phrase chain).
-  Clustered by ``term`` after the build (lake_cluster_by), so a query
+  Clustered by ``term`` at the build commit (range-partition +
+  per-file stats; lake_cluster_by remains the RE-cluster rung), so a query
   term's postings resolve to O(matching files) via manifest min/max
   pruning — the read-side shape of a Lucene term dictionary, expressed
   at the manifest layer.
@@ -40,7 +41,6 @@ from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
 from cours_datalake_dwh_td_kafka_spark.lake import (
-    lake_cluster_by,
     lake_commit,
     lake_delete_keys,
     lake_read,
@@ -146,16 +146,42 @@ def build_text_index(
     spark: SparkSession, d: DataFrame, path: str, n_files: int = 8
 ) -> None:
     """Tokenize ``d`` ONCE and commit the postings + doclens + term
-    stats tables, then cluster the postings and term stats by term so
-    a query term's read opens O(matching files). The one-time build is
-    the only full-corpus text pass the retrieval surface ever makes."""
+    stats tables, the postings and term stats CLUSTERED by term so a
+    query term's read opens O(matching files). The one-time build is
+    the only full-corpus text pass the retrieval surface ever makes.
+
+    r14 (guide §2.4/§6): the build used to commit unclustered and then
+    ``lake_cluster_by`` both term-keyed stores — writing the whole
+    postings table twice and reading it back in between. The initial
+    commit now range-partitions by term and records per-file [min, max]
+    term stats via ``lake_commit(stats_cols=...)`` (the r14
+    stats-on-append hook), which IS the 1-D clustered layout: disjoint
+    per-file ranges, manifest-as-term-dictionary, identical pruned
+    reads — one write instead of write + clustered rewrite. The three
+    commits land on DISJOINT stores from the two pinned slice frames,
+    so they overlap (guide §2.6); the pins materialize first, in
+    parallel, because the tstats commit reads both."""
     p, dl, ts = _slice_frames(d)
-    lake_commit(p, _postings_path(path))
-    lake_commit(dl, _doclens_path(path))
-    lake_commit(ts, _tstats_path(path))
-    lake_cluster_by(spark, _postings_path(path), "term", n_files=n_files)
-    lake_cluster_by(
-        spark, _tstats_path(path), "term", n_files=max(2, n_files // 2)
+    # materialize the shared lazy checkpoints BEFORE the pooled commits
+    # (two threads racing a lazy checkpoint's first action can compute
+    # it twice — attest.parallel_vals contract)
+    parallel_vals(lambda: p.count(), lambda: dl.count())
+    parallel_vals(
+        lambda: lake_commit(
+            p.repartitionByRange(n_files, "term").sortWithinPartitions(
+                "term"
+            ),
+            _postings_path(path),
+            stats_cols=("term",),
+        ),
+        lambda: lake_commit(dl, _doclens_path(path)),
+        lambda: lake_commit(
+            ts.repartitionByRange(
+                max(2, n_files // 2), "term"
+            ).sortWithinPartitions("term"),
+            _tstats_path(path),
+            stats_cols=("term",),
+        ),
     )
 
 
@@ -166,11 +192,16 @@ def append_text_index(spark: SparkSession, d: DataFrame, path: str) -> None:
     advisor's reindex rung), which is correctness-free debt: over-scan
     only, never a miss. Term stats stay exact under appends because
     every doc lands in exactly one slice and df/max_tf/min_dl compose
-    associatively across slices."""
+    associatively across slices. The three appends land on DISJOINT
+    stores from the two pinned slice frames — overlapped (r14,
+    guide §2.6), pins materialized first."""
     p, dl, ts = _slice_frames(d)
-    lake_commit(p, _postings_path(path), mode="append")
-    lake_commit(dl, _doclens_path(path), mode="append")
-    lake_commit(ts, _tstats_path(path), mode="append")
+    parallel_vals(lambda: p.count(), lambda: dl.count())
+    parallel_vals(
+        lambda: lake_commit(p, _postings_path(path), mode="append"),
+        lambda: lake_commit(dl, _doclens_path(path), mode="append"),
+        lambda: lake_commit(ts, _tstats_path(path), mode="append"),
+    )
 
 
 def erase_from_text_index(
@@ -635,12 +666,17 @@ def bm25_maxscore_query(
     result = _score_and_rank(
         tf_cand, lens, df_frame, stats, k1, b, top_n
     )
+    # the two posting-row measurements are independent read-only counts
+    # over pinned frames — overlapped (r14, guide §2.6)
+    cand_rows, all_rows = parallel_vals(
+        lambda: tf_cand.count(), lambda: tf_all.count()
+    )
     meas = {
         "n_query_terms": len(ubs),
         "n_essential_terms": len(essential),
         "theta": theta,
-        "candidate_posting_rows": tf_cand.count(),
-        "exhaustive_posting_rows": tf_all.count(),
+        "candidate_posting_rows": cand_rows,
+        "exhaustive_posting_rows": all_rows,
     }
     return result, meas
 
