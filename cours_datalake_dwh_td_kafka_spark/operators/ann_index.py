@@ -3057,17 +3057,6 @@ def ann_index_delete_lifecycle(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    # EAGER: served/truth_rem feed several pooled checks (truth_rem
-    # also the post-compaction one) — materialize once, race-free
-    served, truth_rem = parallel_vals(
-        lambda: ivf_query_index(spark, path, q, nprobe=N_CELLS)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True),
-        lambda: ann_topk_bruteforce(e.where(~del_pred))
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True),
-    )
-
     def _snapshot_check() -> bool:
         snap = ivf_query_index(
             spark, path, q, nprobe=N_CELLS, version=pinned
@@ -3077,9 +3066,24 @@ def ann_index_delete_lifecycle(
         )
         return multiset_eq(snap, truth_all)
 
-    # each equality is one signed-tag action (VERDICT r13 #4); the
-    # three read-only checks overlap
-    excludes, exact_after, snapshot_ok = parallel_vals(
+    # EAGER: served/truth_rem feed several pooled checks (truth_rem
+    # also the post-compaction one) — materialize once, race-free.
+    # The snapshot check rides the SAME wave: it reads only the
+    # immutable pinned version + its own brute-force subtree, so its
+    # heavy leg overlaps the pins instead of waiting on them (r14,
+    # guide §2.6)
+    served, truth_rem, snapshot_ok = parallel_vals(
+        lambda: ivf_query_index(spark, path, q, nprobe=N_CELLS)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True),
+        lambda: ann_topk_bruteforce(e.where(~del_pred))
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True),
+        _snapshot_check,
+    )
+
+    # each equality is one signed-tag action (VERDICT r13 #4)
+    excludes, exact_after = parallel_vals(
         lambda: served.join(
             deleted.withColumnRenamed("vec_id", "neighbor_id"),
             "neighbor_id",
@@ -3087,7 +3091,6 @@ def ann_index_delete_lifecycle(
         ).count()
         == 0,
         lambda: multiset_eq(served, truth_rem),
-        _snapshot_check,
     )
     compact_ivf_index(spark, path)
     cur = _current_version_dir(path)

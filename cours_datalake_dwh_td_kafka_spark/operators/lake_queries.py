@@ -92,14 +92,16 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
     lake_compact(spark, path, target_files=1)  # v2
     compact_ok = lake_read(spark, path, 2).count() == n_docs
     lake_delete_where(spark, path, "lang = 'en'")  # v3: CoW delete
-    changes = {
-        r["_change"]: r["n"]
-        for r in lake_diff(spark, path, 2, 3)
+    # two independent read-only actions over the settled v3 (r14,
+    # guide §2.6)
+    changes_rows, n3 = parallel_vals(
+        lambda: lake_diff(spark, path, 2, 3)
         .groupBy("_change")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    n3 = lake_read(spark, path, 3).count()
+        .collect(),
+        lambda: lake_read(spark, path, 3).count(),
+    )
+    changes = {r["_change"]: r["n"] for r in changes_rows}
     # v4: add-column append — a deterministic slice re-lands with a
     # quality score the original schema never had
     extra = d.where(F.col("doc_id") % 100 == 0).withColumn(
@@ -108,12 +110,17 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
     n_extra = extra.count()
     lake_commit(extra, path)  # v4: schema-evolving append
     v4 = lake_read(spark, path, 4)
-    n4 = v4.count()
     v1_after = lake_read(spark, path, 1)
+    # two read-only counts over the settled v4 (columns checks are
+    # metadata-only) — pooled
+    n4, n_quality = parallel_vals(
+        lambda: v4.count(),
+        lambda: v4.where(F.col("quality").isNotNull()).count(),
+    )
     evolved_ok = (
         v4.columns == orig_cols + ["quality"]
         and n4 == n3 + n_extra
-        and v4.where(F.col("quality").isNotNull()).count() == n_extra
+        and n_quality == n_extra
         and v1_after.columns == orig_cols
     )
     # v5: batch MERGE — re-land a deterministic slice with a corrected
@@ -121,26 +128,35 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
     upd = d.where(F.col("doc_id") % 100 == 50).withColumn(
         "quality", F.lit(0.9)
     )
-    n_upd = upd.count()
-    n_matched = v4.join(
-        upd.select("doc_id").distinct(), "doc_id", "leftsemi"
-    ).count()
+    n_upd, n_matched = parallel_vals(
+        lambda: upd.count(),
+        lambda: v4.join(
+            upd.select("doc_id").distinct(), "doc_id", "leftsemi"
+        ).count(),
+    )
     lake_merge_upsert(spark, path, upd, "doc_id")  # v5
     v5 = lake_read(spark, path, 5)
     merged_slice = v5.where(F.col("doc_id") % 100 == 50)
-    merge_ok = (
-        v5.count() == n4 - n_matched + n_upd
-        and merged_slice.count() == n_upd
+    # four read-only actions over the settled v5/v4 — one pool
+    n5, n_slice, n_bad_quality, n_premerge = parallel_vals(
+        lambda: v5.count(),
+        lambda: merged_slice.count(),
         # null-safe: a NULL quality must FAIL the check, not slip past a
         # NULL-blind != (the attestation would otherwise stay TRUE on a
         # column-alignment regression landing NULLs)
-        and merged_slice.where(~F.col("quality").eqNullSafe(0.9)).count()
-        == 0
+        lambda: merged_slice.where(
+            ~F.col("quality").eqNullSafe(0.9)
+        ).count(),
         # pre-merge snapshot untouched: v4's slice still has NULL quality
-        and v4.where(
+        lambda: v4.where(
             (F.col("doc_id") % 100 == 50) & F.col("quality").isNotNull()
-        ).count()
-        == 0
+        ).count(),
+    )
+    merge_ok = (
+        n5 == n4 - n_matched + n_upd
+        and n_slice == n_upd
+        and n_bad_quality == 0
+        and n_premerge == 0
     )
     # v6: STREAMED append through the versioned-commit sink (round 10)
     from cours_datalake_dwh_td_kafka_spark.lake import last_stream_batch_id
@@ -159,20 +175,24 @@ def lake_lifecycle(spark: SparkSession, d: DataFrame, path: str) -> DataFrame:
     ).start()
     q.awaitTermination(120)
     v6 = lake_read(spark, path, 6)
-    stream_changes = {
-        r["_change"]: r["n"]
-        for r in lake_diff(spark, path, 5, 6)
+    # three read-only actions over the settled v6/v1 — one pool (v5's
+    # count was already taken above)
+    n6, sc_rows, n_v1_final = parallel_vals(
+        lambda: v6.count(),
+        lambda: lake_diff(spark, path, 5, 6)
         .groupBy("_change")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+        .collect(),
+        lambda: v1_after.count(),
+    )
+    stream_changes = {r["_change"]: r["n"] for r in sc_rows}
     streamed_ok = (
-        v6.count() == v5.count() + n_streamed
+        n6 == n5 + n_streamed
         and stream_changes.get("insert", 0) == n_streamed
         and stream_changes.get("delete", 0) == 0
         and last_stream_batch_id(path) == 0  # the replay guard's marker
     )
-    travel_ok = v1_after.count() == n_docs
+    travel_ok = n_v1_final == n_docs
     ops = ">".join(h["op"] for h in lake_history(path))
     return spark.createDataFrame(
         [
