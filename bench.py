@@ -44,6 +44,12 @@ def main() -> None:
         app_name="bench",
         extra_conf={"spark.cleaner.periodicGC.interval": "30min"},
     )
+    # The driver keeps only a bounded stdout TAIL; Spark WARN chatter
+    # (OnlineLDAOptimizer, BlockManager...) evicted most per-query JSON
+    # lines from BENCH_r14's tail, leaving the round-over-round comparator
+    # with 20 of 277 queries (VERDICT r14 #1). Silence everything below
+    # ERROR so the tail holds data; logging level changes nothing timed.
+    spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
     if only:
@@ -107,6 +113,30 @@ def main() -> None:
         }
     )
     print(headline, flush=True)
+    # Full per-query record as a FILE artifact (VERDICT r14 #1): stdout
+    # tails are bounded, files are not. Additions-only — the stdout
+    # contract (per-query lines + headline JSON) is unchanged.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_QUERIES_JSON",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                    "repeats": max(1, N_REPEATS),
+                    "total_sec": total,
+                    "queries": {n: round(s, 3) for n, s in sorted(timings.items())},
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 
