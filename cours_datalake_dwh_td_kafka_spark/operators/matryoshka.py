@@ -44,7 +44,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cours_datalake_dwh_td_kafka_spark.io import load_table
-from cours_datalake_dwh_td_kafka_spark.operators.dedup import cosine_sim
 from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
@@ -71,80 +70,101 @@ def _weighted(emb: Column) -> Column:
     return F.zip_with(emb, w, lambda x, wi: x * wi)
 
 
-def _topk_at_dim(
-    e: DataFrame,
-    dim: int,
-    top_k: int,
-    n_queries: int,
-    weighted: bool = False,
-) -> DataFrame:
-    """Brute-force rounded-cosine top-k over the first ``dim`` dims —
-    the `ann_topk_lambda` plan with sliced (optionally decay-weighted)
-    vectors."""
-    emb = F.col("embedding").cast("array<double>")
-    if weighted:
-        emb = _weighted(emb)
-    emb = F.slice(emb, 1, dim)
-    corpus = e.select(F.col("vec_id").alias("neighbor_id"), emb.alias("n_emb"))
-    queries = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), emb.alias("q_emb")
-    )
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine", F.round(cosine_sim(F.col("q_emb"), F.col("n_emb")), 6)
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    return global_topk(scored, top_k)
+def _prefix_folds(products: Column, dims: tuple[int, ...]) -> dict[int, Column]:
+    """Sequential left-fold prefix sums of ``products`` at each width in
+    ``dims``, via continuation folds: the fold over elements d_prev+1..d
+    is seeded with the fold value at d_prev, so every prefix sum performs
+    the EXACT operation sequence of an independent left fold over
+    ``slice(products, 1, d)`` — bit-identical doubles, one logical pass
+    (guide §1: same result, fewer scans). FP addition is non-associative,
+    which is why segment sums must continue the running total rather than
+    be added post hoc."""
+    out: dict[int, Column] = {}
+    prev: Column = F.lit(0.0)
+    start = 1
+    for d in sorted(dims):
+        seg = F.slice(products, start, d - start + 1)
+        cur = F.aggregate(seg, prev, lambda acc, v: acc + v)
+        out[d] = cur
+        prev = cur
+        start = d + 1
+    return out
 
 
-def _cohort_recall(
+def _norm_cols(emb: Column, dims: tuple[int, ...], prefix: str) -> list[Column]:
+    """Per-row prefix norms sqrt(sum of squares of first d dims) — the
+    exact `vec_norm(slice(emb, 1, d))` doubles, computed once per VECTOR
+    instead of once per pair (dedup.cosine_sim's own guidance)."""
+    sq = F.transform(emb, lambda v: v * v)
+    folds = _prefix_folds(sq, dims)
+    return [F.sqrt(folds[d]).alias(f"{prefix}{d}") for d in dims]
+
+
+def _ranked_all(
     e: DataFrame,
     dims: tuple[int, ...],
     top_k: int,
     n_queries: int,
-    weighted: bool,
 ) -> DataFrame:
-    """Per-query recall@k of each prefix width against the full-width
-    top-k within ONE cohort."""
-    full_dim = max(dims)
-    truth = (
-        _topk_at_dim(e, full_dim, top_k, n_queries, weighted)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+    """ONE broadcast-queries corpus pass scoring BOTH cohorts at ALL
+    prefix widths (guide §1.2 step 1: 8 cross-join scans -> 1).
+
+    Per pair, the 64-element product array is folded once per cohort
+    with prefix checkpoints (`_prefix_folds`); norms are precomputed per
+    vector. Each cosine is `round(dot_d / (q_norm_d * n_norm_d), 6)` —
+    the same arithmetic `cosine_sim` over sliced arrays performs, so
+    every ranked row is bit-identical to the previous per-dim scans.
+    Output: (cohort, query_id, trunc_dim, neighbor_id, cosine, rn)."""
+    raw = F.col("embedding").cast("array<double>")
+    wtd = _weighted(raw)
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        raw.alias("n_raw"),
+        wtd.alias("n_wtd"),
+        *_norm_cols(raw, dims, "nr"),
+        *_norm_cols(wtd, dims, "nw"),
     )
-    per_dim = []
-    for d in dims:
-        cand = _topk_at_dim(e, d, top_k, n_queries, weighted).select(
-            "query_id", "neighbor_id", F.lit(d).cast("long").alias("trunc_dim")
+    queries = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        raw.alias("q_raw"),
+        wtd.alias("q_wtd"),
+        *_norm_cols(raw, dims, "qr"),
+        *_norm_cols(wtd, dims, "qw"),
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    fam = []
+    for cohort, q, n, qn, nn in (
+        ("raw", "q_raw", "n_raw", "qr", "nr"),
+        ("weighted", "q_wtd", "n_wtd", "qw", "nw"),
+    ):
+        dots = _prefix_folds(
+            F.zip_with(F.col(q), F.col(n), lambda x, y: x * y), dims
         )
-        per_dim.append(cand)
-    cands = per_dim[0]
-    for p in per_dim[1:]:
-        cands = cands.unionByName(p)
-    hits = (
-        cands.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id", "trunc_dim")
-        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
-    )
-    # a prefix whose top-k misses the truth ENTIRELY would drop out of
-    # the hits aggregate: rebuild the (query, dim) grid from the
-    # candidate side so recall 0.0 rows survive
-    grid = cands.select("query_id", "trunc_dim").distinct()
-    return (
-        grid.join(hits, ["query_id", "trunc_dim"], "left")
+        for d in dims:
+            fam.append(
+                F.struct(
+                    F.lit(cohort).alias("cohort"),
+                    F.lit(d).cast("long").alias("trunc_dim"),
+                    F.round(
+                        dots[d] / (F.col(f"{qn}{d}") * F.col(f"{nn}{d}")), 6
+                    ).alias("cosine"),
+                )
+            )
+    scored = (
+        pairs.select(
+            "query_id", "neighbor_id", F.explode(F.array(*fam)).alias("f")
+        )
         .select(
-            F.lit("weighted" if weighted else "raw").alias("cohort"),
             "query_id",
-            "trunc_dim",
-            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
-            F.round(
-                F.coalesce("hits", F.lit(0)) / F.lit(float(top_k)), 6
-            ).alias("recall"),
+            F.col("f.cohort").alias("cohort"),
+            F.col("f.trunc_dim").alias("trunc_dim"),
+            "neighbor_id",
+            F.col("f.cosine").alias("cosine"),
         )
     )
+    return global_topk(scored, top_k, by=("query_id", "cohort", "trunc_dim"))
 
 
 def matryoshka_recall(
@@ -157,10 +177,41 @@ def matryoshka_recall(
     that cohort's full-width top-k. Output: (cohort, query_id,
     trunc_dim, hits, recall) ordered by (cohort, trunc_dim desc,
     query_id)."""
-    raw = _cohort_recall(e, dims, top_k, n_queries, weighted=False)
-    wtd = _cohort_recall(e, dims, top_k, n_queries, weighted=True)
-    return raw.unionByName(wtd).orderBy(
-        "cohort", F.desc("trunc_dim"), F.asc("query_id")
+    full_dim = max(dims)
+    # ~ n_queries * |dims| * 2 * k rows; the lazy checkpoint pins the
+    # single expensive corpus pass so truth and candidates share it.
+    ranked = _ranked_all(e, dims, top_k, n_queries).localCheckpoint(
+        eager=False
+    )
+    cands = ranked.select("cohort", "query_id", "neighbor_id", "trunc_dim")
+    truth = ranked.where(F.col("trunc_dim") == full_dim).select(
+        "cohort", "query_id", "neighbor_id"
+    )
+    hits = (
+        cands.join(
+            F.broadcast(truth),
+            ["cohort", "query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("cohort", "query_id", "trunc_dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    # a prefix whose top-k misses the truth ENTIRELY would drop out of
+    # the hits aggregate: rebuild the (query, dim) grid from the
+    # candidate side so recall 0.0 rows survive
+    grid = cands.select("cohort", "query_id", "trunc_dim").distinct()
+    return (
+        grid.join(hits, ["cohort", "query_id", "trunc_dim"], "left")
+        .select(
+            "cohort",
+            "query_id",
+            "trunc_dim",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)) / F.lit(float(top_k)), 6
+            ).alias("recall"),
+        )
+        .orderBy("cohort", F.desc("trunc_dim"), F.asc("query_id"))
     )
 
 

@@ -36,7 +36,12 @@ TOP_K = 5
 TOPK_FANIN = 64
 
 
-def global_topk(scored: DataFrame, top_k: int, fanin: int = TOPK_FANIN) -> DataFrame:
+def global_topk(
+    scored: DataFrame,
+    top_k: int,
+    fanin: int = TOPK_FANIN,
+    by: tuple[str, ...] = ("query_id",),
+) -> DataFrame:
     """Tree-reduced global top-k per query over a candidate stream of
     (query_id, neighbor_id, cosine) rows.
 
@@ -52,8 +57,14 @@ def global_topk(scored: DataFrame, top_k: int, fanin: int = TOPK_FANIN) -> DataF
     lands in exactly one salt bucket, and any global top-k row is
     necessarily in its own bucket's top-k, so stage 2 sees every true
     winner. Ordering (cosine desc, neighbor_id asc) is a total order per
-    query, so ranks are deterministic."""
-    w_local = Window.partitionBy("query_id", "_salt").orderBy(
+    query, so ranks are deterministic.
+
+    ``by`` widens the ranking key: a caller scoring several result
+    families in one candidate stream (e.g. one row per prefix width)
+    ranks each (query_id, family) group independently — same two-stage
+    shape, the extra key columns ride through to the output."""
+    by = tuple(by)
+    w_local = Window.partitionBy(*by, "_salt").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     pruned = (
@@ -64,14 +75,15 @@ def global_topk(scored: DataFrame, top_k: int, fanin: int = TOPK_FANIN) -> DataF
         .where(F.col("_rn") <= top_k)
         .drop("_rn", "_salt")
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy(*by).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    extra = [c for c in by if c != "query_id"]
     return (
         pruned.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= top_k)
-        .select("query_id", "neighbor_id", "cosine", "rn")
-        .orderBy("query_id", "rn")
+        .select("query_id", *extra, "neighbor_id", "cosine", "rn")
+        .orderBy(*by, "rn")
     )
 
 

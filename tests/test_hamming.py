@@ -154,3 +154,33 @@ def test_matryoshka_weighted_cohort_front_loads_recall(spark):
     dims = sorted(MATRYOSHKA_DIMS)
     for lo, hi in zip(dims, dims[1:]):
         assert mean[("weighted", lo)] <= mean[("weighted", hi)] + 1e-9
+
+def test_matryoshka_prefix_folds_bit_identical_to_slice_folds(spark):
+    """The one-pass kernel derives every prefix dot/norm from
+    continuation folds (`aggregate(slice(p, d0+1, d-d0), fold_at_d0)`).
+    FP addition is non-associative, so this is only sound because the
+    continuation performs the EXACT operation sequence of an independent
+    left fold over `slice(p, 1, d)` — assert bitwise equality, no
+    tolerance, on adversarially mixed-magnitude doubles."""
+    from cours_datalake_dwh_td_kafka_spark.operators.matryoshka import (
+        MATRYOSHKA_DIMS,
+        _prefix_folds,
+    )
+
+    n = max(MATRYOSHKA_DIMS)
+    rows = [
+        (i, [((i * 31 + j * 17) % 1009 - 504.5) * (10.0 ** ((i + j) % 7 - 3))
+             for j in range(n)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, arr array<double>")
+    folds = _prefix_folds(F.col("arr"), MATRYOSHKA_DIMS)
+    checks = []
+    for d in MATRYOSHKA_DIMS:
+        ref = F.aggregate(
+            F.slice(F.col("arr"), 1, d), F.lit(0.0), lambda a, v: a + v
+        )
+        checks.append((folds[d] == ref).alias(f"eq{d}"))
+    out = df.select(*checks).collect()
+    for r in out:
+        assert all(r), r
