@@ -52,6 +52,8 @@ aggregation of centroid updates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -61,6 +63,16 @@ from cours_datalake_dwh_td_kafka_spark.registry import register
 
 K_CELLS = 8
 LLOYD_ROUNDS = 3
+
+#: vector count below which each round's O(n) assignment table
+#: broadcasts onto the PINNED quantized explode for the M-step —
+#: 5M (long, long) rows framed sits well inside the broadcast caps
+#: (the graph.py GRAPH_BC_MAX_NODES rule). Above it every round falls
+#: back to the original packed shuffle join against the source table.
+#: Env-overridable for cluster profiles.
+KMEANS_BC_MAX_VECS = int(
+    os.environ.get("SPARK_GRAFT_KMEANS_BC_MAX_VECS", "5000000")
+)
 
 
 def _flat(emb: DataFrame) -> DataFrame:
@@ -116,34 +128,58 @@ def kmeans_lloyd(
     the row with n_vecs = 0 — that is the cell-death signal a refresh
     loop keys re-seeding on)."""
     emb = e.select("vec_id", "embedding")
-    # read by every round's E-step: materialize the explode once
+    # read by every round's E-step AND (below the gate) every M-step:
+    # materialize the explode once
     flat = _flat(emb).localCheckpoint(eager=True)
+    # r15 (VERDICT r14 #5): below the gate each round's M-step reuses
+    # the PINNED quantized explode with the O(n) assignment broadcast —
+    # no per-round source re-scan, re-explode, re-cast, and no shuffle
+    # join (the checkpointed assignment has no stats, so the planner
+    # can never pick the broadcast itself — the CC_BC_MAX_NODES rule).
+    # Decimal sums are exact (order-independent), so `craw` is
+    # bit-identical on both paths; the gate costs one count on the
+    # already-materialized source scan.
+    small = emb.count() <= KMEANS_BC_MAX_VECS
     assign = emb.select("vec_id", (F.col("vec_id") % k).alias("cell"))
+    m_agg = [
+        F.round(F.sum("vq").cast("double") / F.count(F.lit(1)), 6).alias(
+            "craw"
+        )
+    ]
     cent = None
     scored = None
     for _ in range(rounds):
         # M-step: exact decimal sum, ONE double division, round, re-grid.
-        # The assignment joins the PACKED vector table (n rows of
-        # d-float arrays) and the explode happens map-side after the
-        # join — same bytes through the exchange as the exploded join
-        # but d x fewer shuffle rows (and d x fewer join-key hashes).
-        cent = (
-            emb.join(assign, "vec_id")
-            .select("cell", F.posexplode("embedding").alias("pos", "v"))
-            .select(
-                "cell",
-                F.col("pos").cast("long").alias("pos"),
-                F.col("v").cast("double").cast("decimal(28,6)").alias("vq"),
+        if small:
+            grouped = (
+                flat.join(F.broadcast(assign), "vec_id")
+                .groupBy("cell", "pos")
+                .agg(*m_agg)
             )
-            .groupBy("cell", "pos")
-            .agg(
-                F.round(
-                    F.sum("vq").cast("double") / F.count(F.lit(1)), 6
-                ).alias("craw")
+        else:
+            # the assignment joins the PACKED vector table (n rows of
+            # d-float arrays) and the explode happens map-side after
+            # the join — same bytes through the exchange as the
+            # exploded join but d x fewer shuffle rows (and d x fewer
+            # join-key hashes).
+            grouped = (
+                emb.join(assign, "vec_id")
+                .select(
+                    "cell", F.posexplode("embedding").alias("pos", "v")
+                )
+                .select(
+                    "cell",
+                    F.col("pos").cast("long").alias("pos"),
+                    F.col("v")
+                    .cast("double")
+                    .cast("decimal(28,6)")
+                    .alias("vq"),
+                )
+                .groupBy("cell", "pos")
+                .agg(*m_agg)
             )
-            .select(
-                "cell", "pos", F.col("craw").cast("decimal(28,6)").alias("cq")
-            )
+        cent = grouped.select(
+            "cell", "pos", F.col("craw").cast("decimal(28,6)").alias("cq")
         )
         scored = _estep(flat, cent)
         assign = scored.select("vec_id", "cell").localCheckpoint(eager=True)

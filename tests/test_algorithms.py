@@ -2138,6 +2138,23 @@ def test_connected_components_broadcast_gate_value_identical(spark, monkeypatch)
     }
 
 
+def test_kmeans_broadcast_gate_value_identical(spark, monkeypatch):
+    """Below/above KMEANS_BC_MAX_VECS must be the same centroids,
+    sizes and costs — the gate only changes whether the M-step reuses
+    the pinned quantized explode with a broadcast assignment or
+    re-joins the packed source table (decimal sums are exact either
+    way, so `craw` is bit-identical by construction; this pins it)."""
+    from cours_datalake_dwh_td_kafka_spark.io import load_table
+    from cours_datalake_dwh_td_kafka_spark.operators import clustering
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+    want = [tuple(r) for r in clustering.kmeans_lloyd(e).collect()]
+    monkeypatch.setattr(clustering, "KMEANS_BC_MAX_VECS", 0)  # shuffle path
+    got = [tuple(r) for r in clustering.kmeans_lloyd(e).collect()]
+    assert want == got
+
+
 def test_split_by_cluster_accepts_precomputed_pairs(spark):
     from cours_datalake_dwh_td_kafka_spark.io import load_table
     from cours_datalake_dwh_td_kafka_spark.operators.attest import multiset_eq
