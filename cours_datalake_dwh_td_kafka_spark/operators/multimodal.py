@@ -50,6 +50,22 @@ from pyspark.sql.types import (
 from cours_datalake_dwh_td_kafka_spark.io import load_table
 from cours_datalake_dwh_td_kafka_spark.registry import register
 
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Fan a narrow codec input out to the scheduler's full width when
+    the scan produced fewer splits (guide §2.5's input-skew rule: one
+    small/unsplittable parquet row group starves every core but one,
+    and the pure-Python codec passes below are CPU-bound per row). At
+    scale the scan already yields >= the default parallelism and this
+    is a no-op, keeping the round-robin exchange out of large-input
+    plans; per-row codec outputs are order-independent, so placement
+    changes nothing the rows compute."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 # ---------------------------------------------------------------------------
 # payload assembly: documents.text re-encoded as the opaque binary payload
 # (deterministic stand-in for real media bytes)
@@ -1350,7 +1366,9 @@ def image_png_stats(d: DataFrame, width: int = IMG_W) -> DataFrame:
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
-    return d.select("doc_id", "text").mapInPandas(run, PNG_SCHEMA)
+    return spread_input(d.select("doc_id", "text")).mapInPandas(
+        run, PNG_SCHEMA
+    )
 
 
 @register("multimodal_png_stats", _PNG_SQL)
@@ -1628,7 +1646,9 @@ def dct_codec_stats(d: DataFrame, width: int = DCT_W) -> DataFrame:
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)
 
-    return d.select("doc_id", "text").mapInPandas(run, DCT_SCHEMA)
+    return spread_input(d.select("doc_id", "text")).mapInPandas(
+        run, DCT_SCHEMA
+    )
 
 
 @register("multimodal_dct_stats", _DCT_SQL)
@@ -2023,7 +2043,9 @@ def jpeg_codec_stats(d: DataFrame, width: int = DCT_W) -> DataFrame:
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)
 
-    return d.select("doc_id", "text").mapInPandas(run, JPEG_SCHEMA)
+    return spread_input(d.select("doc_id", "text")).mapInPandas(
+        run, JPEG_SCHEMA
+    )
 
 
 @register("multimodal_jpeg_stats", _JPEG_SQL)
