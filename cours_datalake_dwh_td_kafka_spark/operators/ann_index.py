@@ -3041,9 +3041,27 @@ def ann_index_delete_lifecycle(
         parallel_vals,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = e.select("vec_id", "embedding")
     del_pred = (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 10 == 5)
     deleted = emb.where(del_pred).select("vec_id")
+    # r15 (guide §2.6, the corpus_refresh recipe): BOTH brute-force
+    # truth tables read only the source frame — zero dependency on the
+    # index store — yet they waited behind build + delete. Start them
+    # first so they ride under the build/delete chain; eager pins keep
+    # the pooled consumers race-free exactly as before.
+    bg = ThreadPoolExecutor(max_workers=2)
+    truth_all_fut = bg.submit(
+        lambda: ann_topk_bruteforce(e)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    truth_rem_fut = bg.submit(
+        lambda: ann_topk_bruteforce(e.where(~del_pred))
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     # index build + two read-only counts overlapped (r14, guide §2.6)
     _, n_vecs, n_deleted = parallel_vals(
         lambda: build_ivf_index(emb, path),
@@ -3061,26 +3079,23 @@ def ann_index_delete_lifecycle(
         snap = ivf_query_index(
             spark, path, q, nprobe=N_CELLS, version=pinned
         ).select("query_id", "neighbor_id")
-        truth_all = ann_topk_bruteforce(e).select(
-            "query_id", "neighbor_id"
-        )
-        return multiset_eq(snap, truth_all)
+        return multiset_eq(snap, truth_all_fut.result())
 
     # EAGER: served/truth_rem feed several pooled checks (truth_rem
     # also the post-compaction one) — materialize once, race-free.
     # The snapshot check rides the SAME wave: it reads only the
-    # immutable pinned version + its own brute-force subtree, so its
-    # heavy leg overlaps the pins instead of waiting on them (r14,
+    # immutable pinned version + the early-started truth pin (r14/r15,
     # guide §2.6)
-    served, truth_rem, snapshot_ok = parallel_vals(
-        lambda: ivf_query_index(spark, path, q, nprobe=N_CELLS)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True),
-        lambda: ann_topk_bruteforce(e.where(~del_pred))
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True),
-        _snapshot_check,
-    )
+    try:
+        served, truth_rem, snapshot_ok = parallel_vals(
+            lambda: ivf_query_index(spark, path, q, nprobe=N_CELLS)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True),
+            truth_rem_fut.result,
+            _snapshot_check,
+        )
+    finally:
+        bg.shutdown(wait=True)
 
     # each equality is one signed-tag action (VERDICT r13 #4)
     excludes, exact_after = parallel_vals(
