@@ -187,45 +187,17 @@ def erasure_e2e_protocol(
         lambda: int(embv.where(vec_erased).count()),
     )
 
-    # ---- the request lands: O(erased) writes on every store -----------
-    # five DISJOINT stores again (the index erasure re-tokenizes the
-    # wave's raw text from the INPUT frame, so it needs no ordering
-    # against the lake deletes — it touches idx_p only); overlapped
-    results = parallel_vals(
-        lambda: erase_from_text_index(
-            spark, docs.where(doc_erased).select("doc_id", "text"), idx_p
-        ),
-        lambda: lake_delete_keys(
-            spark, ev_p, "user_id",
-            keys=ev.where(user_erased).select("user_id").distinct(),
-        ),
-        lambda: lake_delete_keys(
-            spark, doc_p, "doc_id",
-            keys=docs.where(doc_erased).select("doc_id"),
-        ),
-        lambda: lake_delete_keys(
-            spark, fp_p, "doc_id",
-            keys=docs.where(doc_erased).select("doc_id"),
-        ),
-        lambda: delete_from_ivf_index(
-            embv.where(vec_erased).select("vec_id"), ann_p
-        ),
-    )
-    n_affected_terms = results[0]
-    # CDC-maintained artifacts fold the delete feed (two disjoint
-    # reader->writer chains: ev_p->sess_p and doc_p->mv_p)
-    parallel_vals(
-        lambda: maintain_sessions_from_cdc(spark, ev_p, sess_p),
-        lambda: lake_consume_changes(
-            spark, doc_p, mv_p, apply_fn=mv_delta_rows
-        ),
-    )
-
-    # ---- each artifact == a recompute that never saw the erased rows --
-    # every check is READ-ONLY over a settled store and independent of
-    # the others, so the seven comparisons run as overlapped jobs (r14,
-    # guide §2.6); each thunk owns its whole subtree — no lazy
-    # checkpoint is shared across threads
+    # ---- erase + maintain + verify, per store chain --------------------
+    # r15 (guide §2.6, profile-driven): the erase wave, the CDC folds
+    # and the seven recompute comparisons were three BARRIERS, but the
+    # true dependencies are five DISJOINT store chains — text index
+    # (erase -> 3 index checks), events (delete -> session fold ->
+    # check), docs (delete -> MV fold -> check), fingerprints (delete
+    # -> check), ANN (delete -> check). Each chain is sequential
+    # inside and owns its own lake paths, so the chains overlap
+    # end-to-end: a finished delete's checks run while another chain's
+    # heavier erase still writes. Every action, comparison and value
+    # is the one the barrier form produced.
     ev_rem = ev.where(~user_erased)
     docs_rem = docs.where(~doc_erased)
 
@@ -293,22 +265,55 @@ def erasure_e2e_protocol(
             ),
         )
 
+    def _text_chain() -> tuple[int, bool, bool, bool]:
+        n_terms = erase_from_text_index(
+            spark, docs.where(doc_erased).select("doc_id", "text"), idx_p
+        )
+        bm25_ok, maxscore_ok, tstats_ok = parallel_vals(
+            _bm25_check, _maxscore_check, _tstats_check, max_workers=3
+        )
+        return n_terms, bm25_ok, maxscore_ok, tstats_ok
+
+    def _events_chain() -> bool:
+        lake_delete_keys(
+            spark, ev_p, "user_id",
+            keys=ev.where(user_erased).select("user_id").distinct(),
+        )
+        maintain_sessions_from_cdc(spark, ev_p, sess_p)
+        return _sessions_check()
+
+    def _docs_chain() -> bool:
+        lake_delete_keys(
+            spark, doc_p, "doc_id",
+            keys=docs.where(doc_erased).select("doc_id"),
+        )
+        lake_consume_changes(spark, doc_p, mv_p, apply_fn=mv_delta_rows)
+        return _mv_check()
+
+    def _fp_chain() -> bool:
+        lake_delete_keys(
+            spark, fp_p, "doc_id",
+            keys=docs.where(doc_erased).select("doc_id"),
+        )
+        return _fp_check()
+
+    def _ann_chain() -> bool:
+        delete_from_ivf_index(embv.where(vec_erased).select("vec_id"), ann_p)
+        return _ann_check()
+
     (
+        (n_affected_terms, bm25_ok, maxscore_ok, tstats_ok),
         sessions_ok,
         mv_ok,
         fp_ok,
-        bm25_ok,
-        maxscore_ok,
-        tstats_ok,
         ann_ok,
     ) = parallel_vals(
-        _sessions_check,
-        _mv_check,
-        _fp_check,
-        _bm25_check,
-        _maxscore_check,
-        _tstats_check,
-        _ann_check,
+        _text_chain,
+        _events_chain,
+        _docs_chain,
+        _fp_chain,
+        _ann_chain,
+        max_workers=5,
     )
 
     # ---- physical reclamation on every store carrying delete debt -----
@@ -346,12 +351,14 @@ def erasure_e2e_protocol(
 
     # the seven stores are DISJOINT lake paths: each thunk compacts,
     # vacuums and rescans its own store only, so the rewrites overlap
-    # safely (r14, guide §2.6)
+    # safely (r14, guide §2.6; r15 widens the pool to one worker per
+    # store — the default 4 serialized three of the seven rewrites)
     reclaims = parallel_vals(
         *(
             (lambda s=store, k=keyed: _reclaim(s, k))
             for store, keyed in erased_key.items()
-        )
+        ),
+        max_workers=len(erased_key),
     )
     physical_ok = all(ok for ok, _ in reclaims)
     n_reclaimed = sum(n for _, n in reclaims)
