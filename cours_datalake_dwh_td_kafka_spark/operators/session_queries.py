@@ -272,19 +272,33 @@ def q_session_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_path = os.path.join(tmp, "events")
     sess_path = os.path.join(tmp, "sessions")
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
+        parallel_vals,
+    )
+
     late = (F.col("user_id") % 4 == 0) & (F.col("event_id") % 2 == 0)
     lake_commit(e.where(~late), ev_path)
     lake_cluster_by(spark, ev_path, "user_id")  # row-preserving: CDC skips
     lake_bloom_index(spark, ev_path, "user_id")
     v_boot = current_version(ev_path)
     # bootstrap carries the consumer's mark so the daemon folds ONLY the
-    # late waves, never the bootstrap's own rows
+    # late waves, never the bootstrap's own rows. r15 (guide §2.6): the
+    # bootstrap sessionization reads the IMMUTABLE v_boot snapshot and
+    # writes only the sessions store, so it overlaps the two late-wave
+    # appends (disjoint store); the fold below joins it first — it
+    # needs the bootstrap's mark.
     sid = f"sessions:{os.path.abspath(ev_path)}"
-    lake_commit(
-        sessionize_events(lake_read(spark, ev_path)),
-        sess_path,
-        stream_batch_id=v_boot,
-        stream_id=sid,
+    ev_boot = lake_read(spark, ev_path, v_boot)
+    bg = ThreadPoolExecutor(max_workers=1)
+    boot_fut = bg.submit(
+        lambda: lake_commit(
+            sessionize_events(ev_boot),
+            sess_path,
+            stream_batch_id=v_boot,
+            stream_id=sid,
+        )
     )
     # the late wave arrives as a 2-version backlog before the next poll
     lake_commit(
@@ -293,21 +307,25 @@ def q_session_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake_commit(
         e.where(late & (F.col("event_id") % 4 == 2)), ev_path, mode="append"
     )
+    try:
+        boot_fut.result()
+    finally:
+        bg.shutdown(wait=True)
 
-    from cours_datalake_dwh_td_kafka_spark.operators.attest import (
-        parallel_vals,
-    )
-
-    # the touched-user count is read-only over the event lake; the
-    # daemon fold reads the event lake and writes ONLY the sessions
-    # store — independent, overlapped (r14, guide §2.6). The replay
-    # probe stays AFTER the fold (it checks the fold's mark).
-    n_touched, folded = parallel_vals(
+    # the touched-user count AND the full-recompute pin are read-only
+    # over the settled event lake; the daemon fold reads the event lake
+    # and writes ONLY the sessions store — independent, overlapped
+    # (r14/r15, guide §2.6). The replay probe stays AFTER the fold (it
+    # checks the fold's mark).
+    n_touched, folded, recompute = parallel_vals(
         lambda: lake_changes_since(spark, ev_path, v_boot)
         .select("user_id")
         .distinct()
         .count(),
         lambda: maintain_sessions_from_cdc(spark, ev_path, sess_path),
+        lambda: sessionize_events(
+            lake_read(spark, ev_path)
+        ).localCheckpoint(eager=True),
     )
     fold_ok = (
         folded == [v_boot + 1, v_boot + 2]
@@ -315,7 +333,6 @@ def q_session_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     final = lake_read(spark, sess_path)
-    recompute = sessionize_events(lake_read(spark, ev_path))
     # one signed-tag action (round 14, VERDICT r13 #4) instead of two
     # exceptAll counts; 0/1 keeps the attested column's contract
     mismatch = 0 if multiset_eq(final, recompute) else 1
