@@ -22,6 +22,7 @@ from cours_datalake_dwh_td_kafka_spark.operators.multimodal import (
 from tests.conftest import SF_ORACLE
 
 
+@pytest.mark.slow
 def test_grid_knn_equals_naive(spark):
     zones = zones_df(spark, SF_ORACLE)
     stations = stations_df(spark, SF_ORACLE)
@@ -348,6 +349,7 @@ def test_frame_sample_demuxes_concatenated_bmps(spark):
             assert (px == want).all()
 
 
+@pytest.mark.slow
 def test_connected_components_contracted_star_fallback(spark):
     """Non-convergence path (ADVICE r2): a chain longer than max_iter
     must fall back to large-star/small-star on the LABEL-CONTRACTED
@@ -1135,6 +1137,7 @@ def test_persisted_ivfpq_index_matches_inquery_and_prunes(spark, tmp_path):
     )[1][:120]
 
 
+@pytest.mark.slow
 def test_ivfpq_append_serves_grown_corpus(spark, tmp_path):
     """Incremental PQ maintenance (the PQ twin of the IVF append): after
     append_ivfpq_index the CURRENT version serves the WHOLE corpus — at
@@ -1392,6 +1395,7 @@ def test_hard_negative_ivf_masks_inside_probe(spark, tmp_path):
     assert {(r.query_id, r.neighbor_id) for r in got} == exact
 
 
+@pytest.mark.slow
 def test_index_lake_pairing_survives_interleaved_mutations(spark, tmp_path):
     """Round-10 snapshot-consistency contract: a reader that resolved
     the index version BEFORE a MERGE+append interleave still serves
@@ -1551,6 +1555,7 @@ def test_label_filtered_serving_string_labels(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_corpus_self_probe_mining_full_probe_equals_exact(spark, tmp_path):
     """r11 (verdict #3): corpus-wide self-probe mining at full probe is
     bit-equal to the exact all-pairs miner with probe set == corpus —
@@ -1600,6 +1605,7 @@ def test_corpus_self_probe_mining_full_probe_equals_exact(spark, tmp_path):
         ai.hard_negative_mining_corpus(spark, bare)
 
 
+@pytest.mark.slow
 def test_pq_corpus_mining_and_meta_preservation(spark, tmp_path):
     """r11: the PQ-coded corpus-wide miner — per-query recall vs the
     flat full-probe truth clears the floor at the tuned (nprobe,
@@ -1768,6 +1774,7 @@ def test_opq_monotone_improvement_and_orthonormal():
     assert abs(direct - mse_pq) < 1e-9
 
 
+@pytest.mark.slow
 def test_opq_index_lifecycle_append_preserves_rotation(spark, tmp_path):
     """The persisted OPQ index: build on the even half, append the odd
     half — the frozen rotation must ride along byte-for-byte (it joins
@@ -1815,6 +1822,7 @@ def test_opq_index_lifecycle_append_preserves_rotation(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_misra_gries_completeness_under_adversarial_order(spark):
     """The MG completeness theorem, attacked: a heavy item interleaved
     with floods of distinct one-off keys (the worst case for counter
@@ -2015,6 +2023,7 @@ def test_corpus_drift_ks_shift_direction_and_null(spark):
     assert abs(withnull[0].ks_stat - 0.2) < 1e-9
 
 
+@pytest.mark.slow
 def test_bloom_join_reduction_superset_and_counts(spark):
     """The bloom pre-filter keeps a SUPERSET of matching fact rows
     (never a false negative), reduces the scan when the dim is

@@ -164,6 +164,7 @@ def test_manifest_publish_is_atomic_no_partial_visible(spark, tmp_path):
         assert m["files"]
 
 
+@pytest.mark.slow
 def test_ivf_index_rebuild_in_place(spark, tmp_path):
     """build_ivf_index at an existing path refreshes the index instead
     of throwing errorifexists — the build-once/serve-many refresh path."""
@@ -195,6 +196,7 @@ def test_ivf_index_rebuild_in_place(spark, tmp_path):
     assert ivf_query_index(spark, idx, q, nprobe=2, top_k=3).count() > 0
 
 
+@pytest.mark.slow
 def test_knn_label_accuracy_ivf_matches_exact_anchor(spark, tmp_path):
     """The served-index kNN probe's acc_exact must equal the brute-force
     probe's aggregated accuracy (same vote half, same truth), its
@@ -237,6 +239,7 @@ def test_lake_vacuum_rejects_destroy_all(spark, tmp_path):
     assert {tuple(r) for r in lake_read(spark, path).collect()} == {(1, "a")}
 
 
+@pytest.mark.slow
 def test_lake_compact_rewrites_small_files(spark, tmp_path):
     """Compaction folds a micro-batch-shaped pile of small files into
     one, preserves the rows EXACTLY, keeps time travel to the
@@ -275,6 +278,7 @@ def test_lake_compact_rewrites_small_files(spark, tmp_path):
     assert {tuple(r) for r in lake_read(spark, path).collect()} == rows_before
 
 
+@pytest.mark.slow
 def test_lake_stream_compact_vacuum_lifecycle(spark, tmp_path):
     """The full maintenance loop a streaming lake lives on, end-to-end:
     micro-batch appends (foreachBatch -> lake_commit, one version per
@@ -382,6 +386,7 @@ def test_lake_compact_loses_commit_race(spark, tmp_path, monkeypatch):
     assert isinstance(ei.value.__cause__, FileExistsError)
 
 
+@pytest.mark.slow
 def test_graftlake_python_datasource(spark, tmp_path):
     """The Spark-4 Python DataSource surface: spark.read.format
     ('graftlake') resolves the manifest inside the engine's own planning
@@ -768,6 +773,7 @@ def test_ivf_append_fails_when_rebuild_lands_mid_flight(
         append_ivf_index(emb_d.where(F.col("vec_id") % 4 == 2), path)
 
 
+@pytest.mark.slow
 def test_ivf_compact_lifecycle_row_and_vacuum(spark, tmp_path):
     """The compaction rung end-to-end: the attested row reports chain
     2 -> 1 with every guarantee true; the lifecycle is resume-safe
@@ -813,6 +819,7 @@ def test_ivf_compact_lifecycle_row_and_vacuum(spark, tmp_path):
     assert served == exact
 
 
+@pytest.mark.slow
 def test_compact_if_drifted_fires_only_on_measured_gap(spark, tmp_path):
     """The drift-bound trigger: a freshly-built index shows ~zero
     fresh-vs-served recall gap and no compaction runs; a chain whose
@@ -1111,6 +1118,7 @@ def test_lake_zorder_prunes_both_dimensions(spark, tmp_path):
         lake_cluster_by(spark, path, ["x", "s"], n_files=4)
 
 
+@pytest.mark.slow
 def test_lake_maintenance_plan_verdicts(spark, tmp_path):
     """The advisor flags exactly the due ops: fragmented commits ->
     compact_due; appends eroding a clustered layout -> recluster_due;
@@ -1335,6 +1343,7 @@ def test_lake_bloom_canonicalization_no_false_negatives(spark, tmp_path):
         lake_bloom_index(spark, path, "k", m_bits=1001)
 
 
+@pytest.mark.slow
 def test_maintenance_plan_reindex_verdict(spark, tmp_path):
     """reindex_due (round 10): never due without a bloom index; due when
     appends leave enough files without bitmaps; cleared by a re-index;
@@ -1699,6 +1708,7 @@ def test_lake_consume_changes_exactly_once_kill_resume(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_delete_keys_explicit_overload_bloom_narrowed(spark, tmp_path):
     """r11 (verdict #5): an erasure that already knows its keys must
     never read the table — the keys frame is written directly, and with

@@ -26,8 +26,15 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_all_queries_run_and_nonempty(spark):
-    """Queries without oracles still must run and return a stable schema."""
+    """Queries without oracles still must run and return a stable
+    schema. r15 (suite wall time, VERDICT r14 #2): restricted to the
+    NO-oracle queries — every oracled query is already executed AND
+    value-compared by the parametrized parity test above, so re-running
+    all of them here was one 4-minute test of pure duplication."""
+    oracled = set(registry.oracle_sql())
     for name, q in registry.queries().items():
+        if name in oracled:
+            continue
         df = q(spark, SF_ORACLE)
         assert df.columns, name
         assert df.count() >= 0, name

@@ -23,11 +23,33 @@ _ALL = sorted(
     if n not in {"stratified_sample"}  # trivial plan, RNG-dependent
 )
 
+# r15 (suite wall time, VERDICT r14 #2): three whole-registry gates
+# each rebuilt every query's DataFrame — for the protocol rows that
+# means re-RUNNING the whole lifecycle three times per suite. Build
+# each query once and evaluate all three gates' inputs immediately
+# (while the frame is fresh); the parametrized tests read the memo.
+_GATE_CACHE: dict[str, tuple] = {}
+
+
+def _gate_results(spark, name):
+    if name not in _GATE_CACHE:
+        from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
+            low_cardinality_keyed_windows,
+            unbounded_global_windows,
+        )
+
+        df = registry.queries()[name](spark, SF_ORACLE)
+        _GATE_CACHE[name] = (
+            plan_facts(df),
+            unbounded_global_windows(df),
+            low_cardinality_keyed_windows(df),
+        )
+    return _GATE_CACHE[name]
+
 
 @pytest.mark.parametrize("name", _ALL)
 def test_no_cartesian_and_no_row_python_udf(spark, name):
-    df = registry.queries()[name](spark, SF_ORACLE)
-    f = plan_facts(df)
+    f = _gate_results(spark, name)[0]
     assert f.n_cartesian == 0, f"{name}: CartesianProduct in plan"
     assert f.python_evals == 0, f"{name}: row-wise Python UDF in plan"
 
@@ -263,12 +285,7 @@ def test_no_unbounded_global_window_any_query(spark, name):
     partition-id-keyed aggregate / driver-local literal on every leaf
     path). At 100 TB an unbounded one is a one-task sort of the
     dataset."""
-    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
-        unbounded_global_windows,
-    )
-
-    df = registry.queries()[name](spark, SF_ORACLE)
-    bad = unbounded_global_windows(df)
+    bad = _gate_results(spark, name)[1]
     assert not bad, f"{name}: unbounded global window(s): {bad}"
 
 
@@ -316,12 +333,7 @@ def test_no_low_cardinality_keyed_window_any_query(spark, name):
     its input is constant-bounded or a WindowGroupLimit caps the
     surviving rows — rows-per-key scale with data, keys don't, so such
     a window serializes terabytes through ~n_keys tasks at 100 TB."""
-    from cours_datalake_dwh_td_kafka_spark.plans.inspect import (
-        low_cardinality_keyed_windows,
-    )
-
-    df = registry.queries()[name](spark, SF_ORACLE)
-    bad = low_cardinality_keyed_windows(df)
+    bad = _gate_results(spark, name)[2]
     assert not bad, f"{name}: low-cardinality keyed window(s): {bad}"
 
 

@@ -9,6 +9,7 @@ duplicate edges, self-contained components.
 
 from __future__ import annotations
 
+import pytest
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -41,6 +42,7 @@ _SETTINGS = dict(
         max_size=4,
     )
 )
+@pytest.mark.slow
 def test_sessionize_counts_state_runs(spark, states):
     rows = []
     for ent, seq in enumerate(states):
@@ -111,6 +113,7 @@ def test_haversine_metric_properties(spark, a, b):
         max_size=60,
     )
 )
+@pytest.mark.slow
 def test_salted_agg_matches_plain_on_random_skew(spark, data):
     df = spark.createDataFrame(data, "k BIGINT, v BIGINT")
     plain = {
@@ -145,6 +148,7 @@ def test_salted_agg_matches_plain_on_random_skew(spark, data):
     ),
     isolates=st.sets(st.integers(min_value=15, max_value=19), max_size=3),
 )
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges, isolates):
     node_ids = sorted(
         {a for a, _ in edges} | {b for _, b in edges} | isolates
@@ -192,6 +196,7 @@ def test_connected_components_matches_union_find(spark, edges, isolates):
     ),
     isolates=st.sets(st.integers(min_value=15, max_value=19), max_size=3),
 )
+@pytest.mark.slow
 def test_star_cc_matches_union_find(spark, edges, isolates):
     node_ids = sorted({a for a, _ in edges} | {b for _, b in edges} | isolates)
     if not node_ids:
@@ -317,6 +322,7 @@ def test_ngram_pairs_no_false_positives(spark, docs):
         max_size=24,
     )
 )
+@pytest.mark.slow
 def test_semantic_dedup_matches_python_reference(spark, vecs):
     """semantic_dedup == brute-force python: same sign-bit buckets, same
     greedy smaller-id-wins keep decisions."""
@@ -431,6 +437,7 @@ def test_bmp_roundtrip_property(h, w, seed):
         max_size=4,
     )
 )
+@pytest.mark.slow
 def test_bpe_matches_sequential_reference_on_random_corpora(spark, texts):
     from collections import Counter
 
@@ -494,6 +501,7 @@ def test_bpe_matches_sequential_reference_on_random_corpora(spark, texts):
         max_size=3,
     )
 )
+@pytest.mark.slow
 def test_ewma_fold_matches_sequential_reference(spark, series):
     from cours_datalake_dwh_td_kafka_spark.operators.timeseries import ewma
 
@@ -534,6 +542,7 @@ def test_ewma_fold_matches_sequential_reference(spark, series):
     offset_a=st.integers(min_value=0, max_value=10),
     offset_b=st.integers(min_value=0, max_value=10),
 )
+@pytest.mark.slow
 def test_span_runs_recovers_random_planted_span(
     spark, span_len, offset_a, offset_b
 ):
@@ -1014,6 +1023,7 @@ def test_all_decoders_reject_corruption_gracefully(codec, seed, truncate):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_pareto_recipe_matches_bruteforce_dominance(spark, pts):
     """The sort + exclusive-prefix-min skyline recipe (the
     pareto_frontier plan) must equal the O(n^2) dominance definition —
@@ -1054,6 +1064,7 @@ def test_pareto_recipe_matches_bruteforce_dominance(spark, pts):
     n_bits=st.integers(min_value=8, max_value=60),
     hamming_max=st.integers(min_value=0, max_value=6),
 )
+@pytest.mark.slow
 def test_hamming_banding_equals_bruteforce_any_width(
     spark, data, n_bits, hamming_max
 ):
@@ -1119,6 +1130,7 @@ _word = st.text(alphabet="ab \t", min_size=0, max_size=8)
     corpus_texts=st.lists(_word, min_size=0, max_size=6),
     inc_texts=st.lists(_word, min_size=1, max_size=6),
 )
+@pytest.mark.slow
 def test_incremental_new_docs_fps_path_matches_corpus_path(
     spark, corpus_texts, inc_texts
 ):

@@ -128,6 +128,7 @@ def test_spark_summary_and_bound_row(spark):
     assert sum(r.n for r in s2) == 3
 
 
+@pytest.mark.slow
 def test_quantile_monitor_stream_bound_and_exact_accounting(
     spark, tmp_path, monkeypatch
 ):
@@ -204,6 +205,7 @@ def test_grouped_sketch_independent_budgets(spark):
     assert tiny[0.5] == 2.5
 
 
+@pytest.mark.slow
 def test_quantile_monitor_stream_restart_keeps_state(spark, tmp_path):
     """Restart correctness (r13 review): the running sketch persists
     beside the checkpoint, so a stopped-and-restarted monitor carries
@@ -326,6 +328,7 @@ def test_grouped_sketch_non_string_key(spark):
     assert small[0.5] == 20.0
 
 
+@pytest.mark.slow
 def test_grouped_quantile_monitor_stream_restart_and_determinism(
     spark, tmp_path, monkeypatch
 ):

@@ -1284,6 +1284,7 @@ def test_stream_gaps_match_batch_lag(spark, stream_dir):
     assert got == want and len(got) == 5
 
 
+@pytest.mark.slow
 def test_stream_image_dedup_drops_perceptual_copies(spark, tmp_path):
     """A re-encoded, brightness-shifted copy has different BYTES (the
     fingerprint dedup would keep it) but the identical pHash — the
@@ -1350,6 +1351,7 @@ def test_stream_image_dedup_drops_perceptual_copies(spark, tmp_path):
     assert kept == [1, 3]  # the perceptual copy (img 2) dropped
 
 
+@pytest.mark.slow
 def test_stream_audio_dedup_drops_gain_remasters(spark, tmp_path):
     """A gain-x2 re-master has different BYTES (the fingerprint dedup
     would keep it) but the identical energy-envelope hash — the
@@ -1415,6 +1417,7 @@ def test_stream_audio_dedup_drops_gain_remasters(spark, tmp_path):
     assert kept == [1, 3]  # the gain re-master (clip 2) dropped
 
 
+@pytest.mark.slow
 def test_stream_contamination_alerts(spark, tmp_path):
     """An arriving doc sharing an 8-gram with the static benchmark set
     raises exactly ONE alert (many shared shingles collapse on doc_id);
@@ -1654,6 +1657,7 @@ def test_stream_near_dup_alerts_match_batch_gate(spark, tmp_path):
     assert len(rows) == len(got)  # one alert per flagged doc
 
 
+@pytest.mark.slow
 def test_stream_near_dup_alerts_restart_keeps_dedup_state(spark, tmp_path):
     """Kill-and-resume for the near-dup alert stream: after a restart
     from the checkpoint, a REPLAYED flagged doc fires no second alert
@@ -1935,6 +1939,7 @@ def test_stream_cdc_consumer_exactly_once_across_restarts(spark, tmp_path):
     assert got.select("k").distinct().count() == 12
 
 
+@pytest.mark.slow
 def test_ingest_daemon_end_to_end(spark, tmp_path):
     """Capstone integration (r10+r11): STREAMED ingestion into the
     versioned lake, with every derived artifact — exact-dedup
@@ -2298,6 +2303,7 @@ def test_stream_mg_guarantee_and_deficit_bound(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
     """Streaming PSI == batch PSI after the stream drains: the monitor's
     per-trigger verdict over three file-stream batches of the odd-parity
@@ -2431,6 +2437,7 @@ def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
     assert restarted[-1][1] == want, (restarted[-1][1], want)
 
 
+@pytest.mark.slow
 def test_sessions_maintenance_daemon_end_to_end(spark, tmp_path):
     """The flagship sessions table maintained by the streaming CDC
     daemon: cold-start bootstrap from v1, a late insert wave, and an
@@ -2511,6 +2518,7 @@ def test_sessions_maintenance_daemon_end_to_end(spark, tmp_path):
     assert maintain_sessions_from_cdc(spark, ev_path, sess_path) == []
 
 
+@pytest.mark.slow
 def test_stream_drift_monitor_ks_matches_batch(spark, tmp_path):
     """Streaming binned KS == batch corpus_drift_ks after the stream
     drains, bit-for-bit on (ks_stat, critical_value, drift_alert); a
@@ -2587,6 +2595,7 @@ def test_stream_drift_monitor_ks_matches_batch(spark, tmp_path):
     assert all(0.0 <= v[1] <= 1.0 for v in verdicts)
 
 
+@pytest.mark.slow
 def test_stream_drift_monitor_ks_adaptive_matches_batch(spark, tmp_path):
     """Streaming equi-depth KS == batch corpus_drift_ks_adaptive after
     the stream drains, bit-for-bit on (ks_stat, critical_value,
