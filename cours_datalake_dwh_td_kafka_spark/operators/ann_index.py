@@ -2892,12 +2892,22 @@ def ann_index_compact_lifecycle(
     - ``ancestors_reclaimable``: a dry-run vacuum reports every
       pre-compaction version as sweepable (the chain is released)."""
     import json
+    from concurrent.futures import ThreadPoolExecutor
 
     from cours_datalake_dwh_td_kafka_spark.operators.similarity import (
         ann_topk_bruteforce,
     )
 
     emb_d = e.select("vec_id", "embedding")
+    # r15 (guide §2.6, the ann_index_delete recipe): the brute-force
+    # truth reads only the input frame — start its eager pin before the
+    # build/append/compact chain so the BLAS pass rides underneath.
+    bg = ThreadPoolExecutor(max_workers=1)
+    truth_fut = bg.submit(
+        lambda: ann_topk_bruteforce(e)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     base = emb_d.where(F.col("vec_id") % 2 == 0)
     extra = emb_d.where(F.col("vec_id") % 2 == 1)
     marker = os.path.join(path, "COMPACTED.json")
@@ -2924,12 +2934,12 @@ def ann_index_compact_lifecycle(
     )
     # truth feeds four actions (two counts, exceptAll, two recall_hits
     # semi-joins) and full two — pin each so the BLAS brute force and
-    # the full-probe scan run once, not per action
-    truth = (
-        ann_topk_bruteforce(e)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
+    # the full-probe scan run once, not per action (truth's pin was
+    # started before the build chain; joined here)
+    try:
+        truth = truth_fut.result()
+    finally:
+        bg.shutdown(wait=True)
     full = (
         ivf_query_index(spark, path, q, nprobe=N_CELLS)
         .select("query_id", "neighbor_id")
@@ -2947,10 +2957,9 @@ def ann_index_compact_lifecycle(
         parallel_vals,
     )
 
-    # truth is consumed by three pooled thunks: materialize it once,
-    # race-free, then overlap the four independent read-only checks
-    # (r14, guide §2.6; the equality is one signed-tag action)
-    truth.count()
+    # truth is already materialized (eager pin above): overlap the four
+    # independent read-only checks (r14, guide §2.6; the equality is
+    # one signed-tag action)
     chained = ivf_query_index(
         spark, path, q, nprobe=COMPACT_NPROBE, version=pre
     )

@@ -425,9 +425,23 @@ def text_index_protocol(
         pruned_files,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
     cut = int(lo) + int((int(hi) - int(lo)) * INCREMENT_SPLIT)
     idx = os.path.join(workdir, "text_index")
+    # r15 (guide §2.6, the corpus_refresh recipe): both in-query
+    # recompute legs read only the INPUT corpus — start their eager
+    # pins before the build+append chain so the full-corpus tokenize
+    # rides underneath; the parity checks join them where the
+    # sequential form recomputed them.
+    bg = ThreadPoolExecutor(max_workers=2)
+    bm25_want_fut = bg.submit(
+        lambda: bm25_search(d).localCheckpoint(eager=True)
+    )
+    phrase_want_fut = bg.submit(
+        lambda: phrase_search(d).localCheckpoint(eager=True)
+    )
     build_text_index(spark, d.where(F.col("doc_id") < cut), idx)
     append_text_index(spark, d.where(F.col("doc_id") >= cut), idx)
 
@@ -439,19 +453,24 @@ def text_index_protocol(
     def _bm25_eq_check() -> bool:
         # one signed-tag action (VERDICT r13 #4) instead of
         # count + count + exceptAll
-        return multiset_eq(served, bm25_search(d))
+        return multiset_eq(served, bm25_want_fut.result())
 
     def _phrase_eq_check() -> bool:
-        return multiset_eq(phrase_query_index(spark, idx), phrase_search(d))
+        return multiset_eq(
+            phrase_query_index(spark, idx), phrase_want_fut.result()
+        )
 
     def _phrase_rows_count() -> int:
         return _term_postings(
             spark, idx, tuple(set(PHRASE_QUERY.split(" ")))
         ).count()
 
-    bm25_eq, phrase_eq, phrase_rows = parallel_vals(
-        _bm25_eq_check, _phrase_eq_check, _phrase_rows_count
-    )
+    try:
+        bm25_eq, phrase_eq, phrase_rows = parallel_vals(
+            _bm25_eq_check, _phrase_eq_check, _phrase_rows_count
+        )
+    finally:
+        bg.shutdown(wait=True)
     opened: set[str] = set()
     total = 0
     for t in dict.fromkeys(BM25_TERMS):
