@@ -29,13 +29,20 @@ PAGERANK_TELEPORT = 0.15
 PAGERANK_TOP_K = 20
 
 #: broadcast gate for the iterative operators' O(nodes) state vectors
-#: (rank / label / degree tables). 5M nodes ~ 80 MB of (long, long)
-#: rows framed — comfortably under the session's 64m-threshold spirit
-#: and far under the 8 GB broadcast cap; beyond it every loop falls
-#: back to its original shuffle-join + checkpoint path. Env-overridable
-#: so a cluster profile can raise it without a code change.
+#: (rank / label / degree tables); beyond it every loop falls back to
+#: its original shuffle-join + checkpoint path. Env-overridable so a
+#: cluster profile can move it without a code change.
+#:
+#: r15 default 100k, MEASURED on the 10x lake (plans/r15/scaling): at
+#: 20k nodes the broadcast regime wins pagerank 5.9 vs 7.7 s, but at
+#: 200k nodes it LOSES 3.3x (71.2 vs 21.7 s — four per-iteration
+#: driver collect+build+ship rounds of the rank vector with no
+#: intermediate materialization) and is a wash for components (16.2 vs
+#: 14.4 s). The r14 default of 5M was sized by broadcast-cap arithmetic
+#: alone; the measured crossover is far lower, and above the gate the
+#: shuffle path is the robust default.
 GRAPH_BC_MAX_NODES = int(
-    os.environ.get("SPARK_GRAFT_GRAPH_BC_MAX_NODES", "5000000")
+    os.environ.get("SPARK_GRAFT_GRAPH_BC_MAX_NODES", "100000")
 )
 
 
