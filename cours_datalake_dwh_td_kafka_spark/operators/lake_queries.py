@@ -417,15 +417,21 @@ def lake_zorder_protocol(
         pruned_files,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     lake_commit(o.repartition(CLUSTER_FILES), path)  # v1: hash layout
     v1 = lake_read(spark, path, 1)
-    # two independent read-only actions over the settled v1 (r14,
-    # guide §2.6)
-    n_rows, key_sum = parallel_vals(
-        lambda: v1.count(),
-        lambda: v1.agg(
-            F.sum("o_orderkey").cast("long").alias("s")
-        ).first().s,
+    # two independent read-only actions over the IMMUTABLE v1 snapshot
+    # — they ride UNDER the v2 rewrite (r15, guide §2.6; the rewrite
+    # only adds a version, the pinned v1 manifest never changes)
+    bg = ThreadPoolExecutor(max_workers=1)
+    counts_fut = bg.submit(
+        lambda: parallel_vals(
+            lambda: v1.count(),
+            lambda: v1.agg(
+                F.sum("o_orderkey").cast("long").alias("s")
+            ).first().s,
+        )
     )
     lake_cluster_by(  # v2: 1-D, with second-column stats recorded
         spark,
@@ -434,6 +440,10 @@ def lake_zorder_protocol(
         n_files=CLUSTER_FILES,
         stats_cols=("o_orderdate",),
     )
+    try:
+        n_rows, key_sum = counts_fut.result()
+    finally:
+        bg.shutdown(wait=True)
     hit_cust_1d, tot_1d = pruned_files(
         path, "o_custkey", PRUNE_LO, PRUNE_HI, version=2
     )
