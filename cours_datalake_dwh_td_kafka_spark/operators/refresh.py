@@ -986,10 +986,24 @@ def erasure_protocol(
         ann_topk_bruteforce,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     erased = F.col("doc_id") % ERASE_MOD == ERASE_REMAINDER
     lake_path = os.path.join(workdir, "docs")
     idx = os.path.join(workdir, "idx")
     emb = e.select("vec_id", "embedding")
+    vec_erased = (F.col("vec_id") % ERASE_MOD == ERASE_REMAINDER) & (
+        F.col("vec_id") >= N_QUERIES
+    )
+    # r15 (guide §2.6, the ann_index_delete recipe): the serving
+    # check's brute-force truth reads only the input frame — start its
+    # eager pin first so the BLAS pass rides under both write phases.
+    bg = ThreadPoolExecutor(max_workers=1)
+    truth_rem_fut = bg.submit(
+        lambda: ann_topk_bruteforce(e.where(~vec_erased))
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     # build phase: the two stores are disjoint and the two counts are
     # read-only — overlap the four jobs (r14, guide §2.6)
     _, _, n_docs, n_erased = parallel_vals(
@@ -1006,9 +1020,6 @@ def erasure_protocol(
     # ARRIVES as explicit keys (the GDPR shape, r11 verdict #5) — the
     # keys-overload writes them without any lake read, end-to-end
     # O(deleted) including the scan. Disjoint stores again: overlapped.
-    vec_erased = (F.col("vec_id") % ERASE_MOD == ERASE_REMAINDER) & (
-        F.col("vec_id") >= N_QUERIES
-    )
     _, _, n_vecs_erased = parallel_vals(
         lambda: lake_delete_keys(
             spark, lake_path, "doc_id",
@@ -1044,10 +1055,7 @@ def erasure_protocol(
         served = ivf_query_index(spark, idx, q, nprobe=N_CELLS).select(
             "query_id", "neighbor_id"
         )
-        truth_rem = ann_topk_bruteforce(e.where(~vec_erased)).select(
-            "query_id", "neighbor_id"
-        )
-        return multiset_eq(served, truth_rem)
+        return multiset_eq(served, truth_rem_fut.result())
 
     def _snapshots_check() -> bool:
         # audit trail: pre-erasure snapshots readable BY EXPLICIT version
@@ -1068,17 +1076,20 @@ def erasure_protocol(
             > 0  # the old snapshot still serves erased vectors — by design
         )
 
-    (
-        lake_without,
-        point_empty,
-        index_without,
-        snapshots_isolated,
-    ) = parallel_vals(
-        _lake_without_check,
-        _point_check,
-        _index_without_check,
-        _snapshots_check,
-    )
+    try:
+        (
+            lake_without,
+            point_empty,
+            index_without,
+            snapshots_isolated,
+        ) = parallel_vals(
+            _lake_without_check,
+            _point_check,
+            _index_without_check,
+            _snapshots_check,
+        )
+    finally:
+        bg.shutdown(wait=True)
 
     # fold + vacuum: the rows are physically GONE from both stores.
     # The reclaim is MEASURED (r11 verdict #7): vacuum's returned
